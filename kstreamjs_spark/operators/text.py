@@ -1,0 +1,97 @@
+"""Text-analysis operators over a token-separated text column: tokenization,
+language ID (stopword n-gram heuristic), quality scoring, token counting,
+and document fingerprinting (rolling hash).
+
+All pure Catalyst expressions (higher-order array functions) — no Python in
+the hot path, so these run inside whole-stage codegen and scale linearly
+with input splits; no shuffle is needed for any per-document metric.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword lists for the language-ID heuristic. The point
+# is a deterministic, SQL-expressible scoring function (oracle-checkable),
+# not linguistic accuracy — swap in fastText/CLD3 via mapInPandas for real
+# pipelines.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "zu", "ein"),
+    "fr": ("le", "la", "de", "et", "un", "une"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) in ``words``."""
+    wset = [F.lit(w) for w in words]
+    return F.size(
+        F.filter(toks, lambda t: t.isin([w for w in words]))
+    ).cast("long")
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+
+
+def lang_id(toks: Column) -> Column:
+    """argmax language by stopword hits; ties broken by the fixed key order
+    of STOPWORDS ('unknown' when no stopword appears at all)."""
+    scores = lang_scores(toks)
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # build the when-chain in reverse so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality heuristic in [0,1]: length credit x
+    (1 - stopword density). Real pipelines plug model-based scorers in via
+    mapInPandas; the Spark plumbing is identical."""
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    all_stop = tuple(w for ws in STOPWORDS.values() for w in ws)
+    stop_ratio = stopword_hits(toks, all_stop).cast("double") / n
+    return F.round(F.least(F.lit(1.0), n / 100.0) * (1.0 - stop_ratio), 6)
+
+
+def _portable_token_hash(t: Column) -> Column:
+    """Engine-portable token hash (expressible identically in DuckDB SQL for
+    the oracle): length*131 + 7*codepoint(first char) + codepoint(last
+    char). NOT a quality hash — the fingerprint op is about the distributed
+    plumbing; swap xxhash64 in for production use."""
+    return (
+        F.length(t).cast("long") * 131
+        + F.ascii(F.substring(t, 1, 1)).cast("long") * 7
+        + F.ascii(F.substring(t, -1, 1)).cast("long")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Rolling polynomial hash over the token stream:
+    fp = fold(tokens, acc -> (acc*31 + h(token)) mod 1e9+7).
+    Sequential left fold — deterministic, order-sensitive (a true document
+    fingerprint), O(tokens) per row, no shuffle."""
+    hashed = F.transform(tokens(text), _portable_token_hash)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,34 @@
+"""Plan-inspection helpers used by tests and bench to assert the physical
+plans are the ones we want at scale: filters pushed into scans, columns
+pruned, small dims broadcast, top-k via TakeOrderedAndProject, window
+ranking via WindowGroupLimit, wide codegen spans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def assert_in_plan(df: DataFrame, *fragments: str) -> None:
+    plan = explain_str(df)
+    missing = [f for f in fragments if f not in plan]
+    assert not missing, f"plan missing {missing}\n{plan}"
+
+
+def assert_not_in_plan(df: DataFrame, *fragments: str) -> None:
+    plan = explain_str(df)
+    present = [f for f in fragments if f in plan]
+    assert not present, f"plan unexpectedly contains {present}\n{plan}"
+
+
+def pushed_filters(df: DataFrame) -> str:
+    plan = explain_str(df)
+    return "\n".join(
+        line.strip() for line in plan.splitlines() if "PushedFilters" in line
+    )

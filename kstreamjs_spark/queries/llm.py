@@ -1,0 +1,307 @@
+"""LLM training-data pipeline queries (SURVEY.md §2B Q26-Q28 + extensions):
+dedup (Jaccard / MinHash / SimHash / embedding-cosine), similarity search,
+text analysis (token stats, language ID, quality, fingerprint), and the
+multimodal decode pipeline.
+
+Oracles mirror the Spark expressions in DuckDB SQL symbol-for-symbol; the
+shared constants (stopword lists, fingerprint modulus) are injected into
+the SQL at import time so both sides can never drift.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, multimodal, similarity, text
+from ..tables import load
+from . import query
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+ALL_STOP = tuple(w for ws in text.STOPWORDS.values() for w in ws)
+
+
+# ----------------------------------------------- Q26 near-dup (exact Jaccard)
+@query(
+    "q26_jaccard_neardup",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s,
+                      len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (n1 + n2 - common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(common * 1.0 / (n1 + n2 - common), 6) >= 0.5
+    """,
+    tags=("dedup", "llm"),
+    bench=True,
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle equi-join (no cross
+    join; `source` as the blocking key). See operators.dedup.jaccard_pairs
+    for the 100 TB design notes."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.jaccard_pairs(documents, threshold=0.5)
+
+
+@query("q26b_minhash_neardup", oracle=None, tags=("dedup", "llm", "approx"), bench=True)
+def q26b(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash (64 perms) + 16-band LSH near-dup candidates with estimated
+    Jaccard >= 0.5. Sketch-based: signatures computed in the scan, candidates
+    from a band equi-join — the 100 TB path where exact shingle joins are too
+    wide. Rows-only check; recall vs q26 is asserted in tests."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.minhash_neardup_pairs(documents, threshold=0.5)
+
+
+@query("q26c_simhash_neardup", oracle=None, tags=("dedup", "llm", "approx"))
+def q26c(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-64 near-dup pairs within Hamming distance 3, candidates via
+    the 4x16-bit chunk pigeonhole join."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.simhash_neardup_pairs(documents, max_hamming=3)
+
+
+# ------------------------------------------------- Q27 similarity search
+@query(
+    "q27_cosine_topk",
+    oracle="""
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                   WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                   AS score
+        FROM embeddings, q
+        ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "llm"),
+    bench=True,
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 embedding: broadcast 1-row
+    query side, codegen'd fold dot product, TakeOrderedAndProject."""
+    (emb,) = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    return similarity.topk_cosine(emb, qv, k=10)
+
+
+@query("q27b_ann_lsh_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def q27b(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH buckets (multi-probe
+    Hamming<=1). The scale path: candidates drop to a small fraction of N
+    before any exact math. Recall vs q27 asserted in tests."""
+    (emb,) = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    return similarity.ann_topk_lsh(emb, qv, k=10)
+
+
+# ------------------------------------------------- Q28 token analytics
+@query(
+    "q28_top_tokens",
+    oracle="""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        SELECT lang, token, cnt, rn FROM (
+            SELECT lang, token, cnt,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT)
+                       AS rn
+            FROM c
+        ) WHERE rn <= 20
+    """,
+    tags=("text", "llm"),
+    bench=True,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 tokens per language facet: explode -> two-phase count -> rank
+    pushdown (WindowGroupLimit keeps 20 per lang before the final sort)."""
+    (documents,) = load(spark, sf, "documents")
+    counts = (
+        documents.select("lang", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return counts.select(
+        "lang", "token", "cnt", F.row_number().over(w).cast("long").alias("rn")
+    ).filter(F.col("rn") <= 20)
+
+
+# ------------------------------------------------- text statistics / quality
+@query(
+    "q34_text_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 6)
+                   AS chars_per_token,
+               ROUND(len(list_filter(string_split(text, ' '),
+                         t -> list_contains({_sql_list(ALL_STOP)}, t)))
+                     * 1.0 / len(string_split(text, ' ')), 6) AS stop_ratio,
+               ROUND(least(1.0, len(string_split(text, ' ')) / 100.0) *
+                     (1 - len(list_filter(string_split(text, ' '),
+                          t -> list_contains({_sql_list(ALL_STOP)}, t)))
+                        * 1.0 / len(string_split(text, ' '))), 6) AS quality
+        FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document quality metrics: token count, char count, chars/token,
+    stopword density, composite quality score. Pure codegen expressions —
+    no shuffle, linear scan."""
+    (documents,) = load(spark, sf, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    hits = text.stopword_hits(toks, ALL_STOP)
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.round(F.length("text") * F.lit(1.0) / n, 6).alias("chars_per_token"),
+        F.round(hits * F.lit(1.0) / n, 6).alias("stop_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q35_langid",
+    oracle=f"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text,' '),
+                     t -> list_contains({_sql_list(text.STOPWORDS['en'])}, t))) AS sc_en,
+                 len(list_filter(string_split(text,' '),
+                     t -> list_contains({_sql_list(text.STOPWORDS['es'])}, t))) AS sc_es,
+                 len(list_filter(string_split(text,' '),
+                     t -> list_contains({_sql_list(text.STOPWORDS['de'])}, t))) AS sc_de,
+                 len(list_filter(string_split(text,' '),
+                     t -> list_contains({_sql_list(text.STOPWORDS['fr'])}, t))) AS sc_fr
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_de
+                         AND sc_en >= sc_fr THEN 'en'
+                    WHEN sc_es > 0 AND sc_es >= sc_de AND sc_es >= sc_fr
+                         THEN 'es'
+                    WHEN sc_de > 0 AND sc_de >= sc_fr THEN 'de'
+                    WHEN sc_fr > 0 THEN 'fr'
+                    ELSE 'unknown' END AS lang_pred
+        FROM s
+    """,
+    tags=("text", "llm"),
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-heuristic language ID (deterministic argmax, fixed tie
+    order en>es>de>fr)."""
+    (documents,) = load(spark, sf, "documents")
+    return documents.select(
+        "doc_id", text.lang_id(text.tokens("text")).alias("lang_pred")
+    )
+
+
+@query(
+    "q36_fingerprint",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(length(t) * 131 + ascii(t) * 7 +
+                               ascii(right(t, 1)) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}
+               ) AS fp
+        FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (dedup key for
+    exact-content matching independent of doc_id)."""
+    (documents,) = load(spark, sf, "documents")
+    return documents.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# --------------------------------------- embedding near-dup (top pairs)
+@query(
+    "q37_embedding_pairs",
+    oracle="""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT v1, v2, score FROM (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ) ORDER BY score DESC, v1, v2 LIMIT 50
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-50 most similar pairs, blocked on
+    `label` (the blocking key bounds pair count — at 100 TB the block would
+    be an LSH bucket instead, same join shape)."""
+    (emb,) = load(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id", "label", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("v1"), F.col("label").alias("lbl"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("lbl2"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, (F.col("lbl") == F.col("lbl2")) & (F.col("v1") < F.col("v2")))
+    score = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("v1", "v2", score.alias("score"))
+        .orderBy(F.col("score").desc(), "v1", "v2")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------- multimodal plumbing
+@query(
+    "q40_multimodal_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+               CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels
+        FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column pipeline: text -> opaque binary blob -> mapInPandas
+    'decode' to typed metadata. The decode kernel is a documented STUB (no
+    media libs in this container); the Arrow-batched plumbing is real and
+    this query proves it end-to-end against the oracle."""
+    (documents,) = load(spark, sf, "documents")
+    blobs = multimodal.with_blob(documents)
+    return multimodal.decode_blobs(blobs)

@@ -1,0 +1,698 @@
+"""Relational query inventory Q01-Q25 (SURVEY.md §2B).
+
+Each query is idiomatic DataFrame code: filters/projections are declared
+before joins so Catalyst pushes them into the parquet scan; small dimensions
+are broadcast; aggregations run partial+final automatically.
+
+Reference parity cites (what the reference itself had): projection/map
+/root/reference/src/stream.ts:38-56, filter src/stream.ts:57-77, explode
+src/stream.ts:78-90, tumbling window src/stream.ts:130-200, union
+src/stream.ts:201-230. Everything else (joins, groupBy, window functions,
+set ops, subqueries...) is the analytical surface the reference lacks,
+mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..tables import load
+from . import query
+
+
+# ---------------------------------------------------------------- Q01 scan
+@query(
+    "q01_scan_count",
+    oracle="SELECT COUNT(*) AS cnt FROM lineitem",
+    tags=("scan",),
+    bench=True,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + count. At 100 TB this is metadata-only for parquet
+    (row-group stats), no full read."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    return lineitem.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------- Q02 projection
+@query(
+    "q02_project_revenue",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem
+    """,
+    tags=("map",),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level projection (reference `map`, src/stream.ts:38-56).
+    Pure IEEE arithmetic — unrounded, bitwise-identical across engines.
+    ReadSchema prunes to 4 columns of 11."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# -------------------------------------------------------------- Q03 filter
+@query(
+    "q03_filter_purchases",
+    oracle="""
+        SELECT event_id FROM events
+        WHERE event_type = 'purchase' AND value > 50
+    """,
+    tags=("filter",),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate filter (reference `filter`, src/stream.ts:57-77).
+    Both predicates push down to the parquet scan (PushedFilters)."""
+    (events,) = load(spark, sf, "events")
+    return (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select("event_id")
+    )
+
+
+# ------------------------------------------------------------- Q04 explode
+@query(
+    "q04_explode_tokens",
+    oracle="""
+        SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ) ORDER BY doc_id, word LIMIT 1000
+    """,
+    tags=("explode",),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """UNNEST (reference `explode`, src/stream.ts:78-90): one row per array
+    element, parent columns retained."""
+    (documents,) = load(spark, sf, "documents")
+    return (
+        documents.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .orderBy("doc_id", "word")
+        .limit(1000)
+    )
+
+
+# ------------------------------------------- Q05 tumbling window agg (batch)
+@query(
+    "q05_hourly_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    tags=("window-agg",),
+    bench=True,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch replay of the reference's tumbling event-time window
+    (src/stream.ts:130-200): hourly SUM/COUNT over events. Partial
+    aggregation is map-side; one shuffle on the truncated hour."""
+    (events,) = load(spark, sf, "events")
+    return events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------- Q06 union
+@query(
+    "q06_union",
+    oracle="""
+        SELECT event_id FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("union",),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream merge (reference `union`, src/stream.ts:201-230) as unionByName.
+    Interleaving order is unspecified in both systems; compare is
+    order-insensitive."""
+    (events,) = load(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id")
+    views = events.filter(F.col("event_type") == "view").select("event_id")
+    return clicks.unionByName(views)
+
+
+# ------------------------------------------------ Q07 hash agg (TPC-H Q1)
+@query(
+    "q07_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_qty,
+               SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 AS sum_base_price,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                        AS BIGINT)) / 10000.0 AS sum_disc_price,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 6)       AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4)  AS avg_price,
+               ROUND(AVG(l_discount), 6)       AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+    bench=True,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash aggregation. Catalyst plans
+    partial (map-side) + final agg; whole-stage codegen covers the scan +
+    both agg phases. Low cardinality keys -> tiny shuffle."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    # SUMs of doubles are summation-order-dependent (engines disagree in the
+    # last ulp, which can straddle a rounding boundary), and double->decimal
+    # casts differ too (JVM shortest-repr vs binary rounding). Quantize each
+    # term with pure IEEE ops — floor(x*1e4 + 0.5) is bit-identical
+    # everywhere — sum exactly as BIGINT, divide once at the end.
+    dec = lambda c: (  # noqa: E731
+        F.sum(F.floor(c * 10000 + 0.5).cast("long")) / F.lit(10000.0)
+    )
+    return lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        dec(F.col("l_quantity")).alias("sum_qty"),
+        dec(F.col("l_extendedprice")).alias("sum_base_price"),
+        dec(disc_price).alias("sum_disc_price"),
+        dec(charge).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ------------------------------------------------------------ Q08 distinct
+@query(
+    "q08_count_distinct",
+    oracle="SELECT COUNT(DISTINCT user_id) AS users FROM events",
+    tags=("distinct",),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT): planned as two-phase partial-distinct then count —
+    no row explosion on the driver."""
+    (events,) = load(spark, sf, "events")
+    return events.agg(F.count_distinct("user_id").alias("users"))
+
+
+# ------------------------------------------- Q09 multi-way inner equi-join
+@query(
+    "q09_revenue_by_nation",
+    oracle="""
+        SELECT n_name,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                        AS BIGINT)) / 10000.0 AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    tags=("join",),
+    bench=True,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: fact-fact join (orders x lineitem: shuffle/sort-merge
+    or shuffled-hash, AQE decides) + broadcast of the 25-row nation dim.
+    The orderdate filter is pushed into the orders scan, shrinking the
+    build side before any shuffle — at 100 TB this is the difference
+    between shuffling 2 years and shuffling 7."""
+    customer, orders, lineitem, nation = load(
+        spark, sf, "customer", "orders", "lineitem", "nation"
+    )
+    orders_f = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders_f, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.floor(revenue * 10000 + 0.5).cast("long")) / F.lit(10000.0))
+            .alias("revenue")
+        )
+    )
+
+
+# ------------------------------------------------------ Q10 left outer join
+@query(
+    "q10_customer_order_counts",
+    oracle="""
+        SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join preserving customers with no orders; COUNT(col)
+    ignores the nulls the outer side introduces."""
+    customer, orders = load(spark, sf, "customer", "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+# ------------------------------------------------------- Q11 semi/anti join
+@query(
+    "q11a_customers_with_orders",
+    oracle="""
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q11a(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join (EXISTS). Spark plans a semi-join that only ships the
+    join key of the right side — no payload shuffle."""
+    customer, orders = load(spark, sf, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey")
+
+
+@query(
+    "q11b_customers_without_orders",
+    oracle="""
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def q11b(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS; NOT IN is avoided for its null
+    semantics)."""
+    customer, orders = load(spark, sf, "customer", "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey")
+
+
+# ----------------------------------------------- Q12 ranking window function
+@query(
+    "q12_top3_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    tags=("window-fn",),
+    bench=True,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window function. Spark 3.5+/4.x inserts a WindowGroupLimit
+    (rank pushdown) so each partition keeps only its top-3 before the full
+    sort — essential when one customer key is hot."""
+    (orders,) = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------- Q13 analytic window (frames)
+@query(
+    "q13_running_sum",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS running_value,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    """,
+    tags=("window-fn",),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window functions with an explicit frame; (ts, event_id) is a
+    total order within each user partition so the running sum is
+    deterministic."""
+    (events,) = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(frame), 4).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+# ------------------------------------------------------ Q14 sort/limit/topk
+@query(
+    "q14_top10_orders",
+    oracle="""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort",),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heaps, no
+    global sort, no full-result shuffle. O(k) driver memory at any scale."""
+    (orders,) = load(spark, sf, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------- Q15 set ops
+@query(
+    "q15a_intersect",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    tags=("setop",),
+)
+def q15a(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT (set semantics): users with both clicks and purchases."""
+    (events,) = load(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@query(
+    "q15b_except",
+    oracle="""
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    tags=("setop",),
+)
+def q15b(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (set semantics): click users minus error users."""
+    (events,) = load(spark, sf, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    errs = events.filter(F.col("event_type") == "error").select("user_id")
+    return clicks.subtract(errs)
+
+
+# ----------------------------------------------------- Q16 rollup/cube/sets
+@query(
+    "q16_rollup",
+    oracle="""
+        SELECT n_name, o_orderpriority, COUNT(*) AS cnt
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, o_orderpriority)
+    """,
+    tags=("agg",),
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets: Spark expands to a union of grouping sets in a
+    single Expand+Aggregate — one pass over the data, not one per set."""
+    customer, orders, nation = load(spark, sf, "customer", "orders", "nation")
+    joined = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.rollup("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+# ----------------------------------------------------- Q17 string functions
+@query(
+    "q17_string_fns",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS up_name,
+               substring(p_name, 1, 5) AS pfx,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               concat(p_brand, '|', p_type) AS brand_type,
+               (p_name LIKE '%a%') AS has_a,
+               replace(p_type, ' ', '_') AS type_u,
+               CAST(instr(p_name, 'e') AS BIGINT) AS first_e
+        FROM part
+    """,
+    tags=("scalar-fn",),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string function surface (upper/substr/length/concat/like/
+    replace/instr), all JVM-side in whole-stage codegen."""
+    (part,) = load(spark, sf, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.substring("p_name", 1, 5).alias("pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("first_e"),
+    )
+
+
+# -------------------------------------------------- Q18 date/time functions
+@query(
+    "q18_date_fns",
+    oracle="""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               COUNT(*) AS cnt,
+               CAST(MIN(date_diff('day', DATE '1995-01-01',
+                                  o_orderdate::DATE)) AS BIGINT) AS min_day_off
+        FROM orders
+        GROUP BY 1, 2, 3
+    """,
+    tags=("scalar-fn",),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time functions: truncation, extraction, day arithmetic."""
+    (orders,) = load(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")))
+            .cast("long")
+            .alias("min_day_off"),
+        )
+    )
+
+
+# ------------------------------------------------------- Q19 math functions
+@query(
+    "q19_math_fns",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - 0.05) AS d_abs,
+               CAST(floor(l_extendedprice) AS BIGINT) AS p_floor,
+               CAST(ceil(l_quantity) AS BIGINT) AS q_ceil,
+               ROUND(sqrt(l_extendedprice), 6) AS p_sqrt,
+               ROUND(ln(l_extendedprice + 1), 6) AS p_ln,
+               ROUND(pow(l_quantity, 2), 6) AS q_sq
+        FROM lineitem
+    """,
+    tags=("scalar-fn",),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Math function surface. sqrt is IEEE-exact; ln/pow go through libm so
+    they are rounded to 6 dp (possible 1-ulp differences across engines)."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("d_abs"),
+        F.floor("l_extendedprice").alias("p_floor"),
+        F.ceil("l_quantity").alias("q_ceil"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("p_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("p_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q_sq"),
+    )
+
+
+# ------------------------------------------------------ Q20 array functions
+@query(
+    "q20_array_fns",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               (embedding::DOUBLE[])[1:3] AS head3,
+               CAST(embedding[1] AS DOUBLE) AS e1
+        FROM embeddings
+    """,
+    tags=("array-fn",),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function surface over the embedding column. Floats are upcast
+    to double (exact) so both engines hand back identical values."""
+    (emb,) = load(spark, sf, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.slice(as_double, 1, 3).alias("head3"),
+        F.element_at("embedding", 1).cast("double").alias("e1"),
+    )
+
+
+# --------------------------------------------------- Q21 map/JSON functions
+@query(
+    "q21_json_fns",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+        FROM events
+    """,
+    tags=("json-fn",),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic-JSON escape hatch (reference payloads are schema-less JSON,
+    /root/reference/src/context.ts:143): get_json_object over a raw string
+    column."""
+    (events,) = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+    )
+
+
+# ------------------------------------------- Q22 CASE / conditional / nulls
+@query(
+    "q22_case_when",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'neg'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS segment,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2
+        FROM customer
+    """,
+    tags=("scalar-fn",),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF surface."""
+    (customer,) = load(spark, sf, "customer")
+    return customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("segment"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg2"),
+    )
+
+
+# --------------------------------------------- Q23 correlated subquery shape
+@query(
+    "q23_above_avg_orders",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("subquery",),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery, expressed as the decorrelated plan Spark
+    itself would produce: aggregate-then-join on the correlation key."""
+    (orders,) = load(spark, sf, "orders")
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("avg_price")
+    )
+    return (
+        orders.join(avg_per_cust, F.col("o_custkey") == F.col("ck"))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ----------------------------------------------- Q24 percentiles (exact+approx)
+@query(
+    "q24_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (hash-checked). The approximate
+    variants (approx_count_distinct / percentile_approx) are declared as
+    q24b with a rows-only check — sketches are not bit-comparable across
+    engines."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+@query("q24b_approx_aggs", oracle=None, tags=("agg", "approx"))
+def q24b(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate aggregates (HLL++ count-distinct, GK-sketch percentile).
+    At 100 TB these replace their exact counterparts: fixed-size sketches,
+    mergeable map-side, no giant shuffle. Rows-only check by design."""
+    (events,) = load(spark, sf, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+    )
+
+
+# ------------------------------------------------------- Q25 exact dedup
+@query(
+    "q25_dedup_exact",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("dedup",),
+    bench=True,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on a key subset (dropDuplicates ≡ hash groupBy on the
+    key). Partial map-side dedup happens before the shuffle, so at 100 TB
+    the shuffle carries only the distinct keys per partition."""
+    (events,) = load(spark, sf, "events")
+    return events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )

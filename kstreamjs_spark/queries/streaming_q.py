@@ -1,0 +1,211 @@
+"""Streaming query inventory (SURVEY.md §2B Q29-Q33, Q41): real Structured
+Streaming micro-batch executions whose results are checked against batch
+SQL oracles — the strongest form of the batch<->stream equivalence the
+reference's tests only approximate with mocks
+(/root/reference/src/stream.spec.ts:116-152).
+
+Complete mode is used for open-ended aggregations because the replayed
+stream ends (append mode would withhold windows the watermark never
+passes); watermark + append semantics (late-data drop) are exercised in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.window import window_collect
+from ..streaming.replay import run_to_memory, stream_table
+from ..tables import load
+from . import query
+
+
+# ------------------------------------------ Q29 streaming tumbling window
+@query(
+    "q29_stream_tumbling",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference `window` parity (src/stream.ts:130-200) on a real stream:
+    tumbling 1h event-time windows over the events replay; result equals
+    the batch oracle exactly."""
+    sdf = stream_table(spark, sf, "events")
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.col("window.start").alias("hour"), "sum_value", "cnt"
+        )
+    )
+    return run_to_memory(agg, "q29", output_mode="complete")
+
+
+# ------------------------------------------- Q30 streaming sliding window
+@query(
+    "q30_stream_sliding",
+    oracle="""
+        SELECT CAST(((epoch_ms(ts) // 1800000) - k) * 1800 AS BIGINT)
+                   AS wstart_epoch,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(*) AS cnt
+        FROM events, (VALUES (0), (1)) AS offs(k)
+        GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding windows (1h duration, 30min slide): every event lands in
+    exactly two windows. Window starts compared as epoch seconds to keep
+    the oracle timestamp-type-free."""
+    sdf = stream_table(spark, sf, "events")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart_epoch"),
+            "sum_value",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, "q30", output_mode="complete")
+
+
+# ------------------------------------------- Q31 session windows (batch op)
+@query(
+    "q31_session_windows",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, ts, value, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS pts
+          FROM events
+        ),
+        f AS (
+          SELECT *, CASE WHEN pts IS NULL
+                          OR ts >= pts + INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+          FROM o
+        ),
+        g AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM g GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window-agg"),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30min gap) per user — F.session_window, which the
+    oracle reproduces with a gaps-and-islands construction. Works identically
+    over a stream (tests) and in batch (here, for the hash check)."""
+    (events,) = load(spark, sf, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------- Q32 streaming stateful dedup
+@query(
+    "q32_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup"),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming stateful dropDuplicates over the events replay — the
+    first-seen row per key survives; emitted set equals batch DISTINCT.
+    (Late-data drop via dropDuplicatesWithinWatermark is exercised in
+    tests/test_streaming.py where rows can actually be late.)"""
+    sdf = stream_table(spark, sf, "events")
+    dedup = sdf.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(dedup, "q32", output_mode="append")
+
+
+# ----------------------------------------------- Q33 window-collect UDAF
+@query(
+    "q33_window_collect_udaf",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    tags=("udf", "window-agg"),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """Window-`collect` parity (reference src/stream.ts:133): an opaque
+    Python callback receives each window's rows (event-time-sorted pandas
+    frame) and reduces them — here to the same hourly sum as q05, proving
+    the applyInPandas adapter agrees with the built-in aggregate path."""
+    (events,) = load(spark, sf, "events")
+
+    def collect(pdf: pd.DataFrame) -> dict:
+        return {"sum_value": float(pdf["value"].sum())}
+
+    out = window_collect(
+        events.select("ts", "value"),
+        ts_col="ts",
+        duration="1 hour",
+        collect=collect,
+        out_schema="sum_value double",
+    )
+    return out.select(
+        F.col("window_start").alias("hour"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+# ------------------------------------------------ Q41 streaming union
+@query(
+    "q41_stream_union",
+    oracle="""
+        SELECT event_id FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_id FROM events WHERE event_type = 'view'
+    """,
+    tags=("streaming", "union"),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference `union` parity (src/stream.ts:201-230) on real streams: two
+    filtered replays of events merged with unionByName; interleaving is
+    nondeterministic in both systems, multiset equality is checked."""
+    s1 = stream_table(spark, sf, "events")
+    s2 = stream_table(spark, sf, "events")
+    u = (
+        s1.filter(F.col("event_type") == "click")
+        .select("event_id")
+        .unionByName(s2.filter(F.col("event_type") == "view").select("event_id"))
+    )
+    return run_to_memory(u, "q41", output_mode="append")

@@ -1,0 +1,83 @@
+"""Statistics parity with the reference (`Statistics` + `flushStatistics`,
+/root/reference/src/context.ts:39-52,218-222 and src/stream.ts:256-260):
+snapshot-and-reset counters of received/sent rows and the last event
+timestamp, merged across sources.
+
+Spark-native implementation: a StreamingQueryListener accumulating
+`numInputRows` / sink `numOutputRows` from each micro-batch progress —
+no custom counters threaded through operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+@dataclass
+class Statistics:
+    recv_total: int = 0
+    send_total: int = 0
+    last_sent_event_timestamp: int | None = None  # epoch millis
+
+    def merge(self, other: "Statistics") -> "Statistics":
+        ts = [
+            t
+            for t in (self.last_sent_event_timestamp, other.last_sent_event_timestamp)
+            if t is not None
+        ]
+        return Statistics(
+            recv_total=self.recv_total + other.recv_total,
+            send_total=self.send_total + other.send_total,
+            last_sent_event_timestamp=max(ts) if ts else None,
+        )
+
+
+@dataclass
+class _Acc:
+    stats: Statistics = field(default_factory=Statistics)
+
+
+class StatisticsListener(StreamingQueryListener):
+    """Accumulates per-micro-batch input/output row counts.
+
+    ``flush()`` snapshots and resets, matching the reference's
+    `flushStatistics` contract.
+    """
+
+    def __init__(self) -> None:
+        self._acc = _Acc()
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        self._acc.stats.recv_total += int(p.numInputRows or 0)
+        for sink_rows in [getattr(p.sink, "numOutputRows", None)]:
+            if sink_rows is not None and int(sink_rows) >= 0:
+                self._acc.stats.send_total += int(sink_rows)
+        ts = getattr(p, "eventTime", None) or {}
+        max_ts = ts.get("max") if isinstance(ts, dict) else None
+        if max_ts:
+            self._acc.stats.last_sent_event_timestamp = max_ts
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def flush(self) -> Statistics:
+        snap = self._acc.stats
+        self._acc.stats = Statistics()
+        return snap
+
+    def attach(self, spark: SparkSession) -> "StatisticsListener":
+        spark.streams.addListener(self)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self)

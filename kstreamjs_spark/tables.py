@@ -1,0 +1,66 @@
+"""Test-table registry for the driver-generated parquet (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table per scale factor.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import configure_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that are always broadcast-eligible at any scale
+# (region=5 rows, nation=25 rows at every SF; at 100 TB these stay tiny).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def fix_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); Spark reads it as long-ns
+    (legacy.parquet.nanosAsLong). Convert to a microsecond timestamp with
+    integer division (ns epochs exceed double precision — never use `/`),
+    truncating exactly like DuckDB's ns->us read path."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load the named tables from ``sf_dir`` as DataFrames.
+
+    Column pruning and predicate pushdown reach the parquet scan because we
+    return the raw ``spark.read.parquet`` plan — callers select/filter on it
+    declaratively and Catalyst pushes both into the scan.
+    """
+    configure_runtime(spark)
+    out = []
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n == "events":
+            df = fix_event_time(df)
+        out.append(df)
+    return out
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return dict(zip(TABLES, load(spark, sf_dir, *TABLES)))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL surface)."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,106 @@
+"""North-star LLM-pipeline operators: dedup family recall/sanity, ANN
+recall vs exact top-k, text analytics determinism, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kstreamjs_spark.operators import dedup, multimodal, similarity, text
+
+from .conftest import SF_SMOKE
+
+
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+def test_minhash_candidates_cover_exact_neardups(spark):
+    """Every exact-Jaccard>=0.7 pair must be recalled by the MinHash LSH
+    candidate generation (banding theory: P(candidate) ~ 1 at j=0.7 with
+    16 bands x 4 rows)."""
+    d = docs(spark)
+    exact = {
+        (r["d1"], r["d2"])
+        for r in dedup.jaccard_pairs(d, threshold=0.7, partition_col=None).collect()
+    }
+    approx = {
+        (r["d1"], r["d2"])
+        for r in dedup.minhash_neardup_pairs(d, threshold=0.3).collect()
+    }
+    assert exact <= approx, f"missed: {exact - approx}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    """Identical text must give identical SimHash (hamming 0) regardless of
+    doc id."""
+    d = docs(spark).limit(20)
+    clone = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(clone)
+    pairs = dedup.simhash_neardup_pairs(both, max_hamming=0).collect()
+    found = {(r["d1"], r["d2"]) for r in pairs}
+    expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in d.collect()}
+    assert expected <= found
+
+
+def test_exact_dedup_by_fingerprint(spark):
+    """Duplicated corpus -> fingerprint dedup halves it."""
+    d = docs(spark)
+    clone = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = d.unionByName(clone).withColumn("fp", text.fingerprint("text"))
+    assert dedup.exact_dedup(both, ["fp"]).count() == d.count()
+
+
+def test_ann_lsh_recall(spark):
+    """LSH ANN must contain the exact top-1 (the query vector itself) and
+    achieve reasonable overlap with the exact top-10."""
+    e = emb(spark)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [r["vec_id"] for r in similarity.topk_cosine(e, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_topk_lsh(e, qv, k=10).collect()]
+    assert exact[0] == 0 and approx[0] == 0  # self-match tops both
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    e = emb(spark).limit(2).collect()
+    a, b = np.array(e[0]["embedding"], dtype=float), np.array(
+        e[1]["embedding"], dtype=float
+    )
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    df = emb(spark).limit(2).agg(
+        F.collect_list(similarity.as_double(F.col("embedding"))).alias("vs")
+    ).select(
+        similarity.cosine(
+            F.element_at("vs", 1), F.element_at("vs", 2)
+        ).alias("c")
+    )
+    got = df.collect()[0]["c"]
+    assert abs(got - expected) < 1e-9
+
+
+def test_langid_deterministic_and_covers(spark):
+    out = docs(spark).select(text.lang_id(text.tokens("text")).alias("l"))
+    vals = {r["l"] for r in out.collect()}
+    assert vals <= {"en", "es", "de", "fr", "unknown"}
+
+
+def test_multimodal_decode_stub(spark):
+    d = docs(spark).limit(10)
+    meta = multimodal.decode_blobs(multimodal.with_blob(d)).collect()
+    src = {r["doc_id"]: r["text"] for r in d.collect()}
+    for r in meta:
+        n = len(src[r["doc_id"]].encode())
+        assert (r["byte_len"], r["width"], r["height"], r["channels"]) == (
+            n,
+            n % 640,
+            n % 480,
+            3,
+        )

@@ -1,0 +1,49 @@
+"""Physical-plan assertions: the plans must be the ones that survive a
+100x scale-up — pushed filters, pruned columns, broadcast dims, top-k and
+rank pushdown, whole-stage codegen."""
+
+from __future__ import annotations
+
+from kstreamjs_spark.plans import assert_in_plan, assert_not_in_plan, pushed_filters
+from kstreamjs_spark.queries import all_queries
+
+from .conftest import SF_SMOKE
+
+SPECS = all_queries()
+
+
+def q(name, spark):
+    return SPECS[name].fn(spark, SF_SMOKE)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    pf = pushed_filters(q("q03_filter_purchases", spark))
+    assert "event_type" in pf and "value" in pf
+
+
+def test_projection_prunes_columns(spark):
+    # q02 projects 4 of 11 lineitem columns; the scan must not read the rest
+    assert_not_in_plan(q("q02_project_revenue", spark), "l_shipdate", "l_comment")
+
+
+def test_join_broadcasts_small_dim(spark):
+    assert_in_plan(q("q09_revenue_by_nation", spark), "BroadcastHashJoin")
+
+
+def test_topk_avoids_global_sort(spark):
+    assert_in_plan(q("q14_top10_orders", spark), "TakeOrderedAndProject")
+
+
+def test_rank_pushdown(spark):
+    assert_in_plan(q("q12_top3_orders_per_customer", spark), "WindowGroupLimit")
+
+
+def test_agg_is_partial_then_final(spark):
+    assert_in_plan(q("q07_pricing_summary", spark), "HashAggregate")
+
+
+def test_codegen_covers_scan_pipeline(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q07_pricing_summary", spark), mode="codegen")
+    assert "WholeStageCodegen" in plan

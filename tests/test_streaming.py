@@ -1,0 +1,146 @@
+"""Structured Streaming semantics: batch<->stream equivalence, watermark
+late-data drop (reference drop-late path, /root/reference/src/stream.ts:157-177),
+and the Statistics listener (reference flushStatistics,
+src/context.ts:218-222)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from kstreamjs_spark.stream import Stream
+from kstreamjs_spark.streaming.replay import run_to_memory, stream_table
+from kstreamjs_spark.streaming.stats import StatisticsListener
+
+from .conftest import SF_SMOKE
+
+
+def test_stream_replay_equals_batch(spark):
+    """Hourly sums over the events replay == batch answer (Q29 shape)."""
+    sdf = stream_table(spark, SF_SMOKE, "events")
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("h"), "cnt")
+    )
+    streamed = {
+        (r["h"], r["cnt"]) for r in run_to_memory(agg, "t_eq", "complete").collect()
+    }
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    expected = {
+        (r["h"], r["cnt"])
+        for r in batch.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert streamed == expected
+
+
+def _write_file(spark, rows, path):
+    df = spark.createDataFrame(rows, "ts long, v long").select(
+        F.timestamp_millis(F.col("ts")).alias("ts"), "v"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving after the watermark passed its window is dropped —
+    the reference's drop-late policy (src/stream.ts:157-177), implemented
+    by withWatermark. Two AvailableNow runs share a checkpoint: run 1
+    advances the watermark to ~190s and finalizes window [0,60s); run 2
+    delivers a ts=5s straggler, which the restored watermark rejects."""
+    d = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(d, exist_ok=True)
+
+    def run_once():
+        schema = spark.read.parquet(f"{d}/f1.parquet").schema
+        sdf = spark.readStream.schema(schema).parquet(d + "/*")
+        agg = (
+            sdf.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute"))
+            .agg(F.sum("v").alias("s"))
+            .select(F.col("window.start").alias("w"), "s")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: window [0,60s) gets 2 rows; ts=200s -> watermark 190s,
+    # so [0,60s) is finalized and emitted with s=2
+    _write_file(spark, [(0, 1), (1000, 1), (200_000, 1)], f"{d}/f1.parquet")
+    run_once()
+    # run 2: ts=5s is below the checkpointed watermark -> dropped
+    _write_file(spark, [(5_000, 1), (400_000, 1)], f"{d}/f2.parquet")
+    q2 = run_once()
+
+    dropped = sum(
+        int(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0))
+        for p in q2.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+    emitted = {
+        (r["w"].minute, r["s"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (0, 2) in emitted  # late straggler never mutated the window
+    assert (0, 3) not in emitted
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark window
+    are suppressed (Q32 extension — reference has no dedup at all)."""
+    d = str(tmp_path / "dedup_in")
+    os.makedirs(d, exist_ok=True)
+    _write_file(spark, [(0, 7), (1000, 7), (2000, 8)], f"{d}/f1.parquet")
+    schema = spark.read.parquet(f"{d}/f1.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(d + "/*")
+    dedup = sdf.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(["v"])
+    out = sorted(r["v"] for r in run_to_memory(dedup, "t_ddw").collect())
+    assert out == [7, 8]
+
+
+def test_statistics_listener(spark):
+    """recv/send totals via StreamingQueryListener — parity with the
+    reference's Statistics counters (src/context.ts:39-52)."""
+    listener = StatisticsListener().attach(spark)
+    try:
+        sdf = stream_table(spark, SF_SMOKE, "events").select("event_id")
+        run_to_memory(sdf, "t_stats")
+        deadline = time.time() + 10
+        stats = listener.flush()
+        while stats.recv_total < 1000 and time.time() < deadline:
+            time.sleep(0.5)
+            nxt = listener.flush()
+            stats = stats.merge(nxt)
+        assert stats.recv_total == 1000  # sf0.001 events row count
+        # flush resets (snapshot-and-reset contract)
+        time.sleep(0.1)
+        assert listener.flush().recv_total == 0
+    finally:
+        listener.detach(spark)
+
+
+def test_stream_facade_replay_window(spark):
+    """Facade end-to-end on a real stream: replay -> filter -> window agg ->
+    run_available (complete mode)."""
+    s = (
+        Stream.replay(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .window(interval_ms=3_600_000, aggs={"cnt": F.count(F.lit(1))})
+    )
+    out = s.run_available("t_facade", output_mode="complete")
+    total = sum(r["cnt"] for r in out.collect())
+    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert total == batch.filter(F.col("event_type") == "purchase").count()
