@@ -30,20 +30,35 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
 
+def bind(col: Column, body) -> Column:
+    """Evaluate ``col`` once and pass it to ``body`` as a bound lambda
+    variable. Catalyst does not CSE a captured subexpression across
+    higher-order-function lambda invocations — referencing e.g.
+    ``split(text)`` inside a ``transform`` lambda re-runs the split per
+    array element (measured 10x on shingling). Wrapping the value in a
+    1-element array and transforming binds it as a real lambda variable,
+    evaluated exactly once per row."""
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct n-token shingles of a token-separated text column, as an
     array<string>. Expression-only (sequence + transform) — no explode until
     the caller needs one."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
-    # Guard: F.sequence(0, negative) would generate a DESCENDING sequence,
-    # so documents shorter than n tokens get an empty shingle set explicitly.
-    return F.when(
-        F.size(toks) >= n, F.array_distinct(F.transform(idx, make))
-    ).otherwise(F.array().cast("array<string>"))
+
+    def from_toks(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        make = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        )
+        # Guard: F.sequence(0, negative) would generate a DESCENDING
+        # sequence, so documents shorter than n tokens get an empty shingle
+        # set explicitly.
+        return F.when(
+            F.size(toks) >= n, F.array_distinct(F.transform(idx, make))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(text), from_toks)
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -243,12 +258,14 @@ def simhash64(text: Column | str) -> Column:
         F.lit(-(1 << 63)).cast("long"),
     )
     # shift amounts cannot be Columns in shiftleft/shiftright, so bits are
-    # extracted with per-mask bitwise AND over the literal mask array.
-    bits_of = lambda t: F.transform(  # noqa: E731
-        powers,
-        lambda p: F.when(F.xxhash64(t).bitwiseAND(p) != 0, 1)
-        .otherwise(-1)
-        .cast("long"),
+    # extracted with per-mask bitwise AND over the literal mask array; the
+    # token hash is bound once per token (not recomputed per mask element).
+    bits_of = lambda t: bind(  # noqa: E731
+        F.xxhash64(t),
+        lambda h: F.transform(
+            powers,
+            lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1).cast("long"),
+        ),
     )
     votes = F.aggregate(
         toks, zero, lambda acc, t: F.zip_with(acc, bits_of(t), lambda a, v: a + v)
