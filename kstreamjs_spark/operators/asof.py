@@ -1,0 +1,67 @@
+"""As-of (time-travel) join: for each left row, the most recent right row
+with right_ts <= left_ts within the same key — the backbone of
+point-in-time feature lookup and event attribution. The reference has no
+join at all (SURVEY.md §2A); this is a north-star extension.
+
+Scale design (100 TB): the naive formulations are a range join (O(n*m)
+candidate explosion) or a per-row correlated subquery (driver loop). The
+implementation here is the scalable idiom: tag both sides, union them,
+and run one `last(ignorenulls)` window over (key, time) — a single shuffle
+on the key, a sort within each partition, zero row amplification. Skewed
+keys are handled by AQE; for a known-hot key, salt the key and merge the
+per-salt results with one more window pass.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    allow_exact_match: bool = True,
+) -> DataFrame:
+    """Left as-of join.
+
+    Returns ``left``'s columns plus, for each name in ``right_cols``, the
+    value from the latest ``right`` row whose ``right_ts`` is <= (or < when
+    ``allow_exact_match=False``) the left row's ``left_ts``, matching on the
+    ``on`` keys; NULL when no such row exists.
+
+    ``right_ts`` may itself be listed in ``right_cols`` (the common "when
+    did it last happen" query).
+    """
+    marker = [c for c in (f"_asof_{x}" for x in right_cols)]
+    l_tag = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_asof_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(m)
+          for c, m in zip(right_cols, marker)],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_asof_is_left"),
+        *[F.col(c).alias(m) for c, m in zip(right_cols, marker)],
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # Right rows sort before left rows at equal timestamps iff ties match.
+    tie = F.col("_asof_is_left") if allow_exact_match else -F.col("_asof_is_left")
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts"), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c, m in zip(right_cols, marker):
+        filled = filled.withColumn(f"asof_{c}", F.last(m, ignorenulls=True).over(w))
+    return filled.filter(F.col("_asof_is_left") == 1).select(
+        *left.columns, *[f"asof_{c}" for c in right_cols]
+    )

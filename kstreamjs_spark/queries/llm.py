@@ -305,3 +305,46 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     (documents,) = load(spark, sf, "documents")
     blobs = multimodal.with_blob(documents)
     return multimodal.decode_blobs(blobs)
+
+
+# -------------------------------------------- BPE-ish regex tokenization
+_BPE_RE = r"\w+|[^\w\s]"
+
+
+@query(
+    "q34b_regex_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                   AS n_pieces,
+               CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}')))
+                   AS BIGINT) AS n_uniq_pieces
+        FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def q34b(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-word-style token counting with a BPE-ish regex (word runs +
+    individual punctuation) — the tokenizer-budget estimate pass of a
+    training-data pipeline. Pure codegen regexp, no shuffle."""
+    (documents,) = load(spark, sf, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    return documents.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).cast("long").alias("n_uniq_pieces"),
+    )
+
+
+# ---------------------------------------------------------- IVF ANN path
+@query("q42_ivf_ann_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-10: sample-trained broadcast codebook, scan-side
+    cell assignment, probe the 4 nearest of 16 cells, exact cosine within.
+    The partition-prunable ANN layout for 100 TB (see operators.similarity).
+    Rows-only check; recall vs exact q27 asserted in tests."""
+    (emb,) = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    return similarity.ivf_topk(emb, qv, k=10)

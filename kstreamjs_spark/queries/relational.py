@@ -696,3 +696,139 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
     return events.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
+
+
+# ------------------------------------------------------------- Q38 pivot
+@query(
+    "q38_pivot",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS urgent,
+               COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+               COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')
+                   AS medium,
+               COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                   AS not_specified,
+               COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY 1
+    """,
+    tags=("pivot", "agg"),
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: order counts per month spread across priority columns. The
+    value list is pinned (no discovery pass over the data), so Spark plans
+    a single aggregate — one scan, one shuffle on the month."""
+    (orders,) = load(spark, sf, "orders")
+    prio = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    pivoted = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .pivot("o_orderpriority", list(prio))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "month",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in prio.items()],
+    )
+
+
+# ------------------------------------------------------------ Q16b cube
+@query(
+    "q16b_cube",
+    oracle="""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+               SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   / 10000.0 AS sum_price
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg",),
+)
+def q16b(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) in one Expand+Aggregate pass.
+    Same quantized-sum determinism trick as q07."""
+    (orders,) = load(spark, sf, "orders")
+    qsum = F.sum(
+        F.floor(F.col("o_totalprice") * 10000 + 0.5).cast("long")
+    ) / F.lit(10000.0)
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), qsum.alias("sum_price")
+    )
+
+
+# ---------------------------------------------------------- Q45 unpivot
+@query(
+    "q45_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    tags=("pivot",),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt: wide measures to (measure, val) long form. Spark plans
+    a single Expand (one scan, 4x row output) — not four scans like the
+    UNION ALL the oracle spells out."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    return lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+# --------------------------------------------------------- Q39 as-of join
+@query(
+    "q39_asof_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts <= p.ts)
+                   AS asof_click_ts
+        FROM p
+    """,
+    tags=("join", "asof"),
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before it (NULL when none). Implemented as union + one
+    last(ignorenulls) window — single shuffle on user_id, no range-join
+    explosion (see operators.asof for the 100 TB notes). The oracle states
+    the same semantics as a correlated subquery."""
+    from ..operators.asof import asof_join
+
+    (events,) = load(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+    )

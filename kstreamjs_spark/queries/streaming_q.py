@@ -209,3 +209,37 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(s2.filter(F.col("event_type") == "view").select("event_id"))
     )
     return run_to_memory(u, "q41", output_mode="append")
+
+
+# ---------------------------------- Q44 custom stateful streaming operator
+@query("q44_stateful_running_totals", oracle=None, tags=("streaming", "stateful", "udf"))
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState (the
+    reference's only state is the window buffer, src/stream.ts:137; this is
+    the general keyed-state surface): per-user running totals maintained in
+    GroupState across micro-batches, one row emitted per (user, batch).
+    Rows-only check; tests assert the final running total per user equals
+    the batch SUM."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = stream_table(spark, sf, "events").select("user_id", "value")
+
+    def update(key, pdfs, state: GroupState):
+        total, cnt = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            cnt += len(pdf)
+        state.update((total, cnt))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_total": [round(total, 4)],
+             "running_cnt": [cnt]}
+        )
+
+    out = sdf.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, running_total double, running_cnt bigint",
+        stateStructType="total double, cnt bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "q44", output_mode="append")

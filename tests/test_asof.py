@@ -1,0 +1,65 @@
+"""As-of join operator: golden semantics on constructed frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from kstreamjs_spark.operators.asof import asof_join
+
+
+def ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(20)), (3, "v", ts(10)), (4, "w", ts(5))],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(5), 100.0), ("u", ts(10), 200.0), ("u", ts(15), 300.0),
+         ("v", ts(30), 400.0)],
+        "k string, rt timestamp, px double",
+    )
+    return left, right
+
+
+def test_asof_basic(spark):
+    left, right = frames(spark)
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", right_cols=["px"]
+        ).collect()
+    }
+    # id1: t=10 -> exact match at 10 (200); id2: t=20 -> latest is 15 (300)
+    # id3: v at t=10 -> no right row <= 10 -> None; id4: w -> no rows -> None
+    assert out == {1: 200.0, 2: 300.0, 3: None, 4: None}
+
+
+def test_asof_strict_inequality(spark):
+    left, right = frames(spark)
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            right_cols=["px"], allow_exact_match=False,
+        ).collect()
+    }
+    # exact-ts match at 10 now excluded for id1 -> falls back to t=5 (100)
+    assert out == {1: 100.0, 2: 300.0, 3: None, 4: None}
+
+
+def test_asof_carries_multiple_columns(spark):
+    left, right = frames(spark)
+    right2 = right.withColumn("src", F.concat(F.lit("s-"), F.col("px").cast("int")))
+    row = (
+        asof_join(
+            left.filter(F.col("id") == 2), right2, on=["k"], left_ts="t",
+            right_ts="rt", right_cols=["px", "src"],
+        )
+        .collect()[0]
+    )
+    assert (row["asof_px"], row["asof_src"]) == (300.0, "s-300")

@@ -104,3 +104,23 @@ def test_multimodal_decode_stub(spark):
             n % 480,
             3,
         )
+
+
+def test_ivf_recall(spark):
+    """IVF ANN must contain the exact top-1 (self-match) and overlap the
+    exact top-10; probing all cells must reproduce the exact result."""
+    e = emb(spark)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [r["vec_id"] for r in similarity.topk_cosine(e, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(e, qv, k=10).collect()]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 2
+    full = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            e, qv, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact  # probing every cell == brute force

@@ -144,3 +144,28 @@ def test_stream_facade_replay_window(spark):
     total = sum(r["cnt"] for r in out.collect())
     batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     assert total == batch.filter(F.col("event_type") == "purchase").count()
+
+
+def test_stateful_running_totals_converge_to_batch(spark):
+    """q44: the max running total per user across micro-batches must equal
+    the batch SUM (state accumulated correctly across batches)."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.queries import all_queries
+    from .conftest import SF_SMOKE
+
+    out = all_queries()["q44_stateful_running_totals"].fn(spark, SF_SMOKE)
+    finals = {
+        r["user_id"]: r["final_total"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("running_total").alias("final_total"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: round(r["s"], 4)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("s"))
+        .collect()
+    }
+    assert finals == batch
