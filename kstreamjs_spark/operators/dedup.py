@@ -198,7 +198,13 @@ def minhash_neardup_pairs(
     `jaccard_pairs` on the candidate set.
     """
     rows_per_band = num_perm // bands
-    sig = _spread(documents, id_col).select(
+    # Docs with no shingles (< n tokens) would all keep the fold's init
+    # value in every signature slot — identical signatures that false-
+    # positive as near-dups of each other. Drop them BEFORE the signature:
+    # a predicate on the signature itself would make Catalyst evaluate the
+    # whole fold twice (once in the filter, once in the projection).
+    eligible = documents.filter(F.size(tokens(text_col)) >= n)
+    sig = _spread(eligible, id_col).select(
         F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
     )
     band_arr = F.transform(
