@@ -65,3 +65,71 @@ def decode_blobs(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") 
             yield out
 
     return df.select(id_col, blob_col).mapInPandas(batches, BLOB_META_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, out_w long, out_h long, out_bytes binary"
+
+
+def resize_blobs(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """'Resize' binary image payloads via mapInPandas. STUB kernel: emits a
+    deterministic byte slice/pad of length out_w*out_h (a real pipeline
+    calls PIL `Image.resize` here; the Spark-side contract — binary in,
+    binary out, 1:1 rows, Arrow-batched — is identical)."""
+    size = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [
+                bytes(b[:size]).ljust(size, b"\0") for b in pdf[blob_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "out_bytes": resized,
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_bytes long"
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Sample n 'frames' from each binary video payload — a 1:N generator
+    via mapInPandas (the multimodal analogue of explode). STUB kernel:
+    frames are evenly-spaced byte windows; a real pipeline seeks keyframes
+    with ffmpeg. Output rows: (doc_id, frame_idx, byte offset, window
+    size) — at scale this is the decode-bound stage, so partition on the
+    input (blobs), never on the exploded output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, sizes = [], [], [], []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                n = len(b)
+                step = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
+                    ids.append(doc)
+                    idxs.append(i)
+                    offs.append(i * step)
+                    sizes.append(min(step, n - i * step))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_off": offs,
+                 "frame_bytes": sizes}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SCHEMA)

@@ -348,3 +348,25 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     return similarity.ivf_topk(emb, qv, k=10)
+
+
+@query(
+    "q40b_frame_sample",
+    oracle="""
+        WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT doc_id, n, greatest(n // 4, 1) AS step FROM b)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * step AS BIGINT) AS frame_off,
+               CAST(least(step, n - i * step) AS BIGINT) AS frame_bytes
+        FROM f, LATERAL unnest(generate_series(0, least(4, n) - 1)) AS t(i)
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40b(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling: 1:N generator over binary payloads via mapInPandas
+    (the multimodal explode). Kernel stubbed (even byte windows), plumbing
+    real — the oracle reproduces the window arithmetic in SQL."""
+    (documents,) = load(spark, sf, "documents")
+    return multimodal.sample_frames(multimodal.with_blob(documents), n_frames=4)

@@ -124,3 +124,23 @@ def test_ivf_recall(spark):
         ).collect()
     ]
     assert full == exact  # probing every cell == brute force
+
+
+def test_multimodal_resize_stub(spark):
+    d = docs(spark).limit(5)
+    out = multimodal.resize_blobs(multimodal.with_blob(d), 64, 32).collect()
+    src = {r["doc_id"]: r["text"].encode() for r in d.collect()}
+    for r in out:
+        assert (r["out_w"], r["out_h"], len(r["out_bytes"])) == (64, 32, 2048)
+        assert bytes(r["out_bytes"]).rstrip(b"\0") == src[r["doc_id"]][:2048].rstrip(b"\0")
+
+
+def test_multimodal_frame_sample(spark):
+    d = docs(spark).limit(5)
+    rows = multimodal.sample_frames(multimodal.with_blob(d), n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frames in by_doc.items():
+        assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == list(range(len(frames)))
+        assert all(f["frame_bytes"] > 0 for f in frames)
