@@ -147,8 +147,11 @@ class Stream:
     ) -> "Stream":
         """Flatten an array column (reference explode, src/stream.ts:78-90):
         one row per element, other columns (the 'metadata') retained."""
+        # Only a by-name column can be auto-dropped from the keep list; a
+        # Column expression has no reliable name (str(col) is its repr).
+        drop = col if isinstance(col, str) else None
         keep_cols = list(keep) if keep is not None else [
-            c for c in self.df.columns if c != str(col)
+            c for c in self.df.columns if c != drop
         ]
         return self._wrap(
             self.df.select(*keep_cols, F.explode(col).alias(alias))

@@ -47,3 +47,39 @@ def test_codegen_covers_scan_pipeline(spark):
 
     plan = explain_str(q("q07_pricing_summary", spark), mode="codegen")
     assert "WholeStageCodegen" in plan
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark):
+    plan = __import__("kstreamjs_spark.plans", fromlist=["explain_str"]).explain_str(
+        q("q39_asof_join", spark)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one exchange partitions by the as-of key
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "Window" in plan
+
+
+def test_neardup_joins_are_equi_not_cross(spark):
+    for name in ("q26_jaccard_neardup", "q26b_minhash_neardup",
+                 "q26c_simhash_neardup"):
+        plan = __import__("kstreamjs_spark.plans", fromlist=["explain_str"]).explain_str(
+            q(name, spark)
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_unpivot_plans_single_expand(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q45_unpivot", spark), mode="simple")
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1  # one scan, not one per measure
+
+
+def test_pivot_plans_single_aggregate_pass(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q38_pivot", spark), mode="simple")
+    assert plan.count("FileScan parquet") == 1

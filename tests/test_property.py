@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis): Spark operators vs pure-Python
+reference implementations on randomized inputs. Examples are kept small —
+each example is a Spark round-trip."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kstreamjs_spark.operators import dedup, text
+from kstreamjs_spark.operators.asof import asof_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+word = st.text(alphabet="abcde", min_size=1, max_size=3)
+sentence = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+def py_shingles(s: str, n: int = 3) -> set[str]:
+    toks = s.split(" ")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(texts=st.lists(sentence, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = df.select("doc_id", dedup.shingles("text", 3).alias("sh")).collect()
+    for r in out:
+        assert set(r["sh"]) == py_shingles(texts[r["doc_id"]])
+
+
+def py_fingerprint(s: str) -> int:
+    acc = 0
+    for t in s.split(" "):
+        h = len(t) * 131 + ord(t[0]) * 7 + ord(t[-1]) if t else 0
+        acc = (acc * 31 + h) % text.FINGERPRINT_MOD
+    return acc
+
+
+@given(texts=st.lists(sentence.filter(lambda s: s != ""), min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_fingerprint_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = df.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    for r in out:
+        assert r["fp"] == py_fingerprint(texts[r["doc_id"]])
+
+
+def py_asof(left, right):
+    """Brute-force as-of: for each (key, lts), max rts <= lts."""
+    out = {}
+    for key, lts, lid in left:
+        cands = [rts for rkey, rts in right if rkey == key and rts <= lts]
+        out[lid] = max(cands) if cands else None
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 50)),
+        min_size=1, max_size=8, unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.sampled_from("pq"), st.integers(0, 50)),
+        min_size=0, max_size=8, unique=True,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_matches_bruteforce(spark, left, right):
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+    ldf = spark.createDataFrame(
+        [(k, ts * 1000, i) for k, ts, i in lrows], "k string, t long, id long"
+    ).withColumn("t", F.timestamp_millis("t"))
+    rdf = spark.createDataFrame(
+        [(k, ts * 1000) for k, ts in right] or [("zz", 0)],
+        "k string, rt long",
+    ).withColumn("rt", F.timestamp_millis("rt"))
+    got = {
+        r["id"]: (int(r["asof_rt"].timestamp()) if r["asof_rt"] else None)
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="t", right_ts="rt", right_cols=["rt"]
+        ).collect()
+    }
+    expected = py_asof(lrows, right if right else [("zz", 0)])
+    assert got == expected
