@@ -83,3 +83,37 @@ def test_pivot_plans_single_aggregate_pass(spark):
 
     plan = explain_str(q("q38_pivot", spark), mode="simple")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """The SCALE.md claim for recurring fact-to-fact joins: bucketing both
+    tables on the join key at write time removes the join shuffle entirely.
+    (Broadcast disabled to force the sort-merge path a 100 TB join takes.)"""
+    from kstreamjs_spark.plans import explain_str
+    from kstreamjs_spark.tables import load
+
+    orders, lineitem = load(spark, SF_SMOKE, "orders", "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import pyspark.sql.functions as F
+
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).groupBy("o_orderstatus").count()
+        plan = explain_str(j, mode="simple")
+        # aggregation still shuffles its tiny partials; the JOIN must not:
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
