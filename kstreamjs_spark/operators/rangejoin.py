@@ -1,0 +1,63 @@
+"""Bounded time-range join: pair each left row with right rows whose
+timestamp falls in (left_ts - window, left_ts]. The reference has no joins
+(SURVEY.md §2A); this is the events-attribution extension.
+
+Scale design (100 TB): an inequality-only join is planned as a broadcast
+nested loop or cartesian product — O(n*m) at any scale. Because the range
+is BOUNDED, bucketing both sides by the window width turns it into an
+equi-join: a right row at most `window` before a left row lies in the
+left row's bucket or the one before it, so the left side probes exactly
+two buckets (a 2x fan-out of the probe side, not a cross join). One
+shuffle on (key, bucket); the exact range predicate rides inside the join
+condition. The same trick extends to +/-k buckets for windows spanning k
+bucket widths.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    how: str = "left",
+) -> DataFrame:
+    """Join right rows with ``left_ts - window < right_ts <= left_ts``,
+    matching on ``on``.
+
+    Output: left columns + right's non-key columns. With how='left',
+    unmatched left rows keep NULL right columns — and may appear once per
+    probed bucket (up to 2x); aggregate with null-ignoring functions
+    (count(right_col), sum(...)) which both dedupe and zero-fill. The
+    range predicate sits INSIDE the join condition: a filter afterwards
+    would drop left rows whose candidates all fell outside the range.
+    """
+    bucket = lambda c: F.floor(F.unix_timestamp(c) / window_seconds)  # noqa: E731
+    l = left.withColumn(
+        "_rj_b", F.explode(F.array(bucket(F.col(left_ts)), bucket(F.col(left_ts)) - 1))
+    ).alias("_l")
+    r = right.withColumn("_rj_b", bucket(F.col(right_ts))).alias("_r")
+    lc, rc = (lambda c: F.col(f"_l.{c}")), (lambda c: F.col(f"_r.{c}"))
+    cond = reduce(
+        lambda a, b: a & b,
+        [lc(k) == rc(k) for k in on]
+        + [
+            lc("_rj_b") == rc("_rj_b"),
+            rc(right_ts) > lc(left_ts) - F.expr(f"INTERVAL {window_seconds} SECONDS"),
+            rc(right_ts) <= lc(left_ts),
+        ],
+    )
+    joined = l.join(r, cond, how)
+    right_cols = [c for c in right.columns if c not in on]
+    return joined.select(
+        *[lc(c).alias(c) for c in left.columns],
+        *[rc(c).alias(c) for c in right_cols],
+    )

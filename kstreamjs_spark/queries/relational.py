@@ -832,3 +832,43 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         right_ts="click_ts",
         right_cols=["click_ts"],
     )
+
+
+# ------------------------------------------------------ Q43 range join
+@query(
+    "q43_range_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               (SELECT COUNT(*) FROM c
+                WHERE c.user_id = p.user_id
+                  AND c.ts > p.ts - INTERVAL '10 minutes'
+                  AND c.ts <= p.ts) AS clicks_10m
+        FROM p
+    """,
+    tags=("join", "range"),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded time-range join: clicks in the 10 minutes before each
+    purchase, per user. Bucketed equi-join (see operators.rangejoin) — the
+    inequality never reaches the planner alone, so no nested-loop join.
+    The oracle states the same semantics as a correlated COUNT."""
+    from ..operators.rangejoin import bucketed_range_join
+
+    (events,) = load(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    pairs = bucketed_range_join(
+        purchases, clicks, on=["user_id"], left_ts="ts",
+        right_ts="click_ts", window_seconds=600,
+    )
+    return pairs.groupBy("event_id", "user_id").agg(
+        F.count("click_ts").alias("clicks_10m")
+    )

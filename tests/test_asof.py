@@ -63,3 +63,31 @@ def test_asof_carries_multiple_columns(spark):
         .collect()[0]
     )
     assert (row["asof_px"], row["asof_src"]) == (300.0, "s-300")
+
+
+def test_range_join_golden(spark):
+    """Edge semantics: click exactly at purchase ts counts; exactly
+    window-width before does not; empty right side yields zero counts."""
+    from kstreamjs_spark.operators.rangejoin import bucketed_range_join
+    import pyspark.sql.functions as F
+
+    sec = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", sec(600)), (2, "v", sec(600))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", sec(600)), ("u", sec(1)), ("u", sec(0)), ("w", sec(599))],
+        "k string, rt timestamp",
+    )
+    out = {
+        r["id"]: r["n"]
+        for r in bucketed_range_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt", window_seconds=600
+        )
+        .groupBy("id")
+        .agg(F.count("rt").alias("n"))
+        .collect()
+    }
+    # id1: rt=600 (== t, counts), rt=1 (in range), rt=0 (== t-600, excluded)
+    # id2: no 'v' rows at all -> still present with 0
+    assert out == {1: 2, 2: 0}

@@ -117,3 +117,11 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q43_range_join", spark), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
