@@ -370,3 +370,68 @@ def q40b(spark: SparkSession, sf: str) -> DataFrame:
     real — the oracle reproduces the window arithmetic in SQL."""
     (documents,) = load(spark, sf, "documents")
     return multimodal.sample_frames(multimodal.with_blob(documents), n_frames=4)
+
+
+# ------------------------------------ end-to-end training-data prep pipeline
+@query(
+    "q46_training_prep",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id, lang, text,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ' '),
+                       t -> CAST(length(t) * 131 + ascii(t) * 7 +
+                                 ascii(right(t, 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}
+                 ) AS fp
+          FROM documents
+        ),
+        dedup AS (
+          SELECT * FROM fp
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        ),
+        scored AS (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS n_tok,
+                 -- per-row ROUND matches quality_score's own rounding, so
+                 -- both the filter and the AVG see identical inputs
+                 ROUND(least(1.0, len(string_split(text, ' ')) / 100.0) *
+                   (1 - len(list_filter(string_split(text, ' '),
+                        t -> list_contains({_sql_list(ALL_STOP)}, t)))
+                      * 1.0 / len(string_split(text, ' '))), 6) AS q
+          FROM dedup
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               ROUND(AVG(q), 6) AS avg_quality
+        FROM scored WHERE q >= 0.3
+        GROUP BY lang
+    """,
+    tags=("llm", "pipeline"),
+    bench=True,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data prep: exact dedup by content fingerprint
+    (keep lowest doc_id) -> quality filter -> per-language token budget.
+    The composite shape a real corpus pipeline runs nightly; one window for
+    the dedup, one aggregate for the budget, everything else scan-side
+    expressions."""
+    (documents,) = load(spark, sf, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        documents.withColumn("fp", text.fingerprint("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    scored = deduped.select(
+        "lang",
+        F.size(text.tokens("text")).alias("n_tok"),
+        text.quality_score("text").alias("q"),
+    ).filter(F.col("q") >= 0.3)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
