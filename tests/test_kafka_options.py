@@ -1,0 +1,56 @@
+"""Kafka source/sink option mapping — reference StreamContextOption parity
+(/root/reference/src/context.ts:54-62) as pure functions, testable without
+a broker. The sink row encoding is exercised on a real DataFrame."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+
+from kstreamjs_spark.sources.kafka import (
+    kafka_reader_options,
+    kafka_writer_options,
+    prepare_sink,
+)
+
+
+def test_reader_options_from_beginning():
+    opts = kafka_reader_options(["b1:9092", "b2:9092"], "t", from_beginning=True)
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "t"
+    assert opts["startingOffsets"] == "earliest"
+
+
+def test_reader_options_latest_default():
+    assert kafka_reader_options("b:9092", "t")["startingOffsets"] == "latest"
+
+
+def test_reader_options_timestamp_seek():
+    """The reference window operator seeks every partition to a timestamp
+    (src/context.ts:195-207); partition -1 means 'all partitions'."""
+    opts = kafka_reader_options("b:9092", "t", starting_timestamp_ms=12345)
+    assert "startingOffsets" not in opts
+    assert json.loads(opts["startingOffsetsByTimestamp"]) == {"t": {"-1": 12345}}
+
+
+def test_reader_options_group_and_backpressure():
+    opts = kafka_reader_options(
+        "b:9092", "t", group_id="g1", max_offsets_per_trigger=1000
+    )
+    assert opts["groupIdPrefix"] == "g1"
+    assert opts["maxOffsetsPerTrigger"] == "1000"
+
+
+def test_writer_options_gzip():
+    """The reference gzips every produced payload (src/context.ts:122-123)."""
+    opts = kafka_writer_options("b:9092", "out")
+    assert opts["topic"] == "out"
+    assert opts["kafka.compression.type"] == "gzip"
+
+
+def test_prepare_sink_serializes_whole_row(spark):
+    df = spark.createDataFrame([(1, "x")], "a long, b string")
+    out = prepare_sink(df, "topic").collect()
+    assert out[0].asDict().keys() == {"value"}
+    assert json.loads(out[0]["value"]) == {"a": 1, "b": "x"}
