@@ -125,3 +125,28 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = explain_str(q("q43_range_join", spark), mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_ivf_layout_prunes_at_file_level(spark, tmp_path):
+    """The SCALE.md IVF claim: materializing inverted lists as a table
+    partitioned by cell id means an n_probe query reads only the probed
+    cells' files — partition pruning, not a post-scan filter."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.plans import explain_str
+    from kstreamjs_spark.tables import load
+
+    (emb,) = load(spark, SF_SMOKE, "embeddings")
+    path = str(tmp_path / "ivf")
+    # cheap stand-in cell assignment (real one: similarity.ivf_topk);
+    # the layout property under test is identical
+    emb.withColumn("cell", (F.col("vec_id") % 8).cast("int")).write.partitionBy(
+        "cell"
+    ).mode("overwrite").parquet(path)
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(2, 5))
+    plan = explain_str(probed)
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # pruning is observable: only the probed cells' rows are read
+    assert probed.count() == emb.filter((F.col("vec_id") % 8).isin(2, 5)).count()
