@@ -22,3 +22,6 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .session import get_spark  # noqa: E402,F401
+from .stream import Stream  # noqa: E402,F401

@@ -9,4 +9,6 @@ Everything here composes stock DataFrame ops; Python appears only as
 Arrow-batched Pandas UDFs (mapInPandas / applyInPandas), never row-at-a-time.
 """
 
+from .asof import asof_join  # noqa: F401
+from .rangejoin import bucketed_range_join  # noqa: F401
 from .window import window_collect  # noqa: F401
