@@ -872,3 +872,30 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("event_id", "user_id").agg(
         F.count("click_ts").alias("clicks_10m")
     )
+
+
+# -------------------------------------------------- Q47 ordered string agg
+@query(
+    "q47_listagg",
+    oracle="""
+        SELECT n_name,
+               string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+        FROM (
+            SELECT DISTINCT n_name, c_mktsegment
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) GROUP BY n_name
+    """,
+    tags=("agg", "string"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic LISTAGG: distinct segments per nation, sorted then
+    joined — collect_list is order-nondeterministic in a distributed agg,
+    so the sort happens inside the array before join (the only
+    reproducible form at any parallelism)."""
+    customer, nation = load(spark, sf, "customer", "nation")
+    pairs = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_mktsegment").distinct()
+    return pairs.groupBy("n_name").agg(
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs")
+    )
