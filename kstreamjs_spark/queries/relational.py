@@ -899,3 +899,38 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("n_name").agg(
         F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias("segs")
     )
+
+
+# ------------------------------------- Q13b distribution window functions
+@query(
+    "q13b_distribution_fns",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+               ROUND(CUME_DIST() OVER w, 6) AS cd,
+               first_value(o_orderkey) OVER w AS cheapest,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window-fn",),
+)
+def q13b(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution/ranking window functions (ntile, percent_rank,
+    cume_dist, first_value, rank, dense_rank) over a totally-ordered
+    partition — completes the window-function surface next to q12 (row
+    top-k) and q13 (frames/lag)."""
+    (orders,) = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
