@@ -435,3 +435,39 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.round(F.avg("q"), 6).alias("avg_quality"),
     )
+
+
+# ----------------------------------------------- scalar pandas UDF surface
+@query(
+    "q48_pandas_udf_scalar",
+    oracle="""
+        SELECT doc_id, reverse(text) AS rev,
+               CAST(length(text) AS BIGINT) AS n
+        FROM documents
+    """,
+    tags=("udf", "llm"),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar Arrow-batched pandas UDF (series -> series) — the 1:1 opaque
+    transform slot (reference async `map` callback, src/stream.ts:38-56).
+    Deliberately computes something SQL-expressible so the oracle can
+    hash-check the UDF plumbing itself; completes the UDF surface next to
+    q33 (applyInPandas), q40 (mapInPandas), q44 (stateful).
+
+    Caveat (probed, not hit by this corpus): Python's s[::-1] reverses
+    CODEPOINTS while DuckDB's reverse() reverses GRAPHEME clusters — they
+    diverge on combining marks ('e\\u0301') and multi-codepoint emoji. The
+    test corpus is ASCII-tokenized so the hash-match is sound here."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: postponed annotation evaluation (future.annotations)
+    # turns them into strings pandas_udf cannot resolve; the returnType
+    # argument carries the schema instead
+    @pandas_udf("string")
+    def rev(s):
+        return s.str[::-1]
+
+    (documents,) = load(spark, sf, "documents")
+    return documents.select(
+        "doc_id", rev("text").alias("rev"), F.length("text").cast("long").alias("n")
+    )
