@@ -182,6 +182,12 @@ class Stream:
         - ``collect``/``out_schema``: arbitrary Python reducer over the
           whole window (reference `collect` callback, src/stream.ts:133)
           via the applyInPandas adapter; rows arrive event-time-sorted.
+          On STREAMING input the reducer runs per micro-batch: a window
+          whose rows span micro-batches emits one partial row per batch
+          (matching the reference, whose window also fires once from
+          whatever it buffered, src/stream.ts:186-198, but not the exact
+          batch semantics of ``aggs``, which is stateful across batches).
+          Cross-batch exact reduction needs applyInPandasWithState.
         """
         df = self.df
         ts = self.ts_col

@@ -169,3 +169,23 @@ def test_stateful_running_totals_converge_to_batch(spark):
         .collect()
     }
     assert finals == batch
+
+
+def test_stream_facade_write_to_parquet_sink(spark, tmp_path):
+    """Facade streaming sink path (reference writeTo, src/stream.ts:240-247):
+    replay -> filter -> file sink with checkpoint; rows land in parquet."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    s = Stream.replay(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    handle = s.map(F.col("event_id")).df.writeStream.format("parquet").option(
+        "path", out
+    ).option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+    handle.awaitTermination()
+    n = spark.read.parquet(out).count()
+    expected = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n == expected
