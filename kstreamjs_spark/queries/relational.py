@@ -934,3 +934,38 @@ def q13b(spark: SparkSession, sf: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("rnk"),
         F.dense_rank().over(w).cast("long").alias("drnk"),
     )
+
+
+# --------------------------------------------- Q49 hypertable time rollup
+@query(
+    "q49_hypertable_rollup",
+    oracle="""
+        SELECT 'minute' AS resolution, date_trunc('minute', ts)
+                   AS bucket_start,
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'hour', date_trunc('hour', ts),
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0,
+               COUNT(*)
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts),
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0,
+               COUNT(*)
+        FROM events GROUP BY 2
+    """,
+    tags=("agg", "rollup", "timeseries"),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable rollup: minute/hour/day sums where hour aggregates the
+    minute partials and day the hour partials — ONE raw scan for all
+    resolutions (the oracle spells out three scans; quantized BIGINT
+    partials make the hierarchy exactly associative, so results match
+    bit-for-bit). See operators/rollup_time.py for the 100 TB notes."""
+    from ..operators.rollup_time import time_rollup
+
+    (events,) = load(spark, sf, "events")
+    return time_rollup(events, "ts", "value")

@@ -150,3 +150,15 @@ def test_partitioned_ivf_layout_prunes_at_file_level(spark, tmp_path):
     )[1].split("]")[0]
     # pruning is observable: only the probed cells' rows are read
     assert probed.count() == emb.filter((F.col("vec_id") % 8).isin(2, 5)).count()
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    """Three resolutions, ONE raw scan at execution: the static plan prints
+    the minute subtree under every union branch, but AQE's exchange reuse
+    dedupes them — the executed plan must carry ReusedExchange nodes for
+    the hour and day branches (the oracle's UNION ALL really does scan
+    three times; ours must not)."""
+    df = q("q49_hypertable_rollup", spark)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 2, executed
