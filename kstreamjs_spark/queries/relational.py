@@ -969,3 +969,23 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 
     (events,) = load(spark, sf, "events")
     return time_rollup(events, "ts", "value")
+
+
+# ------------------------------------------ Q50 mergeable sketch rollup
+@query("q50_sketch_rollup", oracle=None, tags=("agg", "sketch", "approx"))
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): one sketch of
+    user_id per day, then the MONTHLY distinct estimate from hll_union of
+    the daily sketches — never re-touching raw data. This is THE 100 TB
+    distinct-count pattern: fixed-size (KB) sketches materialize per
+    partition/day and any coarser rollup (week, month, all-time) is a
+    sketch union, not a re-scan. Rows-only check; estimate-vs-exact
+    tolerance asserted in tests."""
+    (events,) = load(spark, sf, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )

@@ -144,3 +144,23 @@ def test_multimodal_frame_sample(spark):
     for doc_id, frames in by_doc.items():
         assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == list(range(len(frames)))
         assert all(f["frame_bytes"] > 0 for f in frames)
+
+
+def test_sketch_rollup_estimate_close_to_exact(spark):
+    """q50: the monthly distinct estimate from unioned daily HLL sketches
+    must sit within 5% of the exact distinct count."""
+    from kstreamjs_spark.queries import all_queries
+    from .conftest import SF_SMOKE
+
+    rows = all_queries()["q50_sketch_rollup"].fn(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact = {
+        r["month"]: r["u"]
+        for r in ev.groupBy(
+            F.date_trunc("month", F.expr("timestamp_micros(ts div 1000)")).alias("month")
+        ).agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    assert rows
+    for r in rows:
+        e = exact[r["month"]]
+        assert abs(r["approx_users"] - e) / e < 0.05, (r["month"], r["approx_users"], e)
