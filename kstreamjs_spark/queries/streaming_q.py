@@ -243,3 +243,49 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "q44", output_mode="append")
+
+
+# ------------------------------------------ Q51 stream-stream interval join
+@query(
+    "q51_stream_stream_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_ts
+        FROM p JOIN c
+          ON p.user_id = c.user_id
+         AND c.click_ts > p.ts - INTERVAL '10 minutes'
+         AND c.click_ts <= p.ts
+    """,
+    tags=("streaming", "join"),
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join: two live streams (purchases, clicks),
+    joined per user within a 10-minute event-time interval. Both sides
+    carry watermarks so the join state is BOUNDED — Spark evicts click
+    state once the purchase watermark passes click_ts + 10min; without the
+    time bound a stream-stream join would buffer forever. The batch oracle
+    is the same inequality join; result equality is the strongest
+    batch<->stream check (same rows, real state store)."""
+    p = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    c = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "inner",
+    ).select("event_id", "user_id", "click_ts")
+    return run_to_memory(j, "q51", output_mode="append")
