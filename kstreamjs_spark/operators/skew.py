@@ -1,0 +1,85 @@
+"""Skew-handling operators: salted two-phase aggregation and replicated
+(broadcast-salted) joins for hot keys.
+
+The reference has no keyed operations at all (no groupBy/join —
+reference src/stream.ts:38-90 is map/filter/explode only), so skew never
+arises there. At 100 TB it is the #1 shuffle failure mode: one hot key
+(a bot user_id, an empty-string normalization artifact) lands a whole
+reducer partition on one task. AQE's skew-join splitting
+(``spark.sql.adaptive.skewJoin``) handles sort-merge joins automatically,
+but (a) skewed *aggregations* whose hot key exceeds one task's memory and
+(b) hash-partitioned window functions need explicit salting. These helpers
+encode the two standard shapes declaratively so Catalyst still sees plain
+groupBy/join plans (partial aggregation, codegen, pushdown all intact).
+
+Salted aggregation = two-phase rewrite, exact for any algebraic aggregate:
+  phase 1: groupBy(keys + salt) with the partial forms     (shuffle 1:
+           hot key split across `parts` reducers)
+  phase 2: groupBy(keys) merging the partials              (shuffle 2:
+           tiny — `parts` rows per key)
+Supported merges: sum/count/min/max (count merges by summing partial
+counts; avg callers compose sum/count). This is exactly Spark's own
+partial/final split, made visible so the *reduce* side also splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_PARTIAL = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+
+
+def salted_agg(df: DataFrame, keys: Sequence[str],
+               aggs: Sequence[tuple[str, str, str]],
+               parts: int = 16) -> DataFrame:
+    """Exact groupBy(keys).agg(...) with the hot-key reduce split ``parts``
+    ways.
+
+    ``aggs`` is a list of (agg, col, alias) with agg in sum/count/min/max.
+    The salt is a deterministic spread of the *rows* (spark_partition_id +
+    a per-row monotonic component would break determinism of nothing —
+    any row->[0,parts) map works; we hash all non-key columns' first key
+    col proxy: use pmod(hash of all cols)). Correctness never depends on
+    the salt value, only the split factor.
+    """
+    for agg, _c, _a in aggs:
+        if agg not in _PARTIAL:
+            raise ValueError(f"unsupported aggregate for salting: {agg}")
+    salt = F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(),
+                  F.lit(parts)).alias("__salt")
+    phase1 = df.groupBy(*keys, salt).agg(*[
+        _PARTIAL[agg](c).alias(a) for agg, c, a in aggs
+    ])
+    return phase1.groupBy(*keys).agg(*[
+        _MERGE[agg](a).alias(a) for agg, _c, a in aggs
+    ])
+
+
+def replicated_skew_join(big: DataFrame, small: DataFrame,
+                         on: Sequence[str], parts: int = 8,
+                         how: str = "inner") -> DataFrame:
+    """Equi-join where ``big`` has hot keys: salt big's rows into ``parts``
+    buckets and explode ``small`` ×parts so every (key, salt) pair finds
+    its match. Exact for any join type where ``small`` is the build side.
+
+    This is the *manual* form of AQE skew-join splitting, needed when the
+    small side must broadcast (replication is free: parts × |small|) or
+    when running with AQE off (e.g. inside streaming micro-batches, where
+    AQE is disabled). The join remains a plain equi-join on
+    (on..., __salt) — broadcastable, codegen'd.
+    """
+    salt_big = big.withColumn(
+        "__salt",
+        F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(),
+               F.lit(parts)),
+    )
+    salt_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(parts - 1)))
+    )
+    return (
+        salt_big.join(salt_small, [*on, "__salt"], how).drop("__salt")
+    )

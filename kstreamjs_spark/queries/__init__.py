@@ -56,4 +56,5 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import relational  # noqa: F401
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
+    from . import pipeline  # noqa: F401
     return dict(REGISTRY)

@@ -1,0 +1,115 @@
+"""Sampling determinism/nesting and skew-operator equivalence.
+
+Oracle hash-matches for q52/q53/q54 run in test_queries_oracle; here we
+test the operator-level properties the oracle cannot see."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kstreamjs_spark.operators import sampling, skew
+from kstreamjs_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+def _ids(df):
+    return {r[0] for r in df.select("doc_id").collect()}
+
+
+def test_sample_fraction_and_determinism(spark):
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    s1 = _ids(sampling.sample_hash(docs, "doc_id", 0.2, seed=3))
+    s2 = _ids(sampling.sample_hash(docs, "doc_id", 0.2, seed=3))
+    assert s1 == s2  # rerun-stable (no rand())
+    # LCG-uniform to within a loose tolerance on a tiny corpus
+    assert 0.05 * n <= len(s1) <= 0.45 * n
+    # different seed ⇒ a different (overlapping but not equal) sample
+    s3 = _ids(sampling.sample_hash(docs, "doc_id", 0.2, seed=4))
+    assert s3 != s1
+
+
+def test_sample_nesting(spark):
+    """sample(5%) ⊆ sample(10%) ⊆ sample(50%) under one seed — the property
+    that lets a pipeline tune sample size without resampling."""
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    small = _ids(sampling.sample_hash(docs, "doc_id", 0.05, seed=7))
+    mid = _ids(sampling.sample_hash(docs, "doc_id", 0.10, seed=7))
+    big = _ids(sampling.sample_hash(docs, "doc_id", 0.50, seed=7))
+    assert small <= mid <= big
+
+
+def test_sample_predicate_pushed_to_scan(spark):
+    """The hash predicate reaches the parquet scan as a data filter (shown
+    in the scan's PushedFilters would need a simple comparison; at minimum
+    the plan contains no shuffle and a single scan)."""
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    plan = (
+        sampling.sample_hash(docs, "doc_id", 0.1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure scan+filter, no shuffle
+
+
+def test_stratified_fractions(spark):
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    mix = {"en": 0.0, "fr": 1.0}
+    kept = sampling.stratified_sample(docs, "lang", mix, "doc_id")
+    langs = {r[0] for r in kept.select("lang").distinct().collect()}
+    assert "en" not in langs  # fraction 0 strata drop entirely
+    n_fr = docs.filter(F.col("lang") == "fr").count()
+    assert kept.filter(F.col("lang") == "fr").count() == n_fr  # fraction 1 keeps all
+    assert kept.filter(~F.col("lang").isin("en", "fr")).count() == 0  # default 0
+
+
+def test_salted_agg_equals_plain(spark):
+    (events,) = load(spark, SF_SMOKE, "events")
+    q = events.select(
+        "user_id", F.floor(F.col("value") * 10000 + 0.5).cast("long").alias("qv")
+    )
+    plain = {
+        (r["user_id"]): (r["s"], r["c"])
+        for r in q.groupBy("user_id")
+        .agg(F.sum("qv").alias("s"), F.count("qv").alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"]): (r["s"], r["c"])
+        for r in skew.salted_agg(
+            q, ["user_id"], [("sum", "qv", "s"), ("count", "qv", "c")], parts=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_two_phase_plan(spark):
+    """The rewrite must show two aggregate rounds: (keys+salt) then (keys) —
+    i.e. the hot-key reduce genuinely splits before the final merge."""
+    (events,) = load(spark, SF_SMOKE, "events")
+    plan = (
+        skew.salted_agg(events, ["user_id"], [("count", "event_id", "c")], parts=8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # two logical aggregate rounds survive optimization (each also gets a
+    # physical partial/final split, so the hot key spreads 8 ways)
+    assert plan.count("Aggregate") == 2
+
+
+def test_replicated_skew_join_equals_plain(spark):
+    (events,) = load(spark, SF_SMOKE, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 10.0), ("view", 0.1)],
+        ["event_type", "weight"],
+    )
+    plain = (
+        events.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+    )
+    salted = (
+        skew.replicated_skew_join(events, dim, ["event_type"], parts=4)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
