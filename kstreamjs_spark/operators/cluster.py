@@ -1,0 +1,83 @@
+"""Duplicate-cluster resolution: distributed connected components over a
+near-dup pair list.
+
+Near-dup detection (operators/dedup.py) emits PAIRS; a pipeline must then
+group pairs into clusters and keep one representative per cluster —
+otherwise a 3-way duplicate {a,b,c} with pairs (a,b),(b,c) would keep both
+a and c. The reference has no analogue (no joins at all); this is a
+north-star training-data op.
+
+Algorithm: iterative min-label propagation ("large-star" style). Every
+node starts labeled with itself; each round, a node adopts the minimum
+label among itself and its neighbors; converged when no label changes.
+Rounds = graph diameter ≤ O(log n) for the star/path shapes dup clusters
+take in practice (clusters are tiny — boilerplate families — even when
+numerous).
+
+Scale properties (100 TB corpus, billions of pairs):
+- Each round is ONE shuffle: edges ⋈ labels on src (broadcast never
+  assumed), then a min-aggregate by node. No driver-side state; the driver
+  only sees the one-row convergence count per round.
+- The edge list is symmetrized once up front; self-loops keep isolated
+  endpoints labeled.
+- Label frames are local-checkpointed each round to truncate the lineage —
+  an iterative join chain otherwise re-executes every prior round on each
+  action (and the plan grows exponentially for Catalyst to analyze).
+- Duplicate-pair graphs are near-disjoint tiny components, so label
+  traffic shrinks geometrically after round 1; AQE coalesces the
+  shrinking shuffles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
+                         max_iter: int = 20) -> DataFrame:
+    """Return (node, label) with label = min node id of the component.
+
+    ``edges`` is an undirected pair list (any orientation, dups fine).
+    Deterministic: min-label is order-independent, so the result is
+    reproducible across runs/partitionings — required for oracle matching.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # symmetrize + self-loops: every node sees every neighbor AND itself
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(e.select("a", F.col("a").alias("b")))
+        .union(e.select(F.col("b").alias("a"), "b"))
+        .distinct()
+    )
+    labels = sym.groupBy("a").agg(F.min("b").alias("label"))
+
+    for _ in range(max_iter):
+        # propagate: node adopts min(neighbor labels ∪ own label)
+        prop = (
+            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("new_label"))
+        )
+        joined = labels.join(prop, "a")
+        changed = joined.filter(F.col("new_label") < F.col("label")).limit(1)
+        new_labels = joined.select(
+            "a", F.least("label", "new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if not changed.take(1):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.select(F.col("a").alias("node"), "label")
+
+
+def keep_canonical(docs: DataFrame, components: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop every clustered doc except its minimum-id representative.
+    Docs that appear in no pair survive untouched (left anti on the
+    non-canonical set — one broadcast-eligible join, no full-corpus
+    shuffle)."""
+    losers = components.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1,5 +1,6 @@
 """Training-data pipeline queries beyond dedup/similarity: deterministic
-sampling, data mixing, and skew-safe aggregation.
+sampling, data mixing, skew-safe aggregation, batch sessionization, and
+duplicate-cluster resolution.
 
 The reference has no sampling or keyed-skew surface (its only predicate is
 the opaque ``filter`` callback, reference src/stream.ts:57-77); these are
@@ -11,11 +12,13 @@ operators/sampling.py — one source of truth for the hash constants.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
-from ..operators import sampling, skew
+from pyspark.sql import Window
+
+from ..operators import cluster, sampling, skew
 from ..tables import load
-from . import query
+from . import REGISTRY, query
 
 # Data-mixing recipe for q53: downsample the dominant language hard, keep
 # half of everything else (a typical rebalance before tokenization).
@@ -119,3 +122,105 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
             "cnt",
         ).orderBy("user_id")
     )
+
+
+# ------------------------------------------------ Q55 batch sessionization
+@query(
+    "q55_sessionize",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, session_seq, COUNT(*) AS cnt,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM s GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """,
+    tags=("window", "sessionize"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization in batch: lag -> new-session flag ->
+    running-sum session id -> per-session rollup. The batch complement of
+    q31's streaming session_window (same 30 min gap rule), and the shape
+    that survives scale: ONE shuffle on user_id serves both window passes
+    and the final group-by (same partitioning reused across stages).
+    Hot-user mitigation is q54's salting applied to the rollup."""
+    (events,) = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    g = events.select(
+        "user_id", "ts",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+            1,
+        ).otherwise(0).alias("new_s"),
+        "event_id",
+    )
+    s = g.select(
+        "user_id", "ts",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ------------------------------------- Q56 dup-cluster resolution (CC)
+def _q56_oracle() -> str:
+    # Build on q26's oracle verbatim (one source of truth for the pair
+    # semantics): its result is the edge list; the closure is a recursive
+    # CTE whose per-component min is the cluster label.
+    pairs_sql = REGISTRY["q26_jaccard_neardup"].oracle
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT d1, d2 FROM ({pairs_sql}) q
+        ), edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+          UNION SELECT d1, d1 FROM pairs
+          UNION SELECT d2, d2 FROM pairs
+        ), reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS node, MIN(b) AS label
+        FROM reach GROUP BY a ORDER BY node
+    """
+
+
+@query(
+    "q56_dup_clusters",
+    oracle=_q56_oracle(),
+    tags=("dedup", "llm", "iterative"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS (q26) -> connected
+    components (iterative min-label propagation, operators/cluster.py) ->
+    (node, min-id label) per clustered doc. The step a real dedup pipeline
+    needs after pair generation — transitive duplicates {a,b},{b,c} must
+    collapse to ONE representative. Oracle = recursive-CTE transitive
+    closure over the SAME pair SQL (labels are order-independent minima,
+    so the iterative and closure formulations must agree exactly)."""
+    pairs = REGISTRY["q26_jaccard_neardup"].fn(spark, sf)
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    return comps.orderBy("node")

@@ -1,0 +1,43 @@
+"""Connected-components / dup-cluster resolution (operators/cluster.py)."""
+
+from __future__ import annotations
+
+from kstreamjs_spark.operators import cluster
+from kstreamjs_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+def _labels(df):
+    return {r["node"]: r["label"] for r in df.collect()}
+
+
+def test_path_graph_collapses_to_min(spark):
+    # path 1-2-3-4 plus disjoint pair 10-11: diameter > 1 forces multiple
+    # propagation rounds; labels must be the component minimum.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = _labels(cluster.connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 5), (5, 6), (7, 7)], ["src", "dst"]
+    )
+    got = _labels(cluster.connected_components(edges))
+    assert got == {5: 5, 6: 5, 7: 7}
+
+
+def test_keep_canonical(spark):
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    ids = sorted(r[0] for r in docs.select("doc_id").limit(4).collect())
+    a, b, c, d = ids
+    edges = spark.createDataFrame([(a, b), (b, c)], ["src", "dst"])
+    comps = cluster.connected_components(edges)
+    kept = cluster.keep_canonical(docs, comps)
+    kept_ids = {r[0] for r in kept.select("doc_id").collect()}
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    # b and c collapse into a; d and everything unclustered survive
+    assert kept_ids == all_ids - {b, c}

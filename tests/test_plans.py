@@ -162,3 +162,13 @@ def test_hypertable_rollup_scans_raw_once(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 2, executed
+
+
+def test_sessionize_single_data_shuffle(spark):
+    """q55: one user_id hash shuffle serves both window passes AND the
+    session rollup (user_id clustering satisfies the (user_id,
+    session_seq) distribution); the only other Exchange is the
+    presentation ORDER BY's range partitioning."""
+    plan = q("q55_sessionize", spark)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
