@@ -172,3 +172,41 @@ def test_sessionize_single_data_shuffle(spark):
     plan = q("q55_sessionize", spark)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: a selective dim-side predicate injects
+    a bloom filter (`might_contain`) onto the fact scan side of a
+    shuffle join, so fact rows failing the dim filter die before the
+    shuffle. At 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~matching slice. Thresholds are lowered
+    here because the feature gates on scan-size estimates sized for real
+    clusters (creation side small, application side huge)."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.tables import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        orders, customer = load(spark, SF_SMOKE, "orders", "customer")
+        sel = customer.filter(F.col("c_mktsegment") == "BUILDING")
+        j = orders.join(sel, orders.o_custkey == sel.c_custkey).select("o_orderkey")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
