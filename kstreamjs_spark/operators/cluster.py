@@ -43,31 +43,33 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     reproducible across runs/partitionings — required for oracle matching.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    # symmetrize + self-loops: every node sees every neighbor AND itself
+    # symmetrize + self-loops: every node sees every neighbor AND itself.
+    # Materialize ONCE (localCheckpoint): the edge list is re-probed every
+    # round, and its lineage embeds the (expensive) pair-generation query —
+    # without this each round would re-run candidate generation from scratch.
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(e.select("a", F.col("a").alias("b")))
         .union(e.select(F.col("b").alias("a"), "b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = sym.groupBy("a").agg(F.min("b").alias("label"))
 
     for _ in range(max_iter):
-        # propagate: node adopts min(neighbor labels ∪ own label)
+        # propagate: node adopts min(neighbor labels ∪ own label).
+        # One materialization per round: checkpoint the joined frame, then
+        # both the convergence probe and the next label frame read the
+        # materialized result instead of re-executing the join.
         prop = (
             sym.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("new_label"))
         )
-        joined = labels.join(prop, "a")
-        changed = joined.filter(F.col("new_label") < F.col("label")).limit(1)
-        new_labels = joined.select(
-            "a", F.least("label", "new_label").alias("label")
-        ).localCheckpoint(eager=True)
-        if not changed.take(1):
-            labels = new_labels
+        joined = labels.join(prop, "a").localCheckpoint(eager=True)
+        labels = joined.select("a", F.least("label", "new_label").alias("label"))
+        if not joined.filter(F.col("new_label") < F.col("label")).take(1):
             break
-        labels = new_labels
     return labels.select(F.col("a").alias("node"), "label")
 
 

@@ -212,6 +212,7 @@ def _q56_oracle() -> str:
     "q56_dup_clusters",
     oracle=_q56_oracle(),
     tags=("dedup", "llm", "iterative"),
+    bench=True,
 )
 def q56(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS (q26) -> connected
