@@ -93,3 +93,45 @@ def test_asof_matches_bruteforce(spark, left, right):
     }
     expected = py_asof(lrows, right if right else [("zz", 0)])
     assert got == expected
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id label per component
+    return {n: find(n) for n in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    """Iterative min-label propagation (operators/cluster.py) vs a Python
+    union-find on random graphs — paths, stars, self-loops, dup edges."""
+    from kstreamjs_spark.operators import cluster
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in cluster.connected_components(df).collect()
+    }
+    # union() always parents the larger root to the smaller, so find() is
+    # the component minimum — the same label definition as the operator.
+    assert got == py_components(edges)
