@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo")
 
 import pyspark.sql.functions as F  # noqa: E402
 
-from kstreamjs_spark.operators import dedup, similarity  # noqa: E402
+from kstreamjs_spark.operators import cluster, dedup, similarity  # noqa: E402
 from kstreamjs_spark.session import get_spark  # noqa: E402
 from kstreamjs_spark.tables import load  # noqa: E402
 
@@ -54,6 +54,12 @@ def main() -> int:
         ).count(),
         "minhash_lsh": lambda d: dedup.minhash_neardup_pairs(d).count(),
         "simhash": lambda d: dedup.simhash_neardup_pairs(d).count(),
+        # the realistic dedup tail: LSH candidate pairs -> cluster labels;
+        # rounds = component diameter, so clone cliques (diameter 1) keep
+        # the iteration count flat as the corpus multiplies
+        "cc_minhash": lambda d: cluster.connected_components(
+            dedup.minhash_neardup_pairs(d), src="d1", dst="d2"
+        ).count(),
     }
     mults = [m for m in (1, 2, 4, 8) if m <= max_mult]
     results: dict[str, list[float]] = {k: [] for k in ops}
