@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
 from pyspark.sql import Window
 
-from ..operators import cluster, sampling, skew
+from ..operators import cluster, sampling, skew, text
 from ..tables import load
 from . import REGISTRY, query
 
@@ -225,3 +225,56 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     pairs = REGISTRY["q26_jaccard_neardup"].fn(spark, sf)
     comps = cluster.connected_components(pairs, src="d1", dst="d2")
     return comps.orderBy("node")
+
+
+# --------------------------------------- Q57 incremental ingest dedup
+_BATCH_SRC = ("src0", "src1")
+_FP_SQL = """list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                     t -> CAST(length(t) * 131 + ascii(t) * 7 +
+                               ascii(right(t, 1)) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % {mod}
+               )"""
+
+
+@query(
+    "q57_incremental_ingest_dedup",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id, source, {_FP_SQL.format(mod=text.FINGERPRINT_MOD)} AS fp
+          FROM documents
+        )
+        SELECT b.doc_id, b.fp
+        FROM fp b
+        WHERE b.source IN {str(tuple(_BATCH_SRC))}
+          AND NOT EXISTS (
+            SELECT 1 FROM fp c
+            WHERE c.source NOT IN {str(tuple(_BATCH_SRC))} AND c.fp = b.fp
+          )
+        ORDER BY b.doc_id
+    """,
+    tags=("dedup", "llm", "incremental"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: a new batch (sources src0/src1 stand in
+    for today's crawl) keeps only docs whose content fingerprint does not
+    already exist in the corpus (every other source). The daily-ingest
+    complement of q46's full-corpus dedup: the corpus side reduces to
+    fingerprints only (8 bytes/doc — distinct'd map-side before the
+    shuffle), the batch side anti-joins on fp, and at 100 TB the corpus
+    fingerprint set is exactly what a runtime bloom filter or a bucketed
+    fingerprint table keeps off the shuffle entirely."""
+    (documents,) = load(spark, sf, "documents")
+    fp = documents.select(
+        "doc_id", "source", text.fingerprint("text").alias("fp")
+    )
+    batch = fp.filter(F.col("source").isin(*_BATCH_SRC))
+    corpus_fps = (
+        fp.filter(~F.col("source").isin(*_BATCH_SRC)).select("fp").distinct()
+    )
+    return (
+        batch.join(corpus_fps, "fp", "left_anti")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
