@@ -206,3 +206,47 @@ def ann_topk_lsh(
         F.col(id_col), F.round(cosine(a, F.col("qv")), 6).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+    round_to: int = 6,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY row of ``queries`` (q_id_col, q_vec_col
+    array<double>), the top-k most-cosine-similar rows of ``vectors``.
+
+    The batch complement of `topk_cosine` (one query) — the shape behind
+    embedding-based retrieval and doc-level near-dup at corpus scale.
+    Plan: broadcast the query batch, score in one codegen'd projection
+    over a single scan of ``vectors``, then rank per query with a
+    `row_number <= k` filter — Spark plans WindowGroupLimit, so each scan
+    partition keeps only k rows per query before any shuffle. Shuffle
+    volume is O(|queries| * k * partitions), never O(N).
+
+    Self-matches (same id on both sides) are excluded. For query batches
+    too large to broadcast, block both sides first (IVF cells /
+    LSH buckets — `ivf_topk`, `lsh_signature`) and apply the same
+    rank-limit within blocks.
+    """
+    from pyspark.sql import Window
+
+    scored = vectors.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(q_id_col)
+    ).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(as_double(F.col(vec_col)), F.col(q_vec_col)), round_to).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -278,3 +278,45 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "fp")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------ Q58 batch k-NN join
+@query(
+    "q58_knn_join",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 20
+        ), s AS (
+          SELECT qid, e.vec_id,
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6)
+                     AS score
+          FROM embeddings e, q
+          WHERE e.vec_id <> qid
+        ), r AS (
+          SELECT qid, vec_id, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM s
+        )
+        SELECT qid, vec_id, score, rn FROM r WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+    tags=("similarity", "llm"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch k-NN join (operators/similarity.knn_join): top-5 neighbors for
+    each of 20 query vectors in ONE scan of the vector table — broadcast
+    query batch, codegen'd fold cosine, WindowGroupLimit rank pushdown
+    (each partition keeps <= k rows per query before the shuffle). The
+    retrieval/embedding-dedup workhorse; q27 is the 1-query special case,
+    q42's IVF cells block the same pattern when the batch cannot
+    broadcast."""
+    from ..operators import similarity
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    return similarity.knn_join(embeddings, queries, k=5).orderBy("qid", "rn")

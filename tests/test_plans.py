@@ -210,3 +210,12 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_join_rank_pushdown_no_full_shuffle(spark):
+    """q58: the per-query top-k must plan WindowGroupLimit (partial limit
+    before the shuffle) and the scored cross product must reach it via a
+    broadcast, not a shuffle of the vector table."""
+    plan = q("q58_knn_join", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
