@@ -12,9 +12,7 @@ operators/sampling.py — one source of truth for the hash constants.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession  # noqa: F401
-
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import cluster, sampling, skew, text
 from ..tables import load
