@@ -318,3 +318,54 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("qv"),
     )
     return similarity.knn_join(embeddings, queries, k=5).orderBy("qid", "rn")
+
+
+# --------------------------------- Q59 transitive dedup, end to end
+def _q59_oracle() -> str:
+    pairs_sql = REGISTRY["q26_jaccard_neardup"].oracle
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT d1, d2 FROM ({pairs_sql}) q
+        ), edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+          UNION SELECT d1, d1 FROM pairs
+          UNION SELECT d2, d2 FROM pairs
+        ), reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), cc AS (
+          SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
+        )
+        SELECT lang, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+@query(
+    "q59_transitive_dedup",
+    oracle=_q59_oracle(),
+    tags=("dedup", "llm", "pipeline"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup pipeline end to end: near-dup pairs (q26) -> connected
+    components (q56) -> keep_canonical (min-id representative per cluster)
+    -> surviving per-lang corpus stats. Proves the keep_canonical anti-join
+    under the oracle gate, not just unit tests: the oracle deletes the same
+    non-representative set via the recursive closure."""
+    (documents,) = load(spark, sf, "documents")
+    pairs = REGISTRY["q26_jaccard_neardup"].fn(spark, sf)
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    kept = cluster.keep_canonical(documents, comps)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
