@@ -71,7 +71,15 @@ def replicated_skew_join(big: DataFrame, small: DataFrame,
     when running with AQE off (e.g. inside streaming micro-batches, where
     AQE is disabled). The join remains a plain equi-join on
     (on..., __salt) — broadcastable, codegen'd.
+
+    Only join types that preserve/probe the BIG side are valid: a right or
+    full join would emit every unmatched ``small`` row once per salt
+    replica.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"replicated_skew_join supports big-side-probing joins only, got {how!r}"
+        )
     salt_big = big.withColumn(
         "__salt",
         F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(),

@@ -113,3 +113,19 @@ def test_replicated_skew_join_equals_plain(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("weight").alias("w"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_replicated_skew_join_left_and_guard(spark):
+    """Left join preserves unmatched big rows exactly once; right/full are
+    rejected (each unmatched small row would appear once per replica)."""
+    import pytest
+
+    big = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("zzz", 3)], ["k", "v"]
+    )
+    small = spark.createDataFrame([("a", 10.0)], ["k", "w"])
+    out = skew.replicated_skew_join(big, small, ["k"], parts=4, how="left")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [("a", 1, 10.0), ("a", 2, 10.0), ("zzz", 3, None)]
+    with pytest.raises(ValueError):
+        skew.replicated_skew_join(big, small, ["k"], how="full")
