@@ -56,6 +56,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     labels = sym.groupBy("a").agg(F.min("b").alias("label"))
 
+    converged = False
     for _ in range(max_iter):
         # propagate: node adopts min(neighbor labels ∪ own label).
         # One materialization per round: checkpoint the joined frame, then
@@ -69,7 +70,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         joined = labels.join(prop, "a").localCheckpoint(eager=True)
         labels = joined.select("a", F.least("label", "new_label").alias("label"))
         if not joined.filter(F.col("new_label") < F.col("label")).take(1):
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are silently WRONG (one component, several
+        # labels) — never return them. Rounds needed = component diameter,
+        # so this fires only on a chain-shaped component longer than
+        # max_iter — raise so the caller raises the budget deliberately.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "a component's diameter exceeds max_iter — raise max_iter"
+        )
     return labels.select(F.col("a").alias("node"), "label")
 
 

@@ -38,14 +38,23 @@ _M = 4294967296  # 2^32
 
 
 def hash_bucket(key: Column | str, seed: int = 0) -> Column:
-    """Deterministic uniform bucket in [0, 2^32) from an integer key."""
+    """Deterministic uniform bucket in [0, 2^32) from an integer key.
+
+    The final reduction is pmod (non-negative), not %: both Spark's and
+    DuckDB's % follow the dividend's sign, so a plain % on a negative key
+    would return a negative bucket that passes every `< threshold` filter
+    — in BOTH engines, which is exactly the kind of bug an oracle
+    hash-match cannot catch. Intermediate products stay in int64:
+    |inner % M| < M and M*A + C < 2^63."""
     k = F.col(key) if isinstance(key, str) else key
-    return (((k + F.lit(seed)) % _M) * _A + _C) % _M
+    return F.pmod(((k + F.lit(seed)) % _M) * _A + _C, F.lit(_M))
 
 
 def hash_bucket_sql(key: str, seed: int = 0) -> str:
-    """The identical expression in ANSI SQL (DuckDB oracle side)."""
-    return f"((({key} + {seed}) % {_M}) * {_A} + {_C}) % {_M}"
+    """The identical expression in ANSI SQL (DuckDB oracle side); the
+    `(x % M + M) % M` form is DuckDB's spelling of pmod."""
+    x = f"((({key} + {seed}) % {_M}) * {_A} + {_C})"
+    return f"(({x} % {_M}) + {_M}) % {_M}"
 
 
 def _threshold(fraction: float) -> int:
@@ -90,8 +99,13 @@ def stratified_sample(df: DataFrame, stratum: Column | str,
 def stratified_sample_sql(stratum: str, fractions: Mapping[str, float],
                           key: str, seed: int = 0,
                           default: float = 0.0) -> str:
+    # string strata only (matching the Column-side == on string values);
+    # embedded quotes are SQL-escaped by doubling
+    for v in fractions:
+        if not isinstance(v, str):
+            raise TypeError(f"stratum values must be strings, got {v!r}")
     whens = " ".join(
-        f"WHEN '{v}' THEN {_threshold(f)}"
+        f"WHEN '{v.replace(chr(39), chr(39) * 2)}' THEN {_threshold(f)}"
         for v, f in sorted(fractions.items())
     )
     case = f"CASE {stratum} {whens} ELSE {_threshold(default)} END"

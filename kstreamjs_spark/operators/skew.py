@@ -40,11 +40,12 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
     ways.
 
     ``aggs`` is a list of (agg, col, alias) with agg in sum/count/min/max.
-    The salt is a deterministic spread of the *rows* (spark_partition_id +
-    a per-row monotonic component would break determinism of nothing —
-    any row->[0,parts) map works; we hash all non-key columns' first key
-    col proxy: use pmod(hash of all cols)). Correctness never depends on
-    the salt value, only the split factor.
+    The salt is pmod(spark_partition_id * 7919 + monotonically_increasing_id,
+    parts): a cheap row->[0,parts) spread with no column hashing.
+    Correctness never depends on WHICH bucket a row lands in — every
+    bucket's partial merges into the same exact final — only on the split
+    factor, so a nondeterministic salt is safe here (and Catalyst pulls it
+    out into a projection before the aggregate).
     """
     for agg, _c, _a in aggs:
         if agg not in _PARTIAL:

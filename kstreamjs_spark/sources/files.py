@@ -40,14 +40,18 @@ def write_sharded(
     key: str | None = None,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
-    """Write ``df`` as ``shards`` files per partition-directory.
+    """Write ``df`` as at most ``shards`` files per partition-directory.
 
     The shard assignment hashes ``key`` (or the whole row when None) so the
     repartition spreads rows evenly; co-locating by (partition cols, shard)
-    means each task writes exactly one file into one directory — no
-    per-task fan-out into every partition value, which is what makes naive
-    `repartition(n).write.partitionBy(c)` emit n×|values| files.
+    means each task writes into one directory — no per-task fan-out into
+    every partition value, which is what makes naive
+    `repartition(n).write.partitionBy(c)` emit n×|values| files. "At most":
+    distinct (partition values × shard) combos hash into shuffle
+    partitions, and colliding combos share an output task, merging their
+    files — the bound that matters (no small-file explosion) still holds.
     """
     pcols = list(partition_by or [])
     shard = F.pmod(F.hash(key) if key else F.hash(*df.columns), F.lit(shards))
@@ -57,6 +61,8 @@ def write_sharded(
         writer = writer.partitionBy(*pcols)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
     writer.save(path)
 
 
@@ -64,19 +70,12 @@ def write_jsonl(df: DataFrame, path: str, shards: int = 8,
                 partition_by: list[str] | None = None,
                 compression: str | None = "gzip") -> None:
     """JSON-lines corpus export (the reference's wire encoding,
-    src/context.ts:122-123, as a file dataset). Gzip matches the
-    reference's CompressionTypes.GZIP; note gzip JSONL is unsplittable —
-    shard count alone controls read parallelism, so size shards to
-    ~128-512 MB compressed."""
-    out = df.repartition(
-        *([F.col(c) for c in (partition_by or [])] + [F.pmod(F.hash(*df.columns), F.lit(shards))])
-    )
-    writer = out.write.mode("overwrite").format("json")
-    if compression:
-        writer = writer.option("compression", compression)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(path)
+    src/context.ts:122-123, as a file dataset): `write_sharded` with
+    fmt=json. Gzip matches the reference's CompressionTypes.GZIP; note
+    gzip JSONL is unsplittable — shard count alone controls read
+    parallelism, so size shards to ~128-512 MB compressed."""
+    write_sharded(df, path, partition_by=partition_by, shards=shards,
+                  fmt="json", compression=compression)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:

@@ -41,3 +41,17 @@ def test_keep_canonical(spark):
     all_ids = {r[0] for r in docs.select("doc_id").collect()}
     # b and c collapse into a; d and everything unclustered survive
     assert kept_ids == all_ids - {b, c}
+
+
+def test_unconverged_raises(spark):
+    """A chain longer than max_iter must raise, never return split
+    clusters silently (rounds needed = component diameter)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster.connected_components(chain, max_iter=2)
+    ok = cluster.connected_components(chain, max_iter=10)
+    assert {r["label"] for r in ok.collect()} == {0}

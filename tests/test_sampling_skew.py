@@ -129,3 +129,20 @@ def test_replicated_skew_join_left_and_guard(spark):
     assert rows == [("a", 1, 10.0), ("a", 2, 10.0), ("zzz", 3, None)]
     with pytest.raises(ValueError):
         skew.replicated_skew_join(big, small, ["k"], how="full")
+
+
+def test_sample_handles_negative_keys(spark):
+    """pmod keeps the bucket non-negative for negative keys — a plain %
+    would pass EVERY negative key at any fraction, in Spark and DuckDB
+    alike (both % follow the dividend sign), invisible to the oracle."""
+    df = spark.createDataFrame([(i,) for i in range(-500, 0)], ["doc_id"])
+    kept0 = sampling.sample_hash(df, "doc_id", 0.0).count()
+    kept20 = sampling.sample_hash(df, "doc_id", 0.2).count()
+    assert kept0 == 0
+    assert 0 < kept20 < 250  # ~20%, not 100%
+    # Spark and the SQL builder agree on negative keys too
+    df.createOrReplaceTempView("negkeys")
+    sql_kept = spark.sql(
+        f"SELECT COUNT(*) c FROM negkeys WHERE {sampling.sample_hash_sql('doc_id', 0.2)}"
+    ).collect()[0]["c"]
+    assert sql_kept == kept20
