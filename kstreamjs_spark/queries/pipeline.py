@@ -369,3 +369,34 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------- Q60 deterministic corpus shuffle
+@query(
+    "q60_deterministic_shuffle",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {sampling.hash_bucket_sql('doc_id', seed=23)} AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 200
+    """,
+    tags=("sampling", "llm"),
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle: training-example order randomization
+    as ORDER BY hash(key) — reproducible across runs/engines (same LCG as
+    q52, so the oracle replays the identical order) and free of rand()'s
+    retry nondeterminism. At 100 TB this is repartitionByRange on the hash
+    key: a range exchange plus per-partition sort produces globally
+    shuffled output shards without any single-point sort; LIMIT here keeps
+    the gate result small."""
+    (documents,) = load(spark, sf, "documents")
+    return (
+        documents.select(
+            "doc_id", "lang",
+            sampling.hash_bucket("doc_id", seed=23).alias("shuffle_key"),
+        )
+        .orderBy("shuffle_key", "doc_id")
+        .limit(200)
+    )
