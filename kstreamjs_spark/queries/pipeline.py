@@ -400,3 +400,44 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("shuffle_key", "doc_id")
         .limit(200)
     )
+
+
+# ------------------------------------------------ Q61 Python UDTF
+@query(
+    "q61_udtf_tokenize",
+    oracle="""
+        SELECT doc_id, word, CAST(length(word) AS INT) AS n
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 50
+        )
+        WHERE word <> ''
+    """,
+    tags=("udf", "udtf"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (table-valued function): one input row -> many output
+    rows with a declared schema — the generalization of the reference's
+    only UDTF-shaped operator, explode (reference src/stream.ts:78-90),
+    with arbitrary Python row-generation logic. Arrow-batched like every
+    Python boundary here; the LATERAL join keeps it a per-partition
+    flatMap, no shuffle. Hash-matched against the equivalent relational
+    unnest, proving the UDTF plumbing row-exact."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, n: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in (text or "").split(" "):
+                if w:
+                    yield (w, len(w))
+
+    spark.udtf.register("q61_split_words", SplitWords)
+    (documents,) = load(spark, sf, "documents")
+    documents.filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "q61_docs"
+    )
+    return spark.sql(
+        """SELECT d.doc_id, s.word, s.n
+           FROM q61_docs d, LATERAL q61_split_words(d.text) s"""
+    )
