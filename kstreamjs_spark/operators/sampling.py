@@ -110,3 +110,26 @@ def stratified_sample_sql(stratum: str, fractions: Mapping[str, float],
     )
     case = f"CASE {stratum} {whens} ELSE {_threshold(default)} END"
     return f"{hash_bucket_sql(key, seed)} < {case}"
+
+
+def weighted_sample(df: DataFrame, key: Column | str, weight: Column | str,
+                    scale: float, seed: int = 0) -> DataFrame:
+    """Deterministic importance sampling: keep a row with probability
+    min(1, scale * weight) — e.g. length-weighted corpus sampling where
+    longer documents are proportionally likelier to survive.
+
+    Same LCG bucket as `sample_hash`, but the threshold is per-row:
+    `h < scale * weight * 2^32`. Still one scan-side predicate (no
+    shuffle, no rand()), still reproducible across engines; the
+    comparison is done in DOUBLE on both sides (exact for thresholds
+    below 2^53, far above any real scale*weight)."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    thr = F.least(F.lit(1.0), F.lit(scale) * w) * F.lit(float(_M))
+    return df.filter(hash_bucket(key, seed).cast("double") < thr)
+
+
+def weighted_sample_sql(key: str, weight: str, scale: float,
+                        seed: int = 0) -> str:
+    """WHERE-clause predicate matching :func:`weighted_sample` exactly."""
+    thr = f"LEAST(1.0, {scale!r} * {weight}) * {float(_M)!r}"
+    return f"CAST({hash_bucket_sql(key, seed)} AS DOUBLE) < {thr}"

@@ -441,3 +441,35 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         """SELECT d.doc_id, s.word, s.n
            FROM q61_docs d, LATERAL q61_split_words(d.text) s"""
     )
+
+
+# ------------------------------------------------ Q62 weighted sampling
+@query(
+    "q62_weighted_sample",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        FROM documents
+        WHERE {sampling.weighted_sample_sql('doc_id', 'n_chars', 0.0005, seed=31)}
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("sampling", "llm"),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted importance sampling: each doc survives with
+    probability min(1, 0.0005 * n_chars), so long documents are
+    proportionally favored — the char-budget-preserving way to thin a
+    corpus. Deterministic (LCG hash vs per-row threshold), engine-exact
+    (double comparison well under 2^53), one scan-side predicate."""
+    (documents,) = load(spark, sf, "documents")
+    kept = sampling.weighted_sample(
+        documents, "doc_id", "n_chars", 0.0005, seed=31
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
