@@ -289,3 +289,44 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
         "inner",
     ).select("event_id", "user_id", "click_ts")
     return run_to_memory(j, "q51", output_mode="append")
+
+
+# --------------------------------------- Q63 stream-static enrichment join
+@query(
+    "q63_stream_static_join",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               COUNT(*) AS cnt,
+               SUM(CAST(floor(e.value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY segment
+    """,
+    tags=("streaming", "join"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joins a static dimension
+    (customer) inside each micro-batch — the standard production pattern
+    for decorating a stream with slowly-changing reference data, absent
+    from the reference (no joins at all). The static side re-plans per
+    micro-batch (picking up dim updates) and broadcasts; no stream-side
+    state is kept, so it scales with the dim table, not the stream
+    history. Result equals the batch join exactly."""
+    (customer,) = load(spark, sf, "customer")
+    sdf = stream_table(spark, sf, "events")
+    joined = sdf.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        sdf.user_id == F.col("c_custkey"),
+    )
+    agg = (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (
+                F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                / F.lit(10000.0)
+            ).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, "q63", output_mode="complete").orderBy("segment")
