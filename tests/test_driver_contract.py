@@ -1,0 +1,36 @@
+"""The __spark_entry__ driver contract, enforced locally: entry() runs and
+returns rows with a stable schema; every oracle key is a query key; every
+query is callable with (spark, sf_dir) and each oracle is a non-empty SQL
+string. Catches contract regressions in pytest rather than at round time."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from .conftest import SF_SMOKE  # noqa: E402
+
+
+def test_entry_runs_with_stable_schema(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema.simpleString() == (
+        "struct<hour:timestamp,sum_value:double,cnt:bigint>"
+    )
+
+
+def test_every_oracle_key_is_a_query_key():
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+def test_query_callables_accept_spark_and_sfdir(spark):
+    # spot-run one cheap query through the contract signature
+    df = entrymod.queries()["q01_scan_count"](spark, SF_SMOKE)
+    assert df.collect()[0][0] > 0

@@ -219,3 +219,16 @@ def test_knn_join_rank_pushdown_no_full_shuffle(spark):
     plan = q("q58_knn_join", spark)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_incremental_dedup_anti_join_broadcastable(spark):
+    """q57: the corpus side must reduce to distinct fingerprints BEFORE the
+    anti-join (aggregate below the join input) and the join must stay a
+    left-anti hash join — at scale the fingerprint set, not the corpus,
+    is what ships to the join."""
+    plan = (
+        q("q57_incremental_ingest_dedup", spark)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan, plan
+    assert "HashAggregate" in plan, plan  # the distinct below the join
