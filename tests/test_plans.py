@@ -232,3 +232,45 @@ def test_incremental_dedup_anti_join_broadcastable(spark):
     )
     assert "LeftAnti" in plan, plan
     assert "HashAggregate" in plan, plan  # the distinct below the join
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join splitting — the automatic complement to
+    operators/skew.py's manual salting (which exists for aggregations and
+    AQE-less streaming batches). A 90%-hot-key probe side must show
+    `skew=true` on the sort-merge join in the final adaptive plan;
+    thresholds are lowered because the defaults are sized for 256MB
+    cluster partitions."""
+    import pyspark.sql.functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in zip(keys, ("64KB", "16KB", "2", "-1", "-1")):
+            spark.conf.set(k, v)
+        big = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k").groupBy().agg(F.sum("v").alias("sv"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
