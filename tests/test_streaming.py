@@ -189,3 +189,56 @@ def test_stream_facade_write_to_parquet_sink(spark, tmp_path):
         .count()
     )
     assert n == expected
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """`commit` parity, proven: the reference commits offsets every 60s and
+    replays on crash (at-least-once, reference src/context.ts:111-113);
+    checkpointed Structured Streaming restarts from the offset WAL with NO
+    loss and NO duplication into a file sink. Stop a 4-micro-batch replay
+    after the first batch, restart from the same checkpoint, and the sink
+    holds every input row exactly once."""
+    import time
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from kstreamjs_spark.tables import load
+
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ckpt", "out"))
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    n_total = docs.count()
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def reader():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    q = (
+        reader().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        # wide trigger interval: batch 1 runs immediately, batch 2 not for
+        # 30s — stop() always lands mid-backlog, never after batch 4
+        .trigger(processingTime="30 seconds").start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    n_phase1 = spark.read.parquet(out).count()
+    assert 0 < n_phase1 < n_total  # stopped mid-backlog
+
+    q2 = (
+        reader().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_total  # no loss, no dups
