@@ -473,3 +473,42 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- Q64 robust outlier filter
+@query(
+    "q64_mad_outliers",
+    oracle="""
+        WITH s1 AS (SELECT median(value) AS m FROM events),
+        s2 AS (SELECT median(abs(value - m)) AS mad FROM events, s1)
+        SELECT event_type, COUNT(*) AS outliers
+        FROM events, s1, s2
+        WHERE abs(value - m) > 3 * mad
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("quality", "stats"),
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection (median/MAD, the mean/stddev-free form that
+    heavy-tailed value distributions require): two exact-percentile scalar
+    aggregates, each broadcast back to the scan as a 1-row cross join —
+    three passes total, no shuffle of the fact table beyond the final tiny
+    group-by. Exact percentiles match DuckDB median() bit-for-bit, so the
+    filter boundary is engine-identical with no rounding."""
+    (events,) = load(spark, sf, "events")
+    med = events.agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    mad = (
+        events.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad")
+        )
+    )
+    return (
+        events.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .filter(F.abs(F.col("value") - F.col("m")) > 3 * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("outliers"))
+        .orderBy("event_type")
+    )
