@@ -512,3 +512,37 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("outliers"))
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- Q65 PII pseudonymization
+@query(
+    "q65_pseudonymize",
+    oracle="""
+        SELECT event_id,
+               sha256('pepper-7' || CAST(user_id AS VARCHAR)) AS user_pseudo,
+               event_type
+        FROM events
+        WHERE event_id < 1000
+        ORDER BY event_id
+    """,
+    tags=("privacy", "llm"),
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """PII pseudonymization for training-data release: replace the user
+    identifier with a peppered SHA-256 digest — stable (joins and
+    sessionization still work on the pseudonym), irreversible without the
+    pepper, and a pure scan-side codegen expression (JVM-side hash, no
+    UDF, no shuffle). Digests are hex-identical across engines, so the
+    oracle hash-matches the actual bytes, not a proxy."""
+    (events,) = load(spark, sf, "events")
+    return (
+        events.filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            F.sha2(
+                F.concat(F.lit("pepper-7"), F.col("user_id").cast("string")), 256
+            ).alias("user_pseudo"),
+            "event_type",
+        )
+        .orderBy("event_id")
+    )
