@@ -14,7 +14,7 @@ Scale design (100 TB corpora):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 from .text import tokens
 
@@ -74,6 +74,7 @@ def jaccard_pairs(
     partition_col: str | None = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle equi-join.
 
@@ -82,31 +83,62 @@ def jaccard_pairs(
     the candidate space); |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
     carried through the join. One shuffle on the shingle, one aggregation
     on the pair — no cross join anywhere.
+
+    ``max_df`` is the document-frequency ceiling: shingles occurring in more
+    than ``max_df`` documents (within the blocking partition) are dropped
+    from BOTH the intersection and the per-doc counts, i.e. Jaccard is
+    computed over the stop-shingle-filtered sets. This bounds the width of
+    any one join bucket at ``max_df`` — without it, a boilerplate shingle
+    shared by every document makes its bucket quadratic at corpus scale.
+    Cost when enabled: one map-combined aggregation on the shingle (tiny
+    output: only shingles over the ceiling), a broadcast anti-join against
+    that hot set, and one count-recompute shuffle on the doc id — all linear
+    in the exploded shingle count, versus the quadratic bucket they prevent.
     """
+    pcols = [partition_col] if partition_col else []
     sh = _spread(documents, id_col).select(
         F.col(id_col),
-        *([F.col(partition_col)] if partition_col else []),
+        *[F.col(c) for c in pcols],
         shingles(text_col, n).alias("sh"),
     ).withColumn("n_sh", F.size("sh").cast("long"))
     ex = sh.select(
         F.col(id_col),
-        *([F.col(partition_col)] if partition_col else []),
+        *[F.col(c) for c in pcols],
         F.col("n_sh"),
         F.explode("sh").alias("s"),
     )
+    if max_df is not None:
+        # Shingles are distinct per doc, so count(*) per shingle == its
+        # document frequency. The hot set is tiny by construction (at most
+        # total_instances / max_df shingles can exceed the ceiling).
+        hot = (
+            ex.groupBy(*pcols, "s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*pcols, "s")
+        )
+        ex = ex.join(F.broadcast(hot), on=[*pcols, "s"], how="left_anti")
+        # Per-doc counts must reflect the filtered sets; one shuffle on the
+        # doc id. (The scan-side n_sh is stale once shingles are dropped.)
+        w = Window.partitionBy(id_col)
+        ex = ex.withColumn("n_sh", F.count(F.lit(1)).over(w).cast("long"))
+    # Distinct names per side (s1/s2, p1/p2): comparing same-name columns
+    # from two frames with shared lineage is the classic silently-wrong
+    # self-join ("trivially true equals predicate" warning) — never compare
+    # left["x"] == right["x"] on a self-join.
     left = ex.select(
         F.col(id_col).alias("d1"),
-        *([F.col(partition_col).alias("p1")] if partition_col else []),
+        *[F.col(c).alias("p1") for c in pcols],
         F.col("n_sh").alias("n1"),
-        "s",
+        F.col("s").alias("s1"),
     )
     right = ex.select(
         F.col(id_col).alias("d2"),
-        *([F.col(partition_col).alias("p2")] if partition_col else []),
+        *[F.col(c).alias("p2") for c in pcols],
         F.col("n_sh").alias("n2"),
-        "s",
+        F.col("s").alias("s2"),
     )
-    cond = (F.col("d1") < F.col("d2")) & (left["s"] == right["s"])
+    cond = (F.col("d1") < F.col("d2")) & (F.col("s1") == F.col("s2"))
     if partition_col:
         cond = cond & (F.col("p1") == F.col("p2"))
     pairs = left.join(right, cond)

@@ -550,22 +550,33 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
-               (embedding::DOUBLE[])[1:3] AS head3,
-               CAST(embedding[1] AS DOUBLE) AS e1
+               CAST(embedding[1] AS DOUBLE) AS h1,
+               CAST(embedding[2] AS DOUBLE) AS h2,
+               CAST(embedding[3] AS DOUBLE) AS h3,
+               CAST(list_min(embedding) AS DOUBLE) AS emin,
+               CAST(list_max(embedding) AS DOUBLE) AS emax
         FROM embeddings
     """,
     tags=("array-fn",),
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
-    """Array function surface over the embedding column. Floats are upcast
-    to double (exact) so both engines hand back identical values."""
+    """Array function surface over the embedding column (size / slice /
+    element_at / array_min / array_max). Floats are upcast to double (exact)
+    so both engines hand back identical values. Output is all scalars: the
+    driver's canonicalizer cannot sort rows containing array cells, so the
+    head-of-vector probe is emitted as three scalar columns taken *through*
+    a slice (exercising the array path without an array-typed result)."""
     (emb,) = load(spark, sf, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.slice(as_double, 1, 3)
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.slice(as_double, 1, 3).alias("head3"),
-        F.element_at("embedding", 1).cast("double").alias("e1"),
+        F.element_at(head3, 1).alias("h1"),
+        F.element_at(head3, 2).alias("h2"),
+        F.element_at(head3, 3).alias("h3"),
+        F.array_min(as_double).alias("emin"),
+        F.array_max(as_double).alias("emax"),
     )
 
 
