@@ -54,7 +54,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         SELECT lang,
                COUNT(*) AS kept_docs,
-               SUM(n_chars) AS kept_chars
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
         WHERE {sampling.stratified_sample_sql('lang', _MIX, 'doc_id', seed=11)}
         GROUP BY lang
@@ -75,7 +75,9 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         kept.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("n_chars").alias("kept_chars"),
+            # Explicit long on BOTH sides: DuckDB SUM(INTEGER) is HUGEINT
+            # (pandas float64) unless cast — the driver hashes dtypes.
+            F.sum("n_chars").cast("long").alias("kept_chars"),
         )
         .orderBy("lang")
     )
@@ -135,8 +137,10 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
           SELECT user_id, ts,
-                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_seq
           FROM g
         )
         SELECT user_id, session_seq, COUNT(*) AS cnt,
@@ -169,7 +173,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts",
         F.sum("new_s").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("session_seq"),
+        ).cast("long").alias("session_seq"),
     )
     return (
         s.groupBy("user_id", "session_seq")
@@ -338,7 +342,8 @@ def _q59_oracle() -> str:
         ), cc AS (
           SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
         )
-        SELECT lang, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        SELECT lang, COUNT(*) AS kept_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
         WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> label)
         GROUP BY lang
@@ -365,7 +370,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         kept.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("n_chars").alias("kept_chars"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
         )
         .orderBy("lang")
     )
@@ -447,7 +452,8 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q62_weighted_sample",
     oracle=f"""
-        SELECT lang, COUNT(*) AS kept_docs, SUM(n_chars) AS kept_chars
+        SELECT lang, COUNT(*) AS kept_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
         WHERE {sampling.weighted_sample_sql('doc_id', 'n_chars', 0.0005, seed=31)}
         GROUP BY lang
@@ -469,7 +475,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         kept.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("n_chars").alias("kept_chars"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
         )
         .orderBy("lang")
     )
