@@ -36,21 +36,25 @@ def asof_join(
 
     ``right_ts`` may itself be listed in ``right_cols`` (the common "when
     did it last happen" query).
+
+    The right payload travels as ONE struct column: per-column
+    ``last(ignorenulls)`` would fill a NULL field of the matched right row
+    from an *earlier* right row, stitching together values that never
+    coexisted. A struct is non-NULL even when every field is NULL, so
+    ``last`` atomically picks the whole latest row.
     """
-    marker = [c for c in (f"_asof_{x}" for x in right_cols)]
     l_tag = left.select(
         *left.columns,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_is_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(m)
-          for c, m in zip(right_cols, marker)],
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_is_left"),
-        *[F.col(c).alias(m) for c, m in zip(right_cols, marker)],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
     )
+    # allowMissingColumns fills the left rows' _asof_payload with NULL.
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # Right rows sort before left rows at equal timestamps iff ties match.
     tie = F.col("_asof_is_left") if allow_exact_match else -F.col("_asof_is_left")
@@ -59,9 +63,10 @@ def asof_join(
         .orderBy(F.col("_asof_ts"), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u
-    for c, m in zip(right_cols, marker):
-        filled = filled.withColumn(f"asof_{c}", F.last(m, ignorenulls=True).over(w))
+    filled = u.withColumn(
+        "_asof_last", F.last("_asof_payload", ignorenulls=True).over(w)
+    )
     return filled.filter(F.col("_asof_is_left") == 1).select(
-        *left.columns, *[f"asof_{c}" for c in right_cols]
+        *left.columns,
+        *[F.col(f"_asof_last.{c}").alias(f"asof_{c}") for c in right_cols],
     )

@@ -5,12 +5,13 @@ timestamp falls in (left_ts - window, left_ts]. The reference has no joins
 Scale design (100 TB): an inequality-only join is planned as a broadcast
 nested loop or cartesian product — O(n*m) at any scale. Because the range
 is BOUNDED, bucketing both sides by the window width turns it into an
-equi-join: a right row at most `window` before a left row lies in the
-left row's bucket or the one before it, so the left side probes exactly
-two buckets (a 2x fan-out of the probe side, not a cross join). One
-shuffle on (key, bucket); the exact range predicate rides inside the join
-condition. The same trick extends to +/-k buckets for windows spanning k
-bucket widths.
+equi-join: a right row at bucket b can only serve left rows in buckets b
+or b+1, so the RIGHT (build) side is replicated into those two buckets
+(2x fan-out of the build side, not a cross join) while every left row
+appears exactly once — which makes `how='left'` exact: one NULL-extended
+row iff a left row has no match, never a spurious replica. One shuffle on
+(key, bucket); the exact range predicate rides inside the join condition.
+The same trick extends to +/-k buckets for windows spanning k widths.
 """
 
 from __future__ import annotations
@@ -33,18 +34,20 @@ def bucketed_range_join(
     """Join right rows with ``left_ts - window < right_ts <= left_ts``,
     matching on ``on``.
 
-    Output: left columns + right's non-key columns. With how='left',
-    unmatched left rows keep NULL right columns — and may appear once per
-    probed bucket (up to 2x); aggregate with null-ignoring functions
-    (count(right_col), sum(...)) which both dedupe and zero-fill. The
-    range predicate sits INSIDE the join condition: a filter afterwards
-    would drop left rows whose candidates all fell outside the range.
+    Output: left columns + right's non-key columns. Each valid (left,
+    right) pair appears exactly once (a right replica's bucket matches the
+    left row's single bucket for exactly one of its two replicas), and
+    with how='left' an unmatched left row yields exactly one NULL-extended
+    row — exact left-join semantics. The range predicate sits INSIDE the
+    join condition: a filter afterwards would drop left rows whose
+    candidates all fell outside the range.
     """
     bucket = lambda c: F.floor(F.unix_timestamp(c) / window_seconds)  # noqa: E731
-    l = left.withColumn(
-        "_rj_b", F.explode(F.array(bucket(F.col(left_ts)), bucket(F.col(left_ts)) - 1))
-    ).alias("_l")
-    r = right.withColumn("_rj_b", bucket(F.col(right_ts))).alias("_r")
+    l = left.withColumn("_rj_b", bucket(F.col(left_ts))).alias("_l")
+    r = right.withColumn(
+        "_rj_b",
+        F.explode(F.array(bucket(F.col(right_ts)), bucket(F.col(right_ts)) + 1)),
+    ).alias("_r")
     lc, rc = (lambda c: F.col(f"_l.{c}")), (lambda c: F.col(f"_r.{c}"))
     cond = reduce(
         lambda a, b: a & b,

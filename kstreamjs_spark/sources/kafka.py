@@ -26,8 +26,6 @@ kafka.compression.type=gzip.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,10 +46,12 @@ def kafka_reader_options(
         "subscribe": topic,
     }
     if starting_timestamp_ms is not None:
-        # reference seek-to-timestamp (src/context.ts:195-207)
-        opts["startingOffsetsByTimestamp"] = json.dumps(
-            {topic: {"-1": starting_timestamp_ms}}
-        )
+        # reference seek-to-timestamp (src/context.ts:195-207): the
+        # reference seeks EVERY partition to the timestamp. Spark's global
+        # `startingTimestamp` option does exactly that; per-partition
+        # `startingOffsetsByTimestamp` has no all-partitions wildcard
+        # ("-1" is rejected by the connector against a live broker).
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
         opts["startingOffsetsByTimestampStrategy"] = "latest"
     else:
         opts["startingOffsets"] = "earliest" if from_beginning else "latest"
@@ -132,8 +132,13 @@ def read_stream(
     return decode_value(raw, schema)
 
 
-def prepare_sink(df: DataFrame, topic: str, **_options: str) -> DataFrame:
+def prepare_sink(df: DataFrame, topic: str) -> DataFrame:
     """Encode rows for the Kafka sink: JSON-serialize the whole row into
     `value` (reference send, src/context.ts:119-129; no key, like the
-    reference)."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    reference). The target topic rides as a per-row `topic` column — the
+    Kafka sink routes on it, so the destination can never be silently
+    dropped by an option-plumbing gap."""
+    return df.select(
+        F.to_json(F.struct(*df.columns)).alias("value"),
+        F.lit(topic).alias("topic"),
+    )

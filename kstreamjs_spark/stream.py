@@ -253,21 +253,22 @@ class Stream:
         (matching the reference's pass-through contract). Streaming:
         starts a file/kafka sink and returns its handle."""
         if self.df.isStreaming:
-            writer = self.df.writeStream.format(fmt)
             if fmt == "kafka":
                 from .sources.kafka import prepare_sink
 
-                writer = prepare_sink(self.df, path_or_topic, **options).writeStream.format(
+                # prepare_sink embeds the topic as a per-row column; the
+                # sink routes on it, so no `topic` option can get lost.
+                writer = prepare_sink(self.df, path_or_topic).writeStream.format(
                     "kafka"
                 )
-                for k, v in options.items():
-                    writer = writer.option(k, v)
             else:
-                writer = writer.option("path", path_or_topic)
-            if "checkpointLocation" in options:
-                writer = writer.option(
-                    "checkpointLocation", options["checkpointLocation"]
+                writer = self.df.writeStream.format(fmt).option(
+                    "path", path_or_topic
                 )
+            # ALL user options (checkpointLocation, kafka.bootstrap.servers,
+            # maxRecordsPerFile, ...) pass through on both branches.
+            for k, v in options.items():
+                writer = writer.option(k, v)
             return StreamHandle(writer.start())
         self.df.write.format(fmt).mode(options.pop("mode", "overwrite")).options(
             **options

@@ -11,9 +11,25 @@ no custom counters threaded through operators.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
+
+
+def _iso_to_epoch_ms(iso: str) -> int | None:
+    """Spark progress reports event-time watermarks as ISO-8601 strings
+    (e.g. '2024-01-01T00:00:00.000Z'); Statistics stores epoch millis
+    (reference Statistics.lastSentEventTimestamp, src/context.ts:39-52) —
+    storing the raw string would make Statistics.merge's max() compare
+    strings."""
+    try:
+        dt = datetime.fromisoformat(iso.replace("Z", "+00:00"))
+    except (ValueError, AttributeError):
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 @dataclass
@@ -62,7 +78,12 @@ class StatisticsListener(StreamingQueryListener):
         ts = getattr(p, "eventTime", None) or {}
         max_ts = ts.get("max") if isinstance(ts, dict) else None
         if max_ts:
-            self._acc.stats.last_sent_event_timestamp = max_ts
+            ms = _iso_to_epoch_ms(max_ts)
+            if ms is not None:
+                prev = self._acc.stats.last_sent_event_timestamp
+                self._acc.stats.last_sent_event_timestamp = (
+                    ms if prev is None else max(prev, ms)
+                )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

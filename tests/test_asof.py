@@ -65,6 +65,49 @@ def test_asof_carries_multiple_columns(spark):
     assert (row["asof_px"], row["asof_src"]) == (300.0, "s-300")
 
 
+def test_asof_null_field_does_not_mix_rows(spark):
+    """A NULL field in the matched right row must stay NULL — per-column
+    last(ignorenulls) would backfill it from an OLDER right row, stitching
+    together a row that never existed. The struct-packed implementation
+    picks the whole latest row atomically."""
+    left = spark.createDataFrame([(1, "u", ts(20))], "id long, k string, t timestamp")
+    right = spark.createDataFrame(
+        [("u", ts(5), 100.0, "old"), ("u", ts(15), 300.0, None)],
+        "k string, rt timestamp, px double, src string",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        right_cols=["px", "src"],
+    ).collect()[0]
+    # latest row is (300.0, NULL): src must NOT be backfilled to "old"
+    assert (row["asof_px"], row["asof_src"]) == (300.0, None)
+
+
+def test_range_join_left_rows_exact(spark):
+    """Row-level left-join semantics: each valid pair appears exactly once
+    and an unmatched left row yields exactly one NULL-extended row — no
+    spurious NULL replicas for matched keys (build-side fan-out)."""
+    from kstreamjs_spark.operators.rangejoin import bucketed_range_join
+
+    sec = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", sec(600)), (2, "v", sec(600))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", sec(550)), ("u", sec(580))], "k string, rt timestamp"
+    )
+    rows = bucketed_range_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt", window_seconds=600
+    ).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["rt"])
+    # id1: exactly its two matches, no extra NULL replica
+    assert sorted(by_id[1]) == [sec(550), sec(580)]
+    # id2: exactly one NULL-extended row
+    assert by_id[2] == [None]
+
+
 def test_range_join_golden(spark):
     """Edge semantics: click exactly at purchase ts counts; exactly
     window-width before does not; empty right side yields zero counts."""

@@ -28,10 +28,15 @@ def test_reader_options_latest_default():
 
 def test_reader_options_timestamp_seek():
     """The reference window operator seeks every partition to a timestamp
-    (src/context.ts:195-207); partition -1 means 'all partitions'."""
+    (src/context.ts:195-207). Spark's global `startingTimestamp` covers
+    all partitions; `startingOffsetsByTimestamp` has no all-partitions
+    wildcard ('-1' is rejected against a live broker), so it must not be
+    used here."""
     opts = kafka_reader_options("b:9092", "t", starting_timestamp_ms=12345)
     assert "startingOffsets" not in opts
-    assert json.loads(opts["startingOffsetsByTimestamp"]) == {"t": {"-1": 12345}}
+    assert "startingOffsetsByTimestamp" not in opts
+    assert opts["startingTimestamp"] == "12345"
+    assert opts["startingOffsetsByTimestampStrategy"] == "latest"
 
 
 def test_reader_options_group_and_backpressure():
@@ -50,7 +55,11 @@ def test_writer_options_gzip():
 
 
 def test_prepare_sink_serializes_whole_row(spark):
+    """The sink payload is the JSON row plus a per-row `topic` column —
+    the Kafka sink routes on that column, so the destination survives any
+    option-plumbing path (reference writeTo topic, src/stream.ts:240-247)."""
     df = spark.createDataFrame([(1, "x")], "a long, b string")
-    out = prepare_sink(df, "topic").collect()
-    assert out[0].asDict().keys() == {"value"}
+    out = prepare_sink(df, "out-topic").collect()
+    assert out[0].asDict().keys() == {"value", "topic"}
+    assert out[0]["topic"] == "out-topic"
     assert json.loads(out[0]["value"]) == {"a": 1, "b": "x"}

@@ -132,6 +132,22 @@ def test_statistics_listener(spark):
         listener.detach(spark)
 
 
+def test_statistics_event_timestamp_is_epoch_ms():
+    """last_sent_event_timestamp is epoch millis, never the raw ISO string
+    Spark's progress reports — a string would make Statistics.merge's max()
+    compare lexicographically (reference stores millis,
+    src/context.ts:39-52)."""
+    from kstreamjs_spark.streaming.stats import Statistics, _iso_to_epoch_ms
+
+    ms = _iso_to_epoch_ms("2024-01-01T00:00:01.500Z")
+    assert ms == 1704067201500 and isinstance(ms, int)
+    assert _iso_to_epoch_ms("not-a-timestamp") is None
+    # merge takes the numeric max across sources
+    a = Statistics(last_sent_event_timestamp=_iso_to_epoch_ms("2024-01-02T00:00:00Z"))
+    b = Statistics(last_sent_event_timestamp=_iso_to_epoch_ms("2024-01-10T00:00:00Z"))
+    assert a.merge(b).last_sent_event_timestamp == b.last_sent_event_timestamp
+
+
 def test_stream_facade_replay_window(spark):
     """Facade end-to-end on a real stream: replay -> filter -> window agg ->
     run_available (complete mode)."""
