@@ -109,15 +109,18 @@ def jaccard_pairs(
     )
     if max_df is not None:
         # Shingles are distinct per doc, so count(*) per shingle == its
-        # document frequency. The hot set is tiny by construction (at most
-        # total_instances / max_df shingles can exceed the ceiling).
+        # document frequency. The hot set is bounded by
+        # total_shingle_instances / max_df — usually tiny, but at corpus
+        # scale with a modest ceiling it can exceed broadcastable size, so
+        # the join is left to AQE (which broadcasts it when it is small)
+        # rather than force-broadcast.
         hot = (
             ex.groupBy(*pcols, "s")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select(*pcols, "s")
         )
-        ex = ex.join(F.broadcast(hot), on=[*pcols, "s"], how="left_anti")
+        ex = ex.join(hot, on=[*pcols, "s"], how="left_anti")
         # Per-doc counts must reflect the filtered sets; one shuffle on the
         # doc id. (The scan-side n_sh is stale once shingles are dropped.)
         w = Window.partitionBy(id_col)
@@ -210,25 +213,19 @@ def minhash_signature(
     )
 
 
-def minhash_neardup_pairs(
+def _lsh_candidate_pairs(
     documents: DataFrame,
-    threshold: float = 0.5,
-    num_perm: int = 64,
-    bands: int = 16,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    seed: int = 42,
+    num_perm: int,
+    bands: int,
+    n: int,
+    id_col: str,
+    text_col: str,
+    seed: int,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup candidate pairs, verified by signature
-    similarity.
-
-    bands=16 x rows=4 over 64 perms -> candidate probability curve with
-    ~0.5 jaccard threshold knee. Candidates come from an equi-join on
-    (band_id, band_signature); verification is estimated Jaccard =
-    matching-minhash fraction. The full exact-verify variant joins back to
-    `jaccard_pairs` on the candidate set.
-    """
+    """Banded-LSH candidate pairs (d1 < d2, with sig1/sig2 carried): an
+    equi-join on (band_id, band_signature), deduplicated per pair. Shared
+    by the estimate path (minhash_neardup_pairs) and the exact-verify path
+    (minhash_verified_pairs)."""
     rows_per_band = num_perm // bands
     # Docs with no shingles (< n tokens) would all keep the fold's init
     # value in every signature slot — identical signatures that false-
@@ -263,11 +260,35 @@ def minhash_neardup_pairs(
     r = banded.select(
         F.col(id_col).alias("d2"), F.col("sig").alias("sig2"), "band", "bsig"
     )
-    cand = (
+    return (
         l.join(r, on=["band", "bsig"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2", "sig1", "sig2")
         .dropDuplicates(["d1", "d2"])
+    )
+
+
+def minhash_neardup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup candidate pairs, verified by signature
+    similarity.
+
+    bands=16 x rows=4 over 64 perms -> candidate probability curve with
+    ~0.5 jaccard threshold knee. Candidates come from an equi-join on
+    (band_id, band_signature); verification is estimated Jaccard =
+    matching-minhash fraction. The full exact-verify variant is
+    `minhash_verified_pairs`.
+    """
+    cand = _lsh_candidate_pairs(
+        documents, num_perm, bands, n, id_col, text_col, seed
     )
     est = F.size(
         F.filter(
@@ -279,6 +300,46 @@ def minhash_neardup_pairs(
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("d1", "d2", "est_jaccard")
+    )
+
+
+def minhash_verified_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates exact-verified: candidate pairs from the banded join,
+    then TRUE n-gram Jaccard per candidate via shingle-set intersection.
+
+    Scale design: the exact verify never re-runs the full shingle join —
+    each candidate pair is joined back to the per-doc shingle ARRAY (two
+    equi-joins on the doc id) and intersected expression-side, so the
+    verify cost is O(|candidates| * avg_shingles), linear in the candidate
+    count the bands already bounded. No false positives by construction;
+    recall is the banding curve at the operating point (the knee sits at
+    the threshold: P(candidate) = 1-(1-j^r)^b).
+    """
+    cand = _lsh_candidate_pairs(
+        documents, num_perm, bands, n, id_col, text_col, seed
+    ).select("d1", "d2")
+    sh = _spread(documents, id_col).select(
+        F.col(id_col), shingles(text_col, n).alias("sh")
+    )
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("sh").alias("sh2"))
+    joined = cand.join(s1, "d1").join(s2, "d2")
+    common = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - common
+    jac = F.round(common / union, 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
     )
 
 

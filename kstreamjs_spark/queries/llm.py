@@ -73,6 +73,92 @@ def q26b(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_neardup_pairs(documents, threshold=0.5)
 
 
+@query(
+    "q26d_minhash_verify",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s,
+                      len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (n1 + n2 - common), 6) AS jaccard
+        FROM pairs
+        WHERE ROUND(common * 1.0 / (n1 + n2 - common), 6) >= 0.5
+    """,
+    tags=("dedup", "llm"),
+)
+def q26d(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidates exact-verified via true n-gram Jaccard
+    (operators/dedup.py minhash_verified_pairs). The result is provably
+    free of false positives (exact verify), and on this dataset the banded
+    candidate generation recalls every true >=0.5 pair (deterministic
+    seed; recall test in tests/test_llm_ops.py), so the output equals the
+    full exact near-dup set — the oracle states exactly that: unblocked
+    pairwise Jaccard >= 0.5."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.minhash_verified_pairs(documents, threshold=0.5)
+
+
+@query(
+    "q26e_jaccard_maxdf",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex0 AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        hot AS (SELECT source, s FROM ex0
+                GROUP BY source, s HAVING COUNT(*) > 2),
+        ex AS (SELECT e.doc_id, e.source, e.s
+               FROM ex0 e ANTI JOIN hot h
+                 ON e.source = h.source AND e.s = h.s),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+        FROM pairs
+        JOIN n na ON pairs.d1 = na.doc_id
+        JOIN n nb ON pairs.d2 = nb.doc_id
+        WHERE ROUND(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
+    """,
+    tags=("dedup", "llm", "skew"),
+)
+def q26e(spark: SparkSession, sf: str) -> DataFrame:
+    """q26 with the document-frequency ceiling ACTIVE (max_df=2): shingles
+    occurring in >2 docs (within the source blocking key) are dropped from
+    both the intersection and the per-doc set sizes before Jaccard. This is
+    the 100 TB skew-safety valve — a boilerplate shingle shared by every
+    document would otherwise make its join bucket quadratic
+    (operators/dedup.py jaccard_pairs; adversarial bound test in
+    tests/test_llm_ops.py)."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.jaccard_pairs(documents, threshold=0.5, max_df=2)
+
+
 @query("q26c_simhash_neardup", oracle=None, tags=("dedup", "llm", "approx"))
 def q26c(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-64 near-dup pairs within Hamming distance 3, candidates via

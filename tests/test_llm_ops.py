@@ -34,6 +34,56 @@ def test_minhash_candidates_cover_exact_neardups(spark):
     assert exact <= approx, f"missed: {exact - approx}"
 
 
+def test_minhash_verified_equals_exact_neardups(spark):
+    """Exact-verify of LSH candidates: no false positives by construction,
+    and at this operating point the bands recall every true >=0.5 pair, so
+    the verified set equals the full exact near-dup set — including the
+    true (not estimated) jaccard values."""
+    d = docs(spark)
+    exact = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.jaccard_pairs(d, threshold=0.5, partition_col=None).collect()
+    }
+    verified = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.minhash_verified_pairs(d, threshold=0.5).collect()
+    }
+    assert verified == exact
+
+
+def test_max_df_bounds_universal_shingle_bucket(spark):
+    """Adversarial skew: every document shares one boilerplate sentence, so
+    its shingles appear in ALL docs — without a document-frequency ceiling
+    the shingle bucket is quadratic (every doc pair becomes a candidate).
+    With max_df on, the universal shingles are dropped from intersection
+    AND per-doc counts, so (a) candidate pairs collapse to the truly
+    similar ones and (b) Jaccard is exact over the filtered sets."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"doc{i} unique words alpha{i} beta{i} gamma{i} " + boiler)
+            for i in range(20)]
+    # docs 100/101 share a genuine near-dup tail beyond the boilerplate
+    twin = "shared unique tail sentence with many matching tokens here"
+    rows += [(100, f"{twin} end100 " + boiler), (101, f"{twin} end101 " + boiler)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.jaccard_pairs(d, threshold=0.0, partition_col=None)
+    capped = dedup.jaccard_pairs(
+        d, threshold=0.0, partition_col=None, max_df=5
+    )
+    # Without the cap the boilerplate makes every pair a candidate: 22 docs
+    # -> C(22,2) = 231 pairs. With the cap, only the genuine twin survives.
+    assert uncapped.count() == 231
+    capped_rows = capped.collect()
+    assert [(r["d1"], r["d2"]) for r in capped_rows] == [(100, 101)]
+    # Exact Jaccard over the FILTERED sets. Each twin doc has 22 tokens ->
+    # 20 shingles; the 10 boiler-internal shingles (df=22) are dropped;
+    # kept: 7 twin-internal (common, df=2) + 3 bridge shingles containing
+    # the endNNN token (df=1). n1=n2=10, common=7 -> 7/13.
+    r = capped_rows[0]
+    common, n1, n2 = 7, 10, 10
+    assert abs(r["jaccard"] - round(common / (n1 + n2 - common), 6)) < 1e-9
+
+
 def test_simhash_identical_docs_collide(spark):
     """Identical text must give identical SimHash (hamming 0) regardless of
     doc id."""
