@@ -565,16 +565,19 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     so both engines hand back identical values. Output is all scalars: the
     driver's canonicalizer cannot sort rows containing array cells, so the
     head-of-vector probe is emitted as three scalar columns taken *through*
-    a slice (exercising the array path without an array-typed result)."""
+    a slice (exercising the array path without an array-typed result).
+    F.get (0-based, null-safe) rather than element_at: with ANSI mode on
+    (the Spark 4 default) element_at raises ARRAY_INDEX_OUT_OF_BOUNDS on a
+    short vector, while the oracle's embedding[k] returns NULL."""
     (emb,) = load(spark, sf, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     head3 = F.slice(as_double, 1, 3)
     return emb.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.element_at(head3, 1).alias("h1"),
-        F.element_at(head3, 2).alias("h2"),
-        F.element_at(head3, 3).alias("h3"),
+        F.get(head3, 0).alias("h1"),
+        F.get(head3, 1).alias("h2"),
+        F.get(head3, 2).alias("h3"),
         F.array_min(as_double).alias("emin"),
         F.array_max(as_double).alias("emax"),
     )
