@@ -16,11 +16,14 @@ batches, never materializing a partition at once.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 BLOB_META_SCHEMA = (
     "doc_id long, byte_len long, width long, height long, channels long"
@@ -32,6 +35,52 @@ def with_blob(df: DataFrame, text_col: str = "text", blob_col: str = "blob") -> 
     column — the test corpus has no real media; a real pipeline reads
     `binaryFile` format or parquet BYTE_ARRAY)."""
     return df.withColumn(blob_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def write_blob_fixture(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """TEST-ONLY fixture writer: exports each row's utf-8 text bytes as
+    ``<doc_id>.bin`` so the `binaryFile` reader path can be exercised
+    without real media. Collects to the driver — bounded because test
+    corpora are small; a real deployment already has its media on shared
+    storage and never runs this. Idempotent and race-safe: writes into a
+    temp dir, marks _SUCCESS, renames into place; a loser of the rename
+    race discards its copy."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path) or ".")
+    for r in df.select(id_col, text_col).collect():
+        with open(os.path.join(tmp, f"{r[id_col]}.bin"), "wb") as f:
+            f.write(r[text_col].encode("utf-8"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def read_blob_files(
+    spark: SparkSession, path: str, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL multimodal ingestion: `spark.read.format("binaryFile")` over a
+    directory of media files -> (doc_id parsed from the file name, blob).
+    This is the reader a multimodal user starts from; at scale binaryFile
+    assigns whole files to tasks and `spark.sql.files.maxPartitionBytes`
+    bounds how many blob bytes land in one partition."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias(id_col),
+        F.col("content").alias(blob_col),
+    )
 
 
 def _decode_stub(blob: bytes) -> tuple[int, int, int, int]:

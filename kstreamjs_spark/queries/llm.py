@@ -384,12 +384,23 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     tags=("multimodal", "llm"),
 )
 def q40(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal column pipeline: text -> opaque binary blob -> mapInPandas
+    """Multimodal column pipeline through the REAL ingestion reader:
+    documents exported once as .bin files (test fixture), read back via
+    spark.read.format('binaryFile') -> (doc_id, blob), then mapInPandas
     'decode' to typed metadata. The decode kernel is a documented STUB (no
-    media libs in this container); the Arrow-batched plumbing is real and
-    this query proves it end-to-end against the oracle."""
+    media libs in this container); the binaryFile reader, Arrow-batched
+    plumbing, and schema are real and proven against the oracle (blob
+    bytes == utf-8 text bytes, so the oracle stays on documents)."""
+    import os
+    import tempfile
+
     (documents,) = load(spark, sf, "documents")
-    blobs = multimodal.with_blob(documents)
+    fixture = os.path.join(
+        tempfile.gettempdir(),
+        "kstreamjs_blobs_" + os.path.basename(os.path.normpath(sf)),
+    )
+    multimodal.write_blob_fixture(documents, fixture)
+    blobs = multimodal.read_blob_files(spark, fixture)
     return multimodal.decode_blobs(blobs)
 
 

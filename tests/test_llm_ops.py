@@ -176,6 +176,21 @@ def test_ivf_recall(spark):
     assert full == exact  # probing every cell == brute force
 
 
+def test_binary_file_ingestion_roundtrip(spark, tmp_path):
+    """The real multimodal entry point: blobs written as files, read back
+    through spark.read.format('binaryFile'), doc ids parsed from file
+    names, content bytes identical to the source text."""
+    d = docs(spark).limit(25)
+    path = str(tmp_path / "blobs")
+    multimodal.write_blob_fixture(d, path)
+    back = multimodal.read_blob_files(spark, path)
+    src = {r["doc_id"]: r["text"].encode("utf-8") for r in d.collect()}
+    got = {r["doc_id"]: bytes(r["blob"]) for r in back.collect()}
+    assert got == src
+    # idempotent: a second write is a no-op (the _SUCCESS marker short-circuits)
+    assert multimodal.write_blob_fixture(d, path) == path
+
+
 def test_multimodal_resize_stub(spark):
     d = docs(spark).limit(5)
     out = multimodal.resize_blobs(multimodal.with_blob(d), 64, 32).collect()
