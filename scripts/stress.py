@@ -1,9 +1,17 @@
-"""Scaling stress: run the compute-heavy operators on 1x/2x/4x corpus
-multiples (union with shifted ids — no writes) and report the scaling
-exponent time ~ N^p. p ≈ 1 is the linear scaling the 100 TB design
-requires; p >= 2 would mean a hidden all-pairs blow-up.
+"""Scaling stress: run the compute-heavy operators on corpus multiples
+(union with shifted ids — no writes) and report the scaling exponent
+time ~ N^p. p ≈ 1 is the linear scaling the 100 TB design requires;
+p >= 2 would mean a hidden all-pairs blow-up.
 
-Usage: python scripts/stress.py [sf_dir] [max_mult]
+Two regimes:
+- clone mode (default): copies are EXACT clones — adversarial for
+  near-dup, true pair count grows quadratically in the multiplier.
+- --disjoint: every copy's tokens are prefixed with the copy index, so
+  copies share zero shingles. This is the honest "N x more data" regime
+  (pair structure repeats per copy, linear growth) — running it at 10x on
+  sf0.1 measures a full decade toward sf1.
+
+Usage: python scripts/stress.py [sf_dir] [max_mult] [--disjoint]
 """
 
 from __future__ import annotations
@@ -21,12 +29,18 @@ from kstreamjs_spark.session import get_spark  # noqa: E402
 from kstreamjs_spark.tables import load  # noqa: E402
 
 
-def multiply(df, id_col, mult):
+def multiply(df, id_col, mult, disjoint_text: str | None = None):
     out = df
     for i in range(1, mult):
-        out = out.unionByName(
-            df.withColumn(id_col, F.col(id_col) + i * 100_000_000)
-        )
+        c = df.withColumn(id_col, F.col(id_col) + i * 100_000_000)
+        if disjoint_text:
+            # per-copy token prefix: copy i shares no shingle with any
+            # other copy -> pair structure repeats per copy (linear).
+            c = c.withColumn(
+                disjoint_text,
+                F.regexp_replace(F.col(disjoint_text), r"(\S+)", f"c{i}_$1"),
+            )
+        out = out.unionByName(c)
     return out
 
 
@@ -40,8 +54,10 @@ def timed(fn, reps=2):
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    args = [a for a in sys.argv[1:] if a != "--disjoint"]
+    disjoint = "--disjoint" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.1"
+    max_mult = int(args[1]) if len(args) > 1 else 4
     spark = get_spark("stress", cpus=32)
     (docs,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
@@ -61,10 +77,12 @@ def main() -> int:
             dedup.minhash_neardup_pairs(d), src="d1", dst="d2"
         ).count(),
     }
-    mults = [m for m in (1, 2, 4, 8) if m <= max_mult]
+    mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
+    if disjoint and max_mult >= 10:
+        mults = [1, 3, 10]  # one full decade, 3-point exponent fit
     results: dict[str, list[float]] = {k: [] for k in ops}
     for mult in mults:
-        d = multiply(docs, "doc_id", mult)
+        d = multiply(docs, "doc_id", mult, "text" if disjoint else None)
         n = d.count()
         for name, fn in ops.items():
             sec = timed(lambda: fn(d))
