@@ -73,7 +73,7 @@ _PRIORITY_ROUND3 = [
     "q53_stratified_mix", "q55_sessionize", "q59_transitive_dedup",
     "q62_weighted_sample",
     # new this round
-    "q26d_minhash_verify", "q26e_jaccard_maxdf",
+    "q26d_minhash_verify", "q26e_jaccard_maxdf", "q66_sequence_pack",
     # sentinels over changed code paths
     "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",
     "q43_range_join",

