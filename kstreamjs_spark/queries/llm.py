@@ -568,3 +568,92 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     return documents.select(
         "doc_id", rev("text").alias("rev"), F.length("text").cast("long").alias("n")
     )
+
+
+# ------------------------------------------ Q68 collocations (bigram PMI)
+@query(
+    "q68_bigram_pmi",
+    oracle="""
+        WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        uni AS (SELECT w, COUNT(*) AS cw
+                FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM uni),
+        bg AS (SELECT b, COUNT(*) AS cxy FROM (
+                 SELECT unnest(list_transform(
+                     generate_series(1, len(ts) - 1),
+                     i -> ts[i] || ' ' || ts[i+1])) AS b
+                 FROM tk WHERE len(ts) >= 2) GROUP BY b),
+        btot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS bt FROM bg),
+        j AS (SELECT b, cxy, u1.cw AS cx, u2.cw AS cy
+              FROM bg
+              JOIN uni u1 ON u1.w = string_split(b, ' ')[1]
+              JOIN uni u2 ON u2.w = string_split(b, ' ')[2])
+        SELECT b AS bigram,
+               CAST(cxy AS BIGINT) AS cnt,
+               ROUND(LN((cxy * t * t) * 1.0 / (bt * cx * cy)), 6) AS pmi
+        FROM j, tot, btot
+        WHERE cxy >= 5
+        ORDER BY pmi DESC, bigram
+        LIMIT 20
+    """,
+    tags=("text", "llm"),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    ln(p(xy) / (p(x)p(y))) with a min-count floor — the phrase-discovery
+    pass of a text pipeline. All counts are exact int64 (products bounded
+    well under 2^63 at any driver SF), the single double division + ln
+    happens once per surviving bigram and is rounded to 6 dp on both
+    engines, so the hash-match is exact. Plan shape: two token explodes ->
+    map-side-combined counts; the unigram join is vocabulary-sized (AQE
+    broadcasts when small); top-20 via TakeOrderedAndProject."""
+    (documents,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    uni = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bigram_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        documents.select(F.explode(bigram_arr).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+    )
+    t_tot = uni.agg(F.sum("cw").cast("long").alias("t"))
+    b_tot = bg.agg(F.sum("cxy").cast("long").alias("bt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cx"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cy"))
+    j = (
+        bg.filter(F.col("cxy") >= 5)
+        .withColumn("w1", F.substring_index("b", " ", 1))
+        .withColumn("w2", F.substring_index("b", " ", -1))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(b_tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cxy") * F.col("t") * F.col("t"))
+            / (F.col("bt") * F.col("cx") * F.col("cy"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            F.col("b").alias("bigram"),
+            F.col("cxy").alias("cnt"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )

@@ -595,3 +595,43 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     )
     packed = packing.sequence_pack(d, "n_tok", 2048, ["h", "doc_id"])
     return packed.select("doc_id", "n_tok", "pack_id").orderBy("doc_id")
+
+
+# ------------------------------------------- Q67 per-stratum quota sample
+@query(
+    "q67_quota_sample",
+    oracle=f"""
+        SELECT lang, doc_id, n_chars
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY {sampling.hash_bucket_sql('doc_id', seed=53)},
+                              doc_id) AS rn
+          FROM documents
+        )
+        WHERE rn <= 40
+        ORDER BY lang, doc_id
+    """,
+    tags=("sampling", "llm"),
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-stratum quota sampling: exactly K docs per language,
+    chosen by deterministic hash order — the 'budget N examples per
+    class' counterpart of q53's FRACTIONAL mixing (quota guarantees the
+    count even when strata are skewed). The rank filter plans
+    WindowGroupLimit: each task keeps only its top-K per stratum before
+    the shuffle, so the full corpus never sorts. Same LCG as q52/q60 —
+    the oracle replays identical arithmetic."""
+    (documents,) = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        sampling.hash_bucket("doc_id", seed=53), "doc_id"
+    )
+    return (
+        documents.select(
+            "lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 40)
+        .drop("rn")
+        .orderBy("lang", "doc_id")
+    )

@@ -274,3 +274,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quota_sample_rank_pushdown(spark):
+    """q67: the per-stratum quota must plan WindowGroupLimit — each task
+    keeps only its top-K per stratum before the shuffle, so the corpus
+    never fully sorts."""
+    plan = q("q67_quota_sample", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_bigram_pmi_topk_and_no_cross_join(spark):
+    """q68: top-20 via TakeOrderedAndProject (no global sort); the only
+    nested-loop joins are the two broadcast 1-row scalar totals."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q68_bigram_pmi", spark), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
