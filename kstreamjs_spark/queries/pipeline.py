@@ -635,3 +635,39 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------- Q69 global dense row ids
+@query(
+    "q69_global_row_ids",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY {sampling.hash_bucket_sql('doc_id', seed=41)},
+                            doc_id) - 1 AS BIGINT) AS row_id
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("packing", "llm"),
+)
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous 0-based global row ids in a deterministic shuffled order
+    — training-example numbering that is stable across runs and engines
+    (monotonically_increasing_id is neither contiguous nor
+    order-deterministic). Implemented as the degenerate case of the
+    distributed prefix sum (operators/packing.py): unit token, unit
+    budget -> pack_id IS the dense rank. Same one-range-exchange plan; no
+    single-partition window, unlike the oracle's ROW_NUMBER."""
+    from ..operators import packing
+
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select(
+        "doc_id",
+        F.lit(1).cast("long").alias("one"),
+        sampling.hash_bucket("doc_id", seed=41).alias("h"),
+    )
+    ids = packing.sequence_pack(d, "one", 1, ["h", "doc_id"])
+    return (
+        ids.select("doc_id", F.col("pack_id").alias("row_id"))
+        .orderBy("doc_id")
+    )
