@@ -75,6 +75,7 @@ _PRIORITY_ROUND3 = [
     # new this round
     "q26d_minhash_verify", "q26e_jaccard_maxdf", "q66_sequence_pack",
     "q67_quota_sample", "q68_bigram_pmi", "q69_global_row_ids",
+    "q70_chunk_overlap",
     # sentinels over changed code paths
     "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",
     "q43_range_join",

@@ -657,3 +657,49 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
     )
+
+
+# -------------------------------------- Q70 context-window chunking
+@query(
+    "q70_chunk_overlap",
+    oracle="""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents),
+        s AS (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts), 48)) AS st
+              FROM t)
+        SELECT doc_id,
+               CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(ts, st, st + 63)) AS BIGINT) AS n_tok,
+               array_to_string(list_slice(ts, st, st + 63), ' ')
+                   AS chunk_text
+        FROM s
+        ORDER BY doc_id, chunk_idx
+    """,
+    tags=("packing", "text", "llm"),
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: split every document into 64-token chunks
+    at stride 48 (16-token overlap) — the window-splitting pass that fits
+    long documents into a model's context budget, with overlap so no
+    span is lost at a boundary. Pure scan-side explode of the stride
+    starts + array slice/join: no shuffle, no UDF, fan-out ~n_tok/stride
+    per doc. The chunk TEXT itself is hash-matched, not a proxy stat."""
+    (documents,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    d = documents.select("doc_id", toks.alias("ts")).select(
+        "doc_id", "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(48))
+        ).alias("st"),
+    )
+    chunk = F.slice("ts", F.col("st"), 64)
+    return (
+        d.select(
+            "doc_id",
+            F.expr("CAST((st - 1) DIV 48 AS BIGINT)").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_tok"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
