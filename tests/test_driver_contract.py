@@ -34,3 +34,35 @@ def test_query_callables_accept_spark_and_sfdir(spark):
     # spot-run one cheap query through the contract signature
     df = entrymod.queries()["q01_scan_count"](spark, SF_SMOKE)
     assert df.collect()[0][0] > 0
+
+
+def test_window_priority_names_validated():
+    """The driver-window priority list is validated against the registry: a
+    typo or an unimplemented promise raises instead of silently dropping a
+    window slot (the round-2 q26d failure mode)."""
+    import pytest
+
+    from kstreamjs_spark import queries as qmod
+
+    qmod.all_queries()  # current list must be clean
+    saved = list(qmod._PRIORITY_ROUND3)
+    try:
+        qmod._PRIORITY_ROUND3.append("q999_does_not_exist")
+        with pytest.raises(KeyError, match="q999_does_not_exist"):
+            qmod.all_queries()
+    finally:
+        qmod._PRIORITY_ROUND3[:] = saved
+
+
+def test_window_orders_stale_queries_first():
+    """Non-priority window slots go to the queries whose last driver
+    CORRECTNESS row is oldest (never-checked first), so rotation converges
+    to full driver coverage."""
+    from kstreamjs_spark import queries as qmod
+
+    ordered = list(qmod.all_queries())
+    hist = qmod._correctness_history()
+    prio = set(qmod._PRIORITY_ROUND3)
+    rest = [n for n in ordered if n not in prio]
+    staleness = [hist.get(n, 0) for n in rest]
+    assert staleness == sorted(staleness)
