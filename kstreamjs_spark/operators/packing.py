@@ -85,8 +85,13 @@ def sequence_pack(
     for pid in sorted(totals):
         offsets += [F.lit(pid), F.lit(acc)]
         acc += int(totals[pid])
-    offset_map = F.create_map(*offsets)
-    cum = F.col("_cum") + offset_map[F.col("_pid")]
+    # Empty input: no partitions produced rows, so there is nothing to
+    # offset — create_map() with zero args is typed map<void,void> and
+    # would fail analysis on the lookup.
+    if offsets:
+        cum = F.col("_cum") + F.create_map(*offsets)[F.col("_pid")]
+    else:
+        cum = F.col("_cum")
     return local.withColumn(
         "pack_id",
         F.floor((cum - F.col(tok_col)) / F.lit(float(budget))).cast("long"),

@@ -194,3 +194,19 @@ def test_sequence_pack_single_exchange(spark):
     n_packs = out.selectExpr("max(pack_id) AS m").collect()[0]["m"]
     total = 1000 * 10 + sum(i % 30 for i in range(1000))
     assert n_packs == (total - (10 + 999 % 30)) // 256
+
+
+def test_sequence_pack_empty_and_oversize(spark):
+    """Edge semantics: an empty frame packs to an empty frame (the zero-arg
+    map literal must not reach analysis), and a document larger than the
+    budget occupies its span so the next document starts a later pack."""
+    from kstreamjs_spark.operators.packing import sequence_pack
+
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert sequence_pack(empty, "n_tok", 100, ["doc_id"], parts=4).count() == 0
+    big = spark.createDataFrame([(1, 500), (2, 10)], "doc_id long, n_tok long")
+    out = sorted(
+        (r["doc_id"], r["pack_id"])
+        for r in sequence_pack(big, "n_tok", 100, ["doc_id"], parts=2).collect()
+    )
+    assert out == [(1, 0), (2, 5)]
