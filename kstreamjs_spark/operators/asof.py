@@ -66,7 +66,12 @@ def asof_join(
     filled = u.withColumn(
         "_asof_last", F.last("_asof_payload", ignorenulls=True).over(w)
     )
+    # getField, not the string path "_asof_last.{c}": a right_cols name
+    # containing a dot would otherwise parse as a nested field path.
     return filled.filter(F.col("_asof_is_left") == 1).select(
         *left.columns,
-        *[F.col(f"_asof_last.{c}").alias(f"asof_{c}") for c in right_cols],
+        *[
+            F.col("_asof_last").getField(c).alias(f"asof_{c}")
+            for c in right_cols
+        ],
     )

@@ -221,11 +221,15 @@ def _lsh_candidate_pairs(
     id_col: str,
     text_col: str,
     seed: int,
+    carry_sigs: bool = True,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs (d1 < d2, with sig1/sig2 carried): an
-    equi-join on (band_id, band_signature), deduplicated per pair. Shared
-    by the estimate path (minhash_neardup_pairs) and the exact-verify path
-    (minhash_verified_pairs)."""
+    """Banded-LSH candidate pairs (d1 < d2): an equi-join on (band_id,
+    band_signature), deduplicated per pair. Shared by the estimate path
+    (minhash_neardup_pairs, carry_sigs=True: sig1/sig2 ride along for the
+    matching-fraction estimate) and the exact-verify path
+    (minhash_verified_pairs, carry_sigs=False: the ~2*num_perm*8 bytes per
+    candidate would cross the dropDuplicates shuffle only to be
+    discarded)."""
     rows_per_band = num_perm // bands
     # Docs with no shingles (< n tokens) would all keep the fold's init
     # value in every signature slot — identical signatures that false-
@@ -260,10 +264,11 @@ def _lsh_candidate_pairs(
     r = banded.select(
         F.col(id_col).alias("d2"), F.col("sig").alias("sig2"), "band", "bsig"
     )
+    keep = ["d1", "d2", "sig1", "sig2"] if carry_sigs else ["d1", "d2"]
     return (
         l.join(r, on=["band", "bsig"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "sig1", "sig2")
+        .select(*keep)
         .dropDuplicates(["d1", "d2"])
     )
 
@@ -325,8 +330,9 @@ def minhash_verified_pairs(
     the threshold: P(candidate) = 1-(1-j^r)^b).
     """
     cand = _lsh_candidate_pairs(
-        documents, num_perm, bands, n, id_col, text_col, seed
-    ).select("d1", "d2")
+        documents, num_perm, bands, n, id_col, text_col, seed,
+        carry_sigs=False,
+    )
     sh = _spread(documents, id_col).select(
         F.col(id_col), shingles(text_col, n).alias("sh")
     )

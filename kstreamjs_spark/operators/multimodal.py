@@ -46,9 +46,13 @@ def write_blob_fixture(
     corpora are small; a real deployment already has its media on shared
     storage and never runs this. Idempotent and race-safe: writes into a
     temp dir, marks _SUCCESS, renames into place; a loser of the rename
-    race discards its copy."""
+    race discards its copy. A pre-existing dir WITHOUT the marker (an
+    interrupted external copy) is removed and rebuilt rather than
+    returned broken forever."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = tempfile.mkdtemp(dir=os.path.dirname(path) or ".")
     for r in df.select(id_col, text_col).collect():

@@ -76,9 +76,10 @@ _PRIORITY_ROUND3 = [
     "q26d_minhash_verify", "q26e_jaccard_maxdf", "q66_sequence_pack",
     "q67_quota_sample", "q68_bigram_pmi", "q69_global_row_ids",
     "q70_chunk_overlap",
-    # sentinels over changed code paths
+    # sentinels over changed code paths (q40: rerouted through the new
+    # binaryFile ingestion this round — must earn a driver row on it)
     "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",
-    "q43_range_join",
+    "q43_range_join", "q40_multimodal_decode",
 ]
 
 
@@ -126,6 +127,6 @@ def all_queries() -> dict[str, QuerySpec]:
         (n for n in REGISTRY if n not in set(prio)),
         key=lambda n: (hist.get(n, 0), n),
     )
-    ordered = [*prio, *rest]
-    window, overflow = ordered[:_WINDOW_SIZE], ordered[_WINDOW_SIZE:]
-    return {n: REGISTRY[n] for n in (*window, *overflow)}
+    # The first _WINDOW_SIZE entries of this dict are the driver's window;
+    # the rest still run under selfcheck.
+    return {n: REGISTRY[n] for n in (*prio, *rest)}

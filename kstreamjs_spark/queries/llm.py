@@ -395,9 +395,18 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     (documents,) = load(spark, sf, "documents")
+    # The cache key includes a cheap content signature, not just the sf
+    # basename: regenerated testdata (or a different data root with the
+    # same leaf name) must not serve stale blobs from a previous corpus.
+    sig = documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("c"),
+    ).collect()[0]
     fixture = os.path.join(
         tempfile.gettempdir(),
-        "kstreamjs_blobs_" + os.path.basename(os.path.normpath(sf)),
+        "kstreamjs_blobs_{}_{}_{}".format(
+            os.path.basename(os.path.normpath(sf)), sig["n"], sig["c"]
+        ),
     )
     multimodal.write_blob_fixture(documents, fixture)
     blobs = multimodal.read_blob_files(spark, fixture)
@@ -590,7 +599,8 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
               JOIN uni u2 ON u2.w = string_split(b, ' ')[2])
         SELECT b AS bigram,
                CAST(cxy AS BIGINT) AS cnt,
-               ROUND(LN((cxy * t * t) * 1.0 / (bt * cx * cy)), 6) AS pmi
+               ROUND(LN(cxy) + 2 * LN(t) - LN(bt) - LN(cx) - LN(cy), 6)
+                   AS pmi
         FROM j, tot, btot
         WHERE cxy >= 5
         ORDER BY pmi DESC, bigram
@@ -601,12 +611,13 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 def q68(spark: SparkSession, sf: str) -> DataFrame:
     """Collocation mining: top-20 bigrams by pointwise mutual information
     ln(p(xy) / (p(x)p(y))) with a min-count floor — the phrase-discovery
-    pass of a text pipeline. All counts are exact int64 (products bounded
-    well under 2^63 at any driver SF), the single double division + ln
-    happens once per surviving bigram and is rounded to 6 dp on both
-    engines, so the hash-match is exact. Plan shape: two token explodes ->
-    map-side-combined counts; the unigram join is vocabulary-sized (AQE
-    broadcasts when small); top-20 via TakeOrderedAndProject."""
+    pass of a text pipeline. PMI is computed in log-sum form (each ln sees
+    an exact int64 count; counts stay below 2^53 far past 100 TB), with
+    identical term order on both engines and a 6 dp round, so the
+    hash-match is exact and no intermediate product can overflow. Plan
+    shape: two token explodes -> map-side-combined counts; the unigram
+    join is vocabulary-sized (AQE broadcasts when small); top-20 via
+    TakeOrderedAndProject."""
     (documents,) = load(spark, sf, "documents")
     toks = F.split("text", " ")
     uni = (
@@ -641,11 +652,17 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(b_tot))
     )
+    # Log-sum form, NOT ln(cxy*t*t / (bt*cx*cy)): the int64 product
+    # cxy*t*t overflows once total tokens pass ~1.4e9 (ANSI raises, the
+    # oracle's HUGEINT doesn't) — at 100 TB that product is ~10^8x over
+    # int64. Each ln sees an exactly-representable int and the additions
+    # run in the same order as the oracle, so the rounded double matches.
     pmi = F.round(
-        F.log(
-            (F.col("cxy") * F.col("t") * F.col("t"))
-            / (F.col("bt") * F.col("cx") * F.col("cy"))
-        ),
+        F.log("cxy")
+        + F.lit(2) * F.log("t")
+        - F.log("bt")
+        - F.log("cx")
+        - F.log("cy"),
         6,
     )
     return (

@@ -103,7 +103,25 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def compare_query(spark, con, spec, sf_dir: str) -> list[str]:
     """Run one QuerySpec both ways; return a list of problems (empty=pass).
     Rows-only specs (oracle=None) only assert the Spark side runs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = spec.fn(spark, sf_dir)
+    if spec.oracle is not None:
+        # The driver's canonicalizer cannot hash array/struct cells (its
+        # pandas sort dies on unhashable ndarray — the recorded r01 q20
+        # failure). norm_cell could tuple-ize them locally, which would
+        # green a query the driver is guaranteed to err on — reject the
+        # schema instead so the mirror stays predictive.
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            return [
+                f"oracle-checked query returns non-scalar columns {bad}: "
+                "the driver cannot hash these — emit scalars"
+            ]
     spark_pdf = df.toPandas()
     if spec.oracle is None:
         return []

@@ -172,21 +172,34 @@ def test_sequence_pack_matches_serial_reference(spark):
     assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
 
 
-def test_sequence_pack_single_exchange(spark):
+def test_sequence_pack_single_exchange(spark, monkeypatch):
     """The packing plan must contain exactly ONE data exchange (the range
     partitioning) — a window-over-partition-id formulation would add a
     second full hashpartitioning shuffle just to restate a distribution
-    the data already has."""
+    the data already has. The operator localCheckpoints (truncating
+    lineage), so the OPERATOR'S OWN plan is captured at the checkpoint
+    boundary via a spy — asserting a hand-rebuilt lookalike frame would
+    not catch a regression inside sequence_pack."""
     from kstreamjs_spark.operators.packing import sequence_pack
 
     df = spark.range(0, 1000).selectExpr(
         "id AS doc_id", "10 + id % 30 AS n_tok"
     )
+    # Patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.classic),
+    # not the abstract base — the base's method is overridden.
+    cls = type(df)
+    captured = {}
+    orig = cls.localCheckpoint
+
+    def spy(self, *args, **kwargs):
+        captured["plan"] = (
+            self._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(self, *args, **kwargs)
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
     out = sequence_pack(df, "n_tok", 256, ["doc_id"], parts=8)
-    # localCheckpoint truncates lineage; assert on the checkpointed stage's
-    # physical plan captured before materialization instead
-    ranged = df.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
-    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    plan = captured["plan"]
     assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "Exchange hashpartitioning" not in plan, plan
     # and the full operator output stays correct end-to-end
