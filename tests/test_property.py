@@ -135,3 +135,30 @@ def test_connected_components_match_union_find(spark, edges):
     # union() always parents the larger root to the smaller, so find() is
     # the component minimum — the same label definition as the operator.
     assert got == py_components(edges)
+
+
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1,
+                  max_size=30),
+    budget=st.integers(min_value=1, max_value=200),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_sequence_pack_matches_python_reference(spark, toks, budget, parts):
+    """Distributed prefix-sum packing == serial greedy reference for any
+    token sizes (zero-token docs included), any budget, any partition
+    count."""
+    from kstreamjs_spark.operators.packing import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    out = {
+        r["doc_id"]: r["pack_id"]
+        for r in sequence_pack(df, "n_tok", budget, ["doc_id"],
+                               parts=parts).collect()
+    }
+    cum = 0
+    for i, t in enumerate(toks):
+        assert out[i] == cum // budget, (i, toks, budget, parts)
+        cum += t
