@@ -720,3 +720,55 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ----------------------------------- Q71 quality-ranked token-budget fill
+_QUALITY_SQL = f"""ROUND(least(1.0, len(string_split(text, ' ')) / 100.0) *
+                     (1 - len(list_filter(string_split(text, ' '),
+                          t -> list_contains({_sql_list(ALL_STOP)}, t)))
+                        * 1.0 / len(string_split(text, ' '))), 6)"""
+
+
+@query(
+    "q71_budget_select",
+    oracle=f"""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 {_QUALITY_SQL} AS quality
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tok, quality,
+                 SUM(n_tok) OVER (ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM q
+        )
+        SELECT doc_id, n_tok, quality
+        FROM c WHERE cum - n_tok < 20000
+        ORDER BY doc_id
+    """,
+    tags=("packing", "sampling", "llm"),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection: fill a 20k-token training budget
+    with the highest-quality documents (q34's composite score, mirrored
+    symbol-for-symbol) — keep every doc that STARTS within the budget in
+    quality-descending order. Reuses the distributed prefix sum
+    (operators/packing.py) ordered by (-quality, doc_id): selected docs
+    are exactly those in pack 0, so no single-partition window runs —
+    the oracle's global ORDER BY window states the same thing the scalable
+    way cannot afford."""
+    from ..operators import packing
+
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        text.quality_score("text").alias("quality"),
+    ).withColumn("negq", -F.col("quality"))
+    sel = packing.sequence_pack(d, "n_tok", 20000, ["negq", "doc_id"])
+    return (
+        sel.filter(F.col("pack_id") == 0)
+        .select("doc_id", "n_tok", "quality")
+        .orderBy("doc_id")
+    )
