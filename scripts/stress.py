@@ -53,9 +53,51 @@ def timed(fn, reps=2):
     return best
 
 
+def _pack_count(d):
+    from kstreamjs_spark.operators import packing, sampling
+
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        sampling.hash_bucket("doc_id", seed=41).alias("h"),
+    )
+    return packing.sequence_pack(base, "n_tok", 2048, ["h", "doc_id"]).count()
+
+
+def _chunk_count(d):
+    toks = F.split("text", " ")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size(toks), F.lit(48))).alias("st"),
+        ).count()
+    )
+
+
+def _pmi_count(d):
+    toks = F.split("text", " ")
+    uni = d.select(F.explode(toks).alias("w")).groupBy("w").count()
+    bigs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(F.explode(bigs).alias("b")).groupBy("b").count()
+    return uni.count() + bg.filter(F.col("count") >= 5).count()
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--disjoint"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     disjoint = "--disjoint" in sys.argv[1:]
+    only = next(
+        (a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+         if a.startswith("--ops=")),
+        None,
+    )
     sf = args[0] if args else "/root/testdata/sf0.1"
     max_mult = int(args[1]) if len(args) > 1 else 4
     spark = get_spark("stress", cpus=32)
@@ -76,7 +118,13 @@ def main() -> int:
         "cc_minhash": lambda d: cluster.connected_components(
             dedup.minhash_neardup_pairs(d), src="d1", dst="d2"
         ).count(),
+        # corpus-prep family (q66/q68/q70 shapes)
+        "seq_pack": _pack_count,
+        "chunk": _chunk_count,
+        "pmi": _pmi_count,
     }
+    if only:
+        ops = {k: v for k, v in ops.items() if k in only}
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
