@@ -1,15 +1,20 @@
-"""As-of (time-travel) join: for each left row, the most recent right row
-with right_ts <= left_ts within the same key — the backbone of
-point-in-time feature lookup and event attribution. The reference has no
-join at all (SURVEY.md §2A); this is a north-star extension.
+"""As-of (time-travel) join: for each left row, the nearest right row in
+time within the same key — backward (most recent at-or-before, the
+point-in-time feature lookup), forward (next at-or-after, the
+time-to-next-event query), or nearest (whichever is closer). The
+reference has no join at all (SURVEY.md §2A); this is a north-star
+extension.
 
 Scale design (100 TB): the naive formulations are a range join (O(n*m)
 candidate explosion) or a per-row correlated subquery (driver loop). The
 implementation here is the scalable idiom: tag both sides, union them,
 and run one `last(ignorenulls)` window over (key, time) — a single shuffle
-on the key, a sort within each partition, zero row amplification. Skewed
-keys are handled by AQE; for a known-hot key, salt the key and merge the
-per-salt results with one more window pass.
+on the key, a sort within each partition, zero row amplification (forward
+is a mirrored `first`; nearest runs both passes over the one exchange,
+paying a second in-partition sort only). Skewed keys are handled by AQE;
+for a
+known-hot key, salt the key and merge the per-salt results with one more
+window pass.
 """
 
 from __future__ import annotations
@@ -26,23 +31,34 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     allow_exact_match: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join.
 
-    Returns ``left``'s columns plus, for each name in ``right_cols``, the
-    value from the latest ``right`` row whose ``right_ts`` is <= (or < when
-    ``allow_exact_match=False``) the left row's ``left_ts``, matching on the
-    ``on`` keys; NULL when no such row exists.
+    Returns ``left``'s columns plus, for each name in ``right_cols``, an
+    ``asof_<name>`` column taken from ONE matched right row (NULL when no
+    match exists), matching on the ``on`` keys:
+
+    - ``direction="backward"`` (default): the latest right row with
+      ``right_ts <= left_ts`` (``<`` when ``allow_exact_match=False``);
+    - ``direction="forward"``: the earliest right row with
+      ``right_ts >= left_ts`` (``>`` when ``allow_exact_match=False``);
+    - ``direction="nearest"``: whichever of the two is closer in absolute
+      time; an exact tie prefers the backward match (same convention as
+      pandas ``merge_asof``).
 
     ``right_ts`` may itself be listed in ``right_cols`` (the common "when
-    did it last happen" query).
+    did it last/next happen" query).
 
-    The right payload travels as ONE struct column: per-column
+    The right payload travels as ONE struct column (with the right
+    timestamp alongside, for the nearest comparison): per-column
     ``last(ignorenulls)`` would fill a NULL field of the matched right row
     from an *earlier* right row, stitching together values that never
     coexisted. A struct is non-NULL even when every field is NULL, so
-    ``last`` atomically picks the whole latest row.
+    ``last``/``first`` atomically picks the whole matched row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     l_tag = left.select(
         *left.columns,
         F.col(left_ts).alias("_asof_ts"),
@@ -52,26 +68,58 @@ def asof_join(
         *on,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_is_left"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_asof_payload"),
+        F.struct(
+            F.col(right_ts).alias("_ts"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("_row"),
+        ).alias("_asof_payload"),
     )
     # allowMissingColumns fills the left rows' _asof_payload with NULL.
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # Right rows sort before left rows at equal timestamps iff ties match.
-    tie = F.col("_asof_is_left") if allow_exact_match else -F.col("_asof_is_left")
-    w = (
+    # Tie order decides whether a right row at the SAME timestamp falls
+    # inside the window frame. The backward frame ends at the current row,
+    # so equal-ts right rows must sort BEFORE the left row to be eligible
+    # (AFTER to be excluded when allow_exact_match=False); the forward
+    # frame starts at the current row, so eligibility is the mirror
+    # image. Hence each side gets its own tiebreak: one shuffle on the
+    # key either way, and `nearest` costs a second in-partition sort, not
+    # a second exchange.
+    is_left = F.col("_asof_is_left")
+    tie_back = is_left if allow_exact_match else -is_left
+    tie_fwd = -is_left if allow_exact_match else is_left
+    w_back = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts"), tie)
+        .orderBy(F.col("_asof_ts"), tie_back)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumn(
-        "_asof_last", F.last("_asof_payload", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_asof_ts"), tie_fwd)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    # getField, not the string path "_asof_last.{c}": a right_cols name
-    # containing a dot would otherwise parse as a nested field path.
+    if direction == "backward":
+        picked = F.last("_asof_payload", ignorenulls=True).over(w_back)
+    elif direction == "forward":
+        picked = F.first("_asof_payload", ignorenulls=True).over(w_fwd)
+    else:
+        back = F.last("_asof_payload", ignorenulls=True).over(w_back)
+        fwd = F.first("_asof_payload", ignorenulls=True).over(w_fwd)
+        d_back = F.col("_asof_ts").cast("double") - back.getField("_ts").cast(
+            "double"
+        )
+        d_fwd = fwd.getField("_ts").cast("double") - F.col("_asof_ts").cast(
+            "double"
+        )
+        picked = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(d_back <= d_fwd, back)  # tie -> backward
+            .otherwise(fwd)
+        )
+    filled = u.withColumn("_asof_hit", picked)
+    # getField, not a string path: a right_cols name containing a dot
+    # would otherwise parse as a nested field path.
+    row = F.col("_asof_hit").getField("_row")
     return filled.filter(F.col("_asof_is_left") == 1).select(
         *left.columns,
-        *[
-            F.col("_asof_last").getField(c).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        *[row.getField(c).alias(f"asof_{c}") for c in right_cols],
     )

@@ -848,6 +848,47 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q72_asof_forward",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT min(c.ts) FROM c
+                WHERE c.user_id = p.user_id AND c.ts >= p.ts)
+                   AS asof_click_ts
+        FROM p
+    """,
+    tags=("join", "asof"),
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's NEXT click
+    at or after it (NULL when none) — the time-to-next-event attribution
+    query, q39's mirror. Same single-shuffle window plan with a mirrored
+    first(ignorenulls) pass (operators.asof direction='forward'); the
+    oracle states the semantics as a correlated MIN subquery."""
+    from ..operators.asof import asof_join
+
+    (events,) = load(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        direction="forward",
+    )
+
+
 # ------------------------------------------------------ Q43 range join
 @query(
     "q43_range_join",

@@ -65,6 +65,74 @@ def test_asof_carries_multiple_columns(spark):
     assert (row["asof_px"], row["asof_src"]) == (300.0, "s-300")
 
 
+def test_asof_forward(spark):
+    """direction='forward': earliest right row at-or-after the left ts."""
+    left, right = frames(spark)
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            right_cols=["px"], direction="forward",
+        ).collect()
+    }
+    # id1: t=10 -> exact match at 10 (200); id2: t=20 -> nothing after -> None
+    # id3: v at t=10 -> next is rt=30 (400); id4: w -> no rows -> None
+    assert out == {1: 200.0, 2: None, 3: 400.0, 4: None}
+
+
+def test_asof_forward_strict_inequality(spark):
+    left, right = frames(spark)
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            right_cols=["px"], direction="forward", allow_exact_match=False,
+        ).collect()
+    }
+    # id1: exact rt=10 excluded -> next is 15 (300)
+    assert out == {1: 300.0, 2: None, 3: 400.0, 4: None}
+
+
+def test_asof_nearest(spark):
+    """direction='nearest': closer of the two sides; exact tie prefers
+    backward (the pandas merge_asof convention)."""
+    left = spark.createDataFrame(
+        [(1, "u", ts(12)), (2, "u", ts(13)), (3, "u", ts(40))],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(10), 100.0), ("u", ts(14), 200.0)],
+        "k string, rt timestamp, px double",
+    )
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            right_cols=["px"], direction="nearest",
+        ).collect()
+    }
+    # id1: |12-10|=2 == |14-12|=2 -> tie -> backward (100)
+    # id2: |13-10|=3 > |14-13|=1 -> forward (200)
+    # id3: only backward exists (40 > 14) -> 200
+    assert out == {1: 100.0, 2: 200.0, 3: 200.0}
+
+
+def test_asof_nearest_strict_excludes_exact(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts(10))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", ts(10), 100.0), ("u", ts(13), 200.0)],
+        "k string, rt timestamp, px double",
+    )
+    row = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        right_cols=["px"], direction="nearest", allow_exact_match=False,
+    ).collect()[0]
+    # the exact-ts row must be invisible on BOTH sides -> next-nearest wins
+    assert row["asof_px"] == 200.0
+
+
 def test_asof_null_field_does_not_mix_rows(spark):
     """A NULL field in the matched right row must stay NULL — per-column
     last(ignorenulls) would backfill it from an OLDER right row, stitching
