@@ -889,6 +889,48 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q73_asof_nearest",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT c.ts FROM c
+                WHERE c.user_id = p.user_id
+                ORDER BY abs(epoch_ms(c.ts) - epoch_ms(p.ts)), c.ts
+                LIMIT 1) AS asof_click_ts
+        FROM p
+    """,
+    tags=("join", "asof"),
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest as-of join: each purchase matched to the user's closest
+    click in either time direction, exact ties preferring the earlier
+    (backward) click — pandas merge_asof's convention, which the oracle's
+    ORDER BY abs(delta), ts replays exactly. Both directional passes run
+    over ONE shuffle on user_id (operators.asof direction='nearest')."""
+    from ..operators.asof import asof_join
+
+    (events,) = load(spark, sf, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts"],
+        direction="nearest",
+    )
+
+
 # ------------------------------------------------------ Q43 range join
 @query(
     "q43_range_join",
