@@ -899,7 +899,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         SELECT p.event_id, p.user_id, p.ts,
                (SELECT c.ts FROM c
                 WHERE c.user_id = p.user_id
-                ORDER BY abs(epoch_ms(c.ts) - epoch_ms(p.ts)), c.ts
+                ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
                 LIMIT 1) AS asof_click_ts
         FROM p
     """,
