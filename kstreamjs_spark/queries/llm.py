@@ -772,3 +772,58 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", "n_tok", "quality")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------- Q74 TF-IDF top terms
+@query(
+    "q74_tfidf_topterms",
+    oracle="""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        s AS (SELECT t.doc_id, t.term,
+                     ROUND(t.tf * LN(n.n * 1.0 / d.df), 6) AS tfidf
+              FROM tf t JOIN df d USING (term), n)
+        SELECT doc_id, term, tfidf FROM (
+          SELECT doc_id, term, tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term) AS rn
+          FROM s)
+        WHERE rn <= 5
+        ORDER BY doc_id, term
+    """,
+    tags=("text", "llm"),
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document TF-IDF top-5 terms — the keyword-extraction pass of a
+    text pipeline (and the classic relevance weight PMI does not give).
+    One token explode -> map-combined (doc, term) counts; document
+    frequency is a count over that aggregate (rows are distinct per doc
+    by construction, no COUNT DISTINCT shuffle); N is a broadcast scalar;
+    per-doc top-5 plans WindowGroupLimit so no full sort of the posting
+    list. ln(N/df) on exact int64 counts, rounded 6 dp, same term order
+    both engines (binary collation)."""
+    (documents,) = load(spark, sf, "documents")
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n"))
+    s = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n") * F.lit(1.0) / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        s.select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("doc_id", "term")
+    )
