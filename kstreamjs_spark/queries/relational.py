@@ -1086,3 +1086,40 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# ----------------------------------------- Q75 latest record per key
+@query(
+    "q75_latest_per_key",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type,
+               ROUND(value, 6) AS value_r
+        FROM (
+          SELECT event_id, user_id, ts, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id
+    """,
+    tags=("window", "cdc"),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Latest-record-per-key compaction (the CDC/SCD 'current state' op):
+    keep each user's most recent event row whole, newest-first rank with
+    a unique tiebreak. rn=1 plans WindowGroupLimit — each task keeps one
+    row per key before the shuffle, so compaction cost tracks keys, not
+    history length. Round the double payload on both sides per the repo's
+    determinism rules."""
+    (events,) = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.select(
+            "event_id", "user_id", "ts", "event_type",
+            F.round("value", 6).alias("value_r"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )
