@@ -77,6 +77,7 @@ _PRIORITY_ROUND3 = [
     "q67_quota_sample", "q68_bigram_pmi", "q69_global_row_ids",
     "q70_chunk_overlap", "q71_budget_select", "q72_asof_forward",
     "q73_asof_nearest", "q74_tfidf_topterms", "q75_latest_per_key",
+    "q76_histogram",
     # sentinels over changed code paths (q40: rerouted through the new
     # binaryFile ingestion this round — must earn a driver row on it)
     "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",

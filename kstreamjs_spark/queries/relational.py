@@ -1123,3 +1123,42 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------- Q76 value histogram
+@query(
+    "q76_histogram",
+    oracle="""
+        WITH mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+                    FROM events)
+        SELECT LEAST(19, CAST(FLOOR((value - vmin)
+                                    / ((vmax - vmin) / 20.0)) AS BIGINT))
+                   AS bin,
+               COUNT(*) AS cnt
+        FROM events, mm
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of the event value distribution —
+    two scan passes (scalar min/max broadcast back, then a map-side-
+    combined count per bin; 20 groups shuffle kilobytes at any scale).
+    Bin arithmetic is pure IEEE on exact MIN/MAX doubles — identical
+    across engines with no rounding step needed."""
+    (events,) = load(spark, sf, "events")
+    mm = events.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(20.0)
+    bin_ = F.least(
+        F.lit(19).cast("long"),
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("long"),
+    )
+    return (
+        events.crossJoin(F.broadcast(mm))
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
