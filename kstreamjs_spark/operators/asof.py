@@ -103,16 +103,14 @@ def asof_join(
     else:
         back = F.last("_asof_payload", ignorenulls=True).over(w_back)
         fwd = F.first("_asof_payload", ignorenulls=True).over(w_fwd)
-        # Distances in exact integer microseconds (unix_micros), never a
-        # double cast: the double's ~4e-7 s resolution at current epochs
-        # could flip an exact microsecond tie, and the tie rule (prefer
-        # backward) must be deterministic.
-        d_back = F.unix_micros(F.col("_asof_ts")) - F.unix_micros(
-            back.getField("_ts")
-        )
-        d_fwd = F.unix_micros(fwd.getField("_ts")) - F.unix_micros(
-            F.col("_asof_ts")
-        )
+        # Distances as exact day-time intervals (timestamp subtraction),
+        # never a double cast: the double's ~4e-7 s resolution at current
+        # epochs could flip an exact microsecond tie, and the tie rule
+        # (prefer backward) must be deterministic. Subtraction (unlike
+        # unix_micros, which rejects TIMESTAMP_NTZ) is microsecond-exact
+        # for BOTH timestamp flavors and involves no timezone conversion.
+        d_back = F.col("_asof_ts") - back.getField("_ts")
+        d_fwd = fwd.getField("_ts") - F.col("_asof_ts")
         picked = (
             F.when(back.isNull(), fwd)
             .when(fwd.isNull(), back)

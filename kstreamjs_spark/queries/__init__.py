@@ -67,21 +67,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 _WINDOW_SIZE = 50
 
 # Fixed/new this round, plus sentinels spanning the operator families whose
-# code changed (dedup/minhash, asof, range join, sessionize, streaming).
-_PRIORITY_ROUND3 = [
-    # previously driver-red, fixed this round (uncast integer SUMs)
-    "q53_stratified_mix", "q55_sessionize", "q59_transitive_dedup",
-    "q62_weighted_sample",
-    # new this round
-    "q26d_minhash_verify", "q26e_jaccard_maxdf", "q66_sequence_pack",
-    "q67_quota_sample", "q68_bigram_pmi", "q69_global_row_ids",
-    "q70_chunk_overlap", "q71_budget_select", "q72_asof_forward",
-    "q73_asof_nearest", "q74_tfidf_topterms", "q75_latest_per_key",
-    "q76_histogram",
-    # sentinels over changed code paths (q40: rerouted through the new
-    # binaryFile ingestion this round — must earn a driver row on it)
-    "q26_jaccard_neardup", "q26b_minhash_neardup", "q39_asof_join",
-    "q43_range_join", "q40_multimodal_decode",
+# code changed (timestamp-flavor normalization touches every ts consumer:
+# the asof family, the streaming suite, and the hourly/windowed aggs).
+_WINDOW_PRIORITY = [
+    # previously driver-red, fixed this round (TIMESTAMP_NTZ testdata:
+    # unix_micros -> interval subtraction in asof 'nearest'; NTZ->TIMESTAMP
+    # normalization in tables.fix_event_time for streaming watermarks)
+    "q73_asof_nearest",
+    # sentinels over the normalized event-time path
+    "q29_stream_tumbling", "q51_stream_stream_join", "q30_stream_sliding",
+    "q31_session_windows", "q32_stream_dedup", "q33_window_collect_udaf",
+    "q41_stream_union", "q63_stream_static_join", "q44_stateful_running_totals",
+    "q39_asof_join", "q72_asof_forward", "q43_range_join",
+    "q05_hourly_agg", "q13_running_sum", "q18_date_fns", "q49_hypertable_rollup",
+    "q55_sessionize", "q75_latest_per_key",
 ]
 
 
@@ -115,14 +114,14 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import streaming_q  # noqa: F401
     from . import pipeline  # noqa: F401
 
-    missing = [n for n in _PRIORITY_ROUND3 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
     if missing:
         raise KeyError(
             f"window priority names not in registry (typo or unimplemented "
             f"promise): {missing}"
         )
     hist = _correctness_history()
-    prio = list(dict.fromkeys(_PRIORITY_ROUND3))
+    prio = list(dict.fromkeys(_WINDOW_PRIORITY))
     # Never-checked queries first (hist 0), then oldest driver row first;
     # name tiebreak keeps the order deterministic.
     rest = sorted(

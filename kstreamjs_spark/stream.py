@@ -78,7 +78,9 @@ class Stream:
         cls, spark: SparkSession, path: str, ts_col: str = "ts"
     ) -> "Stream":
         configure_runtime(spark)
-        return cls(spark.read.parquet(path), ts_col)
+        from .tables import fix_event_time
+
+        return cls(fix_event_time(spark.read.parquet(path), ts_col), ts_col)
 
     @classmethod
     def replay(

@@ -30,12 +30,23 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
 def fix_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); Spark reads it as long-ns
-    (legacy.parquet.nanosAsLong). Convert to a microsecond timestamp with
-    integer division (ns epochs exceed double precision — never use `/`),
-    truncating exactly like DuckDB's ns->us read path."""
-    if dict(df.dtypes).get(ts_col) == "bigint":
+    """Normalize ``events.ts`` to TIMESTAMP regardless of how the driver's
+    generator wrote it — the writer has changed between rounds:
+
+    - TIMESTAMP(NANOS): Spark reads long-ns (legacy.parquet.nanosAsLong);
+      convert with integer division (ns epochs exceed double precision —
+      never use `/`), truncating exactly like DuckDB's ns->us read path.
+    - timestamp[us] without isAdjustedToUTC: Spark infers TIMESTAMP_NTZ,
+      which streaming watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+      several chrono functions reject; cast to TIMESTAMP — the session
+      timezone is pinned to UTC (session.configure_runtime), so the
+      wall-clock values are bit-identical to what DuckDB reads.
+    """
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "bigint":
         df = df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

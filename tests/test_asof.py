@@ -117,6 +117,30 @@ def test_asof_nearest(spark):
     assert out == {1: 100.0, 2: 200.0, 3: 200.0}
 
 
+def test_asof_nearest_timestamp_ntz(spark):
+    """The parquet testdata carries TIMESTAMP_NTZ, not TIMESTAMP — the
+    nearest-distance comparison must resolve on both flavors (round-3
+    regression: unix_micros rejects NTZ with DATATYPE_MISMATCH; the
+    interval-subtraction form accepts both)."""
+    left = spark.createDataFrame(
+        [(1, "u", ts(12)), (2, "u", ts(13))],
+        "id long, k string, t timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(10), 100.0), ("u", ts(14), 200.0)],
+        "k string, rt timestamp_ntz, px double",
+    )
+    out = {
+        r["id"]: r["asof_px"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="rt",
+            right_cols=["px"], direction="nearest",
+        ).collect()
+    }
+    # same goldens as the TIMESTAMP variant: tie -> backward; closer wins
+    assert out == {1: 100.0, 2: 200.0}
+
+
 def test_asof_nearest_strict_excludes_exact(spark):
     left = spark.createDataFrame(
         [(1, "u", ts(10))], "id long, k string, t timestamp"

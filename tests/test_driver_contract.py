@@ -45,13 +45,13 @@ def test_window_priority_names_validated():
     from kstreamjs_spark import queries as qmod
 
     qmod.all_queries()  # current list must be clean
-    saved = list(qmod._PRIORITY_ROUND3)
+    saved = list(qmod._WINDOW_PRIORITY)
     try:
-        qmod._PRIORITY_ROUND3.append("q999_does_not_exist")
+        qmod._WINDOW_PRIORITY.append("q999_does_not_exist")
         with pytest.raises(KeyError, match="q999_does_not_exist"):
             qmod.all_queries()
     finally:
-        qmod._PRIORITY_ROUND3[:] = saved
+        qmod._WINDOW_PRIORITY[:] = saved
 
 
 def test_window_orders_stale_queries_first():
@@ -62,7 +62,7 @@ def test_window_orders_stale_queries_first():
 
     ordered = list(qmod.all_queries())
     hist = qmod._correctness_history()
-    prio = set(qmod._PRIORITY_ROUND3)
+    prio = set(qmod._WINDOW_PRIORITY)
     rest = [n for n in ordered if n not in prio]
     staleness = [hist.get(n, 0) for n in rest]
     assert staleness == sorted(staleness)

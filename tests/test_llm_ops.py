@@ -217,12 +217,14 @@ def test_sketch_rollup_estimate_close_to_exact(spark):
     from kstreamjs_spark.queries import all_queries
     from .conftest import SF_SMOKE
 
+    from kstreamjs_spark.tables import load
+
     rows = all_queries()["q50_sketch_rollup"].fn(spark, SF_SMOKE).collect()
-    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    (ev,) = load(spark, SF_SMOKE, "events")
     exact = {
         r["month"]: r["u"]
         for r in ev.groupBy(
-            F.date_trunc("month", F.expr("timestamp_micros(ts div 1000)")).alias("month")
+            F.date_trunc("month", "ts").alias("month")
         ).agg(F.countDistinct("user_id").alias("u")).collect()
     }
     assert rows

@@ -28,8 +28,9 @@ def test_stream_replay_equals_batch(spark):
     streamed = {
         (r["h"], r["cnt"]) for r in run_to_memory(agg, "t_eq", "complete").collect()
     }
-    batch = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-    batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    from kstreamjs_spark.tables import load
+
+    (batch,) = load(spark, SF_SMOKE, "events")
     expected = {
         (r["h"], r["cnt"])
         for r in batch.groupBy(F.date_trunc("hour", "ts").alias("h"))
