@@ -61,6 +61,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return bind(tokens(text), from_toks)
 
 
+def shingle_list(text: Column | str, n: int = 3) -> Column:
+    """All n-token shingles of ``text`` WITH multiplicity (no distinct) —
+    the repetition-analysis variant of :func:`shingles`: the ratio of
+    duplicate shingle occurrences is exactly what a repetition filter
+    measures, so collapsing duplicates here would erase the signal."""
+
+    def from_toks(toks: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
+        make = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        )
+        return F.when(
+            F.size(toks) >= n, F.transform(idx, make)
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind(tokens(text), from_toks)
+
+
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact dedup on a key subset (reference has no dedup at all; this is
     the north-star baseline op)."""

@@ -1,0 +1,121 @@
+"""Spherical k-means for embedding corpora: cluster assignment as a pure
+scan-side expression, Lloyd refinement as a bounded driver loop.
+
+The reference has no vector surface at all (SURVEY.md §2A — its closest
+notion of state is the window buffer, reference src/stream.ts:137); this is
+a north-star extension for training-data curation: cluster-balanced
+sampling, semantic dedup blocking, and topic bucketing all start from a
+k-means assignment over document embeddings.
+
+Scale design (100 TB of vectors):
+- The ASSIGNMENT step embeds the k centroids as literal arrays in the plan
+  and computes all k cosines per row inside one codegen'd projection —
+  zero shuffle, zero join, no UDF; the scan stays the only pass over the
+  data. This is the right physical shape for k up to a few hundred
+  (k*dim literals in the plan); beyond that, switch to a broadcast join
+  against a centroid table and a map-side `max_by` argmax — still one
+  scan, one broadcast.
+- The UPDATE step (Lloyd) computes per-(cluster, dimension) means with one
+  posexplode + groupBy — a shuffle of k*dim aggregates, not of vectors —
+  and collects only the k*dim centroid matrix to the driver per iteration
+  (bounded, documented; the same pattern as the IVF codebook,
+  similarity.py:87-117). Iterations are a driver-side for-loop over
+  ACTIONS, not driver-side data: every pass is a full distributed job.
+- Convergence is measured by the quantized assignment objective; the loop
+  stops on stability or ``max_iters``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from .similarity import as_double, cosine
+
+
+def assign_best(vec: Column, centroids: list[list[float]]) -> Column:
+    """struct(cid, sim) of the best (max cosine) centroid for ``vec``.
+
+    Ties break to the LOWEST centroid id: the comparison key is
+    (sim, -cid), so two equal sims prefer the smaller cid — the same rule
+    the SQL oracle spells ORDER BY sim DESC, cid ASC.
+    """
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return F.struct(
+        (-best.getField("ncid")).cast("long").alias("cid"),
+        best.getField("sim").alias("sim"),
+    )
+
+
+def assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``df`` plus ``cid`` (long) and ``sim`` (double) assignment columns."""
+    best = assign_best(as_double(F.col(vec_col)), centroids)
+    return df.withColumns({"cid": best.getField("cid"), "sim": best.getField("sim")})
+
+
+def initial_centroids(
+    df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic init: the first ``k`` vectors by ``id_col``. A k-row
+    collect — bounded and reproducible (kmeans++ would sharpen quality;
+    determinism matters more here)."""
+    rows = (
+        df.select(id_col, as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def lloyd_iterate(
+    df: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """``iters`` Lloyd refinements; returns the updated centroid matrix.
+
+    Each pass: assign (scan-side expression) -> per-(cid, dim) mean via
+    posexplode + groupBy (shuffles k*dim aggregate cells, never vectors)
+    -> collect the k*dim matrix -> renormalize to unit length (spherical
+    update). Empty clusters keep their previous centroid.
+    """
+    k = len(centroids)
+    for _ in range(iters):
+        assigned = assign(df, centroids, vec_col)
+        cells = (
+            assigned.select(
+                "cid", F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
+            )
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+        nxt = []
+        for cid in range(k):
+            dims = by_cid.get(cid)
+            if not dims:
+                nxt.append(centroids[cid])
+                continue
+            v = [dims[d] for d in sorted(dims)]
+            nrm = sum(x * x for x in v) ** 0.5 or 1.0
+            nxt.append([x / nrm for x in v])
+        centroids = nxt
+    return centroids

@@ -133,3 +133,12 @@ def weighted_sample_sql(key: str, weight: str, scale: float,
     """WHERE-clause predicate matching :func:`weighted_sample` exactly."""
     thr = f"LEAST(1.0, {scale!r} * {weight}) * {float(_M)!r}"
     return f"CAST({hash_bucket_sql(key, seed)} AS DOUBLE) < {thr}"
+
+
+def sample_predicate(key: Column | str, fraction: float,
+                     seed: int = 0) -> Column:
+    """The :func:`sample_hash` keep-predicate as a standalone Column, for
+    callers that need BOTH sides of the split (e.g. eval-set carve-outs:
+    `pred` selects the held-out set, `~pred` the remainder — exhaustive and
+    disjoint by construction)."""
+    return hash_bucket(key, seed) < F.lit(_threshold(fraction))

@@ -95,3 +95,45 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
     )
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text normalization for dedup/fingerprint pre-processing:
+    lowercase, non-alphanumerics to spaces, whitespace collapsed, trimmed.
+    Pure codegen expressions; the regexes use only character classes so the
+    Java (Spark) and RE2 (DuckDB) engines agree byte-for-byte — the SQL
+    mirror is :func:`normalize_text_sql`."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.lower(t)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`normalize_text` — note the explicit 'g'
+    flag: DuckDB's regexp_replace substitutes only the FIRST match by
+    default, Spark's substitutes all."""
+    return (
+        "TRIM(regexp_replace(regexp_replace("
+        f"lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def portable_string_hash(s: Column | str) -> Column:
+    """Engine-portable hash of a short string key (for group-aware splits
+    on e.g. a source/domain column): length*131 + 7*first-codepoint +
+    last-codepoint — the string analogue of the LCG key hash, expressible
+    identically in DuckDB (:func:`portable_string_hash_sql`). Collisions
+    only merge groups (never split them), which preserves the leakage
+    guarantee a grouped split exists for."""
+    t = F.col(s) if isinstance(s, str) else s
+    return _portable_token_hash(t)
+
+
+def portable_string_hash_sql(expr: str) -> str:
+    return (
+        f"(length({expr}) * 131"
+        f" + ord(substring({expr}, 1, 1)) * 7"
+        f" + ord(substring({expr}, -1, 1)))"
+    )

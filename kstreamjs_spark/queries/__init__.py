@@ -81,6 +81,11 @@ _WINDOW_PRIORITY = [
     "q39_asof_join", "q72_asof_forward", "q43_range_join",
     "q05_hourly_agg", "q13_running_sum", "q18_date_fns", "q49_hypertable_rollup",
     "q55_sessionize", "q75_latest_per_key",
+    # new this round (corpus.py)
+    "q77_decontaminate", "q78_repetition_ratio", "q79_group_split",
+    "q80_vocab_coverage", "q81_kmeans_assign", "q81b_kmeans_lloyd",
+    "q82_upsample_replicate", "q83_ttr_stats", "q84_normalize_text",
+    "q85_quantize_embeddings",
 ]
 
 
@@ -113,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import llm  # noqa: F401
     from . import streaming_q  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import corpus  # noqa: F401
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
     if missing:

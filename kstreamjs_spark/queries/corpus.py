@@ -1,0 +1,540 @@
+"""Corpus-curation queries, round 4: benchmark decontamination, repetition
+filtering, group-aware splits, vocabulary coverage, embedding clustering
+and quantization, replication upsampling, lexical-diversity stats, and
+text normalization.
+
+None of these exist in the reference (its whole surface is the 12-operator
+Kafka DSL, reference src/stream.ts:18-271); they are the north-star
+operations a 100 TB training-data pipeline runs between ingestion and
+tokenization. Oracles mirror the Spark expressions symbol-for-symbol
+(sampling/text helpers own the shared constants)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, kmeans, sampling, text
+from ..operators.sampling import hash_bucket_sql, sample_hash_sql
+from ..tables import load
+from . import query
+
+# 5-token shingles for decontamination (long enough that a shared shingle
+# means real overlap, short enough to catch partial containment).
+_DECON_N = 5
+_EVAL_FRACTION = 0.02
+_EVAL_SEED = 13
+
+
+def _shingle_sql(n: int, distinct: bool = True) -> str:
+    """DuckDB n-gram list over string_split(text,' ') — the SQL mirror of
+    operators.dedup.shingles / shingle_list."""
+    parts = " || ' ' || ".join(
+        f"string_split(text,' ')[i+{j}]" if j else "string_split(text,' ')[i]"
+        for j in range(n)
+    )
+    lst = (
+        f"list_transform(generate_series(1, len(string_split(text,' ')) - {n - 1}), "
+        f"i -> {parts})"
+    )
+    return f"list_distinct({lst})" if distinct else lst
+
+
+# ------------------------------------------- Q77 benchmark decontamination
+@query(
+    "q77_decontaminate",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, lang, {_shingle_sql(_DECON_N)} AS s,
+                 {sample_hash_sql('doc_id', _EVAL_FRACTION, seed=_EVAL_SEED)}
+                     AS is_eval
+          FROM documents
+        ),
+        evs AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_eval),
+        contam AS (
+          SELECT DISTINCT doc_id, lang
+          FROM (SELECT doc_id, lang, unnest(s) AS g FROM sh
+                WHERE NOT is_eval) t
+          WHERE g IN (SELECT g FROM evs)
+        )
+        SELECT tr.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_train,
+               CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NOT NULL
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_contaminated
+        FROM (SELECT doc_id, lang FROM sh WHERE NOT is_eval) tr
+        LEFT JOIN contam c USING (doc_id, lang)
+        GROUP BY tr.lang
+        ORDER BY tr.lang
+    """,
+    tags=("dedup", "llm", "decontamination"),
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-token shingle with the held-out eval set (here a deterministic 2%
+    doc_id-hash carve-out standing in for a real benchmark suite).
+
+    Scale shape (100 TB): the eval side is benchmark-sized (thousands of
+    docs -> at most millions of distinct shingles), so its shingle set
+    BROADCASTS; the training side is one scan + explode semi-joined
+    against that broadcast — no shuffle of the corpus, and the only
+    exchange is the contaminated-id distinct (bounded by the hit count).
+    """
+    (docs,) = load(spark, sf, "documents")
+    is_eval = sampling.sample_predicate("doc_id", _EVAL_FRACTION, seed=_EVAL_SEED)
+    eval_shingles = (
+        docs.filter(is_eval)
+        .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    train = docs.filter(~is_eval)
+    contaminated = (
+        train.select(
+            "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
+        )
+        .join(F.broadcast(eval_shingles), "g", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    return (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+        .join(
+            contaminated.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------- Q78 intra-doc repetition
+@query(
+    "q78_repetition_ratio",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {_shingle_sql(3, distinct=False)} AS tri
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(tri) AS BIGINT) AS n_tri,
+               CAST(len(list_distinct(tri)) AS BIGINT) AS n_uniq,
+               ROUND((len(tri) - len(list_distinct(tri))) * 1.0
+                     / len(tri), 6) AS rep_ratio
+        FROM t
+        WHERE len(tri) > 0
+        ORDER BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition ratio — the fraction of trigram
+    occurrences that are duplicates of an earlier trigram in the SAME
+    document (boilerplate / degenerate-generation filter; near-1 means the
+    text loops). Pure scan-side array expressions: no explode, no shuffle,
+    no UDF — per-doc metrics at 100 TB are a map-only pass."""
+    (docs,) = load(spark, sf, "documents")
+    tri = dedup.shingle_list("text", 3)
+    out = docs.select(
+        "doc_id",
+        F.size(tri).cast("long").alias("n_tri"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n_uniq"),
+    )
+    return (
+        out.filter(F.col("n_tri") > 0)
+        .withColumn(
+            "rep_ratio",
+            F.round(
+                (F.col("n_tri") - F.col("n_uniq")) * F.lit(1.0) / F.col("n_tri"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- Q79 group-aware train split
+_SPLIT_SEED = 29
+_TRAIN_FRACTION = 0.9
+
+
+@query(
+    "q79_group_split",
+    oracle=f"""
+        WITH d AS (
+          SELECT lang, source,
+                 CASE WHEN {hash_bucket_sql(
+                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
+                      < {int(_TRAIN_FRACTION * 4294967296)}
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        )
+        SELECT split, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM d
+        GROUP BY split, lang
+        ORDER BY split, lang
+    """,
+    tags=("sampling", "llm"),
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-aware train/val split: the split key is the SOURCE (domain),
+    not the document, so near-duplicates within one source can never leak
+    across the boundary — the property a random row-level split destroys.
+    Deterministic (portable string hash -> LCG bucket), scan-side, zero
+    shuffle for the split itself. Group-atomicity is unit-tested: every
+    source lands in exactly one split."""
+    (docs,) = load(spark, sf, "documents")
+    split = F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    return (
+        docs.select(split.alias("split"), "lang", "source")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------------------------- Q80 vocabulary coverage
+_VOCAB_K = 100
+
+
+@query(
+    "q80_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        total AS (SELECT SUM(cnt) AS n FROM c),
+        top AS (SELECT token, cnt FROM c
+                ORDER BY cnt DESC, token LIMIT {_VOCAB_K})
+        SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+               token,
+               CAST(cnt AS BIGINT) AS cnt,
+               ROUND(CAST(SUM(cnt) OVER w AS DOUBLE)
+                     / (SELECT n FROM total), 6) AS cum_share
+        FROM top
+        WINDOW w AS (ORDER BY cnt DESC, token
+                     ROWS UNBOUNDED PRECEDING)
+        ORDER BY rank
+    """,
+    tags=("text", "llm"),
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 vocabulary with cumulative corpus coverage — the curve a
+    tokenizer budget is tuned against. The token count is a map-combined
+    aggregation (shuffle is vocabulary-sized, not corpus-sized); the
+    cumulative window runs AFTER the top-K cut, over exactly K rows in one
+    bounded partition (the corpus-sized prefix sum this avoids is q66's
+    operator). The grand total rides along as a broadcast scalar."""
+    (docs,) = load(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("n"))
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(_VOCAB_K)
+    w = (
+        Window.orderBy(F.col("cnt").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "token"))
+            .cast("long")
+            .alias("rank"),
+            "token",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("n"), 6
+            ).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------- Q81 spherical k-means assign
+_KMEANS_K = 8
+
+
+@query(
+    "q81_kmeans_assign",
+    oracle=f"""
+        WITH c AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
+        ),
+        s AS (
+          SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+          FROM embeddings e CROSS JOIN c
+        ),
+        b AS (
+          SELECT vec_id, cid, sim,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, cid) AS rn
+          FROM s
+        )
+        SELECT CAST(cid AS BIGINT) AS cid,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(CAST(SUM(CAST(floor(sim * 10000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / (COUNT(*) * 10000.0), 6) AS mean_sim
+        FROM b WHERE rn = 1
+        GROUP BY cid ORDER BY cid
+    """,
+    tags=("similarity", "llm", "clustering"),
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Spherical k-means ASSIGNMENT (k=8, deterministic first-k init):
+    every embedding goes to its max-cosine centroid, ties to the lowest
+    cid. The centroids are plan literals, so the whole assignment is one
+    codegen'd projection over the scan — no join, no shuffle (see
+    operators/kmeans.py for the 100 TB argument). Mean similarity uses the
+    quantized-sum idiom for cross-engine double determinism."""
+    (emb,) = load(spark, sf, "embeddings")
+    cents = kmeans.initial_centroids(emb, _KMEANS_K)
+    assigned = kmeans.assign(emb, cents)
+    return (
+        assigned.select(
+            "cid", F.floor(F.col("sim") * 10000 + 0.5).cast("long").alias("qsim")
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("qsim").cast("double")
+                / (F.count(F.lit(1)) * F.lit(10000.0)),
+                6,
+            ).alias("mean_sim"),
+        )
+        .orderBy("cid")
+    )
+
+
+@query("q81b_kmeans_lloyd", oracle=None, tags=("similarity", "llm", "clustering"))
+def q81b(spark: SparkSession, sf: str) -> DataFrame:
+    """Two Lloyd refinements on top of q81's init, then the final cluster
+    sizes. Iterative — not SQL-expressible (rows-only check here); the
+    objective-improvement property is unit-tested in tests/test_kmeans.py."""
+    (emb,) = load(spark, sf, "embeddings")
+    cents = kmeans.initial_centroids(emb, _KMEANS_K)
+    cents = kmeans.lloyd_iterate(emb, cents, iters=2)
+    return (
+        kmeans.assign(emb, cents)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("cid")
+    )
+
+
+# --------------------------------------------- Q82 replication upsampling
+_UPSAMPLE_K = 200
+_UPSAMPLE_SEED = 31
+
+
+@query(
+    "q82_upsample_replicate",
+    oracle=f"""
+        WITH n AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+        rep AS (
+          SELECT d.doc_id, d.lang, t.rep_idx
+          FROM documents d
+          JOIN n USING (lang),
+          UNNEST(generate_series(1,
+                 CAST(({_UPSAMPLE_K} + n.n_l - 1) // n.n_l AS BIGINT)))
+              AS t(rep_idx)
+        ),
+        ranked AS (
+          SELECT lang, doc_id, rep_idx,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY lang
+                     ORDER BY {hash_bucket_sql('doc_id', _UPSAMPLE_SEED)},
+                              doc_id, rep_idx) AS rn
+          FROM rep
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM ranked WHERE rn <= {_UPSAMPLE_K}
+        GROUP BY lang ORDER BY lang
+    """,
+    tags=("sampling", "llm"),
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Low-resource upsampling by integer replication to a fixed per-lang
+    row budget (K=200): each document repeats ceil(K / n_lang) times, then
+    the stream is trimmed to exactly K rows per lang in deterministic hash
+    order — so every language exits with exactly K rows (over-represented
+    ones downsample, scarce ones replicate). All-integer arithmetic ->
+    engine-exact.
+    Scale: the per-lang counts are a tiny broadcast; replication is a
+    scan-side explode of a sequence (no shuffle); the trim is one
+    window per lang with WindowGroupLimit pushing rn<=K below the
+    exchange."""
+    (docs,) = load(spark, sf, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # ceil(K / n_l) in exact integer arithmetic (mirrors the oracle's
+    # (K + n_l - 1) // n_l), so n_l * factor >= K always: the rn <= K trim
+    # lands on exactly K rows per language.
+    factor = F.floor(
+        (F.lit(_UPSAMPLE_K) + F.col("n_l") - 1) / F.col("n_l")
+    ).cast("long")
+    rep = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(counts), "lang")
+        .withColumn("rep_idx", F.explode(F.sequence(F.lit(1).cast("long"), factor)))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            sampling.hash_bucket("doc_id", _UPSAMPLE_SEED), "doc_id", "rep_idx"
+        )
+    )
+    return (
+        rep.withColumn("rn", rn)
+        .filter(F.col("rn") <= _UPSAMPLE_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------- Q83 lexical diversity stats
+@query(
+    "q83_ttr_stats",
+    oracle="""
+        WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+        c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+        SELECT lang,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               ROUND(COUNT(*) * 1.0 / SUM(cnt), 6) AS ttr
+        FROM c GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "llm"),
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language lexical diversity: token count, type (distinct token)
+    count, hapax legomena count, and type-token ratio — the corpus-health
+    numbers that catch template-generated or looping text at a glance.
+    One explode + two map-combined aggregations; the shuffle carries
+    (lang, token) counts, i.e. vocabulary-sized."""
+    (docs,) = load(spark, sf, "documents")
+    c = (
+        docs.select("lang", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.sum("cnt"), 6
+            ).alias("ttr"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------- Q84 text normalization
+@query(
+    "q84_normalize_text",
+    oracle=f"""
+        SELECT doc_id, {text.normalize_text_sql('text')} AS norm_text
+        FROM documents ORDER BY doc_id
+    """,
+    tags=("text", "llm"),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text normalization (lowercase, strip punctuation,
+    collapse whitespace) — the first step before fingerprinting or
+    shingling. Byte-for-byte hash-matched against the SQL mirror; the
+    regexes are character-class-only so Java and RE2 agree. Pure
+    scan-side codegen, zero shuffle."""
+    (docs,) = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id", text.normalize_text("text").alias("norm_text")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------- Q85 embedding quantization
+@query(
+    "q85_quantize_embeddings",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(
+                     embedding::DOUBLE[],
+                     x -> GREATEST(-127, LEAST(127,
+                          CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)))
+                 ) AS qv
+          FROM (SELECT vec_id, embedding,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) AS m
+                FROM embeddings)
+        )
+        SELECT vec_id,
+               CAST(list_sum(qv) AS BIGINT) AS q_sum,
+               CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT)
+                   AS n_sat
+        FROM q ORDER BY vec_id
+    """,
+    tags=("similarity", "llm"),
+)
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling — the storage/ANN-memory reduction step). The check
+    compares the exact integer checksum and saturation count per vector;
+    the scale arithmetic is plain IEEE double (identical across engines)
+    and floor(x+0.5) avoids the engines' round() tie conventions. Pure
+    scan-side array expressions, zero shuffle."""
+    from ..operators.similarity import as_double
+
+    (emb,) = load(spark, sf, "embeddings")
+    d = as_double(F.col("embedding"))
+    m = F.array_max(F.transform(d, F.abs))
+    qv = F.transform(
+        d,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x * (F.lit(127.0) / m) + 0.5),
+            ),
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size(F.filter(qv, lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
+    ).orderBy("vec_id")
