@@ -27,10 +27,13 @@ Scale design (100 TB of vectors):
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from .similarity import as_double, cosine
+from .dedup import bind
+from .similarity import as_double, dot, norm
 
 
 def assign_best(vec: Column, centroids: list[list[float]]) -> Column:
@@ -39,17 +42,35 @@ def assign_best(vec: Column, centroids: list[list[float]]) -> Column:
     Ties break to the LOWEST centroid id: the comparison key is
     (sim, -cid), so two equal sims prefer the smaller cid — the same rule
     the SQL oracle spells ORDER BY sim DESC, cid ASC.
+
+    The vector and its norm are bound ONCE per row (dedup.bind) and the k
+    centroid norms are folded to Python literals (same sequential
+    sum-of-squares order as the fold expression, so the doubles are
+    bit-identical) — the per-row cost is k dot products, not k norm
+    recomputations. A zero-norm vector scores 0.0 against every centroid
+    (deterministic cid 0) instead of NaN.
     """
-    scored = F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
+    cents = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
+        cents.append((cid, F.array(*[F.lit(float(x)) for x in c]), cn))
+
+    def scored(v: Column, vn: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.when(vn == 0.0, F.lit(0.0))
+                    .otherwise(dot(v, cl) / (vn * F.lit(cn)))
+                    .alias("sim"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, cl, cn in cents
+            ]
+        )
+
+    best = bind(
+        vec, lambda v: bind(norm(v), lambda vn: F.array_max(scored(v, vn)))
     )
-    best = F.array_max(scored)
     return F.struct(
         (-best.getField("ncid")).cast("long").alias("cid"),
         best.getField("sim").alias("sim"),
@@ -89,18 +110,30 @@ def lloyd_iterate(
 ) -> list[list[float]]:
     """``iters`` Lloyd refinements; returns the updated centroid matrix.
 
-    Each pass: assign (scan-side expression) -> per-(cid, dim) mean via
-    posexplode + groupBy (shuffles k*dim aggregate cells, never vectors)
-    -> collect the k*dim matrix -> renormalize to unit length (spherical
-    update). Empty clusters keep their previous centroid.
+    Each pass: assign (scan-side expression) -> per-(cid, dim) mean of the
+    UNIT-NORMALIZED vectors via posexplode + groupBy (shuffles k*dim
+    aggregate cells, never vectors) -> collect the k*dim matrix ->
+    renormalize to unit length. Averaging unit vectors (not raw vectors) is
+    the true spherical-k-means update: the unit centroid maximizing the
+    summed cosine of a cluster is the renormalized mean of its members'
+    DIRECTIONS, so the objective is monotone non-decreasing regardless of
+    input magnitudes. Empty clusters keep their previous centroid;
+    zero-norm vectors contribute zeros (they score 0 everywhere anyway).
     """
     k = len(centroids)
+    unit = bind(
+        as_double(F.col(vec_col)),
+        lambda v: bind(
+            norm(v),
+            lambda vn: F.transform(
+                v, lambda x: F.when(vn == 0.0, F.lit(0.0)).otherwise(x / vn)
+            ),
+        ),
+    )
     for _ in range(iters):
         assigned = assign(df, centroids, vec_col)
         cells = (
-            assigned.select(
-                "cid", F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
-            )
+            assigned.select("cid", F.posexplode(unit).alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.avg("x").alias("m"))
             .collect()

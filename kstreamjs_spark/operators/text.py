@@ -132,8 +132,12 @@ def portable_string_hash(s: Column | str) -> Column:
 
 
 def portable_string_hash_sql(expr: str) -> str:
-    return (
-        f"(length({expr}) * 131"
-        f" + ord(substring({expr}, 1, 1)) * 7"
-        f" + ord(substring({expr}, -1, 1)))"
-    )
+    """DuckDB mirror of :func:`portable_string_hash`, edge-case aligned with
+    Spark: Spark's ``ascii('')`` returns 0 where DuckDB's ``ord('')``
+    raises, so each ord is guarded with NULLIF/COALESCE — ``''`` hashes to
+    0 on both engines. A NULL key stays NULL on both sides
+    (``length(NULL)`` nulls the whole sum; Spark's ``ascii(NULL)``
+    likewise)."""
+    first = f"COALESCE(ord(NULLIF(substring({expr}, 1, 1), '')), 0)"
+    last = f"COALESCE(ord(NULLIF(substring({expr}, -1, 1), '')), 0)"
+    return f"(length({expr}) * 131 + {first} * 7 + {last})"

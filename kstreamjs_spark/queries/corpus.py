@@ -331,11 +331,78 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q81b_kmeans_lloyd", oracle=None, tags=("similarity", "llm", "clustering"))
+def _q81b_oracle(k: int, iters: int) -> str:
+    """DuckDB unroll of ``iters`` Lloyd refinements (deterministic first-k
+    init): because the iteration count and seeding are fixed, the "loop"
+    is a finite CTE chain — assign (rank by cosine, ties to lowest cid) ->
+    per-(cid,dim) mean of UNIT vectors -> renormalize (empty cluster keeps
+    its previous centroid; zero-norm mean divides by 1.0, both mirroring
+    operators/kmeans.py:lloyd_iterate) -> repeat -> final assignment
+    counts. Counts are exact integers, so the comparison is a true
+    hash-match; fp noise between engines only matters at exact
+    centroid-similarity ties."""
+
+    def assign_cte(label: str, cents: str) -> str:
+        return f"""
+        {label} AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                       AS rn
+            FROM e CROSS JOIN {cents} c) WHERE rn = 1
+        )"""
+
+    def update_ctes(i: int, prev_assign: str, prev_cents: str) -> str:
+        return f"""
+        m{i} AS (
+          SELECT cid, dim, AVG(x) AS m FROM (
+            SELECT {prev_assign}.cid, generate_subscripts(u.uv, 1) AS dim,
+                   unnest(u.uv) AS x
+            FROM {prev_assign} JOIN u USING (vec_id))
+          GROUP BY cid, dim),
+        g{i} AS (
+          SELECT cid, ml, CASE WHEN s = 0 THEN 1.0 ELSE s END AS s FROM (
+            SELECT cid, ml, sqrt(list_sum(list_transform(ml, y -> y*y))) AS s
+            FROM (SELECT cid, list(m ORDER BY dim) AS ml
+                  FROM m{i} GROUP BY cid))),
+        c{i} AS (
+          SELECT c.cid, CASE WHEN g.ml IS NULL THEN c.cv
+                 ELSE list_transform(g.ml, x -> x / g.s) END AS cv
+          FROM {prev_cents} c LEFT JOIN g{i} g USING (cid))"""
+
+    parts = [f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        u AS (SELECT vec_id,
+                     list_transform(v, x -> CASE WHEN nrm = 0 THEN 0.0
+                                            ELSE x / nrm END) AS uv
+              FROM (SELECT vec_id, v,
+                           sqrt(list_sum(list_transform(v, y -> y*y))) AS nrm
+                    FROM e)),
+        c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+               FROM e ORDER BY vec_id LIMIT {k})"""]
+    prev_c = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i}", prev_c))
+        parts.append(update_ctes(i, f"a{i}", prev_c))
+        prev_c = f"c{i}"
+    parts.append(assign_cte("af", prev_c))
+    return ("WITH " + ",".join(parts) + """
+        SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM af GROUP BY cid ORDER BY cid""")
+
+
+@query(
+    "q81b_kmeans_lloyd",
+    oracle=_q81b_oracle(_KMEANS_K, 2),
+    tags=("similarity", "llm", "clustering"),
+)
 def q81b(spark: SparkSession, sf: str) -> DataFrame:
     """Two Lloyd refinements on top of q81's init, then the final cluster
-    sizes. Iterative — not SQL-expressible (rows-only check here); the
-    objective-improvement property is unit-tested in tests/test_kmeans.py."""
+    sizes. Iterative, but with a FIXED iteration count and deterministic
+    init it is SQL-expressible after all: the oracle (_q81b_oracle) unrolls
+    both refinements as DuckDB CTEs, promoting this from a rows-only check
+    to a full hash-match. The objective-improvement property is
+    additionally unit-tested in tests/test_corpus.py."""
     (emb,) = load(spark, sf, "embeddings")
     cents = kmeans.initial_centroids(emb, _KMEANS_K)
     cents = kmeans.lloyd_iterate(emb, cents, iters=2)
@@ -495,8 +562,10 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
           SELECT vec_id,
                  list_transform(
                      embedding::DOUBLE[],
-                     x -> GREATEST(-127, LEAST(127,
-                          CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)))
+                     x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+                          ELSE GREATEST(-127, LEAST(127,
+                               CAST(floor(x * (127.0 / m) + 0.5) AS BIGINT)))
+                          END
                  ) AS qv
           FROM (SELECT vec_id, embedding,
                        list_max(list_transform(embedding::DOUBLE[],
@@ -516,22 +585,35 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     absmax scaling — the storage/ANN-memory reduction step). The check
     compares the exact integer checksum and saturation count per vector;
     the scale arithmetic is plain IEEE double (identical across engines)
-    and floor(x+0.5) avoids the engines' round() tie conventions. Pure
+    and floor(x+0.5) avoids the engines' round() tie conventions. An
+    all-zero vector (absmax m=0, which would make 127.0/m = Inf and
+    0.0*Inf = NaN — with engine-dependent NaN propagation) quantizes to
+    all zeros, guarded identically on both sides. The vector and its
+    absmax are bound once per row (dedup.bind) — referencing m inside the
+    transform lambda would recompute the absmax per element. Pure
     scan-side array expressions, zero shuffle."""
+    from ..operators.dedup import bind
     from ..operators.similarity import as_double
 
     (emb,) = load(spark, sf, "embeddings")
-    d = as_double(F.col("embedding"))
-    m = F.array_max(F.transform(d, F.abs))
-    qv = F.transform(
-        d,
-        lambda x: F.greatest(
-            F.lit(-127).cast("long"),
-            F.least(
-                F.lit(127).cast("long"),
-                F.floor(x * (F.lit(127.0) / m) + 0.5),
+
+    def quant(dv: F.Column, m: F.Column) -> F.Column:
+        return F.transform(
+            dv,
+            lambda x: F.when(m == 0.0, F.lit(0).cast("long")).otherwise(
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.least(
+                        F.lit(127).cast("long"),
+                        F.floor(x * (F.lit(127.0) / m) + 0.5),
+                    ),
+                )
             ),
-        ),
+        )
+
+    qv = bind(
+        as_double(F.col("embedding")),
+        lambda dv: bind(F.array_max(F.transform(dv, F.abs)), lambda m: quant(dv, m)),
     )
     return emb.select(
         "vec_id",

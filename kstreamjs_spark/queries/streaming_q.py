@@ -212,14 +212,27 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------- Q44 custom stateful streaming operator
-@query("q44_stateful_running_totals", oracle=None, tags=("streaming", "stateful", "udf"))
+@query(
+    "q44_stateful_running_totals",
+    oracle="""
+        SELECT user_id,
+               ROUND(SUM(value), 4) AS running_total,
+               CAST(COUNT(*) AS BIGINT) AS running_cnt
+        FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState (the
     reference's only state is the window buffer, src/stream.ts:137; this is
     the general keyed-state surface): per-user running totals maintained in
     GroupState across micro-batches, one row emitted per (user, batch).
-    Rows-only check; tests assert the final running total per user equals
-    the batch SUM."""
+    The returned frame projects each user's FINAL state (the row with the
+    largest running_cnt — strictly increasing per batch), which must equal
+    the batch SUM/COUNT per user however the replay happens to be
+    micro-batched — so the query is oracle-checkable (hash-match) without
+    assuming a batch layout. Per-batch semantics are covered by the
+    batch-equivalence test in tests/test_streaming.py."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     sdf = stream_table(spark, sf, "events").select("user_id", "value")
@@ -242,7 +255,11 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(out, "q44", output_mode="append")
+    sink = run_to_memory(out, "q44", output_mode="append")
+    return sink.groupBy("user_id").agg(
+        F.max_by("running_total", "running_cnt").alias("running_total"),
+        F.max("running_cnt").cast("long").alias("running_cnt"),
+    )
 
 
 # ------------------------------------------ Q51 stream-stream interval join
