@@ -66,26 +66,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # driver's independent confirmation, not what is tested.
 _WINDOW_SIZE = 50
 
-# Fixed/new this round, plus sentinels spanning the operator families whose
-# code changed (timestamp-flavor normalization touches every ts consumer:
-# the asof family, the streaming suite, and the hourly/windowed aggs).
+# Fixed/new this round ONLY — the round-4 sentinel pins are retired so the
+# staleness sort below pulls the oldest driver rows (q57/q58/q60/q61/q64/q65
+# last earned a row in round 2, on since-changed loader code) into this
+# round's window. Queries registered for the first time this round need no
+# pin: hist=0 sorts them ahead of everything already checked.
 _WINDOW_PRIORITY = [
-    # previously driver-red, fixed this round (TIMESTAMP_NTZ testdata:
-    # unix_micros -> interval subtraction in asof 'nearest'; NTZ->TIMESTAMP
-    # normalization in tables.fix_event_time for streaming watermarks)
-    "q73_asof_nearest",
-    # sentinels over the normalized event-time path
-    "q29_stream_tumbling", "q51_stream_stream_join", "q30_stream_sliding",
-    "q31_session_windows", "q32_stream_dedup", "q33_window_collect_udaf",
-    "q41_stream_union", "q63_stream_static_join", "q44_stateful_running_totals",
-    "q39_asof_join", "q72_asof_forward", "q43_range_join",
-    "q05_hourly_agg", "q13_running_sum", "q18_date_fns", "q49_hypertable_rollup",
-    "q55_sessionize", "q75_latest_per_key",
-    # new this round (corpus.py)
-    "q77_decontaminate", "q78_repetition_ratio", "q79_group_split",
-    "q80_vocab_coverage", "q81_kmeans_assign", "q81b_kmeans_lloyd",
-    "q82_upsample_replicate", "q83_ttr_stats", "q84_normalize_text",
-    "q85_quantize_embeddings",
+    # promoted from rows-only to hash-matched oracles this round
+    "q44_stateful_running_totals", "q81b_kmeans_lloyd",
+    # code paths touched this round (kmeans bind/unit-mean update, q85
+    # zero-vector guard + absmax bind, portable string-hash SQL guard)
+    "q81_kmeans_assign", "q85_quantize_embeddings", "q79_group_split",
 ]
 
 
