@@ -88,11 +88,28 @@ def assign(
 
 
 def initial_centroids(
-    df: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "first",
+    seed: int = 7,
 ) -> list[list[float]]:
-    """Deterministic init: the first ``k`` vectors by ``id_col``. A k-row
-    collect — bounded and reproducible (kmeans++ would sharpen quality;
-    determinism matters more here)."""
+    """Deterministic init, two flavors.
+
+    ``method="first"`` (default): the first ``k`` vectors by ``id_col`` —
+    a k-row collect, bounded and reproducible; this is the contract q81's
+    SQL oracle mirrors, so it stays the default.
+
+    ``method="kmeanspp"``: seeded deterministic k-means++ via hash-based
+    D² sampling (:func:`kmeanspp_centroids`) — better-spread seeds (no
+    dependence on id order) at the cost of k-1 extra scans, still fully
+    reproducible for a fixed (data, seed).
+    """
+    if method == "kmeanspp":
+        return kmeanspp_centroids(df, k, vec_col=vec_col, id_col=id_col, seed=seed)
+    if method != "first":
+        raise ValueError(f"unknown init method: {method!r}")
     rows = (
         df.select(id_col, as_double(F.col(vec_col)).alias("v"))
         .orderBy(id_col)
@@ -100,6 +117,51 @@ def initial_centroids(
         .collect()
     )
     return [list(r["v"]) for r in rows]
+
+
+def kmeanspp_centroids(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic k-means++ seeding by hash-based D² sampling.
+
+    Classic k-means++ draws each next centroid with probability
+    proportional to D²(x) (here the spherical distance 1 - best cosine to
+    the already-chosen centroids) using an RNG; that breaks run-to-run
+    reproducibility. This variant replaces the RNG with an exponential
+    race: every row gets key = -ln(u) / D²(x) where u ∈ (0,1] is a seeded
+    ``xxhash64(id, seed)`` uniform, and the MINIMUM key wins — for
+    independent exponentials, P(row wins) ∝ D²(x), which is exactly the
+    kmeans++ distribution, yet the same (data, seed) always picks the
+    same centroids in the same order.
+
+    Cost: the first centroid is the min-id row; each of the remaining k-1
+    rounds is one scan ending in TakeOrderedAndProject(1) (a 1-row
+    collect). The driver never holds more than the k×dim matrix. At
+    100 TB you run this on a bounded sample (the codebook pattern,
+    similarity.py:_centroids_from_sample) and broadcast the result.
+    """
+    base = df.select(id_col, as_double(F.col(vec_col)).alias("v"))
+    first = base.orderBy(id_col).limit(1).collect()
+    if not first:
+        raise ValueError("kmeanspp_centroids: empty input")
+    cents = [list(first[0]["v"])]
+    mod = 1_000_000_007
+    # u in (0, 1]: (h mod M + 1) / M, h seeded and id-keyed
+    u = (
+        (F.abs(F.xxhash64(F.col(id_col), F.lit(seed))) % mod + 1).cast("double")
+        / F.lit(float(mod))
+    )
+    for _ in range(1, k):
+        sim = assign_best(F.col("v"), cents).getField("sim")
+        d2 = F.greatest(F.lit(1e-12), F.lit(1.0) - sim)
+        key = -F.log(u) / d2
+        nxt = base.orderBy(key.asc(), F.col(id_col)).limit(1).collect()
+        cents.append(list(nxt[0]["v"]))
+    return cents
 
 
 def lloyd_iterate(

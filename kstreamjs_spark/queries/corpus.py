@@ -68,6 +68,7 @@ def _shingle_sql(n: int, distinct: bool = True) -> str:
         ORDER BY tr.lang
     """,
     tags=("dedup", "llm", "decontamination"),
+    bench=True,
 )
 def q77(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
@@ -303,6 +304,7 @@ _KMEANS_K = 8
         GROUP BY cid ORDER BY cid
     """,
     tags=("similarity", "llm", "clustering"),
+    bench=True,
 )
 def q81(spark: SparkSession, sf: str) -> DataFrame:
     """Spherical k-means ASSIGNMENT (k=8, deterministic first-k init):

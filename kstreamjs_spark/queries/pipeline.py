@@ -146,7 +146,6 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
         SELECT user_id, session_seq, COUNT(*) AS cnt,
                MIN(ts) AS session_start, MAX(ts) AS session_end
         FROM s GROUP BY user_id, session_seq
-        ORDER BY user_id, session_seq
     """,
     tags=("window", "sessionize"),
 )
@@ -156,7 +155,11 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     q31's streaming session_window (same 30 min gap rule), and the shape
     that survives scale: ONE shuffle on user_id serves both window passes
     and the final group-by (same partitioning reused across stages).
-    Hot-user mitigation is q54's salting applied to the rollup."""
+    Hot-user mitigation is q54's salting applied to the rollup. No
+    presentation ORDER BY: the round-5 profile (BASELINE.md) showed the
+    global sort-collect cost ~0.3 s against 0.13 s for the windowing
+    itself — at scale results go to a sink, not a sorted driver fetch
+    (the driver's compare is order-insensitive)."""
     (events,) = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)
@@ -182,7 +185,6 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 

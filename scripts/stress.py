@@ -30,9 +30,15 @@ from kstreamjs_spark.tables import load  # noqa: E402
 
 
 def multiply(df, id_col, mult, disjoint_text: str | None = None):
+    # id_col may be a list: shift EVERY listed id per copy (e.g. events
+    # multiply shifts user_id too, so copies bring new users — the honest
+    # "N x more data" regime for keyed windows, not a hot-key densifier).
+    id_cols = [id_col] if isinstance(id_col, str) else list(id_col)
     out = df
     for i in range(1, mult):
-        c = df.withColumn(id_col, F.col(id_col) + i * 100_000_000)
+        c = df
+        for col in id_cols:
+            c = c.withColumn(col, F.col(col) + i * 100_000_000)
         if disjoint_text:
             # per-copy token prefix: copy i shares no shingle with any
             # other copy -> pair structure repeats per copy (linear).
@@ -90,6 +96,69 @@ def _pmi_count(d):
     return uni.count() + bg.filter(F.col("count") >= 5).count()
 
 
+def _decon_count(d):
+    # q77 shape: broadcast eval shingle set, semi-join the training scan
+    from kstreamjs_spark.operators import sampling
+
+    is_eval = sampling.sample_predicate("doc_id", 0.02, seed=13)
+    evs = (
+        d.filter(is_eval)
+        .select(F.explode(dedup.shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", F.explode(dedup.shingles("text", 5)).alias("g"))
+        .join(F.broadcast(evs), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def _ttr_count(d):
+    # q83 shape: vocabulary-sized (lang, token) shuffle + per-lang rollup
+    c = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .count()
+    )
+    return c.groupBy("lang").agg(F.sum("count"), F.count(F.lit(1))).count()
+
+
+def _kmeans_assign_count(em):
+    # q81 shape: centroid literals -> one codegen'd projection, k=8
+    from kstreamjs_spark.operators import kmeans
+
+    cents = kmeans.initial_centroids(em, 8)
+    return kmeans.assign(em, cents).groupBy("cid").count().count()
+
+
+def _sessionize_count(ev):
+    # q55 shape: one hashpartitioning(user_id) feeds both window passes
+    # and the rollup
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    g = ev.select(
+        "user_id", "ts",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+            1,
+        ).otherwise(0).alias("new_s"),
+        "event_id",
+    )
+    s = g.select(
+        "user_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("session_seq"),
+    )
+    return s.groupBy("user_id", "session_seq").count().count()
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     disjoint = "--disjoint" in sys.argv[1:]
@@ -103,6 +172,7 @@ def main() -> int:
     spark = get_spark("stress", cpus=32)
     (docs,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
+    (events,) = load(spark, sf, "events")
     docs.count()
 
     ops = {
@@ -122,13 +192,21 @@ def main() -> int:
         "seq_pack": _pack_count,
         "chunk": _chunk_count,
         "pmi": _pmi_count,
+        # corpus-curation family (q77/q83 shapes)
+        "decontaminate": _decon_count,
+        "ttr": _ttr_count,
     }
+    # ops over the other tables: events (new users per copy) / embeddings
+    eops = {"sessionize": _sessionize_count}
+    vops = {"kmeans_assign": _kmeans_assign_count}
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
+        eops = {k: v for k, v in eops.items() if k in only}
+        vops = {k: v for k, v in vops.items() if k in only}
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
-    results: dict[str, list[float]] = {k: [] for k in ops}
+    results: dict[str, list[float]] = {k: [] for k in (*ops, *eops, *vops)}
     for mult in mults:
         d = multiply(docs, "doc_id", mult, "text" if disjoint else None)
         n = d.count()
@@ -136,6 +214,20 @@ def main() -> int:
             sec = timed(lambda: fn(d))
             results[name].append(sec)
             print(f"mult={mult} ({n} docs) {name}: {sec:.2f}s", flush=True)
+        if eops:
+            ev = multiply(events, ["event_id", "user_id"], mult)
+            ne = ev.count()
+            for name, fn in eops.items():
+                sec = timed(lambda: fn(ev))
+                results[name].append(sec)
+                print(f"mult={mult} ({ne} events) {name}: {sec:.2f}s", flush=True)
+        if vops:
+            em = multiply(emb, "vec_id", mult)
+            nv = em.count()
+            for name, fn in vops.items():
+                sec = timed(lambda: fn(em))
+                results[name].append(sec)
+                print(f"mult={mult} ({nv} vecs) {name}: {sec:.2f}s", flush=True)
 
     # cosine top-k on multiplied embeddings (scan-bound — must be ~linear)
     e4 = multiply(emb, "vec_id", max_mult)

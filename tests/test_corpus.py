@@ -151,6 +151,36 @@ def test_kmeans_lloyd_objective_not_worse(spark):
     assert o1 >= o0 - 1e-9
 
 
+def test_kmeanspp_beats_first_k_on_clustered_ids(spark):
+    """The failure mode first-k init has and kmeans++ fixes: when row ids
+    are correlated with content (here: the first k rows all sit in ONE
+    tight cluster), first-k seeds collapse into that cluster while the
+    D²-sampled seeds spread across clusters — strictly higher assignment
+    objective, before any Lloyd step. Also pins determinism: the same
+    (data, seed) returns the identical centroid list."""
+    rows = []
+    for i in range(4):
+        rows.append((i, [1.0, 0.01 * i, 0.0]))          # cluster A: ids 0-3
+    for i in range(4):
+        rows.append((4 + i, [0.0, 1.0, 0.01 * i]))      # cluster B: ids 4-7
+    for i in range(4):
+        rows.append((8 + i, [0.01 * i, 0.0, 1.0]))      # cluster C: ids 8-11
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(cents):
+        return (
+            kmeans.assign(df, cents).agg(F.avg("sim").alias("o")).collect()[0]["o"]
+        )
+
+    first = kmeans.initial_centroids(df, 3)
+    pp = kmeans.initial_centroids(df, 3, method="kmeanspp", seed=7)
+    assert pp == kmeans.initial_centroids(df, 3, method="kmeanspp", seed=7)
+    assert objective(pp) > objective(first)
+    # the spread seeds must come from three DIFFERENT clusters
+    argmax_dims = {max(range(3), key=lambda d: c[d]) for c in pp}
+    assert len(argmax_dims) == 3
+
+
 def test_kmeans_lloyd_handles_empty_cluster(spark):
     # k=3 over two tight groups: at least one centroid may go empty and
     # must survive (keeps its previous position, no crash, k preserved)

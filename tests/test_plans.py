@@ -167,11 +167,11 @@ def test_hypertable_rollup_scans_raw_once(spark):
 def test_sessionize_single_data_shuffle(spark):
     """q55: one user_id hash shuffle serves both window passes AND the
     session rollup (user_id clustering satisfies the (user_id,
-    session_seq) distribution); the only other Exchange is the
-    presentation ORDER BY's range partitioning."""
+    session_seq) distribution) — and since the round-5 removal of the
+    presentation ORDER BY it is the ONLY exchange in the plan."""
     plan = q("q55_sessionize", spark)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
