@@ -622,3 +622,153 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.size(F.filter(qv, lambda x: F.abs(x) == 127)).cast("long").alias("n_sat"),
     ).orderBy("vec_id")
+
+
+# --------------------------------------- Q87 cluster evaluation: purity
+@query(
+    "q87_cluster_purity",
+    oracle=f"""
+        WITH c AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
+        ),
+        a AS (
+          SELECT vec_id, label, cid FROM (
+            SELECT e.vec_id, e.label, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.cv) DESC,
+                                c.cid) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1
+        ),
+        cl AS (SELECT cid, label, COUNT(*) AS n_label
+               FROM a GROUP BY cid, label),
+        tot AS (SELECT cid, SUM(n_label) AS n_total FROM cl GROUP BY cid),
+        maj AS (
+          SELECT cid, label, n_label FROM (
+            SELECT cid, label, n_label,
+                   ROW_NUMBER() OVER (PARTITION BY cid
+                       ORDER BY n_label DESC, label) AS rn
+            FROM cl) WHERE rn = 1
+        )
+        SELECT maj.cid,
+               CAST(maj.label AS BIGINT) AS majority_label,
+               CAST(maj.n_label AS BIGINT) AS n_label,
+               CAST(tot.n_total AS BIGINT) AS n_total,
+               ROUND(maj.n_label * 1.0 / tot.n_total, 6) AS purity
+        FROM maj JOIN tot USING (cid)
+        ORDER BY cid
+    """,
+    tags=("similarity", "llm", "clustering", "evaluation"),
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering evaluation against the embeddings table's ground-truth
+    `label` column: per k-means cluster (q81's deterministic assignment),
+    the majority label, its count, the cluster size, and the purity
+    ratio — the go/no-go metric before using cluster-balanced sampling
+    downstream. All counting is exact integers; purity is one exact
+    int/int division rounded at 6 dp. Scale: reuses q81's zero-shuffle
+    assignment; everything after is k×|labels| aggregate cells."""
+    (emb,) = load(spark, sf, "embeddings")
+    cents = kmeans.initial_centroids(emb, _KMEANS_K)
+    assigned = kmeans.assign(emb, cents)
+    cl = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    tot = cl.groupBy("cid").agg(F.sum("n_label").alias("n_total"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n_label"), F.asc("label"))
+    maj = cl.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        maj.join(tot, "cid")
+        .select(
+            "cid",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n_label").cast("long").alias("n_label"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(
+                F.col("n_label") * F.lit(1.0) / F.col("n_total"), 6
+            ).alias("purity"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ------------------------------- Q88 percentile length trim (histogram)
+@query(
+    "q88_length_trim",
+    oracle="""
+        WITH d AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+                   FROM documents),
+        n AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
+        h AS (SELECT lang, L, COUNT(*) AS c FROM d GROUP BY lang, L),
+        cum AS (SELECT lang, L,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY L) AS cc
+                FROM h),
+        lo AS (SELECT lang, MIN(L) AS lo FROM cum JOIN n USING (lang)
+               WHERE cc * 20 >= n_l GROUP BY lang),
+        hi AS (SELECT lang, MIN(L) AS hi FROM cum JOIN n USING (lang)
+               WHERE cc * 20 >= 19 * n_l GROUP BY lang)
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(d.L) AS BIGINT) AS kept_tokens,
+               MIN(d.L) AS min_len,
+               MAX(d.L) AS max_len
+        FROM d JOIN lo USING (lang) JOIN hi USING (lang)
+        WHERE d.L BETWEEN lo.lo AND hi.hi
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    tags=("text", "llm", "filtering"),
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length trimming at the exact 5th/95th percentiles —
+    the outlier cut (truncated boilerplate, concatenation accidents)
+    before token budgeting. The thresholds come from a LENGTH HISTOGRAM,
+    not a per-row rank: per-(lang, length) counts (bounded by max doc
+    length, not corpus size), a cumulative window over that tiny
+    histogram, and all-integer threshold tests (cc*20 >= n_l, i.e.
+    cc >= 5% of n_l without any division) — so the trap of a
+    percent_rank window over ALL documents of a language (one giant
+    partition at 100 TB) never appears, and the oracle matches exactly
+    with no floating-point percentile interpolation to disagree on.
+    Thresholds broadcast back to the scan; the final rollup is
+    per-lang."""
+    (docs,) = load(spark, sf, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("L")
+    )
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    h = d.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy("L")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).join(F.broadcast(n), "lang")
+    lo = (
+        cum.filter(F.col("cc") * 20 >= F.col("n_l"))
+        .groupBy("lang")
+        .agg(F.min("L").alias("lo"))
+    )
+    hi = (
+        cum.filter(F.col("cc") * 20 >= 19 * F.col("n_l"))
+        .groupBy("lang")
+        .agg(F.min("L").alias("hi"))
+    )
+    return (
+        d.join(F.broadcast(lo), "lang")
+        .join(F.broadcast(hi), "lang")
+        .filter(F.col("L").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("L").cast("long").alias("kept_tokens"),
+            F.min("L").alias("min_len"),
+            F.max("L").alias("max_len"),
+        )
+        .orderBy("lang")
+    )

@@ -827,3 +827,96 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", "term")
     )
+
+
+# ------------------------------- Q86 bigram language-model quality score
+@query(
+    "q86_bigram_lm_score",
+    oracle="""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+        uni AS (SELECT w, COUNT(*) AS cu
+                FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+        vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])) AS b
+               FROM tk WHERE len(ts) >= 2),
+        bgc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(floor(ln((bgc.cb + 1.0) / (uni.cu + vocab.v))
+                            * 1000000 + 0.5) AS BIGINT) AS q
+          FROM bg
+          JOIN bgc USING (b)
+          JOIN uni ON uni.w = string_split(bg.b, ' ')[1]
+          CROSS JOIN vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(q) / (COUNT(*) * 1000000.0), 6) AS avg_logprob
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical-LM quality scoring: train an add-1-smoothed bigram model
+    on the corpus itself, then score every document by its mean bigram
+    log-likelihood ln((c(w1,w2)+1)/(c(w1)+V)) — the classic cheap
+    perplexity proxy that separates fluent text from shuffled/garbled
+    text (a real pipeline swaps in a KenLM/transformer scorer via
+    mapInPandas; counting + scoring plumbing is identical).
+
+    Determinism: each bigram's log-prob is quantized to an int64
+    (floor(ln*1e6+0.5)) BEFORE the per-doc sum, so the aggregation is
+    order-free integer arithmetic — the same quantized-sum idiom as q81.
+    Scale shape: unigram/bigram count tables are vocabulary-sized
+    aggregates (map-side combined); the doc-bigram stream joins them on
+    the token key (AQE broadcasts while the vocabulary fits, degrades to
+    a shuffle join beyond); V is a 1-row broadcast. No unbounded state,
+    no driver loop."""
+    (documents,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    uni = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bigram_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,b:string>>"))
+    bg = documents.select(
+        "doc_id", F.explode(bigram_structs).alias("s")
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, "b")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("q") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
+        ).alias("avg_logprob"),
+    )

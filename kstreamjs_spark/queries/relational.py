@@ -1162,3 +1162,41 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("bin")
     )
+
+
+# --------------------------------------- Q89 trailing range-frame window
+@query(
+    "q89_trailing_window",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER w, 4) AS trailing_sum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS trailing_cnt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window-fn", "range-frame"),
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 1-hour per-user aggregate via a RANGE window frame (value
+    range on microsecond epoch, not row count) — the time-decayed feature
+    shape (rolling rates, recent-activity scores) that rows-frames (q13)
+    cannot express when events are irregularly spaced. Framing on
+    `unix_micros` keeps the bound arithmetic integer-exact on both
+    engines; equal-timestamp peers fall in the frame together under the
+    same RANGE rule. One hashpartitioning(user_id) exchange + per-key
+    sort, evaluated streamingly per frame — no quadratic re-scan; at
+    100 TB the same skew caveat as all keyed windows applies (salt or
+    split hot users upstream)."""
+    (events,) = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_cnt"),
+    )
