@@ -85,34 +85,22 @@ def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.dropDuplicates(cols)
 
 
-def jaccard_pairs(
+def _shingle_pair_counts(
     documents: DataFrame,
-    threshold: float = 0.5,
     n: int = 3,
     partition_col: str | None = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle equi-join.
-
-    |A∩B| is counted by joining exploded distinct shingles on the shingle
-    string (within ``partition_col`` when given — a blocking key that bounds
-    the candidate space); |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
-    carried through the join. One shuffle on the shingle, one aggregation
-    on the pair — no cross join anywhere.
-
-    ``max_df`` is the document-frequency ceiling: shingles occurring in more
-    than ``max_df`` documents (within the blocking partition) are dropped
-    from BOTH the intersection and the per-doc counts, i.e. Jaccard is
-    computed over the stop-shingle-filtered sets. This bounds the width of
-    any one join bucket at ``max_df`` — without it, a boilerplate shingle
-    shared by every document makes its bucket quadratic at corpus scale.
-    Cost when enabled: one map-combined aggregation on the shingle (tiny
-    output: only shingles over the ceiling), a broadcast anti-join against
-    that hot set, and one count-recompute shuffle on the doc id — all linear
-    in the exploded shingle count, versus the quadratic bucket they prevent.
-    """
+    """Shared candidate machinery for the exact set-overlap dedup family
+    (:func:`jaccard_pairs`, :func:`containment_pairs`): for every document
+    pair sharing at least one distinct n-gram shingle (within the optional
+    blocking partition), the frame (d1, d2, common, n1, n2) with
+    common = |S(A)∩S(B)| and n1/n2 the (max_df-filtered) per-doc distinct
+    shingle counts. One shuffle on the shingle, one aggregation on the
+    pair — no cross join anywhere; see :func:`jaccard_pairs` for the
+    max_df hot-bucket argument."""
     pcols = [partition_col] if partition_col else []
     sh = _spread(documents, id_col).select(
         F.col(id_col),
@@ -163,10 +151,43 @@ def jaccard_pairs(
     if partition_col:
         cond = cond & (F.col("p1") == F.col("p2"))
     pairs = left.join(right, cond)
-    agg = pairs.groupBy("d1", "d2").agg(
+    return pairs.groupBy("d1", "d2").agg(
         F.count(F.lit(1)).alias("common"),
         F.first("n1").alias("n1"),
         F.first("n2").alias("n2"),
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    partition_col: str | None = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle equi-join.
+
+    |A∩B| is counted by joining exploded distinct shingles on the shingle
+    string (within ``partition_col`` when given — a blocking key that bounds
+    the candidate space); |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts
+    carried through the join (:func:`_shingle_pair_counts`).
+
+    ``max_df`` is the document-frequency ceiling: shingles occurring in more
+    than ``max_df`` documents (within the blocking partition) are dropped
+    from BOTH the intersection and the per-doc counts, i.e. Jaccard is
+    computed over the stop-shingle-filtered sets. This bounds the width of
+    any one join bucket at ``max_df`` — without it, a boilerplate shingle
+    shared by every document makes its bucket quadratic at corpus scale.
+    Cost when enabled: one map-combined aggregation on the shingle (tiny
+    output: only shingles over the ceiling), a broadcast anti-join against
+    that hot set, and one count-recompute shuffle on the doc id — all linear
+    in the exploded shingle count, versus the quadratic bucket they prevent.
+    """
+    agg = _shingle_pair_counts(
+        documents, n=n, partition_col=partition_col, id_col=id_col,
+        text_col=text_col, max_df=max_df,
     )
     jac = F.col("common").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("common")
@@ -175,6 +196,42 @@ def jaccard_pairs(
         agg.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
+    )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    partition_col: str | None = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|.
+
+    The dedup mode Jaccard is blind to: a short document quoted wholesale
+    inside a long one has tiny Jaccard (the union is dominated by the long
+    side) but containment ≈ 1 for the short side. Emits one row per
+    unordered pair with both directions' scores plus the max; the caller
+    filters/keeps by policy (e.g. drop the contained side).
+
+    Same single-shuffle shingle equi-join as :func:`jaccard_pairs` — the
+    metric is a different projection over the identical
+    (common, n1, n2) aggregate, so the 100 TB bucket-bounding story
+    (blocking partition + max_df ceiling) carries over unchanged."""
+    agg = _shingle_pair_counts(
+        documents, n=n, partition_col=partition_col, id_col=id_col,
+        text_col=text_col, max_df=max_df,
+    )
+    c1 = F.col("common").cast("double") / F.col("n1").cast("double")
+    c2 = F.col("common").cast("double") / F.col("n2").cast("double")
+    return (
+        agg.withColumn("c1", F.round(c1, 6))
+        .withColumn("c2", F.round(c2, 6))
+        .withColumn("containment", F.greatest("c1", "c2"))
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", "c1", "c2", "containment")
     )
 
 

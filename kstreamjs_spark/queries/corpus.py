@@ -772,3 +772,131 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------- Q91 cluster-balanced corpus downsampling
+_BALANCE_M = 100
+_BALANCE_SEED = 43
+
+
+@query(
+    "q91_cluster_balanced_sample",
+    oracle=f"""
+        WITH c AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
+        ),
+        a AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.cv) DESC,
+                                c.cid) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1
+        )
+        SELECT cid, vec_id FROM (
+          SELECT cid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY cid
+                     ORDER BY {hash_bucket_sql('vec_id', _BALANCE_SEED)},
+                              vec_id) AS rn
+          FROM a)
+        WHERE rn <= {_BALANCE_M}
+        ORDER BY cid, vec_id
+    """,
+    tags=("sampling", "llm", "clustering"),
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced downsampling — the curation op the k-means
+    assignment exists FOR: at most M=100 vectors per semantic cluster,
+    chosen in deterministic hash order (reproducible, engine-portable),
+    flattening topic imbalance before training. Composition of q81's
+    zero-shuffle assignment with q67's quota trim: the only exchange is
+    the per-cid window, and WindowGroupLimit keeps ≤M rows per cluster
+    per task before it."""
+    (emb,) = load(spark, sf, "embeddings")
+    cents = kmeans.initial_centroids(emb, _KMEANS_K)
+    assigned = kmeans.assign(emb, cents)
+    rn = F.row_number().over(
+        Window.partitionBy("cid").orderBy(
+            sampling.hash_bucket("vec_id", _BALANCE_SEED), "vec_id"
+        )
+    )
+    return (
+        assigned.select("cid", "vec_id")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _BALANCE_M)
+        .select("cid", "vec_id")
+        .orderBy("cid", "vec_id")
+    )
+
+
+# ------------------------------- Q92 embedding centroid-outlier mining
+@query(
+    "q92_embedding_outliers",
+    oracle="""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1000000 + 0.5)
+                                          AS BIGINT)) AS qv
+          FROM embeddings
+        ),
+        cells AS (
+          SELECT dim, SUM(x) AS qs, COUNT(*) AS n FROM (
+            SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS x
+            FROM q)
+          GROUP BY dim
+        ),
+        cent AS (
+          SELECT list(qs / (n * 1000000.0) ORDER BY dim) AS cv FROM cells
+        )
+        SELECT vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], cent.cv),
+                     6) AS cos_centroid
+        FROM embeddings e CROSS JOIN cent
+        ORDER BY cos_centroid ASC, vec_id
+        LIMIT 20
+    """,
+    tags=("similarity", "llm", "quality"),
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space outlier mining: the 20 vectors least aligned with
+    the corpus mean direction — the semantic-garbage sweep (mis-embedded,
+    off-distribution, or corrupt rows) run before clustering or ANN
+    indexing. Determinism across engines: each embedding value is
+    quantized to int64 at 1e-6 BEFORE the per-dimension sum, so the mean
+    vector is an exact rational — identical doubles on both sides — and
+    the per-row cosine is then pure IEEE row arithmetic. Scale: the
+    centroid is one k=1 aggregation (dim-sized shuffle) collected and
+    re-broadcast as plan literals; the scoring pass is one codegen'd
+    projection + TakeOrderedAndProject(20)."""
+    from ..operators.similarity import as_double, cosine
+
+    (emb,) = load(spark, sf, "embeddings")
+    qv = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"),
+    )
+    cells = (
+        emb.select(F.posexplode(qv).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum("x").alias("qs"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cent = [
+        r["qs"] / (r["n"] * 1_000_000.0)
+        for r in sorted(cells, key=lambda r: r["dim"])
+    ]
+    cent_lit = F.array(*[F.lit(float(x)) for x in cent])
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                cosine(as_double(F.col("embedding")), cent_lit), 6
+            ).alias("cos_centroid"),
+        )
+        .orderBy(F.asc("cos_centroid"), "vec_id")
+        .limit(20)
+    )

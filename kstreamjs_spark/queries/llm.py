@@ -920,3 +920,46 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("q") / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 6
         ).alias("avg_logprob"),
     )
+
+
+# --------------------------------- Q90 near-containment dedup (quotes)
+@query(
+    "q90_containment_pairs",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s,
+                      len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2, c1, c2, GREATEST(c1, c2) AS containment
+        FROM (SELECT d1, d2,
+                     ROUND(common * 1.0 / n1, 6) AS c1,
+                     ROUND(common * 1.0 / n2, 6) AS c2
+              FROM pairs)
+        WHERE GREATEST(c1, c2) >= 0.5
+    """,
+    tags=("dedup", "llm"),
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-CONTAINMENT pairs C(A→B) = |S(A)∩S(B)|/|S(A)| at 3-gram
+    granularity — the dedup mode Jaccard misses: a short document quoted
+    wholesale inside a long one has Jaccard ≈ |short|/|long| (arbitrarily
+    small) but containment ≈ 1 on the short side. Same single-shuffle
+    shingle equi-join as q26 (operators/dedup.py:containment_pairs shares
+    q26's candidate machinery, so the blocking-partition + max_df
+    bucket-bounding arguments carry over verbatim)."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.containment_pairs(documents, threshold=0.5)

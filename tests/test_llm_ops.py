@@ -231,3 +231,22 @@ def test_sketch_rollup_estimate_close_to_exact(spark):
     for r in rows:
         e = exact[r["month"]]
         assert abs(r["approx_users"] - e) / e < 0.05, (r["month"], r["approx_users"], e)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    """The operator's reason to exist: a short doc quoted verbatim inside
+    a much longer one has containment 1.0 on the short side but Jaccard
+    |short|/|long| << threshold — jaccard_pairs must miss the pair at 0.5
+    while containment_pairs flags it."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    long_doc = filler + " " + short
+    d = spark.createDataFrame(
+        [(1, short, "s"), (2, long_doc, "s"), (3, "unrelated text here now", "s")],
+        "doc_id long, text string, source string",
+    )
+    jac = dedup.jaccard_pairs(d, threshold=0.5).collect()
+    assert jac == []
+    cont = dedup.containment_pairs(d, threshold=0.9).collect()
+    assert [(r["d1"], r["d2"]) for r in cont] == [(1, 2)]
+    assert cont[0]["c1"] == 1.0  # the short side is fully contained
