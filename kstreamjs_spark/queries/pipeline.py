@@ -673,3 +673,49 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         ids.select("doc_id", F.col("pack_id").alias("row_id"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------- Q94 output shard layout manifest
+_SHARD_N = 16
+_SHARD_SEED = 47
+
+
+@query(
+    "q94_shard_manifest",
+    oracle=f"""
+        SELECT ({sampling.hash_bucket_sql('doc_id', _SHARD_SEED)})
+                   % {_SHARD_N} AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM documents
+        GROUP BY shard
+        ORDER BY shard
+    """,
+    tags=("sampling", "llm", "layout"),
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic output-shard manifest: every document is assigned
+    shard = portable_hash(doc_id) % 16 and the manifest reports per-shard
+    row and byte totals — the layout-planning/skew-audit pass before a
+    100 TB `write.partitionBy(shard)` (balanced shards are what make the
+    write, and every downstream shard-parallel read, elastic). The hash is
+    the engine-portable LCG (q52/q60's), so the SAME shard assignment is
+    reproducible in any system that can evaluate it — a manifest an
+    external loader can verify. Scan-side bucket expr + 16-group
+    aggregate: map-side combined, kilobytes shuffled at any scale."""
+    (docs,) = load(spark, sf, "documents")
+    shard = (
+        sampling.hash_bucket("doc_id", _SHARD_SEED) % F.lit(_SHARD_N)
+    ).alias("shard")
+    return (
+        docs.groupBy(shard)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("shard")
+    )

@@ -1200,3 +1200,83 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_cnt"),
     )
+
+
+# ------------------------------------------------- Q93 event funnel
+@query(
+    "q93_event_funnel",
+    oracle="""
+        WITH u AS (
+          SELECT user_id,
+                 list(epoch_us(ts)) FILTER (WHERE event_type = 'view')
+                     AS vs,
+                 list(epoch_us(ts)) FILTER (WHERE event_type = 'click')
+                     AS cs,
+                 list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase')
+                     AS ps
+          FROM events GROUP BY user_id
+        ),
+        f AS (
+          SELECT user_id, f1,
+                 list_min(list_filter(cs, x -> x > f1)) AS f2, ps
+          FROM (SELECT user_id, list_min(vs) AS f1, cs, ps FROM u)
+        ),
+        g AS (
+          SELECT user_id, f1, f2,
+                 list_min(list_filter(ps, x -> x > f2)) AS f3
+          FROM f
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(f1) AS BIGINT) AS n_viewed,
+               CAST(COUNT(f2) AS BIGINT) AS n_clicked_after,
+               CAST(COUNT(f3) AS BIGINT) AS n_purchased_after,
+               ROUND(COUNT(f3) * 1.0 / COUNT(f1), 6) AS view_to_purchase
+        FROM g
+    """,
+    tags=("agg", "funnel", "behavioral"),
+)
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analysis: users whose earliest view is followed by a
+    click, then that click by a purchase (strict event-time ordering, not
+    mere co-occurrence — the conversion metric co-occurrence counts get
+    wrong). ONE shuffle: per-user event-type timestamp lists collected in
+    a single groupBy, then the min-chain f1 = min(views),
+    f2 = min(clicks > f1), f3 = min(purchases > f2) runs as pure array
+    expressions whose NULL propagation (no view -> f1 NULL -> comparison
+    NULL -> empty filter -> NULL min) encodes the funnel drop-out without
+    a single join; min() is order-free, so no sort is needed anywhere.
+    Timestamps compare as exact microsecond integers on both engines. At
+    100 TB: per-user lists are session-sized; the skew caveat of any
+    per-user collect applies (cap list length upstream for adversarial
+    users)."""
+    (events,) = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def typed(t: str) -> F.Column:
+        return F.collect_list(F.when(F.col("event_type") == t, us))
+
+    u = events.groupBy("user_id").agg(
+        typed("view").alias("vs"),
+        typed("click").alias("cs"),
+        typed("purchase").alias("ps"),
+    )
+    f1 = F.array_min("vs")
+    g = u.select(
+        "user_id",
+        f1.alias("f1"),
+        F.array_min(F.filter("cs", lambda x: x > f1)).alias("f2"),
+        "ps",
+    ).select(
+        "f1",
+        "f2",
+        F.array_min(F.filter("ps", lambda x: x > F.col("f2"))).alias("f3"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("f1").cast("long").alias("n_viewed"),
+        F.count("f2").cast("long").alias("n_clicked_after"),
+        F.count("f3").cast("long").alias("n_purchased_after"),
+        F.round(
+            F.count("f3") * F.lit(1.0) / F.count("f1"), 6
+        ).alias("view_to_purchase"),
+    )
