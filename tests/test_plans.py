@@ -292,3 +292,55 @@ def test_bigram_pmi_topk_and_no_cross_join(spark):
     plan = explain_str(q("q68_bigram_pmi", spark), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_funnel_single_shuffle_no_joins(spark):
+    """q93: the whole funnel is one user_id aggregation — the min-chain is
+    array expressions, so the plan must contain NO join of any kind and
+    exactly one hash exchange (the second exchange is the global
+    SinglePartition count rollup, which moves 4 longs)."""
+    plan = q("q93_event_funnel", spark)._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "CartesianProduct"):
+        assert node not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_containment_join_is_equi_not_cross(spark):
+    """q90 shares q26's candidate machinery, so it must inherit the same
+    no-cross-join guarantee."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q90_containment_pairs", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_balance_rank_pushdown(spark):
+    """q91: the per-cluster quota trim must plan WindowGroupLimit — each
+    task keeps <=M rows per cid before the exchange."""
+    assert_in_plan(q("q91_cluster_balanced_sample", spark), "WindowGroupLimit")
+
+
+def test_outlier_topk_avoids_global_sort(spark):
+    """q92: bottom-20 by centroid cosine is TakeOrderedAndProject (k-row
+    per-partition heaps), never a global sort."""
+    assert_in_plan(q("q92_embedding_outliers", spark), "TakeOrderedAndProject")
+    assert_not_in_plan(q("q92_embedding_outliers", spark), "CartesianProduct")
+
+
+def test_length_trim_thresholds_broadcast(spark):
+    """q88: the per-lang percentile thresholds join back to the document
+    scan as broadcasts — the corpus side must not shuffle for them."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q88_length_trim", spark))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bigram_lm_no_cartesian(spark):
+    """q86: the V scalar joins as a 1-row broadcast; the count-table joins
+    are equi-joins on the token key — nothing may plan cartesian."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q86_bigram_lm_score", spark))
+    assert "CartesianProduct" not in plan, plan
