@@ -97,6 +97,19 @@ def fingerprint(text: Column | str) -> Column:
     )
 
 
+def fingerprint_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`fingerprint` (shared by the q36 oracle and
+    every oracle that joins on content fingerprints): same token hash, same
+    sequential left fold, same modulus."""
+    return f"""list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split({expr}, ' '),
+                     t -> CAST(length(t) * 131 + ascii(t) * 7 +
+                               ascii(right(t, 1)) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD}
+               )"""
+
+
 def normalize_text(text: Column | str) -> Column:
     """Canonical text normalization for dedup/fingerprint pre-processing:
     lowercase, non-alphanumerics to spaces, whitespace collapsed, trimmed.

@@ -900,3 +900,60 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.asc("cos_centroid"), "vec_id")
         .limit(20)
     )
+
+
+# --------------------------- Q97 exact distributed Pearson correlation
+@query(
+    "q97_length_type_corr",
+    oracle="""
+        WITH d AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS BIGINT) AS y
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                     / (sqrt(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                        * sqrt(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))),
+                     6) AS pearson_r
+        FROM d GROUP BY lang ORDER BY lang
+    """,
+    tags=("text", "llm", "statistics"),
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distributed Pearson correlation between document length and
+    type (distinct-token) count, per language — the length/diversity
+    relationship that flags template-heavy languages (types grow sub-
+    linearly when text is boilerplate). NOT F.corr: that streams doubles
+    through an order-dependent merge, so two engines (or two runs at
+    different parallelism) disagree in the last bits. Instead the five
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are EXACT integer sums
+    of scan-side values — order-free, engine-identical — and r is one
+    deterministic double expression over them. The pattern generalizes
+    to any moment-based statistic (variance, covariance, OLS slope) at
+    any scale: integers shuffle, doubles never accumulate."""
+    (docs,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "lang",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    r = F.round(
+        (n * sxy - sx * sy)
+        / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+        6,
+    )
+    return (
+        d.groupBy("lang")
+        .agg(n.cast("long").alias("n_docs"), r.alias("pearson_r"))
+        .orderBy("lang")
+    )

@@ -314,14 +314,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q36_fingerprint",
     oracle=f"""
-        SELECT doc_id,
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ' '),
-                     t -> CAST(length(t) * 131 + ascii(t) * 7 +
-                               ascii(right(t, 1)) AS BIGINT))),
-                 (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}
-               ) AS fp
+        SELECT doc_id, {text.fingerprint_sql('text')} AS fp
         FROM documents
     """,
     tags=("text", "llm"),
@@ -963,3 +956,90 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     bucket-bounding arguments carry over verbatim)."""
     (documents,) = load(spark, sf, "documents")
     return dedup.containment_pairs(documents, threshold=0.5)
+
+
+# ------------------------------ Q95 cross-source duplication audit
+@query(
+    "q95_cross_source_overlap",
+    oracle=f"""
+        WITH f AS (
+          SELECT DISTINCT source, {text.fingerprint_sql('text')} AS fp
+          FROM documents
+        )
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("dedup", "llm", "provenance"),
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication audit: for every pair of sources, how many
+    exact content fingerprints they share — the provenance matrix that
+    tells you which crawls/dumps re-scraped each other BEFORE you debug a
+    leaky train/val split or double-count a source's contribution. Plan:
+    scan-side fingerprints (q36's rolling hash) -> distinct (source, fp)
+    -> self equi-join on fp (bucket width = sources per fingerprint,
+    bounded by the source count, never by corpus size) -> pair counts.
+    At 100 TB this shuffles fingerprints, not text."""
+    (documents,) = load(spark, sf, "documents")
+    f = documents.select(
+        "source", text.fingerprint("text").alias("fp")
+    ).distinct()
+    a = f.select(F.col("source").alias("src_a"), F.col("fp").alias("fpa"))
+    b = f.select(F.col("source").alias("src_b"), F.col("fp").alias("fpb"))
+    return (
+        a.join(b, (F.col("fpa") == F.col("fpb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ----------------------------------- Q96 per-doc token entropy
+@query(
+    "q96_token_entropy",
+    oracle="""
+        WITH c AS (
+          SELECT doc_id, token, COUNT(*) AS c FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(ln(SUM(c))
+                     - SUM(CAST(floor(c * ln(c) * 1000000 + 0.5)
+                                AS BIGINT))
+                       / (SUM(c) * 1000000.0), 6) AS entropy
+        FROM c GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+    H = ln(n) - (1/n)·Σ c·ln(c) — low entropy exposes repetitive/
+    template text that the trigram repetition ratio (q78) can miss when
+    the repeats are long-range. Each token's c·ln(c) term is quantized to
+    int64 BEFORE the per-doc sum (order-free, the q81/q86 idiom); the
+    ln(n) correction is one row-level op on an exact integer. One token
+    explode + two map-combined aggregations — (doc, token) counts then a
+    per-doc rollup."""
+    (documents,) = load(spark, sf, "documents")
+    c = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qt = F.floor(F.col("c") * F.log("c") * F.lit(1_000_000) + 0.5).cast("long")
+    return c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("c"))
+            - F.sum(qt) / (F.sum("c") * F.lit(1_000_000.0)),
+            6,
+        ).alias("entropy"),
+    )
