@@ -957,3 +957,72 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         .agg(n.cast("long").alias("n_docs"), r.alias("pearson_r"))
         .orderBy("lang")
     )
+
+
+# ------------------------------------ Q100 split-leakage audit
+@query(
+    "q100_split_leakage",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 {text.fingerprint_sql('text')} AS fp,
+                 CASE WHEN {hash_bucket_sql(
+                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
+                      < {int(_TRAIN_FRACTION * 4294967296)}
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        ),
+        trainfp AS (SELECT DISTINCT fp FROM d WHERE split = 'train')
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_val,
+               CAST(COALESCE(SUM(CASE WHEN t.fp IS NOT NULL THEN 1 END), 0)
+                    AS BIGINT) AS n_leaked
+        FROM d LEFT JOIN trainfp t ON d.fp = t.fp
+        WHERE d.split = 'val'
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """,
+    tags=("dedup", "llm", "evaluation"),
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit: how many validation documents share an exact
+    content fingerprint with ANY training document — the check that q79's
+    group-aware split exists to minimize, quantified. (A source-atomic
+    split stops within-source duplicate leakage by construction, but
+    cross-source exact dups — q95's matrix — still leak; this measures
+    exactly that residual, per language.) Plan: one scan computes
+    fingerprint + split side by side; the train fingerprint set reduces
+    to distinct values before the join, so at 100 TB the join probe
+    carries fingerprints only. AQE broadcasts the val side's probe when
+    small; nothing ever shuffles document text."""
+    (docs,) = load(spark, sf, "documents")
+    split = F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    d = docs.select(
+        "doc_id", "lang",
+        text.fingerprint("text").alias("fp"),
+        split.alias("split"),
+    )
+    trainfp = d.filter(F.col("split") == "train").select("fp").distinct()
+    val = d.filter(F.col("split") == "val")
+    leaked = (
+        val.join(trainfp, "fp", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked"))
+    )
+    return (
+        val.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_val"))
+        .join(leaked, "lang", "left")
+        .select(
+            "lang",
+            "n_val",
+            F.coalesce("n_leaked", F.lit(0).cast("long")).alias("n_leaked"),
+        )
+        .orderBy("lang")
+    )

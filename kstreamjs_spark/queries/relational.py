@@ -1280,3 +1280,94 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
             F.count("f3") * F.lit(1.0) / F.count("f1"), 6
         ).alias("view_to_purchase"),
     )
+
+
+# ---------------------------------------------- Q98 full outer join
+@query(
+    "q98_full_outer_daily",
+    oracle="""
+        WITH c AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_clicks
+          FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        p AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_purchases
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT COALESCE(c.day, p.day) AS day,
+               COALESCE(c.n_clicks, 0) AS n_clicks,
+               COALESCE(p.n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.day = p.day
+        ORDER BY day
+    """,
+    tags=("join", "outer"),
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join — the join flavor the inventory lacked: daily click
+    totals against daily purchase totals, preserving days where only one
+    side has activity (exactly what an inner join silently drops from an
+    activity report). Both inputs are already-aggregated day rows, so the
+    full-outer shuffle moves day-cardinality rows regardless of event
+    volume; type-filters push to the scans."""
+    (events,) = load(spark, sf, "events")
+    day = F.to_date("ts").alias("day")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    return (
+        c.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0).cast("long")).alias(
+                "n_purchases"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------- Q99 explicit grouping sets
+@query(
+    "q99_grouping_sets",
+    oracle="""
+        SELECT lang, source,
+               CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        ORDER BY gid, lang, source
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the hand-picked subtotal
+    combinations ROLLUP (q16) and CUBE (q16b) cannot express (here: both
+    marginals plus the grand total, without the (source, lang) hierarchy
+    ROLLUP would impose). Spark lowers all grouping-set variants to ONE
+    Expand + one aggregate — a single scan however many sets are listed —
+    and both engines define grouping_id with the first column as the most
+    significant bit, so the subtotal labels hash-match exactly."""
+    (docs,) = load(spark, sf, "documents")
+    return (
+        docs.groupingSets(
+            [["lang", "source"], ["lang"], ["source"], []], "lang", "source"
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars")
+        .orderBy("gid", "lang", "source")
+    )
