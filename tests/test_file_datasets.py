@@ -70,3 +70,89 @@ def test_csv_roundtrip_with_schema(spark, tmp_path):
     back = files.read_csv(spark, out, nation.schema)
     assert back.schema == nation.schema  # pinned, not inferred
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+# ---------------------------------------- custom Python Data Source
+def test_docgen_datasource_reads_and_is_deterministic(spark):
+    """The docgen custom DataSource (Spark 4 Python DataSource API):
+    schema-stable, partition-parallel, and bit-reproducible for a fixed
+    seed — including when only a SUBSET of partitions is read (the
+    retry/speculation safety property)."""
+    from kstreamjs_spark.sources import docgen
+
+    docgen.register(spark)
+    df = (
+        spark.read.format("docgen")
+        .option("partitions", 3)
+        .option("rows_per_partition", 50)
+        .option("seed", 5)
+        .load()
+    )
+    assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = df.collect()
+    assert len(rows) == 150
+    assert len({r["doc_id"] for r in rows}) == 150  # globally unique ids
+    again = (
+        spark.read.format("docgen")
+        .option("partitions", 3)
+        .option("rows_per_partition", 50)
+        .option("seed", 5)
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_docgen_plants_exact_duplicates(spark):
+    """dup_fraction plants exact duplicates the dedup operators can find."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.sources import docgen
+
+    docgen.register(spark)
+    df = (
+        spark.read.format("docgen")
+        .option("partitions", 2)
+        .option("rows_per_partition", 200)
+        .option("seed", 1)
+        .option("dup_fraction", 0.2)
+        .load()
+    )
+    n = df.count()
+    n_distinct = df.select("text").distinct().count()
+    assert n_distinct < n  # duplicates exist
+    # and the exact-dedup operator removes exactly the text-dup surplus
+    from kstreamjs_spark.operators import dedup
+
+    assert dedup.exact_dedup(df, ["text"]).count() == n_distinct
+
+
+def test_stateful_v2_gated_on_protobuf(spark):
+    """State API v2 (transformWithStateInPandas): executes where protobuf
+    exists; here the availability gate must answer honestly and the
+    pipeline must at least BUILD (analysis-time check) — execution is
+    covered by q44's applyInPandasWithState twin."""
+    import pytest
+
+    from kstreamjs_spark.streaming import stateful_v2
+    from kstreamjs_spark.streaming.replay import stream_table
+
+    from .conftest import SF_SMOKE
+
+    sdf = stream_table(spark, SF_SMOKE, "events").select("user_id", "value")
+    out = stateful_v2.running_totals_v2(sdf)  # must analyze cleanly
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,running_cnt:bigint,running_total:double>"
+    )
+    if not stateful_v2.available():
+        pytest.skip("google.protobuf absent in this container; "
+                    "state-v2 worker cannot start (documented gate)")
+    from kstreamjs_spark.streaming.replay import run_to_memory
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    sink = run_to_memory(out, "tws_v2", output_mode="update")
+    assert sink.count() > 0
