@@ -25,6 +25,28 @@ def _sql_list(words: tuple[str, ...]) -> str:
 ALL_STOP = tuple(w for ws in text.STOPWORDS.values() for w in ws)
 
 
+def _langid_scores_sql(table: str = "documents") -> str:
+    """Per-language stopword-hit scores over ``table`` — the shared body of
+    every oracle that mirrors text.lang_id (q35, q102)."""
+    cols = ",\n                 ".join(
+        f"len(list_filter(string_split(text,' '),"
+        f" t -> list_contains({_sql_list(ws)}, t))) AS sc_{lang}"
+        for lang, ws in text.STOPWORDS.items()
+    )
+    return f"SELECT *,\n                 {cols}\n          FROM {table}"
+
+
+# argmax with the fixed tie order en>es>de>fr (matches text.lang_id)
+_LANGID_CASE_SQL = """
+               CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_de
+                         AND sc_en >= sc_fr THEN 'en'
+                    WHEN sc_es > 0 AND sc_es >= sc_de AND sc_es >= sc_fr
+                         THEN 'es'
+                    WHEN sc_de > 0 AND sc_de >= sc_fr THEN 'de'
+                    WHEN sc_fr > 0 THEN 'fr'
+                    ELSE 'unknown' END"""
+
+
 # ----------------------------------------------- Q26 near-dup (exact Jaccard)
 @query(
     "q26_jaccard_neardup",
@@ -278,26 +300,8 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q35_langid",
     oracle=f"""
-        WITH s AS (
-          SELECT doc_id,
-                 len(list_filter(string_split(text,' '),
-                     t -> list_contains({_sql_list(text.STOPWORDS['en'])}, t))) AS sc_en,
-                 len(list_filter(string_split(text,' '),
-                     t -> list_contains({_sql_list(text.STOPWORDS['es'])}, t))) AS sc_es,
-                 len(list_filter(string_split(text,' '),
-                     t -> list_contains({_sql_list(text.STOPWORDS['de'])}, t))) AS sc_de,
-                 len(list_filter(string_split(text,' '),
-                     t -> list_contains({_sql_list(text.STOPWORDS['fr'])}, t))) AS sc_fr
-          FROM documents
-        )
-        SELECT doc_id,
-               CASE WHEN sc_en > 0 AND sc_en >= sc_es AND sc_en >= sc_de
-                         AND sc_en >= sc_fr THEN 'en'
-                    WHEN sc_es > 0 AND sc_es >= sc_de AND sc_es >= sc_fr
-                         THEN 'es'
-                    WHEN sc_de > 0 AND sc_de >= sc_fr THEN 'de'
-                    WHEN sc_fr > 0 THEN 'fr'
-                    ELSE 'unknown' END AS lang_pred
+        WITH s AS ({_langid_scores_sql()})
+        SELECT doc_id, {_LANGID_CASE_SQL} AS lang_pred
         FROM s
     """,
     tags=("text", "llm"),
@@ -1042,4 +1046,35 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
             - F.sum(qt) / (F.sum("c") * F.lit(1_000_000.0)),
             6,
         ).alias("entropy"),
+    )
+
+
+# ---------------------------------- Q102 language-ID confusion matrix
+@query(
+    "q102_langid_confusion",
+    oracle=f"""
+        WITH s AS ({_langid_scores_sql()})
+        SELECT lang, {_LANGID_CASE_SQL} AS lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s
+        GROUP BY lang, lang_pred
+        ORDER BY lang, lang_pred
+    """,
+    tags=("text", "llm", "evaluation"),
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Confusion matrix of the stopword-heuristic language ID (q35)
+    against the labeled lang column — the classifier-evaluation pass
+    that turns "we have a language ID" into "here is where it fails,
+    per language". Shares q35's scoring expressions on both engines
+    (one source of truth, _langid_scores_sql). Scan-side scoring, then
+    a |langs|² aggregate — kilobytes shuffled at any corpus size."""
+    (documents,) = load(spark, sf, "documents")
+    return (
+        documents.select(
+            "lang", text.lang_id(text.tokens("text")).alias("lang_pred")
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("lang", "lang_pred")
     )

@@ -1371,3 +1371,126 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         .select("lang", "source", "gid", "n_docs", "total_chars")
         .orderBy("gid", "lang", "source")
     )
+
+
+# ------------------------------------ Q101 event-type transition matrix
+@query(
+    "q101_transition_matrix",
+    oracle="""
+        WITH s AS (
+          SELECT event_type AS curr,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT prev, curr,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(COUNT(*) * 1.0
+                     / SUM(COUNT(*)) OVER (PARTITION BY prev), 6) AS p
+        FROM s WHERE prev IS NOT NULL
+        GROUP BY prev, curr
+        ORDER BY prev, curr
+    """,
+    tags=("window-fn", "behavioral"),
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: per-user
+    event-time ordering (lag), then global (prev, curr) counts and
+    row-normalized transition probabilities — the behavioral-model
+    fingerprint that funnel analysis (q93) summarizes one path of. One
+    user_id shuffle for the lag; the matrix itself is |types|² cells, so
+    the normalizing window runs over a kilobyte-scale aggregate at any
+    input size. Probabilities are exact int/int divisions rounded at 6."""
+    (events,) = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    cnt = s.groupBy("prev", "curr").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = Window.partitionBy("prev")
+    return (
+        cnt.withColumn(
+            "p", F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(total), 6)
+        )
+        .orderBy("prev", "curr")
+    )
+
+
+# ---------------------------------- Q103 exact inter-event gap percentiles
+@query(
+    "q103_gap_percentiles",
+    oracle="""
+        WITH g AS (
+          SELECT event_type,
+                 (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id)) // 1000000 AS gap_s
+          FROM events
+        ),
+        d AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+        n AS (SELECT event_type, COUNT(*) AS n_g FROM d GROUP BY event_type),
+        h AS (SELECT event_type, gap_s, COUNT(*) AS c
+              FROM d GROUP BY event_type, gap_s),
+        cum AS (SELECT event_type, gap_s,
+                       SUM(c) OVER (PARTITION BY event_type
+                                    ORDER BY gap_s) AS cc
+                FROM h),
+        p50 AS (SELECT event_type, MIN(gap_s) AS p50_gap_s
+                FROM cum JOIN n USING (event_type)
+                WHERE cc * 2 >= n_g GROUP BY event_type),
+        p90 AS (SELECT event_type, MIN(gap_s) AS p90_gap_s
+                FROM cum JOIN n USING (event_type)
+                WHERE cc * 10 >= 9 * n_g GROUP BY event_type)
+        SELECT event_type, CAST(n_g AS BIGINT) AS n_gaps,
+               p50_gap_s, p90_gap_s
+        FROM n JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+        ORDER BY event_type
+    """,
+    tags=("window-fn", "statistics"),
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90 of per-user inter-event gaps (second resolution) per
+    event type — the arrival-cadence profile behind session-gap and
+    watermark tuning (q55's 30-min gap and the streaming watermarks are
+    exactly the knobs these percentiles justify). Same scale-safe
+    histogram-percentile pattern as q88: gaps bucket to integer seconds,
+    the cumulative window runs over the (type, gap) HISTOGRAM — bounded
+    by the gap range, not the event count — and the threshold tests are
+    all-integer (cc*2 >= n, cc*10 >= 9n). Two hash exchanges total: the
+    per-(user,type) lag window and the histogram aggregate."""
+    (events,) = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    n = g.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
+    h = g.groupBy("event_type", "gap_s").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("gap_s")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).join(F.broadcast(n), "event_type")
+    p50 = (
+        cum.filter(F.col("cc") * 2 >= F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p50_gap_s"))
+    )
+    p90 = (
+        cum.filter(F.col("cc") * 10 >= 9 * F.col("n_g"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").alias("p90_gap_s"))
+    )
+    return (
+        n.select("event_type", F.col("n_g").cast("long").alias("n_gaps"))
+        .join(p50, "event_type")
+        .join(p90, "event_type")
+        .orderBy("event_type")
+    )
