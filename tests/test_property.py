@@ -162,3 +162,76 @@ def test_sequence_pack_matches_python_reference(spark, toks, budget, parts):
     for i, t in enumerate(toks):
         assert out[i] == cum // budget, (i, toks, budget, parts)
         cum += t
+
+
+@given(texts=st.lists(sentence, min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_containment_matches_python_reference(spark, texts):
+    """containment_pairs vs brute-force set containment: every emitted
+    pair's c1/c2 equal |A∩B|/|A| and |A∩B|/|B| over the distinct shingle
+    sets, and every pair with max-containment >= threshold is emitted."""
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["d1"], r["d2"]): (r["c1"], r["c2"])
+        for r in dedup.containment_pairs(df, threshold=0.5, n=2).collect()
+    }
+    sets = {i: py_shingles(t, 2) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                common = len(sets[a] & sets[b])
+                c1 = round(common / len(sets[a]), 6)
+                c2 = round(common / len(sets[b]), 6)
+                if common and max(c1, c2) >= 0.5:
+                    expect[(a, b)] = (c1, c2)
+    assert got == expect
+
+
+@given(texts=st.lists(sentence.filter(lambda s: s != ""), min_size=1,
+                      max_size=5))
+@settings(**SETTINGS)
+def test_token_entropy_bounds_and_reference(spark, texts):
+    """q96's entropy formula vs a pure-Python reference, plus the hard
+    bounds 0 <= H <= ln(n_tokens)."""
+    import math
+
+    from kstreamjs_spark.queries import all_queries  # noqa: F401  (registry)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    c = (
+        df.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qt = F.floor(F.col("c") * F.log("c") * F.lit(1_000_000) + 0.5).cast("long")
+    out = {
+        r["doc_id"]: (r["n"], r["entropy"])
+        for r in c.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(
+                F.log(F.sum("c")) - F.sum(qt) / (F.sum("c") * F.lit(1_000_000.0)),
+                6,
+            ).alias("entropy"),
+        )
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n = len(toks)
+        counts = {}
+        for tok in toks:
+            counts[tok] = counts.get(tok, 0) + 1
+        h_ref = math.log(n) - sum(
+            math.floor(c * math.log(c) * 1_000_000 + 0.5) for c in counts.values()
+        ) / (n * 1_000_000.0)
+        got_n, got_h = out[i]
+        assert got_n == n
+        assert abs(got_h - round(h_ref, 6)) < 1e-9
+        assert -1e-9 <= got_h <= math.log(n) + 1e-6
