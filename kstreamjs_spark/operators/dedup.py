@@ -30,6 +30,11 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
 
 
+# Public alias: other query families (e.g. the q86 bigram-LM scorer) need
+# the same fan-out before CPU-heavy per-row work on single-row-group input.
+spread = _spread
+
+
 def bind(col: Column, body) -> Column:
     """Evaluate ``col`` once and pass it to ``body`` as a bound lambda
     variable. Catalyst does not CSE a captured subexpression across

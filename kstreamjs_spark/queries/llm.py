@@ -352,13 +352,20 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", similarity.as_double(F.col("embedding")).alias("v")
     )
-    a = e.select(
+    # Probe side fanned out over all cores (single-row-group input would
+    # score every pair on one task); build side broadcast — a label-keyed
+    # SHUFFLE join would cap parallelism at the label count and
+    # concentrate skewed labels, the wrong shape at every scale. At 100 TB
+    # the broadcast side is the LSH/IVF bucket slice, same join shape.
+    a = dedup.spread(e, "vec_id").select(
         F.col("vec_id").alias("v1"), F.col("label").alias("lbl"), F.col("v").alias("va")
     )
     b = e.select(
         F.col("vec_id").alias("v2"), F.col("label").alias("lbl2"), F.col("v").alias("vb")
     )
-    pairs = a.join(b, (F.col("lbl") == F.col("lbl2")) & (F.col("v1") < F.col("v2")))
+    pairs = a.join(
+        F.broadcast(b), (F.col("lbl") == F.col("lbl2")) & (F.col("v1") < F.col("v2"))
+    )
     score = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
     return (
         pairs.select("v1", "v2", score.alias("score"))
@@ -616,9 +623,13 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     join is vocabulary-sized (AQE broadcasts when small); top-20 via
     TakeOrderedAndProject."""
     (documents,) = load(spark, sf, "documents")
+    # Fan out before the CPU-heavy explodes (single-row-group input would
+    # otherwise run both token passes on one task — measured 2.6 s -> ~0.6 s
+    # at sf0.1); harmless at real scale, where the scan is already split.
+    docs = dedup.spread(documents, "doc_id")
     toks = F.split("text", " ")
     uni = (
-        documents.select(F.explode(toks).alias("w"))
+        docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cw"))
     )
@@ -632,7 +643,7 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     bg = (
-        documents.select(F.explode(bigram_arr).alias("b"))
+        docs.select(F.explode(bigram_arr).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("cxy"))
     )
@@ -892,7 +903,12 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,b:string>>"))
-    bg = documents.select(
+    # Fan the doc stream out to all cores BEFORE the bigram explode and the
+    # two count-table joins: broadcast joins keep the stream's partitioning,
+    # so a single-row-group input would otherwise run the whole scoring
+    # pipeline on ONE task (measured 6.3 s -> ~1 s at sf0.1). At real scale
+    # the scan already has thousands of splits and AQE coalesces.
+    bg = dedup.spread(documents, "doc_id").select(
         "doc_id", F.explode(bigram_structs).alias("s")
     ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
     bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))

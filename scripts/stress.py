@@ -96,6 +96,33 @@ def _pmi_count(d):
     return uni.count() + bg.filter(F.col("count") >= 5).count()
 
 
+def _lm_score_count(d):
+    # q86 shape: vocabulary-sized count tables joined back to the
+    # doc-bigram stream
+    toks = F.split("text", " ")
+    uni = d.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    bigs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+                ).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,b:string>>"))
+    bg = d.select("doc_id", F.explode(bigs).alias("s")).select(
+        "doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b")
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    scored = bg.join(bgc, "b").join(uni.withColumnRenamed("w", "w1"), "w1")
+    return scored.groupBy("doc_id").agg(F.count(F.lit(1))).count()
+
+
 def _decon_count(d):
     # q77 shape: broadcast eval shingle set, semi-join the training scan
     from kstreamjs_spark.operators import sampling
@@ -192,9 +219,10 @@ def main() -> int:
         "seq_pack": _pack_count,
         "chunk": _chunk_count,
         "pmi": _pmi_count,
-        # corpus-curation family (q77/q83 shapes)
+        # corpus-curation family (q77/q83/q86 shapes)
         "decontaminate": _decon_count,
         "ttr": _ttr_count,
+        "lm_score": _lm_score_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {"sessionize": _sessionize_count}

@@ -344,3 +344,14 @@ def test_bigram_lm_no_cartesian(spark):
 
     plan = explain_str(q("q86_bigram_lm_score", spark))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gap_percentiles_thresholds_broadcast(spark):
+    """q103 inherits q88's histogram-percentile shape: the per-type
+    thresholds and counts join back as broadcasts, never reshuffling the
+    gap stream."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q103_gap_percentiles", spark))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
