@@ -66,3 +66,22 @@ def test_window_orders_stale_queries_first():
     rest = [n for n in ordered if n not in prio]
     staleness = [hist.get(n, 0) for n in rest]
     assert staleness == sorted(staleness)
+
+
+def test_cli_list_and_unknown_query():
+    """CLI: `list` prints every registered query; unknown names exit 2."""
+    import contextlib
+    import io
+
+    from kstreamjs_spark.__main__ import main
+    from kstreamjs_spark.queries import all_queries
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list"]) == 0
+    out = buf.getvalue()
+    for name in all_queries():
+        assert name in out
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["run", "no_such_query"]) == 2
