@@ -1249,28 +1249,10 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     100 TB: per-user lists are session-sized; the skew caveat of any
     per-user collect applies (cap list length upstream for adversarial
     users)."""
+    from ..operators import funnel as funnel_ops
+
     (events,) = load(spark, sf, "events")
-    us = F.unix_micros(F.col("ts"))
-
-    def typed(t: str) -> F.Column:
-        return F.collect_list(F.when(F.col("event_type") == t, us))
-
-    u = events.groupBy("user_id").agg(
-        typed("view").alias("vs"),
-        typed("click").alias("cs"),
-        typed("purchase").alias("ps"),
-    )
-    f1 = F.array_min("vs")
-    g = u.select(
-        "user_id",
-        f1.alias("f1"),
-        F.array_min(F.filter("cs", lambda x: x > f1)).alias("f2"),
-        "ps",
-    ).select(
-        "f1",
-        "f2",
-        F.array_min(F.filter("ps", lambda x: x > F.col("f2"))).alias("f3"),
-    )
+    g = funnel_ops.ordered_funnel(events, ["view", "click", "purchase"])
     return g.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.count("f1").cast("long").alias("n_viewed"),
@@ -1401,22 +1383,10 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     user_id shuffle for the lag; the matrix itself is |types|² cells, so
     the normalizing window runs over a kilobyte-scale aggregate at any
     input size. Probabilities are exact int/int divisions rounded at 6."""
+    from ..operators import funnel as funnel_ops
+
     (events,) = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = events.select(
-        F.col("event_type").alias("curr"),
-        F.lag("event_type").over(w).alias("prev"),
-    ).filter(F.col("prev").isNotNull())
-    cnt = s.groupBy("prev", "curr").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    total = Window.partitionBy("prev")
-    return (
-        cnt.withColumn(
-            "p", F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(total), 6)
-        )
-        .orderBy("prev", "curr")
-    )
+    return funnel_ops.transitions(events).orderBy("prev", "curr")
 
 
 # ---------------------------------- Q103 exact inter-event gap percentiles

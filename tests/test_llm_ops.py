@@ -250,3 +250,35 @@ def test_containment_catches_quote_jaccard_misses(spark):
     cont = dedup.containment_pairs(d, threshold=0.9).collect()
     assert [(r["d1"], r["d2"]) for r in cont] == [(1, 2)]
     assert cont[0]["c1"] == 1.0  # the short side is fully contained
+
+
+def test_ordered_funnel_strict_ordering(spark):
+    """The property co-occurrence counting gets wrong: a user whose clicks
+    all PRECEDE their first view must not count as view->click, and a
+    later-stage event between earlier f-timestamps must chain correctly."""
+    from kstreamjs_spark.operators import funnel
+
+    rows = [
+        # user 1: view@10, click@20, purchase@30 -> full funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click@5 BEFORE view@10 -> funnel stops after view
+        (2, 5, "click"), (2, 10, "view"),
+        # user 3: view@10, click@20, but purchase@15 < click -> stops at click
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t * 1_000_000, et) for u, t, et in rows],
+        "user_id long, us long, event_type string",
+    ).select(
+        "user_id", "event_type",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    out = {
+        r["user_id"]: (r["f1"], r["f2"], r["f3"])
+        for r in funnel.ordered_funnel(
+            df, ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1] == (10_000_000, 20_000_000, 30_000_000)
+    assert out[2][0] == 10_000_000 and out[2][1] is None and out[2][2] is None
+    assert out[3][1] == 20_000_000 and out[3][2] is None
