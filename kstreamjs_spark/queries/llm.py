@@ -1094,3 +1094,128 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .orderBy("lang", "lang_pred")
     )
+
+
+# ------------------------------- Q104 edit-distance fuzzy duplicate pairs
+@query(
+    "q104_fuzzy_prefix_pairs",
+    oracle=f"""
+        WITH p AS (
+          SELECT doc_id, source,
+                 substring({text.normalize_text_sql('text')}, 1, 40) AS pre
+          FROM documents
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        FROM p a JOIN p b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= 5
+        ORDER BY d1, d2
+    """,
+    tags=("dedup", "llm", "fuzzy"),
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance fuzzy duplicates: document pairs whose normalized
+    40-char prefixes are within Levenshtein distance 5 — the
+    typo/OCR-noise dedup mode that token-set metrics (Jaccard,
+    containment) miss because one character edit changes every shingle it
+    touches. Levenshtein over the fixed-length prefix keeps the per-pair
+    cost O(40²) and is exact integer arithmetic on both engines. The pair
+    space is blocked on `source` (same bound as q26/q37/q90); the probe
+    side is fanned out and the build side broadcast, so a skewed source
+    cannot serialize the scoring. At 100 TB the block would be a cheap
+    bucket key over the prefix (e.g. first-k chars or a SimHash band) —
+    same join shape."""
+    (documents,) = load(spark, sf, "documents")
+    p = documents.select(
+        "doc_id", "source",
+        F.substring(text.normalize_text("text"), 1, 40).alias("pre"),
+    )
+    a = dedup.spread(p, "doc_id").select(
+        F.col("doc_id").alias("d1"), F.col("source").alias("src1"),
+        F.col("pre").alias("pre1"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("d2"), F.col("source").alias("src2"),
+        F.col("pre").alias("pre2"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("src1") == F.col("src2")) & (F.col("d1") < F.col("d2")),
+        )
+        .select(
+            "d1", "d2",
+            F.levenshtein("pre1", "pre2").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+        .orderBy("d1", "d2")
+    )
+
+
+# --------------------------------- Q105 vocabulary drift between halves
+@query(
+    "q105_vocab_drift",
+    oracle="""
+        WITH half AS (
+          SELECT lang, text,
+                 doc_id >= (SELECT MAX(doc_id) / 2 FROM documents) AS new_half
+          FROM documents
+        ),
+        tok AS (SELECT lang, new_half, unnest(string_split(text, ' ')) AS w
+                FROM half),
+        oldv AS (SELECT DISTINCT lang, w FROM tok WHERE NOT new_half),
+        newc AS (SELECT lang, w, COUNT(*) AS c FROM tok WHERE new_half
+                 GROUP BY lang, w)
+        SELECT n.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_new_types,
+               CAST(COALESCE(SUM(CASE WHEN o.w IS NULL THEN 1 END), 0)
+                    AS BIGINT) AS n_unseen_types,
+               CAST(COALESCE(SUM(CASE WHEN o.w IS NULL THEN n.c END), 0)
+                    AS BIGINT) AS unseen_occurrences
+        FROM newc n LEFT JOIN oldv o ON n.lang = o.lang AND n.w = o.w
+        GROUP BY n.lang
+        ORDER BY n.lang
+    """,
+    tags=("text", "llm", "monitoring"),
+)
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary drift between the older and newer half of the corpus
+    (split at max(doc_id)/2 — the id order standing in for ingestion
+    time): per language, how many of the new half's token types — and how
+    many token OCCURRENCES — were never seen in the old half. The
+    corpus-monitoring number that flags a crawl-source change, an
+    encoding regression, or genuine topic drift between snapshots. Plan:
+    both halves reduce to vocabulary-sized aggregates before the only
+    join (distinct old types LEFT-joined to new counts); the scalar split
+    point is a 1-row broadcast. Shuffles vocabularies, never text."""
+    (documents,) = load(spark, sf, "documents")
+    mid = documents.agg((F.max("doc_id") / 2).alias("mid"))
+    half = documents.crossJoin(F.broadcast(mid)).select(
+        "lang", "text", (F.col("doc_id") >= F.col("mid")).alias("new_half")
+    )
+    tok = half.select(
+        "lang", "new_half", F.explode(F.split("text", " ")).alias("w")
+    )
+    oldv = tok.filter(~F.col("new_half")).select("lang", "w").distinct()
+    newc = (
+        tok.filter(F.col("new_half"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = newc.join(
+        oldv.withColumn("seen", F.lit(1)), ["lang", "w"], "left"
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_types"),
+            F.coalesce(
+                F.sum(F.when(F.col("seen").isNull(), 1)), F.lit(0)
+            ).cast("long").alias("n_unseen_types"),
+            F.coalesce(
+                F.sum(F.when(F.col("seen").isNull(), F.col("c"))), F.lit(0)
+            ).cast("long").alias("unseen_occurrences"),
+        )
+        .orderBy("lang")
+    )
