@@ -156,3 +156,50 @@ def test_stateful_v2_gated_on_protobuf(spark):
     )
     sink = run_to_memory(out, "tws_v2", output_mode="update")
     assert sink.count() > 0
+
+
+def test_docgen_stream_equals_batch(spark, tmp_path):
+    """The docgen streaming reader (Spark 4 Python streaming DataSource):
+    N micro-batches of rows_per_batch rows, offsets as {"batch": k}
+    dicts — and because rows are pure functions of (seed, batch, row),
+    the streamed multiset equals the batch read of the same
+    (partitions=max_batches, rows, seed) exactly: the same batch<->stream
+    equivalence contract the parquet replay harness provides."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.sources import docgen
+
+    docgen.register(spark)
+    sdf = (
+        spark.readStream.format("docgen")
+        .option("rows_per_batch", 40)
+        .option("max_batches", 3)
+        .option("seed", 9)
+        .load()
+    )
+    agg = sdf.select("doc_id", "text")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dg_eq")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT doc_id, text FROM dg_eq").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            spark.read.format("docgen")
+            .option("partitions", 3)
+            .option("rows_per_partition", 40)
+            .option("seed", 9)
+            .load()
+            .select("doc_id", "text")
+            .collect(),
+        )
+    )
+    assert streamed == batch and len(streamed) == 120
