@@ -167,3 +167,19 @@ def test_write_to_parquet_roundtrip(spark, tmp_path):
     assert isinstance(ret, Stream)  # pass-through, reference writeTo contract
     back = spark.read.parquet(str(tmp_path / "out"))
     assert sorted(r["a"] for r in back.collect()) == [1, 2]
+
+
+def test_quickstart_example_runs(spark):
+    """examples/quickstart.py is the advertised on-ramp; it must keep
+    running as the facade evolves (executed in-process, same session)."""
+    import runpy
+    import sys
+    from unittest import mock
+
+    from .conftest import SF_SMOKE
+
+    with mock.patch.object(sys, "argv", ["quickstart.py", SF_SMOKE]):
+        runpy.run_path("examples/quickstart.py", run_name="not_main")
+    # run_name != __main__ means no SystemExit; import side effects only.
+    mod = runpy.run_path("examples/quickstart.py", run_name="lib")
+    assert mod["main"](SF_SMOKE) == 0
