@@ -171,15 +171,15 @@ def test_write_to_parquet_roundtrip(spark, tmp_path):
 
 def test_quickstart_example_runs(spark):
     """examples/quickstart.py is the advertised on-ramp; it must keep
-    running as the facade evolves (executed in-process, same session)."""
+    running as the facade evolves. Executed in-process: get_spark's
+    getOrCreate hands the example the suite's shared session, so its
+    final spark.stop() is neutralized for the duration of the call
+    (stopping the fixture session would kill every later test)."""
     import runpy
-    import sys
     from unittest import mock
 
     from .conftest import SF_SMOKE
 
-    with mock.patch.object(sys, "argv", ["quickstart.py", SF_SMOKE]):
-        runpy.run_path("examples/quickstart.py", run_name="not_main")
-    # run_name != __main__ means no SystemExit; import side effects only.
     mod = runpy.run_path("examples/quickstart.py", run_name="lib")
-    assert mod["main"](SF_SMOKE) == 0
+    with mock.patch.object(type(spark), "stop", lambda self: None):
+        assert mod["main"](SF_SMOKE) == 0
