@@ -282,3 +282,8 @@ def test_ordered_funnel_strict_ordering(spark):
     assert out[1] == (10_000_000, 20_000_000, 30_000_000)
     assert out[2][0] == 10_000_000 and out[2][1] is None and out[2][2] is None
     assert out[3][1] == 20_000_000 and out[3][2] is None
+    counts = funnel.funnel_counts(
+        funnel.ordered_funnel(df, ["view", "click", "purchase"]), 3
+    ).collect()[0]
+    assert (counts["n_keys"], counts["n_stage1"], counts["n_stage2"],
+            counts["n_stage3"]) == (3, 3, 2, 1)
