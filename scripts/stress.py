@@ -123,6 +123,28 @@ def _lm_score_count(d):
     return scored.groupBy("doc_id").agg(F.count(F.lit(1))).count()
 
 
+def _entropy_count(d):
+    # q96 shape: (doc, token) counts + per-doc rollup with quantized terms
+    c = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    qt = F.floor(F.col("c") * F.log("c") * F.lit(1_000_000) + 0.5).cast("long")
+    return (
+        c.groupBy("doc_id")
+        .agg(F.log(F.sum("c")) - F.sum(qt) / (F.sum("c") * F.lit(1_000_000.0)))
+        .count()
+    )
+
+
+def _funnel_count(ev):
+    # q93 shape: one groupBy + array min-chain, no joins
+    from kstreamjs_spark.operators import funnel
+
+    return funnel.ordered_funnel(ev, ["view", "click", "purchase"]).count()
+
+
 def _decon_count(d):
     # q77 shape: broadcast eval shingle set, semi-join the training scan
     from kstreamjs_spark.operators import sampling
@@ -223,9 +245,10 @@ def main() -> int:
         "decontaminate": _decon_count,
         "ttr": _ttr_count,
         "lm_score": _lm_score_count,
+        "entropy": _entropy_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
-    eops = {"sessionize": _sessionize_count}
+    eops = {"sessionize": _sessionize_count, "funnel": _funnel_count}
     vops = {"kmeans_assign": _kmeans_assign_count}
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
