@@ -1026,3 +1026,91 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------- Q106 near-dup split leakage (Jaccard)
+@query(
+    "q106_split_leakage_neardup",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS sh,
+                 CASE WHEN {hash_bucket_sql(
+                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
+                      < {int(_TRAIN_FRACTION * 4294967296)}
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, lang, split, unnest(sh) AS s,
+                      len(sh) AS n FROM d),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2,
+                 any_value(a.split) AS s1, any_value(b.split) AS s2,
+                 any_value(a.lang) AS l1, any_value(b.lang) AS l2
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        leaked AS (
+          SELECT DISTINCT CASE WHEN s1 = 'val' THEN d1 ELSE d2 END
+                     AS val_doc,
+                 CASE WHEN s1 = 'val' THEN l1 ELSE l2 END AS lang
+          FROM pairs
+          WHERE s1 <> s2
+            AND ROUND(common * 1.0 / (n1 + n2 - common), 6) >= 0.5
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_neardup_leaked
+        FROM leaked GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "llm", "evaluation"),
+)
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-duplicate leakage across q79's source-atomic split: validation
+    documents with a >=0.5-Jaccard near-dup in training — the leakage
+    class the exact-fingerprint audit (q100) cannot see (paraphrased or
+    lightly-edited copies), and the number that decides whether the val
+    set actually measures generalization. The pair space is q26's
+    single-shuffle shingle equi-join WITHOUT a blocking partition
+    (leaks cross sources by definition; at 100 TB the max_df ceiling
+    bounds the buckets exactly as in q26e), restricted to cross-split
+    pairs, then reduced to distinct leaked val docs per language."""
+    (docs,) = load(spark, sf, "documents")
+    split = F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = docs.withColumn("split", split)
+    pairs = dedup.jaccard_pairs(tagged, threshold=0.5, partition_col=None)
+    meta = tagged.select("doc_id", "lang", "split")
+    m1 = meta.select(
+        F.col("doc_id").alias("d1"), F.col("lang").alias("l1"),
+        F.col("split").alias("s1"),
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("d2"), F.col("lang").alias("l2"),
+        F.col("split").alias("s2"),
+    )
+    leaked = (
+        pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .filter(F.col("s1") != F.col("s2"))
+        .select(
+            F.when(F.col("s1") == "val", F.col("d1"))
+            .otherwise(F.col("d2")).alias("val_doc"),
+            F.when(F.col("s1") == "val", F.col("l1"))
+            .otherwise(F.col("l2")).alias("lang"),
+        )
+        .distinct()
+    )
+    return (
+        leaked.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_leaked"))
+        .orderBy("lang")
+    )
