@@ -1464,3 +1464,72 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         .join(p90, "event_type")
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- Q107 cohort retention matrix
+@query(
+    "q107_cohort_retention",
+    oracle="""
+        WITH f AS (
+          SELECT user_id,
+                 MIN(date_trunc('week', ts)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        act AS (
+          SELECT DISTINCT e.user_id, f.cohort_week,
+                 date_diff('week', f.cohort_week,
+                           date_trunc('week', e.ts)) AS week_offset
+          FROM events e JOIN f USING (user_id)
+        ),
+        coh AS (SELECT cohort_week, COUNT(*) AS cohort_size
+                FROM f GROUP BY cohort_week)
+        SELECT a.cohort_week, a.week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(any_value(c.cohort_size) AS BIGINT) AS cohort_size,
+               ROUND(COUNT(*) * 1.0 / any_value(c.cohort_size), 6)
+                   AS retention
+        FROM act a JOIN coh c USING (cohort_week)
+        GROUP BY a.cohort_week, a.week_offset
+        ORDER BY a.cohort_week, a.week_offset
+    """,
+    tags=("agg", "behavioral", "cohort"),
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, then for every later week the fraction of the cohort still
+    active — the canonical triangle chart behind every retention
+    dashboard. Two aggregations and one join, all on user_id or the tiny
+    (cohort, offset) matrix: first-week per user (one shuffle), distinct
+    (user, offset) activity (reuses the same user_id clustering), then a
+    broadcast of the per-cohort sizes. Week arithmetic is exact integer
+    date math on both engines; retention is one exact int/int division."""
+    (events,) = load(spark, sf, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    f = events.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = (
+        events.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(wk, F.col("cohort_week")) / F.lit(7)
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    coh = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(coh), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active") * F.lit(1.0) / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
