@@ -24,24 +24,27 @@ from pyspark.sql import Column, DataFrame, Window
 def ordered_funnel(
     df: DataFrame,
     stages: list[str],
-    key: str = "user_id",
+    key: str | list[str] = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Per-key strict-event-time funnel over ``stages`` (ordered list of
-    ``type_col`` values). Returns one row per key with columns
-    ``f1..fn`` — the microsecond epoch at which each stage was first
-    reached AFTER the previous one, NULL from the first missed stage on.
+    ``type_col`` values). ``key`` may be a single column or a composite
+    (e.g. ``["user_id", "session_seq"]`` for within-session funnels).
+    Returns one row per key with columns ``f1..fn`` — the microsecond
+    epoch at which each stage was first reached AFTER the previous one,
+    NULL from the first missed stage on.
 
     Strictness matters: a key whose stage-2 events all precede its first
     stage-1 event does NOT count as reaching stage 2 (co-occurrence
     counting gets this wrong; the unit test pins it)."""
+    keys = [key] if isinstance(key, str) else list(key)
     us = F.unix_micros(F.col(ts_col))
     aggs = [
         F.collect_list(F.when(F.col(type_col) == s, us)).alias(f"_ts{i}")
         for i, s in enumerate(stages)
     ]
-    u = df.groupBy(key).agg(*aggs)
+    u = df.groupBy(*keys).agg(*aggs)
 
     def chain(prev: Column | None, i: int) -> Column:
         lst = F.col(f"_ts{i}")
@@ -54,7 +57,7 @@ def ordered_funnel(
     for i in range(len(stages)):
         out = out.withColumn(f"f{i + 1}", chain(prev, i))
         prev = F.col(f"f{i + 1}")
-    return out.select(key, *[f"f{i + 1}" for i in range(len(stages))])
+    return out.select(*keys, *[f"f{i + 1}" for i in range(len(stages))])
 
 
 def funnel_counts(funnel: DataFrame, n_stages: int) -> DataFrame:
@@ -88,4 +91,31 @@ def transitions(
     total = Window.partitionBy("prev")
     return cnt.withColumn(
         "p", F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(total), 6)
+    )
+
+
+def with_sessions(
+    df: DataFrame,
+    gap_s: int = 1800,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """``df`` plus a ``session_seq`` column: gap-based session ids (q55's
+    lag -> flag -> running-sum shape as a reusable operator). ONE shuffle
+    on the key serves both window passes, and downstream per-(key,
+    session) operators — :func:`ordered_funnel` with a composite key, the
+    session rollup — reuse the same clustering."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    lag_ts = F.lag(ts_col).over(w)
+    new_s = F.when(
+        lag_ts.isNull()
+        | (F.unix_timestamp(ts_col) - F.unix_timestamp(lag_ts) > gap_s),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "session_seq",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
     )

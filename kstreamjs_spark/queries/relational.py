@@ -1533,3 +1533,73 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# --------------------------------------- Q108 within-session funnel
+@query(
+    "q108_session_funnel",
+    oracle="""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us,
+                 CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS session_seq
+          FROM g
+        ),
+        u AS (
+          SELECT user_id, session_seq,
+                 list(us) FILTER (WHERE event_type = 'view') AS vs,
+                 list(us) FILTER (WHERE event_type = 'click') AS cs,
+                 list(us) FILTER (WHERE event_type = 'purchase') AS ps
+          FROM s GROUP BY user_id, session_seq
+        ),
+        f AS (
+          SELECT user_id, f1,
+                 list_min(list_filter(cs, x -> x > f1)) AS f2, ps
+          FROM (SELECT user_id, list_min(vs) AS f1, cs, ps FROM u)
+        ),
+        h AS (
+          SELECT user_id, f1, f2,
+                 list_min(list_filter(ps, x -> x > f2)) AS f3
+          FROM f
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(COUNT(f1) AS BIGINT) AS n_viewed,
+               CAST(COUNT(f2) AS BIGINT) AS n_clicked_after,
+               CAST(COUNT(f3) AS BIGINT) AS n_purchased_after
+        FROM h
+    """,
+    tags=("window", "sessionize", "funnel", "behavioral"),
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-SESSION funnel: q93's strict view→click→purchase ordering
+    evaluated inside q55's 30-minute gap sessions instead of across a
+    user's whole history — the attribution-correct variant (a purchase
+    in tomorrow's session no longer credits today's click). Pure operator
+    composition: operators/funnel.py:with_sessions assigns session ids,
+    then ordered_funnel runs with the composite (user_id, session_seq)
+    key — and because both cluster on user_id, the session window, the
+    funnel groupBy, and the final rollup share ONE shuffle lineage."""
+    from ..operators import funnel as funnel_ops
+
+    (events,) = load(spark, sf, "events")
+    sessions = funnel_ops.with_sessions(events, gap_s=1800)
+    g = funnel_ops.ordered_funnel(
+        sessions, ["view", "click", "purchase"],
+        key=["user_id", "session_seq"],
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("f1").cast("long").alias("n_viewed"),
+        F.count("f2").cast("long").alias("n_clicked_after"),
+        F.count("f3").cast("long").alias("n_purchased_after"),
+    )
