@@ -1603,3 +1603,65 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
         F.count("f2").cast("long").alias("n_clicked_after"),
         F.count("f3").cast("long").alias("n_purchased_after"),
     )
+
+
+# ----------------------------------------------- Q109 key-skew audit (Gini)
+@query(
+    "q109_skew_gini",
+    oracle="""
+        WITH c AS (SELECT user_id, COUNT(*) AS x FROM events
+                   GROUP BY user_id),
+        r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rk
+              FROM c)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(x) AS BIGINT) AS n_events,
+               CAST(MAX(x) AS BIGINT) AS max_per_key,
+               ROUND(2.0 * SUM(rk * x) / (COUNT(*) * SUM(x))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM r
+    """,
+    tags=("skew", "agg", "statistics"),
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew audit: exact Gini coefficient of the events-per-user
+    distribution (0 = perfectly even, →1 = one hot key owns the stream) —
+    the measured answer to "do we need q54's salting here?", computed
+    BEFORE a job burns hours discovering the hot key the hard way.
+
+    Scale shape: the rank-sum Σ rk·x is invariant to tie order, so a
+    block of m keys sharing count x and starting at rank r0 contributes
+    the closed form x·(m·r0 + m(m+1)/2) — which means the statistic
+    computes from the COUNT HISTOGRAM (one row per distinct per-key
+    count, bounded by the hottest key's count), never from a global rank
+    window over every key (the single-partition trap a billion-key table
+    would hit; the SQL oracle uses the naive ROW_NUMBER formulation,
+    which is exactly the point — both formulations are integer-identical,
+    only one survives scale). Everything is exact integer arithmetic
+    until the single final division."""
+    (events,) = load(spark, sf, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("x"))
+    h = c.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    # cumulative keys BEFORE each histogram block = the block's r0 - 1;
+    # the window runs over the histogram (<= max-per-key rows), not keys
+    prev = F.coalesce(
+        F.sum("m").over(
+            Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    # m*(m+1) is always even; integer DIV keeps the whole chain in int64
+    contrib = F.col("x") * (
+        F.col("m") * prev + F.expr("m * (m + 1) DIV 2")
+    )
+    r = h.select("x", "m", contrib.cast("long").alias("s"))
+    n = F.sum("m")
+    return r.agg(
+        n.cast("long").alias("n_keys"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("n_events"),
+        F.max("x").cast("long").alias("max_per_key"),
+        F.round(
+            F.lit(2.0) * F.sum("s") / (n * F.sum(F.col("x") * F.col("m")))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
