@@ -256,3 +256,40 @@ def test_vocab_coverage_values(spark):
 def test_upsample_exact_budget(spark):
     rows = q("q82_upsample_replicate", spark).collect()
     assert rows and all(r["n_rows"] == 200 for r in rows)
+
+
+# --------------------------------------------------- Gini closed form
+def test_gini_histogram_closed_form_matches_naive(spark):
+    """q109's histogram block formula vs the naive sorted-rank Gini on
+    adversarial shapes: perfectly uniform (gini 0), one mega-key, and a
+    mixed distribution with heavy ties."""
+    from kstreamjs_spark.queries import all_queries
+
+    def naive_gini(counts):
+        xs = sorted(counts)
+        n = len(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        return round(2.0 * s / (n * sum(xs)) - (n + 1.0) / n, 6)
+
+    spec = all_queries()["q109_skew_gini"]
+    for counts in ([5, 5, 5, 5], [1, 1, 1, 97], [1, 1, 2, 2, 2, 3, 50, 50]):
+        rows = []
+        eid = 0
+        for uid, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, uid))
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, user_id long")
+        df.createOrReplaceTempView("_gini_events")
+        # run the query body against this fixture via a monkeypatched load
+        import kstreamjs_spark.queries.relational as rel
+        from unittest import mock
+
+        with mock.patch.object(
+            rel, "load", lambda _s, _sf, *_t: (spark.table("_gini_events"),)
+        ):
+            got = spec.fn(spark, "ignored").collect()[0]
+        assert got["n_keys"] == len(counts)
+        assert got["n_events"] == sum(counts)
+        assert got["max_per_key"] == max(counts)
+        assert abs(got["gini"] - naive_gini(counts)) < 1e-9, counts

@@ -355,3 +355,29 @@ def test_gap_percentiles_thresholds_broadcast(spark):
     plan = explain_str(q("q103_gap_percentiles", spark))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """q104: the fuzzy-prefix pair join is source-blocked equi + broadcast,
+    never a cartesian."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q104_fuzzy_prefix_pairs", spark))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_session_funnel_single_data_shuffle(spark):
+    """q108: sessionization window, composite-key funnel groupBy, and the
+    final rollup all cluster on user_id — one data exchange plus the
+    4-long global rollup."""
+    plan = (
+        q("q108_session_funnel", spark)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cohort_sizes_broadcast(spark):
+    """q107: per-cohort sizes join back as a broadcast."""
+    assert_in_plan(q("q107_cohort_retention", spark), "BroadcastHashJoin")
