@@ -70,9 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             from .plans import explain_str
 
             print(explain_str(df, mode=args.mode))
+        elif args.show:
+            # one execution: show() itself reports truncation; a separate
+            # count() would re-run the whole query
+            df.show(args.show, truncate=False)
         else:
-            if args.show:
-                df.show(args.show, truncate=False)
             print(f"{df.count()} rows")
         return 0
     finally:

@@ -181,6 +181,15 @@ def lloyd_iterate(
     DIRECTIONS, so the objective is monotone non-decreasing regardless of
     input magnitudes. Empty clusters keep their previous centroid;
     zero-norm vectors contribute zeros (they score 0 everywhere anyway).
+
+    Determinism: each component is quantized to int64 at 1e-9 BEFORE the
+    per-(cid, dim) sum, so the mean is an exact rational — identical
+    doubles on any engine at any partitioning (a plain AVG over doubles
+    accumulates in shuffle-dependent order, and ulp-level centroid
+    differences can flip near-tie assignments, breaking q81b's
+    hash-matched oracle). The 5e-10 per-dim perturbation is second-order
+    at the objective's optimum (the mean IS the argmax), far inside the
+    monotonicity test's slack.
     """
     k = len(centroids)
     unit = bind(
@@ -196,13 +205,20 @@ def lloyd_iterate(
         assigned = assign(df, centroids, vec_col)
         cells = (
             assigned.select("cid", F.posexplode(unit).alias("dim", "x"))
+            .select(
+                "cid", "dim",
+                F.floor(F.col("x") * 1_000_000_000 + 0.5)
+                .cast("long").alias("qx"),
+            )
             .groupBy("cid", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("qx").alias("qs"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in cells:
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["m"]
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = (
+                r["qs"] / (r["n"] * 1_000_000_000.0)
+            )
         nxt = []
         for cid in range(k):
             dims = by_cid.get(cid)

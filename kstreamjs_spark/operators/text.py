@@ -147,10 +147,11 @@ def portable_string_hash(s: Column | str) -> Column:
 def portable_string_hash_sql(expr: str) -> str:
     """DuckDB mirror of :func:`portable_string_hash`, edge-case aligned with
     Spark: Spark's ``ascii('')`` returns 0 where DuckDB's ``ord('')``
-    raises, so each ord is guarded with NULLIF/COALESCE — ``''`` hashes to
-    0 on both engines. A NULL key stays NULL on both sides
-    (``length(NULL)`` nulls the whole sum; Spark's ``ascii(NULL)``
-    likewise)."""
+    returns -1 (verified; ``ascii('')`` is 0 there but ``ord`` is the
+    codepoint function), so each ord is guarded with NULLIF/COALESCE —
+    ``''`` hashes to 0 on both engines instead of -8 vs 0. A NULL key
+    stays NULL on both sides (``length(NULL)`` nulls the whole sum;
+    Spark's ``ascii(NULL)`` likewise)."""
     first = f"COALESCE(ord(NULLIF(substring({expr}, 1, 1), '')), 0)"
     last = f"COALESCE(ord(NULLIF(substring({expr}, -1, 1), '')), 0)"
     return f"(length({expr}) * 131 + {first} * 7 + {last})"

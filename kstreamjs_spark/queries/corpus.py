@@ -277,6 +277,31 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
 _KMEANS_K = 8
 
 
+def _kmeans_assign_oracle_cte(extra_cols: tuple[str, ...] = ()) -> str:
+    """Shared DuckDB fragment (CTEs ``c`` + ``a``): first-k centroids and
+    the rank-based max-cosine assignment, ties to the lowest cid — the SQL
+    mirror of kmeans.initial_centroids + kmeans.assign, with one spelling
+    for every oracle that consumes an assignment (q87, q91; q81's adds a
+    sim column and q81b re-derives centroids per Lloyd round, so those two
+    keep their specialized variants)."""
+    sel = "".join(f", e.{c}" for c in extra_cols)
+    keep = "".join(f", {c}" for c in extra_cols)
+    return f"""c AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
+        ),
+        a AS (
+          SELECT vec_id{keep}, cid FROM (
+            SELECT e.vec_id{sel}, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                                    e.embedding::DOUBLE[], c.cv) DESC,
+                                c.cid) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1
+        )"""
+
+
 @query(
     "q81_kmeans_assign",
     oracle=f"""
@@ -358,7 +383,10 @@ def _q81b_oracle(k: int, iters: int) -> str:
     def update_ctes(i: int, prev_assign: str, prev_cents: str) -> str:
         return f"""
         m{i} AS (
-          SELECT cid, dim, AVG(x) AS m FROM (
+          SELECT cid, dim,
+                 SUM(CAST(floor(x * 1000000000 + 0.5) AS BIGINT))
+                     / (COUNT(*) * 1000000000.0) AS m
+          FROM (
             SELECT {prev_assign}.cid, generate_subscripts(u.uv, 1) AS dim,
                    unnest(u.uv) AS x
             FROM {prev_assign} JOIN u USING (vec_id))
@@ -628,20 +656,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q87_cluster_purity",
     oracle=f"""
-        WITH c AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
-                 embedding::DOUBLE[] AS cv
-          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
-        ),
-        a AS (
-          SELECT vec_id, label, cid FROM (
-            SELECT e.vec_id, e.label, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(
-                                    e.embedding::DOUBLE[], c.cv) DESC,
-                                c.cid) AS rn
-            FROM embeddings e CROSS JOIN c) WHERE rn = 1
-        ),
+        WITH {_kmeans_assign_oracle_cte(("label",))},
         cl AS (SELECT cid, label, COUNT(*) AS n_label
                FROM a GROUP BY cid, label),
         tot AS (SELECT cid, SUM(n_label) AS n_total FROM cl GROUP BY cid),
@@ -782,20 +797,7 @@ _BALANCE_SEED = 43
 @query(
     "q91_cluster_balanced_sample",
     oracle=f"""
-        WITH c AS (
-          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
-                 embedding::DOUBLE[] AS cv
-          FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}
-        ),
-        a AS (
-          SELECT vec_id, cid FROM (
-            SELECT e.vec_id, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(
-                                    e.embedding::DOUBLE[], c.cv) DESC,
-                                c.cid) AS rn
-            FROM embeddings e CROSS JOIN c) WHERE rn = 1
-        )
+        WITH {_kmeans_assign_oracle_cte()}
         SELECT cid, vec_id FROM (
           SELECT cid, vec_id,
                  ROW_NUMBER() OVER (PARTITION BY cid
@@ -915,9 +917,15 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         )
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
-                     / (sqrt(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
-                        * sqrt(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))),
+               ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+                      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                     / (sqrt(CAST(COUNT(*) AS DOUBLE)
+                             * CAST(SUM(x * x) AS DOUBLE)
+                             - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+                        * sqrt(CAST(COUNT(*) AS DOUBLE)
+                               * CAST(SUM(y * y) AS DOUBLE)
+                               - CAST(SUM(y) AS DOUBLE)
+                                 * CAST(SUM(y) AS DOUBLE))),
                      6) AS pearson_r
         FROM d GROUP BY lang ORDER BY lang
     """,
@@ -942,11 +950,15 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         F.size(toks).cast("long").alias("x"),
         F.size(F.array_distinct(toks)).cast("long").alias("y"),
     )
-    n = F.count(F.lit(1))
-    sx, sy = F.sum("x"), F.sum("y")
-    sxy = F.sum(F.col("x") * F.col("y"))
-    sxx = F.sum(F.col("x") * F.col("x"))
-    syy = F.sum(F.col("y") * F.col("y"))
+    # SUMS stay int64 (the accumulation is what must be order-free); the
+    # cross-products combine in DOUBLE — in int64 they silently wrap
+    # around 1e9 docs (n*sum(x^2) ~ 1e24 at corpus scale), while each
+    # int64->double conversion rounds identically on both engines.
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
     r = F.round(
         (n * sxy - sx * sy)
         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
@@ -954,7 +966,10 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         d.groupBy("lang")
-        .agg(n.cast("long").alias("n_docs"), r.alias("pearson_r"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r.alias("pearson_r"),
+        )
         .orderBy("lang")
     )
 
@@ -1075,9 +1090,12 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     lightly-edited copies), and the number that decides whether the val
     set actually measures generalization. The pair space is q26's
     single-shuffle shingle equi-join WITHOUT a blocking partition
-    (leaks cross sources by definition; at 100 TB the max_df ceiling
-    bounds the buckets exactly as in q26e), restricted to cross-split
-    pairs, then reduced to distinct leaked val docs per language."""
+    (leaks cross sources by definition), restricted to cross-split
+    pairs, then reduced to distinct leaked val docs per language.
+    max_df is deliberately OFF here so the oracle states plain unblocked
+    Jaccard; at 100 TB pass jaccard_pairs' max_df ceiling to bound the
+    shingle buckets — q26e demonstrates that path active with a mirrored
+    oracle."""
     (docs,) = load(spark, sf, "documents")
     split = F.when(
         sampling.hash_bucket(

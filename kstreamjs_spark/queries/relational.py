@@ -1649,18 +1649,24 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    # m*(m+1) is always even; integer DIV keeps the whole chain in int64
-    contrib = F.col("x") * (
-        F.col("m") * prev + F.expr("m * (m + 1) DIV 2")
+    # m*(m+1) is always even; integer DIV keeps the block arithmetic
+    # exact. The block contribution itself goes to DECIMAL(38,0): at a
+    # billion keys x*m*prev exceeds int64 and would wrap silently —
+    # decimal keeps the rank-sum exact to 1e38 (the oracle's HUGEINT
+    # equivalent); only the final formula combines in double.
+    contrib = (
+        F.col("x").cast("decimal(38,0)")
+        * (F.col("m") * prev + F.expr("m * (m + 1) DIV 2")).cast("decimal(38,0)")
     )
-    r = h.select("x", "m", contrib.cast("long").alias("s"))
-    n = F.sum("m")
+    r = h.select("x", "m", contrib.alias("s"))
+    n = F.sum("m").cast("double")
+    total = F.sum(F.col("x") * F.col("m")).cast("double")
     return r.agg(
-        n.cast("long").alias("n_keys"),
+        F.sum("m").cast("long").alias("n_keys"),
         F.sum(F.col("x") * F.col("m")).cast("long").alias("n_events"),
         F.max("x").cast("long").alias("max_per_key"),
         F.round(
-            F.lit(2.0) * F.sum("s") / (n * F.sum(F.col("x") * F.col("m")))
+            F.lit(2.0) * F.sum("s").cast("double") / (n * total)
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),

@@ -149,13 +149,23 @@ def test_stateful_v2_gated_on_protobuf(spark):
                     "state-v2 worker cannot start (documented gate)")
     from kstreamjs_spark.streaming.replay import run_to_memory
 
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
-    sink = run_to_memory(out, "tws_v2", output_mode="update")
-    assert sink.count() > 0
+    try:
+        sink = run_to_memory(out, "tws_v2", output_mode="update")
+        assert sink.count() > 0
+    finally:
+        # the session fixture is shared; leaking a different state store
+        # provider would silently change every later streaming test
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_docgen_stream_equals_batch(spark, tmp_path):
