@@ -1132,3 +1132,131 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_leaked"))
         .orderBy("lang")
     )
+
+
+# ------------------------------- Q111 curation-cascade yield report
+_YIELD_REP_MAX = 0.2
+
+
+@query(
+    "q111_curation_yield",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS L,
+                 {_shingle_sql(3, distinct=False)} AS tri,
+                 {text.fingerprint_sql('text')} AS fp
+          FROM documents
+        ),
+        s1 AS (
+          SELECT * FROM d
+          WHERE len(tri) = 0
+             OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri)
+                <= {_YIELD_REP_MAX}
+        ),
+        n AS (SELECT lang, COUNT(*) AS n_l FROM s1 GROUP BY lang),
+        h AS (SELECT lang, L, COUNT(*) AS c FROM s1 GROUP BY lang, L),
+        cum AS (SELECT lang, L,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY L) AS cc
+                FROM h),
+        lo AS (SELECT lang, MIN(L) AS lo FROM cum JOIN n USING (lang)
+               WHERE cc * 20 >= n_l GROUP BY lang),
+        hi AS (SELECT lang, MIN(L) AS hi FROM cum JOIN n USING (lang)
+               WHERE cc * 20 >= 19 * n_l GROUP BY lang),
+        s2 AS (SELECT s1.* FROM s1 JOIN lo USING (lang) JOIN hi USING (lang)
+               WHERE s1.L BETWEEN lo.lo AND hi.hi),
+        s3 AS (SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+                 FROM s2) WHERE rn = 1)
+        SELECT stage, stage_name,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM (
+          SELECT 0 AS stage, 'raw' AS stage_name,
+                 COUNT(*) AS n_docs, SUM(L) AS n_tokens FROM d
+          UNION ALL
+          SELECT 1, 'repetition_filter', COUNT(*), SUM(L) FROM s1
+          UNION ALL
+          SELECT 2, 'length_trim', COUNT(*), SUM(L) FROM s2
+          UNION ALL
+          SELECT 3, 'exact_dedup', COUNT(*), SUM(L) FROM s3
+        )
+        ORDER BY stage
+    """,
+    tags=("llm", "quality", "pipeline"),
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation-cascade yield report: documents and tokens surviving
+    each stage of raw -> repetition filter (trigram dup ratio <= 0.2,
+    q78's metric; shingle-free short docs pass) -> per-lang [p5, p95]
+    length trim (q88's histogram thresholds, computed over the
+    repetition survivors — cascade semantics) -> exact content dedup
+    (first doc_id per fingerprint wins). This one table is what a corpus
+    build reviews before tokenization: where the tokens went, stage by
+    stage. Every stage reuses the operator the standalone query proved
+    (q78/q88/q25-q36), all counts are exact integers, and the scan-side
+    metrics (trigram ratio, fingerprint, length) compute ONCE in the
+    shared base projection."""
+    (docs,) = load(spark, sf, "documents")
+    tri = dedup.shingle_list("text", 3)
+    d = docs.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("L"),
+        F.size(tri).cast("long").alias("n_tri"),
+        F.size(F.array_distinct(tri)).cast("long").alias("n_uniq"),
+        text.fingerprint("text").alias("fp"),
+    )
+    s1 = d.filter(
+        (F.col("n_tri") == 0)
+        | (
+            (F.col("n_tri") - F.col("n_uniq")) * F.lit(1.0) / F.col("n_tri")
+            <= _YIELD_REP_MAX
+        )
+    )
+    n = s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    h = s1.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy("L")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).join(F.broadcast(n), "lang")
+    lo = (
+        cum.filter(F.col("cc") * 20 >= F.col("n_l"))
+        .groupBy("lang").agg(F.min("L").alias("lo"))
+    )
+    hi = (
+        cum.filter(F.col("cc") * 20 >= 19 * F.col("n_l"))
+        .groupBy("lang").agg(F.min("L").alias("hi"))
+    )
+    s2 = (
+        s1.join(F.broadcast(lo), "lang")
+        .join(F.broadcast(hi), "lang")
+        .filter(F.col("L").between(F.col("lo"), F.col("hi")))
+    )
+    s3 = (
+        s2.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("L").cast("long").alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "raw", d)
+        .unionByName(stage(1, "repetition_filter", s1))
+        .unionByName(stage(2, "length_trim", s2))
+        .unionByName(stage(3, "exact_dedup", s3))
+        .orderBy("stage")
+    )

@@ -719,3 +719,70 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------- Q110 dedup keeper selection
+def _q110_oracle() -> str:
+    # Compose on q56's labels verbatim (one source of truth for the
+    # cluster semantics), then rank keepers inside each cluster.
+    labels = REGISTRY["q56_dup_clusters"].oracle
+    return f"""
+        WITH lab AS ({labels}),
+        m AS (SELECT lab.node, lab.label,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS L
+              FROM lab JOIN documents d ON d.doc_id = lab.node),
+        k AS (SELECT label, node AS keeper FROM (
+                SELECT label, node,
+                       ROW_NUMBER() OVER (PARTITION BY label
+                                          ORDER BY L DESC, node) AS rn
+                FROM m) WHERE rn = 1)
+        SELECT m.label, CAST(k.keeper AS BIGINT) AS keeper,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        FROM m JOIN k USING (label)
+        GROUP BY m.label, k.keeper
+        ORDER BY m.label
+    """
+
+
+@query(
+    "q110_dedup_keepers",
+    oracle=_q110_oracle(),
+    tags=("dedup", "llm", "clustering"),
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """The step that actually DELETES: per near-dup cluster (q56's
+    connected components over q26's pairs), elect one keeper — the
+    longest member, ties to the lowest doc_id (longest-wins keeps the
+    superset document when a fragment was quoted into it) — and report
+    how many documents each cluster drops. Everything downstream of the
+    pair join is cluster-cardinality-sized: the keeper window runs per
+    label (WindowGroupLimit shape), the rollup per cluster. A real
+    pipeline anti-joins the corpus against the non-keeper ids; the
+    counts here ARE that delete manifest."""
+    pairs = REGISTRY["q26_jaccard_neardup"].fn(spark, sf)
+    labels = cluster.connected_components(pairs, src="d1", dst="d2")
+    (docs,) = load(spark, sf, "documents")
+    m = labels.join(
+        docs.select(
+            F.col("doc_id").alias("node"),
+            F.size(F.split("text", " ")).cast("long").alias("L"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("L"), F.asc("node"))
+    k = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("node").cast("long").alias("keeper"))
+    )
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+        )
+        .join(k, "label")
+        .select("label", "keeper", "n_members", "n_dropped")
+        .orderBy("label")
+    )
