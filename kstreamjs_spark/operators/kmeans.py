@@ -211,13 +211,19 @@ def lloyd_iterate(
                 .cast("long").alias("qx"),
             )
             .groupBy("cid", "dim")
-            .agg(F.sum("qx").alias("qs"), F.count(F.lit(1)).alias("n"))
+            # decimal sum: a cell with ~1e10 near-unit components passes
+            # 2^63 in 1e-9 quanta; the oracle's HUGEINT would not wrap,
+            # so the Spark side must not either
+            .agg(
+                F.sum(F.col("qx").cast("decimal(38,0)")).alias("qs"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         by_cid: dict[int, dict[int, float]] = {}
         for r in cells:
             by_cid.setdefault(r["cid"], {})[r["dim"]] = (
-                r["qs"] / (r["n"] * 1_000_000_000.0)
+                int(r["qs"]) / (r["n"] * 1_000_000_000.0)
             )
         nxt = []
         for cid in range(k):

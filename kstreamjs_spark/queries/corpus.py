@@ -710,21 +710,57 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------- Q88 percentile length trim (histogram)
-@query(
-    "q88_length_trim",
-    oracle="""
-        WITH d AS (SELECT doc_id, lang,
-                          CAST(len(string_split(text, ' ')) AS BIGINT) AS L
-                   FROM documents),
-        n AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
-        h AS (SELECT lang, L, COUNT(*) AS c FROM d GROUP BY lang, L),
+def _length_bounds_sql(src: str) -> str:
+    """Shared DuckDB fragment (CTEs ``n``/``h``/``cum``/``lo``/``hi``):
+    exact per-lang [p5, p95] length thresholds from the (lang, L)
+    histogram of ``src`` — one spelling for every oracle that trims by
+    length percentile (q88 over raw documents, q111 over the repetition
+    survivors)."""
+    return f"""n AS (SELECT lang, COUNT(*) AS n_l FROM {src} GROUP BY lang),
+        h AS (SELECT lang, L, COUNT(*) AS c FROM {src} GROUP BY lang, L),
         cum AS (SELECT lang, L,
                        SUM(c) OVER (PARTITION BY lang ORDER BY L) AS cc
                 FROM h),
         lo AS (SELECT lang, MIN(L) AS lo FROM cum JOIN n USING (lang)
                WHERE cc * 20 >= n_l GROUP BY lang),
         hi AS (SELECT lang, MIN(L) AS hi FROM cum JOIN n USING (lang)
-               WHERE cc * 20 >= 19 * n_l GROUP BY lang)
+               WHERE cc * 20 >= 19 * n_l GROUP BY lang)"""
+
+
+def _length_bounds(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of :func:`_length_bounds_sql`: (lo, hi) threshold frames
+    from a frame with (lang, L) — histogram + cumulative window over the
+    histogram, all-integer threshold tests."""
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    h = d.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy("L")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).join(F.broadcast(n), "lang")
+    lo = (
+        cum.filter(F.col("cc") * 20 >= F.col("n_l"))
+        .groupBy("lang")
+        .agg(F.min("L").alias("lo"))
+    )
+    hi = (
+        cum.filter(F.col("cc") * 20 >= 19 * F.col("n_l"))
+        .groupBy("lang")
+        .agg(F.min("L").alias("hi"))
+    )
+    return lo, hi
+
+
+@query(
+    "q88_length_trim",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, lang,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+                   FROM documents),
+        {_length_bounds_sql('d')}
         SELECT d.lang,
                CAST(COUNT(*) AS BIGINT) AS n_kept,
                CAST(SUM(d.L) AS BIGINT) AS kept_tokens,
@@ -754,26 +790,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     d = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("L")
     )
-    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    h = d.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("lang")
-            .orderBy("L")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).join(F.broadcast(n), "lang")
-    lo = (
-        cum.filter(F.col("cc") * 20 >= F.col("n_l"))
-        .groupBy("lang")
-        .agg(F.min("L").alias("lo"))
-    )
-    hi = (
-        cum.filter(F.col("cc") * 20 >= 19 * F.col("n_l"))
-        .groupBy("lang")
-        .agg(F.min("L").alias("hi"))
-    )
+    lo, hi = _length_bounds(d)
     return (
         d.join(F.broadcast(lo), "lang")
         .join(F.broadcast(hi), "lang")
@@ -950,15 +967,19 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         F.size(toks).cast("long").alias("x"),
         F.size(F.array_distinct(toks)).cast("long").alias("y"),
     )
-    # SUMS stay int64 (the accumulation is what must be order-free); the
-    # cross-products combine in DOUBLE — in int64 they silently wrap
-    # around 1e9 docs (n*sum(x^2) ~ 1e24 at corpus scale), while each
-    # int64->double conversion rounds identically on both engines.
+    # Per-row products fit int64 but their SUMS are accumulated in
+    # DECIMAL(38,0): sum(x^2) alone passes 2^63 around 1e9 long docs and
+    # non-ANSI Spark would wrap silently where the oracle's HUGEINT sum
+    # stays exact. The finished sums combine in DOUBLE (decimal->double
+    # and HUGEINT->double round identically), so nothing order-dependent
+    # ever accumulates and nothing integer ever wraps.
+    dec = "decimal(38,0)"
     n = F.count(F.lit(1)).cast("double")
-    sx, sy = F.sum("x").cast("double"), F.sum("y").cast("double")
-    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
-    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
-    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    sx = F.sum(F.col("x").cast(dec)).cast("double")
+    sy = F.sum(F.col("y").cast(dec)).cast("double")
+    sxy = F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double")
+    sxx = F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double")
+    syy = F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")
     r = F.round(
         (n * sxy - sx * sy)
         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
@@ -1154,15 +1175,7 @@ _YIELD_REP_MAX = 0.2
              OR (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri)
                 <= {_YIELD_REP_MAX}
         ),
-        n AS (SELECT lang, COUNT(*) AS n_l FROM s1 GROUP BY lang),
-        h AS (SELECT lang, L, COUNT(*) AS c FROM s1 GROUP BY lang, L),
-        cum AS (SELECT lang, L,
-                       SUM(c) OVER (PARTITION BY lang ORDER BY L) AS cc
-                FROM h),
-        lo AS (SELECT lang, MIN(L) AS lo FROM cum JOIN n USING (lang)
-               WHERE cc * 20 >= n_l GROUP BY lang),
-        hi AS (SELECT lang, MIN(L) AS hi FROM cum JOIN n USING (lang)
-               WHERE cc * 20 >= 19 * n_l GROUP BY lang),
+        {_length_bounds_sql('s1')},
         s2 AS (SELECT s1.* FROM s1 JOIN lo USING (lang) JOIN hi USING (lang)
                WHERE s1.L BETWEEN lo.lo AND hi.hi),
         s3 AS (SELECT * FROM (
@@ -1195,9 +1208,14 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     (first doc_id per fingerprint wins). This one table is what a corpus
     build reviews before tokenization: where the tokens went, stage by
     stage. Every stage reuses the operator the standalone query proved
-    (q78/q88/q25-q36), all counts are exact integers, and the scan-side
-    metrics (trigram ratio, fingerprint, length) compute ONCE in the
-    shared base projection."""
+    (q78/q88/q25-q36) — the percentile thresholds come from the SAME
+    _length_bounds helper as q88, over the repetition survivors. The
+    scan-side metrics (trigram ratio, fingerprint, length) are computed
+    once and PERSISTED: the four stage aggregates are separate union
+    branches, and without the persist each branch would re-run the
+    shingle transform and fingerprint fold over the full corpus (4 scans
+    instead of 1; the cached projection is a few long columns per doc —
+    no text)."""
     (docs,) = load(spark, sf, "documents")
     tri = dedup.shingle_list("text", 3)
     d = docs.select(
@@ -1206,7 +1224,7 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         F.size(tri).cast("long").alias("n_tri"),
         F.size(F.array_distinct(tri)).cast("long").alias("n_uniq"),
         text.fingerprint("text").alias("fp"),
-    )
+    ).persist()
     s1 = d.filter(
         (F.col("n_tri") == 0)
         | (
@@ -1214,24 +1232,7 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
             <= _YIELD_REP_MAX
         )
     )
-    n = s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
-    h = s1.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("lang")
-            .orderBy("L")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).join(F.broadcast(n), "lang")
-    lo = (
-        cum.filter(F.col("cc") * 20 >= F.col("n_l"))
-        .groupBy("lang").agg(F.min("L").alias("lo"))
-    )
-    hi = (
-        cum.filter(F.col("cc") * 20 >= 19 * F.col("n_l"))
-        .groupBy("lang").agg(F.min("L").alias("hi"))
-    )
+    lo, hi = _length_bounds(s1)
     s2 = (
         s1.join(F.broadcast(lo), "lang")
         .join(F.broadcast(hi), "lang")

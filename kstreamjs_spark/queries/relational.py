@@ -1649,15 +1649,20 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    # m*(m+1) is always even; integer DIV keeps the block arithmetic
-    # exact. The block contribution itself goes to DECIMAL(38,0): at a
-    # billion keys x*m*prev exceeds int64 and would wrap silently —
-    # decimal keeps the rank-sum exact to 1e38 (the oracle's HUGEINT
-    # equivalent); only the final formula combines in double.
-    contrib = (
-        F.col("x").cast("decimal(38,0)")
-        * (F.col("m") * prev + F.expr("m * (m + 1) DIV 2")).cast("decimal(38,0)")
-    )
+    # Every factor is cast to DECIMAL(38,0) BEFORE any multiply: at a
+    # billion keys the int64 products m*prev and m*(m+1) wrap silently in
+    # non-ANSI Spark, so casting the finished product would preserve the
+    # garbage. The triangular term halves the even factor first (one of
+    # m, m+1 always is) to stay integer-exact in decimal without a
+    # fractional scale. Decimal mirrors the oracle's HUGEINT to 1e38;
+    # only the final formula combines in double.
+    md = F.col("m").cast("decimal(38,0)")
+    prevd = prev.cast("decimal(38,0)")
+    tri = F.when(
+        F.col("m") % 2 == 0,
+        F.expr("m DIV 2").cast("decimal(38,0)") * (md + F.lit(1)),
+    ).otherwise(md * F.expr("(m + 1) DIV 2").cast("decimal(38,0)"))
+    contrib = F.col("x").cast("decimal(38,0)") * (md * prevd + tri)
     r = h.select("x", "m", contrib.alias("s"))
     n = F.sum("m").cast("double")
     total = F.sum(F.col("x") * F.col("m")).cast("double")
