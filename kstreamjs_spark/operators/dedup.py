@@ -507,3 +507,117 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+# ------------------------------------------- Edit-distance fuzzy dedup
+
+def prefix_chunk_bounds(prefix_len: int, max_dist: int) -> list[tuple[int, int, int]]:
+    """(chunk_id, 1-based start, length) triples splitting a
+    ``prefix_len``-char prefix into ``max_dist + 1`` contiguous chunks —
+    the pigeonhole layout for edit-distance blocking: at most ``max_dist``
+    edits can touch at most ``max_dist`` chunks, so at least one of the
+    ``max_dist + 1`` chunks is edit-free. Longer chunks come first
+    (remainder spread over the leading chunks) so the layout is the same
+    constant on the Spark and DuckDB sides."""
+    k = max_dist + 1
+    base, rem = divmod(prefix_len, k)
+    out, start = [], 1
+    for cid in range(k):
+        ln = base + (1 if cid < rem else 0)
+        out.append((cid, start, ln))
+        start += ln
+    return out
+
+
+def fuzzy_prefix_pairs(
+    documents: DataFrame,
+    max_dist: int = 5,
+    prefix_len: int = 40,
+    partition_col: str | None = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Edit-distance fuzzy-duplicate pairs over the normalized
+    ``prefix_len``-char prefix, scale-shaped: candidates come from an
+    EQUI-join on pigeonhole prefix chunks (:func:`prefix_chunk_bounds` —
+    ``max_dist + 1`` chunks, so any pair within ``max_dist``
+    substitution-style edits shares at least one untouched, aligned, hence
+    equal chunk), then exact ``levenshtein`` verify. No all-pairs join, no
+    corpus broadcast — the same candidate-then-verify contract as
+    :func:`simhash_neardup_pairs`/:func:`minhash_verified_pairs`, replacing
+    the within-block quadratic join this operator's first version used.
+
+    Recall caveat (documented, recall-tested in tests/test_llm_ops.py):
+    alignment-shifting edits (insertions/deletions early in the prefix) can
+    move every chunk boundary, so indel-heavy pairs may share no aligned
+    chunk; for substitution-dominated noise (typos, OCR) the pigeonhole
+    guarantee is exact. Output columns: (d1, d2, dist), dist <= max_dist.
+
+    ``max_df`` bounds any one candidate bucket: (partition, chunk) values
+    occurring in more than ``max_df`` documents are dropped from candidate
+    generation (a pure pruning ceiling — the verify metric is unaffected,
+    only recall through hot boilerplate prefixes). Empty prefixes are
+    excluded: an all-empty-prefix corpus slice would otherwise form one
+    quadratic bucket, and empty-prefix duplicates are exact-dedup
+    (:func:`exact_dedup`) territory."""
+    from .text import normalize_text
+
+    pcols = [partition_col] if partition_col else []
+    p = _spread(documents, id_col).select(
+        F.col(id_col),
+        *[F.col(c) for c in pcols],
+        F.substring(normalize_text(text_col), 1, prefix_len).alias("pre"),
+    ).filter(F.col("pre") != "")
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.substring("pre", start, ln).alias("ctext"),
+            )
+            for cid, start, ln in prefix_chunk_bounds(prefix_len, max_dist)
+        ]
+    )
+    ex = p.select(
+        F.col(id_col), *[F.col(c) for c in pcols], "pre",
+        F.explode(chunk_arr).alias("c"),
+    ).select(
+        F.col(id_col), *[F.col(c) for c in pcols], "pre",
+        F.col("c.cid").alias("cid"), F.col("c.ctext").alias("ctext"),
+    )
+    if max_df is not None:
+        hot = (
+            ex.groupBy(*pcols, "cid", "ctext")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(*pcols, "cid", "ctext")
+        )
+        ex = ex.join(hot, on=[*pcols, "cid", "ctext"], how="left_anti")
+    left = ex.select(
+        F.col(id_col).alias("d1"),
+        *[F.col(c).alias("p1") for c in pcols],
+        F.col("pre").alias("pre1"),
+        F.col("cid").alias("c1"),
+        F.col("ctext").alias("t1"),
+    )
+    right = ex.select(
+        F.col(id_col).alias("d2"),
+        *[F.col(c).alias("p2") for c in pcols],
+        F.col("pre").alias("pre2"),
+        F.col("cid").alias("c2"),
+        F.col("ctext").alias("t2"),
+    )
+    cond = (F.col("c1") == F.col("c2")) & (F.col("t1") == F.col("t2"))
+    for c in pcols:
+        cond = cond & (F.col("p1") == F.col("p2"))
+    cand = (
+        left.join(right, cond & (F.col("d1") < F.col("d2")))
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.select(
+            "d1", "d2",
+            F.levenshtein("pre1", "pre2").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

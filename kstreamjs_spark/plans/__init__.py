@@ -32,3 +32,24 @@ def pushed_filters(df: DataFrame) -> str:
     return "\n".join(
         line.strip() for line in plan.splitlines() if "PushedFilters" in line
     )
+
+
+def broadcast_if_small(df: DataFrame, max_bytes: int = 128 << 20) -> DataFrame:
+    """Broadcast hint gated on Catalyst's own size estimate — the build
+    side gets the hint only when its optimized-plan ``sizeInBytes`` is
+    under ``max_bytes``; otherwise the frame is returned unhinted and the
+    join degrades to a shuffle join (with AQE still free to broadcast a
+    small runtime side). An UNCONDITIONAL ``F.broadcast`` on a
+    full-table side hard-codes the small-scale shape: past the 8 GB
+    broadcast limit it fails outright instead of degrading (ADVICE r5).
+    The default ceiling is deliberately far under the hard limit —
+    executors hold one copy per core."""
+    from pyspark.sql import functions as F
+
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j estimate unavailable
+        return df
+    return F.broadcast(df) if est <= max_bytes else df

@@ -353,10 +353,15 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", "label", similarity.as_double(F.col("embedding")).alias("v")
     )
     # Probe side fanned out over all cores (single-row-group input would
-    # score every pair on one task); build side broadcast — a label-keyed
-    # SHUFFLE join would cap parallelism at the label count and
-    # concentrate skewed labels, the wrong shape at every scale. At 100 TB
-    # the broadcast side is the LSH/IVF bucket slice, same join shape.
+    # score every pair on one task); build side broadcast WHEN SMALL — a
+    # label-keyed SHUFFLE join would cap parallelism at the label count
+    # and concentrate skewed labels, so the broadcast is the right shape,
+    # but the hint is gated on Catalyst's size estimate
+    # (plans.broadcast_if_small) so past broadcastable sizes the join
+    # degrades to shuffle instead of OOMing the driver. At 100 TB the
+    # broadcast side is the LSH/IVF bucket slice, same join shape.
+    from kstreamjs_spark.plans import broadcast_if_small
+
     a = dedup.spread(e, "vec_id").select(
         F.col("vec_id").alias("v1"), F.col("label").alias("lbl"), F.col("v").alias("va")
     )
@@ -364,7 +369,8 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("v2"), F.col("label").alias("lbl2"), F.col("v").alias("vb")
     )
     pairs = a.join(
-        F.broadcast(b), (F.col("lbl") == F.col("lbl2")) & (F.col("v1") < F.col("v2"))
+        broadcast_if_small(b),
+        (F.col("lbl") == F.col("lbl2")) & (F.col("v1") < F.col("v2")),
     )
     score = F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
     return (
@@ -1115,17 +1121,19 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     tags=("dedup", "llm", "fuzzy"),
 )
 def q104(spark: SparkSession, sf: str) -> DataFrame:
-    """Edit-distance fuzzy duplicates: document pairs whose normalized
-    40-char prefixes are within Levenshtein distance 5 — the
+    """EXACT edit-distance fuzzy duplicates: every document pair whose
+    normalized 40-char prefixes are within Levenshtein distance 5 — the
     typo/OCR-noise dedup mode that token-set metrics (Jaccard,
     containment) miss because one character edit changes every shingle it
-    touches. Levenshtein over the fixed-length prefix keeps the per-pair
-    cost O(40²) and is exact integer arithmetic on both engines. The pair
-    space is blocked on `source` (same bound as q26/q37/q90); the probe
-    side is fanned out and the build side broadcast, so a skewed source
-    cannot serialize the scoring. At 100 TB the block would be a cheap
-    bucket key over the prefix (e.g. first-k chars or a SimHash band) —
-    same join shape."""
+    touches. This is the small-scale ORACLE variant: the pair space is
+    all pairs within the `source` block (an equi-join on source with the
+    d1<d2 residual — Spark plans a shuffled hash/sort-merge join; no
+    broadcast is forced, so beyond broadcastable sizes it degrades to a
+    shuffle join instead of a driver OOM). Quadratic per source block by
+    construction — run it on samples/audits; the production-shaped
+    blocked variant with the same verify metric is q104b
+    (dedup.fuzzy_prefix_pairs), whose recall vs THIS query's exact pair
+    set is what tests/test_llm_ops.py measures."""
     (documents,) = load(spark, sf, "documents")
     p = documents.select(
         "doc_id", "source",
@@ -1141,7 +1149,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("src1") == F.col("src2")) & (F.col("d1") < F.col("d2")),
         )
         .select(
@@ -1151,6 +1159,67 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("dist") <= 5)
         .orderBy("d1", "d2")
     )
+
+
+# ----------------------- Q104b pigeonhole-blocked fuzzy duplicate pairs
+def _q104b_chunk_values_sql() -> str:
+    """The chunk layout constant, spelled as DuckDB VALUES rows — derived
+    from the same prefix_chunk_bounds() the Spark side uses so the two
+    engines cannot drift."""
+    rows = ", ".join(
+        f"({cid}, {start}, {ln})"
+        for cid, start, ln in dedup.prefix_chunk_bounds(40, 5)
+    )
+    return f"(VALUES {rows}) AS c(cid, st, ln)"
+
+
+@query(
+    "q104b_fuzzy_blocked_pairs",
+    oracle=f"""
+        WITH p AS (
+          SELECT doc_id, source,
+                 substring({text.normalize_text_sql('text')}, 1, 40) AS pre
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, source, pre, c.cid,
+                 substring(pre, c.st, c.ln) AS ctext
+          FROM p CROSS JOIN {_q104b_chunk_values_sql()}
+          WHERE pre <> ''
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                 a.pre AS pre1, b.pre AS pre2
+          FROM ch a JOIN ch b
+            ON a.cid = b.cid AND a.ctext = b.ctext
+           AND a.source = b.source AND a.doc_id < b.doc_id
+        )
+        SELECT d1, d2, CAST(levenshtein(pre1, pre2) AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(pre1, pre2) <= 5
+        ORDER BY d1, d2
+    """,
+    tags=("dedup", "llm", "fuzzy"),
+)
+def q104b(spark: SparkSession, sf: str) -> DataFrame:
+    """q104's verify metric at production scale-shape: candidates from a
+    pigeonhole chunk EQUI-join (6 chunks of the 40-char normalized prefix
+    — at most 5 edits touch at most 5 chunks, so a within-distance-5
+    substitution-noise pair shares >=1 untouched aligned chunk), then
+    exact levenshtein verify (operators/dedup.py fuzzy_prefix_pairs).
+    Never all-pairs, never a corpus broadcast — the join shuffles on
+    (source, chunk_id, chunk_text) like every other dedup candidate join
+    in this engine, so one skewed source no longer serializes into a
+    quadratic block. The oracle mirrors the candidate generation exactly
+    (same chunk layout constant, same verify), so this is hash-matched,
+    not rows-only; recall vs the exact q104 pair set is asserted
+    separately in tests/test_llm_ops.py (1.0 for substitution noise by
+    the pigeonhole argument; indel-shifted pairs are the documented
+    approximation)."""
+    (documents,) = load(spark, sf, "documents")
+    return dedup.fuzzy_prefix_pairs(
+        documents, max_dist=5, prefix_len=40, partition_col="source"
+    ).orderBy("d1", "d2")
 
 
 # --------------------------------- Q105 vocabulary drift between halves

@@ -287,3 +287,108 @@ def test_ordered_funnel_strict_ordering(spark):
     ).collect()[0]
     assert (counts["n_keys"], counts["n_stage1"], counts["n_stage2"],
             counts["n_stage3"]) == (3, 3, 2, 1)
+
+
+def test_fuzzy_blocked_recall_substitution_noise(spark):
+    """Pigeonhole guarantee, exercised end-to-end: <=5 substitutions touch
+    <=5 of the 6 prefix chunks, so every substitution-noised duplicate
+    MUST be recalled by the chunk equi-join — recall is exactly 1.0 on
+    substitution noise, not a lucky-corpus statistic. The fixture plants
+    controlled substitution counts at spread-out positions (worst case for
+    chunk coverage) plus over-distance negatives that must be excluded by
+    the exact verify."""
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(0, "s", base)]
+    # k substitutions at positions spread across the 40-char prefix: each
+    # lands in a different chunk, the hardest placement for the blocking.
+    for k in range(1, 6):
+        chars = list(base)
+        for j in range(k):
+            pos = 2 + 7 * j  # one edit per 7-char chunk
+            chars[pos] = "z" if chars[pos] != "z" else "q"
+        rows.append((k, "s", "".join(chars)))
+    # 6 substitutions -> distance 6 from doc 0 -> the (0, 99) pair must be
+    # excluded by the exact verify (it may still legitimately pair with the
+    # intermediate variants it is within distance 5 of).
+    chars = list(base)
+    for j in range(6):
+        pos = 2 + 6 * j
+        chars[pos] = "z" if chars[pos] != "z" else "q"
+    rows.append((99, "s", "".join(chars)))
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        (r["d1"], r["d2"]): r["dist"]
+        for r in dedup.fuzzy_prefix_pairs(d, max_dist=5).collect()
+    }
+    for k in range(1, 6):
+        assert (0, k) in got, f"substitution-{k} pair missed: {sorted(got)}"
+        assert got[(0, k)] == k
+    assert (0, 99) not in got, got
+
+
+def test_fuzzy_blocked_matches_exact_on_corpus(spark):
+    """On the benchmark corpus the blocked variant (q104b's operator) must
+    find exactly the same pair set as the all-pairs exact join at the same
+    threshold — no false positives ever (exact verify), and no misses here
+    because the planted near-dup noise is substitution-dominated. Also
+    pins dist values (both are exact levenshtein over the same prefix)."""
+    d = docs(spark)
+    p = d.select(
+        "doc_id", "source",
+        F.substring(text.normalize_text("text"), 1, 40).alias("pre"),
+    ).filter(F.col("pre") != "")
+    a = p.select(
+        F.col("doc_id").alias("d1"), F.col("source").alias("s1"),
+        F.col("pre").alias("pre1"),
+    )
+    b = p.select(
+        F.col("doc_id").alias("d2"), F.col("source").alias("s2"),
+        F.col("pre").alias("pre2"),
+    )
+    exact = {
+        (r["d1"], r["d2"], r["dist"])
+        for r in a.join(
+            b, (F.col("s1") == F.col("s2")) & (F.col("d1") < F.col("d2"))
+        )
+        .select(
+            "d1", "d2",
+            F.levenshtein("pre1", "pre2").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 5)
+        .collect()
+    }
+    blocked = {
+        (r["d1"], r["d2"], r["dist"])
+        for r in dedup.fuzzy_prefix_pairs(d, max_dist=5).collect()
+    }
+    assert blocked == exact, (
+        f"missed: {exact - blocked}; phantom: {blocked - exact}"
+    )
+
+
+def test_fuzzy_blocked_max_df_prunes_hot_bucket(spark):
+    """max_df is the candidate-bucket ceiling: when every document shares
+    an identical chunk (boilerplate prefix), that bucket alone would be
+    quadratic; with the ceiling active the hot chunk is dropped from
+    candidate generation while pairs still agreeing on a NON-hot chunk
+    keep being found through it."""
+    shared = "common header "  # 14 chars -> fills chunks 0..1
+    # Tails constructed so every pair differs at EVERY position (i*7 mod 26
+    # is a bijection), i.e. pairwise distance 26 >> 5 — the only thing
+    # these docs share is the hot header.
+    tail = lambda i: "".join(  # noqa: E731
+        chr(ord("a") + (i * 7 + k * 13) % 26) for k in range(26)
+    )
+    rows = [(i, "s", shared + tail(i)) for i in range(20)]
+    # Two docs with identical tails: still pair via their (non-hot) tail
+    # chunks even when the shared-header chunks are pruned.
+    rows.append((100, "s", shared + "identical tail words for the pair x"))
+    rows.append((101, "s", shared + "identical tail words for the pair x"))
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    pruned = dedup.fuzzy_prefix_pairs(d, max_dist=5, max_df=5).collect()
+    got = {(r["d1"], r["d2"]) for r in pruned}
+    assert (100, 101) in got
+    # The 30 near-identical-header docs differ in their tails by more than
+    # the distance bound, so with the hot header chunks pruned none of
+    # their pairs survive: the quadratic bucket is gone.
+    assert all(p == (100, 101) for p in got), sorted(got)[:10]

@@ -358,12 +358,40 @@ def test_gap_percentiles_thresholds_broadcast(spark):
 
 
 def test_fuzzy_pairs_no_cartesian(spark):
-    """q104: the fuzzy-prefix pair join is source-blocked equi + broadcast,
-    never a cartesian."""
+    """q104 (exact oracle variant): the all-pairs-within-source join is an
+    equi-join on source, never a cartesian, and no longer forces a
+    broadcast hint (ADVICE r5: a forced F.broadcast of the full corpus
+    side OOMs past the 8 GB limit instead of degrading to shuffle)."""
     from kstreamjs_spark.plans import explain_str
 
-    plan = explain_str(q("q104_fuzzy_prefix_pairs", spark))
+    df = q("q104_fuzzy_prefix_pairs", spark)
+    plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_fuzzy_blocked_pairs_shuffle_equi_join(spark):
+    """q104b: the pigeonhole candidate join must be a pure shuffle
+    EQUI-join on (source, chunk_id, chunk_text) — with size-based
+    broadcast disabled it plans SortMergeJoin (proving no broadcast of
+    either corpus side is required), and nothing may plan cartesian or
+    nested-loop. This is the scale-shape assertion the r5 verdict ordered
+    for the fuzzy-dedup family."""
+    from kstreamjs_spark.plans import explain_str
+
+    df = q("q104b_fuzzy_blocked_pairs", spark)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = explain_str(q("q104b_fuzzy_blocked_pairs", spark))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in shuffled or "ShuffledHashJoin" in shuffled, shuffled
+    assert "BroadcastExchange" not in shuffled, shuffled
 
 
 def test_session_funnel_single_data_shuffle(spark):
