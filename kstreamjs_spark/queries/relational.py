@@ -1169,7 +1169,8 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     "q89_trailing_window",
     oracle="""
         SELECT event_id, user_id,
-               ROUND(SUM(value) OVER w, 4) AS trailing_sum,
+               SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w
+                   / 10000.0 AS trailing_sum,
                CAST(COUNT(*) OVER w AS BIGINT) AS trailing_cnt
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1184,9 +1185,14 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     cannot express when events are irregularly spaced. Framing on
     `unix_micros` keeps the bound arithmetic integer-exact on both
     engines; equal-timestamp peers fall in the frame together under the
-    same RANGE rule. One hashpartitioning(user_id) exchange + per-key
-    sort, evaluated streamingly per frame — no quadratic re-scan; at
-    100 TB the same skew caveat as all keyed windows applies (salt or
+    same RANGE rule. The summed value is quantized to int64 1e-4 quanta
+    per ROW before the window SUM (standard idiom, cf. q44/q81b): DuckDB
+    evaluates moving SUMs with a segment tree and Spark with per-frame
+    accumulation, so a double sum associates differently and ulp drift
+    could flip a rounding boundary (ADVICE r5) — integer quanta make the
+    frame sum order-free. One hashpartitioning(user_id) exchange +
+    per-key sort, evaluated streamingly per frame — no quadratic re-scan;
+    at 100 TB the same skew caveat as all keyed windows applies (salt or
     split hot users upstream)."""
     (events,) = load(spark, sf, "events")
     w = (
@@ -1194,10 +1200,11 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-3_600_000_000, 0)
     )
+    quantum = F.floor(F.col("value") * 1e4 + 0.5).cast("long")
     return events.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+        (F.sum(quantum).over(w) / 10000.0).alias("trailing_sum"),
         F.count(F.lit(1)).over(w).cast("long").alias("trailing_cnt"),
     )
 

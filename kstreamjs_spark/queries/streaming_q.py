@@ -12,6 +12,7 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -216,7 +217,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
     "q44_stateful_running_totals",
     oracle="""
         SELECT user_id,
-               ROUND(SUM(value), 4) AS running_total,
+               SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS running_total,
                CAST(COUNT(*) AS BIGINT) AS running_cnt
         FROM events GROUP BY user_id
     """,
@@ -231,27 +233,34 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     largest running_cnt — strictly increasing per batch), which must equal
     the batch SUM/COUNT per user however the replay happens to be
     micro-batched — so the query is oracle-checkable (hash-match) without
-    assuming a batch layout. Per-batch semantics are covered by the
-    batch-equivalence test in tests/test_streaming.py."""
+    assuming a batch layout. State is int64 1e-4 QUANTA, not a double:
+    each value quantizes to floor(v*1e4+0.5) per ROW before any
+    accumulation (the repo's standard cross-engine idiom, cf. q81b/q96),
+    so the total is order-free integer arithmetic — a double accumulator
+    summed in micro-batch order could flip a 4-dp rounding boundary
+    against DuckDB's differently-ordered SUM (ADVICE r5). Per-batch
+    semantics are covered by the batch-equivalence test in
+    tests/test_streaming.py."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     sdf = stream_table(spark, sf, "events").select("user_id", "value")
 
     def update(key, pdfs, state: GroupState):
-        total, cnt = state.get if state.exists else (0.0, 0)
+        total_q, cnt = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            total += float(pdf["value"].sum())
+            q = np.floor(pdf["value"].to_numpy() * 1e4 + 0.5).astype("int64")
+            total_q += int(q.sum())
             cnt += len(pdf)
-        state.update((total, cnt))
+        state.update((total_q, cnt))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "running_total": [round(total, 4)],
+            {"user_id": [key[0]], "running_total": [total_q / 10000.0],
              "running_cnt": [cnt]}
         )
 
     out = sdf.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, running_total double, running_cnt bigint",
-        stateStructType="total double, cnt bigint",
+        stateStructType="total_q bigint, cnt bigint",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

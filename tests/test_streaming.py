@@ -165,7 +165,9 @@ def test_stream_facade_replay_window(spark):
 
 def test_stateful_running_totals_converge_to_batch(spark):
     """q44: the max running total per user across micro-batches must equal
-    the batch SUM (state accumulated correctly across batches)."""
+    the batch sum of the SAME per-row 1e-4 quanta (state accumulated
+    correctly across batches; integer quanta make the comparison exact
+    regardless of micro-batch order)."""
     import pyspark.sql.functions as F
 
     from kstreamjs_spark.queries import all_queries
@@ -178,11 +180,12 @@ def test_stateful_running_totals_converge_to_batch(spark):
         .agg(F.max("running_total").alias("final_total"))
         .collect()
     }
+    quantum = F.floor(F.col("value") * 1e4 + 0.5).cast("long")
     batch = {
-        r["user_id"]: round(r["s"], 4)
+        r["user_id"]: r["sq"] / 10000.0
         for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
         .groupBy("user_id")
-        .agg(F.sum("value").alias("s"))
+        .agg(F.sum(quantum).alias("sq"))
         .collect()
     }
     assert finals == batch
