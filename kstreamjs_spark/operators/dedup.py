@@ -19,6 +19,18 @@ from pyspark.sql import Column, DataFrame, Window
 from .text import tokens
 
 MERSENNE_PRIME = (1 << 61) - 1
+# Modulus for the minhash permutation family: the Mersenne prime 2^31-1.
+# Small enough that a full-range multiplier a in [1, p-1] keeps a*x + b
+# under 2^62 (int64-safe), so h(x) = (a*x + b) mod p genuinely wraps and
+# mixes. The previous layout (a < 2^30, p = 2^61-1, x < 2^32) made a*x+b
+# wrap AT MOST TWICE, i.e. h was near-monotonic in x for every
+# permutation — the arg-min was biased toward the globally smallest
+# hashed shingle across ALL permutations at once, inflating the per-pair
+# estimator variance ~3x over binomial (caught by the banding-curve test
+# in tests/test_llm_ops.py). Reducing the 64-bit shingle hash to 31 bits
+# costs ~1e-6 collision probability inside a pair's shingle union —
+# invisible next to the 1/sqrt(num_perm) estimator noise.
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
@@ -266,13 +278,15 @@ def minhash_signature(
     computed in the scan projection with zero shuffle.
     """
     sh = shingles(text, n)
-    # Overflow-safe universal hashing in int64: reduce the shingle hash to
-    # 32 bits and keep multipliers under 2^30 so a*x + b < 2^63.
+    # Overflow-safe universal hashing in int64 over Z_p, p = 2^31-1: x and
+    # a both < 2^31 keep a*x + b < 2^62. Full-range multipliers are the
+    # point — see the MINHASH_PRIME note for the near-monotonic-map bias a
+    # capped multiplier range causes.
     params = [
-        (a % ((1 << 30) - 1) + 1, b % MERSENNE_PRIME)
+        (a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME)
         for a, b in _perm_params(num_perm, seed)
     ]
-    x32 = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % ((1 << 32) - 5))
+    x32 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
     # Single fold over the shingle hashes updating all num_perm minima at
     # once (one O(shingles x perms) pass). num_perm separate
     # array_min(transform(...)) projections would re-evaluate the shingle
@@ -288,7 +302,7 @@ def minhash_signature(
         x32,
         init,
         lambda acc, x: F.zip_with(
-            acc, ab, lambda m, p: F.least(m, (x * p["a"] + p["b"]) % MERSENNE_PRIME)
+            acc, ab, lambda m, p: F.least(m, (x * p["a"] + p["b"]) % MINHASH_PRIME)
         ),
     )
 

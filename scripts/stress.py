@@ -175,6 +175,94 @@ def _ttr_count(d):
     return c.groupBy("lang").agg(F.sum("count"), F.count(F.lit(1))).count()
 
 
+def _fuzzy_blocked_count(d):
+    # q104b shape: pigeonhole chunk equi-join + exact levenshtein verify
+    return dedup.fuzzy_prefix_pairs(
+        d, max_dist=5, prefix_len=40, partition_col="source"
+    ).count()
+
+
+def _leakage_maxdf_count(d):
+    # q106b shape: unblocked max_df'd shingle join + cross-split meta joins
+    from kstreamjs_spark.operators import sampling, text as text_ops
+
+    split = F.when(
+        sampling.hash_bucket(
+            text_ops.portable_string_hash("source"), seed=29
+        )
+        < F.lit(int(0.8 * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tagged = d.withColumn("split", split)
+    pairs = dedup.jaccard_pairs(
+        tagged, threshold=0.5, partition_col=None, max_df=2
+    )
+    meta = tagged.select("doc_id", "split")
+    m1 = meta.select(
+        F.col("doc_id").alias("d1"), F.col("split").alias("s1")
+    )
+    m2 = meta.select(
+        F.col("doc_id").alias("d2"), F.col("split").alias("s2")
+    )
+    return (
+        pairs.join(m1, "d1")
+        .join(m2, "d2")
+        .filter(F.col("s1") != F.col("s2"))
+        .select(
+            F.when(F.col("s1") == "val", F.col("d1"))
+            .otherwise(F.col("d2")).alias("val_doc")
+        )
+        .distinct()
+        .count()
+    )
+
+
+def _keepers_count(d):
+    # q110 shape: jaccard pairs -> connected components -> keeper window
+    from pyspark.sql import Window
+
+    pairs = dedup.jaccard_pairs(d, threshold=0.5, partition_col="source")
+    labels = cluster.connected_components(pairs, src="d1", dst="d2")
+    m = labels.join(
+        d.select(
+            F.col("doc_id").alias("node"),
+            F.size(F.split("text", " ")).cast("long").alias("L"),
+        ),
+        "node",
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("L"), F.asc("node"))
+    k = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label")
+    )
+    return (
+        m.groupBy("label").agg(F.count(F.lit(1))).join(k, "label").count()
+    )
+
+
+def _retention_count(ev):
+    # q107 shape: first-week per user + distinct activity + broadcast sizes
+    wk = F.date_trunc("week", F.col("ts"))
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("cw"))
+    act = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            F.floor(F.datediff(wk, F.col("cw")) / F.lit(7)).alias("wo"),
+        )
+        .distinct()
+    )
+    coh = f.groupBy("cw").agg(F.count(F.lit(1)).alias("cs"))
+    return (
+        act.groupBy("cw", "wo")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(coh), "cw")
+        .count()
+    )
+
+
 def _kmeans_assign_count(em):
     # q81 shape: centroid literals -> one codegen'd projection, k=8
     from kstreamjs_spark.operators import kmeans
@@ -246,9 +334,17 @@ def main() -> int:
         "ttr": _ttr_count,
         "lm_score": _lm_score_count,
         "entropy": _entropy_count,
+        # round-6 additions (q104b/q106b/q110 shapes)
+        "fuzzy_blocked": _fuzzy_blocked_count,
+        "leakage_maxdf": _leakage_maxdf_count,
+        "keepers": _keepers_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
-    eops = {"sessionize": _sessionize_count, "funnel": _funnel_count}
+    eops = {
+        "sessionize": _sessionize_count,
+        "funnel": _funnel_count,
+        "retention": _retention_count,
+    }
     vops = {"kmeans_assign": _kmeans_assign_count}
     if only:
         ops = {k: v for k, v in ops.items() if k in only}

@@ -392,3 +392,66 @@ def test_fuzzy_blocked_max_df_prunes_hot_bucket(spark):
     # the distance bound, so with the hot header chunks pruned none of
     # their pairs survive: the quadratic bucket is gone.
     assert all(p == (100, 101) for p in got), sorted(got)[:10]
+
+
+def _banding_corpus(n_pairs: int, m: int, k: int, tag: str):
+    """n_pairs (base, variant) doc pairs over pair-disjoint vocabularies.
+
+    Base doc = m distinct tokens; variant shares the first k tokens and
+    replaces the rest — so with 3-gram shingling the pair's exact shingle
+    Jaccard is ~(k-2)/(2m-k-2), but the test never relies on that formula:
+    it recomputes the exact per-pair Jaccard from the actual shingle sets.
+    Disjoint vocabularies keep cross-pair Jaccard at exactly 0, so the
+    analytic candidate probability for every non-constructed pair is 0.
+    """
+    rows, truth = [], []
+    for i in range(n_pairs):
+        base = [f"{tag}p{i}w{j}" for j in range(m)]
+        var = base[:k] + [f"{tag}p{i}v{j}" for j in range(m - k)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(var)))
+        sh_b = {tuple(base[j : j + 3]) for j in range(m - 2)}
+        sh_v = {tuple(var[j : j + 3]) for j in range(m - 2)}
+        j_exact = len(sh_b & sh_v) / len(sh_b | sh_v)
+        truth.append(((2 * i, 2 * i + 1), j_exact))
+    return rows, truth
+
+
+def test_lsh_candidate_rate_matches_banding_curve(spark):
+    """The measured LSH candidate rate must track the analytic banding
+    curve P(j) = 1 - (1 - j^r)^b at three similarity levels (low / knee /
+    high) — so a signature or banding bug (wrong rows-per-band split,
+    broken permutation, band-id mixing) cannot pass on a lucky corpus
+    where recall-only tests still succeed. Expected count and variance
+    are summed per-pair from each pair's EXACT shingle Jaccard; the
+    assertion is a 5-sigma binomial band plus a small absolute slack for
+    the residual non-min-wise-independence of universal hashing."""
+    num_perm, bands = 64, 16
+    r = num_perm // bands
+    m = 30
+    levels = {"lo": 12, "knee": 20, "hi": 26}  # k -> j ~ 0.22 / 0.47 / 0.75
+    for tag, k in levels.items():
+        rows, truth = _banding_corpus(60, m, k, tag)
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        # threshold=0 keeps every candidate: measures candidate GENERATION,
+        # not the downstream estimate filter.
+        cand = {
+            (row["d1"], row["d2"])
+            for row in dedup.minhash_neardup_pairs(
+                d, threshold=0.0, num_perm=num_perm, bands=bands
+            ).collect()
+        }
+        expected = sum(1 - (1 - j**r) ** bands for _, j in truth)
+        var = sum(
+            (p := 1 - (1 - j**r) ** bands) * (1 - p) for _, j in truth
+        )
+        got = sum(1 for pair, _ in truth if pair in cand)
+        tol = 5 * var**0.5 + 3
+        assert abs(got - expected) <= tol, (
+            f"{tag}: measured {got} vs analytic {expected:.1f} "
+            f"(tol {tol:.1f}) over {len(truth)} pairs"
+        )
+        # Cross-pair vocabularies are disjoint -> j=0 -> P(candidate)=0:
+        # any extra candidate is a banding false-positive bug, not noise.
+        extras = cand - {pair for pair, _ in truth}
+        assert not extras, f"{tag}: j=0 pairs became candidates: {extras}"
