@@ -1200,6 +1200,7 @@ def _q104b_chunk_values_sql() -> str:
         ORDER BY d1, d2
     """,
     tags=("dedup", "llm", "fuzzy"),
+    bench=True,
 )
 def q104b(spark: SparkSession, sf: str) -> DataFrame:
     """q104's verify metric at production scale-shape: candidates from a

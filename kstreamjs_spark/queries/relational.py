@@ -1500,6 +1500,7 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY a.cohort_week, a.week_offset
     """,
     tags=("agg", "behavioral", "cohort"),
+    bench=True,
 )
 def q107(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention matrix: users grouped by first-activity
