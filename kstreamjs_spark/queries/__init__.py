@@ -73,13 +73,15 @@ _WINDOW_SIZE = 50
 # time this round (q104b, q106b) need no pin: hist=0 sorts them ahead of
 # everything already checked.
 _WINDOW_PRIORITY = [
-    # behavior changed this round, must re-earn a driver row: q44 + q89 now
-    # accumulate int64 1e-4 quanta (oracle changed to match), q104 dropped
-    # its forced corpus broadcast, q37's broadcast is size-gated, q111
-    # materializes eagerly and unpersists its scan-side cache
-    "q44_stateful_running_totals", "q89_trailing_window",
-    "q104_fuzzy_prefix_pairs", "q37_embedding_pairs",
-    "q111_curation_yield",
+    # behavior changed this round, must re-earn a driver row: the minhash
+    # permutation family moved to Z_(2^31-1) with full-range multipliers
+    # (q26b's estimates and q26d's candidate set are signature-derived),
+    # and q104b/q107 dropped their presentation sorts (result SET
+    # unchanged — the re-check is belt-and-braces, and both are hist-0
+    # anyway). The 8 new q112–q119 queries enter the window automatically
+    # as never-checked (hist 0).
+    "q26b_minhash_neardup", "q26d_minhash_verify",
+    "q104b_fuzzy_blocked_pairs", "q107_cohort_retention",
 ]
 
 
@@ -113,6 +115,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import streaming_q  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import corpus  # noqa: F401
+    from . import curation  # noqa: F401
 
     missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
     if missing:

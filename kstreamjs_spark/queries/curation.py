@@ -1,0 +1,675 @@
+"""Round-6 corpus-curation queries (SURVEY.md §2B Q112–Q119): chunk-level
+boilerplate detection, weighted priority sampling, Zipf-law auditing,
+vector-column health checks, split-distribution divergence, quality-band
+yield, per-source scorecards, and quantization-error audits.
+
+Reference parity note: the reference (song9446/kstreamjs,
+/root/reference/src/stream.ts:18-271) has no analytical surface at all —
+these queries extend the engine's declared LLM-training-data inventory,
+following the determinism rules in queries/__init__ (quantize-before-sum
+for any aggregated transcendental, exact integer arithmetic elsewhere,
+identical column aliases on both engines).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, sampling, text
+from ..operators.sampling import hash_bucket_sql
+from ..operators.similarity import as_double
+from ..operators.text import fingerprint_sql
+from ..tables import load
+from . import query
+from .corpus import _SPLIT_SEED, _TRAIN_FRACTION, _shingle_sql
+from .llm import ALL_STOP, _sql_list
+
+# ------------------------------------ Q112 repeated-chunk boilerplate
+_CHUNK_TOK = 32
+
+
+@query(
+    "q112_repeated_chunks",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts
+                   FROM documents),
+        s AS (SELECT doc_id, lang, ts,
+                     unnest(generate_series(1, len(ts), {_CHUNK_TOK})) AS st
+              FROM t),
+        g AS (SELECT doc_id, lang,
+                     {fingerprint_sql(
+                         "array_to_string(list_slice(ts, st, st + "
+                         + str(_CHUNK_TOK - 1) + "), ' ')")} AS cfp
+              FROM s),
+        rc AS (SELECT lang, cfp, COUNT(DISTINCT doc_id) AS nd
+               FROM g GROUP BY lang, cfp),
+        rep AS (SELECT lang, cfp FROM rc WHERE nd >= 2),
+        a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_repeated_chunks
+              FROM rep GROUP BY lang),
+        b AS (SELECT g.lang,
+                     CAST(COUNT(DISTINCT g.doc_id) AS BIGINT)
+                         AS n_affected_docs
+              FROM g SEMI JOIN rep r
+                ON g.lang = r.lang AND g.cfp = r.cfp
+              GROUP BY g.lang)
+        SELECT a.lang, a.n_repeated_chunks, b.n_affected_docs
+        FROM a JOIN b ON a.lang = b.lang
+    """,
+    tags=("dedup", "text", "llm", "quality"),
+)
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document boilerplate detection: split every document into
+    32-token chunks, fingerprint each chunk (q36's rolling hash), and
+    report per language how many distinct chunks recur across >=2
+    documents and how many documents carry at least one such chunk — the
+    shared-header/footer signal that document-level dedup (q25/q26)
+    cannot see because the surrounding text differs. Plan: chunk
+    fingerprints are computed in the scan projection (text itself never
+    shuffles); the shuffle carries (lang, cfp, doc_id) only, keyed on the
+    fingerprint — bucket width bounded by chunk multiplicity, never
+    corpus size. The semi-join probe reuses the same aggregate."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", F.split("text", " ").alias("ts")
+    )
+    ex = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(_CHUNK_TOK))
+        ).alias("st"),
+        "ts",
+    )
+    g = ex.select(
+        "doc_id",
+        "lang",
+        text.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), _CHUNK_TOK), " ")
+        ).alias("cfp"),
+    )
+    rep = (
+        g.groupBy("lang", "cfp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("lang", "cfp")
+    )
+    a = rep.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeated_chunks")
+    )
+    b = (
+        g.join(rep, ["lang", "cfp"], "left_semi")
+        .select("lang", "doc_id")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_affected_docs"))
+    )
+    return a.join(b, "lang")
+
+
+# ------------------------------------ Q113 weighted priority sample
+_PRIORITY_K = 5
+_PRIORITY_SEED = 7
+
+
+@query(
+    "q113_priority_sample",
+    oracle=f"""
+        WITH p AS (
+          SELECT lang, doc_id, n_chars,
+                 CAST({hash_bucket_sql('doc_id', _PRIORITY_SEED)} + 1
+                      AS DOUBLE)
+                 / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS pr
+          FROM documents
+        ),
+        r AS (SELECT lang, doc_id, n_chars, pr,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY pr, doc_id) AS rn
+              FROM p)
+        SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, pr
+        FROM r WHERE rn <= {_PRIORITY_K}
+    """,
+    tags=("sampling", "llm"),
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, k per language, by
+    sequential Poisson sampling (Ohlsson): priority = u / weight with a
+    deterministic uniform u from the doc_id hash, keep the k smallest
+    priorities per stratum — longer documents win proportionally more
+    often, and the whole draw is reproducible from the seed. The
+    priority is ONE exact IEEE double division of two exact integers
+    (identical bit pattern on both engines — no transcendentals, unlike
+    the u^(1/w) exponential formulation it approximates). Plan: priority
+    is a scan-side expression; per-stratum selection is the
+    WindowGroupLimit top-k shape (rank pushed into the shuffle), so the
+    full sort never materializes at scale."""
+    (documents,) = load(spark, sf, "documents")
+    u = sampling.hash_bucket("doc_id", seed=_PRIORITY_SEED) + F.lit(1)
+    pr = u.cast("double") / F.greatest(
+        F.col("n_chars"), F.lit(1)
+    ).cast("double")
+    w = Window.partitionBy("lang").orderBy("pr", "doc_id")
+    return (
+        documents.select(
+            "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+            pr.alias("pr"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PRIORITY_K)
+        .drop("rn")
+    )
+
+
+# ------------------------------------ Q114 Zipf-law slope audit
+_ZIPF_TOP = 500
+_ZIPF_Q = 100_000  # ln quantization: 1e5 keeps every int64 product safe
+
+
+@query(
+    "q114_zipf_slope",
+    oracle=f"""
+        WITH c AS (
+          SELECT lang, token, COUNT(*) AS n FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          GROUP BY lang, token
+        ),
+        r AS (SELECT lang, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, token) AS rank
+              FROM c),
+        q AS (SELECT lang,
+                     CAST(floor(ln(rank) * {_ZIPF_Q} + 0.5) AS BIGINT) AS x,
+                     CAST(floor(ln(n) * {_ZIPF_Q} + 0.5) AS BIGINT) AS y
+              FROM r WHERE rank <= {_ZIPF_TOP})
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_ranks,
+               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
+                     / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)),
+                     4) AS zipf_slope
+        FROM q GROUP BY lang HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "llm", "monitoring"),
+)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit per language: least-squares slope of ln(frequency)
+    vs ln(rank) over the top-500 token ranks — natural corpora sit near
+    slope -1; a flat slope flags templated/synthetic text, a cliff flags
+    a truncated vocabulary. Every ln term is quantized to int64 BEFORE
+    any sum (the q96 idiom: summation order differs between engines,
+    integer sums don't), so the slope's sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) are order-free; one final double division. The
+    rank window runs over the vocabulary-sized (lang, token) aggregate —
+    bounded by vocabulary, never corpus size — and the 1e5 quantum keeps
+    n·Σxy under 2^63 at any corpus size (x ≤ ln(500)·1e5, y ≤ ln(c)·1e5:
+    even c = 1e12 keeps the products at ~1e17)."""
+    (documents,) = load(spark, sf, "documents")
+    c = (
+        dedup.spread(documents, "doc_id")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    r = c.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _ZIPF_TOP
+    )
+    q = r.select(
+        "lang",
+        F.floor(F.log("rank") * _ZIPF_Q + 0.5).cast("long").alias("x"),
+        F.floor(F.log("n") * _ZIPF_Q + 0.5).cast("long").alias("y"),
+    )
+    agg = q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return (
+        agg.filter(F.col("n_ranks") >= 2)
+        .select(
+            "lang",
+            "n_ranks",
+            F.round(
+                (F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * F.lit(1.0)
+                / (
+                    F.col("n_ranks") * F.col("sxx")
+                    - F.col("sx") * F.col("sx")
+                ),
+                4,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+# ------------------------------------ Q115 vector-column health audit
+_NORM_Q = 1_000_000
+
+
+@query(
+    "q115_vector_health",
+    oracle=f"""
+        WITH v AS (
+          SELECT label,
+                 len(embedding) AS dim,
+                 len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0
+                     AS has_nan,
+                 list_reduce(
+                     list_prepend(0.0,
+                         list_transform(embedding::DOUBLE[], x -> x * x)),
+                     (a, x) -> a + x) AS n2
+          FROM embeddings
+        ),
+        q AS (SELECT label, dim, has_nan,
+                     CASE WHEN has_nan THEN CAST(0 AS BIGINT)
+                          ELSE CAST(floor(n2 * {_NORM_Q} + 0.5) AS BIGINT)
+                     END AS n2q
+              FROM v)
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) FILTER (WHERE has_nan) AS BIGINT) AS n_nan,
+               CAST(COUNT(*) FILTER (WHERE NOT has_nan AND n2q = 0)
+                    AS BIGINT) AS n_zero,
+               CAST(MIN(dim) AS BIGINT) AS dim_min,
+               CAST(MAX(dim) AS BIGINT) AS dim_max,
+               ROUND(SUM(n2q) * 1.0
+                     / (NULLIF(COUNT(*) FILTER (WHERE NOT has_nan), 0)
+                        * {_NORM_Q}.0), 6) AS avg_norm2
+        FROM q GROUP BY label
+    """,
+    tags=("similarity", "llm", "quality"),
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector-column health audit per label: NaN-poisoned vectors,
+    exact-zero vectors (they break cosine normalization), dimension
+    drift (min/max length — a ragged column means a broken embedder
+    batch), and the mean squared norm (catches scale drift between
+    embedder versions). Per-vector norm² is a sequential left-fold
+    (deterministic order, identical on both engines), quantized to int64
+    before the per-label mean so the aggregation is order-free; NaN
+    vectors are excluded from the norm statistics by an exact flag, not
+    by NaN propagation (engines disagree on NaN semantics, so it never
+    crosses an aggregate here). Pure scan-side array math + one
+    label-sized aggregate: zero joins, zero UDFs."""
+    (emb,) = load(spark, sf, "embeddings")
+    dv = as_double(F.col("embedding"))
+    v = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.exists(dv, lambda x: F.isnan(x)).alias("has_nan"),
+        F.aggregate(
+            F.transform(dv, lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("n2"),
+    )
+    q = v.select(
+        "label",
+        "dim",
+        "has_nan",
+        F.when(F.col("has_nan"), F.lit(0).cast("long"))
+        .otherwise(F.floor(F.col("n2") * _NORM_Q + 0.5).cast("long"))
+        .alias("n2q"),
+    )
+    not_nan = F.sum(F.when(~F.col("has_nan"), 1).otherwise(0))
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("has_nan"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nan"),
+        F.sum(
+            F.when(~F.col("has_nan") & (F.col("n2q") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_zero"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.round(
+            F.sum("n2q") * F.lit(1.0)
+            / (F.nullif(not_nan, F.lit(0)) * F.lit(float(_NORM_Q))),
+            6,
+        ).alias("avg_norm2"),
+    )
+
+
+# ------------------------------------ Q116 split KL divergence
+_KL_Q = 1_000_000
+
+
+@query(
+    "q116_split_kl",
+    oracle=f"""
+        WITH d AS (
+          SELECT lang, text,
+                 CASE WHEN {hash_bucket_sql(
+                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
+                      < {int(_TRAIN_FRACTION * 4294967296)}
+                      THEN 'train' ELSE 'val' END AS split
+          FROM documents
+        ),
+        tok AS (SELECT lang, split, unnest(string_split(text, ' ')) AS w
+                FROM d),
+        c AS (SELECT lang, w,
+                     COUNT(*) FILTER (WHERE split = 'train') AS ct,
+                     COUNT(*) FILTER (WHERE split = 'val') AS cv
+              FROM tok GROUP BY lang, w),
+        s AS (SELECT lang,
+                     CAST(COUNT(*) AS BIGINT) AS vocab_union,
+                     CAST(SUM(ct) AS BIGINT) AS nt,
+                     CAST(SUM(cv) AS BIGINT) AS nv,
+                     SUM(CASE WHEN cv > 0 THEN
+                         CAST(floor(cv * (ln(cv) - ln(ct + 1)) * {_KL_Q}
+                                    + 0.5) AS BIGINT)
+                         ELSE 0 END) AS sq
+              FROM c GROUP BY lang)
+        SELECT lang, nv AS n_val_tokens, vocab_union,
+               ROUND(sq * 1.0 / (nv * {_KL_Q}.0)
+                     - ln(nv) + ln(nt + vocab_union), 6) AS kl_div
+        FROM s WHERE nv > 0
+    """,
+    tags=("text", "llm", "evaluation", "monitoring"),
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution KL divergence KL(val || train) per language
+    across q79's source-atomic split, with add-one smoothing on the
+    train side (an unseen-in-train token contributes its exact smoothed
+    surprisal instead of infinity) — the distribution-shift audit that
+    catches a val split drawn from systematically different sources even
+    when no document leaks (q100/q106 find leaks; this finds skew).
+    Decomposition: KL = Σ cv·(ln cv − ln(ct+1))/Nv − ln Nv + ln(Nt+V) —
+    the per-token terms are quantized to int64 before summing (q96
+    idiom); the three correction terms are row-level ln of exact
+    integers on the final lang-sized aggregate. One token explode, one
+    vocabulary-sized shuffle; text never shuffles."""
+    (documents,) = load(spark, sf, "documents")
+    split = F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+    tok = dedup.spread(documents, "doc_id").select(
+        "lang", split.alias("split"), F.explode(F.split("text", " ")).alias("w")
+    )
+    c = tok.groupBy("lang", "w").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("cv"),
+    )
+    term = F.when(
+        F.col("cv") > 0,
+        F.floor(
+            F.col("cv") * (F.log("cv") - F.log(F.col("ct") + 1)) * _KL_Q
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    s = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_union"),
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cv").cast("long").alias("nv"),
+        F.sum(term).alias("sq"),
+    )
+    return s.filter(F.col("nv") > 0).select(
+        "lang",
+        F.col("nv").alias("n_val_tokens"),
+        "vocab_union",
+        F.round(
+            F.col("sq") * F.lit(1.0) / (F.col("nv") * F.lit(float(_KL_Q)))
+            - F.log("nv")
+            + F.log(F.col("nt") + F.col("vocab_union")),
+            6,
+        ).alias("kl_div"),
+    )
+
+
+# ------------------------------------ Q117 quality-band yield table
+_BAND_LEN_LO, _BAND_LEN_HI = 20, 400
+_BAND_STOP_BP = 300
+_BAND_UNIQ_BP = 8000
+
+
+@query(
+    "q117_quality_bands",
+    oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tok,
+                 len(list_filter(string_split(text, ' '),
+                     t -> list_contains({_sql_list(ALL_STOP)}, t))) AS hits,
+                 len({_shingle_sql(3, distinct=False)}) AS n_tri,
+                 len(list_distinct({_shingle_sql(3, distinct=False)}))
+                     AS n_uniq
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, n_tok,
+                 (CASE WHEN n_tok BETWEEN {_BAND_LEN_LO} AND {_BAND_LEN_HI}
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN (10000 * hits) // n_tok >= {_BAND_STOP_BP}
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN n_tri > 0
+                        AND (10000 * n_uniq) // n_tri >= {_BAND_UNIQ_BP}
+                       THEN 1 ELSE 0 END) AS band
+          FROM m WHERE n_tok > 0
+        )
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS doc_share
+        FROM b GROUP BY band
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-band yield table: every document scores 0–3 integer
+    criteria (length in [20,400] tokens; stopword density >= 3% — real
+    prose contains function words; distinct-trigram ratio >= 80% — q78's
+    repetition signal), and the report shows docs/tokens/share per band —
+    the go/no-go table a curation pipeline reads before choosing a
+    cutoff band. All three criteria are exact integer arithmetic
+    (basis-point floor division, no doubles until the final share), so
+    there is no rounding-boundary risk anywhere. Scan-side scoring into
+    a 4-row aggregate; the share window runs over those 4 rows."""
+    (documents,) = load(spark, sf, "documents")
+    toks = text.tokens("text")
+    tri = dedup.shingle_list("text", 3)
+    m = documents.select(
+        F.size(toks).alias("n_tok"),
+        text.stopword_hits(toks, ALL_STOP).alias("hits"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    band = (
+        F.when(
+            F.col("n_tok").between(_BAND_LEN_LO, _BAND_LEN_HI), 1
+        ).otherwise(0)
+        + F.when(
+            F.expr("(10000 * hits) DIV n_tok") >= _BAND_STOP_BP, 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("n_tri") > 0)
+            & (F.expr("(10000 * n_uniq) DIV n_tri") >= _BAND_UNIQ_BP),
+            1,
+        ).otherwise(0)
+    )
+    g = m.select(band.alias("band"), "n_tok").groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "band",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("doc_share"),
+    )
+
+
+# ------------------------------------ Q118 source scorecard
+@query(
+    "q118_source_scorecard",
+    oracle=f"""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(*) - COUNT(DISTINCT {fingerprint_sql('text')})
+                    AS BIGINT) AS n_exact_dups,
+               ROUND((COUNT(*) - COUNT(DISTINCT {fingerprint_sql('text')}))
+                     * 1.0 / COUNT(*), 6) AS dup_ratio,
+               ROUND(SUM(n_chars) * 1.0 / COUNT(*), 6) AS avg_chars
+        FROM documents GROUP BY source
+    """,
+    tags=("text", "llm", "monitoring", "provenance"),
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source crawl scorecard: document/token volume, language
+    spread, exact-duplicate ratio (docs minus distinct content
+    fingerprints — the within-source copy rate that decides whether a
+    source needs dedup before mixing), and mean document size. The
+    fingerprint is computed in the scan projection; the aggregate is
+    source-sized. One shuffle on source; the distinct-fingerprint count
+    rides the same aggregation (partial distinct aggregation map-side).
+    Exact integer counts; the two ratios are final exact int/int
+    divisions."""
+    (documents,) = load(spark, sf, "documents")
+    return (
+        documents.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(text.tokens("text")).alias("n_tok"),
+            text.fingerprint("text").alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            .cast("long")
+            .alias("n_exact_dups"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("fp"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.round(
+                F.sum("n_chars") * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+    )
+
+
+# ------------------------------------ Q119 quantization-error audit
+_ERR_Q = 1_000_000_000_000  # 1e12: err^2 ~ 1e-5 scale needs fine quanta
+
+
+@query(
+    "q119_quant_error",
+    oracle=f"""
+        WITH v AS (
+          SELECT label, embedding::DOUBLE[] AS dv,
+                 list_max(list_transform(embedding::DOUBLE[],
+                                         x -> abs(x))) AS m
+          FROM embeddings
+        ),
+        e AS (
+          SELECT label, len(dv) AS dim,
+                 list_transform(dv,
+                     x -> CASE WHEN m = 0 THEN abs(x)
+                          ELSE abs(x - GREATEST(-127, LEAST(127,
+                                   CAST(floor(x * (127.0 / m) + 0.5)
+                                        AS BIGINT))) * (m / 127.0))
+                          END) AS errs
+          FROM v
+        ),
+        s AS (
+          SELECT label, dim,
+                 list_max(errs) AS vmax,
+                 CAST(floor(list_reduce(list_prepend(0.0,
+                          list_transform(errs, x -> x * x)),
+                          (a, x) -> a + x) * {_ERR_Q} + 0.5) AS BIGINT)
+                     AS e2q
+          FROM e
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(MAX(vmax), 6) AS max_abs_err,
+               ROUND(SUM(e2q) * 1.0 / (SUM(dim) * {_ERR_Q}.0), 6)
+                   AS mean_sq_err
+        FROM s GROUP BY label
+    """,
+    tags=("similarity", "llm", "quality"),
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconstruction-error audit for q85's symmetric int8 quantization:
+    per label, the max absolute element error and the mean squared
+    element error after quantize→dequantize — the number that says
+    whether int8 storage is safe for this embedding family or a label's
+    scale distribution needs per-channel treatment. The per-element
+    error chain (divide, floor(+0.5), clamp, multiply back) is exact
+    IEEE with the identical operation order on both engines (q85's
+    contract extended one step); the per-vector error² fold is quantized
+    to int64 at 1e12 before the label aggregate (max needs no quantize —
+    it's order-free). Zero-vector guard mirrors q85: m = 0 dequantizes
+    to 0, so the error is |x| = 0 exactly. Scan-side array math, one
+    label-sized aggregate."""
+    from ..operators.dedup import bind
+
+    (emb,) = load(spark, sf, "embeddings")
+
+    def errs(dv: F.Column, m: F.Column) -> F.Column:
+        deq = lambda x: (  # noqa: E731
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x * (F.lit(127.0) / m) + 0.5),
+                ),
+            )
+            * (m / F.lit(127.0))
+        )
+        return F.transform(
+            dv,
+            lambda x: F.when(m == 0.0, F.abs(x)).otherwise(
+                F.abs(x - deq(x))
+            ),
+        )
+
+    ev = bind(
+        as_double(F.col("embedding")),
+        lambda dv: bind(
+            F.array_max(F.transform(dv, F.abs)), lambda m: errs(dv, m)
+        ),
+    )
+    s = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        F.array_max(ev).alias("vmax"),
+        F.floor(
+            F.aggregate(
+                F.transform(ev, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            * _ERR_Q
+            + 0.5
+        )
+        .cast("long")
+        .alias("e2q"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.max("vmax"), 6).alias("max_abs_err"),
+        F.round(
+            F.sum("e2q") * F.lit(1.0) / (F.sum("dim") * F.lit(float(_ERR_Q))),
+            6,
+        ).alias("mean_sq_err"),
+    )

@@ -296,6 +296,36 @@ def _sessionize_count(ev):
     return s.groupBy("user_id", "session_seq").count().count()
 
 
+def docgen_corpus(spark, mult: int, disjoint: bool, base_rows: int = 5000):
+    """Generator-backed corpus at ``base_rows * mult`` documents — no disk,
+    so the decade/century sweep is never IO-bound. Disjoint regime: every
+    ``base_rows`` block of doc_ids gets a per-block token prefix (same
+    contract as multiply(disjoint_text=...)), so pair structure repeats
+    per block and the honest growth is linear."""
+    total = base_rows * mult
+    parts = 32
+    d = (
+        spark.read.format("docgen")
+        .option("partitions", parts)
+        .option("rows_per_partition", max(1, total // parts))
+        .option("seed", 11)
+        .load()
+    )
+    if disjoint:
+        blk = F.floor(F.col("doc_id") / F.lit(base_rows)).cast("string")
+        d = d.withColumn(
+            "text",
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda t: F.concat(F.lit("b"), blk, F.lit("_"), t),
+                ),
+                " ",
+            ),
+        )
+    return d
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     disjoint = "--disjoint" in sys.argv[1:]
@@ -304,9 +334,18 @@ def main() -> int:
          if a.startswith("--ops=")),
         None,
     )
+    source = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:]
+         if a.startswith("--source=")),
+        "parquet",
+    )
     sf = args[0] if args else "/root/testdata/sf0.1"
     max_mult = int(args[1]) if len(args) > 1 else 4
     spark = get_spark("stress", cpus=32)
+    if source == "docgen":
+        from kstreamjs_spark.sources import docgen as _dg
+
+        _dg.register(spark)
     (docs,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
     (events,) = load(spark, sf, "events")
@@ -350,12 +389,20 @@ def main() -> int:
         ops = {k: v for k, v in ops.items() if k in only}
         eops = {k: v for k, v in eops.items() if k in only}
         vops = {k: v for k, v in vops.items() if k in only}
+    if source == "docgen":
+        # Generator corpus: document ops only (docgen emits documents).
+        eops, vops = {}, {}
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
+    if disjoint and max_mult >= 100:
+        mults = [1, 10, 100]  # two decades, generator-backed century run
     results: dict[str, list[float]] = {k: [] for k in (*ops, *eops, *vops)}
     for mult in mults:
-        d = multiply(docs, "doc_id", mult, "text" if disjoint else None)
+        if source == "docgen":
+            d = docgen_corpus(spark, mult, disjoint)
+        else:
+            d = multiply(docs, "doc_id", mult, "text" if disjoint else None)
         n = d.count()
         for name, fn in ops.items():
             sec = timed(lambda: fn(d))

@@ -4,6 +4,8 @@ rank pushdown, whole-stage codegen."""
 
 from __future__ import annotations
 
+import re
+
 from kstreamjs_spark.plans import assert_in_plan, assert_not_in_plan, pushed_filters
 from kstreamjs_spark.queries import all_queries
 
@@ -409,3 +411,39 @@ def test_session_funnel_single_data_shuffle(spark):
 def test_cohort_sizes_broadcast(spark):
     """q107: per-cohort sizes join back as a broadcast."""
     assert_in_plan(q("q107_cohort_retention", spark), "BroadcastHashJoin")
+
+
+def test_repeated_chunks_equi_join_no_cartesian(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q112_repeated_chunks", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # text must not cross the shuffle: only (lang, cfp, doc_id) do
+    assert "Exchange hashpartitioning" in plan
+    assert not re.search(r"Exchange hashpartitioning\([^)]*text", plan)
+
+
+def test_priority_sample_rank_pushdown(spark):
+    # per-stratum top-k must plan WindowGroupLimit, not a full sort
+    from kstreamjs_spark.plans import assert_in_plan
+
+    assert_in_plan(q("q113_priority_sample", spark), "WindowGroupLimit")
+
+
+def test_vector_health_zero_shuffle_scan_agg(spark):
+    # scan-side array math + one label aggregate: exactly one exchange
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q115_vector_health", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_quant_error_zero_join_single_agg(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q119_quant_error", spark), mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan
