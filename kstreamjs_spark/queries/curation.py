@@ -664,3 +664,275 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("mean_sq_err"),
     )
+
+
+# ------------------------------------ Q120 perplexity-band filter
+# Mean-bigram-logprob thresholds in micro-nats: integer band arithmetic.
+_PPL_T = (-3_450_000, -3_400_000, -3_350_000)
+
+
+@query(
+    "q120_perplexity_bands",
+    oracle=f"""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+        uni AS (SELECT w, COUNT(*) AS cu
+                FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY w),
+        vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])) AS b
+               FROM tk WHERE len(ts) >= 2),
+        bgc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(floor(ln((bgc.cb + 1.0) / (uni.cu + vocab.v))
+                            * 1000000 + 0.5) AS BIGINT) AS q
+          FROM bg
+          JOIN bgc USING (b)
+          JOIN uni ON uni.w = string_split(bg.b, ' ')[1]
+          CROSS JOIN vocab),
+        d AS (SELECT doc_id, COUNT(*) AS nb, SUM(q) AS sq
+              FROM scored GROUP BY doc_id),
+        b2 AS (SELECT doc_id, nb,
+                      (CASE WHEN sq >= {_PPL_T[0]} * nb THEN 1 ELSE 0 END)
+                    + (CASE WHEN sq >= {_PPL_T[1]} * nb THEN 1 ELSE 0 END)
+                    + (CASE WHEN sq >= {_PPL_T[2]} * nb THEN 1 ELSE 0 END)
+                          AS band
+               FROM d)
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS doc_share
+        FROM b2 GROUP BY band
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-band filtering (the CCNet recipe on q86's statistical
+    LM): score every document by its mean smoothed-bigram log-likelihood,
+    band it against fixed fluency thresholds, and report the yield per
+    band — the table that decides which perplexity slice of a crawl goes
+    into the training mix. The band comparison is EXACT integer
+    arithmetic: Σq >= t·n_bigrams with both sides int64 (q is the
+    micro-nat-quantized per-bigram logprob, t the micro-nat threshold) —
+    no double division anywhere near a band boundary, so a document can
+    never band differently across engines. Same count-table scale shape
+    as q86 (vocabulary-sized aggregates, token-keyed joins, AQE
+    broadcast); the band rollup is 4 rows."""
+    (documents,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    uni = (
+        documents.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bigram_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat(
+                    F.element_at(toks, i), F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,b:string>>"))
+    bg = (
+        dedup.spread(documents, "doc_id")
+        .select("doc_id", F.explode(bigram_structs).alias("s"))
+        .select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    )
+    bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    scored = (
+        bg.join(bgc, "b")
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    d = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("q").alias("sq")
+    )
+    band = sum(
+        F.when(F.col("sq") >= F.lit(t) * F.col("nb"), 1).otherwise(0)
+        for t in _PPL_T
+    )
+    g = d.select(band.alias("band"), "nb").groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("n_bigrams"),
+    )
+    w = Window.partitionBy()
+    return g.select(
+        "band",
+        "n_docs",
+        "n_bigrams",
+        F.round(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("doc_share"),
+    )
+
+
+# ------------------------------------ Q121 SCD2 history intervals
+@query(
+    "q121_scd2_intervals",
+    oracle="""
+        WITH o AS (
+          SELECT user_id, event_type, ts,
+                 lag(event_type) OVER w AS prev_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        ch AS (
+          SELECT user_id, event_type, ts AS valid_from
+          FROM o
+          WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from) AS valid_to
+        FROM ch
+    """,
+    tags=("window", "cdc", "behavioral"),
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build from a change log:
+    collapse each user's event stream into state intervals — a new
+    interval opens whenever the event_type differs from the previous
+    event, valid_from = the change's timestamp, valid_to = the next
+    change (NULL = current state). This is the CDC-to-warehouse
+    transformation behind every `dim_*_history` table. Plan: ONE
+    hashpartitioning(user_id) exchange feeds both window passes (the
+    change-detection lag and the interval-closing lead run over the same
+    partitioning; the lead's reduced row set is a filter, not a
+    reshuffle). Timestamps pass through untouched — no arithmetic, no
+    rounding surface."""
+    (events,) = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    ch = o.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return ch.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+# ------------------------------------ Q122 contamination coverage
+_COV_N = 5  # shingle order, matches q77's decontamination unit
+_COV_FRACTION = 0.02
+_COV_SEED = 13
+_COV_CONTAMINATED_BP = 8000
+
+
+@query(
+    "q122_contamination_coverage",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                     generate_series(1,
+                         len(string_split(text,' ')) - {_COV_N - 1}),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2] || ' ' ||
+                          string_split(text,' ')[i+3] || ' ' ||
+                          string_split(text,' ')[i+4])) AS sh,
+                 {hash_bucket_sql('doc_id', _COV_SEED)}
+                     < {int(_COV_FRACTION * 4294967296)} AS is_eval
+          FROM documents
+        ),
+        tr AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE NOT is_eval),
+        ev AS (SELECT doc_id, lang, unnest(sh) AS s FROM d
+               WHERE is_eval AND len(sh) > 0),
+        m AS (SELECT ev.doc_id, ev.lang,
+                     COUNT(*) AS n,
+                     COUNT(tr.s) AS matched
+              FROM ev LEFT JOIN tr ON ev.s = tr.s
+              GROUP BY ev.doc_id, ev.lang),
+        c AS (SELECT doc_id, lang, (10000 * matched) // n AS bp FROM m)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+               ROUND(SUM(bp) * 1.0 / COUNT(*), 6) AS mean_coverage_bp,
+               CAST(COUNT(*) FILTER (WHERE bp >= {_COV_CONTAMINATED_BP})
+                    AS BIGINT) AS n_contaminated
+        FROM c GROUP BY lang
+    """,
+    tags=("dedup", "llm", "evaluation"),
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination COVERAGE report — q77 answers "which training docs
+    touch the eval set"; this answers the eval-side question auditors
+    actually ask: for each held-out document, what fraction of its
+    5-gram shingles appears anywhere in training, and how many eval docs
+    exceed the 80% coverage bar that marks them as effectively
+    memorizable. Per-doc coverage is an exact integer basis-point floor
+    division; the per-lang mean is a sum of those ints. Plan: the train
+    side reduces to DISTINCT shingles before the join (the same
+    fingerprints-shuffle-text-doesn't rule as q100); the join is a
+    shingle-keyed LEFT equi-join whose per-key width is the eval-doc
+    multiplicity of that shingle — eval is a 2% hash slice, so buckets
+    are sample-sized, never corpus-sized."""
+    (documents,) = load(spark, sf, "documents")
+    is_eval = sampling.hash_bucket("doc_id", seed=_COV_SEED) < F.lit(
+        int(_COV_FRACTION * 4294967296)
+    )
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id",
+        "lang",
+        dedup.shingles("text", _COV_N).alias("sh"),
+        is_eval.alias("is_eval"),
+    )
+    tr = (
+        d.filter(~F.col("is_eval"))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    ev = (
+        d.filter(F.col("is_eval") & (F.size("sh") > 0))
+        .select("doc_id", "lang", F.explode("sh").alias("s"))
+    )
+    m = (
+        ev.join(tr.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("matched"),
+        )
+    )
+    c = m.select(
+        "lang", F.expr("(10000 * matched) DIV n").alias("bp")
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+        F.round(F.sum("bp") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "mean_coverage_bp"
+        ),
+        F.sum(
+            F.when(F.col("bp") >= _COV_CONTAMINATED_BP, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_contaminated"),
+    )

@@ -447,3 +447,24 @@ def test_quant_error_zero_join_single_agg(spark):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q121_scd2_intervals", spark))
+    # both window passes ride ONE hashpartitioning(user_id) exchange
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "Join" not in plan
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges == 1, plan
+
+
+def test_contamination_coverage_equi_join_distinct_probe(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q122_contamination_coverage", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the train side reduces to distinct shingles before the join
+    assert "HashAggregate" in plan
