@@ -455,3 +455,45 @@ def test_lsh_candidate_rate_matches_banding_curve(spark):
         # any extra candidate is a banding false-positive bug, not noise.
         extras = cand - {pair for pair, _ in truth}
         assert not extras, f"{tag}: j=0 pairs became candidates: {extras}"
+
+
+def test_simhash_hamming_matches_hyperplane_curve(spark):
+    """The measured SimHash Hamming distance must track the random-
+    hyperplane curve E[hamming] = 64 * arccos(cos_sim) / pi at three
+    similarity levels — the q26c analogue of the minhash banding-curve
+    test: a packing/vote/sign bug shifts the curve even when pair
+    ordering (what the recall tests see) survives. Each doc pair shares
+    k of m distinct tokens (count-1 vectors: cos = k/m exactly); bits
+    are independent ±1 projections (each token's 64 sign bits come from
+    independent bits of one xxhash64), so the total Hamming over N pairs
+    is binomial — asserted within 5 sigma plus a slack for the ±1 (vs
+    Gaussian) projection's finite-dimension bias."""
+    import math
+
+    m = 30
+    for tag, k in {"lo": 12, "knee": 20, "hi": 26}.items():
+        rows = []
+        for i in range(60):
+            base = [f"s{tag}p{i}w{j}" for j in range(m)]
+            var = base[:k] + [f"s{tag}p{i}v{j}" for j in range(m - k)]
+            rows.append((2 * i, " ".join(base)))
+            rows.append((2 * i + 1, " ".join(var)))
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        sig = {
+            r["doc_id"]: r["h"]
+            for r in d.select(
+                "doc_id", dedup.simhash64("text").alias("h")
+            ).collect()
+        }
+        total = sum(
+            bin((sig[2 * i] ^ sig[2 * i + 1]) & ((1 << 64) - 1)).count("1")
+            for i in range(60)
+        )
+        p = math.acos(k / m) / math.pi
+        expected = 60 * 64 * p
+        sigma = math.sqrt(60 * 64 * p * (1 - p))
+        tol = 5 * sigma + 0.05 * expected + 3
+        assert abs(total - expected) <= tol, (
+            f"{tag}: total hamming {total} vs analytic {expected:.0f} "
+            f"(tol {tol:.0f})"
+        )
