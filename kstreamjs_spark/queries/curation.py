@@ -936,3 +936,106 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_contaminated"),
     )
+
+
+# ------------------------------------ Q123 cross-doc near-dup chunks
+_NDCHUNK_THRESHOLD = 0.7
+_NDCHUNK_MAX_DF = 4
+_NDCHUNK_UID = 100_000  # chunk uid = doc_id * _NDCHUNK_UID + chunk_idx
+
+
+@query(
+    "q123_chunk_neardup_pairs",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents),
+        st AS (SELECT doc_id, ts,
+                      unnest(generate_series(1, len(ts), {_CHUNK_TOK}))
+                          AS st
+               FROM t),
+        ck AS (SELECT doc_id * {_NDCHUNK_UID} + (st - 1) // {_CHUNK_TOK}
+                          AS cid,
+                      list_slice(ts, st, st + {_CHUNK_TOK - 1}) AS cts
+               FROM st),
+        sh AS (SELECT cid,
+                      list_distinct(list_transform(
+                          generate_series(1, len(cts) - 2),
+                          i -> cts[i] || ' ' || cts[i+1] || ' ' ||
+                               cts[i+2])) AS shingles
+               FROM ck),
+        ex0 AS (SELECT cid, unnest(shingles) AS s FROM sh),
+        hot AS (SELECT s FROM ex0 GROUP BY s
+                HAVING COUNT(*) > {_NDCHUNK_MAX_DF}),
+        ex AS (SELECT e.cid, e.s FROM ex0 e ANTI JOIN hot h ON e.s = h.s),
+        n AS (SELECT cid, COUNT(*) AS n FROM ex GROUP BY cid),
+        pairs AS (
+          SELECT a.cid AS c1, b.cid AS c2, COUNT(*) AS common
+          FROM ex a JOIN ex b ON a.s = b.s AND a.cid < b.cid
+          GROUP BY 1, 2
+        ),
+        nd AS (
+          SELECT c1 // {_NDCHUNK_UID} AS da, c2 // {_NDCHUNK_UID} AS db
+          FROM pairs
+          JOIN n na ON pairs.c1 = na.cid
+          JOIN n nb ON pairs.c2 = nb.cid
+          WHERE ROUND(common * 1.0 / (na.n + nb.n - common), 6)
+                >= {_NDCHUNK_THRESHOLD}
+        )
+        SELECT LEAST(da, db) AS doc_a, GREATEST(da, db) AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_neardup_chunks
+        FROM nd WHERE da <> db GROUP BY 1, 2
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document NEAR-duplicate chunk detection — q112 finds chunks
+    copied verbatim; this finds 32-token chunks copied with light edits
+    (>= 0.7 trigram Jaccard), the quotation/template/plagiarism signal at
+    sub-document granularity. Pure operator composition: the chunk table
+    (synthetic chunk uid = doc_id * 1e5 + index) feeds the SAME
+    jaccard_pairs operator q26/q26e proved, with the document-frequency
+    ceiling active (max_df=4 — a boilerplate trigram shared across the
+    corpus cannot widen any join bucket past 4 chunks), then chunk pairs
+    roll up to ordered cross-document pair counts. Scale: identical to
+    q26e's single-shuffle shingle equi-join, just at chunk granularity;
+    the rollup is pair-count-sized."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    ck = d.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(_CHUNK_TOK))
+        ).alias("st"),
+    ).select(
+        (
+            F.col("doc_id") * _NDCHUNK_UID
+            + F.expr(f"CAST((st - 1) DIV {_CHUNK_TOK} AS BIGINT)")
+        ).alias("cid"),
+        F.array_join(F.slice("ts", F.col("st"), _CHUNK_TOK), " ").alias(
+            "ctext"
+        ),
+    )
+    pairs = dedup.jaccard_pairs(
+        ck,
+        threshold=_NDCHUNK_THRESHOLD,
+        n=3,
+        partition_col=None,
+        id_col="cid",
+        text_col="ctext",
+        max_df=_NDCHUNK_MAX_DF,
+    )
+    nd = pairs.select(
+        F.expr(f"d1 DIV {_NDCHUNK_UID}").alias("da"),
+        F.expr(f"d2 DIV {_NDCHUNK_UID}").alias("db"),
+    ).filter(F.col("da") != F.col("db"))
+    return (
+        nd.select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_chunks"))
+    )
