@@ -1,7 +1,9 @@
-"""Round-6 corpus-curation queries (SURVEY.md §2B Q112–Q119): chunk-level
-boilerplate detection, weighted priority sampling, Zipf-law auditing,
-vector-column health checks, split-distribution divergence, quality-band
-yield, per-source scorecards, and quantization-error audits.
+"""Round-6 query additions (SURVEY.md §2B Q112–Q127): chunk-level
+boilerplate and near-dup detection, weighted priority sampling, Zipf-law
+auditing, vector-column health/drift checks, split-distribution
+divergence, quality/perplexity banding, per-source scorecards,
+quantization-error audits, SCD2 history, contamination coverage, market
+share, co-occurrence lift, and dedup byte savings.
 
 Reference parity note: the reference (song9446/kstreamjs,
 /root/reference/src/stream.ts:18-271) has no analytical surface at all —
@@ -1038,4 +1040,298 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_neardup_chunks"))
+    )
+
+
+# ------------------------------------ Q124 market share (TPC-H Q8 shape)
+_SHARE_REGION = "ASIA"
+_SHARE_NATION = "CHINA"
+
+
+@query(
+    "q124_market_share",
+    oracle=f"""
+        SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) / 10000.0 AS total_rev,
+               ROUND(SUM(CASE WHEN n_name = '{_SHARE_NATION}'
+                         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END) * 1.0
+                     / SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT)),
+                     6) AS nation_share
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE r_name = '{_SHARE_REGION}'
+        GROUP BY 1
+    """,
+    tags=("join", "agg"),
+)
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — per order year, one nation's revenue share within
+    its region's suppliers: a 5-way join where three dims chain into one
+    broadcast build side (region→nation→supplier prunes suppliers BEFORE
+    the fact join) and the share is a conditional aggregation over the
+    same quantized-revenue int64 sums as q09 (order-free; the share is
+    one final exact int/int division). The region filter reaches the
+    5-row region scan; at 100 TB only the surviving region's suppliers
+    ever meet the lineitem shuffle."""
+    lineitem, supplier, nation, region, orders = load(
+        spark, sf, "lineitem", "supplier", "nation", "region", "orders"
+    )
+    dims = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == _SHARE_REGION)),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    revq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    j = (
+        lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            revq.alias("rq"),
+            F.when(F.col("n_name") == _SHARE_NATION, revq)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("nq"),
+        )
+    )
+    return j.groupBy("o_year").agg(
+        (F.sum("rq") / F.lit(10000.0)).alias("total_rev"),
+        F.round(F.sum("nq") * F.lit(1.0) / F.sum("rq"), 6).alias(
+            "nation_share"
+        ),
+    )
+
+
+# ------------------------------------ Q125 event co-occurrence lift
+@query(
+    "q125_event_cooccurrence",
+    oracle="""
+        WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+        tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+                FROM events),
+        c AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY event_type),
+        p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     COUNT(*) AS n_both
+              FROM u a JOIN u b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(n_both AS BIGINT) AS n_both,
+               ROUND(tot.nu * n_both * 1.0 / (ca.n * cb.n), 6) AS lift
+        FROM p
+        JOIN c ca ON p.type_a = ca.event_type
+        JOIN c cb ON p.type_b = cb.event_type
+        CROSS JOIN tot
+    """,
+    tags=("agg", "behavioral"),
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type co-occurrence lift across users — lift(a,b) =
+    N·P(a∧b)/(P(a)·P(b)) over per-user distinct type sets: the
+    market-basket association matrix behind "users who X also Y". Plan:
+    ONE user_id shuffle produces the distinct (user, type) set; the
+    per-user self-join bucket is bounded by the TYPE COUNT (≤5 rows per
+    user, never corpus-sized); marginals and the user total are
+    kilobyte-scale broadcasts. Lift is one exact int-product ratio,
+    rounded once."""
+    (events,) = load(spark, sf, "events")
+    u = events.select("user_id", "event_type").distinct()
+    tot = u.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    c = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = u.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = u.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        p.join(
+            F.broadcast(c.withColumnRenamed("event_type", "type_a")).withColumnRenamed("n", "na"),
+            "type_a",
+        )
+        .join(
+            F.broadcast(c.withColumnRenamed("event_type", "type_b")).withColumnRenamed("n", "nb"),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("nu") * F.col("n_both") * F.lit(1.0)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ------------------------------------ Q126 dedup byte-savings manifest
+@query(
+    "q126_dedup_savings",
+    oracle=f"""
+        WITH f AS (
+          SELECT doc_id, source, n_chars,
+                 {fingerprint_sql('text')} AS fp,
+                 row_number() OVER (PARTITION BY {fingerprint_sql('text')}
+                                    ORDER BY doc_id) AS rn
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes_total,
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE rn > 1), 0)
+                    AS BIGINT) AS bytes_saved,
+               ROUND(COALESCE(SUM(n_chars) FILTER (WHERE rn > 1), 0) * 1.0
+                     / SUM(n_chars), 6) AS savings_ratio
+        FROM f GROUP BY source
+    """,
+    tags=("dedup", "llm", "monitoring"),
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup byte-savings manifest per source: global keeper
+    election (lowest doc_id per content fingerprint — q25's rule), then
+    per source the docs and BYTES the dedup pass deletes: the number
+    that justifies running dedup at all, and the per-source attribution
+    that shows which crawl pays for it. One fingerprint-keyed window
+    (bucket = duplicate multiplicity) over scan-side fingerprints; the
+    rollup is source-sized. All exact integer arithmetic."""
+    (documents,) = load(spark, sf, "documents")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    f = documents.select(
+        "source", "n_chars", text.fingerprint("text").alias("fp")
+        , F.col("doc_id")
+    ).withColumn("rn", F.row_number().over(w))
+    dup = F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("bytes_total"),
+        F.sum(dup).cast("long").alias("bytes_saved"),
+        F.round(F.sum(dup) * F.lit(1.0) / F.sum("n_chars"), 6).alias(
+            "savings_ratio"
+        ),
+    )
+
+
+# ------------------------------------ Q127 embedding centroid drift
+@query(
+    "q127_centroid_drift",
+    oracle="""
+        WITH m AS (SELECT MAX(vec_id) / 2 AS mid FROM embeddings),
+        v AS (SELECT label, vec_id >= mid AS new_half,
+                     embedding::DOUBLE[] AS dv
+              FROM embeddings, m),
+        e AS (SELECT label, new_half, i AS dim,
+                     CAST(floor(dv[i] * 1000000 + 0.5) AS BIGINT) AS xq
+              FROM v, UNNEST(generate_series(1, len(dv))) AS t(i)),
+        s AS (SELECT label, new_half, dim, SUM(xq) AS sq
+              FROM e GROUP BY label, new_half, dim),
+        c AS (SELECT a.label,
+                     SUM(CAST(a.sq AS HUGEINT) * b.sq) AS xc,
+                     SUM(CAST(a.sq AS HUGEINT) * a.sq) AS n11,
+                     SUM(CAST(b.sq AS HUGEINT) * b.sq) AS n22
+              FROM s a JOIN s b
+                ON a.label = b.label AND a.dim = b.dim
+               AND NOT a.new_half AND b.new_half
+              GROUP BY a.label),
+        n AS (SELECT label,
+                     CAST(COUNT(*) FILTER (WHERE NOT new_half) AS BIGINT)
+                         AS n_old,
+                     CAST(COUNT(*) FILTER (WHERE new_half) AS BIGINT)
+                         AS n_new
+              FROM v GROUP BY label)
+        SELECT c.label, n.n_old, n.n_new,
+               ROUND(CAST(xc AS DOUBLE)
+                     / sqrt(CAST(n11 AS DOUBLE) * CAST(n22 AS DOUBLE)),
+                     6) AS centroid_cos
+        FROM c JOIN n ON c.label = n.label
+    """,
+    tags=("similarity", "llm", "monitoring"),
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding centroid drift per label between the older and newer
+    half of the table (vec_id midpoint standing in for snapshot time —
+    q105's device on the vector column): the cosine between the two
+    half-centroids, the one number that catches a silent embedder
+    version bump or feature-pipeline change before it poisons ANN
+    recall. Cosine is scale-invariant, so it is computed from per-dim
+    COMPONENT SUMS, never means: each component quantized to int64 in
+    the scan, per-(label, half, dim) integer sums (order-free), then one
+    dim-sized join and DECIMAL(38,0) cross products (int64 would wrap at
+    ~2e9 vectors — q109's rule). The only doubles are the final
+    sqrt/divide on three exact integers per label. Shuffle payload:
+    |labels| x |dims| rows."""
+    (emb,) = load(spark, sf, "embeddings")
+    mid = emb.agg((F.max("vec_id") / 2).alias("mid"))
+    v = emb.crossJoin(F.broadcast(mid)).select(
+        "label",
+        (F.col("vec_id") >= F.col("mid")).alias("new_half"),
+        as_double(F.col("embedding")).alias("dv"),
+    )
+    e = v.select(
+        "label",
+        "new_half",
+        F.posexplode(
+            F.transform(
+                "dv",
+                lambda x: F.floor(x * 1_000_000 + 0.5).cast("long"),
+            )
+        ).alias("dim", "xq"),
+    )
+    s = e.groupBy("label", "new_half", "dim").agg(F.sum("xq").alias("sq"))
+    a = s.filter(~F.col("new_half")).select(
+        "label", "dim", F.col("sq").cast("decimal(38,0)").alias("sa")
+    )
+    b = s.filter(F.col("new_half")).select(
+        "label", "dim", F.col("sq").cast("decimal(38,0)").alias("sb")
+    )
+    c = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("xc"),
+            F.sum(F.col("sa") * F.col("sa")).alias("n11"),
+            F.sum(F.col("sb") * F.col("sb")).alias("n22"),
+        )
+    )
+    n = v.groupBy("label").agg(
+        F.sum(F.when(~F.col("new_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(F.col("new_half"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    return c.join(n, "label").select(
+        "label",
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("xc").cast("double")
+            / F.sqrt(F.col("n11").cast("double") * F.col("n22").cast("double")),
+            6,
+        ).alias("centroid_cos"),
     )
