@@ -792,19 +792,20 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     "q121_scd2_intervals",
     oracle="""
         WITH o AS (
-          SELECT user_id, event_type, ts,
+          SELECT user_id, event_type, event_id, ts,
                  lag(event_type) OVER w AS prev_type
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         ch AS (
-          SELECT user_id, event_type, ts AS valid_from
+          SELECT user_id, event_type, event_id, ts AS valid_from
           FROM o
           WHERE prev_type IS NULL OR prev_type <> event_type
         )
         SELECT user_id, event_type, valid_from,
                lead(valid_from) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from) AS valid_to
+                                      ORDER BY valid_from, event_id)
+                   AS valid_to
         FROM ch
     """,
     tags=("window", "cdc", "behavioral"),
@@ -826,14 +827,20 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     o = events.select(
         "user_id",
         "event_type",
+        "event_id",
         "ts",
         F.lag("event_type").over(w).alias("prev_type"),
     )
     ch = o.filter(
         F.col("prev_type").isNull()
         | (F.col("prev_type") != F.col("event_type"))
-    ).select("user_id", "event_type", F.col("ts").alias("valid_from"))
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select(
+        "user_id", "event_type", "event_id", F.col("ts").alias("valid_from")
+    )
+    # event_id tiebreak: two change rows CAN share a timestamp (equal-ts
+    # events of different types), and a tie under lead() would make
+    # valid_to assignment engine-dependent.
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return ch.select(
         "user_id",
         "event_type",
