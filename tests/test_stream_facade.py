@@ -183,3 +183,18 @@ def test_quickstart_example_runs(spark):
     mod = runpy.run_path("examples/quickstart.py", run_name="lib")
     with mock.patch.object(type(spark), "stop", lambda self: None):
         assert mod["main"](SF_SMOKE) == 0
+
+
+def test_curation_pipeline_example_runs(spark):
+    """examples/curation_pipeline.py composes the curation operators
+    end-to-end (dedup -> near-dup -> quality -> decontaminate -> sample
+    -> pack); it must keep running as the operator APIs evolve. Same
+    shared-session guard as the quickstart test."""
+    import runpy
+    from unittest import mock
+
+    from .conftest import SF_SMOKE
+
+    mod = runpy.run_path("examples/curation_pipeline.py", run_name="lib")
+    with mock.patch.object(type(spark), "stop", lambda self: None):
+        assert mod["main"](SF_SMOKE) == 0
