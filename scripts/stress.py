@@ -241,6 +241,72 @@ def _keepers_count(d):
     )
 
 
+def _repeated_chunks_count(d):
+    # q112 shape: scan-side chunk fingerprints + multiplicity window
+    from pyspark.sql import Window
+
+    from kstreamjs_spark.operators import text as text_ops
+
+    ts = F.split("text", " ")
+    ex = d.select(
+        "doc_id", "lang", ts.alias("ts"),
+        F.explode(F.sequence(F.lit(1), F.size(ts), F.lit(32))).alias("st"),
+    )
+    g = ex.select(
+        "doc_id", "lang",
+        text_ops.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), 32), " ")
+        ).alias("cfp"),
+    ).distinct()
+    w = Window.partitionBy("lang", "cfp")
+    return (
+        g.withColumn("nd", F.count(F.lit(1)).over(w))
+        .filter(F.col("nd") >= 2)
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id"))
+        .count()
+    )
+
+
+def _coverage_count(d):
+    # q122 shape: distinct train shingles LEFT-joined by the eval slice
+    from kstreamjs_spark.operators import sampling
+
+    is_eval = sampling.hash_bucket("doc_id", seed=13) < F.lit(
+        int(0.02 * 4294967296)
+    )
+    b = d.select(
+        "doc_id", dedup.shingles("text", 5).alias("sh"), is_eval.alias("ev")
+    )
+    tr = b.filter(~F.col("ev")).select(F.explode("sh").alias("s")).distinct()
+    ev = b.filter(F.col("ev") & (F.size("sh") > 0)).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    return (
+        ev.join(tr.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)), F.sum("hit"))
+        .count()
+    )
+
+
+def _chunk_neardup_count(d):
+    # q123 shape: chunk table through the max_df'd jaccard join
+    ts = F.split("text", " ")
+    ck = d.select(
+        "doc_id", ts.alias("ts"),
+        F.explode(F.sequence(F.lit(1), F.size(ts), F.lit(32))).alias("st"),
+    ).select(
+        (F.col("doc_id") * 100000 + F.expr("CAST((st-1) DIV 32 AS BIGINT)"))
+        .alias("cid"),
+        F.array_join(F.slice("ts", F.col("st"), 32), " ").alias("ctext"),
+    )
+    return dedup.jaccard_pairs(
+        ck, threshold=0.7, n=3, partition_col=None,
+        id_col="cid", text_col="ctext", max_df=4,
+    ).count()
+
+
 def _retention_count(ev):
     # q107 shape: first-week per user + distinct activity + broadcast sizes
     wk = F.date_trunc("week", F.col("ts"))
@@ -373,10 +439,13 @@ def main() -> int:
         "ttr": _ttr_count,
         "lm_score": _lm_score_count,
         "entropy": _entropy_count,
-        # round-6 additions (q104b/q106b/q110 shapes)
+        # round-6 additions (q104b/q106b/q110/q112/q122/q123 shapes)
         "fuzzy_blocked": _fuzzy_blocked_count,
         "leakage_maxdf": _leakage_maxdf_count,
         "keepers": _keepers_count,
+        "repeated_chunks": _repeated_chunks_count,
+        "coverage": _coverage_count,
+        "chunk_neardup": _chunk_neardup_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {
