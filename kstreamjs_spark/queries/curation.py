@@ -1342,3 +1342,92 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("centroid_cos"),
     )
+
+
+# ------------------------------------ Q128 late-shipment priority audit
+@query(
+    "q128_late_shipment_priority",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    tags=("join", "agg"),
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape on this schema: line items shipped more than 90
+    days after the order date, split into high/low order-priority counts
+    per order month — the late-fulfilment audit. One fact-fact equi-join
+    (AQE picks shuffle vs broadcast by the filtered size) with the
+    priority CASE folded into the aggregate, so the output is one row
+    per order month; the 90-day predicate is pure date arithmetic,
+    exact on both engines. All-integer output."""
+    lineitem, orders = load(spark, sf, "lineitem", "orders")
+    j = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month")
+    ).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias(
+            "low_line_count"
+        ),
+    )
+
+
+# ------------------------------------ Q129 promo revenue share
+@query(
+    "q129_promo_revenue_share",
+    oracle="""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) / 10000.0 AS total_rev,
+               ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                         * 10000 + 0.5) AS BIGINT)
+                         ELSE 0 END) * 1.0
+                     / SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 10000 + 0.5) AS BIGINT)),
+                     6) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    tags=("join", "agg"),
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly revenue share of promotional parts — the
+    part dim broadcasts (it is the small side at every scale factor
+    where it fits; AQE degrades to shuffle beyond), revenue uses q09's
+    quantized int64 sums, and the share is one exact int/int division
+    per month. The month truncation happens AFTER the join so the
+    aggregate is month-sized."""
+    lineitem, part = load(spark, sf, "lineitem", "part")
+    revq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        revq.alias("rq"),
+        F.when(F.col("p_type") == "PROMO", revq)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("pq"),
+    )
+    return j.groupBy("ship_month").agg(
+        (F.sum("rq") / F.lit(10000.0)).alias("total_rev"),
+        F.round(F.sum("pq") * F.lit(1.0) / F.sum("rq"), 6).alias(
+            "promo_share"
+        ),
+    )
