@@ -36,6 +36,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from .operators.window import window_collect
+
+# Spark's default JSON timestampFormat keeps only milliseconds; the engine's
+# event times are microsecond-resolution, so every JSON write/read on this
+# facade defaults to a microsecond-preserving format (callers can override
+# via options).
+_JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 from .session import configure_runtime
 from .streaming.replay import run_to_memory, stream_table
 from .streaming.stats import Statistics, StatisticsListener
@@ -81,6 +87,28 @@ class Stream:
         from .tables import fix_event_time
 
         return cls(fix_event_time(spark.read.parquet(path), ts_col), ts_col)
+
+    @classmethod
+    def from_jsonl(
+        cls,
+        spark: SparkSession,
+        path: str,
+        ts_col: str = "ts",
+        schema=None,
+    ) -> "Stream":
+        """JSON-lines source — the reference's wire format (payloads are
+        JSON.parse'd per message, src/context.ts:143; this reads the same
+        shape from files). Pass an explicit ``schema`` at scale: without
+        one, Spark runs a full inference pass over the data before the
+        real scan — fine for fixtures, a doubled read at 100 TB. JSON
+        serializes timestamps as strings, so ``ts_col`` (when present) is
+        cast back to TIMESTAMP for watermark/window compatibility."""
+        configure_runtime(spark)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.option("timestampFormat", _JSON_TS_FORMAT).json(path)
+        if ts_col in df.columns and dict(df.dtypes).get(ts_col) == "string":
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return cls(df, ts_col)
 
     @classmethod
     def replay(
@@ -267,11 +295,15 @@ class Stream:
                 writer = self.df.writeStream.format(fmt).option(
                     "path", path_or_topic
                 )
+            if fmt == "json":
+                options.setdefault("timestampFormat", _JSON_TS_FORMAT)
             # ALL user options (checkpointLocation, kafka.bootstrap.servers,
             # maxRecordsPerFile, ...) pass through on both branches.
             for k, v in options.items():
                 writer = writer.option(k, v)
             return StreamHandle(writer.start())
+        if fmt == "json":
+            options.setdefault("timestampFormat", _JSON_TS_FORMAT)
         self.df.write.format(fmt).mode(options.pop("mode", "overwrite")).options(
             **options
         ).save(path_or_topic)

@@ -198,3 +198,25 @@ def test_curation_pipeline_example_runs(spark):
     mod = runpy.run_path("examples/curation_pipeline.py", run_name="lib")
     with mock.patch.object(type(spark), "stop", lambda self: None):
         assert mod["main"](SF_SMOKE) == 0
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """write_to(fmt="json") -> from_jsonl reproduces the rows and restores
+    the timestamp column's type (JSON serializes timestamps as strings —
+    the reference's wire format, src/context.ts:122-143)."""
+    import pyspark.sql.functions as F
+
+    from .conftest import SF_SMOKE
+
+    src = (
+        Stream.from_parquet(spark, f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_id") < 100)
+    )
+    out = str(tmp_path / "ev.jsonl")
+    ret = src.write_to(out, fmt="json")
+    assert isinstance(ret, Stream)  # pass-through contract
+    back = Stream.from_jsonl(spark, out)
+    assert dict(back.df.dtypes)["ts"] == "timestamp"
+    a = {tuple(r) for r in src.df.select("event_id", "ts", "value").collect()}
+    b = {tuple(r) for r in back.df.select("event_id", "ts", "value").collect()}
+    assert a == b
