@@ -1101,11 +1101,18 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         ).select("s_suppkey", "n_name")
     )
+    from ..plans import broadcast_if_small
+
     revq = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("long")
+    # Size-gated hint, not an unconditional broadcast: the supplier slice
+    # is dim-sized at every tested SF, but a forced hint would hard-code
+    # that shape past the 8 GB broadcast limit (the r5-advice rule).
     j = (
-        lineitem.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem.join(
+            broadcast_if_small(dims), F.col("l_suppkey") == F.col("s_suppkey")
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -1411,12 +1418,17 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     quantized int64 sums, and the share is one exact int/int division
     per month. The month truncation happens AFTER the join so the
     aggregate is month-sized."""
+    from ..plans import broadcast_if_small
+
     lineitem, part = load(spark, sf, "lineitem", "part")
     revq = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
     ).cast("long")
+    # Size-gated (r5-advice rule): part is dim-sized here, but it scales
+    # with SF — an unconditional hint would OOM past the broadcast limit
+    # instead of degrading to a shuffle join.
     j = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        broadcast_if_small(part.select("p_partkey", "p_type")),
         F.col("l_partkey") == F.col("p_partkey"),
     ).select(
         F.date_trunc("month", "l_shipdate").alias("ship_month"),
