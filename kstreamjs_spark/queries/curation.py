@@ -1443,3 +1443,90 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
             "promo_share"
         ),
     )
+
+
+# ------------------------------------ Q130 length-distribution KS drift
+@query(
+    "q130_length_ks_drift",
+    oracle="""
+        WITH m AS (SELECT MAX(doc_id) / 2 AS mid FROM documents),
+        d AS (SELECT lang, doc_id >= mid AS new_half,
+                     len(string_split(text, ' ')) AS l
+              FROM documents, m),
+        h AS (SELECT lang, l,
+                     COUNT(*) FILTER (WHERE NOT new_half) AS c1,
+                     COUNT(*) FILTER (WHERE new_half) AS c2
+              FROM d GROUP BY lang, l),
+        c AS (SELECT lang, l, c1, c2,
+                     SUM(c1) OVER w AS cum1, SUM(c2) OVER w AS cum2,
+                     SUM(c1) OVER p AS n1, SUM(c2) OVER p AS n2
+              FROM h
+              WINDOW w AS (PARTITION BY lang ORDER BY l
+                           ROWS UNBOUNDED PRECEDING),
+                     p AS (PARTITION BY lang))
+        SELECT lang,
+               CAST(any_value(n1) AS BIGINT) AS n_old,
+               CAST(any_value(n2) AS BIGINT) AS n_new,
+               ROUND(CAST(MAX(abs(CAST(cum1 AS HUGEINT) * n2
+                                  - CAST(cum2 AS HUGEINT) * n1)) AS DOUBLE)
+                     / (any_value(n1) * CAST(any_value(n2) AS DOUBLE)),
+                     6) AS ks_d
+        FROM c GROUP BY lang
+        HAVING any_value(n1) > 0 AND any_value(n2) > 0
+    """,
+    tags=("text", "llm", "monitoring"),
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic on the document-
+    length distribution between the older and newer corpus half, per
+    language — the distribution-level drift detector that catches a
+    chunking/extraction regression even when means and vocabularies look
+    stable (q105/q116 see WHAT tokens; this sees their SHAPE). Exact by
+    construction: D = max |cum1·n2 − cum2·n1| / (n1·n2) is computed on
+    the per-lang LENGTH HISTOGRAM (bounded by max doc length — the q88
+    rule: never a per-doc window), the cross products in DECIMAL(38,0)
+    (cum·n wraps int64 at ~3e9 docs), and only the single final division
+    touches doubles. One histogram-sized shuffle; text never moves."""
+    (documents,) = load(spark, sf, "documents")
+    mid = documents.agg((F.max("doc_id") / 2).alias("mid"))
+    d = documents.crossJoin(F.broadcast(mid)).select(
+        "lang",
+        (F.col("doc_id") >= F.col("mid")).alias("new_half"),
+        F.size(F.split("text", " ")).alias("l"),
+    )
+    h = d.groupBy("lang", "l").agg(
+        F.sum(F.when(~F.col("new_half"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("new_half"), 1).otherwise(0)).alias("c2"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("lang")
+    c = h.select(
+        "lang",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(p).alias("n1"),
+        F.sum("c2").over(p).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
+    g = c.groupBy("lang").agg(
+        F.first("n1").cast("long").alias("n_old"),
+        F.first("n2").cast("long").alias("n_new"),
+        F.max(diff).alias("dmax"),
+    )
+    return g.filter((F.col("n_old") > 0) & (F.col("n_new") > 0)).select(
+        "lang",
+        "n_old",
+        "n_new",
+        F.round(
+            F.col("dmax").cast("double")
+            / (F.col("n_old") * F.col("n_new").cast("double")),
+            6,
+        ).alias("ks_d"),
+    )
