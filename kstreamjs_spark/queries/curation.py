@@ -1530,3 +1530,86 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+# ------------------------------------ Q131 exact value percentiles
+@query(
+    "q131_value_percentiles",
+    oracle="""
+        WITH d AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events WHERE value IS NOT NULL
+        ),
+        n AS (SELECT event_type, COUNT(*) AS nv FROM d GROUP BY event_type),
+        h AS (SELECT event_type, vc, COUNT(*) AS c
+              FROM d GROUP BY event_type, vc),
+        cum AS (SELECT event_type, vc,
+                       SUM(c) OVER (PARTITION BY event_type
+                                    ORDER BY vc) AS cc
+                FROM h),
+        p50 AS (SELECT event_type, MIN(vc) AS p50c FROM cum
+                JOIN n USING (event_type)
+                WHERE cc * 2 >= nv GROUP BY event_type),
+        p90 AS (SELECT event_type, MIN(vc) AS p90c FROM cum
+                JOIN n USING (event_type)
+                WHERE cc * 10 >= 9 * nv GROUP BY event_type),
+        p99 AS (SELECT event_type, MIN(vc) AS p99c FROM cum
+                JOIN n USING (event_type)
+                WHERE cc * 100 >= 99 * nv GROUP BY event_type)
+        SELECT event_type, CAST(nv AS BIGINT) AS n_values,
+               p50c / 100.0 AS p50_value,
+               p90c / 100.0 AS p90_value,
+               p99c / 100.0 AS p99_value
+        FROM n JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+        JOIN p99 USING (event_type)
+    """,
+    tags=("statistics", "agg"),
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90/p99 of the monetary `value` per event type — the
+    revenue-distribution profile (pricing-anomaly and fraud thresholds)
+    computed EXACTLY at any scale: values bucket to integer cents
+    (floor(v·100+0.5) — one IEEE op, identical both engines), the
+    cumulative window runs over the (type, cents) HISTOGRAM (bounded by
+    the value range, never the event count — q88/q103's rule), and every
+    threshold test is all-integer (cc·2 ≥ n, cc·10 ≥ 9n, cc·100 ≥ 99n).
+    The only division is cents→currency on the tiny result. Contrast
+    q24b: same statistic via approx_percentile when a tolerance is
+    acceptable; this is the exact path."""
+    (events,) = load(spark, sf, "events")
+    d = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("nv"))
+    h = d.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("event_type")
+            .orderBy("vc")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def pct(num: int, den: int, alias: str):
+        return (
+            cum.join(n, "event_type")
+            .filter(F.col("cc") * den >= num * F.col("nv"))
+            .groupBy("event_type")
+            .agg(F.min("vc").alias(alias))
+        )
+
+    return (
+        n.join(pct(1, 2, "p50c"), "event_type")
+        .join(pct(9, 10, "p90c"), "event_type")
+        .join(pct(99, 100, "p99c"), "event_type")
+        .select(
+            "event_type",
+            F.col("nv").cast("long").alias("n_values"),
+            (F.col("p50c") / F.lit(100.0)).alias("p50_value"),
+            (F.col("p90c") / F.lit(100.0)).alias("p90_value"),
+            (F.col("p99c") / F.lit(100.0)).alias("p99_value"),
+        )
+    )
