@@ -1613,3 +1613,57 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("p99c") / F.lit(100.0)).alias("p99_value"),
         )
     )
+
+
+# ------------------------------------ Q132 open-order backlog curve
+_BACKLOG_DAYS = 30
+
+
+@query(
+    "q132_order_backlog",
+    oracle=f"""
+        WITH d AS (
+          SELECT date_trunc('day', o_orderdate) AS day, 1 AS delta
+          FROM orders
+          UNION ALL
+          SELECT date_trunc('day', o_orderdate)
+                 + INTERVAL {_BACKLOG_DAYS} DAY AS day, -1 AS delta
+          FROM orders
+        ),
+        h AS (SELECT day, SUM(delta) AS net FROM d GROUP BY day)
+        SELECT day,
+               CAST(SUM(net) OVER (ORDER BY day
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS open_orders
+        FROM h
+    """,
+    tags=("window-fn", "agg"),
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """Open-order backlog curve: how many orders are simultaneously
+    "open" (within {_BACKLOG_DAYS} days of placement) on each day — the
+    classic concurrent-intervals problem solved the scale-safe way:
+    every interval becomes a +1 at its start day and a −1 past its end,
+    the deltas aggregate to a DAY-sized histogram (one map-combined
+    shuffle), and one running sum over that histogram yields the curve.
+    The naive formulation — join every day against every overlapping
+    order — is a range join that explodes with interval length; this
+    never materializes an (order × day) pair. The final window is over
+    the day histogram (thousands of rows at any corpus size); all
+    integer arithmetic."""
+    (orders,) = load(spark, sf, "orders")
+    day = F.date_trunc("day", "o_orderdate")
+    starts = orders.select(day.alias("day"), F.lit(1).alias("delta"))
+    ends = orders.select(
+        F.date_add(day, _BACKLOG_DAYS).cast("timestamp").alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    h = starts.unionByName(ends).groupBy("day").agg(
+        F.sum("delta").alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return h.select(
+        "day", F.sum("net").over(w).cast("long").alias("open_orders")
+    )
