@@ -1667,3 +1667,81 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     return h.select(
         "day", F.sum("net").over(w).cast("long").alias("open_orders")
     )
+
+
+# ------------------------------------ Q133 RFM customer segmentation
+_RFM_RECENT_DAYS = 365
+_RFM_FREQ = 10
+_RFM_MONETARY_CENTS = 250_000_000  # $2.5M lifetime
+
+
+@query(
+    "q133_rfm_segments",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        c AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(o_orderdate), mx.maxd) AS r_days,
+                 COUNT(*) AS f,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS mc
+          FROM orders, mx GROUP BY o_custkey, mx.maxd
+        ),
+        s AS (
+          SELECT CASE WHEN r_days <= {_RFM_RECENT_DAYS}
+                      THEN 'active' ELSE 'lapsed' END AS r_seg,
+                 CASE WHEN f >= {_RFM_FREQ}
+                      THEN 'frequent' ELSE 'occasional' END AS f_seg,
+                 CASE WHEN mc >= {_RFM_MONETARY_CENTS}
+                      THEN 'big' ELSE 'small' END AS m_seg,
+                 mc
+          FROM c
+        )
+        SELECT r_seg, f_seg, m_seg,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               SUM(mc) / 100.0 AS total_monetary
+        FROM s GROUP BY r_seg, f_seg, m_seg
+    """,
+    tags=("agg", "behavioral"),
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical CRM cube: per customer, days since last order, order
+    count, and cent-quantized lifetime spend, each cut at a fixed
+    business threshold, rolled up to the 8 segment cells. One customer
+    shuffle for the per-customer profile (map-side combined), a 1-row
+    broadcast for the corpus max date, and an 8-row rollup. All
+    comparisons are exact integer arithmetic — day diffs, counts, cents
+    — so a customer can never segment differently across engines; the
+    only division is cents→currency on the 8-row result."""
+    (orders,) = load(spark, sf, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    c = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("mc"),
+        )
+        .select(
+            F.datediff("maxd", "lastd").alias("r_days"), "f", "mc"
+        )
+    )
+    s = c.select(
+        F.when(F.col("r_days") <= _RFM_RECENT_DAYS, "active")
+        .otherwise("lapsed")
+        .alias("r_seg"),
+        F.when(F.col("f") >= _RFM_FREQ, "frequent")
+        .otherwise("occasional")
+        .alias("f_seg"),
+        F.when(F.col("mc") >= _RFM_MONETARY_CENTS, "big")
+        .otherwise("small")
+        .alias("m_seg"),
+        "mc",
+    )
+    return s.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("mc") / F.lit(100.0)).alias("total_monetary"),
+    )
