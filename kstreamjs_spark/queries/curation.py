@@ -1745,3 +1745,120 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         (F.sum("mc") / F.lit(100.0)).alias("total_monetary"),
     )
+
+
+# ------------------------------------ Q134 trailing revenue trend
+@query(
+    "q134_revenue_trend",
+    oracle="""
+        WITH d AS (
+          SELECT date_trunc('day', ts) AS day,
+                 SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS revc
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY 1
+        )
+        SELECT day,
+               revc / 100.0 AS day_rev,
+               ROUND(SUM(revc) OVER w * 1.0
+                     / (COUNT(*) OVER w * 100.0), 6) AS trailing7_rev
+        FROM d
+        WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                     AND CURRENT ROW)
+    """,
+    tags=("window-fn", "agg", "behavioral"),
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day revenue trend: daily purchase revenue plus its
+    7-day trailing mean — the smoothed KPI curve every dashboard draws.
+    Scale shape: revenue first aggregates to a DAY-sized histogram in
+    cents (map-combined; one shuffle), and the RANGE window runs over
+    those day rows — never over raw events. The trailing mean divides
+    two exact integers (cent sum, day count) once per output row; the
+    daily value is exact cents/100."""
+    (events,) = load(spark, sf, "events")
+    d = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("revc")
+        )
+    )
+    w = (
+        Window.orderBy(F.col("day").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return d.select(
+        "day",
+        (F.col("revc") / F.lit(100.0)).alias("day_rev"),
+        F.round(
+            F.sum("revc").over(w) * F.lit(1.0)
+            / (F.count(F.lit(1)).over(w) * F.lit(100.0)),
+            6,
+        ).alias("trailing7_rev"),
+    )
+
+
+# ------------------------------------ Q135 growth accounting
+@query(
+    "q135_growth_accounting",
+    oracle="""
+        WITH uw AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, week,
+                 MIN(week) OVER (PARTITION BY user_id) AS first_week,
+                 lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                     AS prev_week
+          FROM uw
+        )
+        SELECT week,
+               CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN week <> first_week
+                             AND prev_week = week - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN week <> first_week
+                             AND prev_week <> week - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM c GROUP BY week
+    """,
+    tags=("window-fn", "behavioral", "cohort"),
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified as
+    NEW (first week ever), RETAINED (also active the immediately
+    preceding week), or RESURRECTED (active before, but not last week) —
+    the standard DAU/MAU growth decomposition, the companion readout to
+    q107's retention triangle. ONE user_id shuffle clusters each user's
+    distinct weeks for both windows (min + lag share the partitioning);
+    the rollup is week-sized. Exact calendar arithmetic — a 7-day
+    interval test, no doubles anywhere."""
+    (events,) = load(spark, sf, "events")
+    uw = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("week")
+    c = uw.select(
+        "user_id",
+        "week",
+        F.min("week").over(wp).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+    )
+    is_new = F.col("week") == F.col("first_week")
+    is_ret = (~is_new) & (
+        F.col("prev_week") == F.col("week") - F.expr("INTERVAL 7 DAY")
+    )
+    return c.groupBy("week").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).cast("long").alias("n_new"),
+        F.sum(F.when(is_ret, 1).otherwise(0)).cast("long").alias(
+            "n_retained"
+        ),
+        F.sum(F.when((~is_new) & (~is_ret), 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
