@@ -468,3 +468,41 @@ def test_contamination_coverage_equi_join_distinct_probe(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the train side reduces to distinct shingles before the join
     assert "HashAggregate" in plan
+
+
+def test_ks_drift_histogram_not_per_doc_window(spark):
+    # the cumulative window must run over the (lang, length) histogram
+    # aggregate, not over per-document rows
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q130_length_ks_drift", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the histogram aggregate feeds the window (appears BELOW it in the
+    # top-down plan text); the final per-lang max sits above — so the
+    # LAST aggregate must be downstream of the window
+    assert plan.rindex("HashAggregate") > plan.index("Window")
+
+
+def test_value_percentiles_histogram_window(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q131_value_percentiles", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_growth_accounting_single_user_shuffle(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q135_growth_accounting", spark), mode="simple")
+    # min-over-partition and lag share one hashpartitioning(user_id)
+    assert plan.count("hashpartitioning(user_id") >= 1
+    assert "Join" not in plan
+
+
+def test_revenue_trend_day_histogram_before_window(spark):
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q134_revenue_trend", spark), mode="simple")
+    # the RANGE window runs over the day aggregate, not raw events
+    assert plan.index("Window") < plan.index("HashAggregate")
