@@ -1862,3 +1862,65 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_resurrected"),
     )
+
+
+# ------------------------------------ Q136 supplier concentration (HHI)
+@query(
+    "q136_supplier_hhi",
+    oracle="""
+        WITH r AS (
+          SELECT n_name, l_suppkey,
+                 SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT)) AS rq
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name, l_suppkey
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               ROUND(CAST(SUM(CAST(rq AS HUGEINT) * rq) AS DOUBLE)
+                     / (CAST(SUM(rq) AS DOUBLE) * SUM(rq)), 6) AS hhi
+        FROM r GROUP BY n_name
+    """,
+    tags=("join", "agg", "statistics"),
+)
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the Herfindahl-
+    Hirschman index HHI = Σ(share_i²) = Σrq_i² / (Σrq_i)² — 1/n for
+    perfectly even markets, →1 for a monopoly; the procurement-risk
+    companion to q109's Gini skew audit. Revenue quantizes to int64
+    tenths-of-cents (q09's idiom) so the per-supplier sums are
+    order-free; the squares go through DECIMAL(38,0) (an int64 square
+    wraps past ~3e9 quanta — the q109/q127 rule) and only the final
+    ratio touches doubles. Two shuffles: the (nation, supplier) revenue
+    rollup and the nation-sized concentration aggregate; the dims ride
+    size-gated broadcasts."""
+    from ..plans import broadcast_if_small
+
+    lineitem, supplier, nation = load(
+        spark, sf, "lineitem", "supplier", "nation"
+    )
+    dims = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    revq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    r = (
+        lineitem.join(
+            broadcast_if_small(dims),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(revq).alias("rq"))
+    )
+    sq = F.col("rq").cast("decimal(38,0)") * F.col("rq")
+    return r.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.round(
+            F.sum(sq).cast("double")
+            / (F.sum("rq").cast("double") * F.sum("rq")),
+            6,
+        ).alias("hhi"),
+    )
