@@ -1924,3 +1924,64 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("hhi"),
     )
+
+
+# ------------------------------------ Q137 price-size regression
+@query(
+    "q137_price_size_slope",
+    oracle="""
+        WITH d AS (
+          SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+                 CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS y
+          FROM part
+        ),
+        s AS (SELECT p_brand, COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx
+              FROM d GROUP BY p_brand)
+        SELECT p_brand,
+               CAST(n AS BIGINT) AS n_parts,
+               ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        * 100.0), 6) AS price_per_size_unit
+        FROM s WHERE n >= 2 AND n * sxx > CAST(sx AS HUGEINT) * sx
+    """,
+    tags=("agg", "statistics"),
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact least-squares price-vs-size slope per part brand (currency
+    per size unit) — the pricing-model sanity check, computed from
+    integer sufficient statistics only (q97's exact-moment rule: doubles
+    never accumulate). Prices quantize to cents in the scan; n, Σx, Σy,
+    Σxy, Σx² are integer sums with the cross terms in DECIMAL(38,0)
+    (cents × count products pass int64 at warehouse scale); the slope is
+    ONE final double division. Degenerate brands (a single size) are
+    excluded by the exact integer variance test on both engines. One
+    brand-sized aggregate, no joins."""
+    (part,) = load(spark, sf, "part")
+    d = part.select(
+        "p_brand",
+        F.col("p_size").cast("long").alias("x"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    num = dec("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    den = dec("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    return (
+        s.filter((F.col("n") >= 2) & (den > 0))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_parts"),
+            F.round(
+                num.cast("double") / (den.cast("double") * F.lit(100.0)), 6
+            ).alias("price_per_size_unit"),
+        )
+    )
