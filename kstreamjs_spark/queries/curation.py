@@ -1985,3 +1985,185 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("price_per_size_unit"),
         )
     )
+
+
+# ------------------------------------ Q138 hour-of-week seasonality
+@query(
+    "q138_seasonality_profile",
+    oracle="""
+        WITH h AS (
+          SELECT event_type, isodow(ts) AS dow, hour(ts) AS hod,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2, 3
+        )
+        SELECT event_type, CAST(dow AS BIGINT) AS dow,
+               CAST(hod AS BIGINT) AS hod,
+               CAST(c AS BIGINT) AS n_events,
+               ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY event_type), 6)
+                   AS share
+        FROM h
+    """,
+    tags=("agg", "behavioral", "monitoring"),
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-week seasonality heatmap per event type: ISO day-of-week ×
+    hour-of-day counts with each type's share profile — the traffic-shape
+    baseline behind anomaly detection and capacity planning. Portability
+    note baked into the expression: Spark's ``weekday`` is Monday=0 where
+    DuckDB's ``isodow`` is Monday=1, so the Spark side computes
+    weekday+1 — misaligned calendar functions are exactly the class of
+    silent cross-engine bug the oracle exists to catch. One map-combined
+    aggregate to ≤ types×168 cells; the share window runs over those
+    cells."""
+    (events,) = load(spark, sf, "events")
+    h = events.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "dow",
+        "hod",
+        F.col("c").cast("long").alias("n_events"),
+        F.round(F.col("c") * F.lit(1.0) / F.sum("c").over(w), 6).alias(
+            "share"
+        ),
+    )
+
+
+# ------------------------------------ Q139 order consistency audit
+_AUDIT_TOL_CENTS = 1
+
+
+@query(
+    "q139_order_consistency",
+    oracle=f"""
+        WITH l AS (
+          SELECT l_orderkey,
+                 SUM(CAST(FLOOR(l_extendedprice * (1 + l_tax)
+                                * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS line_cents,
+                 COUNT(*) AS n_lines
+          FROM lineitem GROUP BY l_orderkey
+        ),
+        j AS (
+          SELECT o.o_orderkey, l.l_orderkey,
+                 CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS total_cents,
+                 l.line_cents
+          FROM orders o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+                   AS childless_orders,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+                   AS orphan_lineitem_orders,
+               CAST(COUNT(*) FILTER (
+                    WHERE o_orderkey IS NOT NULL
+                      AND l_orderkey IS NOT NULL
+                      AND abs(total_cents - line_cents)
+                          > {_AUDIT_TOL_CENTS * 100}) AS BIGINT)
+                   AS price_mismatches,
+               CAST(COUNT(*) AS BIGINT) AS n_checked
+        FROM j
+    """,
+    tags=("join", "agg", "quality"),
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential + arithmetic consistency audit of the order fact
+    chain: orders with no line items, line items whose order is missing,
+    and orders whose stored total deviates from the recomputed line sum
+    (price·(1+tax)·(1−discount)) by more than a $1 tolerance — the
+    data-quality gate a warehouse load runs before anything downstream
+    trusts the tables. Both money columns quantize to cents in the scan
+    so every comparison is integer-exact; the FULL OUTER join is the
+    completeness check itself (either side NULL = a violation). One
+    orderkey shuffle, 1-row result."""
+    orders, lineitem = load(spark, sf, "orders", "lineitem")
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 100
+        + 0.5
+    ).cast("long")
+    l = lineitem.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("line_cents")
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    bad_price = (
+        F.col("o_orderkey").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+        & (
+            F.abs(F.col("total_cents") - F.col("line_cents"))
+            > _AUDIT_TOL_CENTS * 100
+        )
+    )
+    return j.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("childless_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orphan_lineitem_orders"),
+        F.sum(F.when(bad_price, 1).otherwise(0))
+        .cast("long")
+        .alias("price_mismatches"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+
+
+# ------------------------------------ Q140 source Pareto coverage
+@query(
+    "q140_source_pareto",
+    oracle="""
+        WITH s AS (
+          SELECT source, SUM(len(string_split(text, ' '))) AS tok
+          FROM documents GROUP BY source
+        ),
+        r AS (SELECT source, tok,
+                     SUM(tok) OVER (ORDER BY tok DESC, source
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(tok) OVER () AS total,
+                     row_number() OVER (ORDER BY tok DESC, source) AS rk
+              FROM s)
+        SELECT CAST(rk AS BIGINT) AS rank, source,
+               CAST(tok AS BIGINT) AS n_tokens,
+               ROUND(cum * 1.0 / total, 6) AS cum_share,
+               cum * 5 >= total * 4 AS covers_80pct
+        FROM r
+    """,
+    tags=("agg", "window-fn", "monitoring"),
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto coverage of the corpus by source: sources ranked by token
+    volume with cumulative share and an exact integer 80 %-coverage flag
+    (cum·5 ≥ total·4 — no double ever decides the flag) — the
+    "how few sources dominate the mix" table that drives source-level
+    curation priorities. The windows run over the SOURCE-sized aggregate
+    (one map-combined shuffle from the corpus), never over documents."""
+    (documents,) = load(spark, sf, "documents")
+    s = documents.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok")
+    )
+    wr = Window.orderBy(F.desc("tok"), "source")
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    return s.select(
+        F.row_number().over(wr).cast("long").alias("rank"),
+        "source",
+        F.col("tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("tok").over(wc) * F.lit(1.0) / F.sum("tok").over(wt), 6
+        ).alias("cum_share"),
+        (F.sum("tok").over(wc) * 5 >= F.sum("tok").over(wt) * 4).alias(
+            "covers_80pct"
+        ),
+    )
