@@ -356,3 +356,41 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, "q63", output_mode="complete").orderBy("segment")
+
+
+# ----------------------------------- Q141 streaming daily revenue (exact)
+@query(
+    "q141_stream_daily_revenue",
+    oracle="""
+        SELECT date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               COUNT(*) AS cnt
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming daily revenue with INTEGER state: purchases quantize to
+    cents in the scan, so the windowed sum accumulates int64 across
+    micro-batches — exactly associative regardless of batch boundaries
+    or arrival order, the windowed-aggregation counterpart of q44's
+    quantize-before-accumulate rule (a double SUM here could round
+    differently per replay schedule; an integer one cannot). Tumbling
+    1-day event-time windows, watermarked; result equals the batch
+    oracle exactly, not approximately."""
+    sdf = stream_table(spark, sf, "events")
+    agg = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(F.col("window.start").alias("day"), "rev_cents", "cnt")
+    )
+    return run_to_memory(agg, "q141", output_mode="complete")
