@@ -2167,3 +2167,90 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
             "covers_80pct"
         ),
     )
+
+
+# ------------------------------------ Q142 length-repetition correlation
+@query(
+    "q142_len_rep_corr",
+    oracle="""
+        WITH m AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                 CAST((10000 * (len({TRI}) - len(list_distinct({TRI}))))
+                      // len({TRI}) AS BIGINT) AS y
+          FROM documents
+          WHERE len({TRI}) > 0
+        ),
+        s AS (SELECT lang, COUNT(*) AS n,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                     SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                     SUM(CAST(y AS HUGEINT) * y) AS syy
+              FROM m GROUP BY lang)
+        SELECT lang, CAST(n AS BIGINT) AS n_docs,
+               ROUND(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                 AS DOUBLE)
+                            * CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                   AS DOUBLE)), 6) AS corr_len_rep
+        FROM s
+        WHERE n >= 2 AND n * sxx > CAST(sx AS HUGEINT) * sx
+          AND n * syy > CAST(sy AS HUGEINT) * sy
+    """.replace(
+        "{TRI}",
+        "list_transform(generate_series(1,"
+        " len(string_split(text,' ')) - 2),"
+        " i -> string_split(text,' ')[i] || ' ' ||"
+        " string_split(text,' ')[i+1] || ' ' ||"
+        " string_split(text,' ')[i+2])",
+    ),
+    tags=("text", "llm", "statistics", "quality"),
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Pearson correlation between document length and trigram
+    repetition (in integer basis points) per language — answers "is our
+    repetition filter just a length filter in disguise?" before a
+    curation cascade double-counts the same signal. BOTH variables are
+    integers (token count; bp floor division), so the correlation's
+    sufficient statistics are exact integer sums with DECIMAL(38,0)
+    cross terms (q97's rule with zero quantization error anywhere);
+    degenerate languages (constant x or y) are excluded by exact integer
+    variance tests, identically on both engines. Scan-side metrics, one
+    lang-sized aggregate, no joins."""
+    (documents,) = load(spark, sf, "documents")
+    tri = dedup.shingle_list("text", 3)
+    m = documents.select(
+        "lang",
+        F.size(text.tokens("text")).cast("long").alias("x"),
+        F.size(tri).alias("n_tri"),
+        F.size(F.array_distinct(tri)).alias("n_uniq"),
+    ).filter(F.col("n_tri") > 0).select(
+        "lang",
+        "x",
+        F.expr("CAST((10000 * (n_tri - n_uniq)) DIV n_tri AS BIGINT)")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = m.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    num = dec("n") * F.col("sxy") - dec("sx") * F.col("sy")
+    dx = dec("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    dy = dec("n") * F.col("syy") - dec("sy") * F.col("sy")
+    return (
+        s.filter((F.col("n") >= 2) & (dx > 0) & (dy > 0))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(
+                num.cast("double")
+                / F.sqrt(dx.cast("double") * dy.cast("double")),
+                6,
+            ).alias("corr_len_rep"),
+        )
+    )
