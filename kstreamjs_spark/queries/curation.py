@@ -2254,3 +2254,125 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("corr_len_rep"),
         )
     )
+
+
+# ------------------------------------ Q143 first-touch attribution
+@query(
+    "q143_first_touch_attribution",
+    oracle="""
+        WITH fp AS (
+          SELECT user_id, MIN(ts) AS first_purchase
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        pre AS (
+          SELECT e.user_id, e.event_type, e.ts, e.event_id
+          FROM events e JOIN fp ON e.user_id = fp.user_id
+          WHERE e.ts < fp.first_purchase
+        ),
+        ft AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM pre
+        )
+        SELECT event_type AS first_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_converted_users,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6)
+                   AS share
+        FROM ft WHERE rn = 1 GROUP BY event_type
+    """,
+    tags=("window-fn", "behavioral", "cohort"),
+)
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch attribution: for every user who ever purchased, the
+    very first event they performed BEFORE their first purchase, rolled
+    up to per-channel converted-user counts — the marketing-attribution
+    baseline every funnel report argues about. Plan: the first-purchase
+    table is a user_id aggregate that joins back on the same user_id
+    clustering; the first-touch window is WindowGroupLimit-shaped
+    (rn = 1). Ties on identical timestamps are broken by event_id on
+    both engines. The share window runs over the |event types| rollup."""
+    (events,) = load(spark, sf, "events")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    pre = events.join(fp, "user_id").filter(
+        F.col("ts") < F.col("first_purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("first_touch"))
+    )
+    ws = Window.partitionBy()
+    g = ft.groupBy("first_touch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted_users")
+    )
+    return g.select(
+        "first_touch",
+        "n_converted_users",
+        F.round(
+            F.col("n_converted_users")
+            * F.lit(1.0)
+            / F.sum("n_converted_users").over(ws),
+            6,
+        ).alias("share"),
+    )
+
+
+# ------------------------------------ Q144 longest daily streak
+@query(
+    "q144_longest_streak",
+    oracle="""
+        WITH ud AS (
+          SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+          FROM events
+        ),
+        isl AS (
+          SELECT user_id,
+                 day - INTERVAL (row_number() OVER (
+                     PARTITION BY user_id ORDER BY day)) DAY AS island
+          FROM ud
+        ),
+        st AS (SELECT user_id, island, COUNT(*) AS streak
+               FROM isl GROUP BY user_id, island),
+        mx AS (SELECT user_id, MAX(streak) AS max_streak FROM st
+               GROUP BY user_id)
+        SELECT CAST(max_streak AS BIGINT) AS streak_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM mx GROUP BY max_streak
+    """,
+    tags=("window-fn", "behavioral"),
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    streak-length histogram — the engagement metric behind "day streaks",
+    computed with the classic gaps-and-islands identity: within a user's
+    sorted distinct days, day − row_number·1day is CONSTANT exactly on
+    consecutive runs, so islands fall out of one window + one groupBy
+    with zero self-joins. Everything is exact calendar arithmetic; one
+    user_id shuffle serves the window and both rollups; the output is
+    streak-length-sized."""
+    (events,) = load(spark, sf, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        F.date_sub(
+            F.col("day").cast("date"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    st = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    mx = st.groupBy("user_id").agg(F.max("streak").alias("max_streak"))
+    return mx.groupBy("max_streak").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(
+        F.col("max_streak").cast("long").alias("streak_days"), "n_users"
+    )
