@@ -2376,3 +2376,139 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.col("max_streak").cast("long").alias("streak_days"), "n_users"
     )
+
+
+# ------------------------------------ Q145 fulfilment latency SLA table
+@query(
+    "q145_fulfilment_latency",
+    oracle="""
+        WITH d AS (
+          SELECT o_orderpriority AS priority,
+                 date_diff('day', o_orderdate, l_shipdate) AS lat_d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        n AS (SELECT priority, COUNT(*) AS nl FROM d GROUP BY priority),
+        h AS (SELECT priority, lat_d, COUNT(*) AS c
+              FROM d GROUP BY priority, lat_d),
+        cum AS (SELECT priority, lat_d,
+                       SUM(c) OVER (PARTITION BY priority
+                                    ORDER BY lat_d) AS cc
+                FROM h),
+        p50 AS (SELECT priority, MIN(lat_d) AS p50_days FROM cum
+                JOIN n USING (priority)
+                WHERE cc * 2 >= nl GROUP BY priority),
+        p95 AS (SELECT priority, MIN(lat_d) AS p95_days FROM cum
+                JOIN n USING (priority)
+                WHERE cc * 20 >= 19 * nl GROUP BY priority)
+        SELECT priority, CAST(nl AS BIGINT) AS n_lines,
+               CAST(p50_days AS BIGINT) AS p50_days,
+               CAST(p95_days AS BIGINT) AS p95_days
+        FROM n JOIN p50 USING (priority) JOIN p95 USING (priority)
+    """,
+    tags=("join", "statistics", "agg"),
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship latency SLA table: exact p50/p95 days from order
+    placement to line shipment, per order priority — does the URGENT
+    queue actually ship faster? Same scale-safe histogram-percentile
+    pattern as q103/q131: integer day gaps bucket into a (priority,
+    days) histogram bounded by the latency range, the cumulative window
+    runs over that histogram, and the threshold tests are all-integer.
+    One fact-fact join (AQE strategy) feeds one map-combined histogram."""
+    lineitem, orders = load(spark, sf, "lineitem", "orders")
+    d = lineitem.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat_d"),
+    )
+    n = d.groupBy("priority").agg(F.count(F.lit(1)).alias("nl"))
+    h = d.groupBy("priority", "lat_d").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("priority")
+            .orderBy("lat_d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def pct(num: int, den: int, alias: str):
+        return (
+            cum.join(n, "priority")
+            .filter(F.col("cc") * den >= num * F.col("nl"))
+            .groupBy("priority")
+            .agg(F.min("lat_d").alias(alias))
+        )
+
+    return (
+        n.join(pct(1, 2, "p50_days"), "priority")
+        .join(pct(19, 20, "p95_days"), "priority")
+        .select(
+            "priority",
+            F.col("nl").cast("long").alias("n_lines"),
+            F.col("p50_days").cast("long").alias("p50_days"),
+            F.col("p95_days").cast("long").alias("p95_days"),
+        )
+    )
+
+
+# ------------------------------------ Q146 target-mix deficit audit
+# Target token mix per language, in basis points (sums to 10000).
+_MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+
+
+@query(
+    "q146_mix_deficit",
+    oracle=f"""
+        WITH c AS (
+          SELECT lang, SUM(len(string_split(text, ' '))) AS tok
+          FROM documents GROUP BY lang
+        ),
+        t AS (SELECT * FROM (VALUES {", ".join(
+            f"('{k}', {v})" for k, v in sorted(_MIX_TARGET_BP.items())
+        )}) AS tt(lang, target_bp)),
+        j AS (SELECT t.lang, t.target_bp,
+                     COALESCE(c.tok, 0) AS tok,
+                     SUM(COALESCE(c.tok, 0)) OVER () AS total
+              FROM t LEFT JOIN c ON t.lang = c.lang)
+        SELECT lang,
+               CAST(tok AS BIGINT) AS n_tokens,
+               CAST(target_bp AS BIGINT) AS target_bp,
+               CAST((10000 * tok) // total AS BIGINT) AS actual_bp,
+               CAST((10000 * tok) // total - target_bp AS BIGINT)
+                   AS surplus_bp
+        FROM j WHERE total > 0
+    """,
+    tags=("agg", "llm", "monitoring"),
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix deficit audit: actual token share per language vs the
+    declared target mix (a constants table), in exact integer basis
+    points — the table that tells the curation pipeline which languages
+    to upsample (q82's operator) or trim (q88's) and by how much. The
+    target mix joins as a literal 5-row frame (LEFT join so a language
+    with zero corpus presence still reports its full deficit); shares
+    are floor-divided integers — no double ever decides a deficit. One
+    lang-sized aggregate from one corpus scan."""
+    (documents,) = load(spark, sf, "documents")
+    c = documents.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok")
+    )
+    t = spark.createDataFrame(
+        sorted(_MIX_TARGET_BP.items()), ["lang", "target_bp"]
+    )
+    j = (
+        t.join(c, "lang", "left")
+        .withColumn("tok", F.coalesce(F.col("tok"), F.lit(0)))
+        .withColumn("total", F.sum("tok").over(Window.partitionBy()))
+    )
+    return j.filter(F.col("total") > 0).select(
+        "lang",
+        F.col("tok").cast("long").alias("n_tokens"),
+        F.col("target_bp").cast("long").alias("target_bp"),
+        F.expr("CAST((10000 * tok) DIV total AS BIGINT)").alias("actual_bp"),
+        F.expr(
+            "CAST((10000 * tok) DIV total - target_bp AS BIGINT)"
+        ).alias("surplus_bp"),
+    )
