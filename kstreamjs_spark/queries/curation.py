@@ -2512,3 +2512,143 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
             "CAST((10000 * tok) DIV total - target_bp AS BIGINT)"
         ).alias("surplus_bp"),
     )
+
+
+# ------------------------------------ Q147 customer LTV percentiles
+@query(
+    "q147_ltv_percentiles",
+    oracle="""
+        WITH u AS (
+          SELECT c_mktsegment AS segment,
+                 SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS ltv_c
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, o_custkey
+        ),
+        n AS (SELECT segment, COUNT(*) AS nc FROM u GROUP BY segment),
+        h AS (SELECT segment, ltv_c, COUNT(*) AS c
+              FROM u GROUP BY segment, ltv_c),
+        cum AS (SELECT segment, ltv_c,
+                       SUM(c) OVER (PARTITION BY segment
+                                    ORDER BY ltv_c) AS cc
+                FROM h),
+        p50 AS (SELECT segment, MIN(ltv_c) AS p50c FROM cum
+                JOIN n USING (segment)
+                WHERE cc * 2 >= nc GROUP BY segment),
+        p90 AS (SELECT segment, MIN(ltv_c) AS p90c FROM cum
+                JOIN n USING (segment)
+                WHERE cc * 10 >= 9 * nc GROUP BY segment)
+        SELECT segment, CAST(nc AS BIGINT) AS n_customers,
+               p50c / 100.0 AS p50_ltv,
+               p90c / 100.0 AS p90_ltv
+        FROM n JOIN p50 USING (segment) JOIN p90 USING (segment)
+    """,
+    tags=("join", "statistics", "behavioral"),
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact customer-lifetime-value percentiles per market segment —
+    the p50/p90 spend table behind segment-level pricing and churn
+    economics. Per-customer cent totals (q133's quantization) histogram
+    by exact value per segment, then q131's histogram-percentile
+    pattern: cumulative window over the (segment, cents) HISTOGRAM,
+    all-integer thresholds, cents→currency as the only division. The
+    customer dim joins under AQE's size choice; two shuffles total."""
+    orders, customer = load(spark, sf, "orders", "customer")
+    u = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("ltv_c")
+        )
+    )
+    n = u.groupBy("segment").agg(F.count(F.lit(1)).alias("nc"))
+    h = u.groupBy("segment", "ltv_c").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("segment")
+            .orderBy("ltv_c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+    def pct(num: int, den: int, alias: str):
+        return (
+            cum.join(n, "segment")
+            .filter(F.col("cc") * den >= num * F.col("nc"))
+            .groupBy("segment")
+            .agg(F.min("ltv_c").alias(alias))
+        )
+
+    return (
+        n.join(pct(1, 2, "p50c"), "segment")
+        .join(pct(9, 10, "p90c"), "segment")
+        .select(
+            "segment",
+            F.col("nc").cast("long").alias("n_customers"),
+            (F.col("p50c") / F.lit(100.0)).alias("p50_ltv"),
+            (F.col("p90c") / F.lit(100.0)).alias("p90_ltv"),
+        )
+    )
+
+
+# ------------------------------------ Q148 events-per-user percentiles
+@query(
+    "q148_activity_percentiles",
+    oracle="""
+        WITH u AS (SELECT user_id, COUNT(*) AS n_ev FROM events
+                   GROUP BY user_id),
+        n AS (SELECT COUNT(*) AS nu FROM u),
+        h AS (SELECT n_ev, COUNT(*) AS c FROM u GROUP BY n_ev),
+        cum AS (SELECT n_ev, SUM(c) OVER (ORDER BY n_ev) AS cc FROM h)
+        SELECT CAST(n.nu AS BIGINT) AS n_users,
+               CAST((SELECT MIN(n_ev) FROM cum, n WHERE cc * 2 >= nu)
+                    AS BIGINT) AS p50_events,
+               CAST((SELECT MIN(n_ev) FROM cum, n WHERE cc * 10 >= 9 * nu)
+                    AS BIGINT) AS p90_events,
+               CAST((SELECT MIN(n_ev) FROM cum, n
+                     WHERE cc * 100 >= 99 * nu) AS BIGINT) AS p99_events
+        FROM n
+    """,
+    tags=("statistics", "agg", "behavioral"),
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact p50/p90/p99 of events-per-user — the activity-skew summary
+    that, together with q109's Gini, decides whether the per-user
+    operators (sessionize, funnels, retention) need salting: a p99 far
+    above p50 means hot keys. The per-user counts histogram by exact
+    count value (bounded by the hottest user, never the user count —
+    q131's rule), one cumulative window, all-integer thresholds, 1-row
+    result."""
+    (events,) = load(spark, sf, "events")
+    u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    n = u.agg(F.count(F.lit(1)).alias("nu"))
+    h = u.groupBy("n_ev").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.orderBy("n_ev").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).crossJoin(F.broadcast(n))
+
+    def pct(num: int, den: int, alias: str):
+        return (
+            cum.filter(F.col("cc") * den >= num * F.col("nu"))
+            .agg(F.min("n_ev").alias(alias))
+        )
+
+    return (
+        n.crossJoin(pct(1, 2, "p50_events"))
+        .crossJoin(pct(9, 10, "p90_events"))
+        .crossJoin(pct(99, 100, "p99_events"))
+        .select(
+            F.col("nu").cast("long").alias("n_users"),
+            F.col("p50_events").cast("long"),
+            F.col("p90_events").cast("long"),
+            F.col("p99_events").cast("long"),
+        )
+    )
