@@ -1,9 +1,12 @@
-"""Round-6 query additions (SURVEY.md §2B Q112–Q127): chunk-level
+"""Round-6 query additions (SURVEY.md §2B Q112–Q156): chunk-level
 boilerplate and near-dup detection, weighted priority sampling, Zipf-law
 auditing, vector-column health/drift checks, split-distribution
 divergence, quality/perplexity banding, per-source scorecards,
 quantization-error audits, SCD2 history, contamination coverage, market
-share, co-occurrence lift, and dedup byte savings.
+share, co-occurrence lift, dedup byte savings, the remaining classic
+TPC-H join shapes (Q2/Q11/Q12/Q14/Q17/Q18/Q21/Q22 analogues), exact
+histogram percentiles, growth/retention accounting, hard-negative
+mining, and temperature-resampled language mixing.
 
 Reference parity note: the reference (song9446/kstreamjs,
 /root/reference/src/stream.ts:18-271) has no analytical surface at all —
@@ -2651,4 +2654,545 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
             F.col("p90_events").cast("long"),
             F.col("p99_events").cast("long"),
         )
+    )
+
+
+# ------------------------------------ Q149 cheapest supplier per part
+_CHEAP_REGION = "EUROPE"
+
+
+@query(
+    "q149_cheapest_supplier",
+    oracle=f"""
+        WITH sup AS (
+          SELECT s_suppkey, s_name FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = '{_CHEAP_REGION}'
+        ),
+        u AS (
+          SELECT l_partkey, l_suppkey,
+                 l_extendedprice / l_quantity AS unit_price
+          FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+        ),
+        m AS (
+          SELECT l_partkey,
+                 MIN({{'p': unit_price, 's': l_suppkey}}) AS best
+          FROM u GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey, best.s AS best_suppkey,
+               s_name AS best_supplier, best.p AS best_unit_price
+        FROM m JOIN sup ON best.s = s_suppkey
+    """,
+    tags=("join", "agg"),
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape — the cheapest in-region supplier for every part
+    (groupwise-min with a deterministic suppkey tiebreak). The dim chain
+    region->nation->supplier prunes the supplier side BEFORE it meets
+    lineitem (size-gated broadcast), and the groupwise min is a
+    `min(struct(price, suppkey))` AGGREGATE, not a window: it partial-
+    aggregates map-side, needs no sort, and is immune to per-part skew —
+    the physical strategy the correlated subquery in the original Q2
+    should compile to at 100 TB. Unit price is one row-level IEEE
+    division, bitwise identical on both engines; no double is ever
+    summed."""
+    lineitem, supplier, nation, region = load(
+        spark, sf, "lineitem", "supplier", "nation", "region"
+    )
+    from ..plans import broadcast_if_small
+
+    sup = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == _CHEAP_REGION)
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    u = lineitem.join(
+        broadcast_if_small(sup), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    m = u.groupBy("l_partkey").agg(
+        F.min(F.struct("unit_price", "l_suppkey")).alias("best")
+    )
+    return m.join(
+        broadcast_if_small(sup),
+        F.col("best.l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("best.l_suppkey").alias("best_suppkey"),
+        F.col("s_name").alias("best_supplier"),
+        F.col("best.unit_price").alias("best_unit_price"),
+    )
+
+
+# ------------------------------------ Q150 sole-late-supplier audit
+@query(
+    "q150_sole_late_supplier",
+    oracle="""
+        WITH g AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+        ),
+        w AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 SUM(late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM g
+        )
+        SELECT l_suppkey AS s_suppkey, s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM w JOIN supplier ON l_suppkey = s_suppkey
+        WHERE late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY 1, 2
+    """,
+    tags=("join", "window", "agg"),
+)
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE late shipper in a
+    multi-supplier order (the original's EXISTS + NOT EXISTS pair,
+    re-expressed without self-joins): pre-aggregate lineitem x orders to
+    one row per (order, supplier) with a late flag, then ONE orderkey-
+    partitioned window yields both the supplier count and the late count
+    per order — the two correlated subqueries collapse into two window
+    aggregates over the same partitioning, so the whole query costs one
+    fact-fact join plus one orderkey shuffle. Bucket width = suppliers
+    per order (bounded by order size, never corpus size); the final
+    per-supplier count is supplier-dim sized. All-integer."""
+    lineitem, orders, supplier = load(
+        spark, sf, "lineitem", "orders", "supplier"
+    )
+    from ..plans import broadcast_if_small
+
+    g = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.date_add(F.col("o_orderdate"), 90),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    ranked = g.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    sole = ranked.filter(
+        (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        sole.join(
+            broadcast_if_small(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"), "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+# ------------------------------------ Q151 dormant high-balance custs
+_DORMANT_CUTOFF = "2000-08-01"
+
+
+@query(
+    "q151_dormant_rich_customers",
+    oracle=f"""
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+          FROM customer
+        ),
+        s AS (
+          SELECT SUM(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS tot,
+                 SUM(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS n
+          FROM c
+        ),
+        d AS (
+          SELECT c.* FROM c, s
+          WHERE c.bal_c * s.n > s.tot
+            AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '{_DORMANT_CUTOFF}'
+            )
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_dormant,
+               SUM(bal_c) / 100.0 AS total_balance
+        FROM d GROUP BY 1
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape — per nation, the count and total balance of
+    customers whose balance beats the positive-balance average but who
+    placed no order since the cutoff (the win-back call list). The
+    correlated NOT EXISTS is an anti-join against the DISTINCT custkeys
+    of the recent-orders slice (the date filter prunes the fact scan
+    first); the 'above average' test is integer-exact without a
+    division: bal_c * n_pos > total_pos on cent-quantized balances,
+    where the scalar (total, n) is a one-row aggregate broadcast by the
+    cross join. No double is ever summed; the /100.0 is the only
+    division, applied per output row."""
+    customer, orders = load(spark, sf, "customer", "orders")
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+    )
+    pos = F.when(F.col("bal_c") > 0, F.col("bal_c")).otherwise(F.lit(0))
+    s = c.agg(
+        F.sum(pos).alias("tot"),
+        F.sum(F.when(F.col("bal_c") > 0, 1).otherwise(0)).alias("n"),
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit(_DORMANT_CUTOFF))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    d = (
+        c.crossJoin(F.broadcast(s))
+        .filter(F.col("bal_c") * F.col("n") > F.col("tot"))
+        .join(recent, "c_custkey", "left_anti")
+    )
+    return d.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dormant"),
+        (F.sum("bal_c") / F.lit(100.0)).alias("total_balance"),
+    )
+
+
+# ------------------------------------ Q152 hot parts vs mean revenue
+@query(
+    "q152_part_revenue_hotlist",
+    oracle="""
+        WITH p AS (
+          SELECT l_partkey,
+                 SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                                + 0.5) AS BIGINT)) AS rq
+          FROM lineitem GROUP BY l_partkey
+        ),
+        g AS (SELECT SUM(CAST(rq AS HUGEINT)) AS grq,
+                     COUNT(*) AS np FROM p)
+        SELECT l_partkey AS p_partkey,
+               rq / 10000.0 AS revenue,
+               CAST((CAST(rq AS HUGEINT) * np * 10000) // grq
+                    AS BIGINT) AS mean_multiple_bp
+        FROM p, g
+        WHERE CAST(rq AS HUGEINT) * np > 2 * grq
+    """,
+    tags=("agg", "subquery"),
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose revenue exceeds twice the MEAN
+    per-part revenue (a scale-invariant threshold, unlike Q11's fixed
+    fraction), plus how many basis points of the mean each earns. The
+    global scalar (total quantized revenue, part count) is a one-row
+    aggregate broadcast into a cross join; the keep test multiplies
+    exact integers (DECIMAL(38,0) guards the rq*np product, which wraps
+    int64 past ~1e5 parts at 100 TB revenue magnitudes) so no division
+    or double ever decides membership. One partkey shuffle total —
+    the same aggregate feeds the scalar and the hotlist."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    p = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + 0.5
+            ).cast("long")
+        ).alias("rq")
+    )
+    g = p.agg(
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("grq"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    rqd = F.col("rq").cast("decimal(38,0)")
+    return (
+        p.crossJoin(F.broadcast(g))
+        .filter(rqd * F.col("np") > 2 * F.col("grq"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("rq") / F.lit(10000.0)).alias("revenue"),
+            F.expr(
+                "CAST((CAST(rq AS DECIMAL(38,0)) * np * 10000) DIV grq"
+                " AS BIGINT)"
+            ).alias("mean_multiple_bp"),
+        )
+    )
+
+
+# ------------------------------------ Q153 small-quantity revenue
+@query(
+    "q153_small_qty_revenue",
+    oracle="""
+        WITH q AS (
+          SELECT l_partkey,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                 CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                            + 0.5) AS BIGINT) AS rq,
+                 SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                     OVER (PARTITION BY l_partkey) AS sum_qc,
+                 COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+          FROM lineitem
+        )
+        SELECT p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               SUM(rq) / 10000.0 AS small_qty_revenue
+        FROM q JOIN part ON l_partkey = p_partkey
+        WHERE qc * cnt * 5 < sum_qc
+        GROUP BY p_brand
+    """,
+    tags=("join", "window", "agg"),
+)
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — revenue carried by line items whose quantity is
+    below 20% of that part's average quantity, rolled up per brand: the
+    fragmented-demand audit. The per-part average is the original's
+    correlated scalar subquery, computed here as ONE partkey-partitioned
+    window over the same scan (no self-join, no second shuffle); the
+    'below 1/5 of average' test is integer-exact on centi-quantized
+    quantities (qc*cnt*5 < sum_qc — no division), and revenue sums as
+    int64 quanta. The part dim joins under a size-gated broadcast;
+    output is brand-sized."""
+    lineitem, part = load(spark, sf, "lineitem", "part")
+    from ..plans import broadcast_if_small
+
+    qc = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    rq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    w = Window.partitionBy("l_partkey")
+    q = lineitem.select(
+        "l_partkey", qc.alias("qc"), rq.alias("rq")
+    ).select(
+        "*",
+        F.sum("qc").over(w).alias("sum_qc"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    return (
+        q.filter(F.col("qc") * F.col("cnt") * 5 < F.col("sum_qc"))
+        .join(
+            broadcast_if_small(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+            (F.sum("rq") / F.lit(10000.0)).alias("small_qty_revenue"),
+        )
+    )
+
+
+# ------------------------------------ Q154 large-volume customers
+_LARGE_QTY_C = 250 * 100  # 250 units, centi-quantized
+
+
+@query(
+    "q154_large_volume_customers",
+    oracle=f"""
+        WITH t AS (
+          SELECT l_orderkey,
+                 SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS tq
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                 > {_LARGE_QTY_C}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               tq / 100.0 AS total_qty
+        FROM t JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    """,
+    tags=("join", "agg"),
+)
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total quantity exceeds 250 units,
+    with their customers: the bulk-buyer report. The orderkey aggregate
+    partial-aggregates map-side and the HAVING filter runs BEFORE any
+    join, so only the rare survivors (0.1% of orders at every SF — the
+    threshold is a quantity distribution property, not a data-size one)
+    meet the orders fact, and AQE sees a kilobyte-sized build side it
+    broadcasts at runtime. Quantities compare as exact centi-quantized
+    int64; the /100.0 is per output row."""
+    lineitem, orders, customer = load(
+        spark, sf, "lineitem", "orders", "customer"
+    )
+    t = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+            ).alias("tq")
+        )
+        .filter(F.col("tq") > _LARGE_QTY_C)
+    )
+    return (
+        t.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("tq") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+# ------------------------------------ Q155 hard-negative mining
+_HARDNEG_QUERIES = 16
+_HARDNEG_K = 5
+
+
+@query(
+    "q155_hard_negatives",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS qid, label AS qlabel,
+                 embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < {_HARDNEG_QUERIES}
+        ),
+        s AS (
+          SELECT qid, e.vec_id, e.label,
+                 ROUND(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6)
+                     AS score
+          FROM embeddings e, q
+          WHERE e.label <> qlabel
+        ),
+        r AS (
+          SELECT qid, vec_id, label, score,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, vec_id) AS rn
+          FROM s
+        )
+        SELECT qid, vec_id, CAST(label AS BIGINT) AS neg_label, score, rn
+        FROM r WHERE rn <= {_HARDNEG_K}
+    """,
+    tags=("similarity", "llm"),
+)
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT label
+    — the near-misses a triplet/InfoNCE loss learns the most from
+    (Karpukhin et al., DPR). Same physical shape as q58's batch k-NN
+    (broadcast query batch, one codegen'd cosine projection over a
+    single scan, WindowGroupLimit rank pushdown keeps <=k rows per query
+    per partition before the shuffle) with the label-inequality filter
+    applied BEFORE scoring, so excluded same-label rows never cost a
+    dot product. At 100 TB the query batch blocks through q42's IVF
+    cells; the per-cell pattern is unchanged."""
+    from ..operators.similarity import as_double, cosine
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    q = embeddings.filter(F.col("vec_id") < _HARDNEG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.round(
+                cosine(as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HARDNEG_K)
+        .select(
+            "qid",
+            "vec_id",
+            F.col("label").cast("long").alias("neg_label"),
+            "score",
+            "rn",
+        )
+    )
+
+
+# ------------------------------------ Q156 temperature-resampled mix
+@query(
+    "q156_temperature_mix",
+    oracle="""
+        WITH c AS (
+          SELECT lang, SUM(len(string_split(text, ' '))) AS tok
+          FROM documents GROUP BY lang
+        ),
+        s AS (
+          SELECT lang, tok,
+                 CAST(FLOOR(sqrt(CAST(tok AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS sq
+          FROM c
+        ),
+        t AS (SELECT SUM(CAST(tok AS HUGEINT)) AS tot_tok,
+                     SUM(CAST(sq AS HUGEINT)) AS tot_sq FROM s)
+        SELECT lang, CAST(tok AS BIGINT) AS n_tokens,
+               CAST((CAST(tok AS HUGEINT) * 1000000) // tot_tok
+                    AS BIGINT) AS raw_ppm,
+               CAST((CAST(sq AS HUGEINT) * 1000000) // tot_sq
+                    AS BIGINT) AS temp_ppm
+        FROM s, t
+    """,
+    tags=("agg", "llm", "sampling"),
+)
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-resampled language mix (the mT5/XLM-R alpha=0.5
+    recipe): per language, the raw token share vs the temperature-
+    smoothed sampling share p_l ∝ n_l^0.5 that upweights low-resource
+    languages — the table that drives q82's upsampling factors. sqrt is
+    an IEEE-754 CORRECTLY-ROUNDED operation (unlike ln), so the per-lang
+    row value is bitwise identical across engines; it is still quantized
+    to int64 at 1e-6 BEFORE the cross-language sum (the q96 rule), so
+    both shares are exact integer parts-per-million — DECIMAL(38,0)
+    guards the share products, which wrap int64 past ~9e12 tokens. One
+    lang-sized aggregate from one corpus scan; the scalar totals
+    broadcast."""
+    (documents,) = load(spark, sf, "documents")
+    c = documents.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok")
+    )
+    s = c.withColumn(
+        "sq",
+        F.floor(
+            F.sqrt(F.col("tok").cast("double")) * 1000000 + 0.5
+        ).cast("long"),
+    )
+    t = s.agg(
+        F.sum(F.col("tok").cast("decimal(38,0)")).alias("tot_tok"),
+        F.sum(F.col("sq").cast("decimal(38,0)")).alias("tot_sq"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.col("tok").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((CAST(tok AS DECIMAL(38,0)) * 1000000) DIV tot_tok"
+            " AS BIGINT)"
+        ).alias("raw_ppm"),
+        F.expr(
+            "CAST((CAST(sq AS DECIMAL(38,0)) * 1000000) DIV tot_sq"
+            " AS BIGINT)"
+        ).alias("temp_ppm"),
     )
