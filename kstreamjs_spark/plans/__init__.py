@@ -34,7 +34,11 @@ def pushed_filters(df: DataFrame) -> str:
     )
 
 
-def broadcast_if_small(df: DataFrame, max_bytes: int = 128 << 20) -> DataFrame:
+def broadcast_if_small(
+    df: DataFrame,
+    max_bytes: int = 128 << 20,
+    gate: DataFrame | None = None,
+) -> DataFrame:
     """Broadcast hint gated on Catalyst's own size estimate — the build
     side gets the hint only when its optimized-plan ``sizeInBytes`` is
     under ``max_bytes``; otherwise the frame is returned unhinted and the
@@ -43,12 +47,23 @@ def broadcast_if_small(df: DataFrame, max_bytes: int = 128 << 20) -> DataFrame:
     full-table side hard-codes the small-scale shape: past the 8 GB
     broadcast limit it fails outright instead of degrading (ADVICE r5).
     The default ceiling is deliberately far under the hard limit —
-    executors hold one copy per core."""
+    executors hold one copy per core.
+
+    ``gate`` sizes the decision on a DIFFERENT frame than the one being
+    hinted: Catalyst multiplies size estimates through joins, so a
+    dim-chain build side (supplier ⋈ nation ⋈ region) can carry an
+    estimate orders of magnitude above its true size even though the
+    chain can only ever SHRINK its base table — pass the base table as
+    ``gate`` and the hint follows the honest upper bound instead of the
+    inflated product (without it, the un-hinted plan can end up
+    broadcasting the FACT side at small SF, the exactly wrong build
+    choice)."""
     from pyspark.sql import functions as F
 
     try:
         est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            (gate if gate is not None else df)
+            ._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # pragma: no cover - py4j estimate unavailable
         return df

@@ -1112,9 +1112,13 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     # Size-gated hint, not an unconditional broadcast: the supplier slice
     # is dim-sized at every tested SF, but a forced hint would hard-code
     # that shape past the 8 GB broadcast limit (the r5-advice rule).
+    # Gate on the BASE supplier table — the dim chain only shrinks it,
+    # and Catalyst's join-multiplied estimate would otherwise refuse the
+    # hint and let the planner pick the fact side as the build.
     j = (
         lineitem.join(
-            broadcast_if_small(dims), F.col("l_suppkey") == F.col("s_suppkey")
+            broadcast_if_small(dims, gate=supplier),
+            F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
@@ -1912,7 +1916,9 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("long")
     r = (
         lineitem.join(
-            broadcast_if_small(dims),
+            # gate on the base supplier table: the nation join can only
+            # shrink it, but inflates Catalyst's size estimate
+            broadcast_if_small(dims, gate=supplier),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("n_name", "l_suppkey")
@@ -2671,18 +2677,19 @@ _CHEAP_REGION = "EUROPE"
           WHERE r_name = '{_CHEAP_REGION}'
         ),
         u AS (
-          SELECT l_partkey, l_suppkey,
+          SELECT l_partkey, l_suppkey, s_name,
                  l_extendedprice / l_quantity AS unit_price
           FROM lineitem JOIN sup ON l_suppkey = s_suppkey
         ),
         m AS (
           SELECT l_partkey,
-                 MIN({{'p': unit_price, 's': l_suppkey}}) AS best
+                 MIN({{'p': unit_price, 's': l_suppkey, 'n': s_name}})
+                     AS best
           FROM u GROUP BY l_partkey
         )
         SELECT l_partkey AS p_partkey, best.s AS best_suppkey,
-               s_name AS best_supplier, best.p AS best_unit_price
-        FROM m JOIN sup ON best.s = s_suppkey
+               best.n AS best_supplier, best.p AS best_unit_price
+        FROM m
     """,
     tags=("join", "agg"),
 )
@@ -2716,22 +2723,28 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         ).select("s_suppkey", "s_name")
     )
     u = lineitem.join(
-        broadcast_if_small(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        # gate on the BASE supplier table: the dim chain only shrinks it,
+        # while Catalyst's join-multiplied estimate would refuse the hint
+        # and leave the fact side as the (wrong) static build choice
+        broadcast_if_small(sup, gate=supplier),
+        F.col("l_suppkey") == F.col("s_suppkey"),
     ).select(
         "l_partkey",
         "l_suppkey",
+        "s_name",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
+    # s_name rides in the min-struct (unit_price, l_suppkey already form a
+    # deterministic total order, so the name never influences the min) —
+    # the winner's attributes come out of the aggregate itself and the
+    # join-back shuffle the textbook Q2 plan pays disappears.
     m = u.groupBy("l_partkey").agg(
-        F.min(F.struct("unit_price", "l_suppkey")).alias("best")
+        F.min(F.struct("unit_price", "l_suppkey", "s_name")).alias("best")
     )
-    return m.join(
-        broadcast_if_small(sup),
-        F.col("best.l_suppkey") == F.col("s_suppkey"),
-    ).select(
+    return m.select(
         F.col("l_partkey").alias("p_partkey"),
         F.col("best.l_suppkey").alias("best_suppkey"),
-        F.col("s_name").alias("best_supplier"),
+        F.col("best.s_name").alias("best_supplier"),
         F.col("best.unit_price").alias("best_unit_price"),
     )
 
@@ -2768,7 +2781,9 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     partitioned window yields both the supplier count and the late count
     per order — the two correlated subqueries collapse into two window
     aggregates over the same partitioning, so the whole query costs one
-    fact-fact join plus one orderkey shuffle. Bucket width = suppliers
+    fact-fact join plus two narrow shuffles of (order, supplier, flag)
+    tuples (the first map-combines lineitem down to distinct pairs
+    before anything crosses the wire). Bucket width = suppliers
     per order (bounded by order size, never corpus size); the final
     per-supplier count is supplier-dim sized. All-integer."""
     lineitem, orders, supplier = load(

@@ -506,3 +506,100 @@ def test_revenue_trend_day_histogram_before_window(spark):
     plan = explain_str(q("q134_revenue_trend", spark), mode="simple")
     # the RANGE window runs over the day aggregate, not raw events
     assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_cheapest_supplier_groupwise_min_is_aggregate_not_window(spark):
+    """q149: the Q2-style groupwise min must compile to a partial-
+    aggregating min(struct) — no Window (sort-based, skew-sensitive) and
+    no join-back of the winner (the name rides in the struct)."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q149_cheapest_supplier", spark), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # min(struct(...)) partial-aggregates before the partkey exchange
+    assert "partial_min(struct" in plan, plan
+    # the pruned supplier chain — not the fact — is the broadcast build
+    # side (the gate= fix; without it Catalyst's inflated join estimate
+    # left lineitem as the static build choice)
+    first_bcast = plan.split("BroadcastExchange", 1)[1]
+    assert "lineitem" not in first_bcast.split("BroadcastHashJoin")[0], plan
+
+
+def test_sole_late_supplier_windows_share_orderkey_partitioning(spark):
+    """q150: both correlated-subquery replacements (supplier count, late
+    count) must come from ONE Window node over orderkey — never a
+    self-join of the fact."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q150_sole_late_supplier", spark), mode="simple")
+    assert plan.count("Window") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dormant_customers_anti_join_and_scalar_broadcast(spark):
+    """q151: the NOT EXISTS must plan as a left-anti equi-join against
+    the distinct recent custkeys, with the one-row scalar arriving via a
+    broadcast."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q151_dormant_rich_customers", spark), mode="simple")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hotlist_reuses_partkey_exchange(spark):
+    """q152: the per-part aggregate feeds BOTH the global scalar and the
+    hotlist filter; at runtime AQE must reuse the partkey exchange
+    instead of scanning lineitem twice."""
+    df = q("q152_part_revenue_hotlist", spark)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_small_qty_revenue_single_partkey_window_no_self_join(spark):
+    """q153: the per-part average must be a window over the same scan —
+    one partkey shuffle, no lineitem self-join."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q153_small_qty_revenue", spark), mode="simple")
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_large_volume_having_filters_before_join(spark):
+    """q154: the total-quantity HAVING filter must sit in the aggregate
+    subtree (below the joins), so only survivors reach the orders fact."""
+    from kstreamjs_spark.plans import explain_str
+    import re
+
+    plan = explain_str(q("q154_large_volume_customers", spark), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    # top-down text: joins print above their inputs; the tq threshold
+    # filter must appear after (deeper than) the first join header
+    join_pos = min(m.start() for m in re.finditer(r"Join", plan))
+    filt = re.search(r"tq#\d+L > \d+", plan)
+    assert filt and filt.start() > join_pos, plan
+
+
+def test_hard_negatives_rank_pushdown_broadcast_queries(spark):
+    """q155: same contract as q58 — WindowGroupLimit before the shuffle,
+    query batch broadcast, vector table never shuffled whole."""
+    plan = (
+        q("q155_hard_negatives", spark)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_temperature_mix_reuses_lang_aggregate(spark):
+    """q156: the lang-sized aggregate feeds both the per-lang rows and
+    the scalar totals; AQE must reuse the exchange, not scan documents
+    twice."""
+    df = q("q156_temperature_mix", spark)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
