@@ -362,6 +362,137 @@ def _sessionize_count(ev):
     return s.groupBy("user_id", "session_seq").count().count()
 
 
+# --- fact-table ops (q149-q154 family): multiplied lineitem/orders ---
+
+
+def _sole_late_count(li, od):
+    # q150 shape: fact-fact join -> (order, supplier) agg -> one window
+    from pyspark.sql import Window
+
+    g = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        g.withColumn("ns", F.count(F.lit(1)).over(w))
+        .withColumn("nl", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("ns") > 1) & (F.col("nl") == 1))
+        .groupBy("l_suppkey")
+        .count()
+        .count()
+    )
+
+
+def _small_qty_count(li, od):
+    # q153 shape: per-part average as ONE partkey window, no self-join
+    from pyspark.sql import Window
+
+    qc = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("l_partkey")
+    q = li.select("l_partkey", qc.alias("qc")).select(
+        "*",
+        F.sum("qc").over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("c"),
+    )
+    return q.filter(F.col("qc") * F.col("c") * 5 < F.col("sq")).count()
+
+
+def _hotlist_count(li, od):
+    # q152 shape: partkey agg reused for both the scalar and the filter
+    p = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + 0.5
+            ).cast("long")
+        ).alias("rq")
+    )
+    g = p.agg(
+        F.sum(F.col("rq").cast("decimal(38,0)")).alias("grq"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return (
+        p.crossJoin(F.broadcast(g))
+        .filter(F.col("rq").cast("decimal(38,0)") * F.col("np") > 2 * F.col("grq"))
+        .count()
+    )
+
+
+def _large_volume_count(li, od):
+    # q154 shape: HAVING before the join; survivors broadcast by AQE
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")).alias(
+                "tq"
+            )
+        )
+        .filter(F.col("tq") > 25000)
+    )
+    return t.join(od, F.col("o_orderkey") == F.col("l_orderkey")).count()
+
+
+def _cheapest_count(li, od):
+    # q149 shape: groupwise min as a partial-aggregating min(struct)
+    u = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+    )
+    return u.groupBy("l_partkey").agg(
+        F.min(F.struct("up", "l_suppkey")).alias("b")
+    ).count()
+
+
+def _streak_count(ev):
+    # q144 shape: gaps-and-islands from one user_id shuffle
+    from pyspark.sql import Window
+
+    d = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.select(
+        "user_id",
+        F.date_sub(
+            F.col("day").cast("date"), 0
+        ).alias("day2"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "user_id", F.date_sub(F.col("day2"), F.col("rn")).alias("anchor")
+    )
+    return (
+        isl.groupBy("user_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("len")
+        .count()
+        .count()
+    )
+
+
+def _value_pct_count(ev):
+    # q131 shape: cumulative window over the (type, cents) histogram
+    from pyspark.sql import Window
+
+    c = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    h = ev.groupBy("event_type", c.alias("cents")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return h.withColumn("cc", F.sum("n").over(w)).count()
+
+
 def docgen_corpus(spark, mult: int, disjoint: bool, base_rows: int = 5000):
     """Generator-backed corpus at ``base_rows * mult`` documents — no disk,
     so the decade/century sweep is never IO-bound. Disjoint regime: every
@@ -415,6 +546,7 @@ def main() -> int:
     (docs,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
     (events,) = load(spark, sf, "events")
+    lineitem, orders = load(spark, sf, "lineitem", "orders")
     docs.count()
 
     ops = {
@@ -452,21 +584,34 @@ def main() -> int:
         "sessionize": _sessionize_count,
         "funnel": _funnel_count,
         "retention": _retention_count,
+        "streak": _streak_count,
+        "value_pct": _value_pct_count,
     }
     vops = {"kmeans_assign": _kmeans_assign_count}
+    # fact-table family (multiplied lineitem/orders, q149-q154 shapes)
+    fops = {
+        "sole_late": _sole_late_count,
+        "small_qty": _small_qty_count,
+        "hotlist": _hotlist_count,
+        "large_volume": _large_volume_count,
+        "cheapest": _cheapest_count,
+    }
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
         eops = {k: v for k, v in eops.items() if k in only}
         vops = {k: v for k, v in vops.items() if k in only}
+        fops = {k: v for k, v in fops.items() if k in only}
     if source == "docgen":
         # Generator corpus: document ops only (docgen emits documents).
-        eops, vops = {}, {}
+        eops, vops, fops = {}, {}, {}
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
     if disjoint and max_mult >= 100:
         mults = [1, 10, 100]  # two decades, generator-backed century run
-    results: dict[str, list[float]] = {k: [] for k in (*ops, *eops, *vops)}
+    results: dict[str, list[float]] = {
+        k: [] for k in (*ops, *eops, *vops, *fops)
+    }
     for mult in mults:
         if source == "docgen":
             d = docgen_corpus(spark, mult, disjoint)
@@ -491,6 +636,18 @@ def main() -> int:
                 sec = timed(lambda: fn(em))
                 results[name].append(sec)
                 print(f"mult={mult} ({nv} vecs) {name}: {sec:.2f}s", flush=True)
+        if fops:
+            # copies bring new orders/parts/suppliers — the honest
+            # "N x more facts over the same dims" regime
+            li = multiply(
+                lineitem, ["l_orderkey", "l_partkey", "l_suppkey"], mult
+            )
+            od = multiply(orders, "o_orderkey", mult)
+            nl = li.count()
+            for name, fn in fops.items():
+                sec = timed(lambda: fn(li, od))
+                results[name].append(sec)
+                print(f"mult={mult} ({nl} lines) {name}: {sec:.2f}s", flush=True)
 
     # cosine top-k on multiplied embeddings (scan-bound — must be ~linear)
     e4 = multiply(emb, "vec_id", max_mult)
