@@ -893,6 +893,7 @@ _COV_CONTAMINATED_BP = 8000
         FROM c GROUP BY lang
     """,
     tags=("dedup", "llm", "evaluation"),
+    bench=True,
 )
 def q122(spark: SparkSession, sf: str) -> DataFrame:
     """Contamination COVERAGE report — q77 answers "which training docs
@@ -2772,6 +2773,7 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY 1, 2
     """,
     tags=("join", "window", "agg"),
+    bench=True,
 )
 def q150(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape — suppliers who were the SOLE late shipper in a
