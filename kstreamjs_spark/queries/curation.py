@@ -1386,7 +1386,12 @@ def q128(spark: SparkSession, sf: str) -> DataFrame:
     lineitem, orders = load(spark, sf, "lineitem", "orders")
     j = lineitem.join(
         orders, F.col("l_orderkey") == F.col("o_orderkey")
-    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+    ).filter(
+        # timestamp-preserving interval arithmetic, matching the oracle's
+        # + INTERVAL 90 DAY — date_add would truncate to midnight and
+        # diverge on any non-midnight orderdate
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return j.groupBy(
         F.date_trunc("month", "o_orderdate").alias("order_month")
@@ -2799,8 +2804,10 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.max(
                 F.when(
+                    # interval arithmetic (not date_add) so the engine and
+                    # the oracle agree on non-midnight orderdates too
                     F.col("l_shipdate")
-                    > F.date_add(F.col("o_orderdate"), 90),
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
                     1,
                 ).otherwise(0)
             ).alias("late")

@@ -375,7 +375,8 @@ def _sole_late_count(li, od):
         .agg(
             F.max(
                 F.when(
-                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90),
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
                     1,
                 ).otherwise(0)
             ).alias("late")
@@ -461,9 +462,7 @@ def _streak_count(ev):
     w = Window.partitionBy("user_id").orderBy("day")
     isl = d.select(
         "user_id",
-        F.date_sub(
-            F.col("day").cast("date"), 0
-        ).alias("day2"),
+        F.col("day").cast("date").alias("day2"),
         F.row_number().over(w).alias("rn"),
     ).select(
         "user_id", F.date_sub(F.col("day2"), F.col("rn")).alias("anchor")

@@ -522,6 +522,7 @@ def test_cheapest_supplier_groupwise_min_is_aggregate_not_window(spark):
     # the pruned supplier chain — not the fact — is the broadcast build
     # side (the gate= fix; without it Catalyst's inflated join estimate
     # left lineitem as the static build choice)
+    assert "BroadcastExchange" in plan, plan
     first_bcast = plan.split("BroadcastExchange", 1)[1]
     assert "lineitem" not in first_bcast.split("BroadcastHashJoin")[0], plan
 
