@@ -1590,34 +1590,21 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     The only division is cents→currency on the tiny result. Contrast
     q24b: same statistic via approx_percentile when a tolerance is
     acceptable; this is the exact path."""
+    from ..operators.percentile import histogram_percentiles
+
     (events,) = load(spark, sf, "events")
     d = events.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
     )
-    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("nv"))
-    h = d.groupBy("event_type", "vc").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("event_type")
-            .orderBy("vc")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-
-    def pct(num: int, den: int, alias: str):
-        return (
-            cum.join(n, "event_type")
-            .filter(F.col("cc") * den >= num * F.col("nv"))
-            .groupBy("event_type")
-            .agg(F.min("vc").alias(alias))
-        )
-
     return (
-        n.join(pct(1, 2, "p50c"), "event_type")
-        .join(pct(9, 10, "p90c"), "event_type")
-        .join(pct(99, 100, "p99c"), "event_type")
+        histogram_percentiles(
+            d,
+            ["event_type"],
+            "vc",
+            {"p50c": (1, 2), "p90c": (9, 10), "p99c": (99, 100)},
+            n_alias="nv",
+        )
         .select(
             "event_type",
             F.col("nv").cast("long").alias("n_values"),
@@ -2437,34 +2424,19 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat_d"),
     )
-    n = d.groupBy("priority").agg(F.count(F.lit(1)).alias("nl"))
-    h = d.groupBy("priority", "lat_d").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("priority")
-            .orderBy("lat_d")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    from ..operators.percentile import histogram_percentiles
 
-    def pct(num: int, den: int, alias: str):
-        return (
-            cum.join(n, "priority")
-            .filter(F.col("cc") * den >= num * F.col("nl"))
-            .groupBy("priority")
-            .agg(F.min("lat_d").alias(alias))
-        )
-
-    return (
-        n.join(pct(1, 2, "p50_days"), "priority")
-        .join(pct(19, 20, "p95_days"), "priority")
-        .select(
-            "priority",
-            F.col("nl").cast("long").alias("n_lines"),
-            F.col("p50_days").cast("long").alias("p50_days"),
-            F.col("p95_days").cast("long").alias("p95_days"),
-        )
+    return histogram_percentiles(
+        d,
+        ["priority"],
+        "lat_d",
+        {"p50_days": (1, 2), "p95_days": (19, 20)},
+        n_alias="nl",
+    ).select(
+        "priority",
+        F.col("nl").cast("long").alias("n_lines"),
+        F.col("p50_days").cast("long").alias("p50_days"),
+        F.col("p95_days").cast("long").alias("p95_days"),
     )
 
 
@@ -2578,34 +2550,19 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ltv_c")
         )
     )
-    n = u.groupBy("segment").agg(F.count(F.lit(1)).alias("nc"))
-    h = u.groupBy("segment", "ltv_c").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("segment")
-            .orderBy("ltv_c")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    from ..operators.percentile import histogram_percentiles
 
-    def pct(num: int, den: int, alias: str):
-        return (
-            cum.join(n, "segment")
-            .filter(F.col("cc") * den >= num * F.col("nc"))
-            .groupBy("segment")
-            .agg(F.min("ltv_c").alias(alias))
-        )
-
-    return (
-        n.join(pct(1, 2, "p50c"), "segment")
-        .join(pct(9, 10, "p90c"), "segment")
-        .select(
-            "segment",
-            F.col("nc").cast("long").alias("n_customers"),
-            (F.col("p50c") / F.lit(100.0)).alias("p50_ltv"),
-            (F.col("p90c") / F.lit(100.0)).alias("p90_ltv"),
-        )
+    return histogram_percentiles(
+        u,
+        ["segment"],
+        "ltv_c",
+        {"p50c": (1, 2), "p90c": (9, 10)},
+        n_alias="nc",
+    ).select(
+        "segment",
+        F.col("nc").cast("long").alias("n_customers"),
+        (F.col("p50c") / F.lit(100.0)).alias("p50_ltv"),
+        (F.col("p90c") / F.lit(100.0)).alias("p90_ltv"),
     )
 
 
@@ -2637,35 +2594,25 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     count value (bounded by the hottest user, never the user count —
     q131's rule), one cumulative window, all-integer thresholds, 1-row
     result."""
+    from ..operators.percentile import histogram_percentiles
+
     (events,) = load(spark, sf, "events")
     u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
-    n = u.agg(F.count(F.lit(1)).alias("nu"))
-    h = u.groupBy("n_ev").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.orderBy("n_ev").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ),
-    ).crossJoin(F.broadcast(n))
-
-    def pct(num: int, den: int, alias: str):
-        return (
-            cum.filter(F.col("cc") * den >= num * F.col("nu"))
-            .agg(F.min("n_ev").alias(alias))
-        )
-
-    return (
-        n.crossJoin(pct(1, 2, "p50_events"))
-        .crossJoin(pct(9, 10, "p90_events"))
-        .crossJoin(pct(99, 100, "p99_events"))
-        .select(
-            F.col("nu").cast("long").alias("n_users"),
-            F.col("p50_events").cast("long"),
-            F.col("p90_events").cast("long"),
-            F.col("p99_events").cast("long"),
-        )
+    return histogram_percentiles(
+        u,
+        [],
+        "n_ev",
+        {
+            "p50_events": (1, 2),
+            "p90_events": (9, 10),
+            "p99_events": (99, 100),
+        },
+        n_alias="nu",
+    ).select(
+        F.col("nu").cast("long").alias("n_users"),
+        F.col("p50_events").cast("long"),
+        F.col("p90_events").cast("long"),
+        F.col("p99_events").cast("long"),
     )
 
 

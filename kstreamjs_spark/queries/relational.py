@@ -1445,30 +1445,22 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
-    n = g.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_g"))
-    h = g.groupBy("event_type", "gap_s").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("event_type")
-            .orderBy("gap_s")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).join(F.broadcast(n), "event_type")
-    p50 = (
-        cum.filter(F.col("cc") * 2 >= F.col("n_g"))
-        .groupBy("event_type")
-        .agg(F.min("gap_s").alias("p50_gap_s"))
-    )
-    p90 = (
-        cum.filter(F.col("cc") * 10 >= 9 * F.col("n_g"))
-        .groupBy("event_type")
-        .agg(F.min("gap_s").alias("p90_gap_s"))
-    )
+    from ..operators.percentile import histogram_percentiles
+
     return (
-        n.select("event_type", F.col("n_g").cast("long").alias("n_gaps"))
-        .join(p50, "event_type")
-        .join(p90, "event_type")
+        histogram_percentiles(
+            g,
+            ["event_type"],
+            "gap_s",
+            {"p50_gap_s": (1, 2), "p90_gap_s": (9, 10)},
+            n_alias="n_g",
+        )
+        .select(
+            "event_type",
+            F.col("n_g").cast("long").alias("n_gaps"),
+            "p50_gap_s",
+            "p90_gap_s",
+        )
         .orderBy("event_type")
     )
 
