@@ -220,3 +220,18 @@ def test_jsonl_roundtrip(spark, tmp_path):
     a = {tuple(r) for r in src.df.select("event_id", "ts", "value").collect()}
     b = {tuple(r) for r in back.df.select("event_id", "ts", "value").collect()}
     assert a == b
+
+
+def test_warehouse_analytics_example_runs(spark):
+    """examples/warehouse_analytics.py composes the star-schema shapes
+    (dim-chain revenue rollup -> fulfilment audit -> bulk buyers ->
+    segment LTV percentiles); it must keep running as the operator APIs
+    evolve. Same shared-session guard as the quickstart test."""
+    import runpy
+    from unittest import mock
+
+    from .conftest import SF_SMOKE
+
+    mod = runpy.run_path("examples/warehouse_analytics.py", run_name="lib")
+    with mock.patch.object(type(spark), "stop", lambda self: None):
+        assert mod["main"](SF_SMOKE) == 0
