@@ -492,6 +492,52 @@ def _value_pct_count(ev):
     return h.withColumn("cc", F.sum("n").over(w)).count()
 
 
+
+
+def _dormant_count(li, od, cu):
+    # q151 shape: 1-row scalar broadcast + anti-join on distinct custkeys
+    c = cu.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("bal_c"),
+    )
+    pos = F.when(F.col("bal_c") > 0, F.col("bal_c")).otherwise(F.lit(0))
+    s = c.agg(
+        F.sum(pos).alias("tot"),
+        F.sum(F.when(F.col("bal_c") > 0, 1).otherwise(0)).alias("n"),
+    )
+    recent = (
+        od.filter(F.col("o_orderdate") >= F.lit("2000-08-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .filter(F.col("bal_c") * F.col("n") > F.col("tot"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .count()
+        .count()
+    )
+
+
+def _backlog_count(li, od):
+    # q132 shape: concurrent intervals as +-1 deltas -> day histogram
+    opened = od.select(
+        F.date_trunc("day", "o_orderdate").alias("day"), F.lit(1).alias("d")
+    )
+    closed = od.select(
+        F.date_trunc("day", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("day"),
+        F.lit(-1).alias("d"),
+    )
+    from pyspark.sql import Window
+
+    h = opened.unionByName(closed).groupBy("day").agg(F.sum("d").alias("dd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return h.withColumn("open", F.sum("dd").over(w)).count()
+
+
 def docgen_corpus(spark, mult: int, disjoint: bool, base_rows: int = 5000):
     """Generator-backed corpus at ``base_rows * mult`` documents — no disk,
     so the decade/century sweep is never IO-bound. Disjoint regime: every
@@ -545,7 +591,9 @@ def main() -> int:
     (docs,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
     (events,) = load(spark, sf, "events")
-    lineitem, orders = load(spark, sf, "lineitem", "orders")
+    lineitem, orders, customer = load(
+        spark, sf, "lineitem", "orders", "customer"
+    )
     docs.count()
 
     ops = {
@@ -594,22 +642,26 @@ def main() -> int:
         "hotlist": _hotlist_count,
         "large_volume": _large_volume_count,
         "cheapest": _cheapest_count,
+        "backlog": _backlog_count,
     }
+    # customer-bearing shapes (multiplied customer too)
+    cops = {"dormant": _dormant_count}
     if only:
         ops = {k: v for k, v in ops.items() if k in only}
         eops = {k: v for k, v in eops.items() if k in only}
         vops = {k: v for k, v in vops.items() if k in only}
         fops = {k: v for k, v in fops.items() if k in only}
+        cops = {k: v for k, v in cops.items() if k in only}
     if source == "docgen":
         # Generator corpus: document ops only (docgen emits documents).
-        eops, vops, fops = {}, {}, {}
+        eops, vops, fops, cops = {}, {}, {}, {}
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
     if disjoint and max_mult >= 100:
         mults = [1, 10, 100]  # two decades, generator-backed century run
     results: dict[str, list[float]] = {
-        k: [] for k in (*ops, *eops, *vops, *fops)
+        k: [] for k in (*ops, *eops, *vops, *fops, *cops)
     }
     for mult in mults:
         if source == "docgen":
@@ -647,6 +699,14 @@ def main() -> int:
                 sec = timed(lambda: fn(li, od))
                 results[name].append(sec)
                 print(f"mult={mult} ({nl} lines) {name}: {sec:.2f}s", flush=True)
+        if cops:
+            od2 = multiply(orders, ["o_orderkey", "o_custkey"], mult)
+            cu2 = multiply(customer, "c_custkey", mult)
+            nc = cu2.count()
+            for name, fn in cops.items():
+                sec = timed(lambda: fn(None, od2, cu2))
+                results[name].append(sec)
+                print(f"mult={mult} ({nc} custs) {name}: {sec:.2f}s", flush=True)
 
     # cosine top-k on multiplied embeddings (scan-bound — must be ~linear)
     e4 = multiply(emb, "vec_id", max_mult)
