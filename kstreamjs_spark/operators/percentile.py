@@ -49,9 +49,11 @@ def histogram_percentiles(
     the histogram — not the raw rows — must feed it).
 
     Plan shape: two map-combined aggregates off the same input (count +
-    histogram), one cumulative window over the histogram, then one
-    histogram-sized join per percentile. At 100 TB nothing after the
-    first aggregation exceeds |groups| x |distinct values| rows.
+    histogram), one cumulative window over the histogram, then ONE
+    conditional aggregate that extracts every requested percentile in a
+    single pass (min(value WHERE cc*den >= num*n) per alias — no
+    per-percentile join). At 100 TB nothing after the first aggregation
+    exceeds |groups| x |distinct values| rows.
     """
     keys = list(keys)
     n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(n_alias))
@@ -62,19 +64,16 @@ def histogram_percentiles(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = h.withColumn("__cc", F.sum("__c").over(w))
-
-    def _join(left: DataFrame, right: DataFrame) -> DataFrame:
-        if keys:
-            return left.join(right, keys)
-        return left.crossJoin(F.broadcast(right))
-
-    out = n
-    for alias, (num, den) in percentiles.items():
-        p = (
-            _join(cum, n)
-            .filter(F.col("__cc") * den >= num * F.col(n_alias))
-            .groupBy(*keys)
-            .agg(F.min(value_col).alias(alias))
-        )
-        out = _join(out, p)
-    return out
+    cn = cum.join(n, keys) if keys else cum.crossJoin(F.broadcast(n))
+    return cn.groupBy(*keys).agg(
+        F.first(n_alias).alias(n_alias),
+        *[
+            F.min(
+                F.when(
+                    F.col("__cc") * den >= num * F.col(n_alias),
+                    F.col(value_col),
+                )
+            ).alias(alias)
+            for alias, (num, den) in percentiles.items()
+        ],
+    )

@@ -25,6 +25,7 @@ from ..operators import dedup, sampling, text
 from ..operators.sampling import hash_bucket_sql
 from ..operators.similarity import as_double
 from ..operators.text import fingerprint_sql
+from ..operators.percentile import histogram_percentiles
 from ..tables import load
 from . import query
 from .corpus import _SPLIT_SEED, _TRAIN_FRACTION, _shingle_sql
@@ -1590,8 +1591,6 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     The only division is cents→currency on the tiny result. Contrast
     q24b: same statistic via approx_percentile when a tolerance is
     acceptable; this is the exact path."""
-    from ..operators.percentile import histogram_percentiles
-
     (events,) = load(spark, sf, "events")
     d = events.filter(F.col("value").isNotNull()).select(
         "event_type",
@@ -2424,8 +2423,6 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lat_d"),
     )
-    from ..operators.percentile import histogram_percentiles
-
     return histogram_percentiles(
         d,
         ["priority"],
@@ -2550,8 +2547,6 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("ltv_c")
         )
     )
-    from ..operators.percentile import histogram_percentiles
-
     return histogram_percentiles(
         u,
         ["segment"],
@@ -2594,8 +2589,6 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     count value (bounded by the hottest user, never the user count —
     q131's rule), one cumulative window, all-integer thresholds, 1-row
     result."""
-    from ..operators.percentile import histogram_percentiles
-
     (events,) = load(spark, sf, "events")
     u = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
     return histogram_percentiles(

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators.percentile import histogram_percentiles
 from ..tables import load
 from . import query
 
@@ -1445,8 +1446,6 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
-    from ..operators.percentile import histogram_percentiles
-
     return (
         histogram_percentiles(
             g,

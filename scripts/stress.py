@@ -494,7 +494,7 @@ def _value_pct_count(ev):
 
 
 
-def _dormant_count(li, od, cu):
+def _dormant_count(od, cu):
     # q151 shape: 1-row scalar broadcast + anti-join on distinct custkeys
     c = cu.select(
         "c_custkey",
@@ -704,7 +704,7 @@ def main() -> int:
             cu2 = multiply(customer, "c_custkey", mult)
             nc = cu2.count()
             for name, fn in cops.items():
-                sec = timed(lambda: fn(None, od2, cu2))
+                sec = timed(lambda: fn(od2, cu2))
                 results[name].append(sec)
                 print(f"mult={mult} ({nc} custs) {name}: {sec:.2f}s", flush=True)
 
