@@ -566,7 +566,12 @@ def fuzzy_prefix_pairs(
     alignment-shifting edits (insertions/deletions early in the prefix) can
     move every chunk boundary, so indel-heavy pairs may share no aligned
     chunk; for substitution-dominated noise (typos, OCR) the pigeonhole
-    guarantee is exact. Output columns: (d1, d2, dist), dist <= max_dist.
+    guarantee is exact. Prefixes shorter than the chunk span contribute
+    only their non-empty chunks (empty trailing chunks are excluded —
+    they would put every short document into one degenerate bucket), so
+    short-prefix pairs pigeonhole over proportionally fewer slots;
+    identical short prefixes still always match on chunk 0. Output
+    columns: (d1, d2, dist), dist <= max_dist.
 
     ``max_df`` bounds any one candidate bucket: (partition, chunk) values
     occurring in more than ``max_df`` documents are dropped from candidate
@@ -598,6 +603,16 @@ def fuzzy_prefix_pairs(
     ).select(
         F.col(id_col), *[F.col(c) for c in pcols], "pre",
         F.col("c.cid").alias("cid"), F.col("c.ctext").alias("ctext"),
+    ).filter(
+        # Chunks lying wholly beyond a short prefix are empty strings,
+        # and EVERY short document would share those (partition, cid, '')
+        # keys — one quadratic bucket through the degenerate value, the
+        # exact blowup the chunk blocking exists to avoid. Dropping them
+        # trades a documented recall clause instead: a prefix spanning
+        # only k < max_dist+1 chunks offers only k pigeonholes, so
+        # short-prefix pairs need an edit-free chunk among fewer slots
+        # (identical short prefixes still always match on chunk 0).
+        F.col("ctext") != ""
     )
     if max_df is not None:
         hot = (

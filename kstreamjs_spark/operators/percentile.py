@@ -48,23 +48,26 @@ def histogram_percentiles(
     broadcasts; the window degrades to the histogram size, which is why
     the histogram — not the raw rows — must feed it).
 
-    Plan shape: two map-combined aggregates off the same input (count +
-    histogram), one cumulative window over the histogram, then ONE
-    conditional aggregate that extracts every requested percentile in a
-    single pass (min(value WHERE cc*den >= num*n) per alias — no
-    per-percentile join). At 100 TB nothing after the first aggregation
+    Plan shape: ONE map-combined histogram aggregate off the input, one
+    Window node carrying both the cumulative count and the group total
+    (two frames over the same partitioning — no second scan of the
+    input, no join), then ONE conditional aggregate that extracts every
+    requested percentile in a single pass (min(value WHERE cc*den >=
+    num*n) per alias). At 100 TB nothing after the first aggregation
     exceeds |groups| x |distinct values| rows.
     """
     keys = list(keys)
-    n = df.groupBy(*keys).agg(F.count(F.lit(1)).alias(n_alias))
     h = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = (
-        (Window.partitionBy(*keys) if keys else Window.partitionBy())
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum_w = part.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    cum = h.withColumn("__cc", F.sum("__c").over(w))
-    cn = cum.join(n, keys) if keys else cum.crossJoin(F.broadcast(n))
+    # The group total is the same window's full-partition frame — the
+    # caller's input (often an expensive join/rollup) is scanned once,
+    # not once for a count and again for the histogram.
+    cn = h.withColumn("__cc", F.sum("__c").over(cum_w)).withColumn(
+        n_alias, F.sum("__c").over(part)
+    )
     return cn.groupBy(*keys).agg(
         F.first(n_alias).alias(n_alias),
         *[

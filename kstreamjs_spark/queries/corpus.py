@@ -1359,6 +1359,11 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(stage(3, "exact_dedup", s3))
         .orderBy("stage")
     )
-    rows = report.collect()  # 4 rows, one per stage — bounded
-    d.unpersist()
+    try:
+        rows = report.collect()  # 4 rows, one per stage — bounded
+    finally:
+        # unpersist even when the collect fails mid-flight — a retried
+        # invocation in a long-lived session (CLI runner, driver verify
+        # loop) must not stack another cached copy per failed attempt
+        d.unpersist()
     return spark.createDataFrame(rows, report.schema)

@@ -955,7 +955,12 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------ Q123 cross-doc near-dup chunks
 _NDCHUNK_THRESHOLD = 0.7
 _NDCHUNK_MAX_DF = 4
-_NDCHUNK_UID = 100_000  # chunk uid = doc_id * _NDCHUNK_UID + chunk_idx
+# chunk uid = doc_id * _NDCHUNK_UID + chunk_idx. The multiplier bounds
+# BOTH dimensions: docs may have < 1e9 chunks (32e9 tokens/doc — far past
+# any real document; a smaller constant like 1e5 silently aliased a
+# 3.2M-token book's chunks into the NEXT doc_id's uid space) and doc_ids
+# must stay < 2^63/1e9 ≈ 9.2e9 (plenty for a 100 TB corpus).
+_NDCHUNK_UID = 1_000_000_000
 
 
 @query(
@@ -1154,7 +1159,8 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
               GROUP BY 1, 2)
         SELECT type_a, type_b,
                CAST(n_both AS BIGINT) AS n_both,
-               ROUND(tot.nu * n_both * 1.0 / (ca.n * cb.n), 6) AS lift
+               ROUND(tot.nu * 1.0 * n_both / (ca.n * 1.0 * cb.n), 6)
+                   AS lift
         FROM p
         JOIN c ca ON p.type_a = ca.event_type
         JOIN c cb ON p.type_b = cb.event_type
@@ -1199,9 +1205,13 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
             "type_a",
             "type_b",
             F.col("n_both").cast("long").alias("n_both"),
+            # promote to double BEFORE the products: nu*n_both and na*nb
+            # are int64*int64 and wrap past ~3e9 users/rows (Spark wraps
+            # silently non-ANSI, DuckDB raises) — the double product is
+            # one IEEE op, identical on both engines
             F.round(
-                F.col("nu") * F.col("n_both") * F.lit(1.0)
-                / (F.col("na") * F.col("nb")),
+                F.col("nu").cast("double") * F.col("n_both")
+                / (F.col("na").cast("double") * F.col("nb")),
                 6,
             ).alias("lift"),
         )

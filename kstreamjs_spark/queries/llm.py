@@ -1185,7 +1185,7 @@ def _q104b_chunk_values_sql() -> str:
           SELECT doc_id, source, pre, c.cid,
                  substring(pre, c.st, c.ln) AS ctext
           FROM p CROSS JOIN {_q104b_chunk_values_sql()}
-          WHERE pre <> ''
+          WHERE pre <> '' AND substring(pre, c.st, c.ln) <> ''
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,

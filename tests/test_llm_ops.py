@@ -388,7 +388,7 @@ def test_fuzzy_blocked_max_df_prunes_hot_bucket(spark):
     pruned = dedup.fuzzy_prefix_pairs(d, max_dist=5, max_df=5).collect()
     got = {(r["d1"], r["d2"]) for r in pruned}
     assert (100, 101) in got
-    # The 30 near-identical-header docs differ in their tails by more than
+    # The 22 shared-header docs (20 distinct tails + the identical pair) differ by more than
     # the distance bound, so with the hot header chunks pruned none of
     # their pairs survive: the quadratic bucket is gone.
     assert all(p == (100, 101) for p in got), sorted(got)[:10]

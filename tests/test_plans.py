@@ -348,15 +348,21 @@ def test_bigram_lm_no_cartesian(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_gap_percentiles_thresholds_broadcast(spark):
-    """q103 inherits q88's histogram-percentile shape: the per-type
-    thresholds and counts join back as broadcasts, never reshuffling the
-    gap stream."""
+def test_gap_percentiles_single_window_no_joins(spark):
+    """q103 uses the histogram-percentile operator: cumulative count and
+    group total come from ONE Window node over the (type, gap) histogram
+    and every percentile extracts in one conditional aggregate — zero
+    joins, and the gap stream is never reshuffled."""
     from kstreamjs_spark.plans import explain_str
 
-    plan = explain_str(q("q103_gap_percentiles", spark))
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "CartesianProduct" not in plan
+    plan = explain_str(q("q103_gap_percentiles", spark), mode="simple")
+    assert "Join" not in plan, plan
+    # lag window + (cumulative, total) over the histogram — the latter
+    # two share one event_type exchange
+    assert plan.count("Window [") == 3, plan
+    # exactly two event_type-prefixed exchanges: the (type, gap)
+    # histogram aggregate and the shared window partitioning
+    assert plan.count("hashpartitioning(event_type") == 2, plan
 
 
 def test_fuzzy_pairs_no_cartesian(spark):
