@@ -497,3 +497,38 @@ def test_simhash_hamming_matches_hyperplane_curve(spark):
             f"{tag}: total hamming {total} vs analytic {expected:.0f} "
             f"(tol {tol:.0f})"
         )
+
+
+def test_fuzzy_pairs_short_prefixes_no_degenerate_bucket(spark):
+    """Documents whose normalized prefix is shorter than the chunk span
+    must NOT all meet through empty trailing chunks: 40 short docs with
+    pairwise-distant prefixes yield zero candidates (before the
+    empty-chunk exclusion they formed one quadratic (source, cid, '')
+    bucket), while identical short prefixes still pair via chunk 0."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from kstreamjs_spark.operators import dedup
+
+    # 12-char prefixes built from two 6-char letter blocks: any two
+    # distinct docs differ in at least one whole block (>= 6
+    # substitutions > max_dist). Only chunks 0-1 of the 6-chunk/40-char
+    # layout overlap real text.
+    distinct = [
+        (
+            i,
+            "s",
+            chr(ord("a") + i // 26) * 6 + chr(ord("a") + i % 26) * 6,
+        )
+        for i in range(40)
+    ]
+    rows = distinct + [(200, "s", "same txt"), (201, "s", "same txt")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    pairs = dedup.fuzzy_prefix_pairs(
+        docs, max_dist=5, prefix_len=40, partition_col="source"
+    ).collect()
+    got = {(r["d1"], r["d2"]) for r in pairs}
+    assert (200, 201) in got  # identical short prefixes: chunk 0 pairs them
+    # nothing else is within distance 5, and — the point — the empty
+    # trailing chunks create no candidates at all
+    others = {p for p in got if p != (200, 201)}
+    assert not others, sorted(others)[:10]
