@@ -34,16 +34,23 @@ def window_collect(
     slide: str | None = None,
     keys: Iterable[str] = (),
     sort_by: Iterable[str] | None = None,
+    start_time: str | None = None,
 ) -> DataFrame:
     """Tumbling (or sliding) event-time window + arbitrary Python collect.
 
     ``collect`` receives the window's rows as a pandas DataFrame sorted by
     ``sort_by`` (default: ts_col) and returns a dict of output columns.
     Output rows carry ``window_start``/``window_end`` plus any ``keys``.
+    ``start_time`` offsets the window origin (F.window's startTime) so an
+    aligned facade `from_ms` applies to the collect path too.
     """
     keys = list(keys)
     sort_cols = list(sort_by) if sort_by else [ts_col]
-    win = F.window(ts_col, duration, slide) if slide else F.window(ts_col, duration)
+    win = F.window(ts_col, duration, slide or duration, start_time) \
+        if start_time else (
+            F.window(ts_col, duration, slide) if slide
+            else F.window(ts_col, duration)
+        )
     grouped = df.withColumn("__w", win).groupBy("__w", *keys)
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -28,7 +28,8 @@ from . import query
     "q29_stream_tumbling",
     oracle="""
         SELECT date_trunc('hour', ts) AS hour,
-               ROUND(SUM(value), 4) AS sum_value,
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value,
                COUNT(*) AS cnt
         FROM events GROUP BY 1
     """,
@@ -43,7 +44,11 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
         sdf.withWatermark("ts", "1 minute")
         .groupBy(F.window("ts", "1 hour"))
         .agg(
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # int64 1e-4 quanta: exactly associative, so any
+            # micro-batch schedule or shuffle order hash-matches the
+            # differently-ordered oracle SUM (q44/q141 idiom)
+            (F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+             / 10000.0).alias("sum_value"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .select(
@@ -59,7 +64,8 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
         SELECT CAST(((epoch_ms(ts) // 1800000) - k) * 1800 AS BIGINT)
                    AS wstart_epoch,
-               ROUND(SUM(value), 4) AS sum_value,
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value,
                COUNT(*) AS cnt
         FROM events, (VALUES (0), (1)) AS offs(k)
         GROUP BY 1
@@ -74,7 +80,11 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     agg = (
         sdf.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # int64 1e-4 quanta: exactly associative, so any
+            # micro-batch schedule or shuffle order hash-matches the
+            # differently-ordered oracle SUM (q44/q141 idiom)
+            (F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+             / 10000.0).alias("sum_value"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .select(
@@ -111,7 +121,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL '30 minutes' AS session_end,
                COUNT(*) AS cnt,
-               ROUND(SUM(value), 4) AS sum_value
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value
         FROM g GROUP BY user_id, sid
     """,
     tags=("streaming", "window-agg"),
@@ -125,7 +136,8 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            (F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+             / 10000.0).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -160,7 +172,8 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     "q33_window_collect_udaf",
     oracle="""
         SELECT date_trunc('hour', ts) AS hour,
-               ROUND(SUM(value), 4) AS sum_value
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value
         FROM events GROUP BY 1
     """,
     tags=("udf", "window-agg"),
@@ -173,7 +186,11 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     (events,) = load(spark, sf, "events")
 
     def collect(pdf: pd.DataFrame) -> dict:
-        return {"sum_value": float(pdf["value"].sum())}
+        # quantize-before-sum inside the reducer too (q44's idiom): the
+        # int64 sum is order-free, so the Python path cannot drift from
+        # the oracle on a rounding boundary
+        q = np.floor(pdf["value"].to_numpy() * 1e4 + 0.5).astype("int64")
+        return {"sum_value": int(q.sum()) / 1e4}
 
     out = window_collect(
         events.select("ts", "value"),
@@ -184,7 +201,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         F.col("window_start").alias("hour"),
-        F.round("sum_value", 4).alias("sum_value"),
+        F.col("sum_value"),
     )
 
 

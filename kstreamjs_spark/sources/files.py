@@ -41,6 +41,7 @@ def write_sharded(
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
     compression: str | None = None,
+    **options: str,
 ) -> None:
     """Write ``df`` as at most ``shards`` files per partition-directory.
 
@@ -63,6 +64,8 @@ def write_sharded(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if compression:
         writer = writer.option("compression", compression)
+    for k, v in options.items():
+        writer = writer.option(k, v)
     writer.save(path)
 
 
@@ -73,16 +76,29 @@ def write_jsonl(df: DataFrame, path: str, shards: int = 8,
     src/context.ts:122-123, as a file dataset): `write_sharded` with
     fmt=json. Gzip matches the reference's CompressionTypes.GZIP; note
     gzip JSONL is unsplittable — shard count alone controls read
-    parallelism, so size shards to ~128-512 MB compressed."""
+    parallelism, so size shards to ~128-512 MB compressed. Timestamps
+    serialize with the facade-wide microsecond format — Spark's default
+    keeps only milliseconds, which would silently truncate event times
+    on a JSONL round-trip."""
+    from ..stream import _JSON_TS_FORMAT
+
     write_sharded(df, path, partition_by=partition_by, shards=shards,
-                  fmt="json", compression=compression)
+                  fmt="json", compression=compression,
+                  timestampFormat=_JSON_TS_FORMAT)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """Schema-pinned JSONL reader (no inference pass; corrupt lines land in
     `_corrupt_record` if declared in the schema rather than failing the
-    job — the PERMISSIVE default)."""
-    return spark.read.schema(schema).json(path)
+    job — the PERMISSIVE default). Reads the microsecond timestampFormat
+    write_jsonl emits."""
+    from ..stream import _JSON_TS_FORMAT
+
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", _JSON_TS_FORMAT)
+        .json(path)
+    )
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType | str,

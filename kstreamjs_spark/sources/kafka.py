@@ -92,6 +92,11 @@ def decode_value(df: DataFrame, schema=None, ts_from_payload: str | None = None)
         F.col("value").cast("string").alias("raw_value"),
     )
     if schema is None:
+        if ts_from_payload:
+            raise ValueError(
+                "ts_from_payload requires a payload schema — without one "
+                "the payload is an undecoded JSON string"
+            )
         return base
     out = base.withColumn("value", F.from_json("raw_value", schema)).select(
         "key", "topic", "partition", "offset", "ts", "value.*"
@@ -108,10 +113,16 @@ def read_stream(
     schema=None,
     from_beginning: bool = False,
     starting_timestamp_ms: int | None = None,
+    ts_from_payload: str | None = None,
     **extra: str,
 ) -> DataFrame:
     """Build the Kafka streaming source. Raises a clear error if the
-    spark-sql-kafka connector is not on the classpath."""
+    spark-sql-kafka connector is not on the classpath.
+
+    ``ts_from_payload``: name of a payload field to use as the event
+    time ``ts`` instead of the broker ingest timestamp — required for
+    correct event-time windows over replayed/late data (the broker
+    timestamp is arrival time, not event time)."""
     opts = kafka_reader_options(
         brokers,
         topic,
@@ -125,11 +136,18 @@ def read_stream(
     try:
         raw = reader.load()
     except Exception as e:  # noqa: BLE001
-        raise RuntimeError(
-            "Kafka source unavailable — add the spark-sql-kafka connector "
-            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
-        ) from e
-    return decode_value(raw, schema)
+        msg = str(e)
+        # Only rewrite the genuinely-missing-connector failure; any other
+        # load() error (bad option value, malformed timestamp, ...) must
+        # surface as itself or operators debug the wrong thing.
+        if "Failed to find data source" in msg or "ClassNotFound" in msg:
+            raise RuntimeError(
+                "Kafka source unavailable — add the spark-sql-kafka "
+                "connector (--packages "
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>)"
+            ) from e
+        raise
+    return decode_value(raw, schema, ts_from_payload=ts_from_payload)
 
 
 def prepare_sink(df: DataFrame, topic: str) -> DataFrame:

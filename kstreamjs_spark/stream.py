@@ -126,10 +126,14 @@ class Stream:
         schema=None,
         from_beginning: bool = False,
         ts_col: str = "ts",
+        ts_from_payload: str | None = None,
         **options: str,
     ) -> "Stream":
         """Kafka source (reference createStream, src/stream.ts:273-276).
-        Requires the spark-sql-kafka connector on the classpath."""
+        Requires the spark-sql-kafka connector on the classpath.
+        ``ts_from_payload`` names a payload field to use as the event
+        time instead of the broker ingest timestamp (replayed topics
+        window on event time, not arrival time)."""
         from .sources.kafka import read_stream
 
         return cls(
@@ -139,6 +143,7 @@ class Stream:
                 topic,
                 schema=schema,
                 from_beginning=from_beginning,
+                ts_from_payload=ts_from_payload,
                 **options,
             ),
             ts_col,
@@ -148,15 +153,23 @@ class Stream:
     def _wrap(self, df: DataFrame) -> "Stream":
         return Stream(df, self.ts_col, self._listener)
 
+    def _handle(self, query) -> StreamHandle:
+        """Wrap a started query; scope the stats listener (session-global
+        in Spark) to this stream's own queries so two instrumented
+        Streams on one session don't double-count each other."""
+        if self._listener is not None:
+            self._listener.watch(str(query.id))
+        return StreamHandle(query)
+
     def map(
         self, *cols: Column | str, **named: Column
     ) -> "Stream":
         """Projection (reference map, src/stream.ts:38-56). Accepts columns
-        (select semantics) or name=expr pairs (withColumn semantics). For
-        opaque Python row functions use map_pandas."""
-        if cols:
-            return self._wrap(self.df.select(*cols))
-        df = self.df
+        (select semantics) and/or name=expr pairs (withColumn semantics,
+        applied after the projection — mixing both selects the columns
+        first, then adds every named expression; nothing is silently
+        dropped). For opaque Python row functions use map_pandas."""
+        df = self.df.select(*cols) if cols else self.df
         for name, expr in named.items():
             df = df.withColumn(name, expr)
         return self._wrap(df)
@@ -221,6 +234,7 @@ class Stream:
         """
         df = self.df
         ts = self.ts_col
+        keys = list(keys)  # consumed by BOTH groupBy and the projection
         dur = f"{interval_ms} milliseconds"
         start = f"{from_ms % interval_ms} milliseconds" if from_ms else None
         if from_ms is not None:
@@ -253,6 +267,9 @@ class Stream:
                 out_schema=out_schema,
                 keys=keys,
                 sort_by=[ts],
+                # same origin alignment as the aggs branch — collect
+                # windows must not silently snap back to the epoch
+                start_time=start,
             )
         )
 
@@ -272,7 +289,7 @@ class Stream:
                 .trigger(availableNow=True)
                 .start()
             )
-            return StreamHandle(q)
+            return self._handle(q)
         return self._wrap(self.df.limit(0))
 
     def write_to(
@@ -291,6 +308,9 @@ class Stream:
                 writer = prepare_sink(self.df, path_or_topic).writeStream.format(
                     "kafka"
                 )
+                # reference gzips every payload (src/context.ts:122-123);
+                # callers can still override
+                options.setdefault("kafka.compression.type", "gzip")
             else:
                 writer = self.df.writeStream.format(fmt).option(
                     "path", path_or_topic
@@ -301,7 +321,7 @@ class Stream:
             # maxRecordsPerFile, ...) pass through on both branches.
             for k, v in options.items():
                 writer = writer.option(k, v)
-            return StreamHandle(writer.start())
+            return self._handle(writer.start())
         if fmt == "json":
             options.setdefault("timestampFormat", _JSON_TS_FORMAT)
         self.df.write.format(fmt).mode(options.pop("mode", "overwrite")).options(
@@ -326,7 +346,7 @@ class Stream:
         writer = self.df.writeStream.format(sink).queryName(name)
         for k, v in options.items():
             writer = writer.option(k, v)
-        return StreamHandle(writer.start())
+        return self._handle(writer.start())
 
     def run_available(self, name: str = "stream_out", output_mode: str = "append") -> DataFrame:
         """Process the entire backlog and return the result (test path)."""

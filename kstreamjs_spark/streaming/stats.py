@@ -10,7 +10,7 @@ no custom counters threaded through operators.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
@@ -51,37 +51,47 @@ class Statistics:
         )
 
 
-@dataclass
-class _Acc:
-    stats: Statistics = field(default_factory=Statistics)
-
-
 class StatisticsListener(StreamingQueryListener):
     """Accumulates per-micro-batch input/output row counts.
 
     ``flush()`` snapshots and resets, matching the reference's
     `flushStatistics` contract.
+
+    StreamingQueryListeners are SESSION-GLOBAL in Spark: without scoping,
+    two Streams on one session would each count BOTH queries' rows. Call
+    ``watch(query_id)`` (the Stream facade does this for every query it
+    starts) to restrict accumulation to this stream's own queries; a
+    listener that was never scoped keeps the watch-everything behavior.
     """
 
     def __init__(self) -> None:
-        self._acc = _Acc()
+        self._stats = Statistics()
+        self._watched: set[str] | None = None
+
+    def watch(self, query_id: str) -> None:
+        """Restrict accumulation to the given query id (additive)."""
+        if self._watched is None:
+            self._watched = set()
+        self._watched.add(str(query_id))
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
-        self._acc.stats.recv_total += int(p.numInputRows or 0)
-        for sink_rows in [getattr(p.sink, "numOutputRows", None)]:
-            if sink_rows is not None and int(sink_rows) >= 0:
-                self._acc.stats.send_total += int(sink_rows)
+        if self._watched is not None and str(p.id) not in self._watched:
+            return
+        self._stats.recv_total += int(p.numInputRows or 0)
+        sink_rows = getattr(p.sink, "numOutputRows", None)
+        if sink_rows is not None and int(sink_rows) >= 0:
+            self._stats.send_total += int(sink_rows)
         ts = getattr(p, "eventTime", None) or {}
         max_ts = ts.get("max") if isinstance(ts, dict) else None
         if max_ts:
             ms = _iso_to_epoch_ms(max_ts)
             if ms is not None:
-                prev = self._acc.stats.last_sent_event_timestamp
-                self._acc.stats.last_sent_event_timestamp = (
+                prev = self._stats.last_sent_event_timestamp
+                self._stats.last_sent_event_timestamp = (
                     ms if prev is None else max(prev, ms)
                 )
 
@@ -92,8 +102,8 @@ class StatisticsListener(StreamingQueryListener):
         pass
 
     def flush(self) -> Statistics:
-        snap = self._acc.stats
-        self._acc.stats = Statistics()
+        snap = self._stats
+        self._stats = Statistics()
         return snap
 
     def attach(self, spark: SparkSession) -> "StatisticsListener":
