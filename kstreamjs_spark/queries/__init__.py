@@ -83,6 +83,10 @@ _WINDOW_PRIORITY = [
     "q26b_minhash_neardup", "q26d_minhash_verify",
     "q104b_fuzzy_blocked_pairs", "q107_cohort_retention",
 ]
+# ROUND-7 NOTE: q29/q30/q31/q33 moved to quantize-before-sum late in
+# round 6 (engine AND oracle together; selfcheck-green) but the round-6
+# window was exactly full with never-checked queries — pin those four
+# here next round so they re-earn driver rows on the new arithmetic.
 
 
 def _correctness_history() -> dict[str, int]:
