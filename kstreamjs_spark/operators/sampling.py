@@ -130,8 +130,16 @@ def weighted_sample(df: DataFrame, key: Column | str, weight: Column | str,
 
 def weighted_sample_sql(key: str, weight: str, scale: float,
                         seed: int = 0) -> str:
-    """WHERE-clause predicate matching :func:`weighted_sample` exactly."""
-    thr = f"LEAST(1.0, {scale!r} * {weight}) * {float(_M)!r}"
+    """WHERE-clause predicate matching :func:`weighted_sample` exactly.
+
+    The scale literal is CAST to DOUBLE explicitly: DuckDB types a bare
+    decimal literal like 0.0005 as DECIMAL (while 5e-05 parses as
+    DOUBLE), and DECIMAL*BIGINT exact arithmetic differs from Spark's
+    double product by 1 ulp on ~0.1% of weights — enough to flip the
+    keep decision for a hash landing inside the gap."""
+    thr = (f"LEAST(CAST(1.0 AS DOUBLE),"
+           f" CAST({scale!r} AS DOUBLE) * {weight})"
+           f" * CAST({float(_M)!r} AS DOUBLE)")
     return f"CAST({hash_bucket_sql(key, seed)} AS DOUBLE) < {thr}"
 
 

@@ -166,15 +166,34 @@ _SPLIT_SEED = 29
 _TRAIN_FRACTION = 0.9
 
 
+def _source_split():
+    """The source-atomic train/val split expression — THE single
+    definition (q79 declares it; q100/q106/q106b/q116 must audit the
+    same split, so they all call this instead of re-spelling it)."""
+    return F.when(
+        sampling.hash_bucket(
+            text.portable_string_hash("source"), seed=_SPLIT_SEED
+        )
+        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+
+
+# DuckDB spelling of _source_split(), interpolated into every
+# split-bearing oracle — same single-source-of-truth rule.
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {hash_bucket_sql(text.portable_string_hash_sql('source'), _SPLIT_SEED)}"
+    f" < {int(_TRAIN_FRACTION * 4294967296)}"
+    " THEN 'train' ELSE 'val' END"
+)
+
+
 @query(
     "q79_group_split",
     oracle=f"""
         WITH d AS (
           SELECT lang, source,
-                 CASE WHEN {hash_bucket_sql(
-                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
-                      < {int(_TRAIN_FRACTION * 4294967296)}
-                      THEN 'train' ELSE 'val' END AS split
+                 {_SPLIT_CASE_SQL} AS split
           FROM documents
         )
         SELECT split, lang,
@@ -194,13 +213,7 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
     shuffle for the split itself. Group-atomicity is unit-tested: every
     source lands in exactly one split."""
     (docs,) = load(spark, sf, "documents")
-    split = F.when(
-        sampling.hash_bucket(
-            text.portable_string_hash("source"), seed=_SPLIT_SEED
-        )
-        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
-        F.lit("train"),
-    ).otherwise(F.lit("val"))
+    split = _source_split()
     return (
         docs.select(split.alias("split"), "lang", "source")
         .groupBy("split", "lang")
@@ -1002,10 +1015,7 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
         WITH d AS (
           SELECT doc_id, lang,
                  {text.fingerprint_sql('text')} AS fp,
-                 CASE WHEN {hash_bucket_sql(
-                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
-                      < {int(_TRAIN_FRACTION * 4294967296)}
-                      THEN 'train' ELSE 'val' END AS split
+                 {_SPLIT_CASE_SQL} AS split
           FROM documents
         ),
         trainfp AS (SELECT DISTINCT fp FROM d WHERE split = 'train')
@@ -1032,13 +1042,7 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     carries fingerprints only. AQE broadcasts the val side's probe when
     small; nothing ever shuffles document text."""
     (docs,) = load(spark, sf, "documents")
-    split = F.when(
-        sampling.hash_bucket(
-            text.portable_string_hash("source"), seed=_SPLIT_SEED
-        )
-        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
-        F.lit("train"),
-    ).otherwise(F.lit("val"))
+    split = _source_split()
     d = docs.select(
         "doc_id", "lang",
         text.fingerprint("text").alias("fp"),
@@ -1075,10 +1079,7 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
                      i -> string_split(text,' ')[i] || ' ' ||
                           string_split(text,' ')[i+1] || ' ' ||
                           string_split(text,' ')[i+2])) AS sh,
-                 CASE WHEN {hash_bucket_sql(
-                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
-                      < {int(_TRAIN_FRACTION * 4294967296)}
-                      THEN 'train' ELSE 'val' END AS split
+                 {_SPLIT_CASE_SQL} AS split
           FROM documents
         ),
         ex AS (SELECT doc_id, lang, split, unnest(sh) AS s,
@@ -1118,13 +1119,7 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     production-shaped audit with the ceiling ACTIVE and the DF-filtered
     metric hash-matched (q26e's pattern on the split-audit shape)."""
     (docs,) = load(spark, sf, "documents")
-    split = F.when(
-        sampling.hash_bucket(
-            text.portable_string_hash("source"), seed=_SPLIT_SEED
-        )
-        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
-        F.lit("train"),
-    ).otherwise(F.lit("val"))
+    split = _source_split()
     tagged = docs.withColumn("split", split)
     pairs = dedup.jaccard_pairs(tagged, threshold=0.5, partition_col=None)
     meta = tagged.select("doc_id", "lang", "split")
@@ -1165,10 +1160,7 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
                      i -> string_split(text,' ')[i] || ' ' ||
                           string_split(text,' ')[i+1] || ' ' ||
                           string_split(text,' ')[i+2])) AS sh,
-                 CASE WHEN {hash_bucket_sql(
-                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
-                      < {int(_TRAIN_FRACTION * 4294967296)}
-                      THEN 'train' ELSE 'val' END AS split
+                 {_SPLIT_CASE_SQL} AS split
           FROM documents
         ),
         ex0 AS (SELECT doc_id, lang, split, unnest(sh) AS s FROM d),
@@ -1210,13 +1202,7 @@ def q106b(spark: SparkSession, sf: str) -> DataFrame:
     runs on a REAL corpus split is the hash-matched one (q26e proved this
     pattern source-blocked; this is the unblocked split-audit shape)."""
     (docs,) = load(spark, sf, "documents")
-    split = F.when(
-        sampling.hash_bucket(
-            text.portable_string_hash("source"), seed=_SPLIT_SEED
-        )
-        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
-        F.lit("train"),
-    ).otherwise(F.lit("val"))
+    split = _source_split()
     tagged = docs.withColumn("split", split)
     pairs = dedup.jaccard_pairs(
         tagged, threshold=0.5, partition_col=None, max_df=2

@@ -28,7 +28,13 @@ from ..operators.text import fingerprint_sql
 from ..operators.percentile import histogram_percentiles
 from ..tables import load
 from . import query
-from .corpus import _SPLIT_SEED, _TRAIN_FRACTION, _shingle_sql
+from .corpus import (
+    _SPLIT_CASE_SQL,
+    _SPLIT_SEED,
+    _TRAIN_FRACTION,
+    _shingle_sql,
+    _source_split,
+)
 from .llm import ALL_STOP, _sql_list
 
 # ------------------------------------ Q112 repeated-chunk boilerplate
@@ -340,10 +346,7 @@ _KL_Q = 1_000_000
     oracle=f"""
         WITH d AS (
           SELECT lang, text,
-                 CASE WHEN {hash_bucket_sql(
-                     text.portable_string_hash_sql('source'), _SPLIT_SEED)}
-                      < {int(_TRAIN_FRACTION * 4294967296)}
-                      THEN 'train' ELSE 'val' END AS split
+                 {_SPLIT_CASE_SQL} AS split
           FROM documents
         ),
         tok AS (SELECT lang, split, unnest(string_split(text, ' ')) AS w
@@ -381,13 +384,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     integers on the final lang-sized aggregate. One token explode, one
     vocabulary-sized shuffle; text never shuffles."""
     (documents,) = load(spark, sf, "documents")
-    split = F.when(
-        sampling.hash_bucket(
-            text.portable_string_hash("source"), seed=_SPLIT_SEED
-        )
-        < F.lit(int(_TRAIN_FRACTION * 4294967296)),
-        F.lit("train"),
-    ).otherwise(F.lit("val"))
+    split = _source_split()
     tok = dedup.spread(documents, "doc_id").select(
         "lang", split.alias("split"), F.explode(F.split("text", " ")).alias("w")
     )

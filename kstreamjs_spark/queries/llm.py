@@ -494,13 +494,7 @@ def q40b(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
         WITH fp AS (
           SELECT doc_id, lang, text,
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                     list_transform(string_split(text, ' '),
-                       t -> CAST(length(t) * 131 + ascii(t) * 7 +
-                                 ascii(right(t, 1)) AS BIGINT))),
-                   (acc, x) -> (acc * 31 + x) % {text.FINGERPRINT_MOD}
-                 ) AS fp
+                 {text.fingerprint_sql('text')} AS fp
           FROM documents
         ),
         dedup AS (

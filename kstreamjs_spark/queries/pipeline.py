@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..operators import cluster, sampling, skew, text
 from ..tables import load
 from . import REGISTRY, query
+from . import llm  # noqa: F401  — registers q26, whose oracle q56/q59 embed
+                   # at import time; without this a direct `import
+                   # ...queries.pipeline` KeyErrors on REGISTRY lookup
 
 # Data-mixing recipe for q53: downsample the dominant language hard, keep
 # half of everything else (a typical rebalance before tokenization).
@@ -233,20 +236,13 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------------- Q57 incremental ingest dedup
 _BATCH_SRC = ("src0", "src1")
-_FP_SQL = """list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ' '),
-                     t -> CAST(length(t) * 131 + ascii(t) * 7 +
-                               ascii(right(t, 1)) AS BIGINT))),
-                 (acc, x) -> (acc * 31 + x) % {mod}
-               )"""
 
 
 @query(
     "q57_incremental_ingest_dedup",
     oracle=f"""
         WITH fp AS (
-          SELECT doc_id, source, {_FP_SQL.format(mod=text.FINGERPRINT_MOD)} AS fp
+          SELECT doc_id, source, {text.fingerprint_sql('text')} AS fp
           FROM documents
         )
         SELECT b.doc_id, b.fp
@@ -328,22 +324,12 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
 
 # --------------------------------- Q59 transitive dedup, end to end
 def _q59_oracle() -> str:
-    pairs_sql = REGISTRY["q26_jaccard_neardup"].oracle
+    # Compose on q56's oracle verbatim (the q110 pattern — one source of
+    # truth for the closure semantics; a private copy would silently
+    # diverge from the cluster query this pipeline claims to compose).
+    labels = REGISTRY["q56_dup_clusters"].oracle
     return f"""
-        WITH RECURSIVE pairs AS (
-          SELECT d1, d2 FROM ({pairs_sql}) q
-        ), edges AS (
-          SELECT d1 AS a, d2 AS b FROM pairs
-          UNION SELECT d2, d1 FROM pairs
-          UNION SELECT d1, d1 FROM pairs
-          UNION SELECT d2, d2 FROM pairs
-        ), reach AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), cc AS (
-          SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
-        )
+        WITH cc AS ({labels})
         SELECT lang, COUNT(*) AS kept_docs,
                CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM documents
