@@ -86,14 +86,20 @@ def asof_join(
     is_left = F.col("_asof_is_left")
     tie_back = is_left if allow_exact_match else -is_left
     tie_fwd = -is_left if allow_exact_match else is_left
+    # Final tiebreak: the payload struct itself. Without it, two right
+    # rows at the SAME (key, timestamp) sort in shuffle-arrival order and
+    # last()/first() returns whichever payload happened to land last —
+    # run-to-run nondeterminism. Left rows carry a NULL payload and sort
+    # together; their relative order is irrelevant (ignorenulls skips
+    # them and equal-ts left rows see the same eligible right set).
     w_back = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts"), tie_back)
+        .orderBy(F.col("_asof_ts"), tie_back, F.col("_asof_payload"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_asof_ts"), tie_fwd)
+        .orderBy(F.col("_asof_ts"), tie_fwd, F.col("_asof_payload"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     if direction == "backward":

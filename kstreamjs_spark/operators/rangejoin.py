@@ -41,7 +41,17 @@ def bucketed_range_join(
     row — exact left-join semantics. The range predicate sits INSIDE the
     join condition: a filter afterwards would drop left rows whose
     candidates all fell outside the range.
+
+    Only LEFT-preserving join types are valid: the right side is
+    replicated into two buckets, so a right- or full-preserving join
+    would emit each unmatched right row once PER REPLICA (with NULLed
+    left keys) — silently duplicated garbage, hence the guard.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"bucketed_range_join supports left-preserving joins only, "
+            f"got {how!r}"
+        )
     bucket = lambda c: F.floor(F.unix_timestamp(c) / window_seconds)  # noqa: E731
     l = left.withColumn("_rj_b", bucket(F.col(left_ts))).alias("_l")
     r = right.withColumn(

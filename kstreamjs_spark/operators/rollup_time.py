@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 
 QUANT = 10_000
 
+# date_trunc granularities, finest to coarsest — a coarser level may only
+# be computed from a finer one (truncating an hour bucket to 'minute' is
+# the identity, so a misordered tuple would silently label hour buckets
+# as minutes).
+_GRAIN_ORDER = (
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+)
+
 
 def time_rollup(
     df: DataFrame,
@@ -32,7 +40,20 @@ def time_rollup(
 ) -> DataFrame:
     """Rollup of SUM(value)/COUNT(*) at each resolution (finest first).
     Output: resolution, bucket_start, sum_value (de-quantized), cnt —
-    coarser rows aggregate the finer level's BIGINT partials."""
+    coarser rows aggregate the finer level's BIGINT partials. Raises on
+    a misordered ``resolutions`` tuple instead of silently producing
+    wrong finer-level rows."""
+    try:
+        ranks = [_GRAIN_ORDER.index(r) for r in resolutions]
+    except ValueError as e:
+        raise ValueError(
+            f"unknown resolution in {resolutions!r}; "
+            f"expected ones of {_GRAIN_ORDER}"
+        ) from e
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(
+            f"resolutions must be strictly finest-first, got {resolutions!r}"
+        )
     finest, *coarser = resolutions
     level = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("bucket_start")

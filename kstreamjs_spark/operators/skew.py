@@ -40,18 +40,24 @@ def salted_agg(df: DataFrame, keys: Sequence[str],
     ways.
 
     ``aggs`` is a list of (agg, col, alias) with agg in sum/count/min/max.
-    The salt is pmod(spark_partition_id * 7919 + monotonically_increasing_id,
-    parts): a cheap row->[0,parts) spread with no column hashing.
-    Correctness never depends on WHICH bucket a row lands in — every
-    bucket's partial merges into the same exact final — only on the split
-    factor, so a nondeterministic salt is safe here (and Catalyst pulls it
-    out into a projection before the aggregate).
+    The salt is DETERMINISTIC: pmod(xxhash64(every column), parts). A
+    nondeterministic salt (partition id + monotonic id, rand()) recomputes
+    DIFFERENTLY when a map stage is re-run after a fetch failure — some
+    reducers hold the old bucket assignment and re-fetched ones the new,
+    double-counting rows in one bucket and dropping them from another; at
+    the 100 TB target where fetch failures are routine that is silent
+    corruption, and Spark's indeterminate-stage rollback protects
+    repartition(), not user expressions. Content hashing spreads any hot
+    key whose rows DIFFER somewhere (the case salting exists for); rows
+    identical in every column share a bucket, but those collapse in the
+    map-side partial regardless, so no skew survives them.
     """
     for agg, _c, _a in aggs:
         if agg not in _PARTIAL:
             raise ValueError(f"unsupported aggregate for salting: {agg}")
-    salt = F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(),
-                  F.lit(parts)).alias("__salt")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(parts)
+    ).alias("__salt")
     phase1 = df.groupBy(*keys, salt).agg(*[
         _PARTIAL[agg](c).alias(a) for agg, c, a in aggs
     ])
@@ -75,16 +81,18 @@ def replicated_skew_join(big: DataFrame, small: DataFrame,
 
     Only join types that preserve/probe the BIG side are valid: a right or
     full join would emit every unmatched ``small`` row once per salt
-    replica.
+    replica ('cross' is likewise rejected — with using-columns Spark
+    silently degrades it to inner, which is neither cross nor exact).
+    The salt is deterministic content hashing (see salted_agg: a
+    nondeterministic salt corrupts results under map-stage retry).
     """
-    if how not in ("inner", "left", "left_semi", "left_anti", "cross"):
+    if how not in ("inner", "left", "left_semi", "left_anti"):
         raise ValueError(
             f"replicated_skew_join supports big-side-probing joins only, got {how!r}"
         )
     salt_big = big.withColumn(
         "__salt",
-        F.pmod(F.spark_partition_id() * 7919 + F.monotonically_increasing_id(),
-               F.lit(parts)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(parts)),
     )
     salt_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(parts - 1)))

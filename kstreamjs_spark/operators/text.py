@@ -37,10 +37,7 @@ def token_count(text: Column | str) -> Column:
 
 def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens (with multiplicity) in ``words``."""
-    wset = [F.lit(w) for w in words]
-    return F.size(
-        F.filter(toks, lambda t: t.isin([w for w in words]))
-    ).cast("long")
+    return F.size(F.filter(toks, lambda t: t.isin(list(words)))).cast("long")
 
 
 def lang_scores(toks: Column) -> dict[str, Column]:

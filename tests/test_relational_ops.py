@@ -26,3 +26,53 @@ def test_histogram_percentiles_exact_small(spark):
     ).collect()
     # global: sorted 1,2,2,3,10,20,30,40,100; n=9 -> p50 at rank>=4.5 -> 10
     assert len(g) == 1 and g[0]["cnt"] == 9 and g[0]["p50"] == 10
+
+
+def test_operator_guards_reject_unsound_join_types(spark):
+    """The replica-based joins must refuse join types their replication
+    breaks: rangejoin duplicates unmatched right rows per bucket replica,
+    and skew-join 'cross' silently degrades to inner under using-columns."""
+    from datetime import datetime
+
+    import pytest
+
+    from kstreamjs_spark.operators.rangejoin import bucketed_range_join
+    from kstreamjs_spark.operators.rollup_time import time_rollup
+    from kstreamjs_spark.operators.skew import replicated_skew_join
+
+    l = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 1)], ["k", "lts", "lid"]
+    )
+    r = spark.createDataFrame(
+        [("u", datetime(2024, 1, 1), 9)], ["k", "rts", "rid"]
+    )
+    with pytest.raises(ValueError, match="left-preserving"):
+        bucketed_range_join(l, r, ["k"], "lts", "rts", 3600, how="right")
+    with pytest.raises(ValueError, match="big-side-probing"):
+        replicated_skew_join(l, r.select("k", "rid"), ["k"], how="cross")
+    with pytest.raises(ValueError, match="finest-first"):
+        time_rollup(l, "lts", "lid", resolutions=("hour", "minute"))
+
+
+def test_asof_payload_tiebreak_deterministic(spark):
+    """Two right rows at the same (key, ts) must resolve to ONE payload
+    regardless of input partitioning — before the payload tiebreak the
+    winner was shuffle-arrival order."""
+    from datetime import datetime
+
+    from kstreamjs_spark.operators.asof import asof_join
+
+    t = datetime(2024, 1, 1, 10, 0)
+    left = spark.createDataFrame([("u", t)], ["k", "lts"])
+    rows = [("u", t, 1.0), ("u", t, 2.0)]
+    outs = set()
+    for parts in (1, 7):
+        right = spark.createDataFrame(rows, ["k", "rts", "px"]).repartition(
+            parts
+        )
+        out = asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["px"],
+        ).collect()
+        outs.add(out[0]["asof_px"])
+    assert len(outs) == 1, outs
