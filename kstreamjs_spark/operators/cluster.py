@@ -57,6 +57,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = sym.groupBy("a").agg(F.min("b").alias("label"))
 
     converged = False
+    prev = None
     for _ in range(max_iter):
         # propagate: node adopts min(neighbor labels ∪ own label).
         # One materialization per round: checkpoint the joined frame, then
@@ -69,7 +70,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         joined = labels.join(prop, "a").localCheckpoint(eager=True)
         labels = joined.select("a", F.least("label", "new_label").alias("label"))
-        if not joined.filter(F.col("new_label") < F.col("label")).take(1):
+        done = not joined.filter(F.col("new_label") < F.col("label")).take(1)
+        # Release the PREVIOUS round's checkpointed blocks now that the
+        # new frame is materialized (the new labels no longer read them) —
+        # otherwise up to max_iter label generations stay pinned in
+        # executor storage for the whole job.
+        if prev is not None:
+            prev.unpersist()
+        prev = joined
+        if done:
             converged = True
             break
     if not converged:

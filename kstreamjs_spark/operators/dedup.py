@@ -58,26 +58,6 @@ def bind(col: Column, body) -> Column:
     return F.element_at(F.transform(F.array(col), body), 1)
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles of a token-separated text column, as an
-    array<string>. Expression-only (sequence + transform) — no explode until
-    the caller needs one."""
-
-    def from_toks(toks: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.size(toks) - n)
-        make = lambda i: F.concat_ws(  # noqa: E731
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        )
-        # Guard: F.sequence(0, negative) would generate a DESCENDING
-        # sequence, so documents shorter than n tokens get an empty shingle
-        # set explicitly.
-        return F.when(
-            F.size(toks) >= n, F.array_distinct(F.transform(idx, make))
-        ).otherwise(F.array().cast("array<string>"))
-
-    return bind(tokens(text), from_toks)
-
-
 def shingle_list(text: Column | str, n: int = 3) -> Column:
     """All n-token shingles of ``text`` WITH multiplicity (no distinct) —
     the repetition-analysis variant of :func:`shingles`: the ratio of
@@ -89,11 +69,22 @@ def shingle_list(text: Column | str, n: int = 3) -> Column:
         make = lambda i: F.concat_ws(  # noqa: E731
             " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
         )
+        # Guard: F.sequence(0, negative) would generate a DESCENDING
+        # sequence, so documents shorter than n tokens get an empty shingle
+        # set explicitly.
         return F.when(
             F.size(toks) >= n, F.transform(idx, make)
         ).otherwise(F.array().cast("array<string>"))
 
     return bind(tokens(text), from_toks)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles of a token-separated text column, as an
+    array<string> — :func:`shingle_list` with duplicates collapsed (ONE
+    definition of the shingle window; the two variants cannot drift).
+    Expression-only — no explode until the caller needs one."""
+    return F.array_distinct(shingle_list(text, n))
 
 
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -324,6 +315,13 @@ def _lsh_candidate_pairs(
     (minhash_verified_pairs, carry_sigs=False: the ~2*num_perm*8 bytes per
     candidate would cross the dropDuplicates shuffle only to be
     discarded)."""
+    if num_perm % bands:
+        # Silent truncation would leave the trailing num_perm % bands
+        # permutations out of every band — the caller's (r, b) sizing and
+        # the 1-(1-j^r)^b curve would be quietly wrong.
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
     rows_per_band = num_perm // bands
     # Docs with no shingles (< n tokens) would all keep the fold's init
     # value in every signature slot — identical signatures that false-
@@ -491,6 +489,14 @@ def simhash_neardup_pairs(
     chunk trick: split the 64-bit hash into k+1 16-bit chunks — any pair
     within distance k<=3 must agree on >=1 chunk, so candidates come from
     equi-joins on (chunk_id, chunk_value), never a cross join."""
+    if max_hamming > 3:
+        # 4 fixed 16-bit chunks pigeonhole distances <= 3 only; a larger
+        # threshold silently loses pairs whose differing bits spread one
+        # per chunk — refuse rather than under-recall.
+        raise ValueError(
+            f"simhash_neardup_pairs guarantees recall for max_hamming <= 3 "
+            f"(4 chunks), got {max_hamming}"
+        )
     sh = _spread(documents, id_col).select(
         F.col(id_col), simhash64(text_col).alias("h")
     )

@@ -150,14 +150,17 @@ def kmeanspp_centroids(
         raise ValueError("kmeanspp_centroids: empty input")
     cents = [list(first[0]["v"])]
     mod = 1_000_000_007
-    # u in (0, 1]: (pmod(h, M) + 1) / M, h seeded and id-keyed. pmod, not
-    # abs(h) % M: abs(Long.MIN_VALUE) stays negative (non-ANSI), which
-    # would make u <= 0, F.log NULL, and a nulls-first sort key that
-    # deterministically wins every D² race (ADVICE r5) — same rationale as
-    # sampling.hash_bucket.
+    # u STRICTLY interior to (0, 1): (pmod(h, M) + 0.5) / M, h seeded and
+    # id-keyed. pmod, not abs(h) % M: abs(Long.MIN_VALUE) stays negative
+    # (non-ANSI), which would make u <= 0, F.log NULL, and a nulls-first
+    # sort key that deterministically wins every D² race (ADVICE r5).
+    # +0.5 rather than +1: u == 1.0 exactly (pmod == M-1 under +1) makes
+    # -log(u) == 0, a key of exactly 0 that beats every strictly-positive
+    # competitor in EVERY round — one unlucky hash would return k-1
+    # duplicate centroids.
     u = (
-        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod)) + 1)
-        .cast("double") / F.lit(float(mod))
+        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mod))
+         .cast("double") + 0.5) / F.lit(float(mod))
     )
     for _ in range(1, k):
         sim = assign_best(F.col("v"), cents).getField("sim")

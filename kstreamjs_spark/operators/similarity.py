@@ -102,12 +102,26 @@ def _centroids_from_sample(
             max(n_centroids * 64, 512)
         ).collect()
     ]
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"IVF codebook needs >= {n_centroids} sample vectors, got "
+            f"{len(sample)} — lower n_centroids or grow the table"
+        )
     cents = np.array(sample[:n_centroids], dtype=np.float64)
     pts = np.array(sample, dtype=np.float64)
+
+    def _unit(m: np.ndarray) -> np.ndarray:
+        # zero-norm guard: a zero vector would divide to NaN, NaN
+        # propagates through the similarity matrix, and np.argmax then
+        # funnels EVERY point into one centroid (kmeans.assign_best
+        # guards the same input class on the distributed path)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        return m / np.where(n == 0.0, 1.0, n)
+
     for _ in range(iterations):
         # cosine assignment on normalized rows
-        pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        pn = _unit(pts)
+        cn = _unit(cents)
         assign = np.argmax(pn @ cn.T, axis=1)
         for c in range(n_centroids):
             members = pts[assign == c]
@@ -194,6 +208,16 @@ def ann_topk_lsh(
     near-uniform (neighbors sit at ~70deg); clustered real-world embeddings
     support far tighter settings. `topk_cosine` is the exact baseline.
     """
+    actual = vectors.select(F.size(vec_col)).first()
+    if actual is not None and actual[0] != dim:
+        # With a wrong dim, zip_with null-pads the shorter array, the dot
+        # fold turns null, every signature bit collapses to 0 and the
+        # hamming filter passes the WHOLE table — the op silently
+        # degrades to brute force. One driver-side row probe catches it.
+        raise ValueError(
+            f"ann_topk_lsh: dim={dim} but {vec_col!r} has length "
+            f"{actual[0]}"
+        )
     planes = _hyperplanes(dim, n_planes, seed)
     sig = lsh_signature(F.col(vec_col), planes)
     with_sig = vectors.withColumn("sig", sig)
