@@ -37,16 +37,22 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         spec.fn(spark, sf_dir).collect()
 
-    # min of 2 timed runs per query: GC pauses and thread contention on a
-    # shared 32-thread JVM add ±0.5s jitter that min() filters out.
+    # min of N timed runs per query: GC pauses and thread contention on a
+    # shared 32-thread JVM add ±0.5s jitter that min() filters out. The
+    # r5/r6 rounds both needed prose to explain host-load drift in the
+    # driver sweep; min-of-N plus the observed load average makes the
+    # number self-evident. N is recorded in the JSON.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    load_after = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -58,6 +64,9 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "runs_per_query": runs,
+                "loadavg_1m_before": load_before,
+                "loadavg_1m_after": load_after,
             }
         )
     )

@@ -208,18 +208,25 @@ def ann_topk_lsh(
     near-uniform (neighbors sit at ~70deg); clustered real-world embeddings
     support far tighter settings. `topk_cosine` is the exact baseline.
     """
-    actual = vectors.select(F.size(vec_col)).first()
-    if actual is not None and actual[0] != dim:
-        # With a wrong dim, zip_with null-pads the shorter array, the dot
-        # fold turns null, every signature bit collapses to 0 and the
-        # hamming filter passes the WHOLE table — the op silently
-        # degrades to brute force. One driver-side row probe catches it.
-        raise ValueError(
-            f"ann_topk_lsh: dim={dim} but {vec_col!r} has length "
-            f"{actual[0]}"
+    # With a wrong dim, zip_with null-pads the shorter array, the dot
+    # fold turns null, every signature bit collapses to 0 and the
+    # hamming filter passes the WHOLE table — the op silently degrades
+    # to brute force. Guard IN the expression path (not an eager
+    # driver-side .first() probe, which re-runs the upstream plan on
+    # every call and only sees one row): each row's vector flows through
+    # a CASE that raises on length mismatch, so mixed-length tables fail
+    # loudly too, at zero extra jobs — the size() check rides the same
+    # scan projection that computes the signature.
+    guarded = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ann_topk_lsh: dim={dim} but {vec_col!r} has length "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
         )
+    )
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = lsh_signature(F.col(vec_col), planes)
+    sig = lsh_signature(guarded, planes)
     with_sig = vectors.withColumn("sig", sig)
     qsig = query.withColumn("qsig", lsh_signature(F.col("qv"), planes))
     cand = with_sig.crossJoin(F.broadcast(qsig)).filter(

@@ -66,27 +66,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # driver's independent confirmation, not what is tested.
 _WINDOW_SIZE = 50
 
-# Fixed/new this round ONLY — the round-5 pins are retired so the staleness
-# sort below pulls the 29 r3-vintage rows the r5 verdict listed (q16b, q17,
-# q19, q22, q23, the q26 family, q38, q40, q45, q53, q59, q62, q66-q71,
-# q74, q76, ...) into this round's window. Queries registered for the first
-# time this round (q104b, q106b) need no pin: hist=0 sorts them ahead of
-# everything already checked.
+# Round 7: the r6 pins are retired. The only behavior-changed-without-a-
+# driver-row queries are the four streaming ones that moved to
+# quantize-before-sum LATE in round 6 (engine AND oracle together, commit
+# c745669) after the r6 window had filled with never-checked queries —
+# their green r4 rows attest the OLD arithmetic. Pin them so they re-earn
+# driver rows on the shipped code (the r6 verdict's #1 item). The
+# staleness sort below then fills the remaining 46 slots with all 27
+# r3-vintage rows (q16b, q17, q19, q22, q23, q24b, the q26 family, q27b,
+# q34b, q38, q40, q42, q45, q50, q53, q59, q62, q66-q71, q74, q76) plus
+# the 19 oldest r4 rows — after this round no query's newest driver row
+# is older than r4. No new queries are pinned: surface is complete at
+# 171; driver attestation is the scarce resource this round.
 _WINDOW_PRIORITY = [
-    # behavior changed this round, must re-earn a driver row: the minhash
-    # permutation family moved to Z_(2^31-1) with full-range multipliers
-    # (q26b's estimates and q26d's candidate set are signature-derived),
-    # and q104b/q107 dropped their presentation sorts (result SET
-    # unchanged — the re-check is belt-and-braces, and both are hist-0
-    # anyway). The 8 new q112–q119 queries enter the window automatically
-    # as never-checked (hist 0).
-    "q26b_minhash_neardup", "q26d_minhash_verify",
-    "q104b_fuzzy_blocked_pairs", "q107_cohort_retention",
+    "q29_stream_tumbling", "q30_stream_sliding",
+    "q31_session_windows", "q33_window_collect_udaf",
 ]
-# ROUND-7 NOTE: q29/q30/q31/q33 moved to quantize-before-sum late in
-# round 6 (engine AND oracle together; selfcheck-green) but the round-6
-# window was exactly full with never-checked queries — pin those four
-# here next round so they re-earn driver rows on the new arithmetic.
 
 
 def _correctness_history() -> dict[str, int]:

@@ -98,10 +98,30 @@ def decode_value(df: DataFrame, schema=None, ts_from_payload: str | None = None)
                 "the payload is an undecoded JSON string"
             )
         return base
-    out = base.withColumn("value", F.from_json("raw_value", schema)).select(
-        "key", "topic", "partition", "offset", "ts", "value.*"
-    )
-    if ts_from_payload:
+    decoded = base.withColumn("value", F.from_json("raw_value", schema))
+    payload_fields = list(decoded.schema["value"].dataType.fieldNames())
+    if ts_from_payload and ts_from_payload not in payload_fields:
+        raise ValueError(
+            f"ts_from_payload={ts_from_payload!r} is not a payload field "
+            f"(payload has: {payload_fields})"
+        )
+    # A payload field named like an envelope column would make `value.*`
+    # emit a duplicate name and every downstream reference ambiguous.
+    # Reject loudly here — EXCEPT a payload `ts` that the caller asked to
+    # promote via ts_from_payload="ts": there the envelope ts is dropped
+    # before expansion and the payload field takes its place cleanly.
+    env = ["key", "topic", "partition", "offset", "ts"]
+    clash = [c for c in payload_fields if c in (*env, "raw_value")]
+    if "ts" in clash and ts_from_payload == "ts":
+        clash.remove("ts")
+        env.remove("ts")
+    if clash:
+        raise ValueError(
+            f"payload schema fields collide with Kafka envelope columns: "
+            f"{clash}; rename them (envelope: key/topic/partition/offset/ts)"
+        )
+    out = decoded.select(*env, "value.*")
+    if ts_from_payload and ts_from_payload != "ts":
         out = out.withColumn("ts", F.col(ts_from_payload))
     return out
 

@@ -63,3 +63,60 @@ def test_prepare_sink_serializes_whole_row(spark):
     assert out[0].asDict().keys() == {"value", "topic"}
     assert out[0]["topic"] == "out-topic"
     assert json.loads(out[0]["value"]) == {"a": 1, "b": "x"}
+
+
+def _envelope_df(spark, payload: str):
+    """A batch frame shaped like the Kafka source relation."""
+    return spark.createDataFrame(
+        [("k1", "t", 0, 7, None, payload)],
+        "key string, topic string, partition int, offset long, "
+        "timestamp timestamp, value string",
+    )
+
+
+def test_decode_value_promotes_payload_ts_named_ts(spark):
+    """A payload field named exactly `ts`, promoted via ts_from_payload,
+    replaces the broker timestamp cleanly — no duplicate `ts` column."""
+    from kstreamjs_spark.sources.kafka import decode_value
+
+    df = _envelope_df(spark, '{"ts": "2024-01-02 03:04:05", "v": 9}')
+    out = decode_value(df, "ts timestamp, v long", ts_from_payload="ts")
+    assert out.columns.count("ts") == 1
+    row = out.collect()[0]
+    assert row["v"] == 9 and str(row["ts"]).startswith("2024-01-02")
+
+
+def test_decode_value_rejects_envelope_collision(spark):
+    """A payload field shadowing an envelope column would make value.*
+    emit a duplicate name and every downstream reference ambiguous —
+    rejected at decode time with the offending names."""
+    import pytest
+
+    from kstreamjs_spark.sources.kafka import decode_value
+
+    df = _envelope_df(spark, '{"topic": "boom", "v": 1}')
+    with pytest.raises(ValueError, match="collide.*topic"):
+        decode_value(df, "topic string, v long")
+    # a payload `ts` WITHOUT the promotion flag is also a collision
+    with pytest.raises(ValueError, match="collide.*ts"):
+        decode_value(df, "ts timestamp, v long")
+
+
+def test_decode_value_ts_field_must_exist(spark):
+    import pytest
+
+    from kstreamjs_spark.sources.kafka import decode_value
+
+    df = _envelope_df(spark, '{"v": 1}')
+    with pytest.raises(ValueError, match="not a payload field"):
+        decode_value(df, "v long", ts_from_payload="event_time")
+
+
+def test_decode_value_other_named_ts_field(spark):
+    from kstreamjs_spark.sources.kafka import decode_value
+
+    df = _envelope_df(spark, '{"event_time": "2024-06-01 00:00:00", "v": 2}')
+    out = decode_value(df, "event_time timestamp, v long",
+                       ts_from_payload="event_time")
+    row = out.collect()[0]
+    assert str(row["ts"]) == str(row["event_time"])

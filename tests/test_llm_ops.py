@@ -532,3 +532,22 @@ def test_fuzzy_pairs_short_prefixes_no_degenerate_bucket(spark):
     # trailing chunks create no candidates at all
     others = {p for p in got if p != (200, 201)}
     assert not others, sorted(others)[:10]
+
+
+def test_ann_lsh_dim_guard_per_row(spark):
+    """The dim guard lives in the expression path: a wrong-length vector
+    ANYWHERE in the table fails loudly (not just row 1, and with no eager
+    driver-side probe job re-running the upstream plan)."""
+    import pytest
+
+    good = emb(spark).limit(5)
+    bad = good.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == good.select(F.max("vec_id")).collect()[0][0],
+               F.slice("embedding", 1, 32)).otherwise(F.col("embedding")),
+    )
+    qv = good.limit(1).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    with pytest.raises(Exception, match="ann_topk_lsh: dim=64"):
+        similarity.ann_topk_lsh(bad, qv, k=3).collect()

@@ -223,3 +223,50 @@ def test_sequence_pack_empty_and_oversize(spark):
         for r in sequence_pack(big, "n_tok", 100, ["doc_id"], parts=2).collect()
     )
     assert out == [(1, 0), (2, 5)]
+
+
+def test_salt_excludes_map_columns(spark):
+    """xxhash64 rejects MapType with an opaque AnalysisException far from
+    the call site; the salt must skip map columns automatically and still
+    produce exact results."""
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1}), ("a", 2, {"y": 2}), ("b", 3, {"z": 3})],
+        "k string, v long, m map<string,int>",
+    )
+    out = {
+        r["k"]: r["s"]
+        for r in skew.salted_agg(df, ["k"], [("sum", "v", "s")], parts=4).collect()
+    }
+    assert out == {"a": 3, "b": 3}
+
+
+def test_salt_cols_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1})], "k string, v long, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        skew.salted_agg(df, ["k"], [("sum", "v", "s")], salt_cols=["nope"])
+    with pytest.raises(ValueError, match="unhashable"):
+        skew.salted_agg(df, ["k"], [("sum", "v", "s")], salt_cols=["m"])
+    only_map = spark.createDataFrame([({"x": 1},)], "m map<string,int>")
+    with pytest.raises(ValueError, match="no hashable columns"):
+        skew._salt_hash(only_map, 4, None)
+
+
+def test_replicated_skew_join_salt_cols(spark):
+    """A caller-named identity column splits verbatim-duplicate big rows
+    that whole-row content hashing cannot (the documented limitation)."""
+    big = spark.createDataFrame(
+        [("a", i) for i in range(8)] + [("b", 0)], ["k", "rid"]
+    )
+    small = spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["k", "w"])
+    out = skew.replicated_skew_join(big, small, ["k"], parts=4,
+                                    salt_cols=["rid"])
+    assert out.count() == 9
+    buckets = (
+        big.select(skew._salt_hash(big, 4, ["rid"]).alias("s"))
+        .distinct().count()
+    )
+    assert buckets > 1  # the identity column genuinely spreads the hot key
