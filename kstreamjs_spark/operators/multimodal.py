@@ -88,29 +88,89 @@ def read_blob_files(
 
 
 def _decode_stub(blob: bytes) -> tuple[int, int, int, int]:
-    """STUB decode kernel. Deterministic fake: derives image-like metadata
-    from byte length. Replace with e.g. PIL.Image.open(BytesIO(blob)) in a
-    real deployment — the container has no image libraries.
+    """Fallback decode kernel for non-image payloads. Deterministic fake:
+    derives image-like metadata from byte length. A real deployment swaps
+    this for PIL/ffmpeg dispatch on the remaining formats (the container
+    has no codec libraries); uncompressed BMP is decoded for real by
+    `decode_bmp` below.
     """
     n = len(blob)
     return n, n % 640, n % 480, 3
 
 
-def decode_image_real(blob: bytes):  # pragma: no cover - documented stub
-    """Hook for the real decoder; intentionally unimplemented here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "swap _decode_stub for a real decoder (PIL/ffmpeg) in deployment"
+def encode_bmp(width: int, height: int, pixel: bytes = b"\x7f") -> bytes:
+    """Pure-Python uncompressed 24-bit BMP writer (fixture generator for
+    the real decode path — no image libraries in this container). Rows
+    are bottom-up, padded to 4-byte boundaries; every pixel is the single
+    ``pixel`` byte repeated across B,G,R (content is irrelevant to the
+    header-decode test, determinism is not)."""
+    row = (pixel * 3) * width
+    pad = (-len(row)) % 4
+    body = (row + b"\x00" * pad) * height
+    off = 14 + 40
+    size = off + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
     )
+    dib = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")   # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")   # BI_RGB, uncompressed
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16                # resolutions + palette counts
+    )
+    return header + dib + body
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, int] | None:
+    """REAL decode kernel: parse an uncompressed BITMAPINFOHEADER BMP
+    (24/32bpp, BI_RGB) without any image library — pure header
+    arithmetic, which is all the metadata stage needs. Returns
+    (byte_len, width, height, channels), or None when the payload is not
+    a well-formed uncompressed BMP (wrong magic, truncated, compressed,
+    palette formats) so the caller can fall back. Validation is strict —
+    magic, header size, compression, bit depth, the file-size field, and
+    the row-padded body length must ALL agree — so arbitrary text bytes
+    can never alias into the real path (4 ASCII bytes read as the
+    file-size field are >500 MB, which cannot equal a real blob's
+    length)."""
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    file_size = int.from_bytes(blob[2:6], "little")
+    off = int.from_bytes(blob[10:14], "little")
+    dib_size = int.from_bytes(blob[14:18], "little")
+    if file_size != len(blob) or dib_size < 40 or off < 14 + dib_size:
+        return None
+    width = int.from_bytes(blob[18:22], "little", signed=True)
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    compression = int.from_bytes(blob[30:34], "little")
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    nrows = abs(height)  # negative height = top-down row order
+    stride = (width * (bpp // 8) + 3) & ~3
+    if off + stride * nrows > len(blob):
+        return None
+    return len(blob), width, nrows, bpp // 8
 
 
 def decode_blobs(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode binary payloads to typed metadata via mapInPandas (Arrow
-    batches; one Python roundtrip per batch, not per row)."""
+    batches; one Python roundtrip per batch, not per row). Uncompressed
+    BMPs decode for real (`decode_bmp` — header arithmetic, no codec
+    library); anything else takes the deterministic stub fallback."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_decode_stub(b) for b in pdf[blob_col]]
+            decoded = [
+                decode_bmp(b) or _decode_stub(b) for b in pdf[blob_col]
+            ]
             out = pd.DataFrame(
                 decoded, columns=["byte_len", "width", "height", "channels"]
             )

@@ -397,10 +397,15 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column pipeline through the REAL ingestion reader:
     documents exported once as .bin files (test fixture), read back via
     spark.read.format('binaryFile') -> (doc_id, blob), then mapInPandas
-    'decode' to typed metadata. The decode kernel is a documented STUB (no
-    media libs in this container); the binaryFile reader, Arrow-batched
-    plumbing, and schema are real and proven against the oracle (blob
-    bytes == utf-8 text bytes, so the oracle stays on documents)."""
+    'decode' to typed metadata. The decode kernel decodes uncompressed
+    BMP for real (multimodal.decode_bmp, round 7 — header arithmetic, no
+    codec library, round-trip-tested); non-image payloads like these text
+    blobs take the deterministic stub fallback, which is what the oracle
+    states (text bytes can never alias into the BMP path: the validated
+    file-size field alone rules them out). The binaryFile reader,
+    Arrow-batched plumbing, and schema are real and proven against the
+    oracle (blob bytes == utf-8 text bytes, so the oracle stays on
+    documents)."""
     import os
     import tempfile
 

@@ -1,0 +1,181 @@
+"""Quantitative evidence for the six rows-only (approximate-by-design)
+queries — the ones the driver's oracle gate cannot hash-match (q24b,
+q26b, q26c, q27b, q42, q50). Each is measured against its EXACT
+counterpart on the same parquet and the numbers are written to
+APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
+artifact that persists across rounds (referenced from BASELINE.md)
+instead of living only inside pytest assertions.
+
+Metrics:
+- q26b minhash LSH: recall/precision of the banded candidate+estimate
+  pipeline vs exact pairwise n-gram Jaccard >= 0.5 (unblocked), mean and
+  max |estimated - exact| Jaccard over the true-positive pairs, plus the
+  measured-vs-analytic banding-curve deviation 1-(1-j^r)^b at three
+  similarity levels (the same synthetic corpus the 5-sigma pytest pins).
+- q26c simhash: recall vs the same exact pair set.
+- q27b LSH ANN / q42 IVF ANN: top-10 overlap vs exact cosine top-10
+  (q27), and whether rank-1 (the query vector itself) matches.
+- q24b: relative error of HLL++ count-distinct and GK-sketch median vs
+  their exact counterparts.
+- q50: per-month HLL-sketch-union distinct estimate vs exact monthly
+  distinct — max relative error across months.
+
+Usage: python scripts/approx_evidence.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from kstreamjs_spark.operators import dedup, similarity  # noqa: E402
+from kstreamjs_spark.queries import all_queries  # noqa: E402
+from kstreamjs_spark.session import get_spark  # noqa: E402
+from kstreamjs_spark.tables import load  # noqa: E402
+
+
+def _pairs(df) -> dict[tuple[int, int], float]:
+    return {(r[0], r[1]): float(r[2]) for r in df.collect()}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/APPROX_EVIDENCE.json"
+    spark = get_spark("approx-evidence", cpus=8, shuffle_partitions=8)
+    q = all_queries()
+    out: dict[str, dict] = {}
+
+    docs, emb, events = (
+        load(spark, sf, "documents")[0],
+        load(spark, sf, "embeddings")[0],
+        load(spark, sf, "events")[0],
+    )
+
+    # ---- exact near-dup truth: unblocked pairwise Jaccard >= 0.5
+    truth = _pairs(dedup.jaccard_pairs(docs, threshold=0.5, partition_col=None))
+
+    # ---- q26b: minhash estimate pipeline vs exact
+    mh = _pairs(q["q26b_minhash_neardup"].fn(spark, sf))
+    tp = set(mh) & set(truth)
+    errs = [abs(mh[p] - truth[p]) for p in tp]
+    out["q26b_minhash_neardup"] = {
+        "n_exact_pairs": len(truth),
+        "n_estimated_pairs": len(mh),
+        "recall_vs_exact": round(len(tp) / len(truth), 4) if truth else None,
+        "precision_vs_exact": round(len(tp) / len(mh), 4) if mh else None,
+        "mean_abs_jaccard_err": round(sum(errs) / len(errs), 4) if errs else None,
+        "max_abs_jaccard_err": round(max(errs), 4) if errs else None,
+    }
+
+    # ---- banding-curve deviation (synthetic corpus, the pytest pin's data)
+    from tests.test_llm_ops import _banding_corpus
+
+    num_perm, bands = 64, 16
+    r_rows = num_perm // bands
+    banding = {}
+    for tag, k in {"lo": 12, "knee": 20, "hi": 26}.items():
+        rows, pair_truth = _banding_corpus(60, 30, k, tag)
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        cand = {
+            (row["d1"], row["d2"])
+            for row in dedup.minhash_neardup_pairs(
+                d, threshold=0.0, num_perm=num_perm, bands=bands
+            ).collect()
+        }
+        analytic = sum(1 - (1 - j**r_rows) ** bands for _, j in pair_truth)
+        var = sum(
+            (p := 1 - (1 - j**r_rows) ** bands) * (1 - p) for _, j in pair_truth
+        )
+        got = sum(1 for pair, _ in pair_truth if pair in cand)
+        banding[tag] = {
+            "n_pairs": len(pair_truth),
+            "analytic_expected": round(analytic, 2),
+            "measured": got,
+            "deviation_sigma": (
+                round((got - analytic) / var**0.5, 2) if var > 0 else 0.0
+            ),
+            "false_positives_at_j0": len(
+                cand - {pair for pair, _ in pair_truth}
+            ),
+        }
+    out["q26b_minhash_neardup"]["banding_curve"] = banding
+
+    # ---- q26c: simhash recall vs the exact Jaccard pair set
+    sh = {(r[0], r[1]) for r in q["q26c_simhash_neardup"].fn(spark, sf).collect()}
+    out["q26c_simhash_neardup"] = {
+        "n_exact_pairs": len(truth),
+        "n_simhash_pairs": len(sh),
+        "recall_vs_exact": (
+            round(len(sh & set(truth)) / len(truth), 4) if truth else None
+        ),
+    }
+
+    # ---- q27b / q42: ANN top-10 vs exact cosine top-10
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    exact10 = [r["vec_id"] for r in similarity.topk_cosine(emb, qv, k=10).collect()]
+    for name in ("q27b_ann_lsh_topk", "q42_ivf_ann_topk"):
+        approx10 = [r["vec_id"] for r in q[name].fn(spark, sf).collect()]
+        out[name] = {
+            "k": 10,
+            "top10_overlap": len(set(exact10) & set(approx10)),
+            "rank1_matches_exact": bool(approx10 and approx10[0] == exact10[0]),
+        }
+
+    # ---- q24b: sketch aggregates vs exact
+    ex = events.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.percentile("value", 0.5).alias("m"),
+    ).collect()[0]
+    ap = q["q24b_approx_aggs"].fn(spark, sf).collect()[0]
+    out["q24b_approx_aggs"] = {
+        "exact_distinct_users": ex["u"],
+        "approx_distinct_users": ap["approx_users"],
+        "distinct_rel_err": round(abs(ap["approx_users"] - ex["u"]) / ex["u"], 4),
+        "exact_median_value": round(ex["m"], 6),
+        "approx_median_value": round(ap["approx_median_value"], 6),
+        "median_rel_err": round(
+            abs(ap["approx_median_value"] - ex["m"]) / abs(ex["m"]), 4
+        ),
+    }
+
+    # ---- q50: per-month sketch-union estimate vs exact monthly distinct
+    exact_m = {
+        r["month"]: r["u"]
+        for r in events.groupBy(
+            F.date_trunc("month", "ts").alias("month")
+        ).agg(F.countDistinct("user_id").alias("u")).collect()
+    }
+    rels = []
+    for r in q["q50_sketch_rollup"].fn(spark, sf).collect():
+        e = exact_m[r["month"]]
+        rels.append(abs(r["approx_users"] - e) / e)
+    out["q50_sketch_rollup"] = {
+        "n_months": len(rels),
+        "max_rel_err": round(max(rels), 4),
+        "mean_rel_err": round(sum(rels) / len(rels), 4),
+    }
+
+    doc = {
+        "sf_dir": sf,
+        "note": (
+            "evidence for the oracle=None approximate queries: each "
+            "measured against its exact counterpart on the same parquet"
+        ),
+        "queries": out,
+    }
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    print(json.dumps(doc, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

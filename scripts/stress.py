@@ -494,6 +494,82 @@ def _value_pct_count(ev):
 
 
 
+def _scd2_count(ev):
+    # q121 shape: ONE user_id exchange feeds both window passes (change
+    # lag + interval-closing lead; the lead runs on a filtered subset of
+    # the same partitioning)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", "event_id", "ts",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    ch = o.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ch.select(
+        "user_id", F.lead("ts").over(w2).alias("valid_to")
+    ).count()
+
+
+def _cooccur_count(ev):
+    # q125 shape: distinct (user, type) then a per-user self-join whose
+    # bucket is bounded by |types| (<=5 rows/user), never corpus-sized
+    u = ev.select("user_id", "event_type").distinct()
+    a = u.select("user_id", F.col("event_type").alias("ta"))
+    b = u.select("user_id", F.col("event_type").alias("tb"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+
+
+def _growth_count(ev):
+    # q135 shape: distinct (user, week), min + lag over one user_id
+    # partitioning, week-sized rollup
+    from pyspark.sql import Window
+
+    uw = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("wk")
+    c = uw.select(
+        "user_id", "wk",
+        F.min("wk").over(wp).alias("fw"),
+        F.lag("wk").over(wo).alias("pw"),
+    )
+    new = F.col("wk") == F.col("fw")
+    ret = (~new) & (F.col("pw") == F.col("wk") - F.expr("INTERVAL 7 DAY"))
+    return c.groupBy("wk").agg(
+        F.sum(F.when(new, 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(ret, 1).otherwise(0)).alias("n_ret"),
+    ).count()
+
+
+def _dq_gate_count(li, od):
+    # q139 shape: per-order line-sum rollup then a FULL OUTER join on
+    # orderkey (the completeness check itself), 1-row audit aggregate
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    l = li.groupBy("l_orderkey").agg(F.sum(cents).alias("lc"))
+    o = od.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("tc"),
+    )
+    j = o.join(l, F.col("o_orderkey") == F.col("l_orderkey"), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("b"),
+        F.sum(
+            F.when(F.abs(F.col("tc") - F.col("lc")) > 100, 1).otherwise(0)
+        ).alias("c"),
+    ).count()
+
+
 def _dormant_count(od, cu):
     # q151 shape: 1-row scalar broadcast + anti-join on distinct custkeys
     c = cu.select(
@@ -571,6 +647,26 @@ def docgen_corpus(spark, mult: int, disjoint: bool, base_rows: int = 5000):
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     disjoint = "--disjoint" in sys.argv[1:]
+    # --scale-partitions[=cap]: scale spark.sql.shuffle.partitions with
+    # the multiplier (the cluster-realistic regime — partition count
+    # tracks input size, AQE coalesces the other way). The default pinned
+    # count is the adversarial regime: at 100x each shuffle partition
+    # carries 100x the 1x rows. The cap (default 1024) exists because
+    # this is ONE 32-thread JVM with a fixed heap: past ~200 partitions
+    # the map side leaves bypass-merge for ShuffleExternalSorter, and 32
+    # concurrent sorting tasks at base*100 partitions OOM an 8g heap —
+    # on a real cluster the aggregate heap scales with the executor
+    # count, so the cap models memory-that-scales-with-data, not a plan
+    # property.
+    scale_parts = any(
+        a == "--scale-partitions" or a.startswith("--scale-partitions=")
+        for a in sys.argv[1:]
+    )
+    parts_cap = next(
+        (int(a.split("=", 1)[1]) for a in sys.argv[1:]
+         if a.startswith("--scale-partitions=")),
+        1024,
+    )
     only = next(
         (a.split("=", 1)[1].split(",") for a in sys.argv[1:]
          if a.startswith("--ops=")),
@@ -633,6 +729,10 @@ def main() -> int:
         "retention": _retention_count,
         "streak": _streak_count,
         "value_pct": _value_pct_count,
+        # round-7 additions (q121/q125/q135 shapes)
+        "scd2": _scd2_count,
+        "cooccur": _cooccur_count,
+        "growth": _growth_count,
     }
     vops = {"kmeans_assign": _kmeans_assign_count}
     # fact-table family (multiplied lineitem/orders, q149-q154 shapes)
@@ -643,6 +743,8 @@ def main() -> int:
         "large_volume": _large_volume_count,
         "cheapest": _cheapest_count,
         "backlog": _backlog_count,
+        # round-7 addition (q139 full-outer DQ-gate shape)
+        "dq_gate": _dq_gate_count,
     }
     # customer-bearing shapes (multiplied customer too)
     cops = {"dormant": _dormant_count}
@@ -663,7 +765,12 @@ def main() -> int:
     results: dict[str, list[float]] = {
         k: [] for k in (*ops, *eops, *vops, *fops, *cops)
     }
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     for mult in mults:
+        if scale_parts:
+            nparts = min(base_parts * mult, parts_cap)
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            print(f"mult={mult}: shuffle.partitions={nparts}", flush=True)
         if source == "docgen":
             d = docgen_corpus(spark, mult, disjoint)
         else:

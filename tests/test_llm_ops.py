@@ -551,3 +551,48 @@ def test_ann_lsh_dim_guard_per_row(spark):
     )
     with pytest.raises(Exception, match="ann_topk_lsh: dim=64"):
         similarity.ann_topk_lsh(bad, qv, k=3).collect()
+
+
+def test_bmp_decode_roundtrip_pure():
+    """The real (non-stub) kernel: encode->decode recovers exact dims for
+    assorted sizes, including rows needing 4-byte padding and a top-down
+    (negative-height) variant."""
+    for w, h in [(1, 1), (3, 2), (640, 480), (7, 5)]:
+        blob = multimodal.encode_bmp(w, h)
+        assert multimodal.decode_bmp(blob) == (len(blob), w, h, 3)
+    # top-down row order: negative height decodes to positive rows
+    blob = bytearray(multimodal.encode_bmp(4, 6))
+    blob[22:26] = (-6).to_bytes(4, "little", signed=True)
+    assert multimodal.decode_bmp(bytes(blob)) == (len(blob), 4, 6, 3)
+
+
+def test_bmp_decode_rejects_malformed():
+    """Strict validation: anything not a well-formed uncompressed BMP
+    falls back (returns None) — text bytes, truncation, compressed,
+    wrong file-size field."""
+    good = multimodal.encode_bmp(8, 8)
+    assert multimodal.decode_bmp(b"BM hello world, this is text " * 3) is None
+    assert multimodal.decode_bmp(good[:-10]) is None  # truncated body
+    compressed = bytearray(good)
+    compressed[30] = 1  # BI_RLE8
+    assert multimodal.decode_bmp(bytes(compressed)) is None
+    wrong_size = bytearray(good)
+    wrong_size[2:6] = (len(good) + 7).to_bytes(4, "little")
+    assert multimodal.decode_bmp(bytes(wrong_size)) is None
+
+
+def test_multimodal_decode_real_bmp_via_spark(spark):
+    """Real BMPs through the same mapInPandas plumbing as the stub path:
+    decode_blobs sniffs the magic and returns TRUE dimensions; non-BMP
+    rows in the same batch keep the stub contract."""
+    rows = [
+        (1, bytearray(multimodal.encode_bmp(16, 9))),
+        (2, bytearray(multimodal.encode_bmp(320, 200))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_blobs(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (16, 9, 3)
+    assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
+    n = len(b"not an image")
+    assert (got[3]["width"], got[3]["height"]) == (n % 640, n % 480)
