@@ -54,6 +54,17 @@ def time_rollup(
         raise ValueError(
             f"resolutions must be strictly finest-first, got {resolutions!r}"
         )
+    # 'week' is finer-grained than 'month' but NOT a refinement of it (or
+    # of quarter/year): an ISO week straddling a month boundary would roll
+    # its ENTIRE sum into the month of its Monday — silently wrong by up
+    # to 6 days of data per boundary. Weeks may be computed FROM daily or
+    # finer partials, but nothing coarser may be computed from weeks.
+    if "week" in resolutions and resolutions[-1] != "week":
+        raise ValueError(
+            "'week' buckets straddle month/quarter/year boundaries, so no "
+            "coarser resolution can be derived from weekly partials — put "
+            "'week' last, or run a separate rollup for calendar grains"
+        )
     finest, *coarser = resolutions
     level = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("bucket_start")

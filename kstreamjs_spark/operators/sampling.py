@@ -45,7 +45,14 @@ def hash_bucket(key: Column | str, seed: int = 0) -> Column:
     would return a negative bucket that passes every `< threshold` filter
     — in BOTH engines, which is exactly the kind of bug an oracle
     hash-match cannot catch. Intermediate products stay in int64:
-    |inner % M| < M and M*A + C < 2^63."""
+    |inner % M| < M and M*A + C < 2^63.
+
+    Domain constraint: |key + seed| must itself fit in int64. Row ids and
+    multiplied ids are fine; a FULL-RANGE 64-bit key (e.g. a raw
+    xxhash64) within 2^31 of the int64 edge would overflow the first
+    add — silently wrapped by Spark, trapped by DuckDB, so the two
+    engines would DIVERGE rather than fail together. Pre-reduce such
+    keys (e.g. `pmod(key, 2^32)`) before sampling on them."""
     k = F.col(key) if isinstance(key, str) else key
     return F.pmod(((k + F.lit(seed)) % _M) * _A + _C, F.lit(_M))
 

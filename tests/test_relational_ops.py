@@ -76,3 +76,29 @@ def test_asof_payload_tiebreak_deterministic(spark):
         ).collect()
         outs.add(out[0]["asof_px"])
     assert len(outs) == 1, outs
+
+
+def test_time_rollup_rejects_coarser_than_week(spark):
+    """A week straddling a month boundary would roll its whole sum into
+    the month of its Monday (e.g. Jan 29 2024 starts a week that spans
+    into February) — deriving ANY calendar grain from weekly partials is
+    silently wrong, so the operator refuses; week-last is fine."""
+    from datetime import datetime
+
+    import pytest
+
+    from kstreamjs_spark.operators.rollup_time import time_rollup
+
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 29), 1.0), (datetime(2024, 2, 2), 1.0)],
+        ["ts", "v"],
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        time_rollup(df, "ts", "v", resolutions=("day", "week", "month"))
+    out = time_rollup(df, "ts", "v", resolutions=("day", "week"))
+    rows = {
+        (r["resolution"], str(r["bucket_start"])): r["sum_value"]
+        for r in out.collect()
+    }
+    # both days land in the SAME ISO week (Mon Jan 29 .. Sun Feb 4)
+    assert rows[("week", "2024-01-29 00:00:00")] == 2.0
