@@ -160,6 +160,112 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int] | None:
     return len(blob), width, nrows, bpp // 8
 
 
+def encode_wav(
+    n_samples: int, sample_rate: int = 16000, n_channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Pure-Python PCM WAV writer (fixture generator for the real audio
+    decode path). Samples are a deterministic sawtooth — content is
+    irrelevant to header decode, determinism is not."""
+    bytes_per_sample = bits // 8
+    frame = n_channels * bytes_per_sample
+    body = bytes(
+        (i * 7) % 256 for i in range(n_samples * frame)
+    )
+    byte_rate = sample_rate * frame
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + frame.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + len(body).to_bytes(4, "little") + body
+    riff_len = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, int, int] | None:
+    """REAL audio decode kernel: parse a PCM RIFF/WAVE header — pure
+    chunk-walk arithmetic, no codec library. Returns (byte_len,
+    n_channels, sample_rate, n_samples), or None when the payload is not
+    well-formed PCM WAV (wrong magic, truncated, compressed, chunk-size
+    lies) so the caller can fall back. Validation is strict — RIFF size,
+    PCM format tag, block-align consistency, and the data chunk bounded
+    by the blob — so arbitrary bytes cannot alias into the real path."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    if int.from_bytes(blob[4:8], "little") != len(blob) - 8:
+        return None
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(blob):
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = blob[pos + 8 : pos + 24]
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if (
+        audio_format != 1  # PCM only
+        or n_channels == 0
+        or sample_rate == 0
+        or block_align != n_channels * (bits // 8)
+        or block_align == 0
+        or data_len % block_align != 0
+    ):
+        return None
+    return len(blob), n_channels, sample_rate, data_len // block_align
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id long, byte_len long, n_channels long, sample_rate long, "
+    "n_samples long"
+)
+
+
+def decode_audio_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode audio payloads to typed metadata via mapInPandas — the
+    audio twin of `decode_blobs`. PCM WAV decodes for real
+    (`decode_wav`); anything else yields NULL metadata (explicit
+    unknown, never fake numbers — audio has no meaningful length-derived
+    stub)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                meta = decode_wav(b)
+                rows.append(
+                    (doc, *meta[1:], len(b))
+                    if meta
+                    else (doc, None, None, None, len(b))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_channels", "sample_rate", "n_samples",
+                    "byte_len",
+                ],
+            )[["doc_id", "byte_len", "n_channels", "sample_rate", "n_samples"]]
+
+    return df.select(id_col, blob_col).mapInPandas(batches, AUDIO_META_SCHEMA)
+
+
 def decode_blobs(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode binary payloads to typed metadata via mapInPandas (Arrow
     batches; one Python roundtrip per batch, not per row). Uncompressed

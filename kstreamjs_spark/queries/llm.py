@@ -428,6 +428,53 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_blobs(blobs)
 
 
+@query(
+    "q40c_audio_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(44 + least(n_chars, 2000) * (1 + doc_id % 2) * 2
+                    AS BIGINT) AS byte_len,
+               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               CAST(least(n_chars, 2000) AS BIGINT) AS n_samples
+        FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40c(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-column pipeline with the REAL decode kernel: per-document
+    PCM WAV payloads (synthesized in the encode stage — parameters
+    derived from document fields: n_samples = min(n_chars, 2000),
+    channels = 1 + doc_id%2, 16 kHz) decoded back to typed metadata by
+    the pure-Python RIFF/WAVE chunk-walk (multimodal.decode_wav). The
+    oracle restates the parameter derivation plus the fixed 44-byte
+    PCM header arithmetic — so a header-layout or chunk-walk bug
+    hash-mismatches. Both stages are Arrow-batched mapInPandas; blobs
+    never leave the executors."""
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_wavs(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        multimodal.encode_wav(
+                            min(int(n), 2000), 16000, 1 + int(d) % 2
+                        )
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+        make_wavs, "doc_id long, blob binary"
+    )
+    return multimodal.decode_audio_blobs(blobs)
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 

@@ -596,3 +596,39 @@ def test_multimodal_decode_real_bmp_via_spark(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
     n = len(b"not an image")
     assert (got[3]["width"], got[3]["height"]) == (n % 640, n % 480)
+
+
+def test_wav_decode_roundtrip_pure():
+    """The real audio kernel: encode->decode recovers exact channel
+    count, sample rate, and sample count for assorted shapes."""
+    for ns, sr, ch, bits in [
+        (1, 8000, 1, 16), (1000, 16000, 1, 16),
+        (441, 44100, 2, 16), (7, 22050, 1, 8),
+    ]:
+        blob = multimodal.encode_wav(ns, sr, ch, bits)
+        assert multimodal.decode_wav(blob) == (len(blob), ch, sr, ns)
+
+
+def test_wav_decode_rejects_malformed():
+    good = multimodal.encode_wav(100)
+    assert multimodal.decode_wav(b"RIFFxxxxWAVEnot really" * 3) is None
+    assert multimodal.decode_wav(good[:-5]) is None  # truncated data chunk
+    nonpcm = bytearray(good)
+    nonpcm[20] = 3  # IEEE-float format tag
+    assert multimodal.decode_wav(bytes(nonpcm)) is None
+    lying = bytearray(good)
+    lying[4:8] = (len(good)).to_bytes(4, "little")  # riff size off by 8
+    assert multimodal.decode_wav(bytes(lying)) is None
+
+
+def test_multimodal_decode_audio_via_spark(spark):
+    """WAVs through the mapInPandas plumbing: real metadata for PCM
+    payloads, explicit NULLs (never fake numbers) for non-audio rows."""
+    rows = [
+        (1, bytearray(multimodal.encode_wav(500, 16000, 2))),
+        (2, bytearray(b"definitely not audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_audio_blobs(df).collect()}
+    assert (got[1]["n_channels"], got[1]["sample_rate"], got[1]["n_samples"]) == (2, 16000, 500)
+    assert got[2]["n_channels"] is None and got[2]["byte_len"] == 20
