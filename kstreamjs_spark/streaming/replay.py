@@ -47,7 +47,8 @@ def stream_table(
 
 
 def run_to_memory(
-    sdf: DataFrame, name: str, output_mode: str = "append"
+    sdf: DataFrame, name: str, output_mode: str = "append",
+    timeout_s: int = 600,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (AvailableNow) into a
     memory sink; returns the sink table as a batch DataFrame.
@@ -55,7 +56,10 @@ def run_to_memory(
     Memory sink is a test/driver harness device — production sinks are the
     kafka/parquet writers in sources/. Complete mode is used for open-ended
     aggregations (the stream ends, so append-mode watermark semantics would
-    hold back the final windows)."""
+    hold back the final windows). ``timeout_s`` bounds the wait: a wedged
+    micro-batch otherwise hangs the caller (and any correctness harness
+    above it) forever — on expiry the query is stopped and the failure is
+    a clear TimeoutError, not a silent stall."""
     spark = sdf.sparkSession
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
@@ -65,5 +69,9 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {qname!r} did not finish within {timeout_s}s"
+        )
     return spark.table(qname)
