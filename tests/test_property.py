@@ -235,3 +235,67 @@ def test_token_entropy_bounds_and_reference(spark, texts):
         assert got_n == n
         assert abs(got_h - round(h_ref, 6)) < 1e-9
         assert -1e-9 <= got_h <= math.log(n) + 1e-6
+
+
+# ---- media decode kernels: total functions over arbitrary bytes --------
+# An exception inside a mapInPandas kernel fails the whole task (and at
+# 1000 executors, the job) — the decoders must return None/metadata for
+# EVERY input, never raise. Pure Python, no Spark round-trip per example.
+
+from kstreamjs_spark.operators import multimodal  # noqa: E402
+
+raw_bytes = st.binary(min_size=0, max_size=300)
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_bmp_total_on_arbitrary_bytes(blob):
+    out = multimodal.decode_bmp(blob)
+    assert out is None or (
+        len(out) == 4 and out[0] == len(blob) and out[1] > 0 and out[2] > 0
+    )
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_wav_total_on_arbitrary_bytes(blob):
+    out = multimodal.decode_wav(blob)
+    assert out is None or (
+        len(out) == 4 and out[0] == len(blob) and out[1] > 0 and out[2] > 0
+    )
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_bmp_total_on_bmp_prefixed_garbage(blob):
+    # adversarial: correct magic, arbitrary header/body bytes
+    out = multimodal.decode_bmp(b"BM" + blob)
+    assert out is None or out[0] == len(blob) + 2
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_wav_total_on_riff_prefixed_garbage(blob):
+    out = multimodal.decode_wav(b"RIFF" + blob)
+    assert out is None or out[0] == len(blob) + 4
+
+
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h):
+    blob = multimodal.encode_bmp(w, h)
+    assert multimodal.decode_bmp(blob) == (len(blob), w, h, 3)
+
+
+@given(
+    ns=st.integers(min_value=1, max_value=2000),
+    sr=st.sampled_from([8000, 16000, 22050, 44100]),
+    ch=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(ns, sr, ch):
+    blob = multimodal.encode_wav(ns, sr, ch)
+    assert multimodal.decode_wav(blob) == (len(blob), ch, sr, ns)
