@@ -570,6 +570,65 @@ def _dq_gate_count(li, od):
     ).count()
 
 
+def _attribution_count(ev):
+    # q143 shape: first-purchase agg -> join back on the same user_id
+    # clustering -> WindowGroupLimit first-touch -> |types| rollup
+    from pyspark.sql import Window
+
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    pre = ev.join(fp, "user_id").filter(F.col("ts") < F.col("fpts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+
+
+def _rfm_count(li, od):
+    # q133 shape: 1-row max-date broadcast + one customer shuffle + 8-row
+    # rollup, all integer comparisons
+    mx = od.agg(F.max("o_orderdate").alias("maxd"))
+    c = (
+        od.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("mc"),
+        )
+    )
+    s = c.select(
+        F.when(F.datediff("maxd", "lastd") <= 90, "a").otherwise("l").alias("r"),
+        F.when(F.col("f") >= 10, "f").otherwise("o").alias("fs"),
+        F.when(F.col("mc") >= 10_000_00, "b").otherwise("s").alias("m"),
+    )
+    return s.groupBy("r", "fs", "m").count().count()
+
+
+def _hhi_count(li, od):
+    # q136 shape: (supplier) revenue rollup then the concentration
+    # aggregate with DECIMAL(38,0) squares (int64 squares wrap)
+    revq = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    r = li.groupBy("l_suppkey").agg(F.sum(revq).alias("rq"))
+    return r.agg(
+        (
+            F.sum(F.col("rq").cast("decimal(38,0)") * F.col("rq"))
+            / (F.sum("rq").cast("double") * F.sum("rq"))
+        ).alias("hhi")
+    ).count()
+
+
 def _dormant_count(od, cu):
     # q151 shape: 1-row scalar broadcast + anti-join on distinct custkeys
     c = cu.select(
@@ -729,10 +788,11 @@ def main() -> int:
         "retention": _retention_count,
         "streak": _streak_count,
         "value_pct": _value_pct_count,
-        # round-7 additions (q121/q125/q135 shapes)
+        # round-7 additions (q121/q125/q135/q143 shapes)
         "scd2": _scd2_count,
         "cooccur": _cooccur_count,
         "growth": _growth_count,
+        "attribution": _attribution_count,
     }
     vops = {"kmeans_assign": _kmeans_assign_count}
     # fact-table family (multiplied lineitem/orders, q149-q154 shapes)
@@ -743,8 +803,10 @@ def main() -> int:
         "large_volume": _large_volume_count,
         "cheapest": _cheapest_count,
         "backlog": _backlog_count,
-        # round-7 addition (q139 full-outer DQ-gate shape)
+        # round-7 additions (q139/q133/q136 shapes)
         "dq_gate": _dq_gate_count,
+        "rfm": _rfm_count,
+        "hhi": _hhi_count,
     }
     # customer-bearing shapes (multiplied customer too)
     cops = {"dormant": _dormant_count}

@@ -610,3 +610,15 @@ def test_temperature_mix_reuses_lang_aggregate(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_audio_decode_pipeline_no_shuffle(spark):
+    """q40c chains two Arrow mapInPandas stages (WAV synth -> header
+    decode) off one scan: blobs must flow through the pipeline without
+    ever crossing an exchange — at 100 TB the payload bytes staying on
+    their executors IS the multimodal scale design."""
+    plan = q("q40c_audio_decode", spark)
+    assert_not_in_plan(plan, "Exchange")
+    assert_in_plan(plan, "MapInPandas")
+    # only the two needed source columns are read
+    assert_not_in_plan(plan, "text#", "lang#")
