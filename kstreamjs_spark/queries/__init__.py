@@ -82,6 +82,12 @@ _WINDOW_PRIORITY = [
     "q29_stream_tumbling", "q30_stream_sliding",
     "q31_session_windows", "q33_window_collect_udaf",
 ]
+# ROUND-8 NOTE: no query changed behavior after its latest driver row
+# this round (round 7's engine edits were guards/new code only: the LSH
+# dim-guard move touches rows-only q27b, q40c is new and enters as
+# hist-0, the salt/rollup/kafka/replay changes alter no attested
+# arithmetic). Next round: clear these four pins and let the staleness
+# sort drain the r4 tail.
 
 
 def _correctness_history() -> dict[str, int]:
