@@ -299,3 +299,55 @@ def test_bmp_roundtrip_property(w, h):
 def test_wav_roundtrip_property(ns, sr, ch):
     blob = multimodal.encode_wav(ns, sr, ch)
     assert multimodal.decode_wav(blob) == (len(blob), ch, sr, ns)
+
+
+# ---- exact histogram percentiles vs a pure-Python reference ------------
+# One Spark job over MANY hypothesis-generated groups at once (each
+# example is a Spark round-trip, so groups are batched into one frame).
+
+from kstreamjs_spark.operators.percentile import histogram_percentiles  # noqa: E402
+
+
+def py_percentile(values, num, den):
+    """Smallest v whose cumulative count cc satisfies cc*den >= num*n —
+    the operator's contract, restated over a sorted list."""
+    vs = sorted(values)
+    n = len(vs)
+    cc = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and vs[j] == vs[i]:
+            j += 1
+        cc += j - i
+        if cc * den >= num * n:
+            return vs[i]
+        i = j
+    return vs[-1]
+
+
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=-50, max_value=50), min_size=1,
+                 max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    num=st.integers(min_value=1, max_value=99),
+)
+@settings(**SETTINGS)
+def test_histogram_percentiles_match_reference(spark, groups, num):
+    den = 100
+    rows = [(g, v) for g, vals in enumerate(groups) for v in vals]
+    df = spark.createDataFrame(rows, "g int, v long")
+    out = {
+        r["g"]: (r["n"], r["p"])
+        for r in histogram_percentiles(
+            df, ["g"], "v", {"p": (num, den)}
+        ).collect()
+    }
+    assert set(out) == set(range(len(groups)))
+    for g, vals in enumerate(groups):
+        assert out[g] == (len(vals), py_percentile(vals, num, den)), (
+            f"group {g} vals={vals} num={num}"
+        )
