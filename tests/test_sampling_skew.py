@@ -270,3 +270,40 @@ def test_replicated_skew_join_salt_cols(spark):
         .distinct().count()
     )
     assert buckets > 1  # the identity column genuinely spreads the hot key
+
+
+def test_sample_hash_matches_duckdb_on_adversarial_keys(spark):
+    """The Spark predicate and its SQL builder must keep EXACTLY the same
+    rows when DuckDB evaluates the SQL — across negative keys, zero, and
+    keys near the documented |key+seed| < int64 domain edge scaled back
+    to safe range. The oracle gate only exercises the testdata id range;
+    this pins the whole contract."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(99)
+    keys = (
+        [0, -1, 1, 2**31, -(2**31), 2**40, -(2**40)]
+        + [rng.randint(-(2**40), 2**40) for _ in range(2000)]
+    )
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    for frac, seed in [(0.2, 0), (0.5, 7), (0.01, 123)]:
+        spark_kept = {
+            r[0]
+            for r in sampling.sample_hash(df, "doc_id", frac, seed).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ",".join(f"({k})" for k in keys)
+            + ") AS v(doc_id)"
+        )
+        duck_kept = {
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM t WHERE "
+                + sampling.sample_hash_sql("doc_id", frac, seed)
+            ).fetchall()
+        }
+        assert spark_kept == duck_kept, (frac, seed)
