@@ -85,3 +85,14 @@ def test_cli_list_and_unknown_query():
     err = io.StringIO()
     with contextlib.redirect_stderr(err):
         assert main(["run", "no_such_query"]) == 2
+
+
+def test_window_pins_lead_even_over_new_queries():
+    """Priority names occupy the FIRST window slots, ahead even of
+    never-checked (hist-0) queries — a pinned re-attestation must not be
+    displaced by inventory growth in the same round."""
+    from kstreamjs_spark import queries as qmod
+
+    ordered = list(qmod.all_queries())
+    prio = list(dict.fromkeys(qmod._WINDOW_PRIORITY))
+    assert ordered[: len(prio)] == prio
