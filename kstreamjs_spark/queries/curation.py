@@ -1168,12 +1168,19 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 def q125(spark: SparkSession, sf: str) -> DataFrame:
     """Event-type co-occurrence lift across users — lift(a,b) =
     N·P(a∧b)/(P(a)·P(b)) over per-user distinct type sets: the
-    market-basket association matrix behind "users who X also Y". Plan:
-    ONE user_id shuffle produces the distinct (user, type) set; the
-    per-user self-join bucket is bounded by the TYPE COUNT (≤5 rows per
-    user, never corpus-sized); marginals and the user total are
-    kilobyte-scale broadcasts. Lift is one exact int-product ratio,
-    rounded once."""
+    market-basket association matrix behind "users who X also Y". Plan
+    (verified against the EXECUTED plan, round 7): the raw-events
+    distinct shuffle materializes ONCE — AQE's runtime exchange reuse
+    feeds the marginal/total/self-join consumers from the same stage
+    (the static plan prints four copies; ReusedExchange appears at
+    runtime) — and the remaining shuffles are distinct-set-sized, never
+    raw-sized. The per-user self-join bucket is bounded by the TYPE
+    COUNT (≤5 rows per user, never corpus-sized); marginals and the
+    user total are kilobyte-scale broadcasts. A collect_set/array-
+    combinatorics restructure (no self-join, one explicit shared
+    exchange) was measured 29% SLOWER at sf0.1 (object hash agg + stage
+    serialization) with identical values, so the self-join form stands.
+    Lift is one exact int-product ratio, rounded once."""
     (events,) = load(spark, sf, "events")
     u = events.select("user_id", "event_type").distinct()
     tot = u.select("user_id").distinct().agg(
