@@ -622,3 +622,14 @@ def test_audio_decode_pipeline_no_shuffle(spark):
     assert_in_plan(plan, "MapInPandas")
     # only the two needed source columns are read
     assert_not_in_plan(plan, "text#", "lang#")
+
+
+def test_cooccurrence_reuses_distinct_exchange_at_runtime(spark):
+    """q125's docstring claims the raw-events distinct shuffle
+    materializes once: the static plan prints four copies, but AQE's
+    runtime exchange reuse must collapse them — asserted on the EXECUTED
+    plan, where ReusedExchange only appears after stage materialization."""
+    df = q("q125_event_cooccurrence", spark)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
