@@ -184,6 +184,11 @@ def encode_wav(
         + bits.to_bytes(2, "little")
     )
     data = b"data" + len(body).to_bytes(4, "little") + body
+    if len(body) % 2:
+        # RIFF chunks are word-aligned: odd-length data (bits=8, odd
+        # n_samples*channels) carries a pad byte that counts toward the
+        # RIFF size but NOT the chunk size.
+        data += b"\x00"
     riff_len = 4 + len(fmt) + len(data)
     return b"RIFF" + riff_len.to_bytes(4, "little") + b"WAVE" + fmt + data
 

@@ -228,7 +228,21 @@ def ann_topk_lsh(
     planes = _hyperplanes(dim, n_planes, seed)
     sig = lsh_signature(guarded, planes)
     with_sig = vectors.withColumn("sig", sig)
-    qsig = query.withColumn("qsig", lsh_signature(F.col("qv"), planes))
+    # Same guard on the query side: a wrong-length qv would zero every
+    # signature bit AND null every cosine score — garbage top-k instead
+    # of an error. Replacing qv with the guarded CASE makes both the
+    # qsig computation and the downstream scoring fail loudly.
+    qv_guarded = F.when(F.size(F.col("qv")) == dim, F.col("qv")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"ann_topk_lsh: dim={dim} but query 'qv' has length "),
+                F.size(F.col("qv")).cast("string"),
+            )
+        )
+    )
+    qsig = query.withColumn("qv", qv_guarded).withColumn(
+        "qsig", lsh_signature(F.col("qv"), planes)
+    )
     cand = with_sig.crossJoin(F.broadcast(qsig)).filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming
     )

@@ -66,28 +66,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 # driver's independent confirmation, not what is tested.
 _WINDOW_SIZE = 50
 
-# Round 7: the r6 pins are retired. The only behavior-changed-without-a-
-# driver-row queries are the four streaming ones that moved to
-# quantize-before-sum LATE in round 6 (engine AND oracle together, commit
-# c745669) after the r6 window had filled with never-checked queries —
-# their green r4 rows attest the OLD arithmetic. Pin them so they re-earn
-# driver rows on the shipped code (the r6 verdict's #1 item). The
-# staleness sort below then fills the remaining 46 slots with all 27
-# r3-vintage rows (q16b, q17, q19, q22, q23, q24b, the q26 family, q27b,
-# q34b, q38, q40, q42, q45, q50, q53, q59, q62, q66-q71, q74, q76) plus
-# the 19 oldest r4 rows — after this round no query's newest driver row
-# is older than r4. No new queries are pinned: surface is complete at
-# 171; driver attestation is the scarce resource this round.
-_WINDOW_PRIORITY = [
-    "q29_stream_tumbling", "q30_stream_sliding",
-    "q31_session_windows", "q33_window_collect_udaf",
-]
-# ROUND-8 NOTE: no query changed behavior after its latest driver row
-# this round (round 7's engine edits were guards/new code only: the LSH
-# dim-guard move touches rows-only q27b, q40c is new and enters as
-# hist-0, the salt/rollup/kafka/replay changes alter no attested
-# arithmetic). Next round: clear these four pins and let the staleness
-# sort drain the r4 tail.
+# Round 8: the r7 streaming pins are retired — all four re-earned driver
+# rows on the quantize-before-sum arithmetic in CORRECTNESS_r07. No query
+# changed behavior after its latest driver row (the round-8 engine edits
+# are guards, measurement tooling, and the new q40d PNG decode), so the
+# pin list is EMPTY and the staleness sort alone fills the window: q40d
+# enters first as never-checked (hist 0), then the 23 r4-vintage rows
+# (q39, q40b, q41, q43, q46-q49, q51, q52, q54-q56, q63, q72, q73, q75,
+# q77, q78, q80, q82-q84), then the 26 oldest r5 rows — after this round
+# no query's newest driver row is older than r5.
+_WINDOW_PRIORITY: list[str] = []
+# ROUND-9 NOTE: if round 8's q40c-adjacent fix (channels arithmetic,
+# ADVICE item 2) or any other edit alters attested arithmetic, pin those
+# queries here; otherwise keep the pin list empty and let the sort
+# continue draining the r5 tail.
 
 
 def _correctness_history() -> dict[str, int]:

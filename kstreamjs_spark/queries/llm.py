@@ -432,9 +432,9 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     "q40c_audio_decode",
     oracle="""
         SELECT doc_id,
-               CAST(44 + least(n_chars, 2000) * (1 + doc_id % 2) * 2
+               CAST(44 + least(n_chars, 2000) * (1 + abs(doc_id) % 2) * 2
                     AS BIGINT) AS byte_len,
-               CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+               CAST(1 + abs(doc_id) % 2 AS BIGINT) AS n_channels,
                CAST(16000 AS BIGINT) AS sample_rate,
                CAST(least(n_chars, 2000) AS BIGINT) AS n_samples
         FROM documents
@@ -461,8 +461,13 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "blob": [
+                        # abs() on BOTH sides (engine + oracle): Python %
+                        # is sign-following toward +inf, DuckDB % toward
+                        # zero — abs removes the divergence for any
+                        # future negative doc_id (identical on current
+                        # non-negative data, so the r7 driver row stands).
                         multimodal.encode_wav(
-                            min(int(n), 2000), 16000, 1 + int(d) % 2
+                            min(int(n), 2000), 16000, 1 + abs(int(d)) % 2
                         )
                         for d, n in zip(pdf["doc_id"], pdf["n_chars"])
                     ],

@@ -114,14 +114,25 @@ def decode_value(df: DataFrame, schema=None, ts_from_payload: str | None = None)
     clash = [c for c in payload_fields if c in (*env, "raw_value")]
     if "ts" in clash and ts_from_payload == "ts":
         clash.remove("ts")
-        env.remove("ts")
     if clash:
         raise ValueError(
             f"payload schema fields collide with Kafka envelope columns: "
             f"{clash}; rename them (envelope: key/topic/partition/offset/ts)"
         )
+    if ts_from_payload == "ts":
+        # Promote the payload ts INTO the envelope slot so the column
+        # order is identical whether ts comes from the broker or the
+        # payload — positional consumers of the envelope never shift.
+        rest = [f for f in payload_fields if f != "ts"]
+        return decoded.select(
+            "key", "topic", "partition", "offset",
+            F.col("value.ts").alias("ts"),
+            *[F.col(f"value.{f}").alias(f) for f in rest],
+        )
     out = decoded.select(*env, "value.*")
-    if ts_from_payload and ts_from_payload != "ts":
+    if ts_from_payload:
+        # withColumn on an existing name replaces in place — envelope
+        # position preserved here too.
         out = out.withColumn("ts", F.col(ts_from_payload))
     return out
 

@@ -120,3 +120,27 @@ def test_decode_value_other_named_ts_field(spark):
                        ts_from_payload="event_time")
     row = out.collect()[0]
     assert str(row["ts"]) == str(row["event_time"])
+
+
+def test_decode_value_envelope_order_stable(spark):
+    """The envelope column ORDER (key, topic, partition, offset, ts, then
+    payload fields) is identical whether ts comes from the broker, from a
+    payload field named `ts`, or from a differently-named payload field —
+    positional consumers never see shifted columns."""
+    from kstreamjs_spark.sources.kafka import decode_value
+
+    env = ["key", "topic", "partition", "offset", "ts"]
+    plain = decode_value(
+        _envelope_df(spark, '{"a": 1, "v": 2}'), "a long, v long")
+    promoted = decode_value(
+        _envelope_df(spark, '{"a": 1, "ts": "2024-01-02 03:04:05", "v": 2}'),
+        "a long, ts timestamp, v long", ts_from_payload="ts")
+    renamed = decode_value(
+        _envelope_df(spark, '{"a": 1, "event_time": "2024-01-02 03:04:05", "v": 2}'),
+        "a long, event_time timestamp, v long", ts_from_payload="event_time")
+    assert plain.columns[:5] == env
+    assert promoted.columns[:5] == env
+    assert renamed.columns[:5] == env
+    # payload fields follow, in schema order, minus the promoted one
+    assert promoted.columns[5:] == ["a", "v"]
+    assert str(promoted.collect()[0]["ts"]).startswith("2024-01-02")

@@ -632,3 +632,37 @@ def test_multimodal_decode_audio_via_spark(spark):
     got = {r["doc_id"]: r for r in multimodal.decode_audio_blobs(df).collect()}
     assert (got[1]["n_channels"], got[1]["sample_rate"], got[1]["n_samples"]) == (2, 16000, 500)
     assert got[2]["n_channels"] is None and got[2]["byte_len"] == 20
+
+
+def test_wav_odd_body_pad_byte_spec_compliant():
+    """RIFF word alignment: an odd-length data chunk (bits=8, odd
+    n_samples*channels) carries a trailing pad byte counted in the RIFF
+    size but NOT in the data chunk size — the encoded fixture is
+    spec-compliant, not merely tolerated by our own decoder."""
+    blob = multimodal.encode_wav(7, 22050, 1, bits=8)
+    assert len(blob) % 2 == 0  # padded to word boundary
+    assert int.from_bytes(blob[4:8], "little") == len(blob) - 8
+    # walk to the data chunk: its declared size is the UNpadded body
+    pos = 12
+    sizes = {}
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = int.from_bytes(blob[pos + 4:pos + 8], "little")
+        sizes[cid] = size
+        pos += 8 + size + (size & 1)
+    assert sizes[b"data"] == 7  # 7 samples x 1 ch x 1 byte, pad excluded
+    assert multimodal.decode_wav(blob) == (len(blob), 1, 22050, 7)
+
+
+def test_ann_lsh_raises_on_wrong_query_dim(spark):
+    """The query-side twin of the vectors-side dim guard: a wrong-length
+    qv must fail loudly instead of zeroing the signature and returning
+    NULL-scored garbage top-k."""
+    import pytest
+
+    vecs = emb(spark).limit(5)
+    qv = vecs.limit(1).select(
+        F.slice(similarity.as_double(F.col("embedding")), 1, 32).alias("qv")
+    )
+    with pytest.raises(Exception, match="ann_topk_lsh: dim=64 but query"):
+        similarity.ann_topk_lsh(vecs, qv, k=3).collect()
