@@ -2,11 +2,15 @@
 ``binary`` columns with typed metadata; decode / feature-extract run as
 Arrow-batched Pandas functions over ``mapInPandas``.
 
-The actual media codecs are NOT available in this container, so the decode
-kernels are STUBBED (clearly marked below) with a deterministic fake that
-derives "metadata" from the raw bytes. Everything Spark-side — schema,
-batch iteration, partitioning behavior, UDF signatures — is real and
-tested; swapping the stub for PIL/ffmpeg is a one-function change.
+Three formats decode FOR REAL with dependency-free pure-Python kernels:
+uncompressed BMP (header arithmetic, `decode_bmp`), PCM WAV (RIFF chunk
+walk, `decode_wav`), and 8-bit PNG (chunk walk + CRC + stdlib-zlib
+inflate + all-five-filter reconstruction with a pixel checksum,
+`decode_png`). Formats needing codec libraries the container lacks
+(JPEG, MP4) are STUBBED (clearly marked below) with a deterministic fake
+that derives "metadata" from the raw bytes. Everything Spark-side —
+schema, batch iteration, partitioning behavior, UDF signatures — is real
+and tested; swapping the stub for PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads dominate row size, so these pipelines set
 ``spark.sql.files.maxPartitionBytes`` lower (or store blobs in separate
@@ -233,6 +237,202 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int] | None:
     ):
         return None
     return len(blob), n_channels, sample_rate, data_len // block_align
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (gray, RGB, gray+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6) — picks the neighbor closest
+    to the linear estimate a+b-c, ties broken left, above, upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + ctype + data
+        + (zlib.crc32(ctype + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, n_channels: int = 1
+) -> bytes:
+    """Pure-Python 8-bit PNG writer (fixture generator for the real
+    decode path — stdlib zlib only, no image library). ``pixels`` is the
+    raw sample stream, ``width*height*n_channels`` bytes, row-major.
+    Each scanline is filtered with type ``y % 5`` so a round-trip
+    exercises ALL five PNG filter reconstructions (None/Sub/Up/Average/
+    Paeth), not just the trivial one."""
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+    bpp = n_channels  # bytes per pixel at bit depth 8
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixels must be {stride * height} bytes, got {len(pixels)}"
+        )
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                raw.append(row[x])
+            elif ft == 1:
+                raw.append((row[x] - a) & 0xFF)
+            elif ft == 2:
+                raw.append((row[x] - b) & 0xFF)
+            elif ft == 3:
+                raw.append((row[x] - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((row[x] - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])  # depth 8, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """REAL image decode kernel: full PNG read — chunk walk with CRC
+    verification, IHDR parse, IDAT inflate (stdlib zlib), and the
+    per-scanline filter-byte walk reconstructing actual pixel bytes —
+    no image library. Returns (byte_len, width, height, n_channels,
+    bit_depth, pixel_sum) where pixel_sum is the sum of every
+    reconstructed sample byte (a content checksum only a correct
+    inflate+unfilter can produce), or None for anything that is not a
+    well-formed 8-bit non-interlaced PNG (bad magic, bad CRC, truncated
+    or lying chunk lengths, unknown filter types, decompressed size
+    mismatch) so the caller can fall back. Interlaced (Adam7) and 16-bit
+    images are honestly rejected rather than half-decoded."""
+    import zlib
+
+    if len(blob) < len(_PNG_SIG) + 12 or blob[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, idat, seen_end = 8, None, bytearray(), False
+    while pos + 12 <= len(blob):
+        size = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        end = pos + 8 + size
+        if end + 4 > len(blob):
+            return None
+        data = blob[pos + 8:end]
+        crc = int.from_bytes(blob[end:end + 4], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            return None
+        if ctype == b"IHDR":
+            if ihdr is not None or size != 13:
+                return None  # duplicate or malformed header
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = end + 4 == len(blob)
+            break
+        pos = end + 4
+    if ihdr is None or not idat or not seen_end:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    nch = _PNG_CHANNELS.get(color_type)
+    if (
+        width == 0 or height == 0 or depth != 8 or nch is None
+        or comp != 0 or filt != 0 or interlace != 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * nch
+    if len(raw) != height * (stride + 1):
+        return None
+    prev = bytes(stride)
+    total = 0
+    for y in range(height):
+        off = y * (stride + 1)
+        ft = raw[off]
+        if ft > 4:
+            return None
+        line = raw[off + 1:off + 1 + stride]
+        cur = bytearray(stride)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if ft == 0:
+                v = line[x]
+            elif ft == 1:
+                v = (line[x] + a) & 0xFF
+            elif ft == 2:
+                v = (line[x] + b) & 0xFF
+            elif ft == 3:
+                v = (line[x] + (a + b) // 2) & 0xFF
+            else:
+                v = (line[x] + _paeth(a, b, c)) & 0xFF
+            cur[x] = v
+            total += v
+        prev = bytes(cur)
+    return len(blob), width, height, nch, depth, total
+
+
+PNG_META_SCHEMA = (
+    "doc_id long, width long, height long, n_channels long, "
+    "bit_depth long, pixel_sum long"
+)
+
+
+def decode_png_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode PNG payloads to typed metadata + pixel checksum via
+    mapInPandas — the compressed-image twin of `decode_audio_blobs`.
+    Non-PNG payloads yield NULL metadata (explicit unknown, never fake
+    numbers). byte_len is intentionally NOT part of the output: the
+    deflate stream length is not arithmetic-derivable, so it cannot be
+    oracle-checked the way the WAV header could."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                meta = decode_png(b)
+                rows.append(
+                    (doc, *meta[1:]) if meta else (doc, None, None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels", "bit_depth",
+                    "pixel_sum",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, PNG_META_SCHEMA)
 
 
 AUDIO_META_SCHEMA = (

@@ -480,6 +480,57 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_audio_blobs(blobs)
 
 
+@query(
+    "q40d_image_png_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(1 + n_chars % 64 AS BIGINT) AS width,
+               CAST(1 + abs(doc_id) % 56 AS BIGINT) AS height,
+               CAST(1 + 2 * (abs(doc_id) % 2) AS BIGINT) AS n_channels,
+               CAST(8 AS BIGINT) AS bit_depth,
+               CAST((1 + n_chars % 64) * (1 + 2 * (abs(doc_id) % 2))
+                    * ((1 + abs(doc_id) % 56) * (abs(doc_id) % 200)
+                       + ((1 + abs(doc_id) % 56) * (abs(doc_id) % 56)) // 2)
+                    AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40d(spark: SparkSession, sf: str) -> DataFrame:
+    """Compressed-image pipeline with the REAL decode kernel: per-document
+    8-bit PNG payloads (synthesized in the encode stage with dimensions,
+    channel count, and a row-gradient fill all derived from document
+    fields; the encoder cycles through ALL FIVE PNG filter types) decoded
+    back by the pure-Python chunk-walk + CRC + zlib-inflate + unfilter
+    (multimodal.decode_png). The oracle restates the parameter derivation
+    plus the closed-form pixel checksum: row y is filled with byte
+    base+y (base = abs(doc_id)%200, height <= 56 so no byte wrap), so
+    pixel_sum = w*c*(h*base + h*(h-1)/2) — a value only a correct
+    inflate and filter reconstruction can reproduce. Both stages are
+    Arrow-batched mapInPandas; blobs never leave the executors.
+    (Reference has no media surface — src/stream.ts:38-56 map is where a
+    user would hang a decode callback.)"""
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_pngs(it):
+        for pdf in it:
+            blobs = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = abs(int(d)), int(n)
+                w, h, c = 1 + n % 64, 1 + d % 56, 1 + 2 * (d % 2)
+                base = d % 200
+                px = b"".join(bytes([base + y]) * (w * c) for y in range(h))
+                blobs.append(multimodal.encode_png(w, h, px, c))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+        make_pngs, "doc_id long, blob binary"
+    )
+    return multimodal.decode_png_blobs(blobs)
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 

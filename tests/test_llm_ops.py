@@ -666,3 +666,54 @@ def test_ann_lsh_raises_on_wrong_query_dim(spark):
     )
     with pytest.raises(Exception, match="ann_topk_lsh: dim=64 but query"):
         similarity.ann_topk_lsh(vecs, qv, k=3).collect()
+
+
+def test_png_decode_rejects_malformed():
+    """Strict validation: CRC corruption, truncation, lying chunk
+    lengths, interlace, and a bad filter byte all return None (fall back)
+    rather than half-decoding."""
+    import zlib
+
+    good = multimodal.encode_png(8, 8, bytes(range(64)), 1)
+    assert multimodal.decode_png(b"not a png at all") is None
+    assert multimodal.decode_png(good[:-6]) is None  # truncated IEND
+    flipped = bytearray(good)
+    flipped[20] ^= 1  # corrupt IHDR payload -> CRC mismatch
+    assert multimodal.decode_png(bytes(flipped)) is None
+    # interlaced flag: rebuild IHDR with interlace=1 and a VALID crc —
+    # must be rejected honestly, not half-decoded
+    ihdr = bytearray(good[16:29])
+    ihdr[12] = 1
+    chunk = (13).to_bytes(4, "big") + b"IHDR" + bytes(ihdr)
+    crc = (zlib.crc32(chunk[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    interlaced = good[:8] + chunk + crc + good[33:]
+    assert multimodal.decode_png(interlaced) is None
+    # bad filter byte inside a correctly-CRC'd IDAT
+    raw = bytearray(b"\x05" + bytes(8))  # filter 5 does not exist
+    raw += bytes(9) * 7
+    idat = zlib.compress(bytes(raw))
+    body = (13).to_bytes(4, "big") + b"IHDR" + good[16:29]
+    blob = (
+        good[:8]
+        + body + (zlib.crc32(body[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    ich = len(idat).to_bytes(4, "big") + b"IDAT" + idat
+    blob += ich + (zlib.crc32(ich[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    iend = (0).to_bytes(4, "big") + b"IEND"
+    blob += iend + (zlib.crc32(iend[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    assert multimodal.decode_png(blob) is None
+
+
+def test_multimodal_decode_png_via_spark(spark):
+    """PNGs through the mapInPandas plumbing: real metadata + pixel
+    checksum for PNG payloads, explicit NULLs for non-image rows."""
+    px = bytes([7]) * (4 * 3 * 3)
+    rows = [
+        (1, bytearray(multimodal.encode_png(4, 3, px, 3))),
+        (2, bytearray(b"definitely not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_png_blobs(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"],
+            got[1]["bit_depth"], got[1]["pixel_sum"]) == (4, 3, 3, 8, 7 * 36)
+    assert got[2]["width"] is None and got[2]["pixel_sum"] is None

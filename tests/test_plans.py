@@ -624,6 +624,17 @@ def test_audio_decode_pipeline_no_shuffle(spark):
     assert_not_in_plan(plan, "text#", "lang#")
 
 
+def test_png_decode_pipeline_no_shuffle(spark):
+    """q40d chains two Arrow mapInPandas stages (PNG synth -> full
+    decode) off one scan: like the audio pipeline, the compressed blobs
+    must never cross an exchange, and only the two parameter-deriving
+    source columns are read."""
+    plan = q("q40d_image_png_decode", spark)
+    assert_not_in_plan(plan, "Exchange")
+    assert_in_plan(plan, "MapInPandas")
+    assert_not_in_plan(plan, "text#", "lang#")
+
+
 def test_cooccurrence_reuses_distinct_exchange_at_runtime(spark):
     """q125's docstring claims the raw-events distinct shuffle
     materializes once: the static plan prints four copies, but AQE's

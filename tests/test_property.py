@@ -301,6 +301,40 @@ def test_wav_roundtrip_property(ns, sr, ch):
     assert multimodal.decode_wav(blob) == (len(blob), ch, sr, ns)
 
 
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_png_total_on_arbitrary_bytes(blob):
+    out = multimodal.decode_png(blob)
+    assert out is None or (len(out) == 6 and out[0] == len(blob))
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_png_total_on_sig_prefixed_garbage(blob):
+    # adversarial: correct 8-byte signature, arbitrary chunk bytes — the
+    # CRC gate alone should kill nearly all of these, never an exception
+    out = multimodal.decode_png(b"\x89PNG\r\n\x1a\n" + blob)
+    assert out is None or out[0] == len(blob) + 8
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ch, seed):
+    """encode->decode recovers exact dims, channels, and the pixel-byte
+    sum for RANDOM pixel content — with h >= 5 every PNG filter type
+    participates (the encoder cycles y %% 5)."""
+    import random
+
+    px = bytes(random.Random(seed).randrange(256) for _ in range(w * h * ch))
+    blob = multimodal.encode_png(w, h, px, ch)
+    assert multimodal.decode_png(blob) == (len(blob), w, h, ch, 8, sum(px))
+
+
 # ---- exact histogram percentiles vs a pure-Python reference ------------
 # One Spark job over MANY hypothesis-generated groups at once (each
 # example is a Spark round-trip, so groups are batched into one frame).
