@@ -589,10 +589,19 @@ def fuzzy_prefix_pairs(
     from .text import normalize_text
 
     pcols = [partition_col] if partition_col else []
-    p = _spread(documents, id_col).select(
-        F.col(id_col),
-        *[F.col(c) for c in pcols],
-        F.substring(normalize_text(text_col), 1, prefix_len).alias("pre"),
+    # Derive the 40-char prefix BEFORE the fan-out shuffle: the spread
+    # exchange then carries (id, partition, 40 chars) instead of full
+    # document text — at any scale, never shuffle payload bytes you are
+    # about to truncate (round-8 A/B at sf0.1: 0.999 s -> 0.681 s,
+    # identical result set). At 100 TB the scan has thousands of splits
+    # so the normalize parallelizes in the scan stage itself.
+    p = _spread(
+        documents.select(
+            F.col(id_col),
+            *[F.col(c) for c in pcols],
+            F.substring(normalize_text(text_col), 1, prefix_len).alias("pre"),
+        ),
+        id_col,
     ).filter(F.col("pre") != "")
     chunk_arr = F.array(
         *[
