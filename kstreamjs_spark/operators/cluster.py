@@ -35,12 +35,19 @@ from pyspark.sql import DataFrame
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         round_stats: list | None = None) -> DataFrame:
     """Return (node, label) with label = min node id of the component.
 
     ``edges`` is an undirected pair list (any orientation, dups fine).
     Deterministic: min-label is order-independent, so the result is
     reproducible across runs/partitionings — required for oracle matching.
+
+    ``round_stats`` (profiling only): when a list is passed, one dict per
+    propagation round {"round", "changed"} is appended — ``changed`` is a
+    full count of labels lowered that round, an EXTRA aggregate job per
+    round, so production callers leave it None and get the cheap take(1)
+    convergence probe on the already-materialized frame instead.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize + self-loops: every node sees every neighbor AND itself.
@@ -58,7 +65,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     converged = False
     prev = None
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # propagate: node adopts min(neighbor labels ∪ own label).
         # One materialization per round: checkpoint the joined frame, then
         # both the convergence probe and the next label frame read the
@@ -70,7 +77,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         joined = labels.join(prop, "a").localCheckpoint(eager=True)
         labels = joined.select("a", F.least("label", "new_label").alias("label"))
-        done = not joined.filter(F.col("new_label") < F.col("label")).take(1)
+        if round_stats is not None:
+            changed = joined.filter(F.col("new_label") < F.col("label")).count()
+            round_stats.append({"round": _round, "changed": changed})
+            done = changed == 0
+        else:
+            done = not joined.filter(F.col("new_label") < F.col("label")).take(1)
         # Release the PREVIOUS round's checkpointed blocks now that the
         # new frame is materialized (the new labels no longer read them) —
         # otherwise up to max_iter label generations stay pinned in
