@@ -624,6 +624,19 @@ def test_audio_decode_pipeline_no_shuffle(spark):
     assert_not_in_plan(plan, "text#", "lang#")
 
 
+def test_fuzzy_blocked_prefix_derived_before_spread(spark):
+    """Round 8: fuzzy_prefix_pairs derives the normalized 40-char prefix
+    BELOW the fan-out exchange, so the shuffle carries (id, source, 40
+    chars) instead of full document text (A/B: 0.999 s -> 0.681 s at
+    sf0.1). Pinned by node order: the normalize expression (lower(text))
+    must appear under the doc_id repartition exchange, never above it."""
+    df = q("q104b_fuzzy_blocked_pairs", spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = plan.index("Exchange hashpartitioning(doc_id")
+    norm = plan.index("lower(text")
+    assert ex < norm, plan[:2000]
+
+
 def test_png_decode_pipeline_no_shuffle(spark):
     """q40d chains two Arrow mapInPandas stages (PNG synth -> full
     decode) off one scan: like the audio pipeline, the compressed blobs
