@@ -2,15 +2,20 @@
 ``binary`` columns with typed metadata; decode / feature-extract run as
 Arrow-batched Pandas functions over ``mapInPandas``.
 
-Three formats decode FOR REAL with dependency-free pure-Python kernels:
+Five formats decode FOR REAL with dependency-free pure-Python kernels:
 uncompressed BMP (header arithmetic, `decode_bmp`), PCM WAV (RIFF chunk
-walk, `decode_wav`), and 8-bit PNG (chunk walk + CRC + stdlib-zlib
-inflate + all-five-filter reconstruction with a pixel checksum,
-`decode_png`). Formats needing codec libraries the container lacks
-(JPEG, MP4) are STUBBED (clearly marked below) with a deterministic fake
-that derives "metadata" from the raw bytes. Everything Spark-side —
-schema, batch iteration, partitioning behavior, UDF signatures — is real
-and tested; swapping the stub for PIL/ffmpeg is a one-function change.
+walk, `decode_wav`), 8-bit PNG (chunk walk + CRC + stdlib-zlib inflate +
+all-five-filter reconstruction with a pixel checksum, `decode_png`),
+grayscale baseline JPEG (marker walk + DHT-driven huffman entropy decode
++ dequantize + numpy-batched 2-D IDCT, `decode_jpeg`), and ISO-BMFF MP4
+(box walk over moov/trak/stbl sample tables for metadata AND real
+per-frame offset/size/timestamp rows, `decode_mp4` /
+`mp4_sample_table`). Remaining honest limits, clearly marked below:
+progressive / chroma-subsampled color JPEG and actual video FRAME PIXEL
+decode need codec libraries the container lacks, so `_decode_stub` and
+`resize_blobs` keep deterministic fakes. Everything Spark-side — schema,
+batch iteration, partitioning behavior, UDF signatures — is real and
+tested; swapping a stub for PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads dominate row size, so these pipelines set
 ``spark.sql.files.maxPartitionBytes`` lower (or store blobs in separate
@@ -557,3 +562,792 @@ def sample_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ------------------------------------------------------- ISO-BMFF (MP4)
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _mp4_full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _mp4_box(btype, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+_MP4_MATRIX = b"".join(
+    v.to_bytes(4, "big")
+    for v in (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+)
+
+
+def encode_mp4(
+    n_frames: int,
+    frame_delta: int = 40,
+    timescale: int = 1000,
+    width: int = 640,
+    height: int = 480,
+) -> bytes:
+    """Pure-Python minimal ISO-BMFF (MP4) writer — fixture generator for
+    the real video-metadata decode path (no media library). One video
+    track, uniform frame timing (stts), per-frame sizes 16+(i%7) (stsz),
+    one chunk (stsc/stco), and an mdat whose payload is exactly the
+    declared sample bytes laid out back-to-back. Duration =
+    n_frames * frame_delta ticks."""
+    if n_frames <= 0 or frame_delta <= 0 or timescale <= 0:
+        raise ValueError("n_frames, frame_delta, timescale must be positive")
+    duration = n_frames * frame_delta
+    sizes = [16 + (i % 7) for i in range(n_frames)]
+
+    mvhd = _mp4_full(
+        b"mvhd", 0, 0,
+        (0).to_bytes(4, "big") * 2                     # creation/modification
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x00010000).to_bytes(4, "big")              # rate 1.0
+        + (0x0100).to_bytes(2, "big")                  # volume 1.0
+        + bytes(10)                                    # reserved
+        + _MP4_MATRIX
+        + bytes(24)                                    # pre_defined
+        + (2).to_bytes(4, "big"),                      # next_track_ID
+    )
+    tkhd = _mp4_full(
+        b"tkhd", 0, 7,                  # enabled | in_movie | in_preview
+        (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big")                       # track_ID
+        + bytes(4)                                     # reserved
+        + duration.to_bytes(4, "big")
+        + bytes(8)                                     # reserved
+        + bytes(4)                                     # layer + alternate_group
+        + bytes(4)                                     # volume + reserved
+        + _MP4_MATRIX
+        + (width << 16).to_bytes(4, "big")             # 16.16 fixed-point
+        + (height << 16).to_bytes(4, "big"),
+    )
+    mdhd = _mp4_full(
+        b"mdhd", 0, 0,
+        (0).to_bytes(4, "big") * 2
+        + timescale.to_bytes(4, "big")
+        + duration.to_bytes(4, "big")
+        + (0x55C4).to_bytes(2, "big")                  # language 'und'
+        + bytes(2),
+    )
+    hdlr = _mp4_full(b"hdlr", 0, 0, bytes(4) + b"vide" + bytes(12) + b"video\x00")
+    stsd = _mp4_full(
+        b"stsd", 0, 0,
+        (1).to_bytes(4, "big")
+        + _mp4_box(
+            b"mp4v",
+            bytes(6) + (1).to_bytes(2, "big")   # reserved + data_ref_index
+            + bytes(16)                         # pre_defined / reserved
+            + width.to_bytes(2, "big")
+            + height.to_bytes(2, "big")
+            + (0x00480000).to_bytes(4, "big") * 2  # 72 dpi h/v
+            + bytes(4)                          # reserved
+            + (1).to_bytes(2, "big")            # frame_count
+            + bytes(32)                         # compressorname
+            + (24).to_bytes(2, "big")           # depth
+            + (0xFFFF).to_bytes(2, "big"),      # pre_defined -1
+        ),
+    )
+    stts = _mp4_full(
+        b"stts", 0, 0,
+        (1).to_bytes(4, "big")
+        + n_frames.to_bytes(4, "big")
+        + frame_delta.to_bytes(4, "big"),
+    )
+    stsz = _mp4_full(
+        b"stsz", 0, 0,
+        (0).to_bytes(4, "big")                  # sample_size 0 = per-entry
+        + n_frames.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes),
+    )
+    stsc = _mp4_full(
+        b"stsc", 0, 0,
+        (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big")                # first_chunk
+        + n_frames.to_bytes(4, "big")           # samples_per_chunk
+        + (1).to_bytes(4, "big"),               # sample_description_index
+    )
+    # stco's chunk offset is file-absolute, and moov's size depends on the
+    # fixed-size stco (20 bytes) itself — compute the layout directly.
+    stbl_partial = stsd + stts + stsc + stsz
+    moov_payload_len = (
+        len(mvhd)
+        + 8 + len(tkhd)                               # trak header + tkhd
+        + 8                                           # mdia header
+        + len(mdhd) + len(hdlr)
+        + 8                                           # minf header
+        + 8 + len(stbl_partial) + 20                  # stbl incl. stco
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    chunk_off = len(ftyp) + 8 + moov_payload_len + 8  # + moov, mdat headers
+    stco = _mp4_full(
+        b"stco", 0, 0,
+        (1).to_bytes(4, "big") + chunk_off.to_bytes(4, "big"),
+    )
+    stbl = _mp4_box(b"stbl", stbl_partial + stco)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    frames = b"".join(
+        bytes((j * 11 + i) % 256 for j in range(s))
+        for i, s in enumerate(sizes)
+    )
+    return ftyp + moov + _mp4_box(b"mdat", frames)
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the boxes tiling
+    buf[start:end]; raise ValueError if they don't tile exactly."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated largesize")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            hdr = 16
+        else:
+            hdr = 8
+        if size < hdr or pos + size > end:
+            raise ValueError("box size out of bounds")
+        yield buf[pos + 4:pos + 8], pos + hdr, pos + size
+        pos += size
+    if pos != end:
+        raise ValueError("boxes do not tile container")
+
+
+def _mp4_find(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _mp4_walk(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _parse_mp4(blob: bytes) -> dict | None:
+    """Shared ISO-BMFF walker: validates the box structure and returns the
+    movie header fields plus the first track's raw sample tables. Strict —
+    boxes must exactly tile the file and every container, ftyp must come
+    first, stts and stsz must agree on the sample count, and the declared
+    sample bytes must fit inside mdat — so arbitrary bytes cannot alias
+    into the real path."""
+    try:
+        top = list(_mp4_walk(blob, 0, len(blob)))
+        if not top or top[0][0] != b"ftyp":
+            return None
+        moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+        mdat = next(((s, e) for t, s, e in top if t == b"mdat"), None)
+        if moov is None or mdat is None:
+            return None
+        mvhd = _mp4_find(blob, moov[0], moov[1], b"mvhd")
+        trak = _mp4_find(blob, moov[0], moov[1], b"trak")
+        if mvhd is None or trak is None:
+            return None
+        s, e = mvhd
+        version = blob[s]
+        if version == 0 and e - s >= 24:
+            timescale = int.from_bytes(blob[s + 12:s + 16], "big")
+            duration = int.from_bytes(blob[s + 16:s + 20], "big")
+        elif version == 1 and e - s >= 36:
+            timescale = int.from_bytes(blob[s + 20:s + 24], "big")
+            duration = int.from_bytes(blob[s + 24:s + 32], "big")
+        else:
+            return None
+        if timescale == 0:
+            return None
+        tkhd = _mp4_find(blob, trak[0], trak[1], b"tkhd")
+        mdia = _mp4_find(blob, trak[0], trak[1], b"mdia")
+        if tkhd is None or mdia is None:
+            return None
+        s, e = tkhd
+        # width/height are the last 8 bytes of tkhd in both versions
+        if blob[s] not in (0, 1) or e - s < (84 if blob[s] == 0 else 96):
+            return None
+        width = int.from_bytes(blob[e - 8:e - 4], "big") >> 16
+        height = int.from_bytes(blob[e - 4:e], "big") >> 16
+        minf = _mp4_find(blob, mdia[0], mdia[1], b"minf")
+        stbl = minf and _mp4_find(blob, minf[0], minf[1], b"stbl")
+        if not stbl:
+            return None
+        stts = _mp4_find(blob, stbl[0], stbl[1], b"stts")
+        stsz = _mp4_find(blob, stbl[0], stbl[1], b"stsz")
+        stsc = _mp4_find(blob, stbl[0], stbl[1], b"stsc")
+        stco = _mp4_find(blob, stbl[0], stbl[1], b"stco")
+        if stts is None or stsz is None:
+            return None
+        s, e = stts
+        if blob[s] != 0:
+            return None
+        n_entries = int.from_bytes(blob[s + 4:s + 8], "big")
+        if e - s != 8 + 8 * n_entries:
+            return None
+        timing = [
+            (
+                int.from_bytes(blob[s + 8 + 8 * i:s + 12 + 8 * i], "big"),
+                int.from_bytes(blob[s + 12 + 8 * i:s + 16 + 8 * i], "big"),
+            )
+            for i in range(n_entries)
+        ]
+        n_frames = sum(c for c, _ in timing)
+        s, e = stsz
+        if blob[s] != 0:
+            return None
+        fixed = int.from_bytes(blob[s + 4:s + 8], "big")
+        count = int.from_bytes(blob[s + 8:s + 12], "big")
+        if count != n_frames:
+            return None
+        if fixed:
+            if e - s != 12:
+                return None
+            sizes = [fixed] * count
+        else:
+            if e - s != 12 + 4 * count:
+                return None
+            sizes = [
+                int.from_bytes(blob[s + 12 + 4 * i:s + 16 + 4 * i], "big")
+                for i in range(count)
+            ]
+        if sum(sizes) > mdat[1] - mdat[0]:
+            return None
+        chunk_offsets = stsc_entries = None
+        if stco is not None:
+            s, e = stco
+            if blob[s] != 0:
+                return None
+            n = int.from_bytes(blob[s + 4:s + 8], "big")
+            if e - s != 8 + 4 * n:
+                return None
+            chunk_offsets = [
+                int.from_bytes(blob[s + 8 + 4 * i:s + 12 + 4 * i], "big")
+                for i in range(n)
+            ]
+        if stsc is not None:
+            s, e = stsc
+            if blob[s] != 0:
+                return None
+            n = int.from_bytes(blob[s + 4:s + 8], "big")
+            if e - s != 8 + 12 * n:
+                return None
+            stsc_entries = [
+                (
+                    int.from_bytes(blob[s + 8 + 12 * i:s + 12 + 12 * i], "big"),
+                    int.from_bytes(blob[s + 12 + 12 * i:s + 16 + 12 * i], "big"),
+                )
+                for i in range(n)
+            ]
+        return {
+            "timescale": timescale,
+            "duration": duration,
+            "width": width,
+            "height": height,
+            "timing": timing,
+            "sizes": sizes,
+            "mdat": mdat,
+            "chunk_offsets": chunk_offsets,
+            "stsc": stsc_entries,
+        }
+    except ValueError:
+        return None
+
+
+def decode_mp4(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """REAL video-metadata decode kernel: ISO-BMFF box walk — ftyp/moov/
+    mvhd/trak/tkhd and the stts/stsz sample tables — pure arithmetic, no
+    media library (the metadata stage of a video pipeline needs timing
+    and size tables, not decoded pictures). Returns (byte_len,
+    duration_ms, width, height, n_frames, sample_bytes), or None when the
+    payload is not well-formed ISO-BMFF (see `_parse_mp4` for the strict
+    validation that keeps arbitrary bytes out)."""
+    meta = _parse_mp4(blob)
+    if meta is None:
+        return None
+    return (
+        len(blob),
+        meta["duration"] * 1000 // meta["timescale"],
+        meta["width"],
+        meta["height"],
+        len(meta["sizes"]),
+        sum(meta["sizes"]),
+    )
+
+
+def mp4_sample_table(blob: bytes) -> list[tuple[int, int, int, int]] | None:
+    """REAL frame-sample kernel: walk stts/stsz/stsc/stco to produce one
+    (frame_idx, frame_off, frame_bytes, t_ms) row per video sample —
+    exactly what a keyframe-seeking extractor reads before touching any
+    codec. ``frame_off`` is relative to the mdat payload (file-absolute
+    stco offsets minus the located mdat start) so downstream arithmetic
+    is container-layout-independent. Returns None for non-MP4 payloads or
+    files whose chunk tables are absent/inconsistent."""
+    meta = _parse_mp4(blob)
+    if meta is None or not meta["chunk_offsets"] or not meta["stsc"]:
+        return None
+    sizes = meta["sizes"]
+    chunk_offsets, stsc = meta["chunk_offsets"], meta["stsc"]
+    mdat_start, mdat_end = meta["mdat"]
+    # samples-per-chunk for each chunk, from the stsc run-length map
+    if stsc[0][0] != 1:
+        return None
+    spc = []
+    for i, (first, per) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunk_offsets)
+        if first > last:
+            return None
+        spc.extend([per] * (last - first + 1))
+    if sum(spc) != len(sizes):
+        return None
+    # absolute offset per sample: chunk base + running size within chunk
+    offs = []
+    k = 0
+    for ci, base in enumerate(chunk_offsets):
+        pos = base
+        for _ in range(spc[ci]):
+            offs.append(pos)
+            pos += sizes[k]
+            k += 1
+    # timestamps from the stts run-length deltas
+    ts, t = [], 0
+    for count, delta in meta["timing"]:
+        for _ in range(count):
+            ts.append(t)
+            t += delta
+    scale = meta["timescale"]
+    rows = []
+    for i, (off, size) in enumerate(zip(offs, sizes)):
+        if off < mdat_start or off + size > mdat_end:
+            return None  # sample claims bytes outside mdat
+        rows.append((i, off - mdat_start, size, ts[i] * 1000 // scale))
+    return rows
+
+
+MP4_META_SCHEMA = (
+    "doc_id long, duration_ms long, width long, height long, "
+    "n_frames long, sample_bytes long"
+)
+
+
+def decode_video_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode MP4 payloads to typed metadata via mapInPandas — the video
+    twin of `decode_png_blobs`. Non-MP4 payloads yield NULL metadata
+    (explicit unknown, never fake numbers). byte_len is intentionally NOT
+    part of the output: box-layout byte counts are not arithmetic-
+    derivable (same reasoning that excluded PNG's deflate length)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                meta = decode_mp4(b)
+                rows.append(
+                    (doc, *meta[1:])
+                    if meta
+                    else (doc, None, None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "duration_ms", "width", "height", "n_frames",
+                    "sample_bytes",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, MP4_META_SCHEMA)
+
+
+MP4_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_off long, frame_bytes long, t_ms long"
+)
+
+
+def sample_mp4_frames(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """REAL frame-sample operator: 1:N explode of each MP4 payload into
+    its sample-table rows via `mp4_sample_table` (the non-stub successor
+    of `sample_frames` for ISO-BMFF payloads — real offsets, sizes, and
+    timestamps, no codec needed). Non-MP4 payloads contribute no rows.
+    At scale this stage is decode-bound on its INPUT, so partition on the
+    blobs, never on the exploded output."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, sizes, tss = [], [], [], [], []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                rows = mp4_sample_table(b)
+                for i, off, size, tms in rows or ():
+                    ids.append(doc)
+                    idxs.append(i)
+                    offs.append(off)
+                    sizes.append(size)
+                    tss.append(tms)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_off": offs,
+                 "frame_bytes": sizes, "t_ms": tss}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, MP4_FRAME_SCHEMA)
+
+
+# --------------------------------------------------------- baseline JPEG
+def _jpeg_zigzag() -> list[int]:
+    """Natural index (8*row+col) of the i-th coefficient in zigzag scan,
+    generated from the diagonal traversal rule rather than hardcoded."""
+    pts = [(r, c) for r in range(8) for c in range(8)]
+    pts.sort(key=lambda p: (p[0] + p[1],
+                            p[0] if (p[0] + p[1]) % 2 else -p[0]))
+    return [8 * r + c for r, c in pts]
+
+
+_JPEG_ZIGZAG = _jpeg_zigzag()
+# Custom (spec-legal) huffman tables declared via DHT and decoded
+# generically: DC categories 0..7 as eight 4-bit codes (0000..0111 — the
+# all-ones code is never assigned), AC with the single EOB symbol as the
+# 2-bit code 00. The decoder reads whatever tables the file declares.
+_JPEG_DC_BITS = [0, 0, 0, 8] + [0] * 12
+_JPEG_DC_VALS = list(range(8))
+_JPEG_AC_BITS = [0, 1] + [0] * 14
+_JPEG_AC_VALS = [0x00]
+_JPEG_QTAB = [16] * 64  # flat quant table (DQT carries zigzag order)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)  # pad with 1s per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) canonical huffman assignment (T.81 C.2)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg(width: int, height: int, block_values: list[int]) -> bytes:
+    """Pure-Python grayscale baseline-JPEG writer for BLOCK-UNIFORM images
+    (fixture generator for the real decode path — no image library).
+    Block b of the row-major 8x8 grid is filled with block_values[b],
+    which must be EVEN so the quantized DC (uniform block: FDCT DC =
+    8*(v-128), all AC zero; quant 16) is exact and the decoded image
+    reproduces the values bit-for-bit despite the lossy pipeline —
+    that's what keeps the oracle checksum closed-form. DC *differences*
+    across blocks still exercise huffman magnitude categories up to 7."""
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive multiples of 8")
+    nb = (width // 8) * (height // 8)
+    if len(block_values) != nb:
+        raise ValueError(f"need {nb} block values, got {len(block_values)}")
+    if any(v % 2 or not 0 <= v <= 255 for v in block_values):
+        raise ValueError("block values must be even bytes")
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for v in block_values:
+        qdc = (v - 128) // 2
+        diff = qdc - pred
+        pred = qdc
+        t = abs(diff).bit_length()
+        code, length = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+    sof0 = _jpeg_seg(
+        0xC0,
+        bytes([8])
+        + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),  # 1 component, id 1, 1x1 sampling, qtab 0
+    )
+    dht = (
+        _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    )
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof0 + dht + sos + w.flush() + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; any real marker
+    inside the stream is an error (restart intervals are rejected at DRI)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos = buf, pos
+        self.acc, self.n = 0, 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("entropy stream truncated")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf) or self.buf[self.pos + 1] != 0x00:
+                raise ValueError("marker inside entropy stream")
+            self.pos += 2  # stuffed literal 0xFF
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_build_decode(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol map from a DHT declaration."""
+    table, code, k = {}, 0, 0
+    if sum(bits) != len(vals) or not vals:
+        raise ValueError("bad huffman table")
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        if code > (1 << length):
+            raise ValueError("over-subscribed huffman table")
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_idct_basis():
+    """8x8 IDCT basis B[u, x] = c(u) cos((2x+1)u*pi/16), built lazily so
+    module import stays numpy-free until a decode actually runs."""
+    import math
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                math.cos((2 * x + 1) * u * math.pi / 16)
+                * (math.sqrt(0.5) if u == 0 else 1.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL image decode kernel: full grayscale baseline-JPEG read —
+    marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode driven by
+    the DECLARED tables (generic run-length AC path included), dequantize,
+    numpy-BATCHED float 2-D IDCT over all blocks at once, level shift —
+    no image library. Returns (byte_len, width, height, n_components,
+    pixel_sum) where pixel_sum is the sum of every reconstructed pixel
+    (a content checksum only a correct huffman+IDCT chain reproduces), or
+    None for anything that is not well-formed single-component baseline
+    JPEG — progressive scans, color/subsampled images, restart intervals,
+    16-bit quant tables, and truncated or lying segments are all honestly
+    rejected rather than half-decoded."""
+    import numpy as np
+
+    try:
+        if len(blob) < 4 or blob[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qtabs: dict[int, list[int]] = {}
+        dc_tabs: dict[int, dict] = {}
+        ac_tabs: dict[int, dict] = {}
+        sof = None
+        while True:
+            if pos + 2 > len(blob) or blob[pos] != 0xFF:
+                return None
+            marker = blob[pos + 1]
+            pos += 2
+            if marker == 0xFF:  # fill byte
+                pos -= 1
+                continue
+            if marker == 0xD9:  # EOI before SOS: no image
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                continue
+            if pos + 2 > len(blob):
+                return None
+            seglen = int.from_bytes(blob[pos:pos + 2], "big")
+            if seglen < 2 or pos + seglen > len(blob):
+                return None
+            body = blob[pos + 2:pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0 or i + 65 > len(body):
+                        return None  # 16-bit tables rejected
+                    qtabs[tq] = list(body[i + 1:i + 65])
+                    i += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = list(body[i + 1:i + 17])
+                    n = sum(bits)
+                    if i + 17 + n > len(body):
+                        return None
+                    tab = _jpeg_build_decode(bits, list(body[i + 17:i + 17 + n]))
+                    (dc_tabs if tc == 0 else ac_tabs)[th] = tab
+                    i += 17 + n
+                if i != len(body):
+                    return None
+            elif marker == 0xC0:  # SOF0 baseline
+                if sof is not None or len(body) < 9 or body[0] != 8:
+                    return None
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                if body[5] != 1 or len(body) != 9 or body[7] != 0x11:
+                    return None  # single component, 1x1 sampling only
+                sof = (w, h, body[8])
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive/extended SOFs rejected
+            elif marker == 0xDD:  # DRI
+                if body != b"\x00\x00":
+                    return None  # restart intervals rejected
+            elif marker == 0xDA:  # SOS
+                if sof is None or len(body) != 6 or body[0] != 1:
+                    return None
+                if body[3] != 0 or body[4] != 63 or body[5] != 0:
+                    return None
+                dc_id, ac_id = body[2] >> 4, body[2] & 15
+                break
+            # APPn / COM: skipped
+        w, h, qid = sof
+        if w == 0 or h == 0 or qid not in qtabs:
+            return None
+        if dc_id not in dc_tabs or ac_id not in ac_tabs:
+            return None
+        q = qtabs[qid]
+        dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        reader = _JpegBitReader(blob, pos)
+        pred = 0
+        coefs = np.zeros((by * bx, 64))
+        for bi in range(by * bx):
+            t = _jpeg_huff_decode(reader, dct)
+            if t > 11:
+                return None
+            pred += _jpeg_extend(reader.bits(t), t) if t else 0
+            coefs[bi, 0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(reader, act)
+                if rs == 0x00:
+                    break  # EOB
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        return None
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > 63:
+                    return None
+                coefs[bi, _JPEG_ZIGZAG[k]] = (
+                    _jpeg_extend(reader.bits(s), s) * q[k]
+                )
+                k += 1
+        # expect (padding bits then) EOI exactly at the end of the blob
+        p = reader.pos
+        if blob[p:p + 2] != b"\xff\xd9" or p + 2 != len(blob):
+            return None
+        basis = _jpeg_idct_basis()
+        # batched separable IDCT: f = (1/4) * B^T F B per block
+        f = np.einsum("yu,nuv,vx->nyx", basis.T, coefs.reshape(-1, 8, 8),
+                      basis) / 4.0
+        px = np.clip(np.rint(f) + 128, 0, 255)
+        img = (
+            px.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)[:h, :w]
+        )
+        return len(blob), w, h, 1, int(img.sum())
+    except ValueError:
+        return None
+
+
+JPEG_META_SCHEMA = (
+    "doc_id long, width long, height long, n_components long, pixel_sum long"
+)
+
+
+def decode_jpeg_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode baseline-JPEG payloads to typed metadata + pixel checksum
+    via mapInPandas — the lossy-compressed twin of `decode_png_blobs`.
+    Non-JPEG (or non-baseline) payloads yield NULL metadata (explicit
+    unknown, never fake numbers). byte_len is intentionally NOT part of
+    the output: entropy-coded lengths are not arithmetic-derivable (same
+    reasoning that excluded PNG's deflate length)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc, b in zip(pdf[id_col], pdf[blob_col]):
+                meta = decode_jpeg(b)
+                rows.append(
+                    (doc, *meta[1:]) if meta else (doc, None, None, None, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_components", "pixel_sum",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, JPEG_META_SCHEMA)

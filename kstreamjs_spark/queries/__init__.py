@@ -69,12 +69,13 @@ _WINDOW_SIZE = 50
 # Round 8: the r7 streaming pins are retired — all four re-earned driver
 # rows on the quantize-before-sum arithmetic in CORRECTNESS_r07. No query
 # changed behavior after its latest driver row (the round-8 engine edits
-# are guards, measurement tooling, and the new q40d PNG decode), so the
-# pin list is EMPTY and the staleness sort alone fills the window: q40d
-# enters first as never-checked (hist 0), then the 23 r4-vintage rows
-# (q39, q40b, q41, q43, q46-q49, q51, q52, q54-q56, q63, q72, q73, q75,
-# q77, q78, q80, q82-q84), then the 26 oldest r5 rows — after this round
-# no query's newest driver row is older than r5.
+# are guards, measurement tooling, and the new media queries), so the
+# pin list is EMPTY and the staleness sort alone fills the window: the
+# four never-checked media queries (q40d PNG, q40e MP4 metadata, q40f
+# JPEG, q40g MP4 frame sample) enter first (hist 0), then the 23
+# r4-vintage rows (q39, q40b, q41, q43, q46-q49, q51, q52, q54-q56, q63,
+# q72, q73, q75, q77, q78, q80, q82-q84), then the 23 oldest r5 rows —
+# after this round no query's newest driver row is older than r5.
 _WINDOW_PRIORITY: list[str] = []
 # ROUND-9 NOTE: if round 8's q40c-adjacent fix (channels arithmetic,
 # ADVICE item 2) or any other edit alters attested arithmetic, pin those

@@ -531,6 +531,168 @@ def q40d(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_png_blobs(blobs)
 
 
+@query(
+    "q40e_video_mp4_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST((1 + n_chars % 240) * 40 AS BIGINT) AS duration_ms,
+               CAST(16 * (1 + abs(doc_id) % 80) AS BIGINT) AS width,
+               CAST(16 * (1 + abs(doc_id) % 45) AS BIGINT) AS height,
+               CAST(1 + n_chars % 240 AS BIGINT) AS n_frames,
+               CAST(16 * (1 + n_chars % 240)
+                    + ((1 + n_chars % 240) // 7) * 21
+                    + (((1 + n_chars % 240) % 7)
+                       * ((1 + n_chars % 240) % 7 - 1)) // 2
+                    AS BIGINT) AS sample_bytes
+        FROM documents
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40e(spark: SparkSession, sf: str) -> DataFrame:
+    """Video pipeline with the REAL metadata decode kernel: per-document
+    ISO-BMFF MP4 payloads (synthesized with frame count, frame timing,
+    and track dimensions all derived from document fields; per-frame
+    sizes 16+(i%7)) decoded back by the pure-Python box walk over
+    moov/mvhd/trak/tkhd and the stts/stsz sample tables
+    (multimodal.decode_mp4). The oracle restates the parameter
+    derivation plus the closed-form sample-byte total: sum of 16+(i%7)
+    over n frames = 16n + 21*(n//7) + r(r-1)/2 with r = n%7 — a value
+    only a correct stsz table walk reproduces. duration_ms exercises the
+    mvhd timescale arithmetic (timescale 1000, 40 ticks/frame). Both
+    stages are Arrow-batched mapInPandas; blobs never leave the
+    executors. (Reference has no media surface — src/stream.ts:38-56 map
+    is where a user would hang a decode callback.)"""
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_mp4s(it):
+        for pdf in it:
+            blobs = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = abs(int(d)), int(n)
+                blobs.append(
+                    multimodal.encode_mp4(
+                        1 + n % 240, 40, 1000,
+                        16 * (1 + d % 80), 16 * (1 + d % 45),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+        make_mp4s, "doc_id long, blob binary"
+    )
+    return multimodal.decode_video_blobs(blobs)
+
+
+@query(
+    "q40f_image_jpeg_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 * wb AS BIGINT) AS width,
+               CAST(8 * hb AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_components,
+               CAST(64 * (28 * wb * hb
+                    + 2 * (((base + wb * hb) // 114) * 6441
+                           + (((base + wb * hb) % 114)
+                              * ((base + wb * hb) % 114 - 1)) // 2
+                           - (base * (base - 1)) // 2))
+                    AS BIGINT) AS pixel_sum
+        FROM (SELECT doc_id,
+                     1 + n_chars % 16 AS wb,
+                     1 + abs(doc_id) % 12 AS hb,
+                     abs(doc_id) % 114 AS base
+              FROM documents)
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40f(spark: SparkSession, sf: str) -> DataFrame:
+    """Lossy-compressed-image pipeline with the REAL decode kernel:
+    per-document grayscale baseline JPEGs (block-uniform 8x8 grid, block
+    b filled with the EVEN value 28+2*((base+b)%114) so the quantized DC
+    survives the lossy pipeline exactly; DC differences wrap through
+    huffman magnitude categories 1 and 7) decoded back by the pure-Python
+    marker walk + DHT-driven huffman entropy decode + dequant +
+    numpy-batched 2-D IDCT (multimodal.decode_jpeg). The oracle restates
+    the parameter derivation plus the closed-form pixel checksum: with
+    S(m) = sum of j%114 for j<m = (m//114)*6441 + (m%114)(m%114-1)/2,
+    pixel_sum = 64*(28*nb + 2*(S(base+nb) - S(base))) — a value only a
+    correct huffman+IDCT chain reproduces (base < 114, so S(base)
+    reduces to base(base-1)/2). Both stages are Arrow-batched
+    mapInPandas; blobs never leave the executors."""
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_jpegs(it):
+        for pdf in it:
+            blobs = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = abs(int(d)), int(n)
+                wb, hb = 1 + n % 16, 1 + d % 12
+                base = d % 114
+                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
+                blobs.append(multimodal.encode_jpeg(8 * wb, 8 * hb, vals))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+        make_jpegs, "doc_id long, blob binary"
+    )
+    return multimodal.decode_jpeg_blobs(blobs)
+
+
+@query(
+    "q40g_video_frame_sample",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(16 * i + (i // 7) * 21 + ((i % 7) * (i % 7 - 1)) // 2
+                    AS BIGINT) AS frame_off,
+               CAST(16 + i % 7 AS BIGINT) AS frame_bytes,
+               CAST(i * 40 AS BIGINT) AS t_ms
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, n_chars % 240)) AS i
+              FROM documents)
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40g(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL frame-sample stage: 1:N explode of each synthesized MP4 into
+    its per-sample rows via the stts/stsz/stsc/stco table walk
+    (multimodal.sample_mp4_frames) — offsets relative to the mdat
+    payload, sizes, and timestamps, exactly what a keyframe extractor
+    reads before touching a codec. The oracle restates the synthesis
+    arithmetic per frame i: offset = running sum of earlier sizes =
+    16i + 21*(i//7) + r(r-1)/2 (r = i%7), size = 16+(i%7), t =
+    i*40 ms. frame_off is mdat-relative BY DESIGN: file-absolute stco
+    offsets depend on box layout byte counts, which are not
+    arithmetic-derivable (the same reasoning that excluded PNG's deflate
+    length from q40d). Retires the byte-window `sample_frames` stub for
+    ISO-BMFF payloads. (Reference's 1:N surface is explode,
+    src/stream.ts:78-90.)"""
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_mp4s(it):
+        for pdf in it:
+            blobs = []
+            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = abs(int(d)), int(n)
+                blobs.append(
+                    multimodal.encode_mp4(
+                        1 + n % 240, 40, 1000,
+                        16 * (1 + d % 80), 16 * (1 + d % 45),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+        make_mp4s, "doc_id long, blob binary"
+    )
+    return multimodal.sample_mp4_frames(blobs)
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 

@@ -717,3 +717,148 @@ def test_multimodal_decode_png_via_spark(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_channels"],
             got[1]["bit_depth"], got[1]["pixel_sum"]) == (4, 3, 3, 8, 7 * 36)
     assert got[2]["width"] is None and got[2]["pixel_sum"] is None
+
+
+def test_mp4_decode_rejects_malformed():
+    """Strict ISO-BMFF validation: truncation, trailing junk, size lies,
+    stts/stsz disagreement, and samples outside mdat all return None
+    (fall back) rather than half-decoding."""
+    good = multimodal.encode_mp4(25)
+    assert multimodal.decode_mp4(b"not a movie at all") is None
+    assert multimodal.decode_mp4(good[:-1]) is None   # boxes no longer tile
+    assert multimodal.decode_mp4(good + b"\x00") is None
+    lying = bytearray(good)
+    lying[0] ^= 1                                     # ftyp size lie
+    assert multimodal.decode_mp4(bytes(lying)) is None
+    # stsz count != stts frame count: patch the stsz sample count field
+    idx = good.index(b"stsz")
+    mismatched = bytearray(good)
+    cnt = int.from_bytes(good[idx + 12:idx + 16], "big")
+    mismatched[idx + 12:idx + 16] = (cnt + 1).to_bytes(4, "big")
+    assert multimodal.decode_mp4(bytes(mismatched)) is None
+    # declared sample bytes exceeding mdat: inflate one stsz entry
+    fat = bytearray(good)
+    fat[idx + 16:idx + 20] = (10 ** 6).to_bytes(4, "big")
+    assert multimodal.decode_mp4(bytes(fat)) is None
+
+
+def test_mp4_frame_table_matches_layout():
+    """The stts/stsz/stsc/stco walk reproduces the encoder's exact
+    back-to-back sample layout, mdat-relative."""
+    blob = multimodal.encode_mp4(10, 33, 600)
+    rows = multimodal.mp4_sample_table(blob)
+    off = 0
+    for i, (idx, o, size, tms) in enumerate(rows):
+        assert (idx, o, size) == (i, off, 16 + i % 7)
+        assert tms == i * 33 * 1000 // 600
+        off += size
+    assert multimodal.mp4_sample_table(b"RIFF garbage") is None
+
+
+def test_multimodal_decode_mp4_via_spark(spark):
+    """MP4s through the mapInPandas plumbing: real metadata for video
+    payloads, explicit NULLs for non-video rows; the frame sampler
+    explodes real sample-table rows and skips non-MP4 payloads."""
+    rows = [
+        (1, bytearray(multimodal.encode_mp4(4, 40, 1000, 320, 240))),
+        (2, bytearray(b"definitely not a movie")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_video_blobs(df).collect()}
+    assert (got[1]["duration_ms"], got[1]["width"], got[1]["height"],
+            got[1]["n_frames"], got[1]["sample_bytes"]) == (160, 320, 240, 4, 70)
+    assert got[2]["n_frames"] is None and got[2]["duration_ms"] is None
+    frames = multimodal.sample_mp4_frames(df).collect()
+    assert sorted((r["doc_id"], r["frame_idx"], r["frame_off"],
+                   r["frame_bytes"], r["t_ms"]) for r in frames) == [
+        (1, 0, 0, 16, 0), (1, 1, 16, 17, 40),
+        (1, 2, 33, 18, 80), (1, 3, 51, 19, 120),
+    ]
+
+
+def test_jpeg_decode_rejects_malformed():
+    """Strict baseline-JPEG validation: progressive SOF, restart
+    intervals, 16-bit quant tables, truncation, and trailing junk all
+    return None (fall back) rather than half-decoding."""
+    good = multimodal.encode_jpeg(16, 16, [100, 102, 104, 106])
+    assert multimodal.decode_jpeg(b"not an image") is None
+    assert multimodal.decode_jpeg(good[:-1]) is None   # EOI truncated
+    assert multimodal.decode_jpeg(good + b"\x00") is None
+    # progressive scan: rewrite the SOF0 marker byte to SOF2
+    sof = good.index(b"\xff\xc0")
+    progressive = bytearray(good)
+    progressive[sof + 1] = 0xC2
+    assert multimodal.decode_jpeg(bytes(progressive)) is None
+    # 16-bit quant table: set the DQT precision nibble
+    dqt = good.index(b"\xff\xdb")
+    deep = bytearray(good)
+    deep[dqt + 4] = 0x10
+    assert multimodal.decode_jpeg(bytes(deep)) is None
+    # non-zero restart interval before SOS
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    with_dri = good[:sof] + dri + good[sof:]
+    assert multimodal.decode_jpeg(with_dri) is None
+    # corrupt entropy data must reject, never raise
+    eoi = len(good) - 2
+    for flip in range(max(eoi - 6, 0), eoi):
+        mutated = bytearray(good)
+        mutated[flip] ^= 0xFF
+        out = multimodal.decode_jpeg(bytes(mutated))
+        assert out is None or isinstance(out, tuple)
+
+
+def test_jpeg_decode_generic_ac_path():
+    """The decoder's AC run-length path is generic, not fixture-shaped:
+    a hand-built scan with a real AC coefficient (run of 2 zeros, then
+    +24 at zigzag index 3) decodes through dequant + full IDCT to the
+    independently-computed float IDCT of those coefficients."""
+    import math
+
+    # tables: reuse the encoder's DC table; AC table with EOB and the
+    # (run=2, size=5) symbol 0x25
+    dc_bits, dc_vals = multimodal._JPEG_DC_BITS, multimodal._JPEG_DC_VALS
+    ac_bits = [0, 2] + [0] * 14          # two 2-bit codes: EOB=00, 0x25=01
+    ac_vals = [0x00, 0x25]
+    seg = multimodal._jpeg_seg
+    dqt = seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+    sof0 = seg(0xC0, bytes([8]) + (8).to_bytes(2, "big")
+               + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    w = multimodal._JpegBitWriter()
+    w.write(0b0001, 4)   # DC category 1
+    w.write(1, 1)        # diff = +1 -> DC coef 16 after dequant
+    w.write(0b01, 2)     # AC symbol 0x25: skip 2 zeros, 5-bit coefficient
+    w.write(24, 5)       # +24 -> zigzag index 3 (natural 16), value 384
+    w.write(0b00, 2)     # EOB
+    blob = b"\xff\xd8" + dqt + sof0 + dht + sos + w.flush() + b"\xff\xd9"
+    out = multimodal.decode_jpeg(blob)
+    assert out is not None and out[1:4] == (8, 8, 1)
+    # independent reference: f(x,y) over the two nonzero coefficients
+    def c(u):
+        return math.sqrt(0.5) if u == 0 else 1.0
+    total = 0
+    for y in range(8):
+        for x in range(8):
+            s = 0.25 * (
+                c(0) * c(0) * 16.0
+                + c(2) * c(0) * 384.0  # natural index 16 = (u=2, v=0)
+                * math.cos((2 * y + 1) * 2 * math.pi / 16)
+            )
+            total += min(max(int(round(s)) + 128, 0), 255)
+    assert out[4] == total
+
+
+def test_multimodal_decode_jpeg_via_spark(spark):
+    """JPEGs through the mapInPandas plumbing: real metadata + pixel
+    checksum for baseline payloads, explicit NULLs for non-image rows."""
+    rows = [
+        (1, bytearray(multimodal.encode_jpeg(8, 16, [40, 42]))),
+        (2, bytearray(b"definitely not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_jpeg_blobs(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_components"],
+            got[1]["pixel_sum"]) == (8, 16, 1, 64 * (40 + 42))
+    assert got[2]["width"] is None and got[2]["pixel_sum"] is None

@@ -648,6 +648,36 @@ def test_png_decode_pipeline_no_shuffle(spark):
     assert_not_in_plan(plan, "text#", "lang#")
 
 
+def test_mp4_decode_pipeline_no_shuffle(spark):
+    """q40e chains two Arrow mapInPandas stages (MP4 synth -> box-walk
+    metadata decode) off one scan: blobs never cross an exchange, and
+    only the two parameter-deriving source columns are read."""
+    plan = q("q40e_video_mp4_decode", spark)
+    assert_not_in_plan(plan, "Exchange")
+    assert_in_plan(plan, "MapInPandas")
+    assert_not_in_plan(plan, "text#", "lang#")
+
+
+def test_jpeg_decode_pipeline_no_shuffle(spark):
+    """q40f chains two Arrow mapInPandas stages (JPEG synth -> full
+    huffman+IDCT decode) off one scan: same shuffle-free, column-pruned
+    shape as the PNG pipeline."""
+    plan = q("q40f_image_jpeg_decode", spark)
+    assert_not_in_plan(plan, "Exchange")
+    assert_in_plan(plan, "MapInPandas")
+    assert_not_in_plan(plan, "text#", "lang#")
+
+
+def test_mp4_frame_sample_pipeline_no_shuffle(spark):
+    """q40g's 1:N frame explode happens INSIDE the second mapInPandas
+    stage (partitioned on the input blobs, per its scale note), so the
+    exploded output still crosses no exchange."""
+    plan = q("q40g_video_frame_sample", spark)
+    assert_not_in_plan(plan, "Exchange")
+    assert_in_plan(plan, "MapInPandas")
+    assert_not_in_plan(plan, "text#", "lang#")
+
+
 def test_cooccurrence_reuses_distinct_exchange_at_runtime(spark):
     """q125's docstring claims the raw-events distinct shuffle
     materializes once: the static plan prints four copies, but AQE's

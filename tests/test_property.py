@@ -317,6 +317,83 @@ def test_decode_png_total_on_sig_prefixed_garbage(blob):
     assert out is None or out[0] == len(blob) + 8
 
 
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_mp4_total_on_arbitrary_bytes(blob):
+    out = multimodal.decode_mp4(blob)
+    assert out is None or (len(out) == 6 and out[0] == len(blob))
+    rows = multimodal.mp4_sample_table(blob)
+    assert rows is None or isinstance(rows, list)
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_mp4_total_on_ftyp_prefixed_garbage(blob):
+    # adversarial: a correct leading ftyp box, arbitrary following bytes —
+    # the box-tiling gate should kill nearly all of these, never raise
+    ftyp = (24).to_bytes(4, "big") + b"ftypisom" + bytes(8)
+    out = multimodal.decode_mp4(ftyp + blob)
+    assert out is None or out[0] == len(blob) + 24
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_jpeg_total_on_arbitrary_bytes(blob):
+    out = multimodal.decode_jpeg(blob)
+    assert out is None or (len(out) == 5 and out[0] == len(blob))
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_jpeg_total_on_soi_prefixed_garbage(blob):
+    # adversarial: correct SOI marker, arbitrary segment bytes — the
+    # marker/segment-length walk must reject or decode, never raise
+    out = multimodal.decode_jpeg(b"\xff\xd8" + blob)
+    assert out is None or out[0] == len(blob) + 2
+
+
+@given(
+    nf=st.integers(min_value=1, max_value=300),
+    fd=st.integers(min_value=1, max_value=3000),
+    ts=st.sampled_from([1, 600, 1000, 90000]),
+    w=st.integers(min_value=1, max_value=4096),
+    h=st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp4_roundtrip_property(nf, fd, ts, w, h):
+    """encode->decode recovers duration/dims/frame count/sample bytes,
+    and the frame table reproduces the exact running-offset layout."""
+    blob = multimodal.encode_mp4(nf, fd, ts, w, h)
+    assert multimodal.decode_mp4(blob) == (
+        len(blob), nf * fd * 1000 // ts, w, h, nf,
+        sum(16 + (i % 7) for i in range(nf)),
+    )
+    rows = multimodal.mp4_sample_table(blob)
+    off = 0
+    assert len(rows) == nf
+    for i, (idx, o, size, tms) in enumerate(rows):
+        assert (idx, o, size, tms) == (i, off, 16 + i % 7,
+                                       i * fd * 1000 // ts)
+        off += size
+
+
+@given(
+    base=st.integers(min_value=0, max_value=113),
+    wb=st.integers(min_value=1, max_value=8),
+    hb=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_property(base, wb, hb):
+    """encode->decode recovers dims and the exact pixel sum for
+    block-gradient content — DC differences wrap through huffman
+    magnitude categories 1 and 7 whenever the gradient crosses 113."""
+    vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
+    blob = multimodal.encode_jpeg(8 * wb, 8 * hb, vals)
+    assert multimodal.decode_jpeg(blob) == (
+        len(blob), 8 * wb, 8 * hb, 1, 64 * sum(vals)
+    )
+
+
 @given(
     w=st.integers(min_value=1, max_value=24),
     h=st.integers(min_value=1, max_value=24),
