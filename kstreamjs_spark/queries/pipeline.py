@@ -162,25 +162,15 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     presentation ORDER BY: the round-5 profile (BASELINE.md) showed the
     global sort-collect cost ~0.3 s against 0.13 s for the windowing
     itself — at scale results go to a sink, not a sorted driver fetch
-    (the driver's compare is order-insensitive)."""
+    (the driver's compare is order-insensitive). Session assignment is
+    the shared operator q108 uses (funnel.with_sessions — one source of
+    truth for the >gap boundary and (ts, event_id) tie-break, which the
+    boundary property test pins); the physical plan is identical to the
+    former inline build, round-8 A/B."""
+    from ..operators import funnel as funnel_ops
+
     (events,) = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    g = events.select(
-        "user_id", "ts",
-        F.when(
-            lag_ts.isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
-            1,
-        ).otherwise(0).alias("new_s"),
-        "event_id",
-    )
-    s = g.select(
-        "user_id", "ts",
-        F.sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("long").alias("session_seq"),
-    )
+    s = funnel_ops.with_sessions(events, gap_s=1800)
     return (
         s.groupBy("user_id", "session_seq")
         .agg(

@@ -462,3 +462,56 @@ def test_histogram_percentiles_match_reference(spark, groups, num):
         assert out[g] == (len(vals), py_percentile(vals, num, den)), (
             f"group {g} vals={vals} num={num}"
         )
+
+
+# ---- gap sessionization vs a pure-Python reference ---------------------
+# Random data almost never produces deltas EXACTLY at the gap boundary,
+# so the oracle runs (q55/q108) under-test the > vs >= edge and the
+# equal-timestamp tie-break. Deltas here are drawn from the boundary set.
+
+from kstreamjs_spark.operators.funnel import with_sessions  # noqa: E402
+
+_GAP = 1800
+_deltas = st.lists(
+    st.sampled_from([0, 1, _GAP - 1, _GAP, _GAP + 1, 2 * _GAP]),
+    min_size=1, max_size=8,
+)
+
+
+def py_sessions(events):
+    """Reference: sort by (ts, event_id); new session iff first event or
+    ts - prev_ts > gap (strictly greater — an event landing exactly at
+    the gap continues the session)."""
+    out, seq, prev = {}, 0, None
+    for ts, eid in sorted(events):
+        if prev is None or ts - prev > _GAP:
+            seq += 1
+        out[eid] = seq
+        prev = ts
+    return out
+
+
+@given(users=st.lists(_deltas, min_size=1, max_size=5))
+@settings(**SETTINGS)
+def test_with_sessions_matches_python_reference(spark, users):
+    rows, eid = [], 0
+    expected = {}
+    for u, deltas in enumerate(users):
+        ts, events = 1_700_000_000, []
+        for d in deltas:
+            ts += d
+            rows.append((u, ts, eid))
+            events.append((ts, eid))
+            eid += 1
+        for e, s in py_sessions(events).items():
+            expected[e] = (u, s)
+    df = spark.createDataFrame(
+        rows, "user_id long, epoch long, event_id long"
+    ).select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "event_id"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in with_sessions(df).collect()
+    }
+    assert got == expected
