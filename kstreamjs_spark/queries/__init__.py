@@ -74,9 +74,13 @@ _WINDOW_SIZE = 50
 # four never-checked media queries (q40d PNG, q40e MP4 metadata, q40f
 # JPEG, q40g MP4 frame sample) enter first (hist 0), then the 23
 # r4-vintage rows (q39, q40b, q41, q43, q46-q49, q51, q52, q54-q56, q63,
-# q72, q73, q75, q77, q78, q80, q82-q84), then the 23 oldest r5 rows —
+# q72, q73, q75, q77, q78, q80, q82-q84), then the oldest r5 rows —
 # after this round no query's newest driver row is older than r5.
-_WINDOW_PRIORITY: list[str] = []
+# One pin: q31's oracle changed this round (the >= at the session-gap
+# boundary corrected to session_window's actual merge-at-exactly-gap
+# rule — a divergence the corpus masked by containing zero exact-1800 s
+# deltas), so its r7 row no longer attests the current compare.
+_WINDOW_PRIORITY: list[str] = ["q31_session_windows"]
 # ROUND-9 NOTE: if round 8's q40c-adjacent fix (channels arithmetic,
 # ADVICE item 2) or any other edit alters attested arithmetic, pin those
 # queries here; otherwise keep the pin list empty and let the sort

@@ -108,7 +108,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         ),
         f AS (
           SELECT *, CASE WHEN pts IS NULL
-                          OR ts >= pts + INTERVAL '30 minutes'
+                          OR ts > pts + INTERVAL '30 minutes'
                      THEN 1 ELSE 0 END AS brk
           FROM o
         ),
@@ -130,7 +130,16 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 def q31(spark: SparkSession, sf: str) -> DataFrame:
     """Session windows (30min gap) per user — F.session_window, which the
     oracle reproduces with a gaps-and-islands construction. Works identically
-    over a stream (tests) and in batch (here, for the hash check)."""
+    over a stream (tests) and in batch (here, for the hash check).
+
+    Boundary rule (round-8 fix): session_window MERGES an event landing
+    EXACTLY gap seconds after its predecessor (new session only when the
+    gap is strictly exceeded — measured empirically, and the same `>`
+    rule as q55/q108's batch sessionization). The oracle originally said
+    `>=` and was green only because the test corpus contains zero
+    exact-1800 s per-user deltas; the boundary unit test now pins the
+    registry oracle text against session_window on crafted boundary
+    rows so the divergence class cannot return."""
     (events,) = load(spark, sf, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
