@@ -1052,17 +1052,26 @@ def _jpeg_seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
-def encode_jpeg(width: int, height: int, block_values: list[int]) -> bytes:
-    """Pure-Python grayscale baseline-JPEG writer for BLOCK-UNIFORM images
-    (fixture generator for the real decode path — no image library).
-    Block b of the row-major 8x8 grid is filled with block_values[b],
-    which must be EVEN so the quantized DC (uniform block: FDCT DC =
-    8*(v-128), all AC zero; quant 16) is exact and the decoded image
-    reproduces the values bit-for-bit despite the lossy pipeline —
-    that's what keeps the oracle checksum closed-form. DC *differences*
-    across blocks still exercise huffman magnitude categories up to 7."""
+def encode_jpeg(
+    width: int, height: int, block_values: list[int], n_components: int = 1
+) -> bytes:
+    """Pure-Python baseline-JPEG writer for BLOCK-UNIFORM images (fixture
+    generator for the real decode path — no image library). Block b of
+    the row-major 8x8 grid is filled with block_values[b], which must be
+    EVEN so the quantized DC (uniform block: FDCT DC = 8*(v-128), all AC
+    zero; quant 16) is exact and the decoded image reproduces the values
+    bit-for-bit despite the lossy pipeline — that's what keeps the
+    oracle checksum closed-form. DC *differences* across blocks still
+    exercise huffman magnitude categories up to 7. With n_components=3
+    the file is YCbCr 4:4:4 with NEUTRAL chroma (Cb=Cr=128, quantized DC
+    exactly 0), so the decoded RGB equals the Y values on all three
+    channels and pixel_sum is exactly 3x the grayscale sum — the color
+    path stays closed-form while exercising interleaved MCUs and
+    per-component DC predictors."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("width/height must be positive multiples of 8")
+    if n_components not in (1, 3):
+        raise ValueError("n_components must be 1 (gray) or 3 (YCbCr 4:4:4)")
     nb = (width // 8) * (height // 8)
     if len(block_values) != nb:
         raise ValueError(f"need {nb} block values, got {len(block_values)}")
@@ -1072,6 +1081,8 @@ def encode_jpeg(width: int, height: int, block_values: list[int]) -> bytes:
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     pred = 0
+    eob = ac_codes[0x00]
+    zero_dc = dc_codes[0]
     for v in block_values:
         qdc = (v - 128) // 2
         diff = qdc - pred
@@ -1081,20 +1092,32 @@ def encode_jpeg(width: int, height: int, block_values: list[int]) -> bytes:
         w.write(code, length)
         if t:
             w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        code, length = ac_codes[0x00]  # EOB
-        w.write(code, length)
+        w.write(*eob)
+        if n_components == 3:
+            # interleaved MCU: neutral Cb then Cr blocks (quantized DC 0,
+            # predictors stay 0 -> category-0 code + EOB each)
+            w.write(*zero_dc)
+            w.write(*eob)
+            w.write(*zero_dc)
+            w.write(*eob)
     dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB))
+    comp_specs = b"".join(
+        bytes([cid, 0x11, 0]) for cid in range(1, n_components + 1)
+    )
     sof0 = _jpeg_seg(
         0xC0,
         bytes([8])
         + height.to_bytes(2, "big") + width.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0]),  # 1 component, id 1, 1x1 sampling, qtab 0
+        + bytes([n_components]) + comp_specs,
     )
     dht = (
         _jpeg_seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
         + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     )
-    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    scan_specs = b"".join(
+        bytes([cid, 0x00]) for cid in range(1, n_components + 1)
+    )
+    sos = _jpeg_seg(0xDA, bytes([n_components]) + scan_specs + bytes([0, 63, 0]))
     return b"\xff\xd8" + dqt + sof0 + dht + sos + w.flush() + b"\xff\xd9"
 
 
@@ -1183,17 +1206,20 @@ def _jpeg_idct_basis():
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
-    """REAL image decode kernel: full grayscale baseline-JPEG read —
-    marker walk, DQT/DHT/SOF0/SOS parse, huffman entropy decode driven by
-    the DECLARED tables (generic run-length AC path included), dequantize,
-    numpy-BATCHED float 2-D IDCT over all blocks at once, level shift —
-    no image library. Returns (byte_len, width, height, n_components,
-    pixel_sum) where pixel_sum is the sum of every reconstructed pixel
-    (a content checksum only a correct huffman+IDCT chain reproduces), or
-    None for anything that is not well-formed single-component baseline
-    JPEG — progressive scans, color/subsampled images, restart intervals,
-    16-bit quant tables, and truncated or lying segments are all honestly
-    rejected rather than half-decoded."""
+    """REAL image decode kernel: full baseline-JPEG read — marker walk,
+    DQT/DHT/SOF0/SOS parse, huffman entropy decode driven by the
+    DECLARED tables (generic run-length AC path, per-component table
+    selection and DC predictors, interleaved MCUs), dequantize,
+    numpy-BATCHED float 2-D IDCT over all blocks at once, level shift,
+    and for color the YCbCr->RGB conversion — no image library. Supports
+    grayscale and YCbCr 4:4:4 color in one interleaved scan. Returns
+    (byte_len, width, height, n_components, pixel_sum) where pixel_sum
+    is the sum of every reconstructed sample (R,G,B for color — a
+    content checksum only a correct huffman+IDCT chain reproduces), or
+    None for anything outside that envelope — progressive scans,
+    CHROMA-SUBSAMPLED color (4:2:0/4:2:2), multi-scan baseline, restart
+    intervals, 16-bit quant tables, and truncated or lying segments are
+    all honestly rejected rather than half-decoded."""
     import numpy as np
 
     try:
@@ -1245,13 +1271,22 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
                 if i != len(body):
                     return None
             elif marker == 0xC0:  # SOF0 baseline
-                if sof is not None or len(body) < 9 or body[0] != 8:
+                if sof is not None or len(body) < 6 or body[0] != 8:
                     return None
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
-                if body[5] != 1 or len(body) != 9 or body[7] != 0x11:
-                    return None  # single component, 1x1 sampling only
-                sof = (w, h, body[8])
+                ncomp = body[5]
+                if ncomp not in (1, 3) or len(body) != 6 + 3 * ncomp:
+                    return None
+                comps = []  # (component id, quant table id), SOF order
+                for ci in range(ncomp):
+                    cid, samp, tq = body[6 + 3 * ci:9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # 4:4:4 only — subsampling rejected
+                    comps.append((cid, tq))
+                if len({cid for cid, _ in comps}) != ncomp:
+                    return None
+                sof = (w, h, comps)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/extended SOFs rejected
@@ -1259,48 +1294,64 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
                 if body != b"\x00\x00":
                     return None  # restart intervals rejected
             elif marker == 0xDA:  # SOS
-                if sof is None or len(body) != 6 or body[0] != 1:
+                if sof is None or len(body) < 1:
                     return None
-                if body[3] != 0 or body[4] != 63 or body[5] != 0:
+                ns = body[0]
+                if ns != len(sof[2]) or len(body) != 4 + 2 * ns:
                     return None
-                dc_id, ac_id = body[2] >> 4, body[2] & 15
+                if body[-3] != 0 or body[-2] != 63 or body[-1] != 0:
+                    return None
+                by_id = dict(sof[2])
+                scan = []  # (quant id, dc table id, ac table id), scan order
+                for ci in range(ns):
+                    sel, tabs = body[1 + 2 * ci], body[2 + 2 * ci]
+                    if sel not in by_id:
+                        return None
+                    scan.append((by_id[sel], tabs >> 4, tabs & 15))
+                if len(scan) != len({body[1 + 2 * ci] for ci in range(ns)}):
+                    return None
                 break
             # APPn / COM: skipped
-        w, h, qid = sof
-        if w == 0 or h == 0 or qid not in qtabs:
+        w, h, _ = sof
+        ncomp = len(scan)
+        if w == 0 or h == 0:
             return None
-        if dc_id not in dc_tabs or ac_id not in ac_tabs:
-            return None
-        q = qtabs[qid]
-        dct, act = dc_tabs[dc_id], ac_tabs[ac_id]
+        for qid, dc_id, ac_id in scan:
+            if qid not in qtabs or dc_id not in dc_tabs or ac_id not in ac_tabs:
+                return None
         bx, by = (w + 7) // 8, (h + 7) // 8
         reader = _JpegBitReader(blob, pos)
-        pred = 0
-        coefs = np.zeros((by * bx, 64))
+        # interleaved MCUs (4:4:4: one block per component per MCU),
+        # independent DC predictor per component
+        preds = [0] * ncomp
+        coefs = np.zeros((by * bx * ncomp, 64))
         for bi in range(by * bx):
-            t = _jpeg_huff_decode(reader, dct)
-            if t > 11:
-                return None
-            pred += _jpeg_extend(reader.bits(t), t) if t else 0
-            coefs[bi, 0] = pred * q[0]
-            k = 1
-            while k < 64:
-                rs = _jpeg_huff_decode(reader, act)
-                if rs == 0x00:
-                    break  # EOB
-                r, s = rs >> 4, rs & 15
-                if s == 0:
-                    if r != 15:
-                        return None
-                    k += 16  # ZRL
-                    continue
-                k += r
-                if k > 63:
+            for ci, (qid, dc_id, ac_id) in enumerate(scan):
+                q, dct, act = qtabs[qid], dc_tabs[dc_id], ac_tabs[ac_id]
+                row = bi * ncomp + ci
+                t = _jpeg_huff_decode(reader, dct)
+                if t > 11:
                     return None
-                coefs[bi, _JPEG_ZIGZAG[k]] = (
-                    _jpeg_extend(reader.bits(s), s) * q[k]
-                )
-                k += 1
+                preds[ci] += _jpeg_extend(reader.bits(t), t) if t else 0
+                coefs[row, 0] = preds[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = _jpeg_huff_decode(reader, act)
+                    if rs == 0x00:
+                        break  # EOB
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        return None
+                    coefs[row, _JPEG_ZIGZAG[k]] = (
+                        _jpeg_extend(reader.bits(s), s) * q[k]
+                    )
+                    k += 1
         # expect (padding bits then) EOI exactly at the end of the blob
         p = reader.pos
         if blob[p:p + 2] != b"\xff\xd9" or p + 2 != len(blob):
@@ -1310,12 +1361,22 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
         f = np.einsum("yu,nuv,vx->nyx", basis.T, coefs.reshape(-1, 8, 8),
                       basis) / 4.0
         px = np.clip(np.rint(f) + 128, 0, 255)
-        img = (
-            px.reshape(by, bx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)[:h, :w]
+        # (mcu, comp, 8, 8) -> per-component planes, cropped to w x h
+        planes = (
+            px.reshape(by, bx, ncomp, 8, 8)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(ncomp, by * 8, bx * 8)[:, :h, :w]
         )
-        return len(blob), w, h, 1, int(img.sum())
+        if ncomp == 1:
+            total = int(planes.sum())
+        else:
+            # JPEG YCbCr -> full-range RGB (BT.601); pixel_sum over R,G,B
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            r = np.clip(np.rint(y + 1.402 * cr), 0, 255)
+            g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
+            b = np.clip(np.rint(y + 1.772 * cb), 0, 255)
+            total = int(r.sum() + g.sum() + b.sum())
+        return len(blob), w, h, ncomp, total
     except ValueError:
         return None
 

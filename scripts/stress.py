@@ -182,6 +182,60 @@ def _fuzzy_blocked_count(d):
     ).count()
 
 
+def _jpeg_decode_count(d):
+    # q40f shape: JPEG synth -> huffman+IDCT decode, two Arrow stages,
+    # shuffle-free — the media family's measured (not just plan-asserted)
+    # scaling point
+    import pandas as pd
+
+    from kstreamjs_spark.operators import multimodal
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for doc, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc, n = abs(int(doc)), int(n)
+                wb, hb = 1 + n % 16, 1 + doc % 12
+                base = doc % 114
+                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
+                blobs.append(multimodal.encode_jpeg(8 * wb, 8 * hb, vals))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.select("doc_id", "n_chars").mapInPandas(
+        make, "doc_id long, blob binary"
+    )
+    return (
+        multimodal.decode_jpeg_blobs(blobs)
+        .where("pixel_sum is not null")
+        .count()
+    )
+
+
+def _mp4_frames_count(d):
+    # q40g shape: MP4 synth -> stts/stsz/stsc/stco frame-table explode
+    import pandas as pd
+
+    from kstreamjs_spark.operators import multimodal
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for doc, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc, n = abs(int(doc)), int(n)
+                blobs.append(
+                    multimodal.encode_mp4(
+                        1 + n % 240, 40, 1000,
+                        16 * (1 + doc % 80), 16 * (1 + doc % 45),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.select("doc_id", "n_chars").mapInPandas(
+        make, "doc_id long, blob binary"
+    )
+    return multimodal.sample_mp4_frames(blobs).count()
+
+
 def _leakage_maxdf_count(d):
     # q106b shape: unblocked max_df'd shingle join + cross-split meta joins
     from kstreamjs_spark.operators import sampling, text as text_ops
@@ -780,6 +834,9 @@ def main() -> int:
         "repeated_chunks": _repeated_chunks_count,
         "coverage": _coverage_count,
         "chunk_neardup": _chunk_neardup_count,
+        # round-8 additions (q40f/q40g media-decode shapes)
+        "jpeg_decode": _jpeg_decode_count,
+        "mp4_frames": _mp4_frames_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {

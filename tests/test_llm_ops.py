@@ -862,3 +862,28 @@ def test_multimodal_decode_jpeg_via_spark(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_components"],
             got[1]["pixel_sum"]) == (8, 16, 1, 64 * (40 + 42))
     assert got[2]["width"] is None and got[2]["pixel_sum"] is None
+
+
+def test_jpeg_color_roundtrip_and_rejections():
+    """YCbCr 4:4:4 color path: neutral-chroma fixtures decode to exactly
+    3x the grayscale checksum (interleaved MCUs, per-component DC
+    predictors); chroma subsampling is honestly rejected, as are
+    duplicate component ids."""
+    vals = [28, 30, 254, 0]
+    gray = multimodal.encode_jpeg(16, 16, vals)
+    color = multimodal.encode_jpeg(16, 16, vals, n_components=3)
+    g = multimodal.decode_jpeg(gray)
+    c = multimodal.decode_jpeg(color)
+    assert g == (len(gray), 16, 16, 1, 64 * sum(vals))
+    assert c == (len(color), 16, 16, 3, 3 * 64 * sum(vals))
+    # SOF0 body: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
+    # (id, sampling, qtab) per component from sof+10
+    sof = color.index(b"\xff\xc0")
+    # 4:2:0-style sampling on the first component -> rejected
+    sub = bytearray(color)
+    sub[sof + 11] = 0x22
+    assert multimodal.decode_jpeg(bytes(sub)) is None
+    # duplicate component id in SOF -> rejected
+    dup = bytearray(color)
+    dup[sof + 13] = dup[sof + 10]  # comp 2's id := comp 1's id
+    assert multimodal.decode_jpeg(bytes(dup)) is None

@@ -381,16 +381,19 @@ def test_mp4_roundtrip_property(nf, fd, ts, w, h):
     base=st.integers(min_value=0, max_value=113),
     wb=st.integers(min_value=1, max_value=8),
     hb=st.integers(min_value=1, max_value=6),
+    nc=st.sampled_from([1, 3]),
 )
 @settings(max_examples=40, deadline=None)
-def test_jpeg_roundtrip_property(base, wb, hb):
+def test_jpeg_roundtrip_property(base, wb, hb, nc):
     """encode->decode recovers dims and the exact pixel sum for
     block-gradient content — DC differences wrap through huffman
-    magnitude categories 1 and 7 whenever the gradient crosses 113."""
+    magnitude categories 1 and 7 whenever the gradient crosses 113; the
+    color mode (neutral-chroma YCbCr 4:4:4) yields exactly 3x the
+    grayscale checksum through interleaved-MCU decode + RGB conversion."""
     vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
-    blob = multimodal.encode_jpeg(8 * wb, 8 * hb, vals)
+    blob = multimodal.encode_jpeg(8 * wb, 8 * hb, vals, n_components=nc)
     assert multimodal.decode_jpeg(blob) == (
-        len(blob), 8 * wb, 8 * hb, 1, 64 * sum(vals)
+        len(blob), 8 * wb, 8 * hb, nc, nc * 64 * sum(vals)
     )
 
 
