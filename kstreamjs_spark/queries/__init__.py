@@ -81,10 +81,14 @@ _WINDOW_SIZE = 50
 # rule — a divergence the corpus masked by containing zero exact-1800 s
 # deltas), so its r7 row no longer attests the current compare.
 _WINDOW_PRIORITY: list[str] = ["q31_session_windows"]
-# ROUND-9 NOTE: if round 8's q40c-adjacent fix (channels arithmetic,
-# ADVICE item 2) or any other edit alters attested arithmetic, pin those
-# queries here; otherwise keep the pin list empty and let the sort
-# continue draining the r5 tail.
+# ROUND-9 NOTE: round 8's only attested-arithmetic change is q31's
+# oracle boundary fix (pinned above; everything else this round is new
+# queries, kernel extensions behind unchanged compares, tests, and
+# measurement). If CORRECTNESS_r08 confirms q31 and the four media
+# queries, clear the pin and keep the list empty — the staleness sort
+# then continues draining the r5 tail (q55's with_sessions unification
+# was A/B-verified plan-identical, so it re-attests via its normal r4
+# slot, not a pin).
 
 
 def _correctness_history() -> dict[str, int]:

@@ -83,3 +83,63 @@ def test_q31_oracle_agrees_with_session_window_at_gap_boundary(spark):
     }
     con.close()
     assert got == want
+
+
+def test_window_oracles_agree_with_f_window_at_interval_boundaries(spark):
+    """q29 (tumbling) and q30 (sliding) oracle arithmetic vs F.window on
+    rows sitting EXACTLY on hour and half-hour boundaries — which the
+    corpus never produces (zero epoch%1800==0 events at sf0.01, checked;
+    the same data-masking that hid q31's >= bug). F.window's [start, end)
+    half-open rule and the oracles' date_trunc/floor-div are equivalent
+    by construction; this pins it against either side drifting."""
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+    epochs = [
+        base, base + 1, base + 1799, base + 1800, base + 1801,
+        base + 3599, base + 3600, base + 3601, base + 5400, base + 7200,
+    ]
+    rows = [(e, 0.125) for e in epochs]
+    sdf = spark.createDataFrame(rows, "epoch long, value double") \
+        .select(F.timestamp_seconds("epoch").alias("ts"), "value")
+    got_tumbling = {
+        (r["hour"], r["sum_value"], r["cnt"])
+        for r in (
+            sdf.groupBy(F.window("ts", "1 hour"))
+            .agg((F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                  / 10000.0).alias("sum_value"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("hour"), "sum_value", "cnt")
+            .collect()
+        )
+    }
+    got_sliding = {
+        (r["wstart_epoch"], r["sum_value"], r["cnt"])
+        for r in (
+            sdf.groupBy(F.window("ts", "1 hour", "30 minutes"))
+            .agg((F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                  / 10000.0).alias("sum_value"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .select(F.unix_timestamp(F.col("window.start"))
+                    .alias("wstart_epoch"), "sum_value", "cnt")
+            .collect()
+        )
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["epoch", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["epoch"], unit="s")
+    con.register("events", pdf[["ts", "value"]])
+    want_tumbling = {
+        (r[0].to_pydatetime() if hasattr(r[0], "to_pydatetime") else r[0],
+         float(r[1]), r[2])
+        for r in con.sql(SPECS["q29_stream_tumbling"].oracle).fetchall()
+    }
+    want_sliding = {
+        (r[0], float(r[1]), r[2])
+        for r in con.sql(SPECS["q30_stream_sliding"].oracle).fetchall()
+    }
+    con.close()
+    assert {(t[0], float(t[1]), t[2]) for t in got_tumbling} == want_tumbling
+    assert {(t[0], float(t[1]), t[2]) for t in got_sliding} == want_sliding
