@@ -1,0 +1,116 @@
+"""Bloom-filter membership pre-filtering — the decontamination/leakage
+pattern for eval sets too large to broadcast EXACTLY but whose bloom BITS
+always fit (10M shingles at 10 bits/key is ~12 MB; the exact string set
+is gigabytes).
+
+Spark-first split of the work:
+
+- HASHING IS JVM-SIDE: the k probe positions are `xxhash64(col, i)`
+  pmod'd into the bit space as an array column inside whole-stage
+  codegen — Python never hashes a key.
+- THE BITSET PROBE IS ARROW-VECTORIZED: a pandas_udf indexes a
+  broadcast numpy bitset with the whole batch's position matrix at once
+  (two numpy ops per batch), the only part Spark's built-ins cannot
+  express (`might_contain` is not a public SQL function in this build —
+  it exists only inside the optimizer's runtime-filter rewrite).
+- THE BUILD IS DISTRIBUTED-DEDUPED: positions are made distinct on the
+  cluster before collection, so the driver transfer is bounded by
+  num_bits/8 bytes REGARDLESS of build-side row count — that bound is
+  chosen by the caller, unlike an exact collect_set whose size is the
+  data's choice.
+
+A bloom probe has false POSITIVES only (never false negatives — the
+property test pins this), so callers that need exact results follow the
+prefilter with an equi-join verify of the few survivors; q77b shows the
+composition: exact answer, corpus-sized side shrunk before its shuffle.
+(Reference has no membership surface; its `filter` callback,
+src/stream.ts:57-77, is where a user would hang one.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.functions import pandas_udf
+
+
+def _positions(col: Column, num_bits: int, num_hashes: int, seed: int) -> Column:
+    """k probe positions as an int64 array column — pure codegen
+    (xxhash64 over (key, seed, i), pmod into the bit space)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(seed), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int,
+    num_hashes: int = 7,
+    seed: int = 41,
+) -> dict:
+    """Build a bloom bitset over ``df[col]`` distributed-side.
+
+    Positions are deduped on the cluster, then shipped to the driver via
+    Arrow and packed into a numpy uint8 bitset — the transfer is bounded
+    by min(rows * num_hashes, num_bits) int64s and the bitset itself by
+    num_bits/8 bytes, both caller-chosen. Size num_bits for the build
+    side: fpr ~= (1 - exp(-k*n/m))^k, e.g. n=10M keys, m=128M bits, k=7
+    -> ~0.7%."""
+    if num_bits <= 0 or num_hashes <= 0:
+        raise ValueError("num_bits and num_hashes must be positive")
+    pos = (
+        df.select(
+            F.explode(
+                _positions(F.col(col), num_bits, num_hashes, seed)
+            ).alias("p")
+        )
+        .distinct()
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+    if len(pos):
+        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    return {
+        "bits": bits,
+        "num_bits": num_bits,
+        "num_hashes": num_hashes,
+        "seed": seed,
+    }
+
+
+def bloom_might_contain(
+    df: DataFrame, col: str, bloom: dict, out_col: str = "maybe"
+) -> DataFrame:
+    """``df`` plus a boolean ``out_col``: True iff every probe bit for
+    ``df[col]`` is set in the bloom (possible member — false positives
+    at the bitset's fpr, never false negatives). Hashing stays JVM-side;
+    the bitset rides an explicit SparkContext broadcast and each Arrow
+    batch is probed with two vectorized numpy ops."""
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(bloom["bits"])
+    num_hashes = bloom["num_hashes"]
+
+    @pandas_udf("boolean")
+    def probe(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        if not len(pos):
+            return pd.Series([], dtype=bool)
+        arr = np.array(pos.tolist(), dtype=np.int64).reshape(-1, num_hashes)
+        hit = (bits[arr >> 3] >> (arr & 7)) & 1
+        return pd.Series(hit.all(axis=1))
+
+    return df.withColumn(
+        out_col,
+        probe(
+            _positions(
+                F.col(col), bloom["num_bits"], num_hashes, bloom["seed"]
+            )
+        ),
+    )

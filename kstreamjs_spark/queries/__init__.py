@@ -69,13 +69,14 @@ _WINDOW_SIZE = 50
 # Round 8: the r7 streaming pins are retired — all four re-earned driver
 # rows on the quantize-before-sum arithmetic in CORRECTNESS_r07. No query
 # changed behavior after its latest driver row (the round-8 engine edits
-# are guards, measurement tooling, and the new media queries), so the
-# pin list is EMPTY and the staleness sort alone fills the window: the
-# four never-checked media queries (q40d PNG, q40e MP4 metadata, q40f
-# JPEG, q40g MP4 frame sample) enter first (hist 0), then the 23
-# r4-vintage rows (q39, q40b, q41, q43, q46-q49, q51, q52, q54-q56, q63,
-# q72, q73, q75, q77, q78, q80, q82-q84), then the oldest r5 rows —
-# after this round no query's newest driver row is older than r5.
+# are guards, measurement tooling, and new queries) EXCEPT q31 (pinned
+# below); the staleness sort fills the rest of the window: the five
+# never-checked round-8 queries (q40d PNG, q40e MP4 metadata, q40f JPEG,
+# q40g MP4 frame sample, q77b bloom decontamination) enter first
+# (hist 0), then the 23 r4-vintage rows (q39, q40b, q41, q43, q46-q49,
+# q51, q52, q54-q56, q63, q72, q73, q75, q77, q78, q80, q82-q84), then
+# the oldest r5 rows — after this round no query's newest driver row is
+# older than r5.
 # One pin: q31's oracle changed this round (the >= at the session-gap
 # boundary corrected to session_window's actual merge-at-exactly-gap
 # rule — a divergence the corpus masked by containing zero exact-1800 s
@@ -84,7 +85,7 @@ _WINDOW_PRIORITY: list[str] = ["q31_session_windows"]
 # ROUND-9 NOTE: round 8's only attested-arithmetic change is q31's
 # oracle boundary fix (pinned above; everything else this round is new
 # queries, kernel extensions behind unchanged compares, tests, and
-# measurement). If CORRECTNESS_r08 confirms q31 and the four media
+# measurement). If CORRECTNESS_r08 confirms q31 and the five new
 # queries, clear the pin and keep the list empty — the staleness sort
 # then continues draining the r5 tail (q55's with_sessions unification
 # was A/B-verified plan-identical, so it re-attests via its normal r4

@@ -41,9 +41,11 @@ def _shingle_sql(n: int, distinct: bool = True) -> str:
 
 
 # ------------------------------------------- Q77 benchmark decontamination
-@query(
-    "q77_decontaminate",
-    oracle=f"""
+# One oracle text for BOTH decontamination paths: q77 (exact broadcast
+# semi-join) and q77b (bloom prefilter + exact verify) answer the same
+# question, so any divergence between the two engine plans is caught by
+# the same compare.
+_Q77_ORACLE = f"""
         WITH sh AS (
           SELECT doc_id, lang, {_shingle_sql(_DECON_N)} AS s,
                  {sample_hash_sql('doc_id', _EVAL_FRACTION, seed=_EVAL_SEED)}
@@ -66,7 +68,12 @@ def _shingle_sql(n: int, distinct: bool = True) -> str:
         LEFT JOIN contam c USING (doc_id, lang)
         GROUP BY tr.lang
         ORDER BY tr.lang
-    """,
+    """
+
+
+@query(
+    "q77_decontaminate",
+    oracle=_Q77_ORACLE,
     tags=("dedup", "llm", "decontamination"),
     bench=True,
 )
@@ -94,6 +101,71 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
         )
         .join(F.broadcast(eval_shingles), "g", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    return (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+        .join(
+            contaminated.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated")),
+            "lang",
+            "left",
+        )
+        .select(
+            "lang",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q77b_decontaminate_bloom",
+    oracle=_Q77_ORACLE,
+    tags=("dedup", "llm", "decontamination", "bloom"),
+)
+def q77b(spark: SparkSession, sf: str) -> DataFrame:
+    """q77's exact answer through the BLOOM regime: the pattern for when
+    the eval shingle set is too large to broadcast exactly but its bloom
+    bits always fit (operators/bloom.py — JVM xxhash64 positions,
+    distributed-deduped build, Arrow-vectorized bitset probe).
+
+    Plan shape: the corpus-sized exploded-shingle side is prefiltered
+    scan-side by the bloom (no shuffle spent on definite non-members;
+    false-positive rate ~2e-4 at this sizing), and only the survivors
+    reach the exact verify semi-join that removes bloom false positives
+    — so the result is EXACTLY q77's (same oracle text), while the join
+    input shrinks from every training shingle to true hits + fpr noise.
+    At 100 TB that is the difference between shuffling the corpus and
+    shuffling the contamination."""
+    from ..operators import bloom as bloom_ops
+
+    (docs,) = load(spark, sf, "documents")
+    is_eval = sampling.sample_predicate("doc_id", _EVAL_FRACTION, seed=_EVAL_SEED)
+    eval_shingles = (
+        docs.filter(is_eval)
+        .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    # ~50k distinct eval shingles at sf0.1 -> 1M bits (128 KB) keeps the
+    # survivor set at true hits + ~2e-4 noise
+    bf = bloom_ops.bloom_build(eval_shingles, "g", num_bits=1 << 20)
+    train = docs.filter(~is_eval)
+    train_shingles = train.select(
+        "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
+    )
+    survivors = (
+        bloom_ops.bloom_might_contain(train_shingles, "g", bf)
+        .filter("maybe")
+        .drop("maybe")
+    )
+    contaminated = (
+        survivors.join(eval_shingles, "g", "left_semi")  # exact verify
         .select("doc_id", "lang")
         .distinct()
     )

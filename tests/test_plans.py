@@ -687,3 +687,30 @@ def test_cooccurrence_reuses_distinct_exchange_at_runtime(spark):
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
+
+
+def test_bloom_decontaminate_probes_below_verify_join(spark):
+    """q77b's plan contract: hashing is JVM-side (xxhash64/pmod inside
+    the probe's input expression), the Arrow bitset probe + its filter
+    sit directly on the corpus scan's explode output BELOW the exact
+    verify semi-join, and the corpus branch crosses no exchange before
+    that join — the prefilter shrinks the join input, it doesn't add a
+    shuffle. (Catalyst additionally infers the probe predicate onto the
+    eval side through the join-key constraint — safe precisely because a
+    bloom has no false negatives.)"""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q77b_decontaminate_bloom", spark))
+    assert "ArrowEvalPython" in plan
+    assert "xxhash64" in plan and "pmod" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # left (corpus) branch of the semi join: Scan -> Generate -> probe ->
+    # Filter -> join, no Exchange. In the formatted tree the semi join's
+    # left child block is the lines between ':-' and the matching '+-'
+    # BroadcastExchange; cheap proxy: the plan's only ENSURE_REQUIREMENTS
+    # exchanges are the two distincts, the two lang rollups, and the
+    # presentation sort — none on the pre-join corpus path.
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 5

@@ -518,3 +518,47 @@ def test_with_sessions_matches_python_reference(spark, users):
         for r in with_sessions(df).collect()
     }
     assert got == expected
+
+
+# ---- bloom membership: no false negatives, ever ------------------------
+# A bloom prefilter is only sound to compose with an exact verify join
+# because it can never drop a true member; hypothesis drives the whole
+# build+probe cycle over random key sets.
+
+from kstreamjs_spark.operators import bloom as bloom_ops  # noqa: E402
+
+key = st.text(alphabet="abcdef0123456789", min_size=1, max_size=12)
+
+
+@given(
+    members=st.lists(key, min_size=1, max_size=20, unique=True),
+    others=st.lists(key, min_size=0, max_size=20, unique=True),
+    num_bits=st.sampled_from([64, 1024, 1 << 16]),
+    num_hashes=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, others, num_bits,
+                                    num_hashes):
+    mdf = spark.createDataFrame([(m,) for m in members], "g string")
+    bf = bloom_ops.bloom_build(mdf, "g", num_bits, num_hashes, seed=7)
+    allkeys = members + [o for o in others if o not in set(members)]
+    adf = spark.createDataFrame([(k,) for k in allkeys], "g string")
+    got = {
+        r["g"]: r["maybe"]
+        for r in bloom_ops.bloom_might_contain(adf, "g", bf).collect()
+    }
+    for m in members:
+        assert got[m] is True  # the soundness invariant
+    # tiny bitsets may false-positive on non-members — allowed; a roomy
+    # bitset over few keys should still reject most non-members
+    if num_bits >= 1 << 16 and others:
+        fp = sum(got[o] for o in got if o not in set(members))
+        assert fp <= max(1, len(others) // 4)
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    empty = spark.createDataFrame([], "g string")
+    bf = bloom_ops.bloom_build(empty, "g", 1024)
+    adf = spark.createDataFrame([("x",), ("y",)], "g string")
+    out = bloom_ops.bloom_might_contain(adf, "g", bf).collect()
+    assert all(r["maybe"] is False for r in out)
