@@ -244,6 +244,14 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, int] | None:
     return len(blob), n_channels, sample_rate, data_len // block_align
 
 
+# Decode envelope shared by the image kernels: a decoder running inside a
+# mapInPandas task must never let a CRAFTED HEADER choose the allocation
+# size (a 100-byte blob can declare 65535x65535 pixels — the resulting
+# MemoryError is not a ValueError and would kill the task instead of
+# falling back to NULL). 64 MiB of raw samples covers any honest fixture
+# or thumbnail pipeline by orders of magnitude.
+_MAX_DECODE_BYTES = 1 << 26
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (gray, RGB, gray+alpha, RGBA)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -369,12 +377,22 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
         or comp != 0 or filt != 0 or interlace != 0
     ):
         return None
+    stride = width * nch
+    expected = height * (stride + 1)
+    if expected > _MAX_DECODE_BYTES:
+        return None  # declared dims beyond the decode envelope
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a deflate bomb whose IHDR lies about the size
+        # stops at expected+1 bytes (-> length mismatch -> None) instead
+        # of ballooning to the stream's real size before the check
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
+    if (
+        len(raw) != expected
+        or not d.eof or d.unused_data or d.unconsumed_tail
+    ):
         return None
     prev = bytes(stride)
     total = 0
@@ -420,24 +438,11 @@ def decode_png_blobs(
     numbers). byte_len is intentionally NOT part of the output: the
     deflate stream length is not arithmetic-derivable, so it cannot be
     oracle-checked the way the WAV header could."""
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for doc, b in zip(pdf[id_col], pdf[blob_col]):
-                meta = decode_png(b)
-                rows.append(
-                    (doc, *meta[1:]) if meta else (doc, None, None, None, None, None)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "width", "height", "n_channels", "bit_depth",
-                    "pixel_sum",
-                ],
-            )
-
-    return df.select(id_col, blob_col).mapInPandas(batches, PNG_META_SCHEMA)
+    return _decode_meta_blobs(
+        df, decode_png,
+        ["width", "height", "n_channels", "bit_depth", "pixel_sum"],
+        PNG_META_SCHEMA, id_col, blob_col,
+    )
 
 
 AUDIO_META_SCHEMA = (
@@ -928,34 +933,43 @@ MP4_META_SCHEMA = (
 )
 
 
-def decode_video_blobs(
-    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+def _decode_meta_blobs(
+    df: DataFrame,
+    decode_fn,
+    meta_cols: list[str],
+    schema: str,
+    id_col: str,
+    blob_col: str,
 ) -> DataFrame:
-    """Decode MP4 payloads to typed metadata via mapInPandas — the video
-    twin of `decode_png_blobs`. Non-MP4 payloads yield NULL metadata
-    (explicit unknown, never fake numbers). byte_len is intentionally NOT
-    part of the output: box-layout byte counts are not arithmetic-
-    derivable (same reasoning that excluded PNG's deflate length)."""
+    """Shared mapInPandas shape of the typed-metadata decoders: one row
+    per blob, ``decode_fn``'s tuple minus its leading byte_len, NULLs for
+    payloads the kernel rejects (explicit unknown, never fake numbers)."""
+    n = len(meta_cols)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc, b in zip(pdf[id_col], pdf[blob_col]):
-                meta = decode_mp4(b)
-                rows.append(
-                    (doc, *meta[1:])
-                    if meta
-                    else (doc, None, None, None, None, None)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "duration_ms", "width", "height", "n_frames",
-                    "sample_bytes",
-                ],
-            )
+                meta = decode_fn(b)
+                rows.append((doc, *meta[1:]) if meta else (doc,) + (None,) * n)
+            yield pd.DataFrame(rows, columns=[id_col, *meta_cols])
 
-    return df.select(id_col, blob_col).mapInPandas(batches, MP4_META_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
+
+
+def decode_video_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Decode MP4 payloads to typed metadata via mapInPandas — the video
+    twin of `decode_png_blobs`. Non-MP4 payloads yield NULL metadata.
+    byte_len is intentionally NOT part of the output: box-layout byte
+    counts are not arithmetic-derivable (same reasoning that excluded
+    PNG's deflate length)."""
+    return _decode_meta_blobs(
+        df, decode_mp4,
+        ["duration_ms", "width", "height", "n_frames", "sample_bytes"],
+        MP4_META_SCHEMA, id_col, blob_col,
+    )
 
 
 MP4_FRAME_SCHEMA = (
@@ -1320,6 +1334,12 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
             if qid not in qtabs or dc_id not in dc_tabs or ac_id not in ac_tabs:
                 return None
         bx, by = (w + 7) // 8, (h + 7) // 8
+        # the coefficient matrix is float64 (8 bytes/sample): bound the
+        # SOF-declared size BEFORE allocating so a crafted header cannot
+        # pick the allocation (MemoryError would kill the task, not fall
+        # back to NULL)
+        if by * bx * ncomp * 64 > _MAX_DECODE_BYTES // 8:
+            return None
         reader = _JpegBitReader(blob, pos)
         # interleaved MCUs (4:4:4: one block per component per MCU),
         # independent DC predictor per component
@@ -1395,20 +1415,61 @@ def decode_jpeg_blobs(
     unknown, never fake numbers). byte_len is intentionally NOT part of
     the output: entropy-coded lengths are not arithmetic-derivable (same
     reasoning that excluded PNG's deflate length)."""
+    return _decode_meta_blobs(
+        df, decode_jpeg,
+        ["width", "height", "n_components", "pixel_sum"],
+        JPEG_META_SCHEMA, id_col, blob_col,
+    )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def synth_mp4_blobs(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """MP4 fixture-synthesis stage — the ONE home for the derivation
+    arithmetic q40e/q40g's oracles restate (and the stress shapes
+    reuse): n_frames = 1 + len%240 at 40 ticks/frame on a 1000
+    timescale, track dims 16*(1+|id|%80) x 16*(1+|id|%45), per-frame
+    sizes 16+(i%7). Arrow-batched mapInPandas; blobs never leave the
+    executors."""
+
+    def make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for doc, b in zip(pdf[id_col], pdf[blob_col]):
-                meta = decode_jpeg(b)
-                rows.append(
-                    (doc, *meta[1:]) if meta else (doc, None, None, None, None)
+            blobs = [
+                encode_mp4(
+                    1 + int(n) % 240, 40, 1000,
+                    16 * (1 + abs(int(d)) % 80),
+                    16 * (1 + abs(int(d)) % 45),
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "width", "height", "n_components", "pixel_sum",
-                ],
-            )
+                for d, n in zip(pdf[id_col], pdf[len_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return df.select(id_col, blob_col).mapInPandas(batches, JPEG_META_SCHEMA)
+    return df.select(id_col, len_col).mapInPandas(
+        make, f"{id_col} long, blob binary"
+    )
+
+
+def synth_jpeg_blobs(
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+) -> DataFrame:
+    """JPEG fixture-synthesis stage — the ONE home for the derivation
+    arithmetic q40f's oracle restates (and the stress shape reuses):
+    block grid wb = 1+len%16 by hb = 1+|id|%12, base = |id|%114, block b
+    filled with the EVEN value 28 + 2*((base+b)%114) so the quantized DC
+    survives the lossy pipeline exactly. Arrow-batched mapInPandas;
+    blobs never leave the executors."""
+
+    def make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for d, n in zip(pdf[id_col], pdf[len_col]):
+                d, n = abs(int(d)), int(n)
+                wb, hb = 1 + n % 16, 1 + d % 12
+                base = d % 114
+                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
+                blobs.append(encode_jpeg(8 * wb, 8 * hb, vals))
+            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
+
+    return df.select(id_col, len_col).mapInPandas(
+        make, f"{id_col} long, blob binary"
+    )

@@ -151,6 +151,10 @@ def q77b(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(is_eval)
         .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
         .distinct()
+        # materialized ONCE: both bloom_build's collect action and the
+        # verify semi-join consume this frame, and without the checkpoint
+        # each would re-run the eval scan + explode + distinct
+        .localCheckpoint()
     )
     # ~50k distinct eval shingles at sf0.1 -> 1M bits (128 KB) keeps the
     # survivor set at true hits + ~2e-4 noise

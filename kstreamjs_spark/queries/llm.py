@@ -560,29 +560,12 @@ def q40e(spark: SparkSession, sf: str) -> DataFrame:
     only a correct stsz table walk reproduces. duration_ms exercises the
     mvhd timescale arithmetic (timescale 1000, 40 ticks/frame). Both
     stages are Arrow-batched mapInPandas; blobs never leave the
-    executors. (Reference has no media surface — src/stream.ts:38-56 map
-    is where a user would hang a decode callback.)"""
-    import pandas as pd
-
+    executors; the derivation lives in multimodal.synth_mp4_blobs, the
+    one home q40g and the stress shape share. (Reference has no media
+    surface — src/stream.ts:38-56 map is where a user would hang a
+    decode callback.)"""
     (documents,) = load(spark, sf, "documents")
-
-    def make_mp4s(it):
-        for pdf in it:
-            blobs = []
-            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                d, n = abs(int(d)), int(n)
-                blobs.append(
-                    multimodal.encode_mp4(
-                        1 + n % 240, 40, 1000,
-                        16 * (1 + d % 80), 16 * (1 + d % 45),
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = documents.select("doc_id", "n_chars").mapInPandas(
-        make_mp4s, "doc_id long, blob binary"
-    )
-    return multimodal.decode_video_blobs(blobs)
+    return multimodal.decode_video_blobs(multimodal.synth_mp4_blobs(documents))
 
 
 @query(
@@ -619,26 +602,10 @@ def q40f(spark: SparkSession, sf: str) -> DataFrame:
     pixel_sum = 64*(28*nb + 2*(S(base+nb) - S(base))) — a value only a
     correct huffman+IDCT chain reproduces (base < 114, so S(base)
     reduces to base(base-1)/2). Both stages are Arrow-batched
-    mapInPandas; blobs never leave the executors."""
-    import pandas as pd
-
+    mapInPandas; blobs never leave the executors; the derivation lives
+    in multimodal.synth_jpeg_blobs, shared with the stress shape."""
     (documents,) = load(spark, sf, "documents")
-
-    def make_jpegs(it):
-        for pdf in it:
-            blobs = []
-            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                d, n = abs(int(d)), int(n)
-                wb, hb = 1 + n % 16, 1 + d % 12
-                base = d % 114
-                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
-                blobs.append(multimodal.encode_jpeg(8 * wb, 8 * hb, vals))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = documents.select("doc_id", "n_chars").mapInPandas(
-        make_jpegs, "doc_id long, blob binary"
-    )
-    return multimodal.decode_jpeg_blobs(blobs)
+    return multimodal.decode_jpeg_blobs(multimodal.synth_jpeg_blobs(documents))
 
 
 @query(
@@ -670,27 +637,8 @@ def q40g(spark: SparkSession, sf: str) -> DataFrame:
     length from q40d). Retires the byte-window `sample_frames` stub for
     ISO-BMFF payloads. (Reference's 1:N surface is explode,
     src/stream.ts:78-90.)"""
-    import pandas as pd
-
     (documents,) = load(spark, sf, "documents")
-
-    def make_mp4s(it):
-        for pdf in it:
-            blobs = []
-            for d, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                d, n = abs(int(d)), int(n)
-                blobs.append(
-                    multimodal.encode_mp4(
-                        1 + n % 240, 40, 1000,
-                        16 * (1 + d % 80), 16 * (1 + d % 45),
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = documents.select("doc_id", "n_chars").mapInPandas(
-        make_mp4s, "doc_id long, blob binary"
-    )
-    return multimodal.sample_mp4_frames(blobs)
+    return multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(documents))
 
 
 # -------------------------------------------- BPE-ish regex tokenization

@@ -60,6 +60,11 @@ def build_session() -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        # recentProgress keeps only the newest N updates (default 100);
+        # busy_ms sums over it, so a run with more batches than the
+        # retention would silently undercount busy time and inflate
+        # busy_rate. Size the buffer far above any argument combination.
+        .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
     )
     spark = b.getOrCreate()
     configure_runtime(spark)
@@ -114,6 +119,11 @@ def main() -> int:
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
+        if len(q.recentProgress) >= 100000:
+            raise RuntimeError(
+                "recentProgress saturated its retention buffer — busy_ms "
+                "would undercount; raise numRecentProgressUpdates"
+            )
         progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
         busy_ms = sum(
             p["durationMs"].get("triggerExecution", 0) for p in progress

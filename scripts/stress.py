@@ -185,55 +185,22 @@ def _fuzzy_blocked_count(d):
 def _jpeg_decode_count(d):
     # q40f shape: JPEG synth -> huffman+IDCT decode, two Arrow stages,
     # shuffle-free — the media family's measured (not just plan-asserted)
-    # scaling point
-    import pandas as pd
-
+    # scaling point; derivation shared with the query via synth_jpeg_blobs
     from kstreamjs_spark.operators import multimodal
 
-    def make(it):
-        for pdf in it:
-            blobs = []
-            for doc, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                doc, n = abs(int(doc)), int(n)
-                wb, hb = 1 + n % 16, 1 + doc % 12
-                base = doc % 114
-                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
-                blobs.append(multimodal.encode_jpeg(8 * wb, 8 * hb, vals))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = d.select("doc_id", "n_chars").mapInPandas(
-        make, "doc_id long, blob binary"
-    )
     return (
-        multimodal.decode_jpeg_blobs(blobs)
+        multimodal.decode_jpeg_blobs(multimodal.synth_jpeg_blobs(d))
         .where("pixel_sum is not null")
         .count()
     )
 
 
 def _mp4_frames_count(d):
-    # q40g shape: MP4 synth -> stts/stsz/stsc/stco frame-table explode
-    import pandas as pd
-
+    # q40g shape: MP4 synth -> stts/stsz/stsc/stco frame-table explode;
+    # derivation shared with the query via synth_mp4_blobs
     from kstreamjs_spark.operators import multimodal
 
-    def make(it):
-        for pdf in it:
-            blobs = []
-            for doc, n in zip(pdf["doc_id"], pdf["n_chars"]):
-                doc, n = abs(int(doc)), int(n)
-                blobs.append(
-                    multimodal.encode_mp4(
-                        1 + n % 240, 40, 1000,
-                        16 * (1 + doc % 80), 16 * (1 + doc % 45),
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = d.select("doc_id", "n_chars").mapInPandas(
-        make, "doc_id long, blob binary"
-    )
-    return multimodal.sample_mp4_frames(blobs).count()
+    return multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(d)).count()
 
 
 def _leakage_maxdf_count(d):

@@ -887,3 +887,47 @@ def test_jpeg_color_roundtrip_and_rejections():
     dup = bytearray(color)
     dup[sof + 13] = dup[sof + 10]  # comp 2's id := comp 1's id
     assert multimodal.decode_jpeg(bytes(dup)) is None
+
+
+def test_decode_kernels_reject_crafted_allocation_bombs():
+    """A decoder inside a mapInPandas task must never let a CRAFTED
+    HEADER choose the allocation: a ~150-byte JPEG declaring 65535x65535
+    and a PNG whose tiny IDAT inflates far past its declared dims must
+    both return None quickly (MemoryError is not a ValueError and would
+    kill the task) — the round-8 review findings."""
+    import zlib
+
+    # JPEG: take a valid fixture and patch SOF dims to 65535x65535
+    good = multimodal.encode_jpeg(8, 8, [100])
+    sof = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[sof + 5:sof + 7] = (65535).to_bytes(2, "big")
+    bomb[sof + 7:sof + 9] = (65535).to_bytes(2, "big")
+    assert multimodal.decode_jpeg(bytes(bomb)) is None
+    # PNG: valid 4x4 pixel stream but IHDR claiming huge dims — the
+    # bounded inflate must stop at expected+1, and the envelope gate
+    # must reject dims whose raw size exceeds the decode budget
+    px = bytes(16)
+    good_png = multimodal.encode_png(4, 4, px, 1)
+    ihdr = bytearray(good_png[16:29])
+    ihdr[0:4] = (60000).to_bytes(4, "big")
+    ihdr[4:8] = (60000).to_bytes(4, "big")
+    chunk = (13).to_bytes(4, "big") + b"IHDR" + bytes(ihdr)
+    crc = (zlib.crc32(chunk[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    huge = good_png[:8] + chunk + crc + good_png[33:]
+    assert multimodal.decode_png(huge) is None
+    # PNG: dims INSIDE the envelope but a deflate bomb lying about size —
+    # inflate stops at expected+1 and the length mismatch rejects it
+    ihdr2 = bytearray(good_png[16:29])
+    ihdr2[0:4] = (100).to_bytes(4, "big")   # claims 100x100 gray
+    ihdr2[4:8] = (100).to_bytes(4, "big")
+    chunk2 = (13).to_bytes(4, "big") + b"IHDR" + bytes(ihdr2)
+    crc2 = (zlib.crc32(chunk2[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    # IDAT holding 10 MB of zeros compressed to ~10 KB
+    idat = zlib.compress(bytes(10_000_000))
+    ich = len(idat).to_bytes(4, "big") + b"IDAT" + idat
+    ich += (zlib.crc32(ich[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    iend = (0).to_bytes(4, "big") + b"IEND"
+    iend += (zlib.crc32(iend[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
+    bomb_png = good_png[:8] + chunk2 + crc2 + ich + iend
+    assert multimodal.decode_png(bomb_png) is None
