@@ -481,16 +481,39 @@ def decode_audio_blobs(
     return df.select(id_col, blob_col).mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
+def sniff_image(blob: bytes) -> tuple[int, int, int, int] | None:
+    """Multi-format image sniff: try each real image kernel in turn (each
+    bails on its magic bytes in O(1) for foreign payloads) and normalize
+    to (byte_len, width, height, channels). None for payloads that are
+    not a well-formed BMP, PNG, or baseline JPEG — audio/video have their
+    own format-true typed decoders (`decode_audio_blobs`,
+    `decode_video_blobs`), not a lossy squeeze into the image schema."""
+    meta = decode_bmp(blob)
+    if meta:
+        return meta
+    png = decode_png(blob)
+    if png:
+        return png[0], png[1], png[2], png[3]
+    jpg = decode_jpeg(blob)
+    if jpg:
+        return jpg[0], jpg[1], jpg[2], jpg[3]
+    return None
+
+
 def decode_blobs(df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob") -> DataFrame:
     """Decode binary payloads to typed metadata via mapInPandas (Arrow
-    batches; one Python roundtrip per batch, not per row). Uncompressed
-    BMPs decode for real (`decode_bmp` — header arithmetic, no codec
-    library); anything else takes the deterministic stub fallback."""
+    batches; one Python roundtrip per batch, not per row). The image
+    formats with real kernels — uncompressed BMP, 8-bit PNG, baseline
+    JPEG — dispatch through `sniff_image` and return TRUE dimensions;
+    anything else takes the deterministic stub fallback (strict magic +
+    checksum validation in every kernel guarantees text bytes can never
+    alias into a real path, so corpora without media keep the stub
+    contract the q40 oracle states)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             decoded = [
-                decode_bmp(b) or _decode_stub(b) for b in pdf[blob_col]
+                sniff_image(b) or _decode_stub(b) for b in pdf[blob_col]
             ]
             out = pd.DataFrame(
                 decoded, columns=["byte_len", "width", "height", "channels"]

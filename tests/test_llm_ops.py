@@ -581,14 +581,21 @@ def test_bmp_decode_rejects_malformed():
     assert multimodal.decode_bmp(bytes(wrong_size)) is None
 
 
-def test_multimodal_decode_real_bmp_via_spark(spark):
-    """Real BMPs through the same mapInPandas plumbing as the stub path:
-    decode_blobs sniffs the magic and returns TRUE dimensions; non-BMP
-    rows in the same batch keep the stub contract."""
+def test_multimodal_decode_real_images_via_spark(spark):
+    """All three real image kernels through ONE decode_blobs frame: the
+    sniff dispatches BMP, PNG, and baseline JPEG (gray AND color) to
+    their true dimensions; non-image rows in the same batch keep the
+    stub contract; WAV/MP4 payloads are NOT squeezed into the image
+    schema (they stub — their typed decoders are separate)."""
     rows = [
         (1, bytearray(multimodal.encode_bmp(16, 9))),
         (2, bytearray(multimodal.encode_bmp(320, 200))),
         (3, bytearray(b"not an image")),
+        (4, bytearray(multimodal.encode_png(4, 3, bytes(4 * 3 * 3), 3))),
+        (5, bytearray(multimodal.encode_jpeg(8, 16, [40, 42]))),
+        (6, bytearray(multimodal.encode_jpeg(16, 8, [40, 42], n_components=3))),
+        (7, bytearray(multimodal.encode_wav(100))),
+        (8, bytearray(multimodal.encode_mp4(4))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {r["doc_id"]: r for r in multimodal.decode_blobs(df).collect()}
@@ -596,6 +603,13 @@ def test_multimodal_decode_real_bmp_via_spark(spark):
     assert (got[2]["width"], got[2]["height"], got[2]["channels"]) == (320, 200, 3)
     n = len(b"not an image")
     assert (got[3]["width"], got[3]["height"]) == (n % 640, n % 480)
+    assert (got[4]["width"], got[4]["height"], got[4]["channels"]) == (4, 3, 3)
+    assert (got[5]["width"], got[5]["height"], got[5]["channels"]) == (8, 16, 1)
+    assert (got[6]["width"], got[6]["height"], got[6]["channels"]) == (16, 8, 3)
+    for wav_or_mp4 in (7, 8):
+        b = bytes(rows[wav_or_mp4 - 1][1])
+        assert (got[wav_or_mp4]["width"], got[wav_or_mp4]["height"]) == (
+            len(b) % 640, len(b) % 480)
 
 
 def test_wav_decode_roundtrip_pure():
