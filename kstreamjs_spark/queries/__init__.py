@@ -70,9 +70,10 @@ _WINDOW_SIZE = 50
 # rows on the quantize-before-sum arithmetic in CORRECTNESS_r07. No query
 # changed behavior after its latest driver row (the round-8 engine edits
 # are guards, measurement tooling, and new queries) EXCEPT q31 (pinned
-# below); the staleness sort fills the rest of the window: the five
+# below); the staleness sort fills the rest of the window: the six
 # never-checked round-8 queries (q40d PNG, q40e MP4 metadata, q40f JPEG,
-# q40g MP4 frame sample, q77b bloom decontamination) enter first
+# q40g MP4 frame sample, q77b bloom decontamination, q157 BM25) enter
+# first
 # (hist 0), then the 23 r4-vintage rows (q39, q40b, q41, q43, q46-q49,
 # q51, q52, q54-q56, q63, q72, q73, q75, q77, q78, q80, q82-q84), then
 # the oldest r5 rows — after this round no query's newest driver row is
@@ -85,7 +86,7 @@ _WINDOW_PRIORITY: list[str] = ["q31_session_windows"]
 # ROUND-9 NOTE: round 8's only attested-arithmetic change is q31's
 # oracle boundary fix (pinned above; everything else this round is new
 # queries, kernel extensions behind unchanged compares, tests, and
-# measurement). If CORRECTNESS_r08 confirms q31 and the five new
+# measurement). If CORRECTNESS_r08 confirms q31 and the six new
 # queries, clear the pin and keep the list empty — the staleness sort
 # then continues draining the r5 tail (q55's with_sessions unification
 # was A/B-verified plan-identical, so it re-attests via its normal r4

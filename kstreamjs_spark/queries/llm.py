@@ -259,6 +259,115 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     ).filter(F.col("rn") <= 20)
 
 
+# --------------------------------------------------- Q157 BM25 retrieval
+_BM25_TERMS = ["hash", "join", "vector", "window", "spark"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "q157_bm25_topk",
+    oracle=f"""
+        WITH dl AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS dl_sum FROM dl),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+               WHERE token IN ({_BM25_TERMS_SQL})
+               GROUP BY 1, 2),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+               GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * st.n) / st.dl_sum))
+                   * 1000000 + 0.5) AS BIGINT) AS q
+          FROM tf
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st)
+        SELECT doc_id, SUM(q) / 1000000.0 AS score
+        FROM contrib GROUP BY doc_id
+        ORDER BY SUM(q) DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "retrieval", "llm"),
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BM25 top-k retrieval (Okapi k1=1.2, b=0.75) for a fixed
+    term set — the lexical scorer a training pipeline uses for quality
+    filtering and hard-negative mining next to the embedding retrievers
+    (q27/q42/q155). All built-ins: explode -> tf groupBy, df and the
+    (N, total-length) scalars broadcast, one doc_id join, TakeOrdered
+    top-k (no global sort).
+
+    Determinism discipline: every per-term contribution is quantized to
+    int64 millionths BEFORE the per-doc sum (q96's ln precedent — the
+    1e-6 quantum absorbs libm ulp differences between Spark's Math.log
+    and DuckDB's ln), the length norm keeps dl*N/dl_sum as one integer
+    product before its single double division (no avg() whose low bits
+    could differ between engines), every shared float literal (2.2,
+    0.25, 0.75, 1.2) is spelled identically in both texts so IEEE
+    evaluation order matches, and the top-k orders by the INTEGER
+    quantized sum with a doc_id tie-break.
+
+    Scale shape: tf is corpus-sized but term-filtered at the scan; df is
+    |terms| rows and the stats frame is 1 row (both broadcast); the only
+    corpus shuffles are the (doc_id, token) tf aggregate and the doc_id
+    join with the length table."""
+    (documents,) = load(spark, sf, "documents")
+    dl = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("dl_sum"),
+    )
+    tf = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        # materialized ONCE: df is derived from tf, but lineage replay
+        # would rescan the corpus for it (the pruned df subtree is a
+        # distinct, not tf's count aggregate, so AQE cannot reuse the
+        # exchange). tf is term-filtered — docs-containing-terms rows at
+        # most — so the checkpoint is small at any corpus size.
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
+    )
+    q = F.floor(
+        idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5
+    ).cast("long")
+    return (
+        contrib.select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(F.sum("q").alias("_qs"))
+        .orderBy(F.desc("_qs"), "doc_id")
+        .limit(20)
+        .select("doc_id", (F.col("_qs") / 1000000.0).alias("score"))
+    )
+
+
 # ------------------------------------------------- text statistics / quality
 @query(
     "q34_text_stats",

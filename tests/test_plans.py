@@ -714,3 +714,21 @@ def test_bloom_decontaminate_probes_below_verify_join(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 4
+
+
+def test_bm25_topk_avoids_global_sort_and_single_corpus_scan(spark):
+    """q157's plan contract: top-k via TakeOrderedAndProject (never a
+    global sort), df/stats broadcast, and — after the tf checkpoint —
+    the term-filtered aggregate feeds both tf and df from ONE corpus
+    scan (lineage replay would otherwise rescan the corpus for df's
+    pruned distinct subtree, which AQE cannot dedupe against tf's count
+    exchange)."""
+    df = q("q157_bm25_topk", spark)
+    df.collect()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in ex
+    assert "CartesianProduct" not in ex
+    assert "BroadcastHashJoin" in ex
+    # documents appears only in the dl/stats subtrees now (the tf/df
+    # side reads the checkpointed term-filtered aggregate)
+    assert ex.count("FileScan parquet") <= 4
