@@ -203,6 +203,46 @@ def _mp4_frames_count(d):
     return multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(d)).count()
 
 
+def _bm25_count(d):
+    # q157 shape: term-filtered tf + broadcast df/stats + doc_id join +
+    # TakeOrdered top-k. Reuses the registered query body on a temp view
+    # is not possible (queries load from sf dirs), so restate the same
+    # operator composition over the multiplied frame.
+    from kstreamjs_spark.queries.llm import _BM25_TERMS
+
+    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("dl_sum"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint()
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
+    )
+    q = F.floor(idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5).cast("long")
+    return (
+        contrib.select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(F.sum("q").alias("_qs"))
+        .orderBy(F.desc("_qs"), "doc_id")
+        .limit(20)
+        .count()
+    )
+
+
 def _leakage_maxdf_count(d):
     # q106b shape: unblocked max_df'd shingle join + cross-split meta joins
     from kstreamjs_spark.operators import sampling, text as text_ops
@@ -801,9 +841,10 @@ def main() -> int:
         "repeated_chunks": _repeated_chunks_count,
         "coverage": _coverage_count,
         "chunk_neardup": _chunk_neardup_count,
-        # round-8 additions (q40f/q40g media-decode shapes)
+        # round-8 additions (q40f/q40g media-decode + q157 retrieval shapes)
         "jpeg_decode": _jpeg_decode_count,
         "mp4_frames": _mp4_frames_count,
+        "bm25": _bm25_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {
