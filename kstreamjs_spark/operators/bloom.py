@@ -15,9 +15,13 @@ Spark-first split of the work:
   it exists only inside the optimizer's runtime-filter rewrite).
 - THE BUILD IS DISTRIBUTED-DEDUPED: positions are made distinct on the
   cluster before collection, so the driver transfer is bounded by
-  num_bits/8 bytes REGARDLESS of build-side row count — that bound is
-  chosen by the caller, unlike an exact collect_set whose size is the
-  data's choice.
+  min(rows * num_hashes, num_bits) int64s — i.e. at most num_bits * 8
+  bytes of positions (the packed bitset itself is num_bits / 8 bytes) —
+  REGARDLESS of build-side row count: the cap is chosen by the caller
+  via num_bits, unlike an exact collect_set whose size is the data's
+  choice. (If that 8-bytes-per-set-bit transfer ever matters, the next
+  step is packing per-range bitmasks distributed-side and OR-ing
+  fixed-size chunks on the driver.)
 
 A bloom probe has false POSITIVES only (never false negatives — the
 property test pins this), so callers that need exact results follow the

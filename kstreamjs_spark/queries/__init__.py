@@ -78,19 +78,15 @@ _WINDOW_SIZE = 50
 # q51, q52, q54-q56, q63, q72, q73, q75, q77, q78, q80, q82-q84), then
 # the oldest r5 rows — after this round no query's newest driver row is
 # older than r5.
-# One pin: q31's oracle changed this round (the >= at the session-gap
-# boundary corrected to session_window's actual merge-at-exactly-gap
-# rule — a divergence the corpus masked by containing zero exact-1800 s
-# deltas), so its r7 row no longer attests the current compare.
-_WINDOW_PRIORITY: list[str] = ["q31_session_windows"]
-# ROUND-9 NOTE: round 8's only attested-arithmetic change is q31's
-# oracle boundary fix (pinned above; everything else this round is new
-# queries, kernel extensions behind unchanged compares, tests, and
-# measurement). If CORRECTNESS_r08 confirms q31 and the six new
-# queries, clear the pin and keep the list empty — the staleness sort
-# then continues draining the r5 tail (q55's with_sessions unification
-# was A/B-verified plan-identical, so it re-attests via its normal r4
-# slot, not a pin).
+# Round 9: CORRECTNESS_r08 came back 50/50 full-hash green, including
+# the q31 oracle-boundary pin and all six round-8 queries — the pin is
+# cleared. New round-9 queries (never driver-checked, hist 0) enter the
+# window automatically via the staleness sort ahead of everything else;
+# after them the sort drains the r5-vintage tail (q11b, q14, q15a/b,
+# q44, q57, q58, q60, q61, q64, q65, q79, …) exactly as the ROUND-9
+# NOTE planned. No round-9 engine edit changes the attested arithmetic
+# of any already-green query, so no pins are needed.
+_WINDOW_PRIORITY: list[str] = []
 
 
 def _correctness_history() -> dict[str, int]:

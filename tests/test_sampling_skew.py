@@ -321,10 +321,17 @@ def test_hash_bucket_full_int64_domain(spark):
     import duckdb
 
     edge = 2**63
+    # The stability-check keys (bottom of the test) are part of the
+    # DataFrame so the final loop indexes real Spark output — a .get()
+    # with a self-satisfying default would pass vacuously for any key
+    # not in this list.
+    stability_keys = [0, -1, 1, 2**40, -(2**40), 123456789]
     keys = [
         edge - 1, -edge, -edge + 1, edge - 2**30, -edge + 2**30,
-        edge - 2**32, 0, -1, 1,
-    ] + [random.Random(5).randint(-edge, edge - 1) for _ in range(500)]
+        edge - 2**32,
+    ] + stability_keys + [
+        random.Random(5).randint(-edge, edge - 1) for _ in range(500)
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
     got = {
         r["doc_id"]: r["b"]
@@ -350,5 +357,5 @@ def test_hash_bucket_full_int64_domain(spark):
         x = k + s  # in-domain by choice of key below
         sf = x - int(x / M) * M  # sign-following %
         return (sf * A + C) % M  # python % == pmod
-    for k in [0, -1, 1, 2**40, -(2**40), 123456789]:
-        assert got.get(k, old_form(k, 42)) == old_form(k, 42)
+    for k in stability_keys:
+        assert got[k] == old_form(k, 42)
