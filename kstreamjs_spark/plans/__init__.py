@@ -34,6 +34,32 @@ def pushed_filters(df: DataFrame) -> str:
     )
 
 
+def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage so a frame consumed by MULTIPLE downstream subtrees is
+    computed once instead of replayed per consumer (AQE's ReusedExchange
+    only dedupes identical exchanges; a pruned distinct subtree and a
+    count aggregate over the same input are different subtrees and both
+    rescan).
+
+    Cluster policy (r8 verdict watch item): ``localCheckpoint`` stores
+    the blocks on executors — fast, but the frame is lost if an executor
+    dies, which on a real cluster means failing the job instead of
+    recomputing. So: if the application has a RELIABLE checkpoint dir
+    configured (``spark.sparkContext.setCheckpointDir(...)`` — HDFS/S3
+    on a cluster), use ``checkpoint()`` and survive executor loss;
+    otherwise fall back to ``localCheckpoint()``, which is exactly right
+    for local[] runs where executor==driver and there is no partial
+    failure mode to survive."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:  # pragma: no cover - py4j accessor unavailable
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def broadcast_if_small(
     df: DataFrame,
     max_bytes: int = 128 << 20,

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import dedup, kmeans, sampling, text
 from ..operators.sampling import hash_bucket_sql, sample_hash_sql
+from ..plans import materialize_once
 from ..tables import load
 from . import query
 
@@ -152,10 +153,12 @@ def q77b(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
         .distinct()
         # materialized ONCE: both bloom_build's collect action and the
-        # verify semi-join consume this frame, and without the checkpoint
-        # each would re-run the eval scan + explode + distinct
-        .localCheckpoint()
+        # verify semi-join consume this frame, and without the
+        # materialization each would re-run the eval scan + explode +
+        # distinct (reliable checkpoint() on a cluster with a checkpoint
+        # dir, localCheckpoint otherwise — plans.materialize_once)
     )
+    eval_shingles = materialize_once(eval_shingles)
     # ~50k distinct eval shingles at sf0.1 -> 1M bits (128 KB) keeps the
     # survivor set at true hits + ~2e-4 noise
     bf = bloom_ops.bloom_build(eval_shingles, "g", num_bits=1 << 20)
