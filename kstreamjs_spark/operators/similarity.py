@@ -13,6 +13,7 @@ Two paths, as the north star requires:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -245,6 +246,90 @@ def ann_topk_lsh(
     )
     cand = with_sig.crossJoin(F.broadcast(qsig)).filter(
         F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming
+    )
+    a = as_double(F.col(vec_col))
+    scored = cand.select(
+        F.col(id_col), F.round(cosine(a, F.col("qv")), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def _band_signature_udf(
+    planes: list[list[float]], band_bits: int, dim: int, what: str
+):
+    """Arrow-batched banded signatures: ONE numpy matmul per batch turns
+    the (batch, dim) vectors into (batch, n_planes) sign bits, packed per
+    band into small ints. At 100 planes the equivalent Catalyst
+    expression tree is ~6400 fold nodes — past the codegen method-size
+    cliff — so this is the documented pandas-UDF exception: the scan-side
+    projection stays Arrow-vectorized, never per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    n_bands = P.shape[0] // band_bits
+    weights = (2 ** np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(v: pd.Series) -> pd.Series:
+        lens = v.map(len)
+        if not (lens == dim).all():
+            bad = int(lens[lens != dim].iloc[0])
+            raise ValueError(
+                f"ann_topk_lsh_banded: dim={dim} but {what} has length {bad}"
+            )
+        m = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ P.T) >= 0.0  # (batch, n_planes)
+        bands = (
+            bits.reshape(len(m), n_bands, band_bits).astype(np.int64) @ weights
+        )
+        return pd.Series(list(bands))
+
+    return sig
+
+
+def ann_topk_lsh_banded(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 20,
+    band_bits: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via BANDED random-hyperplane LSH: ``n_bands``
+    independent signature tables of ``band_bits`` sign bits each; a row
+    is a candidate iff ANY band matches the query's band at the same
+    position (OR-amplification), then candidates are scored exactly.
+
+    Why banded instead of one Hamming-radius table (`ann_topk_lsh`): on
+    near-uniform corpora whose true neighbors sit at ~65-75deg, a 6-bit
+    signature within Hamming 2 recalls only ~half the exact top-10 — the
+    bits a neighbor flips are arbitrary, so widening the radius admits
+    the whole table before it admits the neighbors. OR-ed bands recall
+    1-(1-p^b)^L for per-bit agreement p, which reaches ~0.9 at p≈0.62
+    (70deg) with b=5, L=20 while random rows (p=0.5) pass only
+    1-(1-2^-5)^20 ≈ 0.47 — measured at sf0.01/sf0.1: top-10 overlap
+    9/10 vs the Hamming path's 4/10, candidates ~0.46-0.51 of N (within
+    the 2x budget vs the Hamming path's 0.34).
+
+    At 100 TB: signatures are one Arrow matmul in the scan projection
+    (no shuffle); for single queries the band match is a broadcast
+    filter; for query BATCHES explode to (band_idx, band_val) and
+    equi-join — the same shape `minhash_neardup_pairs` uses for its
+    bands."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim)).tolist()
+    sig_v = _band_signature_udf(planes, band_bits, dim, repr(vec_col))
+    sig_q = _band_signature_udf(planes, band_bits, dim, "query 'qv'")
+    with_sig = vectors.withColumn("sig", sig_v(F.col(vec_col)))
+    qsig = query.withColumn("qsig", sig_q(F.col("qv")))
+    cand = with_sig.crossJoin(F.broadcast(qsig)).filter(
+        F.exists(
+            F.zip_with(F.col("sig"), F.col("qsig"), lambda x, y: x == y),
+            lambda b: b,
+        )
     )
     a = as_double(F.col(vec_col))
     scored = cand.select(

@@ -126,6 +126,31 @@ def main() -> int:
             "top10_overlap": len(set(exact10) & set(approx10)),
             "rank1_matches_exact": bool(approx10 and approx10[0] == exact10[0]),
         }
+    # q27b's pruning honesty: fraction of N surviving the banded filter
+    # (k=N returns every candidate) — recall means nothing if the filter
+    # quietly admits the whole table
+    n_emb = emb.count()
+    n_cand = similarity.ann_topk_lsh_banded(emb, qv, k=n_emb + 1).count()
+    out["q27b_ann_lsh_topk"]["candidate_fraction"] = round(n_cand / n_emb, 4)
+    # the recall bar holds at BOTH scales (r8 verdict #3): repeat the
+    # overlap + pruning measurement at sf0.1 regardless of the main sf
+    (emb1,) = load(spark, "/root/testdata/sf0.1", "embeddings")
+    qv1 = emb1.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    ex1 = [r["vec_id"] for r in similarity.topk_cosine(emb1, qv1, k=10).collect()]
+    ap1 = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh_banded(emb1, qv1, k=10).collect()
+    ]
+    n1 = emb1.count()
+    out["q27b_ann_lsh_topk"]["sf0.1"] = {
+        "top10_overlap": len(set(ex1) & set(ap1)),
+        "rank1_matches_exact": bool(ap1 and ap1[0] == ex1[0]),
+        "candidate_fraction": round(
+            similarity.ann_topk_lsh_banded(emb1, qv1, k=n1 + 1).count() / n1, 4
+        ),
+    }
 
     # ---- q24b: sketch aggregates vs exact
     ex = events.agg(

@@ -106,14 +106,23 @@ def test_exact_dedup_by_fingerprint(spark):
 
 def test_ann_lsh_recall(spark):
     """LSH ANN must contain the exact top-1 (the query vector itself) and
-    achieve reasonable overlap with the exact top-10."""
+    achieve reasonable overlap with the exact top-10. The banded path
+    (q27b's, r9) carries the strong bar — >=8/10 on this near-uniform
+    corpus whose neighbors sit at ~70deg; the single-table Hamming path
+    stays available with its weaker documented recall."""
     e = emb(spark)
     qv = e.filter(F.col("vec_id") == 0).select(
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     exact = [r["vec_id"] for r in similarity.topk_cosine(e, qv, k=10).collect()]
+    banded = [
+        r["vec_id"]
+        for r in similarity.ann_topk_lsh_banded(e, qv, k=10).collect()
+    ]
+    assert exact[0] == 0 and banded[0] == 0  # self-match tops both
+    assert len(set(exact) & set(banded)) >= 8
     approx = [r["vec_id"] for r in similarity.ann_topk_lsh(e, qv, k=10).collect()]
-    assert exact[0] == 0 and approx[0] == 0  # self-match tops both
+    assert approx[0] == 0
     assert len(set(exact) & set(approx)) >= 2
 
 
