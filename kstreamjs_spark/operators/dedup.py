@@ -479,27 +479,27 @@ def simhash64(text: Column | str) -> Column:
     return packed
 
 
-def simhash_neardup_pairs(
-    documents: DataFrame,
+def hamming_neardup_pairs(
+    hashed: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    hash_col: str = "h",
 ) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance k, using the standard
-    chunk trick: split the 64-bit hash into k+1 16-bit chunks — any pair
-    within distance k<=3 must agree on >=1 chunk, so candidates come from
-    equi-joins on (chunk_id, chunk_value), never a cross join."""
+    """Near-dup pairs within Hamming distance k over ANY precomputed
+    64-bit hash column (SimHash of text, pHash of images, …), using the
+    standard chunk pigeonhole: split the hash into 4 16-bit chunks — a
+    pair within distance k<=3 must agree on >=1 chunk, so candidates
+    come from equi-joins on (chunk_id, chunk_value), never a cross join.
+    Output (d1, d2, hamming), d1 < d2, exact-verified."""
     if max_hamming > 3:
         # 4 fixed 16-bit chunks pigeonhole distances <= 3 only; a larger
         # threshold silently loses pairs whose differing bits spread one
         # per chunk — refuse rather than under-recall.
         raise ValueError(
-            f"simhash_neardup_pairs guarantees recall for max_hamming <= 3 "
+            f"hamming_neardup_pairs guarantees recall for max_hamming <= 3 "
             f"(4 chunks), got {max_hamming}"
         )
-    sh = _spread(documents, id_col).select(
-        F.col(id_col), simhash64(text_col).alias("h")
-    )
+    sh = hashed.select(F.col(id_col), F.col(hash_col).alias("h"))
     chunks = F.array(
         *[
             F.struct(
@@ -526,6 +526,23 @@ def simhash_neardup_pairs(
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance k: compute the
+    64-bit text SimHash expression-side, then delegate to the generic
+    chunk-pigeonhole machinery (`hamming_neardup_pairs`)."""
+    sh = _spread(documents, id_col).select(
+        F.col(id_col), simhash64(text_col).alias("h")
+    )
+    return hamming_neardup_pairs(
+        sh, max_hamming=max_hamming, id_col=id_col, hash_col="h"
     )
 
 

@@ -169,6 +169,160 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, int] | None:
     return len(blob), width, nrows, bpp // 8
 
 
+def encode_bmp_pixels(width: int, height: int, gray: bytes) -> bytes:
+    """Pure-Python 24-bit BMP writer with CALLER-SUPPLIED pixel content:
+    ``gray`` is ``width*height`` luma bytes in raster (top-down) order,
+    replicated across B,G,R. Rows are stored bottom-up per the BMP spec
+    and padded to 4-byte boundaries — `decode_bmp_pixels` reverses both,
+    so the pair is an exact roundtrip (the content-carrying sibling of
+    `encode_bmp`, whose single repeated byte is enough for the
+    header-decode tests but not for perceptual hashing)."""
+    if len(gray) != width * height:
+        raise ValueError(
+            f"encode_bmp_pixels: need {width * height} luma bytes, "
+            f"got {len(gray)}"
+        )
+    pad = (-(width * 3)) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        row = gray[y * width:(y + 1) * width]
+        rows.append(
+            b"".join(bytes((v, v, v)) for v in row) + b"\x00" * pad
+        )
+    body = b"".join(rows)
+    off = 14 + 40
+    size = off + len(body)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + dib + body
+
+
+def decode_bmp_pixels(blob: bytes):
+    """REAL pixel-decode kernel: the strict `decode_bmp` header
+    validation plus full pixel reconstruction — stride un-padding,
+    bottom-up (or negative-height top-down) row order, BGR channel
+    unpack. Returns a numpy uint8 array of shape (height, width,
+    channels) in raster order, or None on any malformation (same
+    contract as the metadata kernel: arbitrary bytes can never alias
+    in)."""
+    import numpy as np
+
+    meta = decode_bmp(blob)
+    if meta is None:
+        return None
+    _, width, nrows, nchan = meta
+    off = int.from_bytes(blob[10:14], "little")
+    height = int.from_bytes(blob[22:26], "little", signed=True)
+    stride = (width * nchan + 3) & ~3
+    body = np.frombuffer(blob, dtype=np.uint8, count=stride * nrows, offset=off)
+    rows = body.reshape(nrows, stride)[:, : width * nchan]
+    px = rows.reshape(nrows, width, nchan)
+    if height > 0:  # bottom-up storage -> flip back to raster order
+        px = px[::-1]
+    # stored order is B,G,R(,A) -> return R,G,B(,A)
+    if nchan >= 3:
+        px = px[:, :, [2, 1, 0] + list(range(3, nchan))]
+    return np.ascontiguousarray(px)
+
+
+# --------------------------------------------------- perceptual hash (pHash)
+_PHASH_N = 32  # resize target; DCT size
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II matrix (the classic pHash transform)."""
+    import numpy as np
+
+    k = np.arange(n)[:, None].astype(np.float64)
+    m = np.arange(n)[None, :].astype(np.float64)
+    c = np.cos(np.pi * (m + 0.5) * k / n) * np.sqrt(2.0 / n)
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+def phash64(gray) -> int:
+    """64-bit-class perceptual hash of a 2-D grayscale array: sample down
+    to 32x32, 2-D orthonormal DCT-II, keep the top-left 8x8
+    low-frequency block, drop the DC term, threshold the remaining 63
+    coefficients at their median -> 63 packed bits (bit i = coefficient
+    i+1 above median; bit 63 stays 0 so the hash is a non-negative
+    BIGINT).
+
+    Dropping DC and thresholding at the median make the hash EXACTLY
+    invariant to global brightness shifts and positive contrast scaling
+    (DC absorbs the shift; scaling moves every AC coefficient and the
+    median together), which is what makes it a perceptual near-dup key
+    rather than a byte hash."""
+    import numpy as np
+
+    a = np.asarray(gray, dtype=np.float64)
+    h, w = a.shape
+    n = _PHASH_N
+    # deterministic nearest-index downsample (images at or below 32x32
+    # pass through exactly)
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    small = a[np.ix_(ys, xs)]
+    c = _dct_matrix(n)
+    block = (c @ small @ c.T)[:8, :8].ravel()
+    ac = block[1:]
+    med = float(np.median(ac))
+    bits = ac > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-image perceptual hash over a binary column: decode BMP pixels
+    with the real kernel, collapse channels to luma (equal-weight mean),
+    pHash. Arrow-batched mapInPandas; blobs never leave the executors
+    and the output is one BIGINT per row — the perfect shuffle key for
+    Hamming-bucketed image near-dup (`dedup.hamming_neardup_pairs`).
+    Non-BMP payloads (stub territory in this container) raise rather
+    than silently hashing garbage."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for b in pdf[blob_col]:
+                px = decode_bmp_pixels(bytes(b))
+                if px is None:
+                    raise ValueError(
+                        "phash_blobs: payload is not a well-formed "
+                        "uncompressed BMP"
+                    )
+                gray = px.astype(np.float64).mean(axis=2)
+                hashes.append(phash64(gray))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "phash": hashes}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(batches, PHASH_SCHEMA)
+
+
 def encode_wav(
     n_samples: int, sample_rate: int = 16000, n_channels: int = 1,
     bits: int = 16,

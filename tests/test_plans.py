@@ -806,3 +806,21 @@ def test_materialize_once_prefers_reliable_checkpoint(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.empty()
         )
+
+
+def test_phash_neardup_bucket_join_is_equi_not_cross(spark):
+    """q158's plan contract: candidates come from the (cid, cval)
+    chunk-pigeonhole EQUI-join — the plan must show the chunk keys in a
+    hash-join condition and contain no cross/nested-loop join, so the
+    image-dedup cost is shuffle-on-8-byte-keys, never all-pairs."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q158_phash_image_neardup", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "HashJoin" in l) and "cid" in l
+    ]
+    assert join_lines, plan
+    assert any("cval" in l for l in join_lines), join_lines
