@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import dedup, kmeans, sampling, text
 from ..operators.sampling import hash_bucket_sql, sample_hash_sql
-from ..plans import materialize_once
 from ..tables import load
 from . import query
 
@@ -89,6 +88,8 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
     against that broadcast — no shuffle of the corpus, and the only
     exchange is the contaminated-id distinct (bounded by the hit count).
     """
+    from ..operators import bloom as bloom_ops
+
     (docs,) = load(spark, sf, "documents")
     is_eval = sampling.sample_predicate("doc_id", _EVAL_FRACTION, seed=_EVAL_SEED)
     eval_shingles = (
@@ -97,11 +98,17 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     train = docs.filter(~is_eval)
+    train_shingles = train.select(
+        "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
+    )
     contaminated = (
-        train.select(
-            "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
+        # the shared decontamination entry point, regime PINNED to
+        # broadcast so this query stays the explicit exemplar of that
+        # plan shape (member_semijoin's auto rule picks the same one
+        # here — tests/test_plans.py pins the auto selection)
+        bloom_ops.member_semijoin(
+            train_shingles, eval_shingles, "g", regime="broadcast"
         )
-        .join(F.broadcast(eval_shingles), "g", "left_semi")
         .select("doc_id", "lang")
         .distinct()
     )
@@ -152,27 +159,23 @@ def q77b(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(is_eval)
         .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
         .distinct()
-        # materialized ONCE: both bloom_build's collect action and the
-        # verify semi-join consume this frame, and without the
-        # materialization each would re-run the eval scan + explode +
-        # distinct (reliable checkpoint() on a cluster with a checkpoint
-        # dir, localCheckpoint otherwise — plans.materialize_once)
     )
-    eval_shingles = materialize_once(eval_shingles)
-    # ~50k distinct eval shingles at sf0.1 -> 1M bits (128 KB) keeps the
-    # survivor set at true hits + ~2e-4 noise
-    bf = bloom_ops.bloom_build(eval_shingles, "g", num_bits=1 << 20)
     train = docs.filter(~is_eval)
     train_shingles = train.select(
         "doc_id", "lang", F.explode(dedup.shingles("text", _DECON_N)).alias("g")
     )
-    survivors = (
-        bloom_ops.bloom_might_contain(train_shingles, "g", bf)
-        .filter("maybe")
-        .drop("maybe")
-    )
     contaminated = (
-        survivors.join(eval_shingles, "g", "left_semi")  # exact verify
+        # the shared decontamination entry point, regime PINNED to bloom
+        # so this query stays the explicit exemplar of that plan shape.
+        # member_semijoin materializes the eval shingle set ONCE (both
+        # the bloom build and the verify semi-join consume it;
+        # plans.materialize_once upgrades to reliable checkpoint() on a
+        # cluster). ~50k distinct eval shingles at sf0.1 -> 1M bits
+        # (128 KB) keeps the survivor set at true hits + ~2e-4 noise.
+        bloom_ops.member_semijoin(
+            train_shingles, eval_shingles, "g",
+            regime="bloom", num_bits=1 << 20,
+        )
         .select("doc_id", "lang")
         .distinct()
     )

@@ -824,3 +824,43 @@ def test_phash_neardup_bucket_join_is_equi_not_cross(spark):
     ]
     assert join_lines, plan
     assert any("cval" in l for l in join_lines), join_lines
+
+
+def test_member_semijoin_auto_picks_regime_from_size(spark):
+    """The r8-verdict decontamination rule, encoded and pinned: ONE
+    entry point (bloom.member_semijoin) plans the broadcast regime when
+    Catalyst's size estimate of the member side fits the budget and the
+    bloom-prefilter regime when it does not — chosen from sizes alone,
+    both regimes returning the identical exact answer."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.operators import bloom as bloom_ops
+    from kstreamjs_spark.plans import explain_str
+
+    cands = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("k"), (F.col("id") % 500).cast("string")).alias("g"),
+    )
+    members = spark.range(0, 100).select(
+        F.concat(F.lit("k"), (F.col("id") * 3).cast("string")).alias("g")
+    )
+    expected = sorted(
+        r["doc_id"]
+        for r in cands.join(members, "g", "left_semi").collect()
+    )
+
+    # generous budget -> auto picks broadcast: hinted semi-join, no probe
+    bc = bloom_ops.member_semijoin(cands, members, "g", regime="auto")
+    bc_plan = explain_str(bc, "simple")
+    assert "BroadcastHashJoin" in bc_plan and "LeftSemi" in bc_plan
+    assert "ArrowEvalPython" not in bc_plan
+    assert sorted(r["doc_id"] for r in bc.collect()) == expected
+
+    # 1-byte budget -> the same member frame is "too big": auto must
+    # plan the bloom shape (Arrow bitset probe BELOW the verify join)
+    bl = bloom_ops.member_semijoin(
+        cands, members, "g", regime="auto", broadcast_max_bytes=1
+    )
+    bl_plan = explain_str(bl, "simple")
+    assert "ArrowEvalPython" in bl_plan and "LeftSemi" in bl_plan
+    assert sorted(r["doc_id"] for r in bl.collect()) == expected
