@@ -2,9 +2,21 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Since round 9 the line IS the same-host paired protocol the r8 verdict
+asked for (its #7): every headline query is measured on BOTH sides —
+engine (Spark, warm, min-of-N) AND oracle (DuckDB 32-thread, warm,
+min-of-N) — in one process on one host back to back, so cross-round
+deltas never again need prose adjudication of host drift. The original
+schema keys (metric/value/unit/queries/sf) are unchanged and still carry
+the engine numbers; the oracle column and the protocol stamp ride
+alongside. Set SPARK_GRAFT_BENCH_ORACLE=0 to skip the oracle side.
+
 Timing includes full execution + collect of each query's (small) result.
-A warmup query amortizes JVM/codegen startup out of the numbers, matching
-how a long-lived cluster actually behaves.
+A warmup pass amortizes JVM/codegen startup out of the numbers, matching
+how a long-lived cluster actually behaves; min-of-N filters GC/contention
+jitter (this box's wall-clock is ±40% under load — the event-log
+task-seconds in SCALE.md carry the scaling claims, this file carries the
+same-host ratio).
 """
 
 from __future__ import annotations
@@ -20,56 +32,79 @@ from kstreamjs_spark.queries import all_queries  # noqa: E402
 from kstreamjs_spark.session import get_spark  # noqa: E402
 
 
+def _min_of(fn, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    with_oracle = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0"
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
-    spark = get_spark("kstreamjs-bench", cpus=cpus)
-    specs = {n: s for n, s in all_queries().items() if s.bench}
+    qs = all_queries()
+    specs = {n: s for n, s in qs.items() if s.bench}
+    load_before = round(os.getloadavg()[0], 2)
 
-    # Warm every query once (codegen compile + file-index caches), then
-    # time the steady-state run — matching how a long-lived cluster behaves,
-    # where plans are compiled once and run thousands of times. Cold-start
-    # numbers would measure the JIT, not the engine.
+    # ---- oracle side first (same order as scripts/oracle_bench.py):
+    # DuckDB 32 threads, warm, min-of-N. q26b is rows-only by design;
+    # its comparison column has always been the DuckDB run of the exact
+    # near-dup SQL it approximates (q26d).
+    oracle: dict[str, float] = {}
+    if with_oracle:
+        from kstreamjs_spark.testing import duck_connection
+
+        con = duck_connection(sf_dir)
+        con.execute("SET threads TO 32")
+        for name in sorted(specs):
+            sql = specs[name].oracle or qs["q26d_minhash_verify"].oracle
+            con.execute(sql).fetchall()  # warm (buffer pool + plan)
+            oracle[name] = _min_of(lambda: con.execute(sql).fetchall(), runs)
+
+    # ---- engine side: warm every query once (codegen compile +
+    # file-index caches), then min-of-N steady-state — a long-lived
+    # cluster compiles plans once and runs them thousands of times;
+    # cold-start numbers would measure the JIT, not the engine.
+    spark = get_spark("kstreamjs-bench", cpus=cpus)
     for name, spec in sorted(specs.items()):
         spec.fn(spark, sf_dir).collect()
-
-    # min of N timed runs per query: GC pauses and thread contention on a
-    # shared 32-thread JVM add ±0.5s jitter that min() filters out. The
-    # r5/r6 rounds both needed prose to explain host-load drift in the
-    # driver sweep; min-of-N plus the observed load average makes the
-    # number self-evident. N is recorded in the JSON.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        timings[name] = _min_of(lambda: spec.fn(spark, sf_dir).collect(), runs)
     load_after = round(os.getloadavg()[0], 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "runs_per_query": runs,
+        "loadavg_1m_before": load_before,
+        "loadavg_1m_after": load_after,
+    }
+    if with_oracle:
+        ot = round(sum(oracle.values()), 3)
+        doc.update(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "runs_per_query": runs,
-                "loadavg_1m_before": load_before,
-                "loadavg_1m_after": load_after,
+                "protocol": "same_host_engine_vs_oracle",
+                "oracle_queries": oracle,
+                "oracle_total_s": ot,
+                "duckdb_threads": 32,
+                "engine_vs_oracle_ratio": round(total / ot, 3) if ot else None,
             }
         )
-    )
+    print(json.dumps(doc))
     spark.stop()
     return 0
 
