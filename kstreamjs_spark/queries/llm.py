@@ -268,6 +268,45 @@ _BM25_TERMS = ["hash", "join", "vector", "window", "spark"]
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
+def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, token, tf, dl) for every document containing a term —
+    ONE corpus scan, ZERO corpus shuffle: per-term occurrence counts are
+    `size(filter(tokens, = term))` expressions inside whole-stage
+    codegen (the term set is a query-plan literal — the tiny-broadcast
+    degenerate case), packed into (token, tf) structs, kept where
+    tf > 0, exploded with dl riding along. Materialized once
+    (plans.materialize_once): both the df aggregate and the scoring join
+    consume it, and it holds at most docs-containing-terms rows at any
+    corpus size."""
+    toks = documents.select(
+        "doc_id", F.split("text", " ").alias("_toks")
+    )
+    entries = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("token"),
+                    F.size(
+                        F.filter(F.col("_toks"), lambda x: x == F.lit(t))
+                    ).cast("long").alias("tf"),
+                )
+                for t in terms
+            ]
+        ),
+        lambda s: s["tf"] > 0,
+    )
+    tf = (
+        toks.select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode(entries).alias("e"),
+        )
+        .select("doc_id", "dl", F.col("e.token").alias("token"),
+                F.col("e.tf").alias("tf"))
+    )
+    return materialize_once(tf)
+
+
 @query(
     "q157_bm25_topk",
     oracle=f"""
@@ -319,42 +358,28 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     evaluation order matches, and the top-k orders by the INTEGER
     quantized sum with a doc_id tie-break.
 
-    Scale shape: tf is corpus-sized but term-filtered at the scan; df is
-    |terms| rows and the stats frame is 1 row (both broadcast); the only
-    corpus shuffles are the (doc_id, token) tf aggregate and the doc_id
-    join with the length table."""
+    Scale shape (r9 rework): tf AND dl come from ONE corpus scan
+    projection with ZERO corpus shuffle — per-term occurrence counts are
+    `size(filter(tokens, = term))` expressions in whole-stage codegen,
+    packed as (token, tf) structs and exploded only where tf > 0, with
+    dl riding along on each row. That removes the old (doc_id, token)
+    tf aggregate AND the doc_id join with a corpus-sized length table
+    (which Catalyst was happy to BROADCAST at small SF — exactly the
+    build choice that explodes at 100 TB). df is |terms| rows and the
+    stats frame is 1 row (both broadcast); the only shuffles left are
+    the |terms|-row df aggregate and the 1-row stats aggregate."""
     (documents,) = load(spark, sf, "documents")
-    dl = documents.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
-    )
-    st = dl.agg(
+    tf = _bm25_tf_dl(documents, _BM25_TERMS)
+    st = documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("dl_sum"),
     )
-    tf = (
-        documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
-        .filter(F.col("token").isin(_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        # materialized ONCE: df is derived from tf, but lineage replay
-        # would rescan the corpus for it (the pruned df subtree is a
-        # distinct, not tf's count aggregate, so AQE cannot reuse the
-        # exchange). tf is term-filtered — docs-containing-terms rows at
-        # most — so the materialization is small at any corpus size;
-        # materialize_once upgrades to a reliable checkpoint() when the
-        # app has a checkpoint dir (cluster), localCheckpoint otherwise.
-    )
-    tf = materialize_once(tf)
     df_ = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    contrib = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-    )
+    contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
@@ -476,20 +501,12 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
         [(qid, t) for qid, ts in sorted(_BM25B_QUERIES.items()) for t in ts],
         "query_id long, token string",
     )
-    dl = documents.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
-    )
-    st = dl.agg(
+    tf = _bm25_tf_dl(documents, _BM25B_TERMS)
+    st = documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("dl_sum"),
-    )
-    tf = materialize_once(
-        documents.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        )
-        .filter(F.col("token").isin(_BM25B_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_ = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -497,7 +514,6 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
     contrib = (
         tf.join(F.broadcast(qt), "token")
         .join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(st))
     )
     idf = F.log(

@@ -745,9 +745,15 @@ def test_bm25_topk_avoids_global_sort_and_single_corpus_scan(spark):
     assert "TakeOrderedAndProject" in ex
     assert "CartesianProduct" not in ex
     assert "BroadcastHashJoin" in ex
-    # documents appears only in the dl/stats subtrees now (the tf/df
-    # side reads the checkpointed term-filtered aggregate)
-    assert ex.count("FileScan parquet") <= 4
+    # r9 shape: tf AND dl come from the one materialized scan-projection
+    # (size(filter(tokens)) per term, dl riding along), so the main plan
+    # has NO corpus-side join at all — documents appears only in the
+    # 1-row stats subtree. The old shape let Catalyst BROADCAST the
+    # corpus-sized length table (BuildRight on the documents scan), the
+    # exactly wrong build side at 100 TB; with no doc_id join left there
+    # is nothing to mis-broadcast.
+    assert ex.count("FileScan parquet") <= 2
+    assert "hashpartitioning(doc_id" in ex  # only the final score agg
 
 
 def test_bm25_batch_rank_pushdown_no_per_query_rescan(spark):
@@ -764,7 +770,9 @@ def test_bm25_batch_rank_pushdown_no_per_query_rescan(spark):
     assert "WindowGroupLimit" in ex
     assert "BroadcastHashJoin" in ex
     assert "CartesianProduct" not in ex and "SortMergeJoin" not in ex
-    assert ex.count("FileScan parquet") <= 4
+    # same r9 single-pass tf+dl shape as q157: corpus only in the stats
+    # subtree, constant in the batch size
+    assert ex.count("FileScan parquet") <= 2
     # every Sort under the window rank is local (global=false): the only
     # ordering work is per-partition for row_number, never a full sort
     for line in ex.splitlines():
