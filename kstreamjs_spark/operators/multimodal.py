@@ -317,7 +317,12 @@ def phash_blobs(
                 gray = px.astype(np.float64).mean(axis=2)
                 hashes.append(phash64(gray))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col].values, "phash": hashes}
+                {
+                    "doc_id": pdf[id_col].values,
+                    # explicit int64: an empty batch would otherwise
+                    # infer object/float and fail Arrow conversion
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
             )
 
     return df.select(id_col, blob_col).mapInPandas(batches, PHASH_SCHEMA)

@@ -271,6 +271,8 @@ def _band_signature_udf(
 
     @pandas_udf("array<long>")
     def sig(v: pd.Series) -> pd.Series:
+        if not len(v):  # empty Arrow batch: matmul below would see ndim-1
+            return pd.Series([], dtype=object)
         lens = v.map(len)
         if not (lens == dim).all():
             bad = int(lens[lens != dim].iloc[0])

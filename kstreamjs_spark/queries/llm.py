@@ -478,6 +478,9 @@ _BM25B_K = 10
         WHERE rnk <= {_BM25B_K}
     """,
     tags=("text", "retrieval", "llm"),
+    # bench: the batched-retrieval perf point (q158 is NOT bench — its
+    # oracle restates synthesis arithmetic, not an honest perf baseline)
+    bench=True,
 )
 def q157b(spark: SparkSession, sf: str) -> DataFrame:
     """Batched BM25: top-10 per query for 24 simultaneous term-set

@@ -203,36 +203,33 @@ def _mp4_frames_count(d):
     return multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(d)).count()
 
 
-def _bm25_count(d):
-    # q157 shape: term-filtered tf + broadcast df/stats + doc_id join +
-    # TakeOrdered top-k. Reuses the registered query body on a temp view
-    # is not possible (queries load from sf dirs), so restate the same
-    # operator composition over the multiplied frame.
-    from kstreamjs_spark.queries.llm import _BM25_TERMS
+def _bm25_scored(d, terms):
+    # shared scorer over the r9 single-pass tf+dl frame (the registered
+    # query bodies load from sf dirs, so the composition is restated via
+    # the SAME _bm25_tf_dl helper the queries use)
+    from kstreamjs_spark.queries.llm import _bm25_tf_dl
 
-    dl = d.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
-    st = dl.agg(
+    tf = _bm25_tf_dl(d, terms)
+    st = d.select(F.size(F.split("text", " ")).cast("long").alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("dl_sum"),
     )
-    tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isin(_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint()
-    )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    contrib = (
-        tf.join(F.broadcast(df_), "token")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(st))
-    )
+    contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + 1.2 * (
         0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
     )
     q = F.floor(idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5).cast("long")
+    return contrib, q
+
+
+def _bm25_count(d):
+    # q157 shape (r9): single-pass tf+dl, broadcast df/stats, NO corpus
+    # join, TakeOrdered top-k
+    from kstreamjs_spark.queries.llm import _BM25_TERMS
+
+    contrib, q = _bm25_scored(d, _BM25_TERMS)
     return (
         contrib.select("doc_id", q.alias("q"))
         .groupBy("doc_id")
@@ -241,6 +238,69 @@ def _bm25_count(d):
         .limit(20)
         .count()
     )
+
+
+def _bm25_batch_count(d):
+    # q157b shape: 24 simultaneous queries, broadcast (query_id, token)
+    # fan-out, per-query WindowGroupLimit top-10
+    from pyspark.sql import Window
+
+    from kstreamjs_spark.queries.llm import _BM25B_QUERIES, _BM25B_TERMS
+
+    contrib, q = _bm25_scored(d, _BM25B_TERMS)
+    spark = d.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25B_QUERIES.items()) for t in ts],
+        "query_id long, token string",
+    )
+    s = (
+        contrib.join(F.broadcast(qt), "token")
+        .select("query_id", "doc_id", q.alias("q"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("q").alias("_qs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qs"), "doc_id")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .count()
+    )
+
+
+def _phash_count(d):
+    # q158 shape: BMP synth -> real pixel decode -> DCT pHash ->
+    # chunk-pigeonhole Hamming pairs. Same fixture derivation as the
+    # query (groups of 3 sharing a base pattern through per-doc
+    # brightness/contrast); doc_ids shift per copy in clone mode so the
+    # group structure multiplies with the corpus.
+    import numpy as np
+    import pandas as pd
+
+    from kstreamjs_spark.operators import multimodal
+
+    def make_bmps(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 3
+                rng = np.random.RandomState((g * 2654435761) % (2**31))
+                base = rng.randint(0, 97, (32, 32))
+                img = base * (1 + did % 2) + 10 * (did % 5)
+                blobs.append(
+                    multimodal.encode_bmp_pixels(
+                        32, 32, bytes(img.astype(np.uint8).ravel())
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.select("doc_id").mapInPandas(
+        make_bmps, "doc_id long, blob binary"
+    )
+    hashed = multimodal.phash_blobs(blobs)
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="phash"
+    ).count()
 
 
 def _leakage_maxdf_count(d):
@@ -845,6 +905,9 @@ def main() -> int:
         "jpeg_decode": _jpeg_decode_count,
         "mp4_frames": _mp4_frames_count,
         "bm25": _bm25_count,
+        # round-9 additions (q157b/q158 shapes)
+        "bm25_batch": _bm25_batch_count,
+        "phash": _phash_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {
