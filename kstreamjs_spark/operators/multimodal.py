@@ -177,19 +177,22 @@ def encode_bmp_pixels(width: int, height: int, gray: bytes) -> bytes:
     so the pair is an exact roundtrip (the content-carrying sibling of
     `encode_bmp`, whose single repeated byte is enough for the
     header-decode tests but not for perceptual hashing)."""
+    import numpy as np
+
     if len(gray) != width * height:
         raise ValueError(
             f"encode_bmp_pixels: need {width * height} luma bytes, "
             f"got {len(gray)}"
         )
     pad = (-(width * 3)) % 4
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage
-        row = gray[y * width:(y + 1) * width]
-        rows.append(
-            b"".join(bytes((v, v, v)) for v in row) + b"\x00" * pad
-        )
-    body = b"".join(rows)
+    # vectorized row build: luma tripled to B,G,R, rows flipped to
+    # bottom-up storage order, stride-padded — one numpy pass instead of
+    # a per-pixel Python loop (the fixture synthesis in the stress sweep
+    # was spending more time here than in the DCT it feeds)
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    rows = np.zeros((height, width * 3 + pad), dtype=np.uint8)
+    rows[:, : width * 3] = np.repeat(px[::-1], 3, axis=1)
+    body = rows.tobytes()
     off = 14 + 40
     size = off + len(body)
     header = (
@@ -243,15 +246,21 @@ def decode_bmp_pixels(blob: bytes):
 _PHASH_N = 32  # resize target; DCT size
 
 
+_DCT_CACHE: dict[int, object] = {}
+
+
 def _dct_matrix(n: int):
-    """Orthonormal DCT-II matrix (the classic pHash transform)."""
+    """Orthonormal DCT-II matrix (the classic pHash transform); cached —
+    phash64 runs per row inside Arrow batches."""
     import numpy as np
 
-    k = np.arange(n)[:, None].astype(np.float64)
-    m = np.arange(n)[None, :].astype(np.float64)
-    c = np.cos(np.pi * (m + 0.5) * k / n) * np.sqrt(2.0 / n)
-    c[0, :] *= 1.0 / np.sqrt(2.0)
-    return c
+    if n not in _DCT_CACHE:
+        k = np.arange(n)[:, None].astype(np.float64)
+        m = np.arange(n)[None, :].astype(np.float64)
+        c = np.cos(np.pi * (m + 0.5) * k / n) * np.sqrt(2.0 / n)
+        c[0, :] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = c
+    return _DCT_CACHE[n]
 
 
 def phash64(gray) -> int:
@@ -282,11 +291,10 @@ def phash64(gray) -> int:
     ac = block[1:]
     med = float(np.median(ac))
     bits = ac > med
-    out = 0
-    for i, b in enumerate(bits):
-        if b:
-            out |= 1 << i
-    return out
+    # vectorized pack: sum of distinct powers of two, max 2^63 - 1
+    return int(
+        (bits.astype(np.uint64) << np.arange(63, dtype=np.uint64)).sum()
+    )
 
 
 PHASH_SCHEMA = "doc_id long, phash long"
