@@ -340,6 +340,72 @@ def ann_topk_lsh_banded(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join_lsh_banded(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "qid",
+    q_vec_col: str = "qv",
+    n_bands: int = 20,
+    band_bits: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate batch k-NN join for query batches TOO LARGE TO
+    BROADCAST — the scale path `knn_join` defers to. Both sides compute
+    banded signatures (one Arrow matmul per batch), explode to
+    (band_idx, band_val) rows, and candidates come from the EQUI-join on
+    that 8-byte key — never a broadcast of the batch, never a cross
+    join. Candidates are deduped to (qid, vec_id), scored exactly by
+    re-joining each side's vector by id, and cut to top-k per query with
+    the same WindowGroupLimit rank filter as `knn_join`.
+
+    Shuffle volume: n_bands rows per input row for the candidate join
+    (ids + one long each), then candidates + the two id-joins — all keyed
+    on small columns; the vectors themselves cross the wire only for
+    rows that reach scoring. Same recall curve as `ann_topk_lsh_banded`
+    (~0.9 per query on the near-uniform test corpus at b=5, L=20),
+    measured in APPROX_EVIDENCE.json against the exact `knn_join`."""
+    from pyspark.sql import Window
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim)).tolist()
+    sig_v = _band_signature_udf(planes, band_bits, dim, repr(vec_col))
+    sig_q = _band_signature_udf(planes, band_bits, dim, repr(q_vec_col))
+    vb = (
+        vectors.select(id_col, sig_v(F.col(vec_col)).alias("sig"))
+        .select(id_col, F.posexplode("sig").alias("b", "bv"))
+    )
+    qb = (
+        queries.select(q_id_col, sig_q(F.col(q_vec_col)).alias("qsig"))
+        .select(q_id_col, F.posexplode("qsig").alias("b", "bv"))
+    )
+    cand = (
+        vb.join(qb, ["b", "bv"])
+        .filter(F.col(id_col) != F.col(q_id_col))
+        .select(q_id_col, id_col)
+        .distinct()
+    )
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(queries.select(q_id_col, q_vec_col), q_id_col)
+        .select(
+            q_id_col,
+            id_col,
+            F.round(
+                cosine(as_double(F.col(vec_col)), F.col(q_vec_col)), round_to
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
 def knn_join(
     vectors: DataFrame,
     queries: DataFrame,

@@ -312,6 +312,28 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.knn_join(embeddings, queries, k=5).orderBy("qid", "rn")
 
 
+@query("q159_knn_join_lsh", oracle=None, tags=("similarity", "llm", "approx"))
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch k-NN join through BANDED LSH — q58's semantics when the
+    query batch is too large to broadcast (similarity.knn_join_lsh_banded):
+    both sides explode 20x5-bit signatures to (band_idx, band_val) rows,
+    candidates come from the equi-join on that key (no broadcast, no
+    cross join, plan-asserted), survivors are exact-scored and cut to
+    top-5 per query by WindowGroupLimit. Same 20-query set as q58, so
+    the recall vs the exact join is measured directly
+    (APPROX_EVIDENCE.json; pytest pins >=80% overlap)."""
+    from ..operators import similarity
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    return similarity.knn_join_lsh_banded(embeddings, queries, k=5).orderBy(
+        "qid", "rn"
+    )
+
+
 # --------------------------------- Q59 transitive dedup, end to end
 def _q59_oracle() -> str:
     # Compose on q56's oracle verbatim (the q110 pattern — one source of

@@ -132,6 +132,25 @@ def main() -> int:
     n_emb = emb.count()
     n_cand = similarity.ann_topk_lsh_banded(emb, qv, k=n_emb + 1).count()
     out["q27b_ann_lsh_topk"]["candidate_fraction"] = round(n_cand / n_emb, 4)
+    # ---- q159: banded batch k-NN join vs the exact knn_join (q58)
+    def _knn_overlap(sfd: str) -> float:
+        ex = {
+            (r["qid"], r["vec_id"])
+            for r in q["q58_knn_join"].fn(spark, sfd).collect()
+        }
+        ap = {
+            (r["qid"], r["vec_id"])
+            for r in q["q159_knn_join_lsh"].fn(spark, sfd).collect()
+        }
+        return round(len(ex & ap) / len(ex), 4) if ex else None
+
+    out["q159_knn_join_lsh"] = {
+        "k": 5,
+        "n_queries": 20,
+        "pair_recall_vs_exact": _knn_overlap(sf),
+        "pair_recall_vs_exact_sf0.1": _knn_overlap("/root/testdata/sf0.1"),
+    }
+
     # the recall bar holds at BOTH scales (r8 verdict #3): repeat the
     # overlap + pruning measurement at sf0.1 regardless of the main sf
     (emb1,) = load(spark, "/root/testdata/sf0.1", "embeddings")

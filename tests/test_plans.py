@@ -872,3 +872,23 @@ def test_member_semijoin_auto_picks_regime_from_size(spark):
     bl_plan = explain_str(bl, "simple")
     assert "ArrowEvalPython" in bl_plan and "LeftSemi" in bl_plan
     assert sorted(r["doc_id"] for r in bl.collect()) == expected
+
+
+def test_knn_join_lsh_no_broadcast_of_batch_no_cross(spark):
+    """q159's plan contract: candidates come from the (b, bv) band
+    equi-join — the query batch is never broadcast as a whole-vector
+    cross join (knn_join's shape) and nothing plans a cartesian/nested
+    loop. The broadcast hint is absent by construction; small sides may
+    still broadcast-HASH-join on the band key, which is fine — the keys
+    are 8-byte, not vectors."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q159_knn_join_lsh", spark), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "HashJoin" in l) and "bv" in l
+    ]
+    assert join_lines, plan
+    assert "WindowGroupLimit" in plan
