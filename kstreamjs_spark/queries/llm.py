@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ..operators import dedup, multimodal, similarity, text
 from ..plans import materialize_once
 from ..tables import load
-from . import query
+from . import REGISTRY, query
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -612,6 +612,36 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, hash_col="phash"
     )
+
+
+@query(
+    "q158b_image_dup_clusters",
+    oracle="""
+        SELECT a.doc_id AS node, CAST(3 * (a.doc_id // 3) AS BIGINT) AS label
+        FROM documents a
+        WHERE EXISTS (SELECT 1 FROM documents b
+                      WHERE b.doc_id // 3 = a.doc_id // 3
+                        AND b.doc_id <> a.doc_id)
+        ORDER BY node
+    """,
+    tags=("multimodal", "dedup", "llm", "iterative"),
+)
+def q158b(spark: SparkSession, sf: str) -> DataFrame:
+    """Image duplicate-CLUSTER resolution: q158's pHash near-dup pairs
+    -> connected components (iterative min-label propagation,
+    operators/cluster.py) -> (node, min-id label) per clustered image —
+    the q56 step for the image modality, so a multimodal pipeline keeps
+    ONE representative per perceptual-duplicate group. Because q158's
+    pair set is exactly the same-group pairs (its oracle's proof), the
+    expected clusters are closed-form: every member of a >=2-member
+    doc_id//3 group labeled by the group's smallest id — which is what
+    the oracle states, and only a correct decode -> pHash -> pair ->
+    closure chain reproduces."""
+    from ..operators import cluster
+
+    pairs = REGISTRY["q158_phash_image_neardup"].fn(spark, sf)
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    return comps.orderBy("node")
 
 
 # ------------------------------------------------- text statistics / quality
