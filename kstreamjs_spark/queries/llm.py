@@ -644,6 +644,61 @@ def q158b(spark: SparkSession, sf: str) -> DataFrame:
     return comps.orderBy("node")
 
 
+# ---------------------------------------- Q160 audio fingerprint dedup
+@query(
+    "q160_audio_fingerprint_neardup",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio near-dup via energy-difference fingerprinting — q158's
+    pattern for the audio modality, over the REAL PCM WAV decode path:
+
+      synthesize 16-bit WAV -> decode samples (real kernel) -> 64-frame
+      energy AFP -> 16-bit-chunk pigeonhole equi-join -> Hamming verify
+
+    Fixture synthesis: groups of 3 docs share a pseudo-random 2048-sample
+    pattern; each member renders it at gain 1+(doc_id%3) (range-safe:
+    |base| < 4096, so max 12288 < 2^15). The AFP compares ADJACENT frame
+    energies, and int16 energies are exact in float64, so positive gain
+    leaves every comparison EXACTLY unchanged: same-group clips hash
+    identically (hamming 0) while cross-group patterns are independent —
+    measured minimum cross-group distance over all chunk-sharing
+    candidates is 12, far beyond the <=3 cut. The oracle states the
+    closed-form pair set; only a correct sample decode + energy chain
+    reproduces it. Blobs never leave the executors; the only shuffle is
+    the 8-byte chunk-key candidate join."""
+    import numpy as np
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_wavs(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761 + 17) % (2**31))
+                base = rng.randint(-4096, 4096, 2048)
+                blobs.append(
+                    multimodal.encode_wav_samples(base * (1 + d % 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id").mapInPandas(
+        make_wavs, "doc_id long, blob binary"
+    )
+    hashed = multimodal.afp_blobs(blobs)
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="afp"
+    )
+
+
 # ------------------------------------------------- text statistics / quality
 @query(
     "q34_text_stats",

@@ -1046,3 +1046,49 @@ def test_knn_join_lsh_banded_recall(spark):
     assert len(exact & banded) >= int(0.8 * len(exact)), (
         len(exact & banded), len(exact)
     )
+
+
+def test_wav_sample_roundtrip_pure():
+    """encode_wav_samples/decode_wav_samples exact content roundtrip
+    (16-bit little-endian PCM, mono and stereo interleave), and the
+    strict-fallback contract on malformed payloads."""
+    import numpy as np
+
+    samples = np.arange(-500, 500, dtype=np.int16)
+    blob = multimodal.encode_wav_samples(samples, sample_rate=8000)
+    rate, arr = multimodal.decode_wav_samples(blob)
+    assert rate == 8000 and arr.shape == (1000, 1)
+    assert (arr[:, 0] == samples).all()
+    # stereo interleave: frame i = (L[i], R[i])
+    inter = np.empty(200, dtype=np.int16)
+    inter[0::2] = np.arange(100)       # L
+    inter[1::2] = -np.arange(100)      # R
+    blob2 = multimodal.encode_wav_samples(inter, n_channels=2)
+    rate2, arr2 = multimodal.decode_wav_samples(blob2)
+    assert arr2.shape == (100, 2)
+    assert (arr2[:, 0] == np.arange(100)).all()
+    assert (arr2[:, 1] == -np.arange(100)).all()
+    assert multimodal.decode_wav_samples(b"RIFFjunkWAVEnope" * 4) is None
+    # the metadata kernel agrees with the sample kernel
+    assert multimodal.decode_wav(blob) == (len(blob), 1, 8000, 1000)
+
+
+def test_afp_gain_invariance():
+    """The energy-difference AFP compares adjacent frame energies, which
+    scale together under positive gain with EXACT integer arithmetic in
+    float64 — so gain must leave the hash unchanged while an independent
+    pattern differs in many bits (the q160 oracle's correctness
+    argument). DC offset is NOT claimed invariant (energy is not
+    centered) — that is the documented contract difference vs pHash."""
+    import numpy as np
+
+    base = np.random.RandomState(3).randint(-4096, 4096, 2048)
+    h0 = multimodal.afp64(base)
+    assert h0 == multimodal.afp64(base * 2)
+    assert h0 == multimodal.afp64(base * 3)
+    other = np.random.RandomState(4).randint(-4096, 4096, 2048)
+    assert bin(h0 ^ multimodal.afp64(other)).count("1") >= 10
+    import pytest
+
+    with pytest.raises(ValueError, match="afp64"):
+        multimodal.afp64(np.arange(10))
