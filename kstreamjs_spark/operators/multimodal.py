@@ -413,22 +413,24 @@ def decode_wav_samples(blob: bytes):
     if meta is None:
         return None
     _, n_channels, sample_rate, n_samples = meta
-    # locate the data chunk (decode_wav proved the walk is in-bounds)
-    pos = 12
+    # walk ALL chunks before extracting: a data chunk is allowed to
+    # precede fmt in RIFF, and the 16-bit gate must hold regardless of
+    # chunk order (decode_wav proved the walk is in-bounds)
+    pos, bits, data_off = 12, None, None
     while pos + 8 <= len(blob):
         cid = blob[pos : pos + 4]
         size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
-        if cid == b"fmt ":
-            if int.from_bytes(blob[pos + 22 : pos + 24], "little") != 16:
-                return None  # sample extraction is 16-bit-only
-        if cid == b"data":
-            arr = np.frombuffer(
-                blob, dtype="<i2", count=n_samples * n_channels,
-                offset=pos + 8,
-            )
-            return sample_rate, arr.reshape(n_samples, n_channels)
+        if cid == b"fmt " and size >= 16:
+            bits = int.from_bytes(blob[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data_off = pos + 8
         pos += 8 + size + (size & 1)
-    return None  # pragma: no cover - decode_wav guarantees a data chunk
+    if bits != 16 or data_off is None:
+        return None  # sample extraction is 16-bit-only
+    arr = np.frombuffer(
+        blob, dtype="<i2", count=n_samples * n_channels, offset=data_off
+    )
+    return sample_rate, arr.reshape(n_samples, n_channels)
 
 
 # ------------------------------------------- audio fingerprint (energy AFP)

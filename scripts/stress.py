@@ -303,6 +303,36 @@ def _phash_count(d):
     ).count()
 
 
+def _afp_count(d):
+    # q160 shape: WAV synth -> real PCM sample decode -> energy AFP ->
+    # chunk-pigeonhole Hamming pairs (same fixture derivation as the
+    # query)
+    import numpy as np
+    import pandas as pd
+
+    from kstreamjs_spark.operators import multimodal
+
+    def make_wavs(it):
+        for pdf in it:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // 3
+                rng = np.random.RandomState((g * 2654435761 + 17) % (2**31))
+                base = rng.randint(-4096, 4096, 2048)
+                blobs.append(
+                    multimodal.encode_wav_samples(base * (1 + did % 3))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = d.select("doc_id").mapInPandas(
+        make_wavs, "doc_id long, blob binary"
+    )
+    return dedup.hamming_neardup_pairs(
+        multimodal.afp_blobs(blobs), max_hamming=3, hash_col="afp"
+    ).count()
+
+
 def _leakage_maxdf_count(d):
     # q106b shape: unblocked max_df'd shingle join + cross-split meta joins
     from kstreamjs_spark.operators import sampling, text as text_ops
@@ -456,6 +486,19 @@ def _kmeans_assign_count(em):
 
     cents = kmeans.initial_centroids(em, 8)
     return kmeans.assign(em, cents).groupBy("cid").count().count()
+
+
+def _knn_lsh_count(em):
+    # q159 shape: banded-signature explode both sides, (b, bv) candidate
+    # equi-join, exact rescoring, per-query WindowGroupLimit top-5 —
+    # the fixed 20-query batch against a multiplying vector table
+    from kstreamjs_spark.operators import similarity
+
+    queries = em.filter(F.col("vec_id") % 100 == 0).limit(20).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    return similarity.knn_join_lsh_banded(em, queries, k=5).count()
 
 
 def _sessionize_count(ev):
@@ -905,9 +948,10 @@ def main() -> int:
         "jpeg_decode": _jpeg_decode_count,
         "mp4_frames": _mp4_frames_count,
         "bm25": _bm25_count,
-        # round-9 additions (q157b/q158 shapes)
+        # round-9 additions (q157b/q158/q159/q160 shapes)
         "bm25_batch": _bm25_batch_count,
         "phash": _phash_count,
+        "afp": _afp_count,
     }
     # ops over the other tables: events (new users per copy) / embeddings
     eops = {
@@ -922,7 +966,8 @@ def main() -> int:
         "growth": _growth_count,
         "attribution": _attribution_count,
     }
-    vops = {"kmeans_assign": _kmeans_assign_count}
+    vops = {"kmeans_assign": _kmeans_assign_count,
+            "knn_lsh": _knn_lsh_count}
     # fact-table family (multiplied lineitem/orders, q149-q154 shapes)
     fops = {
         "sole_late": _sole_late_count,

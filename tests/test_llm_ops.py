@@ -1071,6 +1071,11 @@ def test_wav_sample_roundtrip_pure():
     assert multimodal.decode_wav_samples(b"RIFFjunkWAVEnope" * 4) is None
     # the metadata kernel agrees with the sample kernel
     assert multimodal.decode_wav(blob) == (len(blob), 1, 8000, 1000)
+    # 8-bit payloads pass the metadata kernel but must be REJECTED by
+    # the 16-bit sample extractor, regardless of chunk order
+    b8 = multimodal.encode_wav(100, bits=8)
+    assert multimodal.decode_wav(b8) is not None
+    assert multimodal.decode_wav_samples(b8) is None
 
 
 def test_afp_gain_invariance():
