@@ -52,20 +52,30 @@ def main() -> int:
         sf = None
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.bench}
-    load_before = round(os.getloadavg()[0], 2)
+    load_start = round(os.getloadavg()[0], 2)
 
     # ---- oracle side first (same order as scripts/oracle_bench.py):
-    # DuckDB 32 threads, warm, min-of-N. q26b is rows-only by design;
-    # its comparison column has always been the DuckDB run of the exact
-    # near-dup SQL it approximates (q26d).
+    # DuckDB 32 threads, warm, min-of-N. Rows-only bench queries get an
+    # oracle column ONLY through an EXPLICIT proxy (q26b has always been
+    # compared against the exact near-dup SQL it approximates); any
+    # other oracle-less bench query is recorded as no_oracle rather than
+    # silently timed against an unrelated workload.
+    _ORACLE_PROXY = {"q26b_minhash_neardup": "q26d_minhash_verify"}
     oracle: dict[str, float] = {}
+    no_oracle: list[str] = []
     if with_oracle:
         from kstreamjs_spark.testing import duck_connection
 
         con = duck_connection(sf_dir)
         con.execute("SET threads TO 32")
         for name in sorted(specs):
-            sql = specs[name].oracle or qs["q26d_minhash_verify"].oracle
+            sql = specs[name].oracle
+            if sql is None:
+                proxy = _ORACLE_PROXY.get(name)
+                if proxy is None:
+                    no_oracle.append(name)
+                    continue
+                sql = qs[proxy].oracle
             con.execute(sql).fetchall()  # warm (buffer pool + plan)
             oracle[name] = _min_of(lambda: con.execute(sql).fetchall(), runs)
 
@@ -73,6 +83,10 @@ def main() -> int:
     # file-index caches), then min-of-N steady-state — a long-lived
     # cluster compiles plans once and runs them thousands of times;
     # cold-start numbers would measure the JIT, not the engine.
+    # Load is re-stamped HERE so before/after brackets the ENGINE
+    # measurement (the oracle loop above is the bench's own work, not
+    # external drift).
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("kstreamjs-bench", cpus=cpus)
     for name, spec in sorted(specs.items()):
         spec.fn(spark, sf_dir).collect()
@@ -90,18 +104,23 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "runs_per_query": runs,
+        "loadavg_1m_start": load_start,
         "loadavg_1m_before": load_before,
         "loadavg_1m_after": load_after,
     }
     if with_oracle:
         ot = round(sum(oracle.values()), 3)
+        # the ratio compares like with like: engine seconds summed over
+        # exactly the queries that have an oracle column
+        et = round(sum(timings[n] for n in oracle), 3)
         doc.update(
             {
                 "protocol": "same_host_engine_vs_oracle",
                 "oracle_queries": oracle,
                 "oracle_total_s": ot,
+                "no_oracle_queries": no_oracle,
                 "duckdb_threads": 32,
-                "engine_vs_oracle_ratio": round(total / ot, 3) if ot else None,
+                "engine_vs_oracle_ratio": round(et / ot, 3) if ot else None,
             }
         )
     print(json.dumps(doc))

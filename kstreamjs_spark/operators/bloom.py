@@ -157,9 +157,13 @@ def member_semijoin(
         raise ValueError(f"unknown regime {regime!r}")
     if regime == "auto":
         try:
+            # estimate what would ACTUALLY broadcast — the projected key
+            # column, not the full member frame (a wide payload next to
+            # a narrow key must not push a broadcastable key set into
+            # the bloom regime)
             est = int(
-                members._jdf.queryExecution().optimizedPlan().stats()
-                .sizeInBytes()
+                members.select(on)._jdf.queryExecution().optimizedPlan()
+                .stats().sizeInBytes()
             )
         except Exception:  # pragma: no cover - py4j estimate unavailable
             est = broadcast_max_bytes + 1  # unknown size: safe (bloom) path

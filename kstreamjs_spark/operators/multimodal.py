@@ -322,7 +322,11 @@ def phash_blobs(
                         "phash_blobs: payload is not a well-formed "
                         "uncompressed BMP"
                     )
-                gray = px.astype(np.float64).mean(axis=2)
+                # luma = equal-weight mean of the COLOR channels only —
+                # 32-bpp BMPs decode with an alpha plane that must not
+                # count as a fourth color (identical RGB content with
+                # different alpha would otherwise hash apart)
+                gray = px[:, :, :3].astype(np.float64).mean(axis=2)
                 hashes.append(phash64(gray))
             yield pd.DataFrame(
                 {

@@ -49,7 +49,14 @@ def materialize_once(df: DataFrame, eager: bool = True) -> DataFrame:
     on a cluster), use ``checkpoint()`` and survive executor loss;
     otherwise fall back to ``localCheckpoint()``, which is exactly right
     for local[] runs where executor==driver and there is no partial
-    failure mode to survive."""
+    failure mode to survive.
+
+    Cleanup contract: Spark deletes non-streaming checkpoint files only
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    STARTUP conf — session.get_spark sets it; cluster submitters must
+    too), and then only when the checkpointed RDD is garbage-collected.
+    Without it, every reliable-checkpoint call leaks one permanent copy
+    of the frame to the checkpoint store."""
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None

@@ -307,6 +307,24 @@ def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
     return materialize_once(tf)
 
 
+def _bm25_quantized_contrib():
+    """The Okapi BM25 per-(doc, term) contribution (k1=1.2, b=0.75),
+    int64-quantized at 1e-6 BEFORE any summation — expects columns tf,
+    dl, df, n, dl_sum in scope. ONE definition shared by q157, q157b,
+    and scripts/stress.py so the float literals the determinism
+    contract pins ("spelled identically in both texts") can never
+    desynchronize between the queries, their oracles, and the sweep."""
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
+    )
+    return F.floor(
+        idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5
+    ).cast("long")
+
+
 @query(
     "q157_bm25_topk",
     oracle=f"""
@@ -380,15 +398,7 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("df")
     )
     contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
-    )
-    q = F.floor(
-        idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5
-    ).cast("long")
+    q = _bm25_quantized_contrib()
     return (
         contrib.select("doc_id", q.alias("q"))
         .groupBy("doc_id")
@@ -519,15 +529,7 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(st))
     )
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
-    )
-    qcol = F.floor(
-        idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5
-    ).cast("long")
+    qcol = _bm25_quantized_contrib()
     s = (
         contrib.select("query_id", "doc_id", qcol.alias("q"))
         .groupBy("query_id", "doc_id")

@@ -44,6 +44,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # plans.materialize_once upgrades to reliable checkpoint() when a
+        # checkpoint dir is set; without this cleaner flag Spark never
+        # deletes non-streaming checkpoint files (cleanup happens on RDD
+        # GC only when it is on), so a long-lived app would leak one
+        # permanent copy of every materialized frame to the checkpoint
+        # store. Startup-only conf — cluster submitters must set it too.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -214,14 +214,11 @@ def _bm25_scored(d, terms):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dl").cast("long").alias("dl_sum"),
     )
+    from kstreamjs_spark.queries.llm import _bm25_quantized_contrib
+
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * (F.col("dl") * F.col("n")) / F.col("dl_sum")
-    )
-    q = F.floor(idf * (F.col("tf") * 2.2) / denom * 1000000 + 0.5).cast("long")
-    return contrib, q
+    return contrib, _bm25_quantized_contrib()
 
 
 def _bm25_count(d):
@@ -494,7 +491,12 @@ def _knn_lsh_count(em):
     # the fixed 20-query batch against a multiplying vector table
     from kstreamjs_spark.operators import similarity
 
-    queries = em.filter(F.col("vec_id") % 100 == 0).limit(20).select(
+    # deterministic fixed batch: the SAME 20 base vec_ids at every sweep
+    # point (limit-without-order would let partition layout pick a
+    # different workload per multiplier and pollute the exponent)
+    queries = em.filter(
+        F.col("vec_id").isin([i * 100 for i in range(20)])
+    ).select(
         F.col("vec_id").alias("qid"),
         similarity.as_double(F.col("embedding")).alias("qv"),
     )

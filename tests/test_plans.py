@@ -774,11 +774,18 @@ def test_bm25_batch_rank_pushdown_no_per_query_rescan(spark):
     # subtree, constant in the batch size
     assert ex.count("FileScan parquet") <= 2
     # every Sort under the window rank is local (global=false): the only
-    # ordering work is per-partition for row_number, never a full sort
-    for line in ex.splitlines():
-        s = line.strip()
-        if s.startswith(("Sort ", "*(")) and "Sort [" in s:
-            assert "], false, 0" in s, f"global sort leaked in: {s}"
+    # ordering work is per-partition for row_number, never a full sort.
+    # (Match on "Sort [" in the line — plan lines are prefixed with tree
+    # rails like "+- *(9) ", so a startswith guard matches nothing and
+    # asserts nothing, which is how the first version of this check was
+    # vacuous.)
+    sort_lines = [
+        l for l in ex.splitlines()
+        if "Sort [" in l and "SortAggregate" not in l
+    ]
+    assert sort_lines, ex  # the window rank needs at least one local sort
+    for line in sort_lines:
+        assert "], false, 0" in line, f"global sort leaked in: {line}"
 
 
 def test_materialize_once_prefers_reliable_checkpoint(spark, tmp_path):
