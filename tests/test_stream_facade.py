@@ -200,6 +200,21 @@ def test_curation_pipeline_example_runs(spark):
         assert mod["main"](SF_SMOKE) == 0
 
 
+def test_multimodal_retrieval_example_runs(spark):
+    """examples/multimodal_retrieval.py composes the round-9 operators
+    (pHash dedup -> AFP dedup -> batched BM25 -> banded k-NN); it must
+    keep running as those APIs evolve. Same shared-session guard as the
+    quickstart test."""
+    import runpy
+    from unittest import mock
+
+    from .conftest import SF_SMOKE
+
+    mod = runpy.run_path("examples/multimodal_retrieval.py", run_name="lib")
+    with mock.patch.object(type(spark), "stop", lambda self: None):
+        assert mod["main"](SF_SMOKE) == 0
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     """write_to(fmt="json") -> from_jsonl reproduces the rows and restores
     the timestamp column's type (JSON serializes timestamps as strings —
