@@ -1083,6 +1083,56 @@ def q40g(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(documents))
 
 
+@query(
+    "q161_scene_cuts",
+    oracle="""
+        SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * 40 AS BIGINT) AS t_ms
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, n_chars % 240)) AS i
+              FROM documents)
+        WHERE i % 7 = 6 AND i >= 6
+    """,
+    tags=("multimodal", "llm", "window-fn"),
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Scene-cut / keyframe detection from REAL MP4 sample tables — the
+    frame-size-spike heuristic every container-level keyframe extractor
+    uses before touching a codec (I-frames are much larger than the
+    inter frames around them): a frame is a cut when its size exceeds
+    1.15x the average of its 6 predecessors. Runs on q40g's real
+    stts/stsz/stsc/stco frame rows, so only a correct box-walk AND a
+    correct per-video window pass reproduce the oracle.
+
+    The oracle states the closed form the synthesis implies: sizes cycle
+    16 + (i % 7), so the trailing-6 average at residue r is (117 - r)/6
+    and the 1.15x test is satisfied exactly at r = 6 with >=6
+    predecessors (margins >= 0.27 absolute — far beyond fp divergence
+    between engines, the q96 rule's spirit without needing
+    quantization).
+
+    Scale shape: ONE doc_id shuffle feeds the window (frames of a video
+    are contiguous per partition after it); no joins, no collect —
+    per-video time-series ops on exploded frame tables are exactly how
+    a vision pipeline picks frames to decode at 100 TB."""
+    (documents,) = load(spark, sf, "documents")
+    frames = multimodal.sample_mp4_frames(multimodal.synth_mp4_blobs(documents))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_idx")
+        .rowsBetween(-6, -1)
+    )
+    return (
+        frames.withColumn("_avg6", F.avg("frame_bytes").over(w))
+        .withColumn("_n6", F.count("frame_bytes").over(w))
+        .filter(
+            (F.col("_n6") == 6)
+            & (F.col("frame_bytes") > 1.15 * F.col("_avg6"))
+        )
+        .select("doc_id", "frame_idx", "t_ms")
+    )
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 

@@ -899,3 +899,15 @@ def test_knn_join_lsh_no_broadcast_of_batch_no_cross(spark):
     ]
     assert join_lines, plan
     assert "WindowGroupLimit" in plan
+
+
+def test_scene_cuts_single_shuffle_window(spark):
+    """q161's plan contract: the keyframe pass is ONE doc_id window —
+    exactly one hash exchange, a Window over the frame rows, no joins."""
+    plan = (
+        q("q161_scene_cuts", spark)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan
+    assert "Join" not in plan
