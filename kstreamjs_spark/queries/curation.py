@@ -3174,3 +3174,70 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("temp_ppm"),
     )
+
+
+# ---------------------------------- Q162 disjunctive predicate revenue
+_Q162_ARMS = [
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#2", 10, 30, 10, 20),
+    ("Brand#3", 20, 50, 20, 30),
+]
+_Q162_ARMS_SQL = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {s0} AND {s1} "
+    f"AND l_quantity >= {q0} AND l_quantity <= {q1})"
+    for b, s0, s1, q0, q1 in _Q162_ARMS
+)
+
+
+@query(
+    "q162_disjunctive_revenue",
+    oracle=f"""
+        SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT)) / 10000.0 AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE {_Q162_ARMS_SQL}
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """,
+    tags=("join", "agg", "filtering"),
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of per-brand conjunct arms
+    (brand x size-range x quantity-range). The optimizer challenge is
+    DISJUNCTIVE pushdown: Catalyst extracts the common-column
+    disjunction (p_brand IN arms, p_size within the union envelope,
+    l_quantity within the union envelope) below the join so BOTH scans
+    prune before any row crosses the join — the classic Q19 pitfall is
+    evaluating the whole OR only above the join and scanning everything.
+    part is dim-sized (size-gated broadcast); the mixed-table residual
+    conjuncts evaluate post-join in codegen. Determinism: revenue
+    quantized to int64 1e-4 BEFORE the sum (the repo's
+    quantize-before-sum rule)."""
+    lineitem, part = load(spark, sf, "lineitem", "part")
+    arms = None
+    for b, s0, s1, q0, q1 in _Q162_ARMS:
+        arm = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(s0, s1)
+            & (F.col("l_quantity") >= q0)
+            & (F.col("l_quantity") <= q1)
+        )
+        arms = arm if arms is None else (arms | arm)
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    from ..plans import broadcast_if_small
+
+    return (
+        lineitem.join(
+            broadcast_if_small(part), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter(arms)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            (F.sum(qrev) / 10000.0).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

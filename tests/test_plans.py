@@ -911,3 +911,22 @@ def test_scene_cuts_single_shuffle_window(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_disjunctive_predicates_push_to_both_scans(spark):
+    """q162's plan contract (the TPC-H Q19 pitfall): Catalyst must
+    extract the per-table components of the OR-of-conjuncts below the
+    join — the lineitem scan carries the l_quantity union envelope and
+    the part scan the brand/size disjunction as PushedFilters — with
+    only the mixed-table residual left in the join condition. A plan
+    that evaluates the whole OR above the join scans everything."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q162_disjunctive_revenue", spark))
+    li = [l for l in plan.splitlines()
+          if "PushedFilters" in l and "l_quantity" in l]
+    pt = [l for l in plan.splitlines()
+          if "PushedFilters" in l and "p_brand" in l]
+    assert li, plan
+    assert pt, plan
+    assert "BroadcastHashJoin" in plan
