@@ -152,3 +152,48 @@ def portable_string_hash_sql(expr: str) -> str:
     first = f"COALESCE(ord(NULLIF(substring({expr}, 1, 1), '')), 0)"
     last = f"COALESCE(ord(NULLIF(substring({expr}, -1, 1), '')), 0)"
     return f"(length({expr}) * 131 + {first} * 7 + {last})"
+
+
+def compressibility(df, text_col: str = "text", id_col: str = "doc_id",
+                    level: int = 6):
+    """Per-document zlib compression ratio — the Gopher/C4-family
+    quality signal SQL cannot express (a DEFLATE pass over the bytes):
+    highly repetitive text compresses far below normal prose, while
+    random or binary-ish content barely compresses at all, so the ratio
+    separates both failure modes with one number.
+
+    Arrow-batched mapInPandas (stdlib zlib, one Python roundtrip per
+    batch — the documented non-SQL exception, never per-row Python in a
+    separate task). Deterministic for a fixed zlib level within an
+    engine; there is no SQL oracle restatement, so the driver's check
+    for queries built on this is rows-only by design and the behavioral
+    contract is pinned in pytest instead (repetition compresses below
+    prose, prose below noise).
+
+    Returns (id_col, n_bytes, n_compressed, comp_ratio) with
+    comp_ratio = n_compressed / n_bytes rounded to 6 dp."""
+    import zlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf[text_col]]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            n = [len(b) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": pd.Series(n, dtype="int64"),
+                    "n_compressed": pd.Series(comp, dtype="int64"),
+                    "comp_ratio": [
+                        round(c / b, 6) if b else None
+                        for c, b in zip(comp, n)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        "doc_id long, n_bytes long, n_compressed long, comp_ratio double",
+    )

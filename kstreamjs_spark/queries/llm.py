@@ -1133,6 +1133,34 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q163_compressibility",
+    oracle=None,
+    tags=("text", "quality", "llm"),
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-family compressibility quality gate: per-doc zlib
+    ratio (operators/text.compressibility) plus the keep decision —
+    repetition-degenerate docs (ratio < 0.2) and noise-like docs
+    (ratio > 0.8 — printable-ASCII noise tops out ~0.84 under DEFLATE,
+    so the gate sits just below it) are flagged for drop. DEFLATE is not SQL-expressible,
+    so this is rows-only for the driver (the same category as the
+    stateful ops); the behavioral contract — repetition < prose <
+    noise, determinism, exact byte accounting — is pinned in
+    tests/test_llm_ops.py."""
+    (documents,) = load(spark, sf, "documents")
+    ratios = text.compressibility(documents)
+    return ratios.select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        "comp_ratio",
+        (
+            (F.col("comp_ratio") >= 0.2) & (F.col("comp_ratio") <= 0.8)
+        ).alias("keep"),
+    )
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 

@@ -1097,3 +1097,35 @@ def test_afp_gain_invariance():
 
     with pytest.raises(ValueError, match="afp64"):
         multimodal.afp64(np.arange(10))
+
+
+def test_compressibility_separates_quality_regimes(spark):
+    """The Gopher-style zlib signal must order the three regimes:
+    degenerate repetition compresses lowest, natural-ish prose sits in
+    the middle, and high-entropy noise barely compresses — and the
+    byte accounting must be exact and deterministic."""
+    import random
+    import zlib
+
+    rep = "spam " * 400
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then wanders "
+        "through a long meadow full of slightly varied sentences about "
+        "joins windows and hash tables "
+    ) * 12
+    rng = random.Random(9)
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(2000))
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, noise)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.compressibility(df).collect()}
+    assert rows[1]["comp_ratio"] < rows[2]["comp_ratio"] < rows[3]["comp_ratio"]
+    assert rows[1]["comp_ratio"] < 0.2 and rows[3]["comp_ratio"] > 0.8
+    # exact byte accounting against stdlib zlib on the driver
+    for did, t in [(1, rep), (2, prose), (3, noise)]:
+        assert rows[did]["n_bytes"] == len(t.encode())
+        assert rows[did]["n_compressed"] == len(zlib.compress(t.encode(), 6))
+    # deterministic across runs
+    again = {r["doc_id"]: r["comp_ratio"]
+             for r in text.compressibility(df).collect()}
+    assert all(again[d] == rows[d]["comp_ratio"] for d in again)
