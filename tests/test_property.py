@@ -280,6 +280,32 @@ def test_decode_wav_total_on_riff_prefixed_garbage(blob):
     assert out is None or out[0] == len(blob) + 4
 
 
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_bmp_pixels_total_on_arbitrary_bytes(blob):
+    """The r9 pixel decoder must be as total as the metadata kernel —
+    None or a well-shaped array, never an exception — including with
+    correct magic in front of garbage."""
+    for b in (blob, b"BM" + blob):
+        out = multimodal.decode_bmp_pixels(b)
+        assert out is None or (
+            out.ndim == 3 and out.shape[0] > 0 and out.shape[1] > 0
+        )
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_wav_samples_total_on_arbitrary_bytes(blob):
+    """Same totality bar for the r9 sample decoder; when it does decode,
+    the shape must agree with the metadata kernel's sample count."""
+    for b in (blob, b"RIFF" + blob):
+        out = multimodal.decode_wav_samples(b)
+        if out is not None:
+            meta = multimodal.decode_wav(b)
+            assert meta is not None
+            assert out[1].shape == (meta[3], meta[1])
+
+
 @given(
     w=st.integers(min_value=1, max_value=64),
     h=st.integers(min_value=1, max_value=64),
