@@ -1161,6 +1161,72 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- Q164 PII redaction
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-\d{3}-\d{4}\b"
+
+
+@query(
+    "q164_pii_redaction",
+    oracle=f"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id ||
+                 '@example.com or 555-' ||
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+                    AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM pii
+    """,
+    tags=("text", "quality", "privacy", "llm"),
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-family PII scrubbing: regex redaction of emails and
+    NANP-style phone numbers, pure codegen regexp_replace — no shuffle,
+    linear scan, the preprocessing pass every public-corpus pipeline
+    runs before training. The corpus has no organic PII, so each doc
+    gets one deterministic email + phone injected from its own doc_id
+    (both engine texts state the same construction), making the
+    redaction counts exact: every doc must report exactly 1 email and
+    1 phone found and a fully-scrubbed output string — hash-matched.
+    Patterns stay within the regex subset Java and RE2 agree on
+    (character classes, bounded quantifiers, word boundaries)."""
+    (documents,) = load(spark, sf, "documents")
+    with_pii = documents.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return with_pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), 0))
+        .cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
 # -------------------------------------------- BPE-ish regex tokenization
 _BPE_RE = r"\w+|[^\w\s]"
 
