@@ -997,8 +997,13 @@ def main() -> int:
     mults = [m for m in (1, 2, 4, 8, 10) if m <= max_mult]
     if disjoint and max_mult >= 10:
         mults = [1, 3, 10]  # one full decade, 3-point exponent fit
-    if disjoint and max_mult >= 100:
-        mults = [1, 10, 100]  # two decades, generator-backed century run
+    if (disjoint or source == "docgen") and max_mult >= 100:
+        # two decades. Disjoint multiply needs the prefix trick for pair
+        # honesty; a docgen corpus is FRESH rows at every multiplier, so
+        # its century points are honest in clone-free form too — which
+        # is the only valid century regime for retrieval shapes (bm25),
+        # where disjoint prefixing starves the fixed term set (r8 note).
+        mults = [1, 10, 100]
     results: dict[str, list[float]] = {
         k: [] for k in (*ops, *eops, *vops, *fops, *cops)
     }
