@@ -330,14 +330,16 @@ def phash_blobs(
                 hashes.append(phash64(gray))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     # explicit int64: an empty batch would otherwise
                     # infer object/float and fail Arrow conversion
                     "phash": pd.Series(hashes, dtype="int64"),
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(batches, PHASH_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, f"{id_col} long, phash long"
+    )
 
 
 def encode_wav(
@@ -495,12 +497,14 @@ def afp_blobs(
                 hashes.append(afp64(mono))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "afp": pd.Series(hashes, dtype="int64"),
                 }
             )
 
-    return df.select(id_col, blob_col).mapInPandas(batches, AFP_SCHEMA)
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, f"{id_col} long, afp long"
+    )
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, int, int] | None:
