@@ -353,6 +353,7 @@ def knn_join_lsh_banded(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate batch k-NN join for query batches TOO LARGE TO
     BROADCAST — the scale path `knn_join` defers to. Both sides compute
@@ -368,7 +369,17 @@ def knn_join_lsh_banded(
     on small columns; the vectors themselves cross the wire only for
     rows that reach scoring. Same recall curve as `ann_topk_lsh_banded`
     (~0.9 per query on the near-uniform test corpus at b=5, L=20),
-    measured in APPROX_EVIDENCE.json against the exact `knn_join`."""
+    measured in APPROX_EVIDENCE.json against the exact `knn_join`.
+
+    ``max_bucket`` is the hot-bucket ceiling (the `max_df` of this
+    operator): a degenerate corpus — thousands of zero or duplicated
+    vectors — collapses into ONE (band_idx, band_val) bucket and makes
+    the candidate join quadratic in it. Buckets holding more than
+    ``max_bucket`` VECTOR rows are dropped from the candidate key space
+    (both sides), exactly like boilerplate shingles under max_df: a
+    bucket that dense is non-discriminative, and a vector with all
+    bands hot is equally close to everything sign-LSH can measure.
+    Recall for normal rows is unaffected — their buckets stay."""
     from pyspark.sql import Window
 
     rng = np.random.RandomState(seed)
@@ -383,6 +394,18 @@ def knn_join_lsh_banded(
         queries.select(q_id_col, sig_q(F.col(q_vec_col)).alias("qsig"))
         .select(q_id_col, F.posexplode("qsig").alias("b", "bv"))
     )
+    if max_bucket is not None:
+        # hot set bounded by n_vectors * n_bands / max_bucket rows; the
+        # anti-join is left to AQE to broadcast when small (max_df's
+        # reasoning verbatim — dedup._shingle_pair_counts)
+        hot = (
+            vb.groupBy("b", "bv")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .select("b", "bv")
+        )
+        vb = vb.join(hot, ["b", "bv"], "left_anti")
+        qb = qb.join(hot, ["b", "bv"], "left_anti")
     cand = (
         vb.join(qb, ["b", "bv"])
         .filter(F.col(id_col) != F.col(q_id_col))

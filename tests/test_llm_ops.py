@@ -1129,3 +1129,41 @@ def test_compressibility_separates_quality_regimes(spark):
     again = {r["doc_id"]: r["comp_ratio"]
              for r in text.compressibility(df).collect()}
     assert all(again[d] == rows[d]["comp_ratio"] for d in again)
+
+
+def test_knn_join_lsh_max_bucket_caps_degenerate_corpus(spark):
+    """Adversarial skew: a block of IDENTICAL vectors collapses into one
+    band bucket per band, making the candidate join quadratic in it.
+    With max_bucket the hot buckets drop from the key space (both
+    sides), bounding candidates, while normal rows' recall is untouched
+    (their buckets stay below the ceiling)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    normal = [(i, [float(x) for x in rng.standard_normal(64)])
+              for i in range(40)]
+    clone = [float(x) for x in rng.standard_normal(64)]
+    degenerate = [(1000 + i, list(clone)) for i in range(300)]
+    df = spark.createDataFrame(
+        normal + degenerate, "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    capped = similarity.knn_join_lsh_banded(
+        df, queries, k=3, max_bucket=100
+    )
+    rows = capped.collect()
+    # the clone block never reaches any query's candidates: every one of
+    # its buckets holds 300 > 100 rows
+    assert all(r["vec_id"] < 1000 for r in rows), rows[:5]
+    # normal-row results match the uncapped join restricted to normal
+    # rows (the cap only removed non-discriminative buckets)
+    uncapped = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.knn_join_lsh_banded(
+            df.filter(F.col("vec_id") < 1000), queries, k=3
+        ).collect()
+    }
+    assert {(r["qid"], r["vec_id"]) for r in rows} == uncapped
