@@ -490,7 +490,15 @@ def hamming_neardup_pairs(
     standard chunk pigeonhole: split the hash into 4 16-bit chunks — a
     pair within distance k<=3 must agree on >=1 chunk, so candidates
     come from equi-joins on (chunk_id, chunk_value), never a cross join.
-    Output (d1, d2, hamming), d1 < d2, exact-verified."""
+    Output (d1, d2, hamming), d1 < d2, exact-verified.
+
+    Scale note: a clique of m EXACT duplicates (hamming 0) legitimately
+    yields m*(m-1)/2 pairs — quadratic output is the semantics, not a
+    plan defect. When a corpus carries huge identical-content cliques,
+    collapse them FIRST with an exact groupBy on the hash (keep one
+    representative + member list), run this operator on the
+    representatives, then expand — the pair semantics are preserved and
+    the candidate join never sees the clique."""
     if max_hamming > 3:
         # 4 fixed 16-bit chunks pigeonhole distances <= 3 only; a larger
         # threshold silently loses pairs whose differing bits spread one
