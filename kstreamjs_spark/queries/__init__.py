@@ -80,12 +80,19 @@ _WINDOW_SIZE = 50
 # older than r5.
 # Round 9: CORRECTNESS_r08 came back 50/50 full-hash green, including
 # the q31 oracle-boundary pin and all six round-8 queries — the pin is
-# cleared. New round-9 queries (never driver-checked, hist 0) enter the
-# window automatically via the staleness sort ahead of everything else;
-# after them the sort drains the r5-vintage tail (q11b, q14, q15a/b,
-# q44, q57, q58, q60, q61, q64, q65, q79, …) exactly as the ROUND-9
-# NOTE planned. No round-9 engine edit changes the attested arithmetic
-# of any already-green query, so no pins are needed.
+# cleared. The nine never-driver-checked round-9 queries (q157b, q158,
+# q158b, q159, q160, q161, q162, q163, q164) enter the window first
+# (hist 0), then the 29 r5-vintage rows, then the oldest r6 rows — after
+# this round no driver row is older than r6.
+# Round-9 edits that touch ALREADY-ATTESTED queries: q157's tf+dl
+# single-pass rework (selfcheck-green at sf0.01 AND sf0.1, but its r8
+# driver row attests the old plan — it re-earns via its natural r8
+# staleness slot, no pin needed since the oracle text is unchanged and
+# the compare semantics identical), and q77/q77b routing through
+# member_semijoin with regimes pinned (plan-identical by construction,
+# both selfcheck-green at both SFs).
+# ROUND-10 NOTE: if CORRECTNESS_r09 is green, keep the list empty and
+# let the sort finish the r6 tail; pin only if an oracle TEXT changes.
 _WINDOW_PRIORITY: list[str] = []
 
 
