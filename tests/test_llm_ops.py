@@ -1167,3 +1167,31 @@ def test_knn_join_lsh_max_bucket_caps_degenerate_corpus(spark):
         ).collect()
     }
     assert {(r["qid"], r["vec_id"]) for r in rows} == uncapped
+
+
+def test_band_signature_udf_matches_local_reference(spark):
+    """The Arrow banded-signature UDF must reproduce the straight numpy
+    computation bit-for-bit (same planes, same pack order) — this is
+    the contract that lets the q27b/q159 parameter sweeps be tuned in
+    numpy and shipped to Spark unchanged."""
+    import numpy as np
+
+    from kstreamjs_spark.operators.similarity import _band_signature_udf
+
+    rng = np.random.RandomState(21)
+    V = rng.standard_normal((50, 64))
+    planes = np.random.RandomState(42).standard_normal((100, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "vec_id long, v array<double>",
+    )
+    sig = _band_signature_udf(planes.tolist(), 5, 64, "'v'")
+    got = {
+        r["vec_id"]: list(r["s"])
+        for r in df.select("vec_id", sig(F.col("v")).alias("s")).collect()
+    }
+    bits = (V @ planes.T) >= 0.0
+    weights = (2 ** np.arange(5)).astype(np.int64)
+    want = bits.reshape(50, 20, 5).astype(np.int64) @ weights
+    for i in range(50):
+        assert got[i] == list(want[i]), i
