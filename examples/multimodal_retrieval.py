@@ -26,8 +26,9 @@ import sys
 sys.path.insert(0, ".")
 
 import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
 
-from kstreamjs_spark.operators import cluster, dedup, multimodal, similarity  # noqa: E402
+from kstreamjs_spark.operators import cluster, dedup, similarity  # noqa: E402
 from kstreamjs_spark.session import get_spark  # noqa: E402
 
 
@@ -53,10 +54,35 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     audio_pairs = qs["q160_audio_fingerprint_neardup"].fn(spark, sf_dir)
     print(f"audio near-dup pairs: {audio_pairs.count()}")
 
-    # ---- 3. batched BM25 over the kept corpus
-    topk = qs["q157b_bm25_batch_topk"].fn(spark, sf_dir)
-    per_q = topk.groupBy("query_id").count()
-    print(f"bm25 batch: top-k rows for {per_q.count()} queries")
+    # ---- 3. batched BM25 over the KEPT corpus (the dedup output feeds
+    # retrieval — the same single-pass tf+dl machinery the registered
+    # q157b uses, applied to the surviving docs)
+    from kstreamjs_spark.queries.llm import (
+        _BM25B_QUERIES, _BM25B_TERMS, _bm25_quantized_contrib, _bm25_tf_dl,
+    )
+
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in sorted(_BM25B_QUERIES.items()) for t in ts],
+        "query_id long, token string",
+    )
+    tf = _bm25_tf_dl(kept, _BM25B_TERMS)
+    st = kept.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"),
+          F.sum("dl").cast("long").alias("dl_sum"))
+    df_tok = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    contrib = (tf.join(F.broadcast(qt), "token")
+               .join(F.broadcast(df_tok), "token")
+               .crossJoin(F.broadcast(st)))
+    scores = (contrib.select("query_id", "doc_id",
+                             _bm25_quantized_contrib().alias("q"))
+              .groupBy("query_id", "doc_id").agg(F.sum("q").alias("_qs")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_qs"), "doc_id")
+    topk = scores.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10)
+    print(f"bm25 batch over kept corpus: top-k rows for "
+          f"{topk.select('query_id').distinct().count()} queries")
 
     # ---- 4. banded-LSH batch k-NN (hard-negative mining shape)
     queries = emb.filter(F.col("vec_id") < 8).select(

@@ -297,9 +297,6 @@ def phash64(gray) -> int:
     )
 
 
-PHASH_SCHEMA = "doc_id long, phash long"
-
-
 def phash_blobs(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:
@@ -337,8 +334,9 @@ def phash_blobs(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, blob_col).mapInPandas(
-        batches, f"{id_col} long, phash long"
+        batches, f"{id_col} {id_type}, phash long"
     )
 
 
@@ -469,9 +467,6 @@ def afp64(samples) -> int:
     )
 
 
-AFP_SCHEMA = "doc_id long, afp long"
-
-
 def afp_blobs(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:
@@ -502,8 +497,9 @@ def afp_blobs(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, blob_col).mapInPandas(
-        batches, f"{id_col} long, afp long"
+        batches, f"{id_col} {id_type}, afp long"
     )
 
 

@@ -379,7 +379,11 @@ def knn_join_lsh_banded(
     (both sides), exactly like boilerplate shingles under max_df: a
     bucket that dense is non-discriminative, and a vector with all
     bands hot is equally close to everything sign-LSH can measure.
-    Recall for normal rows is unaffected — their buckets stay."""
+    Recall cost for normal rows is bounded, not zero: a normal vector
+    loses a band only when it COLLIDES with a hot clique's value there
+    (~1/2^band_bits per band per clique), and the OR over its remaining
+    bands still has to miss — with 20 bands the loss is a fraction of a
+    recall point, paid for turning a quadratic join into a capped one."""
     from pyspark.sql import Window
 
     rng = np.random.RandomState(seed)

@@ -178,22 +178,33 @@ def compressibility(df, text_col: str = "text", id_col: str = "doc_id",
 
     def batches(it):
         for pdf in it:
-            raw = [t.encode("utf-8") for t in pdf[text_col]]
-            comp = [len(zlib.compress(b, level)) for b in raw]
-            n = [len(b) for b in raw]
+            n, comp, ratio = [], [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    # NULL text is normal in real corpora this gate is
+                    # pitched at — propagate null metrics, don't crash
+                    # the task
+                    n.append(None)
+                    comp.append(None)
+                    ratio.append(None)
+                    continue
+                b = t.encode("utf-8")
+                c = len(zlib.compress(b, level))
+                n.append(len(b))
+                comp.append(c)
+                ratio.append(round(c / len(b), 6) if b else None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
-                    "n_bytes": pd.Series(n, dtype="int64"),
-                    "n_compressed": pd.Series(comp, dtype="int64"),
-                    "comp_ratio": [
-                        round(c / b, 6) if b else None
-                        for c, b in zip(comp, n)
-                    ],
+                    id_col: pdf[id_col].values,
+                    "n_bytes": pd.Series(n, dtype="Int64"),
+                    "n_compressed": pd.Series(comp, dtype="Int64"),
+                    "comp_ratio": pd.Series(ratio, dtype="float64"),
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         batches,
-        "doc_id long, n_bytes long, n_compressed long, comp_ratio double",
+        f"{id_col} {id_type}, n_bytes long, n_compressed long, "
+        "comp_ratio double",
     )

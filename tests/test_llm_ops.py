@@ -1129,6 +1129,15 @@ def test_compressibility_separates_quality_regimes(spark):
     again = {r["doc_id"]: r["comp_ratio"]
              for r in text.compressibility(df).collect()}
     assert all(again[d] == rows[d]["comp_ratio"] for d in again)
+    # NULL text propagates null metrics instead of crashing the task
+    # (review-2 finding), and a custom id column keeps its name/type
+    withnull = spark.createDataFrame(
+        [("a", "some text here"), ("b", None)], "cid string, text string"
+    )
+    nr = {r["cid"]: r for r in text.compressibility(
+        withnull, id_col="cid").collect()}
+    assert nr["b"]["n_bytes"] is None and nr["b"]["comp_ratio"] is None
+    assert nr["a"]["n_bytes"] == len("some text here")
 
 
 def test_knn_join_lsh_max_bucket_caps_degenerate_corpus(spark):
@@ -1159,7 +1168,10 @@ def test_knn_join_lsh_max_bucket_caps_degenerate_corpus(spark):
     # its buckets holds 300 > 100 rows
     assert all(r["vec_id"] < 1000 for r in rows), rows[:5]
     # normal-row results match the uncapped join restricted to normal
-    # rows (the cap only removed non-discriminative buckets)
+    # rows AT THESE SEEDS (a normal row colliding with a hot clique's
+    # band value would lose that one band — bounded, not impossible;
+    # this assertion pins the fixture's behavior, the docstring states
+    # the probabilistic bound)
     uncapped = {
         (r["qid"], r["vec_id"])
         for r in similarity.knn_join_lsh_banded(
