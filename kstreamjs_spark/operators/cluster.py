@@ -33,6 +33,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..plans import materialize_once
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 20,
@@ -51,15 +53,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # symmetrize + self-loops: every node sees every neighbor AND itself.
-    # Materialize ONCE (localCheckpoint): the edge list is re-probed every
-    # round, and its lineage embeds the (expensive) pair-generation query —
-    # without this each round would re-run candidate generation from scratch.
-    sym = (
+    # Materialize ONCE (plans.materialize_once — reliable checkpoint on a
+    # cluster with a checkpoint dir, localCheckpoint otherwise): the edge
+    # list is re-probed every round, and its lineage embeds the
+    # (expensive) pair-generation query — without this each round would
+    # re-run candidate generation from scratch.
+    sym = materialize_once(
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(e.select("a", F.col("a").alias("b")))
         .union(e.select(F.col("b").alias("a"), "b"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
     labels = sym.groupBy("a").agg(F.min("b").alias("label"))
 
@@ -75,7 +79,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("a")
             .agg(F.min("label").alias("new_label"))
         )
-        joined = labels.join(prop, "a").localCheckpoint(eager=True)
+        joined = materialize_once(labels.join(prop, "a"), eager=True)
         labels = joined.select("a", F.least("label", "new_label").alias("label"))
         if round_stats is not None:
             changed = joined.filter(F.col("new_label") < F.col("label")).count()

@@ -38,6 +38,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..plans import materialize_once
+
 
 def sequence_pack(
     df: DataFrame,
@@ -75,7 +77,7 @@ def sequence_pack(
             pdf = pdf.assign(_pid=pid, _cum=cum.astype("int64"))
             yield pdf
 
-    local = ranged.mapInPandas(local_cumsum, out_schema).localCheckpoint()
+    local = materialize_once(ranged.mapInPandas(local_cumsum, out_schema))
     totals = {
         r["_pid"]: r["t"]
         for r in local.groupBy("_pid").agg(F.max("_cum").alias("t")).collect()
