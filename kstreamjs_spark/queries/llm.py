@@ -552,6 +552,36 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------- Q158 perceptual image dedup
+def _synth_group_bmps(df: DataFrame) -> DataFrame:
+    """The q158/q160-family image fixture: groups of 3 doc_ids share a
+    pseudo-random 32x32 base pattern, each member rendered through its
+    per-doc brightness/contrast transform — ONE definition shared by
+    q158, the streaming twin q165, and scripts/stress.py so the
+    synthesis arithmetic the oracles restate can never fork."""
+    import numpy as np
+    import pandas as pd
+
+    def make_bmps(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761) % (2**31))
+                base = rng.randint(0, 97, (32, 32))
+                img = base * (1 + d % 2) + 10 * (d % 5)
+                blobs.append(
+                    multimodal.encode_bmp_pixels(
+                        32, 32, bytes(img.astype(np.uint8).ravel())
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(
+        make_bmps, "doc_id long, blob binary"
+    )
+
+
 @query(
     "q158_phash_image_neardup",
     oracle="""
@@ -586,31 +616,8 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     hash are one Arrow-batched pipeline per partition); the only shuffle
     is the (chunk_id, chunk_value) candidate equi-join on 8-byte keys —
     never a cross join (plan-asserted)."""
-    import numpy as np
-    import pandas as pd
-
     (documents,) = load(spark, sf, "documents")
-
-    def make_bmps(it):
-        for pdf in it:
-            blobs = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g = d // 3
-                rng = np.random.RandomState((g * 2654435761) % (2**31))
-                base = rng.randint(0, 97, (32, 32))
-                img = base * (1 + d % 2) + 10 * (d % 5)
-                blobs.append(
-                    multimodal.encode_bmp_pixels(
-                        32, 32, bytes(img.astype(np.uint8).ravel())
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = documents.select("doc_id").mapInPandas(
-        make_bmps, "doc_id long, blob binary"
-    )
-    hashed = multimodal.phash_blobs(blobs)
+    hashed = multimodal.phash_blobs(_synth_group_bmps(documents))
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, hash_col="phash"
     )

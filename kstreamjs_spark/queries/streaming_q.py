@@ -420,3 +420,43 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("window.start").alias("day"), "rev_cents", "cnt")
     )
     return run_to_memory(agg, "q141", output_mode="complete")
+
+
+# ---------------------------- Q165 streaming perceptual image dedup
+@query(
+    "q165_stream_phash_dedup",
+    oracle="""
+        SELECT CAST(3 * (doc_id // 3) AS BIGINT) AS group_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM documents GROUP BY 1
+    """,
+    tags=("streaming", "multimodal", "dedup"),
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming perceptual image dedup — q158's decode -> pHash chain
+    on a REAL micro-batched stream: the documents replay synthesizes
+    each group's BMP (the shared q158 fixture), the Arrow pHash kernel
+    runs INSIDE the streaming plan (mapInPandas on an unbounded frame),
+    and a streaming aggregation groups by the hash — so arriving
+    duplicates fold into their group's state regardless of which
+    micro-batch carries them. Output is (min doc_id, member count) per
+    perceptual group; because pHash is exactly invariant within a group
+    and collision-free across groups on this fixture (q158's proof),
+    the result equals the batch closed form EXACTLY — hash-matched, the
+    strongest batch<->stream equivalence for a multimodal pipeline.
+    Complete mode: the replay ends and the group state is open-ended
+    (same rationale as q29)."""
+    from ..operators import multimodal
+    from .llm import _synth_group_bmps
+
+    sdf = stream_table(spark, sf, "documents")
+    hashed = multimodal.phash_blobs(_synth_group_bmps(sdf))
+    agg = (
+        hashed.groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("group_rep", "n_members")
+    )
+    return run_to_memory(agg, "q165", output_mode="complete")

@@ -266,35 +266,13 @@ def _bm25_batch_count(d):
 
 def _phash_count(d):
     # q158 shape: BMP synth -> real pixel decode -> DCT pHash ->
-    # chunk-pigeonhole Hamming pairs. Same fixture derivation as the
-    # query (groups of 3 sharing a base pattern through per-doc
-    # brightness/contrast); doc_ids shift per copy in clone mode so the
-    # group structure multiplies with the corpus.
-    import numpy as np
-    import pandas as pd
-
+    # chunk-pigeonhole Hamming pairs (fixture shared with the query via
+    # _synth_group_bmps; doc_ids shift per copy in clone mode so the
+    # group structure multiplies with the corpus)
     from kstreamjs_spark.operators import multimodal
+    from kstreamjs_spark.queries.llm import _synth_group_bmps
 
-    def make_bmps(it):
-        for pdf in it:
-            blobs = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g = did // 3
-                rng = np.random.RandomState((g * 2654435761) % (2**31))
-                base = rng.randint(0, 97, (32, 32))
-                img = base * (1 + did % 2) + 10 * (did % 5)
-                blobs.append(
-                    multimodal.encode_bmp_pixels(
-                        32, 32, bytes(img.astype(np.uint8).ravel())
-                    )
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = d.select("doc_id").mapInPandas(
-        make_bmps, "doc_id long, blob binary"
-    )
-    hashed = multimodal.phash_blobs(blobs)
+    hashed = multimodal.phash_blobs(_synth_group_bmps(d))
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, hash_col="phash"
     ).count()
