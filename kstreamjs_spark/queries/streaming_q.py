@@ -460,3 +460,37 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         .select("group_rep", "n_members")
     )
     return run_to_memory(agg, "q165", output_mode="complete")
+
+
+# ------------------------- Q166 streaming inverted-index maintenance
+@query(
+    "q166_stream_inverted_index",
+    oracle="""
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ('hash', 'join', 'vector', 'window', 'spark')
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "retrieval", "text"),
+)
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental inverted-index maintenance: the term-filtered tf
+    table q157's retrieval reads, maintained as STREAMING STATE — each
+    micro-batch's documents explode into (doc_id, token) postings that
+    fold into the per-key counts, so the posting lists a streaming
+    ingestion pipeline serves BM25 from stay current without batch
+    rebuilds. Exact integer state (counts), so the final table equals
+    the batch tf SQL regardless of micro-batch boundaries —
+    hash-matched. (Uses q157's term set literally so the index is the
+    one its scorer would consume.)"""
+    from .llm import _BM25_TERMS
+
+    sdf = stream_table(spark, sf, "documents")
+    tf = (
+        sdf.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return run_to_memory(tf, "q166", output_mode="complete")
