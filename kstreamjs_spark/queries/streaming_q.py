@@ -463,13 +463,18 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------- Q166 streaming inverted-index maintenance
+from .llm import _BM25_TERMS_SQL as _Q166_TERMS_SQL  # noqa: E402 — ONE
+# source for the term set: the Spark body imports _BM25_TERMS, so the
+# oracle must be built from the same constant or an edit desyncs them
+
+
 @query(
     "q166_stream_inverted_index",
-    oracle="""
+    oracle=f"""
         SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents)
-        WHERE token IN ('hash', 'join', 'vector', 'window', 'spark')
+        WHERE token IN ({_Q166_TERMS_SQL})
         GROUP BY 1, 2
     """,
     tags=("streaming", "retrieval", "text"),
