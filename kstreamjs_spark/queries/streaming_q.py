@@ -499,3 +499,78 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     return run_to_memory(tf, "q166", output_mode="complete")
+
+
+# --------------------------- Q167 streaming decontamination at ingest
+def _q167_oracle() -> str:
+    # built from corpus.py's OWN sql builders (shared _DECON_N /
+    # _EVAL_FRACTION / _EVAL_SEED constants), so the streaming twin can
+    # never drift from q77's batch semantics
+    from ..operators.sampling import sample_hash_sql
+    from .corpus import _DECON_N, _EVAL_FRACTION, _EVAL_SEED, _shingle_sql
+
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, lang, {_shingle_sql(_DECON_N)} AS s,
+                 {sample_hash_sql('doc_id', _EVAL_FRACTION, seed=_EVAL_SEED)}
+                     AS is_eval
+          FROM documents
+        ),
+        evs AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_eval)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM (SELECT DISTINCT doc_id, lang
+              FROM (SELECT doc_id, lang, unnest(s) AS g FROM sh
+                    WHERE NOT is_eval) t
+              WHERE g IN (SELECT g FROM evs))
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+@query(
+    "q167_stream_decontaminate",
+    oracle=_q167_oracle(),
+    tags=("streaming", "decontamination", "dedup"),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination AT INGEST — q77's semantics on a real stream,
+    which is how production pipelines actually deploy the check (flag
+    contaminated documents as they arrive, not in a batch sweep): the
+    training replay explodes 5-gram shingles, a STREAM-STATIC left-semi
+    join probes the benchmark-sized eval shingle set, streaming
+    dropDuplicates collapses multi-hit documents (stateful dedup), and
+    a downstream streaming aggregation counts per language — a CHAINED
+    stateful pipeline (dedup -> agg) that Spark 4 executes in one
+    query. Per-lang contaminated counts equal the batch closed form
+    regardless of micro-batch boundaries — hash-matched against an
+    oracle built from corpus.py's own sql builders (one source for the
+    shingle/eval constants)."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import sampling
+    from .corpus import _DECON_N, _EVAL_FRACTION, _EVAL_SEED
+
+    (docs,) = load(spark, sf, "documents")
+    is_eval = sampling.sample_predicate(
+        "doc_id", _EVAL_FRACTION, seed=_EVAL_SEED
+    )
+    eval_shingles = (
+        docs.filter(is_eval)
+        .select(F.explode(dedup_ops.shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    sdf = stream_table(spark, sf, "documents")
+    train = sdf.filter(
+        ~sampling.sample_predicate("doc_id", _EVAL_FRACTION, seed=_EVAL_SEED)
+    )
+    contam = (
+        train.select(
+            "doc_id", "lang",
+            F.explode(dedup_ops.shingles("text", _DECON_N)).alias("g"),
+        )
+        .join(eval_shingles, "g", "left_semi")
+        .dropDuplicates(["doc_id", "lang"])
+    )
+    agg = contam.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated")
+    )
+    return run_to_memory(agg, "q167", output_mode="complete")
