@@ -574,3 +574,45 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_contaminated")
     )
     return run_to_memory(agg, "q167", output_mode="complete")
+
+
+# -------------------------- Q168 streaming incremental ingest dedup
+def _q168_oracle() -> str:
+    # q57's oracle verbatim (one source of truth for the novel-batch
+    # semantics — the streaming twin must answer the identical question)
+    from .pipeline import REGISTRY as _REG  # registered by the import
+
+    return _REG["q57_incremental_ingest_dedup"].oracle
+
+
+@query(
+    "q168_stream_ingest_dedup",
+    oracle=_q168_oracle(),
+    tags=("streaming", "dedup", "incremental"),
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup ON THE STREAM — q57's semantics the way
+    an ingestion service runs it: new-source documents arrive as a
+    replay, fingerprint in the scan projection, and a STREAM-STATIC
+    LEFT ANTI join drops every arrival whose content fingerprint
+    already exists in the historical corpus (the static side reduces to
+    distinct 8-byte fps — at 100 TB this is the side a runtime bloom or
+    bucketed fingerprint table represents). Append mode: novel rows
+    emit as they survive, nothing is stateful — the history IS the
+    state. Output equals q57's batch answer exactly (same oracle
+    text)."""
+    from ..operators import text as text_ops
+    from .pipeline import _BATCH_SRC
+
+    (docs,) = load(spark, sf, "documents")
+    corpus_fps = (
+        docs.filter(~F.col("source").isin(*_BATCH_SRC))
+        .select(text_ops.fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    sdf = stream_table(spark, sf, "documents")
+    batch = sdf.filter(F.col("source").isin(*_BATCH_SRC)).select(
+        "doc_id", text_ops.fingerprint("text").alias("fp")
+    )
+    novel = batch.join(corpus_fps, "fp", "left_anti").select("doc_id", "fp")
+    return run_to_memory(novel, "q168", output_mode="append")
