@@ -262,3 +262,54 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_total  # no loss, no dups
+
+
+def test_stream_decontaminate_invariant_to_micro_batching(spark, tmp_path):
+    """q167's claim — per-lang contaminated counts are independent of
+    micro-batch boundaries — under ADVERSARIAL batching: the same
+    documents replayed as 6 single-file micro-batches must produce the
+    identical chained-stateful (semi-join -> dropDuplicates -> agg)
+    result as the one-batch replay, because a document's shingles can
+    straddle batches only via the dedup state."""
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.operators import dedup, sampling
+    from kstreamjs_spark.queries.corpus import (
+        _DECON_N, _EVAL_FRACTION, _EVAL_SEED,
+    )
+    from kstreamjs_spark.streaming.replay import run_to_memory
+    from kstreamjs_spark.tables import load
+
+    src = str(tmp_path / "src")
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    is_eval = sampling.sample_predicate(
+        "doc_id", _EVAL_FRACTION, seed=_EVAL_SEED
+    )
+    eval_shingles = (
+        docs.filter(is_eval)
+        .select(F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+
+    def result(max_files):
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        sdf = reader.parquet(src)
+        contam = (
+            sdf.filter(~sampling.sample_predicate(
+                "doc_id", _EVAL_FRACTION, seed=_EVAL_SEED))
+            .select("doc_id", "lang",
+                    F.explode(dedup.shingles("text", _DECON_N)).alias("g"))
+            .join(eval_shingles, "g", "left_semi")
+            .dropDuplicates(["doc_id", "lang"])
+        )
+        agg = contam.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        out = run_to_memory(agg, "decon_inv", output_mode="complete")
+        return sorted((r["lang"], r["n"]) for r in out.collect())
+
+    assert result(1) == result(None)
