@@ -551,6 +551,127 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ Q169 hybrid retrieval (RRF)
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@query(
+    "q169_hybrid_rrf",
+    oracle=f"""
+        WITH dl AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS dl_sum FROM dl),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+               WHERE token IN ({_BM25_TERMS_SQL})
+               GROUP BY 1, 2),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+               GROUP BY 1),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * st.n) / st.dl_sum))
+                   * 1000000 + 0.5) AS BIGINT) AS q
+          FROM tf
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st),
+        bm_all AS (SELECT doc_id, SUM(q) AS qs FROM contrib GROUP BY doc_id),
+        bm AS (SELECT doc_id,
+                      ROW_NUMBER() OVER (ORDER BY qs DESC, doc_id) AS r
+               FROM bm_all
+               QUALIFY r <= {_RRF_DEPTH}),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+        cos AS (SELECT vec_id AS doc_id,
+                       ROW_NUMBER() OVER (
+                         ORDER BY ROUND(list_cosine_similarity(
+                                    embedding::DOUBLE[], qv), 6) DESC,
+                                  vec_id) AS r
+                FROM embeddings, qv
+                QUALIFY r <= {_RRF_DEPTH})
+        SELECT doc_id,
+               ROUND(COALESCE(1.0 / ({_RRF_K} + bm.r), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + cos.r), 0), 6) AS rrf
+        FROM bm FULL OUTER JOIN cos USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("retrieval", "similarity", "text", "llm"),
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — THE standard fusion
+    of lexical and semantic rankings (rrf = Σ 1/(60 + rank), missing
+    side contributes 0): q157's BM25 top-20 and q27's exact cosine
+    top-20 full-outer-join on doc id, fused, global top-10. At sf0.1 the
+    embedding table covers only part of the corpus, so the outer join's
+    one-sided rows are exercised by real data, not a contrived case.
+
+    Determinism: both rankings use the engines' shared tiebreaks
+    (integer quantized BM25 sum / 6-dp-rounded cosine, then id), and the
+    fused score is a sum of at most TWO identical doubles — IEEE
+    addition of two operands is order-insensitive, so no quantization is
+    needed beyond the per-source rules.
+
+    Scale shape: each source produces its top-20 via TakeOrdered (never
+    a global sort); rank assignment is a window over the 20 surviving
+    rows (single tiny partition BY CONSTRUCTION — the depth, not the
+    corpus, bounds it); the fusion join is 20x20."""
+    (documents,) = load(spark, sf, "documents")
+    (emb,) = load(spark, sf, "embeddings")
+    # lexical side: q157's machinery, ranked to depth 20
+    tf = _bm25_tf_dl(documents, _BM25_TERMS)
+    st = documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("dl_sum"),
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    bm_top = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", _bm25_quantized_contrib().alias("q"))
+        .groupBy("doc_id")
+        .agg(F.sum("q").alias("_qs"))
+        .orderBy(F.desc("_qs"), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    w_bm = Window.orderBy(F.desc("_qs"), "doc_id")
+    bm = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_bm")
+    )
+    # semantic side: q27's exact cosine, ranked to depth 20
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    cos_top = similarity.topk_cosine(emb, qv, k=_RRF_DEPTH)
+    w_cos = Window.orderBy(F.desc("score"), "vec_id")
+    cos = cos_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_cos).alias("r_cos"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("r_bm")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("r_cos")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bm.join(cos, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
+
+
 # ------------------------------------------- Q158 perceptual image dedup
 def _synth_group_bmps(df: DataFrame) -> DataFrame:
     """The q158/q160-family image fixture: groups of 3 doc_ids share a
