@@ -80,11 +80,13 @@ _WINDOW_SIZE = 50
 # older than r5.
 # Round 9: CORRECTNESS_r08 came back 50/50 full-hash green, including
 # the q31 oracle-boundary pin and all six round-8 queries — the pin is
-# cleared. The THIRTEEN never-driver-checked round-9 queries (q157b,
-# q158, q158b, q159, q160, q161, q162, q163, q164, q165, q166, q167,
-# q168) enter the window first (hist 0), then ALL 29 r5-vintage rows,
-# then the 8 oldest r6 rows (verified: no r5 row is left outside the
-# window) — after this round no driver row is older than r6.
+# cleared. Every never-driver-checked round-9 query (q157b through
+# q169 — the hist-0 set is DERIVED by the sort below, not hand-counted;
+# a round-9 hand count here went stale twice within the round, the
+# exact failure mode the round-2 postmortem above describes) enters the
+# window first, then ALL 29 r5-vintage rows (verified at 14 new + 29 r5
+# + 7 r6 = 50: no r5 row falls outside), then the oldest r6 rows —
+# after this round no driver row is older than r6.
 # Round-9 edits that touch ALREADY-ATTESTED queries: q157's tf+dl
 # single-pass rework (selfcheck-green at sf0.01 AND sf0.1, but its r8
 # driver row attests the old plan — it re-earns via its natural r8

@@ -325,6 +325,25 @@ def _bm25_quantized_contrib():
     ).cast("long")
 
 
+def _bm25_contrib(documents: DataFrame, terms: list[str]) -> DataFrame:
+    """The scored-contribution frame every BM25 consumer builds on:
+    single-pass tf+dl (materialized once), |terms|-row df broadcast,
+    1-row stats broadcast — columns (doc_id, token, tf, dl, df, n,
+    dl_sum). ONE definition for q157, q157b, and q169 so a plan rework
+    (like r9's tf+dl fold) can never leave a copy on the old shape."""
+    tf = _bm25_tf_dl(documents, terms)
+    st = documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("dl_sum"),
+    )
+    df_ = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
+
+
 @query(
     "q157_bm25_topk",
     oracle=f"""
@@ -387,17 +406,7 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     stats frame is 1 row (both broadcast); the only shuffles left are
     the |terms|-row df aggregate and the 1-row stats aggregate."""
     (documents,) = load(spark, sf, "documents")
-    tf = _bm25_tf_dl(documents, _BM25_TERMS)
-    st = documents.select(
-        F.size(F.split("text", " ")).cast("long").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("dl_sum"),
-    )
-    df_ = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
+    contrib = _bm25_contrib(documents, _BM25_TERMS)
     q = _bm25_quantized_contrib()
     return (
         contrib.select("doc_id", q.alias("q"))
@@ -514,20 +523,8 @@ def q157b(spark: SparkSession, sf: str) -> DataFrame:
         [(qid, t) for qid, ts in sorted(_BM25B_QUERIES.items()) for t in ts],
         "query_id long, token string",
     )
-    tf = _bm25_tf_dl(documents, _BM25B_TERMS)
-    st = documents.select(
-        F.size(F.split("text", " ")).cast("long").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("dl_sum"),
-    )
-    df_ = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
-    contrib = (
-        tf.join(F.broadcast(qt), "token")
-        .join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(st))
+    contrib = _bm25_contrib(documents, _BM25B_TERMS).join(
+        F.broadcast(qt), "token"
     )
     qcol = _bm25_quantized_contrib()
     s = (
@@ -626,19 +623,8 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     (documents,) = load(spark, sf, "documents")
     (emb,) = load(spark, sf, "embeddings")
     # lexical side: q157's machinery, ranked to depth 20
-    tf = _bm25_tf_dl(documents, _BM25_TERMS)
-    st = documents.select(
-        F.size(F.split("text", " ")).cast("long").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("dl_sum"),
-    )
-    df_ = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    )
     bm_top = (
-        tf.join(F.broadcast(df_), "token")
-        .crossJoin(F.broadcast(st))
+        _bm25_contrib(documents, _BM25_TERMS)
         .select("doc_id", _bm25_quantized_contrib().alias("q"))
         .groupBy("doc_id")
         .agg(F.sum("q").alias("_qs"))

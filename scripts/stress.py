@@ -204,21 +204,14 @@ def _mp4_frames_count(d):
 
 
 def _bm25_scored(d, terms):
-    # shared scorer over the r9 single-pass tf+dl frame (the registered
-    # query bodies load from sf dirs, so the composition is restated via
-    # the SAME _bm25_tf_dl helper the queries use)
-    from kstreamjs_spark.queries.llm import _bm25_tf_dl
-
-    tf = _bm25_tf_dl(d, terms)
-    st = d.select(F.size(F.split("text", " ")).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("dl_sum"),
+    # shared scorer: the SAME _bm25_contrib/_bm25_quantized_contrib the
+    # registered queries use (the query bodies load from sf dirs, so
+    # only the input frame differs)
+    from kstreamjs_spark.queries.llm import (
+        _bm25_contrib, _bm25_quantized_contrib,
     )
-    from kstreamjs_spark.queries.llm import _bm25_quantized_contrib
 
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    contrib = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(st))
-    return contrib, _bm25_quantized_contrib()
+    return _bm25_contrib(d, terms), _bm25_quantized_contrib()
 
 
 def _bm25_count(d):
