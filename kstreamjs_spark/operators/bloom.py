@@ -13,15 +13,15 @@ Spark-first split of the work:
   (two numpy ops per batch), the only part Spark's built-ins cannot
   express (`might_contain` is not a public SQL function in this build —
   it exists only inside the optimizer's runtime-filter rewrite).
-- THE BUILD IS DISTRIBUTED-DEDUPED: positions are made distinct on the
-  cluster before collection, so the driver transfer is bounded by
-  min(rows * num_hashes, num_bits) int64s — i.e. at most num_bits * 8
-  bytes of positions (the packed bitset itself is num_bits / 8 bytes) —
-  REGARDLESS of build-side row count: the cap is chosen by the caller
-  via num_bits, unlike an exact collect_set whose size is the data's
-  choice. (If that 8-bytes-per-set-bit transfer ever matters, the next
-  step is packing per-range bitmasks distributed-side and OR-ing
-  fixed-size chunks on the driver.)
+- THE BUILD PACKS BITMASKS EXECUTOR-SIDE: positions are grouped by
+  fixed-size bit range (map-side-combined collect_set per chunk, so the
+  shuffle carries each distinct position once), each chunk's positions
+  are packed into a bytes bitmask ON THE EXECUTORS, and the driver only
+  ORs the non-empty chunk masks into place — the driver transfer is
+  bounded by the PACKED bitset size, num_bits / 8 bytes (32 MB at the
+  2^28 auto-regime ceiling), REGARDLESS of build-side row count or how
+  many bits end up set: the cap is chosen by the caller via num_bits,
+  unlike an exact collect_set whose size is the data's choice.
 
 A bloom probe has false POSITIVES only (never false negatives — the
 property test pins this), so callers that need exact results follow the
@@ -51,6 +51,12 @@ def _positions(col: Column, num_bits: int, num_hashes: int, seed: int) -> Column
     )
 
 
+# bits per executor-packed chunk (64 KiB masks): small enough that one
+# chunk's collect_set stays a few-MB row, large enough that the 2^28-bit
+# auto-regime ceiling is only 512 chunk rows on the driver
+_CHUNK_SHIFT = 19
+
+
 def bloom_build(
     df: DataFrame,
     col: str,
@@ -60,27 +66,49 @@ def bloom_build(
 ) -> dict:
     """Build a bloom bitset over ``df[col]`` distributed-side.
 
-    Positions are deduped on the cluster, then shipped to the driver via
-    Arrow and packed into a numpy uint8 bitset — the transfer is bounded
-    by min(rows * num_hashes, num_bits) int64s and the bitset itself by
-    num_bits/8 bytes, both caller-chosen. Size num_bits for the build
-    side: fpr ~= (1 - exp(-k*n/m))^k, e.g. n=10M keys, m=128M bits, k=7
-    -> ~0.7%."""
+    Positions are grouped by 2^19-bit range (collect_set per chunk —
+    partial map-side aggregation dedupes each position before the
+    shuffle), PACKED INTO BITMASKS ON THE EXECUTORS (Arrow-batched
+    mapInPandas), and only the non-empty ~64 KiB chunk masks reach the
+    driver, which ORs them into place — so the driver transfer is
+    bounded by the packed bitset size, num_bits/8 bytes, never 8 bytes
+    per set bit. Size num_bits for the build side: fpr ~=
+    (1 - exp(-k*n/m))^k, e.g. n=10M keys, m=128M bits, k=7 -> ~0.7%."""
     if num_bits <= 0 or num_hashes <= 0:
         raise ValueError("num_bits and num_hashes must be positive")
-    pos = (
+    chunk_bits = 1 << _CHUNK_SHIFT
+
+    def pack(it):
+        for pdf in it:
+            rows = []
+            for c, ps in zip(pdf["c"], pdf["ps"]):
+                c = int(c)
+                rel = np.asarray(list(ps), dtype=np.int64) - c * chunk_bits
+                n_here = min(chunk_bits, num_bits - c * chunk_bits)
+                mask = np.zeros((n_here + 7) // 8, dtype=np.uint8)
+                np.bitwise_or.at(
+                    mask, rel >> 3, (1 << (rel & 7)).astype(np.uint8)
+                )
+                rows.append((c, mask.tobytes()))
+            yield pd.DataFrame(rows, columns=["c", "mask"])
+
+    chunks = (
         df.select(
             F.explode(
                 _positions(F.col(col), num_bits, num_hashes, seed)
             ).alias("p")
         )
-        .distinct()
-        .toPandas()["p"]
-        .to_numpy()
+        .groupBy(F.shiftright(F.col("p"), _CHUNK_SHIFT).alias("c"))
+        .agg(F.collect_set("p").alias("ps"))
+        .mapInPandas(pack, "c long, mask binary")
+        .collect()
     )
     bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
-    if len(pos):
-        np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    chunk_bytes = chunk_bits // 8
+    for r in chunks:
+        off = r["c"] * chunk_bytes
+        m = np.frombuffer(r["mask"], dtype=np.uint8)
+        bits[off:off + len(m)] |= m
     return {
         "bits": bits,
         "num_bits": num_bits,

@@ -281,8 +281,9 @@ def phash64(gray) -> int:
     a = np.asarray(gray, dtype=np.float64)
     h, w = a.shape
     n = _PHASH_N
-    # deterministic nearest-index downsample (images at or below 32x32
-    # pass through exactly)
+    # deterministic nearest-index sampling (exactly-32x32 inputs pass
+    # through unchanged; smaller inputs are nearest-index upsampled by
+    # repeating indices — deterministic either way)
     ys = (np.arange(n) * h) // n
     xs = (np.arange(n) * w) // n
     small = a[np.ix_(ys, xs)]
@@ -297,47 +298,88 @@ def phash64(gray) -> int:
     )
 
 
+def decode_image_pixels(blob: bytes):
+    """Multi-format pixel decode: dispatch on magic bytes to the real
+    BMP / PNG / baseline-JPEG pixel kernels, normalizing to a numpy
+    uint8 array of shape (height, width, channels) in raster order.
+    Returns None for payloads outside every kernel's envelope — the
+    magic-byte dispatch means a malformed BMP is reported as a bad BMP
+    (None), never mis-tried as a PNG."""
+    if blob[:2] == b"BM":
+        return decode_bmp_pixels(blob)
+    if blob[:8] == _PNG_SIG:
+        return decode_png_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(blob)
+    return None
+
+
+def _pixels_to_luma(px):
+    """Collapse a (h, w, channels) pixel array to a float64 luma plane:
+    equal-weight mean of the COLOR channels only — alpha planes (BMP
+    32-bpp, PNG gray+alpha/RGBA) must not count as a color channel, or
+    identical content with different alpha would hash apart. 1- and
+    2-channel layouts are grayscale(-alpha): luma IS channel 0."""
+    import numpy as np
+
+    if px.shape[2] >= 3:
+        return px[:, :, :3].astype(np.float64).mean(axis=2)
+    return px[:, :, 0].astype(np.float64)
+
+
 def phash_blobs(
-    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+    strict: bool = True,
 ) -> DataFrame:
-    """Per-image perceptual hash over a binary column: decode BMP pixels
-    with the real kernel, collapse channels to luma (equal-weight mean),
+    """Per-image perceptual hash over a binary column: decode pixels
+    with the real kernels (BMP, PNG, baseline JPEG — magic-byte
+    dispatch via `decode_image_pixels`), collapse channels to luma,
     pHash. Arrow-batched mapInPandas; blobs never leave the executors
     and the output is one BIGINT per row — the perfect shuffle key for
     Hamming-bucketed image near-dup (`dedup.hamming_neardup_pairs`).
-    Non-BMP payloads (stub territory in this container) raise rather
-    than silently hashing garbage."""
-    import numpy as np
+
+    Undecodable payloads: with ``strict=True`` (default) raise rather
+    than silently hashing garbage — right when garbage means a broken
+    upstream (the fixture pipelines). With ``strict=False`` the
+    operator is TOTAL — the robust-ingest shape for a real crawled
+    corpus: bad rows yield a NULL hash plus a ``reason`` column
+    (quarantine, not kill), clean rows are byte-identical to strict
+    mode, and the plan shape is unchanged (still one mapInPandas
+    projection)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hashes = []
+            hashes: list = []
+            reasons: list = []
             for b in pdf[blob_col]:
-                px = decode_bmp_pixels(bytes(b))
+                px = decode_image_pixels(bytes(b))
                 if px is None:
-                    raise ValueError(
-                        "phash_blobs: payload is not a well-formed "
-                        "uncompressed BMP"
-                    )
-                # luma = equal-weight mean of the COLOR channels only —
-                # 32-bpp BMPs decode with an alpha plane that must not
-                # count as a fourth color (identical RGB content with
-                # different alpha would otherwise hash apart)
-                gray = px[:, :, :3].astype(np.float64).mean(axis=2)
-                hashes.append(phash64(gray))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    # explicit int64: an empty batch would otherwise
-                    # infer object/float and fail Arrow conversion
-                    "phash": pd.Series(hashes, dtype="int64"),
-                }
-            )
+                    if strict:
+                        raise ValueError(
+                            "phash_blobs: payload is not a well-formed "
+                            "BMP / PNG / baseline-JPEG image"
+                        )
+                    hashes.append(None)
+                    reasons.append("undecodable: not a well-formed "
+                                   "BMP / PNG / baseline-JPEG image")
+                    continue
+                hashes.append(phash64(_pixels_to_luma(px)))
+                reasons.append(None)
+            out = {
+                id_col: pdf[id_col].values,
+                # explicit Int64: an empty or all-bad batch would
+                # otherwise infer object/float and fail Arrow conversion
+                "phash": pd.Series(hashes, dtype="Int64"),
+            }
+            if not strict:
+                out["reason"] = pd.Series(reasons, dtype="object")
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, blob_col).mapInPandas(
-        batches, f"{id_col} {id_type}, phash long"
-    )
+    schema = f"{id_col} {id_type}, phash long"
+    if not strict:
+        schema += ", reason string"
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
 def encode_wav(
@@ -468,39 +510,57 @@ def afp64(samples) -> int:
 
 
 def afp_blobs(
-    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob",
+    strict: bool = True,
 ) -> DataFrame:
     """Per-clip audio fingerprint over a binary column: decode PCM
     samples with the real kernel (channels collapsed by summation —
     gain-safe), energy-difference AFP. Arrow-batched mapInPandas; blobs
     never leave the executors, output one BIGINT per row for
-    `dedup.hamming_neardup_pairs`. Non-WAV payloads raise."""
+    `dedup.hamming_neardup_pairs`.
+
+    Undecodable payloads: ``strict=True`` raises (fixture pipelines,
+    garbage = broken upstream); ``strict=False`` is the robust-ingest
+    total shape — NULL fingerprint + ``reason`` column for bad rows
+    (including well-formed-but-too-short clips, which `afp64` cannot
+    frame), clean rows identical, plan unchanged."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            hashes = []
+            hashes: list = []
+            reasons: list = []
             for b in pdf[blob_col]:
                 dec = decode_wav_samples(bytes(b))
-                if dec is None:
-                    raise ValueError(
-                        "afp_blobs: payload is not well-formed 16-bit "
-                        "PCM WAV"
-                    )
+                if dec is None or dec[1].shape[0] < _AFP_FRAMES:
+                    if dec is not None:
+                        reason = (f"too short: < {_AFP_FRAMES} samples, "
+                                  "cannot frame")
+                    else:
+                        reason = ("undecodable: not well-formed 16-bit "
+                                  "PCM WAV")
+                    if strict:
+                        raise ValueError(f"afp_blobs: {reason}")
+                    hashes.append(None)
+                    reasons.append(reason)
+                    continue
                 _, arr = dec
                 mono = arr.astype(np.float64).sum(axis=1)
                 hashes.append(afp64(mono))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "afp": pd.Series(hashes, dtype="int64"),
-                }
-            )
+                reasons.append(None)
+            out = {
+                id_col: pdf[id_col].values,
+                "afp": pd.Series(hashes, dtype="Int64"),
+            }
+            if not strict:
+                out["reason"] = pd.Series(reasons, dtype="object")
+            yield pd.DataFrame(out)
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, blob_col).mapInPandas(
-        batches, f"{id_col} {id_type}, afp long"
-    )
+    schema = f"{id_col} {id_type}, afp long"
+    if not strict:
+        schema += ", reason string"
+    return df.select(id_col, blob_col).mapInPandas(batches, schema)
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, int, int] | None:
@@ -630,18 +690,13 @@ def encode_png(
     )
 
 
-def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
-    """REAL image decode kernel: full PNG read — chunk walk with CRC
-    verification, IHDR parse, IDAT inflate (stdlib zlib), and the
-    per-scanline filter-byte walk reconstructing actual pixel bytes —
-    no image library. Returns (byte_len, width, height, n_channels,
-    bit_depth, pixel_sum) where pixel_sum is the sum of every
-    reconstructed sample byte (a content checksum only a correct
-    inflate+unfilter can produce), or None for anything that is not a
-    well-formed 8-bit non-interlaced PNG (bad magic, bad CRC, truncated
-    or lying chunk lengths, unknown filter types, decompressed size
-    mismatch) so the caller can fall back. Interlaced (Adam7) and 16-bit
-    images are honestly rejected rather than half-decoded."""
+def _png_parse(blob: bytes) -> tuple[int, int, int, bytes] | None:
+    """Shared PNG front half: chunk walk with CRC verification, IHDR
+    parse/validation, bounded IDAT inflate. Returns (width, height,
+    n_channels, raw_filtered_bytes) for a well-formed 8-bit
+    non-interlaced PNG, else None. The filter walk lives in the two
+    back halves (`decode_png` checksum / `decode_png_pixels` array) so
+    the validation contract can never fork between them."""
     import zlib
 
     if len(blob) < len(_PNG_SIG) + 12 or blob[:8] != _PNG_SIG:
@@ -695,8 +750,17 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
         or not d.eof or d.unused_data or d.unconsumed_tail
     ):
         return None
+    return width, height, nch, raw
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> bytearray | None:
+    """PNG scanline filter reconstruction (RFC 2083 §6): walks the
+    per-row filter byte and rebuilds actual sample bytes. Returns the
+    raster-order sample stream (height*width*nch bytes) or None on an
+    unknown filter type."""
+    stride = width * nch
     prev = bytes(stride)
-    total = 0
+    out = bytearray(height * stride)
     for y in range(height):
         off = y * (stride + 1)
         ft = raw[off]
@@ -719,9 +783,55 @@ def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
             else:
                 v = (line[x] + _paeth(a, b, c)) & 0xFF
             cur[x] = v
-            total += v
+        out[y * stride:(y + 1) * stride] = cur
         prev = bytes(cur)
-    return len(blob), width, height, nch, depth, total
+    return out
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
+    """REAL image decode kernel: full PNG read — chunk walk with CRC
+    verification, IHDR parse, IDAT inflate (stdlib zlib), and the
+    per-scanline filter-byte walk reconstructing actual pixel bytes —
+    no image library. Returns (byte_len, width, height, n_channels,
+    bit_depth, pixel_sum) where pixel_sum is the sum of every
+    reconstructed sample byte (a content checksum only a correct
+    inflate+unfilter can produce), or None for anything that is not a
+    well-formed 8-bit non-interlaced PNG (bad magic, bad CRC, truncated
+    or lying chunk lengths, unknown filter types, decompressed size
+    mismatch) so the caller can fall back. Interlaced (Adam7) and 16-bit
+    images are honestly rejected rather than half-decoded."""
+    parsed = _png_parse(blob)
+    if parsed is None:
+        return None
+    width, height, nch, raw = parsed
+    samples = _png_unfilter(raw, width, height, nch)
+    if samples is None:
+        return None
+    return len(blob), width, height, nch, 8, sum(samples)
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL pixel-decode kernel: the strict `_png_parse` validation plus
+    full filter reconstruction, returning the actual pixel ARRAY — a
+    numpy uint8 array of shape (height, width, n_channels) in raster
+    order (channel semantics per `_PNG_CHANNELS`: 1=gray, 2=gray+alpha,
+    3=RGB, 4=RGBA), or None on any malformation (same contract as the
+    checksum kernel `decode_png`). This is the PNG leg of the
+    perceptual-hash ingest path (`phash_blobs`): PNG is lossless, so a
+    PNG rendering pHashes identically to the same pixels in BMP."""
+    import numpy as np
+
+    parsed = _png_parse(blob)
+    if parsed is None:
+        return None
+    width, height, nch, raw = parsed
+    samples = _png_unfilter(raw, width, height, nch)
+    if samples is None:
+        return None
+    return (
+        np.frombuffer(bytes(samples), dtype=np.uint8)
+        .reshape(height, width, nch)
+    )
 
 
 PNG_META_SCHEMA = (
@@ -1543,21 +1653,13 @@ def _jpeg_idct_basis():
     )
 
 
-def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
-    """REAL image decode kernel: full baseline-JPEG read — marker walk,
-    DQT/DHT/SOF0/SOS parse, huffman entropy decode driven by the
-    DECLARED tables (generic run-length AC path, per-component table
-    selection and DC predictors, interleaved MCUs), dequantize,
-    numpy-BATCHED float 2-D IDCT over all blocks at once, level shift,
-    and for color the YCbCr->RGB conversion — no image library. Supports
-    grayscale and YCbCr 4:4:4 color in one interleaved scan. Returns
-    (byte_len, width, height, n_components, pixel_sum) where pixel_sum
-    is the sum of every reconstructed sample (R,G,B for color — a
-    content checksum only a correct huffman+IDCT chain reproduces), or
-    None for anything outside that envelope — progressive scans,
-    CHROMA-SUBSAMPLED color (4:2:0/4:2:2), multi-scan baseline, restart
-    intervals, 16-bit quant tables, and truncated or lying segments are
-    all honestly rejected rather than half-decoded."""
+def _jpeg_decode_pixels(blob: bytes):
+    """Shared baseline-JPEG decode core (validation + entropy decode +
+    IDCT + color conversion — contract documented on `decode_jpeg`).
+    Returns a numpy uint8 pixel array of shape (height, width,
+    n_components) in raster order (grayscale stays a 1-channel plane;
+    color is converted YCbCr->RGB), or None outside the decode
+    envelope."""
     import numpy as np
 
     try:
@@ -1712,17 +1814,52 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
             .reshape(ncomp, by * 8, bx * 8)[:, :h, :w]
         )
         if ncomp == 1:
-            total = int(planes.sum())
+            px = planes.transpose(1, 2, 0)
         else:
-            # JPEG YCbCr -> full-range RGB (BT.601); pixel_sum over R,G,B
+            # JPEG YCbCr -> full-range RGB (BT.601)
             y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
             r = np.clip(np.rint(y + 1.402 * cr), 0, 255)
             g = np.clip(np.rint(y - 0.344136 * cb - 0.714136 * cr), 0, 255)
             b = np.clip(np.rint(y + 1.772 * cb), 0, 255)
-            total = int(r.sum() + g.sum() + b.sum())
-        return len(blob), w, h, ncomp, total
+            px = np.stack([r, g, b], axis=2)
+        return px.astype(np.uint8)
     except ValueError:
         return None
+
+
+def decode_jpeg(blob: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL image decode kernel: full baseline-JPEG read — marker walk,
+    DQT/DHT/SOF0/SOS parse, huffman entropy decode driven by the
+    DECLARED tables (generic run-length AC path, per-component table
+    selection and DC predictors, interleaved MCUs), dequantize,
+    numpy-BATCHED float 2-D IDCT over all blocks at once, level shift,
+    and for color the YCbCr->RGB conversion — no image library. Supports
+    grayscale and YCbCr 4:4:4 color in one interleaved scan. Returns
+    (byte_len, width, height, n_components, pixel_sum) where pixel_sum
+    is the sum of every reconstructed sample (R,G,B for color — a
+    content checksum only a correct huffman+IDCT chain reproduces), or
+    None for anything outside that envelope — progressive scans,
+    CHROMA-SUBSAMPLED color (4:2:0/4:2:2), multi-scan baseline, restart
+    intervals, 16-bit quant tables, and truncated or lying segments are
+    all honestly rejected rather than half-decoded."""
+    px = _jpeg_decode_pixels(blob)
+    if px is None:
+        return None
+    h, w, ncomp = px.shape
+    return len(blob), w, h, ncomp, int(px.sum(dtype="int64"))
+
+
+def decode_jpeg_pixels(blob: bytes):
+    """REAL pixel-decode kernel: the full `decode_jpeg` validation and
+    reconstruction chain, returning the actual pixel ARRAY — a numpy
+    uint8 array of shape (height, width, n_components) in raster order
+    (1 channel grayscale, 3 channels RGB after YCbCr conversion), or
+    None outside the baseline envelope. This is the JPEG leg of the
+    perceptual-hash ingest path (`phash_blobs`); pHash's
+    brightness/contrast invariance composes with JPEG's quantization
+    exactly when the encoded content is quant-exact (see
+    `encode_jpeg`), and within a few Hamming bits otherwise."""
+    return _jpeg_decode_pixels(blob)
 
 
 JPEG_META_SCHEMA = (

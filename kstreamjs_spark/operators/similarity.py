@@ -354,6 +354,7 @@ def knn_join_lsh_banded(
     seed: int = 42,
     round_to: int = 6,
     max_bucket: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate batch k-NN join for query batches TOO LARGE TO
     BROADCAST — the scale path `knn_join` defers to. Both sides compute
@@ -363,6 +364,12 @@ def knn_join_lsh_banded(
     join. Candidates are deduped to (qid, vec_id), scored exactly by
     re-joining each side's vector by id, and cut to top-k per query with
     the same WindowGroupLimit rank filter as `knn_join`.
+
+    Like `knn_join`, rows where ``vec_id == qid`` are EXCLUDED by
+    default — the self-match guard for the usual corpus-queries-itself
+    shape. When query ids and vector ids come from UNRELATED id spaces
+    a coincidental id collision would silently drop a valid neighbor:
+    pass ``exclude_self=False`` for disjoint id spaces.
 
     Shuffle volume: n_bands rows per input row for the candidate join
     (ids + one long each), then candidates + the two id-joins — all keyed
@@ -410,12 +417,10 @@ def knn_join_lsh_banded(
         )
         vb = vb.join(hot, ["b", "bv"], "left_anti")
         qb = qb.join(hot, ["b", "bv"], "left_anti")
-    cand = (
-        vb.join(qb, ["b", "bv"])
-        .filter(F.col(id_col) != F.col(q_id_col))
-        .select(q_id_col, id_col)
-        .distinct()
-    )
+    cand = vb.join(qb, ["b", "bv"])
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col(q_id_col))
+    cand = cand.select(q_id_col, id_col).distinct()
     scored = (
         cand.join(vectors.select(id_col, vec_col), id_col)
         .join(queries.select(q_id_col, q_vec_col), q_id_col)
@@ -442,6 +447,7 @@ def knn_join(
     q_id_col: str = "qid",
     q_vec_col: str = "qv",
     round_to: int = 6,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch k-NN join: for EVERY row of ``queries`` (q_id_col, q_vec_col
     array<double>), the top-k most-cosine-similar rows of ``vectors``.
@@ -454,16 +460,19 @@ def knn_join(
     partition keeps only k rows per query before any shuffle. Shuffle
     volume is O(|queries| * k * partitions), never O(N).
 
-    Self-matches (same id on both sides) are excluded. For query batches
-    too large to broadcast, block both sides first (IVF cells /
-    LSH buckets — `ivf_topk`, `lsh_signature`) and apply the same
-    rank-limit within blocks.
+    Self-matches (same id on both sides) are excluded by default; pass
+    ``exclude_self=False`` when query and vector ids come from disjoint
+    id spaces (a coincidental collision would otherwise drop a valid
+    neighbor). For query batches too large to broadcast, block both
+    sides first (IVF cells / LSH buckets — `ivf_topk`, `lsh_signature`)
+    and apply the same rank-limit within blocks.
     """
     from pyspark.sql import Window
 
-    scored = vectors.crossJoin(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(q_id_col)
-    ).select(
+    scored = vectors.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(q_id_col))
+    scored = scored.select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine(as_double(F.col(vec_col)), F.col(q_vec_col)), round_to).alias(

@@ -760,6 +760,87 @@ def q158b(spark: SparkSession, sf: str) -> DataFrame:
     return comps.orderBy("node")
 
 
+def _synth_group_images_multicodec(df: DataFrame) -> DataFrame:
+    """The q158c fixture: groups of 3 doc_ids share a pseudo-random 7x7
+    block pattern (even values 28..106), each member rendered through a
+    DIFFERENT codec — member doc_id%3==0 as BMP, ==1 as PNG, ==2 as
+    baseline JPEG — after its per-doc brightness/contrast transform
+    (scale 1+(doc_id%2), offset 10*(doc_id%5); offsets even and max
+    value 106*2+40=252, so the JPEG stays quant-exact per
+    `encode_jpeg`'s even-value contract). Images are 56x56 (7x7 grid of
+    8x8 blocks): the 8-aligned grid of a 32x32 fixture would park 15
+    pHash DCT coefficients (u=4 or v=4) at exact zero — noise bits under
+    the transform — while 56->32 nearest-index downsampling breaks the
+    block/DCT-node alignment (measured: 0 within-group hash mismatches
+    and cross-group min Hamming 10 over all 1,667 sf0.1 groups)."""
+    import numpy as np
+    import pandas as pd
+
+    def make_blobs(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761 + 101) % (2**31))
+                base = 28 + 2 * rng.randint(0, 40, (7, 7))
+                vals = base * (1 + d % 2) + 10 * (d % 5)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                m = d % 3
+                if m == 0:
+                    blob = multimodal.encode_bmp_pixels(
+                        56, 56, bytes(img.astype(np.uint8).ravel())
+                    )
+                elif m == 1:
+                    blob = multimodal.encode_png(
+                        56, 56, bytes(img.astype(np.uint8).ravel()),
+                        n_channels=1,
+                    )
+                else:
+                    blob = multimodal.encode_jpeg(
+                        56, 56, [int(v) for v in vals.ravel()]
+                    )
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(
+        make_blobs, "doc_id long, blob binary"
+    )
+
+
+@query(
+    "q158c_phash_cross_codec",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q158c(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-CODEC perceptual image near-dup: the q158 chain with each
+    duplicate group rendered through three DIFFERENT real codecs (BMP /
+    PNG / baseline JPEG — `_synth_group_images_multicodec`), exercising
+    the magic-byte dispatch of `multimodal.decode_image_pixels` and the
+    PNG/JPEG pixel-reconstruction kernels end-to-end. This is the shape
+    a real image corpus has — the same photo crawled as a PNG here and
+    a JPEG there — and what makes pHash-based dedup an actual operator
+    rather than a byte-hash: lossless codecs reproduce identical pixels
+    and the quant-exact JPEG construction reproduces them through the
+    lossy pipeline, so every same-group pair lands at Hamming 0
+    regardless of codec, which is exactly what the oracle states.
+
+    Scale shape identical to q158: encode, decode, and hash are one
+    Arrow-batched projection per partition (blobs never shuffle); the
+    only exchange is the 8-byte (chunk_id, chunk_value) candidate
+    equi-join — never a cross join."""
+    (documents,) = load(spark, sf, "documents")
+    hashed = multimodal.phash_blobs(_synth_group_images_multicodec(documents))
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="phash"
+    )
+
+
 # ---------------------------------------- Q160 audio fingerprint dedup
 @query(
     "q160_audio_fingerprint_neardup",

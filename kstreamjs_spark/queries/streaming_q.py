@@ -582,6 +582,126 @@ def q167(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(agg, "q167", output_mode="complete")
 
 
+# ---------------- Q167b decontamination with WATERMARK-EVICTED state
+# Arrival-time synthesis shared by the Spark body, the oracle, and the
+# adversarial eviction test: document doc_id arrives at epoch+doc_id
+# seconds (epoch divisible by the 120 s window so window starts are
+# exactly epoch + (doc_id // 120) * 120).
+_Q167B_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC; 1704067200 % 120 == 0
+_Q167B_WINDOW_S = 120
+_Q167B_DELAY = "2 minutes"
+
+
+def _q167b_oracle() -> str:
+    from ..operators.sampling import sample_hash_sql
+    from .corpus import _DECON_N, _EVAL_FRACTION, _EVAL_SEED, _shingle_sql
+
+    return f"""
+        WITH sh AS (
+          SELECT doc_id, lang, {_shingle_sql(_DECON_N)} AS s,
+                 {sample_hash_sql('doc_id', _EVAL_FRACTION, seed=_EVAL_SEED)}
+                     AS is_eval
+          FROM documents
+        ),
+        evs AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_eval),
+        contam AS (
+          SELECT DISTINCT doc_id, lang
+          FROM (SELECT doc_id, lang, unnest(s) AS g FROM sh
+                WHERE NOT is_eval) t
+          WHERE g IN (SELECT g FROM evs))
+        SELECT CAST({_Q167B_EPOCH} + (doc_id // {_Q167B_WINDOW_S})
+                    * {_Q167B_WINDOW_S} AS BIGINT) AS win_start,
+               lang, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM contam GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query(
+    "q167b_stream_decontaminate_update",
+    oracle=_q167b_oracle(),
+    tags=("streaming", "decontamination", "dedup", "watermark"),
+)
+def q167b(spark: SparkSession, sf: str) -> DataFrame:
+    """q167's chained stateful pipeline in its PRODUCTION deployment
+    shape: update output mode with WATERMARK-EVICTED state, so an
+    unbounded service holds state proportional to the watermark horizon
+    — not to everything ever seen (q167's complete mode re-emits the
+    whole result every trigger and keeps all state forever; right for
+    the oracle equivalence proof, wrong shape for an always-on ingest).
+
+    Chain: synthesize per-document arrival time (epoch + doc_id seconds
+    — the fixture arithmetic the oracle restates), stream-static
+    left-semi probe of the eval shingle set, then
+    ``dropDuplicatesWithinWatermark`` — bounded dedup state, entries
+    evicted once the watermark passes them; EXACTLY equal to global
+    dropDuplicates here because every copy of a (doc_id, lang) key
+    comes from ONE source row's shingle explode and so carries one
+    arrival time — then a 120 s windowed count per language in UPDATE
+    mode: each trigger emits only changed keys, and closed windows'
+    state is evicted as the watermark passes. The memory sink therefore
+    holds an update LOG; the final answer is latest-per-key, which for
+    a monotone count is max() per key — the compaction an upsert store
+    (compacted topic / Delta MERGE) applies by construction.
+
+    Batch-boundary independence + eviction are pinned adversarially in
+    tests/test_streaming.py (6 time-ordered single-file triggers must
+    reproduce the one-batch answer AND report numRowsRemoved > 0 in the
+    dedup operator's state metrics). With the registered single-file
+    replay everything lands in one trigger, so the update log IS the
+    final table and the compaction is the identity — hash-matched
+    against the windowed batch oracle either way."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import sampling
+    from ..plans import materialize_once
+    from .corpus import _DECON_N, _EVAL_FRACTION, _EVAL_SEED
+
+    (docs,) = load(spark, sf, "documents")
+    is_eval = sampling.sample_predicate(
+        "doc_id", _EVAL_FRACTION, seed=_EVAL_SEED
+    )
+    eval_shingles = materialize_once(
+        docs.filter(is_eval)
+        .select(F.explode(dedup_ops.shingles("text", _DECON_N)).alias("g"))
+        .distinct()
+    )
+    sdf = stream_table(spark, sf, "documents")
+    # watermark declared AT THE SOURCE (before the explode/join), the
+    # production placement: event-time stats then come from every
+    # arriving document, so the watermark advances even through triggers
+    # where no row survives the contamination probe
+    train = (
+        sdf.filter(~is_eval)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(_Q167B_EPOCH) + F.col("doc_id"))
+        )
+        .withWatermark("ts", _Q167B_DELAY)
+    )
+    contam = (
+        train.select(
+            "doc_id", "lang", "ts",
+            F.explode(dedup_ops.shingles("text", _DECON_N)).alias("g"),
+        )
+        .join(eval_shingles, "g", "left_semi")
+        .dropDuplicatesWithinWatermark(["doc_id", "lang"])
+    )
+    agg = (
+        contam.groupBy(
+            F.window("ts", f"{_Q167B_WINDOW_S} seconds"), "lang"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start"),
+            "lang", "n_contaminated",
+        )
+    )
+    log = run_to_memory(agg, "q167b", output_mode="update")
+    return (
+        log.groupBy("win_start", "lang")
+        .agg(F.max("n_contaminated").alias("n_contaminated"))
+        .orderBy("win_start", "lang")
+    )
+
+
 # -------------------------- Q168 streaming incremental ingest dedup
 def _q168_oracle() -> str:
     # q57's oracle verbatim (one source of truth for the novel-batch

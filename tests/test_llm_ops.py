@@ -1024,6 +1024,142 @@ def test_phash_blobs_rejects_non_bmp(spark):
         multimodal.phash_blobs(df).collect()
 
 
+def test_png_pixel_roundtrip_pure():
+    """encode_png/decode_png_pixels exact content roundtrip across all
+    four channel layouts (the y%5 filter schedule exercises every PNG
+    filter reconstruction), consistency with the checksum kernel, and
+    the strict-fallback contract on malformed payloads."""
+    import numpy as np
+
+    for w, h, ch in [(1, 1, 1), (7, 5, 1), (6, 6, 2), (5, 7, 3), (4, 9, 4)]:
+        content = bytes((i * 29 + 3) % 256 for i in range(w * h * ch))
+        blob = multimodal.encode_png(w, h, content, n_channels=ch)
+        px = multimodal.decode_png_pixels(blob)
+        assert px.shape == (h, w, ch) and px.tobytes() == content
+        meta = multimodal.decode_png(blob)
+        assert meta[5] == int(px.sum(dtype="int64"))
+    assert multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\n garbage") is None
+
+
+def test_jpeg_pixel_roundtrip_pure():
+    """decode_jpeg_pixels reproduces the quant-exact block construction
+    bit-for-bit: gray decodes to a (h, w, 1) plane of the block values,
+    neutral-chroma color to the same values on all three RGB channels,
+    and malformed payloads keep the strict-fallback contract."""
+    import numpy as np
+
+    vals = [28, 64, 100, 252, 30, 42, 88, 200]
+    blob = multimodal.encode_jpeg(32, 16, vals)
+    px = multimodal.decode_jpeg_pixels(blob)
+    assert px.shape == (16, 32, 1)
+    want = np.kron(
+        np.array(vals).reshape(2, 4), np.ones((8, 8), dtype=np.int64)
+    )
+    assert (px[:, :, 0] == want).all()
+    color = multimodal.encode_jpeg(16, 8, [50, 220], n_components=3)
+    cpx = multimodal.decode_jpeg_pixels(color)
+    assert cpx.shape == (8, 16, 3)
+    for c in range(3):
+        assert (cpx[:, :8, c] == 50).all() and (cpx[:, 8:, c] == 220).all()
+    assert multimodal.decode_jpeg_pixels(b"\xff\xd8 not a jpeg") is None
+
+
+def test_decode_image_pixels_cross_codec_phash():
+    """The magic-byte dispatch feeds all three codecs into ONE luma
+    convention, so the same content rendered as BMP, PNG, and
+    quant-exact JPEG must produce the identical pHash — the q158c
+    correctness argument at the kernel level, including through the
+    per-member brightness/contrast transform."""
+    import numpy as np
+
+    base = 28 + 2 * np.random.RandomState(42).randint(0, 40, (7, 7))
+    hashes = set()
+    for scale, off in [(1, 0), (2, 40), (1, 30)]:
+        vals = base * scale + off
+        img = bytes(
+            np.kron(vals, np.ones((8, 8), dtype=np.int64))
+            .astype(np.uint8).ravel()
+        )
+        renders = [
+            multimodal.encode_bmp_pixels(56, 56, img),
+            multimodal.encode_png(56, 56, img, n_channels=1),
+            multimodal.encode_jpeg(56, 56, [int(v) for v in vals.ravel()]),
+        ]
+        for blob in renders:
+            px = multimodal.decode_image_pixels(blob)
+            assert px is not None and px.dtype.name == "uint8"
+            hashes.add(multimodal.phash64(multimodal._pixels_to_luma(px)))
+    assert len(hashes) == 1, hashes
+
+
+def test_phash_blobs_robust_ingest(spark):
+    """strict=False is the quarantine-not-kill corpus shape: bad rows
+    yield NULL hash + a reason, clean rows hash byte-identically to
+    strict mode, and a batch that mixes good and garbage never
+    raises."""
+    import numpy as np
+
+    img = bytes(
+        np.random.RandomState(3).randint(0, 256, 32 * 32)
+        .astype(np.uint8)
+    )
+    good_bmp = multimodal.encode_bmp_pixels(32, 32, img)
+    good_png = multimodal.encode_png(32, 32, img, n_channels=1)
+    rows = [
+        (1, bytearray(good_bmp)),
+        (2, bytearray(b"BM but torn off")),          # bad BMP magic path
+        (3, bytearray(good_png)),
+        (4, bytearray(b"\x00\x01\x02 unknown format")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.phash_blobs(df, strict=False).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    strict_ref = {
+        r["doc_id"]: r["phash"]
+        for r in multimodal.phash_blobs(
+            df.filter("doc_id in (1, 3)")
+        ).collect()
+    }
+    for d in (1, 3):
+        assert out[d]["phash"] == strict_ref[d] and out[d]["reason"] is None
+    for d in (2, 4):
+        assert out[d]["phash"] is None
+        assert "undecodable" in out[d]["reason"]
+
+
+def test_afp_blobs_robust_ingest(spark):
+    """Audio twin of the robust-ingest contract, including the
+    well-formed-but-too-short quarantine reason."""
+    import numpy as np
+
+    good = multimodal.encode_wav_samples(
+        np.arange(-500, 500, dtype=np.int16)
+    )
+    short = multimodal.encode_wav_samples(np.arange(10, dtype=np.int16))
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"RIFF but not a wav")),
+        (3, bytearray(short)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.afp_blobs(df, strict=False).collect()
+    }
+    strict_ref = multimodal.afp_blobs(df.filter("doc_id = 1")).collect()
+    assert out[1]["afp"] == strict_ref[0]["afp"] and out[1]["reason"] is None
+    assert out[2]["afp"] is None and "undecodable" in out[2]["reason"]
+    assert out[3]["afp"] is None and "too short" in out[3]["reason"]
+    # strict mode still fails loudly on the same short clip
+    import pytest
+
+    with pytest.raises(Exception, match="too short"):
+        multimodal.afp_blobs(df.filter("doc_id = 3")).collect()
+
+
 def test_knn_join_lsh_banded_recall(spark):
     """The banded batch k-NN join must recover >=80% of the exact
     knn_join's (qid, neighbor) pairs on the same 20-query batch — the

@@ -830,15 +830,16 @@ def test_phash_neardup_bucket_join_is_equi_not_cross(spark):
     image-dedup cost is shuffle-on-8-byte-keys, never all-pairs."""
     from kstreamjs_spark.plans import explain_str
 
-    plan = explain_str(q("q158_phash_image_neardup", spark), "simple")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    join_lines = [
-        l for l in plan.splitlines()
-        if ("SortMergeJoin" in l or "HashJoin" in l) and "cid" in l
-    ]
-    assert join_lines, plan
-    assert any("cval" in l for l in join_lines), join_lines
+    for name in ("q158_phash_image_neardup", "q158c_phash_cross_codec"):
+        plan = explain_str(q(name, spark), "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        join_lines = [
+            l for l in plan.splitlines()
+            if ("SortMergeJoin" in l or "HashJoin" in l) and "cid" in l
+        ]
+        assert join_lines, (name, plan)
+        assert any("cval" in l for l in join_lines), (name, join_lines)
 
 
 def test_member_semijoin_auto_picks_regime_from_size(spark):

@@ -378,6 +378,28 @@ def test_decode_jpeg_total_on_soi_prefixed_garbage(blob):
     assert out is None or out[0] == len(blob) + 2
 
 
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_image_pixels_total_on_arbitrary_bytes(blob):
+    # the pixel kernels share the checksum kernels' totality contract
+    # (None or a valid array, never an exception), and where both decode
+    # they must agree: the checksum IS the pixel array's sum
+    for sig in (b"", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+        px = multimodal.decode_image_pixels(sig + blob)
+        assert px is None or (px.ndim == 3 and px.dtype.name == "uint8")
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=150, deadline=None)
+def test_png_pixels_agree_with_checksum_on_garbage(blob):
+    payload = b"\x89PNG\r\n\x1a\n" + blob
+    meta = multimodal.decode_png(payload)
+    px = multimodal.decode_png_pixels(payload)
+    assert (meta is None) == (px is None)
+    if meta is not None:
+        assert meta[5] == int(px.sum(dtype="int64"))
+
+
 @given(
     nf=st.integers(min_value=1, max_value=300),
     fd=st.integers(min_value=1, max_value=3000),
@@ -588,3 +610,33 @@ def test_bloom_empty_build_rejects_everything(spark):
     adf = spark.createDataFrame([("x",), ("y",)], "g string")
     out = bloom_ops.bloom_might_contain(adf, "g", bf).collect()
     assert all(r["maybe"] is False for r in out)
+
+
+def test_bloom_build_chunk_packing_matches_reference(spark):
+    """The executor-side chunk packing (collect_set per 2^19-bit range
+    -> bytes masks -> driver OR) must produce the bit-identical bitset
+    a naive driver-side build would: verified against positions computed
+    through the SAME JVM xxhash expression, at a num_bits that spans
+    multiple chunks with a ragged final chunk."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    num_bits = (1 << 19) * 2 + 1000  # 3 chunks, last one ragged
+    mdf = spark.createDataFrame(
+        [(f"key{i}",) for i in range(500)], "g string"
+    )
+    bf = bloom_ops.bloom_build(mdf, "g", num_bits, num_hashes=5, seed=13)
+    pos = (
+        mdf.select(
+            F.explode(
+                bloom_ops._positions(F.col("g"), num_bits, 5, 13)
+            ).alias("p")
+        )
+        .distinct()
+        .toPandas()["p"]
+        .to_numpy()
+    )
+    ref = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+    np.bitwise_or.at(ref, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+    assert (bf["bits"] == ref).all()
+    assert len(bf["bits"]) == (num_bits + 7) // 8

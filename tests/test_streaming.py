@@ -313,3 +313,113 @@ def test_stream_decontaminate_invariant_to_micro_batching(spark, tmp_path):
         return sorted((r["lang"], r["n"]) for r in out.collect())
 
     assert result(1) == result(None)
+
+
+def test_stream_decontaminate_update_mode_evicts_state(spark, tmp_path):
+    """q167b's production-shape claims, pinned adversarially: the
+    update-mode chain (semi-join -> dropDuplicatesWithinWatermark ->
+    windowed agg) replayed as 6 TIME-ORDERED single-file micro-batches
+    must (a) compact to the identical answer as the one-batch replay —
+    batch-boundary independence with watermarks in play — (b) equal the
+    plain batch recomputation, and (c) actually EVICT state as the
+    watermark advances (numRowsRemoved > 0 in the state metrics), which
+    is the whole point of the update-mode variant over q167's
+    keep-everything complete mode. The corpus is a dense synthetic (the
+    natural fixture has only 2 contaminated docs — no eviction signal):
+    every train doc shares a shingle with the eval set, spreading
+    hundreds of dedup-state entries across a 600 s event-time span that
+    dwarfs the 2-minute watermark horizon."""
+    import uuid
+
+    from kstreamjs_spark.operators import dedup
+    from kstreamjs_spark.queries.streaming_q import (
+        _Q167B_DELAY, _Q167B_EPOCH, _Q167B_WINDOW_S,
+    )
+
+    rows = [
+        (i, "en" if i % 2 else "de", f"tok{i % 7} a b c d e")
+        for i in range(600)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    src = str(tmp_path / "src")
+    # 6 ascending doc_id ranges = ascending event-time ranges; mtimes
+    # staggered so the file source (oldest-first) replays them in event
+    # order — arrival never falls behind the watermark, so nothing is
+    # dropped as late and the batch answer must be reproduced exactly
+    docs.repartitionByRange(6, "doc_id").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    assert len(parts) == 6
+    base = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i * 10, base + i * 10))
+    schema = spark.read.parquet(src).schema
+    is_eval = (F.col("doc_id") % 10) == 0  # covers all 7 shingle keys
+    eval_shingles = (
+        docs.filter(is_eval)
+        .select(F.explode(dedup.shingles("text", 5)).alias("g"))
+        .distinct()
+    )
+    win = f"{_Q167B_WINDOW_S} seconds"
+    arrival = F.timestamp_seconds(F.lit(_Q167B_EPOCH) + F.col("doc_id"))
+
+    def chain(df):
+        return (
+            df.select(
+                "doc_id", "lang", "ts",
+                F.explode(dedup.shingles("text", 5)).alias("g"),
+            )
+            .join(eval_shingles, "g", "left_semi")
+        )
+
+    def run(max_files):
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        train = (
+            reader.parquet(src).filter(~is_eval)
+            .withColumn("ts", arrival)
+            .withWatermark("ts", _Q167B_DELAY)
+        )
+        agg = (
+            chain(train)
+            .dropDuplicatesWithinWatermark(["doc_id", "lang"])
+            .groupBy(F.window("ts", win), "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                F.col("window.start").cast("long").alias("w"), "lang", "n"
+            )
+        )
+        qname = f"q167b_evict_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory").queryName(qname)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+        removed = 0
+        for p in q.recentProgress:
+            for op in p.get("stateOperators", []):
+                removed += op.get("numRowsRemoved", 0) or 0
+        compacted = sorted(
+            (r["w"], r["lang"], r["n"])
+            for r in spark.table(qname)
+            .groupBy("w", "lang").agg(F.max("n").alias("n")).collect()
+        )
+        return compacted, removed
+
+    expected = sorted(
+        (r["w"], r["lang"], r["n"])
+        for r in chain(docs.filter(~is_eval).withColumn("ts", arrival))
+        .dropDuplicates(["doc_id", "lang"])
+        .groupBy(F.window("ts", win), "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("window.start").cast("long").alias("w"), "lang", "n")
+        .collect()
+    )
+    split, split_removed = run(1)
+    whole, _ = run(None)
+    assert split == whole == expected and len(split) >= 8, (
+        len(split), split[:3], expected[:3]
+    )
+    # eviction really happened under the 6-trigger replay: the 600 s
+    # event-time span is far past the 2-minute horizon
+    assert split_removed > 0
