@@ -658,6 +658,131 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -------------------------------- Q169b BATCH hybrid retrieval (RRF x 24)
+_RRF_BATCH_NQ = 24   # query vectors: embeddings vec_id < 24, one per
+#                      q157b lexical query (query_id == vec_id)
+_RRF_BATCH_K = 10
+
+
+@query(
+    "q169b_hybrid_rrf_batch",
+    oracle=f"""
+        WITH qt(query_id, token) AS (VALUES {_BM25B_QT_SQL}),
+        dl AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(dl) AS BIGINT) AS dl_sum FROM dl),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id,
+                            unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+               WHERE token IN ({_BM25B_TERMS_SQL})
+               GROUP BY 1, 2),
+        df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+               GROUP BY 1),
+        contrib AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(FLOOR(
+                   ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * st.n) / st.dl_sum))
+                   * 1000000 + 0.5) AS BIGINT) AS q
+          FROM tf
+          JOIN qt USING (token)
+          JOIN df USING (token)
+          JOIN dl USING (doc_id)
+          CROSS JOIN st),
+        s AS (SELECT query_id, doc_id, SUM(q) AS qs
+              FROM contrib GROUP BY 1, 2),
+        bm AS (SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY qs DESC, doc_id) AS r
+               FROM s
+               QUALIFY r <= {_BM25B_K}),
+        cos AS (SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_cosine_similarity(
+                                    e.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[]), 6) DESC,
+                                  e.vec_id) AS r
+                FROM embeddings e
+                JOIN embeddings q
+                  ON q.vec_id < {_RRF_BATCH_NQ} AND e.vec_id <> q.vec_id
+                QUALIFY r <= {_RRF_BATCH_K}),
+        f AS (
+          SELECT query_id, doc_id,
+                 ROUND(COALESCE(1.0 / ({_RRF_K} + bm.r), 0)
+                       + COALESCE(1.0 / ({_RRF_K} + cos.r), 0), 6) AS rrf
+          FROM bm FULL OUTER JOIN cos USING (query_id, doc_id))
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(rnk AS BIGINT) AS rank, rrf
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, doc_id)
+                            AS rnk
+              FROM f)
+        WHERE rnk <= {_RRF_BATCH_K}
+    """,
+    tags=("retrieval", "similarity", "text", "llm"),
+)
+def q169b(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCH hybrid retrieval — the production fusion q169 demonstrates
+    for one query, run for the whole 24-query batch in one plan:
+    q157b's batched lexical ranks (24 queries, ONE corpus pass,
+    broadcast (query_id, token) fan-out) full-outer-joined per
+    (query_id, doc_id) with per-query k-NN semantic ranks (q58's
+    broadcast-batch `knn_join` — 24 query vectors, one scan of the
+    vector table; the q159 banded regime swaps in when the batch
+    cannot broadcast), RRF-fused (Σ 1/(60 + rank), absent side
+    contributes 0), per-query top-10.
+
+    Determinism: lexical ranks order by the int64-quantized BM25 sum,
+    semantic ranks by the 6-dp-rounded cosine, both with id tiebreaks;
+    the fused score is one IEEE addition of two operands + round —
+    order-insensitive, no further quantization needed.
+
+    Scale shape: corpus scan count stays CONSTANT in batch size on both
+    sides (that is the whole point of batching); every rank is a
+    per-query window over at most depth-k rows surviving
+    WindowGroupLimit-guarded rank filters — local sorts only, never a
+    global sort of the corpus; the fusion join is (24 x 10) vs
+    (24 x 10) rows. At sf0.1 the embedding table covers only part of
+    the doc_id space, so one-sided outer rows are exercised by real
+    data on both sides."""
+    lex = (
+        REGISTRY["q157b_bm25_batch_topk"].fn(spark, sf)
+        .select("query_id", "doc_id", F.col("rank").alias("r_bm"))
+    )
+    (emb,) = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _RRF_BATCH_NQ).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double(F.col("embedding")).alias("qv"),
+    )
+    sem = similarity.knn_join(emb, queries, k=_RRF_BATCH_K).select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("rn").alias("r_cos"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("r_bm")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("r_cos")), F.lit(0.0)),
+        6,
+    )
+    fused = (
+        lex.join(sem, ["query_id", "doc_id"], "full_outer")
+        .select("query_id", "doc_id", rrf.alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.select(
+            "query_id", "doc_id",
+            F.row_number().over(w).cast("long").alias("rank"), "rrf",
+        )
+        .filter(F.col("rank") <= _RRF_BATCH_K)
+    )
+
+
 # ------------------------------------------- Q158 perceptual image dedup
 def _synth_group_bmps(df: DataFrame) -> DataFrame:
     """The q158/q160-family image fixture: groups of 3 doc_ids share a

@@ -788,6 +788,33 @@ def test_bm25_batch_rank_pushdown_no_per_query_rescan(spark):
         assert "], false, 0" in line, f"global sort leaked in: {line}"
 
 
+def test_hybrid_rrf_batch_plan_shape(spark):
+    """q169b's plan contract: both retrieval sides and the fusion rank
+    run through WindowGroupLimit-guarded row_number filters with only
+    LOCAL sorts (never a global sort of scores), the semantic side is
+    the broadcast-batch knn_join (no cartesian between the corpus-sized
+    sides), and the corpus/vector scan count is constant in the batch
+    size — the lexical side keeps q157b's <=2 corpus scans and the
+    semantic side one vector scan + the 24-row broadcast query batch."""
+    df = q("q169b_hybrid_rrf_batch", spark)
+    df.collect()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in ex
+    assert "CartesianProduct" not in ex
+    # scans: documents (<=2, q157b's pin) + embeddings (vector side and
+    # broadcast query side, each printed twice in the AQE plan text) —
+    # the claim is the count is CONSTANT in batch size, not the exact
+    # number; 24 queries share the same scans one query would use
+    assert ex.count("FileScan parquet") <= 6, ex.count("FileScan parquet")
+    sort_lines = [
+        l for l in ex.splitlines()
+        if "Sort [" in l and "SortAggregate" not in l
+    ]
+    assert sort_lines, ex
+    for line in sort_lines:
+        assert "], false, 0" in line, f"global sort leaked in: {line}"
+
+
 def test_materialize_once_prefers_reliable_checkpoint(spark, tmp_path):
     """plans.materialize_once: with no checkpoint dir configured it
     falls back to localCheckpoint (executor-block storage — fine on
