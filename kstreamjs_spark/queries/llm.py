@@ -1371,6 +1371,46 @@ def q40f(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q40h_image_jpeg420_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 * wb AS BIGINT) AS width,
+               CAST(8 * hb AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_components,
+               CAST(3 * 64 * (28 * wb * hb
+                    + 2 * (((base + wb * hb) // 114) * 6441
+                           + (((base + wb * hb) % 114)
+                              * ((base + wb * hb) % 114 - 1)) // 2
+                           - (base * (base - 1)) // 2))
+                    AS BIGINT) AS pixel_sum
+        FROM (SELECT doc_id,
+                     2 * (1 + n_chars % 8) AS wb,
+                     2 * (1 + abs(doc_id) % 6) AS hb,
+                     abs(doc_id) % 114 AS base
+              FROM documents)
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40h(spark: SparkSession, sf: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED (4:2:0) JPEG decode with the REAL kernel —
+    the dominant camera/web format, which r10's sampling-factor support
+    brings inside the decode envelope: per-document color 4:2:0 JPEGs
+    (even Y-block grid so every 16x16 MCU is full; neutral chroma, so
+    the decoded RGB equals the Y values on all three channels
+    regardless of the upsampling filter) decoded back through the
+    2x2-Y MCU traversal, chained Y DC predictor, per-component IDCT,
+    chroma box upsample, and YCbCr->RGB. The oracle restates the q40f
+    closed form times 3 (three identical channels): with S(m) = sum of
+    j%114 for j<m, pixel_sum = 3*64*(28*nb + 2*(S(base+nb) - S(base)))
+    — a value only the full subsampled reconstruction chain reproduces.
+    Arrow-batched mapInPandas; blobs never leave the executors."""
+    (documents,) = load(spark, sf, "documents")
+    return multimodal.decode_jpeg_blobs(
+        multimodal.synth_jpeg420_blobs(documents)
+    )
+
+
+@query(
     "q40g_video_frame_sample",
     oracle="""
         SELECT doc_id,

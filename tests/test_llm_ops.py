@@ -890,8 +890,9 @@ def test_multimodal_decode_jpeg_via_spark(spark):
 def test_jpeg_color_roundtrip_and_rejections():
     """YCbCr 4:4:4 color path: neutral-chroma fixtures decode to exactly
     3x the grayscale checksum (interleaved MCUs, per-component DC
-    predictors); chroma subsampling is honestly rejected, as are
-    duplicate component ids."""
+    predictors); a LYING sampling declaration (the entropy stream does
+    not tile to the declared MCU layout), sampling factors beyond 2,
+    and duplicate component ids are rejected."""
     vals = [28, 30, 254, 0]
     gray = multimodal.encode_jpeg(16, 16, vals)
     color = multimodal.encode_jpeg(16, 16, vals, n_components=3)
@@ -902,14 +903,53 @@ def test_jpeg_color_roundtrip_and_rejections():
     # SOF0 body: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
     # (id, sampling, qtab) per component from sof+10
     sof = color.index(b"\xff\xc0")
-    # 4:2:0-style sampling on the first component -> rejected
+    # r10: 0x22 Y sampling is now a SUPPORTED layout (4:2:0), so
+    # patching it onto a 4:4:4 entropy stream must fail the
+    # stream-tiles-to-layout check (leftover blocks before EOI), never
+    # half-decode
     sub = bytearray(color)
     sub[sof + 11] = 0x22
     assert multimodal.decode_jpeg(bytes(sub)) is None
+    # sampling factors beyond 2 stay outside the envelope
+    deep = bytearray(color)
+    deep[sof + 11] = 0x33
+    assert multimodal.decode_jpeg(bytes(deep)) is None
     # duplicate component id in SOF -> rejected
     dup = bytearray(color)
     dup[sof + 13] = dup[sof + 10]  # comp 2's id := comp 1's id
     assert multimodal.decode_jpeg(bytes(dup)) is None
+
+
+def test_jpeg_420_roundtrip_and_phash_parity():
+    """4:2:0 chroma-subsampled decode (r10): the quant-exact 4:2:0
+    fixture reproduces its Y block values bit-for-bit on all three RGB
+    channels (2x2-Y MCU traversal, chained Y DC predictor, chroma box
+    upsample), matches the 4:4:4 rendering of the same content exactly
+    (neutral chroma makes the layouts pixel-identical), and therefore
+    pHashes identically — a 4:2:0 crawl dedups against a 4:4:4 one."""
+    import numpy as np
+
+    vals = [28, 64, 100, 252, 30, 42, 88, 200]
+    b420 = multimodal.encode_jpeg(32, 16, vals, n_components=3,
+                                  subsampling="420")
+    b444 = multimodal.encode_jpeg(32, 16, vals, n_components=3)
+    px420 = multimodal.decode_jpeg_pixels(b420)
+    px444 = multimodal.decode_jpeg_pixels(b444)
+    want = np.kron(
+        np.array(vals).reshape(2, 4), np.ones((8, 8), dtype=np.int64)
+    )
+    assert px420.shape == (16, 32, 3)
+    for ch in range(3):
+        assert (px420[:, :, ch] == want).all(), ch
+    assert (px420 == px444).all()
+    h1 = multimodal.phash64(multimodal._pixels_to_luma(px420))
+    h2 = multimodal.phash64(multimodal._pixels_to_luma(px444))
+    assert h1 == h2
+    # meta kernel agrees with the pixel kernel's sum
+    meta = multimodal.decode_jpeg(b420)
+    assert meta == (len(b420), 32, 16, 3, int(px420.sum(dtype="int64")))
+    # truncating the (smaller) 4:2:0 stream keeps the strict contract
+    assert multimodal.decode_jpeg(b420[:-3]) is None
 
 
 def test_decode_kernels_reject_crafted_allocation_bombs():
