@@ -658,6 +658,114 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- Q170 semantic dedup (SemDeDup)
+_SEMDEDUP_K = 8       # k-means cells (q81's deterministic first-k init)
+_SEMDEDUP_THETA = 0.4  # 6-dp-rounded cosine at/above which a pair is a dup
+
+
+@query(
+    "q170_semdedup",
+    oracle=f"""
+        WITH c AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+                 embedding::DOUBLE[] AS cv
+          FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+        ),
+        s AS (
+          SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS sim
+          FROM embeddings e CROSS JOIN c
+        ),
+        a AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, cid) AS rn
+            FROM s) WHERE rn = 1
+        ),
+        v AS (
+          SELECT a.vec_id, a.cid, e.embedding::DOUBLE[] AS v
+          FROM a JOIN embeddings e USING (vec_id)
+        ),
+        d AS (
+          SELECT DISTINCT v2.cid, v2.vec_id
+          FROM v v1 JOIN v v2
+            ON v1.cid = v2.cid AND v1.vec_id < v2.vec_id
+          WHERE ROUND(list_cosine_similarity(v1.v, v2.v), 6)
+                    >= {_SEMDEDUP_THETA}
+        ),
+        t AS (SELECT cid, COUNT(*) AS n_vecs FROM a GROUP BY cid)
+        SELECT CAST(t.cid AS BIGINT) AS cid,
+               CAST(t.n_vecs AS BIGINT) AS n_vecs,
+               CAST(COALESCE(dn.n, 0) AS BIGINT) AS n_dropped,
+               CAST(t.n_vecs - COALESCE(dn.n, 0) AS BIGINT) AS n_kept
+        FROM t LEFT JOIN (SELECT cid, COUNT(*) AS n FROM d GROUP BY cid) dn
+            USING (cid)
+        ORDER BY cid
+    """,
+    tags=("similarity", "dedup", "llm", "clustering"),
+)
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023, public): the
+    embedding-space complement of the lexical near-dup family — k-means
+    cells bound the pairwise search (q81's zero-shuffle assignment:
+    centroids are plan literals, the cell id is one codegen'd
+    projection), then WITHIN each cell an equi-join on cid scores
+    pairwise cosine and every vector with a >= theta neighbor of
+    SMALLER id is dropped (keep-first greedy — deterministic, and what
+    a streaming ingest naturally does). Output: per-cell
+    (n_vecs, n_dropped, n_kept).
+
+    Determinism: pair membership tests the 6-dp-ROUNDED cosine (the
+    q58 idiom — both engines round the same value, so the >= theta
+    boundary cannot flip on libm low bits); assignment parity with the
+    oracle is q81's established contract.
+
+    Scale shape: the whole point of SemDeDup is that cells bound the
+    quadratic — cost is sum of n_c^2 over cells, never N^2, and the
+    only corpus shuffle is the cid equi-join (plan-asserted no
+    cartesian). The fixture uses k=8 to stay inside q81's oracle-able
+    deterministic init; at 100 TB k scales with N (cells of ~1k
+    vectors), which ALSO spreads the cid shuffle across k partitions
+    — and a degenerate hot cell gets the same max-bucket ceiling
+    treatment as q159 (drop or split cells above a size cap)."""
+    from ..operators import kmeans
+
+    (emb,) = load(spark, sf, "embeddings")
+    cents = kmeans.initial_centroids(emb, _SEMDEDUP_K)
+    a = kmeans.assign(emb, cents).select(
+        "vec_id", "cid", similarity.as_double(F.col("embedding")).alias("v")
+    )
+    left = a.select("cid", F.col("vec_id").alias("i"), F.col("v").alias("vi"))
+    right = a.select("cid", F.col("vec_id").alias("j"), F.col("v").alias("vj"))
+    dropped = (
+        left.join(right, "cid")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            F.round(similarity.cosine(F.col("vi"), F.col("vj")), 6)
+            >= F.lit(_SEMDEDUP_THETA)
+        )
+        .select("cid", F.col("j").alias("vec_id"))
+        .distinct()
+    )
+    totals = a.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    drops = dropped.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped")
+    )
+    return (
+        totals.join(drops, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
+            .alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long").alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
 # -------------------------------- Q169b BATCH hybrid retrieval (RRF x 24)
 _RRF_BATCH_NQ = 24   # query vectors: embeddings vec_id < 24, one per
 #                      q157b lexical query (query_id == vec_id)
