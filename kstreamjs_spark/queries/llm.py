@@ -728,7 +728,12 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     deterministic init; at 100 TB k scales with N (cells of ~1k
     vectors), which ALSO spreads the cid shuffle across k partitions
     — and a degenerate hot cell gets the same max-bucket ceiling
-    treatment as q159 (drop or split cells above a size cap)."""
+    treatment as q159 (drop or split cells above a size cap). The
+    assignment projection is consumed three times (totals + both join
+    sides) and recomputed per consumer — deliberate: it is pure
+    codegen over the scan, and re-running it is cheaper at every scale
+    than materializing N assigned vectors (the q157b A/B's lesson,
+    SCALE.md round-10)."""
     from ..operators import kmeans
 
     (emb,) = load(spark, sf, "embeddings")
