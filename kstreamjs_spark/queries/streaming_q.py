@@ -501,6 +501,43 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(tf, "q166", output_mode="complete")
 
 
+@query(
+    "q166b_stream_inverted_index_update",
+    oracle=f"""
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token IN ({_Q166_TERMS_SQL})
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "retrieval", "text"),
+)
+def q166b(spark: SparkSession, sf: str) -> DataFrame:
+    """q166's inverted-index maintenance in its DEPLOYMENT output mode:
+    UPDATE — each trigger emits only the (doc_id, token) postings whose
+    count changed, which is what actually feeds an upsert store
+    (compacted topic / Delta MERGE), instead of complete mode's
+    full-table re-emission per trigger. Unlike the decontamination twin
+    (q167b) the state here is NOT watermark-evicted — an index must
+    stay complete, per-key counts ARE the semantics — so the
+    production trade is emission volume, not state eviction. The
+    memory sink is therefore an update log; latest-per-key for a
+    monotone count is max(tf) (identity on the registered single-file
+    replay — one trigger, one emission per key), hash-matched against
+    the same batch tf oracle as q166."""
+    from .llm import _BM25_TERMS
+
+    sdf = stream_table(spark, sf, "documents")
+    tf = (
+        sdf.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    log = run_to_memory(tf, "q166b", output_mode="update")
+    return log.groupBy("doc_id", "token").agg(F.max("tf").alias("tf"))
+
+
 # --------------------------- Q167 streaming decontamination at ingest
 def _q167_oracle() -> str:
     # built from corpus.py's OWN sql builders (shared _DECON_N /

@@ -315,6 +315,59 @@ def test_stream_decontaminate_invariant_to_micro_batching(spark, tmp_path):
     assert result(1) == result(None)
 
 
+def test_stream_inverted_index_update_emits_each_key_once(spark, tmp_path):
+    """q166b's update-mode claim, pinned adversarially: replayed as 6
+    single-file micro-batches, the update log must contain each
+    (doc_id, token) posting EXACTLY once (update emits only changed
+    keys, and a posting's document arrives in one trigger) — unlike
+    complete mode, which would re-emit the whole index every trigger —
+    and the compacted log equals the batch tf computation."""
+    import uuid
+
+    from kstreamjs_spark.queries.llm import _BM25_TERMS
+    from kstreamjs_spark.tables import load
+
+    src = str(tmp_path / "src")
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def tf_of(df):
+        return (
+            df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+            .filter(F.col("token").isin(_BM25_TERMS))
+            .groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    qname = f"q166b_upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        tf_of(sdf).writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    n_triggers = len([
+        p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    ])
+    assert n_triggers >= 5, n_triggers  # really micro-batched
+    log = spark.table(qname)
+    expected = sorted(
+        (r["doc_id"], r["token"], r["tf"]) for r in tf_of(docs).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["token"], r["tf"]) for r in log.collect()
+    )
+    # each key exactly once across ALL triggers — the emission-volume
+    # contrast with complete mode (which would emit ~n_triggers copies)
+    assert got == expected
+
+
 def test_stream_decontaminate_update_mode_evicts_state(spark, tmp_path):
     """q167b's production-shape claims, pinned adversarially: the
     update-mode chain (semi-join -> dropDuplicatesWithinWatermark ->
