@@ -1079,6 +1079,84 @@ def q158c(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# -------------------------- Q171 robust-ingest media quarantine
+_Q171_REASON = (
+    "undecodable: not a well-formed BMP / PNG / baseline-JPEG image"
+)
+
+
+@query(
+    "q171_media_quarantine",
+    oracle=f"""
+        WITH st AS (SELECT doc_id, doc_id % 7 = 3 AS bad, doc_id // 3 AS g
+                    FROM documents),
+        good AS (SELECT g, COUNT(*) AS n FROM st WHERE NOT bad GROUP BY g)
+        SELECT s.doc_id,
+               CASE WHEN s.bad THEN 'quarantined' ELSE 'ok' END AS status,
+               CASE WHEN s.bad THEN '{_Q171_REASON}' END AS reason,
+               CAST(CASE WHEN s.bad THEN 0 ELSE gd.n - 1 END AS BIGINT)
+                   AS n_dups
+        FROM st s LEFT JOIN good gd USING (g)
+        ORDER BY s.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm", "robustness"),
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBUST-INGEST media dedup — the quarantine-not-kill deployment
+    shape of the q158 chain on a corpus with corrupted payloads (the
+    reality of any crawled image set): every doc_id % 7 == 3 blob is
+    replaced with garbage bytes AFTER synthesis, `phash_blobs` runs with
+    ``strict=False`` (NULL hash + reason column for undecodable rows —
+    the kernels' totality contract, never an exception), the Hamming
+    near-dup join runs over the surviving clean rows only, and the
+    output is a per-document ingest report: status ok/quarantined, the
+    quarantine reason, and the number of near-dup partners found.
+
+    The oracle restates the whole pipeline arithmetically: quarantined
+    rows are exactly the corrupted ones (clean rows are byte-identical
+    to strict mode, so the q158 fixture invariant holds — same-group
+    pairs at Hamming 0, nothing cross-group within the <=3 cut), hence
+    a clean doc's n_dups is (clean members of its group) - 1 and a
+    quarantined doc's is 0. That the engine reproduces this from the
+    garbage-injected blobs is the evidence that corruption neither
+    kills the job NOR perturbs clean-row results.
+
+    Scale shape identical to q158 (one Arrow-batched projection, 8-byte
+    chunk equi-join); the quarantine branch adds no exchange — status
+    and reason ride the same mapInPandas projection."""
+    (documents,) = load(spark, sf, "documents")
+    blobs = _synth_group_bmps(documents).withColumn(
+        "blob",
+        F.when(F.col("doc_id") % 7 == 3, F.lit(b"\x00garbage-not-an-image"))
+        .otherwise(F.col("blob")),
+    )
+    hashed = multimodal.phash_blobs(blobs, strict=False)
+    pairs = dedup.hamming_neardup_pairs(
+        hashed.filter(F.col("phash").isNotNull()),
+        max_hamming=3,
+        hash_col="phash",
+    )
+    n_dups = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionAll(pairs.select(F.col("d2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    return (
+        hashed.join(n_dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("phash").isNull(), F.lit("quarantined"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            "reason",
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long")
+            .alias("n_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------- Q160 audio fingerprint dedup
 @query(
     "q160_audio_fingerprint_neardup",

@@ -462,6 +462,48 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(agg, "q165", output_mode="complete")
 
 
+@query(
+    "q165b_stream_phash_dedup_update",
+    oracle="""
+        SELECT CAST(3 * (doc_id // 3) AS BIGINT) AS group_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM documents GROUP BY 1
+    """,
+    tags=("streaming", "multimodal", "dedup"),
+)
+def q165b(spark: SparkSession, sf: str) -> DataFrame:
+    """q165's streaming perceptual dedup in its DEPLOYMENT output mode:
+    UPDATE — each trigger emits only the perceptual groups whose
+    membership changed, the shape that feeds an upsert store, instead
+    of complete mode's full-table re-emission per trigger (q166b's
+    rationale applied to the media family). Like the inverted index,
+    dedup-group state is NOT watermark-evicted — a duplicate may arrive
+    arbitrarily late and must still fold into its group, per-key state
+    IS the semantics — so the production trade here is emission volume.
+    The memory sink holds an update log keyed by phash; latest-per-key
+    compaction is max(n_members) (monotone count) and min(group_rep)
+    (monotone min) per hash — identity on the registered single-file
+    replay, hash-matched against the same batch closed form as q165."""
+    from ..operators import multimodal
+    from .llm import _synth_group_bmps
+
+    sdf = stream_table(spark, sf, "documents")
+    hashed = multimodal.phash_blobs(_synth_group_bmps(sdf))
+    agg = hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("group_rep"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    log = run_to_memory(agg, "q165b", output_mode="update")
+    return (
+        log.groupBy("phash")
+        .agg(
+            F.min("group_rep").alias("group_rep"),
+            F.max("n_members").alias("n_members"),
+        )
+        .select("group_rep", "n_members")
+    )
+
+
 # ------------------------- Q166 streaming inverted-index maintenance
 from .llm import _BM25_TERMS_SQL as _Q166_TERMS_SQL  # noqa: E402 — ONE
 # source for the term set: the Spark body imports _BM25_TERMS, so the

@@ -476,3 +476,70 @@ def test_stream_decontaminate_update_mode_evicts_state(spark, tmp_path):
     # eviction really happened under the 6-trigger replay: the 600 s
     # event-time span is far past the 2-minute horizon
     assert split_removed > 0
+
+
+def test_stream_phash_dedup_update_folds_across_triggers(spark, tmp_path):
+    """q165b's update-mode claim, pinned adversarially: the documents
+    replayed as 6 single-file micro-batches with group members SPREAD
+    ACROSS triggers (repartition scatters doc_ids), so a perceptual
+    group's count is emitted, then re-emitted larger when a later
+    trigger delivers another member. The compacted log (min group_rep,
+    max n_members per phash) must equal the batch closed form, and at
+    least one hash must appear in the log more than once — the proof
+    the cross-trigger state fold (not a single-batch accident) produced
+    the answer."""
+    import uuid
+
+    from kstreamjs_spark.operators import multimodal
+    from kstreamjs_spark.queries.llm import _synth_group_bmps
+    from kstreamjs_spark.tables import load
+
+    src = str(tmp_path / "src")
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    qname = f"q165b_upd_{uuid.uuid4().hex[:8]}"
+    agg = (
+        multimodal.phash_blobs(_synth_group_bmps(sdf))
+        .groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    n_triggers = len([
+        p for p in q.recentProgress if p.get("numInputRows", 0) > 0
+    ])
+    assert n_triggers >= 5, n_triggers  # really micro-batched
+    log = spark.table(qname)
+    emissions = log.groupBy("phash").count().collect()
+    assert max(r["count"] for r in emissions) > 1  # cross-trigger fold
+    got = sorted(
+        (r["group_rep"], r["n_members"])
+        for r in log.groupBy("phash")
+        .agg(
+            F.min("group_rep").alias("group_rep"),
+            F.max("n_members").alias("n_members"),
+        )
+        .collect()
+    )
+    expected = sorted(
+        (r["group_rep"], r["n_members"])
+        for r in docs.groupBy(F.floor(F.col("doc_id") / 3).alias("g"))
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select("group_rep", "n_members")
+        .collect()
+    )
+    assert got == expected
