@@ -1081,7 +1081,7 @@ def q158c(spark: SparkSession, sf: str) -> DataFrame:
 
 # -------------------------- Q171 robust-ingest media quarantine
 _Q171_REASON = (
-    "undecodable: not a well-formed BMP / PNG / baseline-JPEG image"
+    "undecodable: not a well-formed BMP / PNG / JPEG image"
 )
 
 
@@ -1598,6 +1598,52 @@ def q40h(spark: SparkSession, sf: str) -> DataFrame:
     (documents,) = load(spark, sf, "documents")
     return multimodal.decode_jpeg_blobs(
         multimodal.synth_jpeg420_blobs(documents)
+    )
+
+
+@query(
+    "q40i_image_jpeg_progressive_decode",
+    oracle="""
+        SELECT doc_id,
+               CAST(8 * wb AS BIGINT) AS width,
+               CAST(8 * hb AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS n_components,
+               CAST(3 * 64 * (28 * wb * hb
+                    + 2 * (((base + wb * hb) // 114) * 6441
+                           + (((base + wb * hb) % 114)
+                              * ((base + wb * hb) % 114 - 1)) // 2
+                           - (base * (base - 1)) // 2))
+                    AS BIGINT) AS pixel_sum
+        FROM (SELECT doc_id,
+                     2 * (1 + n_chars % 8) AS wb,
+                     2 * (1 + abs(doc_id) % 6) AS hb,
+                     abs(doc_id) % 114 AS base
+              FROM documents)
+    """,
+    tags=("multimodal", "llm"),
+)
+def q40i(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode with the REAL kernel — the web's
+    other JPEG mode (large images are routinely saved progressive),
+    which r10's multi-scan engine brings inside the decode envelope:
+    per-document color 4:2:0 PROGRESSIVE files — an interleaved DC
+    first scan at point transform Al=1, a DC refinement scan, and
+    per-component spectral-selection AC scans coded as cross-block EOB
+    runs — decoded back through scan-by-scan coefficient accumulation
+    (DC predictor chain at reduced precision + raw refinement bits, AC
+    band decode with EOB-run state, non-interleaved per-component scan
+    geometry over the subsampled chroma planes), then one dequantize +
+    IDCT + upsample + YCbCr->RGB pass over the accumulated grids. The
+    oracle is q40h's closed form verbatim: the progressive rendering of
+    the same block values must reconstruct the identical pixels — a
+    value only the full multi-scan reassembly reproduces (the
+    baseline<->progressive pixel-equality is separately pinned at the
+    kernel level on arbitrary coefficients, including the refinement
+    correction-bit path). Arrow-batched mapInPandas; blobs never leave
+    the executors."""
+    (documents,) = load(spark, sf, "documents")
+    return multimodal.decode_jpeg_blobs(
+        multimodal.synth_jpeg_progressive_blobs(documents)
     )
 
 

@@ -800,14 +800,17 @@ def test_multimodal_decode_mp4_via_spark(spark):
 
 
 def test_jpeg_decode_rejects_malformed():
-    """Strict baseline-JPEG validation: progressive SOF, restart
-    intervals, 16-bit quant tables, truncation, and trailing junk all
-    return None (fall back) rather than half-decoding."""
+    """Strict JPEG validation: mismarked SOF (a progressive SOF over a
+    baseline-shaped scan header), restart intervals, 16-bit quant
+    tables, truncation, and trailing junk all return None (fall back)
+    rather than half-decoding."""
     good = multimodal.encode_jpeg(16, 16, [100, 102, 104, 106])
     assert multimodal.decode_jpeg(b"not an image") is None
     assert multimodal.decode_jpeg(good[:-1]) is None   # EOI truncated
     assert multimodal.decode_jpeg(good + b"\x00") is None
-    # progressive scan: rewrite the SOF0 marker byte to SOF2
+    # SOF0 rewritten to SOF2: the baseline-shaped interleaved full-band
+    # scan (Ss=0, Se=63) is malformed under progressive rules (a DC
+    # scan must have Se=0), so the mismarked file rejects
     sof = good.index(b"\xff\xc0")
     progressive = bytearray(good)
     progressive[sof + 1] = 0xC2

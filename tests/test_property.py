@@ -640,3 +640,82 @@ def test_bloom_build_chunk_packing_matches_reference(spark):
     np.bitwise_or.at(ref, pos // 8, (1 << (pos % 8)).astype(np.uint8))
     assert (bf["bits"] == ref).all()
     assert len(bf["bits"]) == (num_bits + 7) // 8
+
+
+@given(
+    base=st.integers(min_value=0, max_value=113),
+    wb=st.integers(min_value=1, max_value=8),
+    hb=st.integers(min_value=1, max_value=6),
+    layout=st.sampled_from([(1, "444"), (3, "444"), (3, "420")]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_progressive_roundtrip_property(base, wb, hb, layout):
+    """encode_jpeg_progressive -> decode recovers dims and the exact
+    pixel sum of the baseline closed form: the multi-scan reassembly
+    (DC first at Al=1 + refinement bit + per-component EOB-run AC
+    scans) must accumulate the very same coefficient grid the baseline
+    single scan produces, for all three component layouts."""
+    nc, sub = layout
+    if sub == "420":
+        wb, hb = 2 * wb, 2 * hb  # full 16x16 MCUs
+    vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
+    blob = multimodal.encode_jpeg_progressive(
+        8 * wb, 8 * hb, vals, n_components=nc, subsampling=sub
+    )
+    assert multimodal.decode_jpeg(blob) == (
+        len(blob), 8 * wb, 8 * hb, nc, nc * 64 * sum(vals)
+    )
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    wb=st.integers(min_value=1, max_value=4),
+    hb=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_jpeg_progressive_equals_baseline_on_arbitrary_coefs(seed, wb, hb):
+    """The baseline<->progressive equivalence pin on ARBITRARY sparse
+    quantized coefficients: the progressive rendering (successive
+    approximation Al=1 -> 0 on DC and both spectral bands, so the
+    refinement scans carry real correction bits for nonzero-history
+    coefficients, new +-1 coefficients, ZRLs, and EOB runs) must decode
+    to pixels identical to the baseline rendering of the same grid."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    blocks = []
+    for _ in range(wb * hb):
+        b = [0] * 64
+        b[0] = int(rng.randint(-200, 200))
+        for _ in range(rng.randint(0, 14)):
+            k = int(rng.randint(1, 64))
+            v = int(rng.randint(-60, 61))
+            b[k] = v if v else 7
+        if rng.randint(0, 3) == 0:  # magnitude-1-heavy refinement blocks
+            for k in range(1, 64, 3):
+                b[k] = int(rng.choice([-1, 1, 0, 2, -2]))
+        blocks.append(b)
+    bb = multimodal._encode_jpeg_coefs(8 * wb, 8 * hb, blocks)
+    bp = multimodal._encode_jpeg_coefs(
+        8 * wb, 8 * hb, blocks, progressive=True
+    )
+    p0 = multimodal.decode_jpeg_pixels(bb)
+    p1 = multimodal.decode_jpeg_pixels(bp)
+    assert p0 is not None and p1 is not None
+    assert np.array_equal(p0, p1)
+
+
+def test_jpeg_progressive_total_on_mutations():
+    """Totality over corrupted PROGRESSIVE payloads: single-byte flips
+    anywhere in a valid multi-scan file (headers, scan headers, every
+    entropy segment) must reject or decode — never raise, never hang."""
+    vals = [28 + 2 * (b % 114) for b in range(12)]
+    good = multimodal.encode_jpeg_progressive(32, 24, vals)
+    assert multimodal.decode_jpeg(good) is not None
+    for flip in range(len(good)):
+        mutated = bytearray(good)
+        mutated[flip] ^= 0xFF
+        out = multimodal.decode_jpeg(bytes(mutated))
+        assert out is None or (len(out) == 5 and out[0] == len(good))
+    for cut in range(0, len(good), 7):  # truncations
+        assert multimodal.decode_jpeg(good[:cut]) is None
