@@ -2593,15 +2593,20 @@ def decode_jpeg_blobs(
 
 
 def synth_jpeg420_blobs(
-    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars"
+    df: DataFrame, id_col: str = "doc_id", len_col: str = "n_chars",
+    encoder=None,
 ) -> DataFrame:
     """4:2:0 JPEG fixture-synthesis stage — the ONE home for the
-    derivation arithmetic q40h's oracle restates: EVEN Y-block grid
+    derivation arithmetic q40h's oracle restates (and q40i's reuses
+    verbatim via the ``encoder`` parameter): EVEN Y-block grid
     wb = 2*(1+len%8) by hb = 2*(1+|id|%6) (full 16x16 MCUs), base =
     |id|%114, block b filled with the even value 28 + 2*((base+b)%114),
     rendered as YCbCr 4:2:0 with neutral chroma so the decode stays
-    closed-form through the chroma upsample. Arrow-batched mapInPandas;
+    closed-form through the chroma upsample. ``encoder`` defaults to
+    baseline `encode_jpeg`; pass `encode_jpeg_progressive` for the same
+    content as a real SOF2 multi-scan file. Arrow-batched mapInPandas;
     blobs never leave the executors."""
+    enc = encoder if encoder is not None else encode_jpeg
 
     def make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2612,7 +2617,7 @@ def synth_jpeg420_blobs(
                 base = d % 114
                 vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
                 blobs.append(
-                    encode_jpeg(
+                    enc(
                         8 * wb, 8 * hb, vals, n_components=3,
                         subsampling="420",
                     )
@@ -2661,26 +2666,10 @@ def synth_jpeg_progressive_blobs(
     multi-scan file (interleaved DC first scan at Al=1, DC refinement,
     per-component spectral-selection AC scans with cross-block EOB
     runs), so q40i's oracle can reuse q40h's closed form verbatim.
-    Arrow-batched mapInPandas; blobs never leave the executors."""
-
-    def make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            blobs = []
-            for d, n in zip(pdf[id_col], pdf[len_col]):
-                d, n = abs(int(d)), int(n)
-                wb, hb = 2 * (1 + n % 8), 2 * (1 + d % 6)
-                base = d % 114
-                vals = [28 + 2 * ((base + b) % 114) for b in range(wb * hb)]
-                blobs.append(
-                    encode_jpeg_progressive(
-                        8 * wb, 8 * hb, vals, n_components=3,
-                        subsampling="420",
-                    )
-                )
-            yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
-
-    return df.select(id_col, len_col).mapInPandas(
-        make, f"{id_col} long, blob binary"
+    Delegates to `synth_jpeg420_blobs` — the arithmetic has ONE home;
+    only the encoder differs."""
+    return synth_jpeg420_blobs(
+        df, id_col, len_col, encoder=encode_jpeg_progressive
     )
 
 

@@ -1130,7 +1130,12 @@ def q171(spark: SparkSession, sf: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 3, F.lit(b"\x00garbage-not-an-image"))
         .otherwise(F.col("blob")),
     )
-    hashed = multimodal.phash_blobs(blobs, strict=False)
+    # The decode->pHash projection has FIVE consumers downstream (both
+    # sides of the Hamming join, the pairs subtree twice via the d1/d2
+    # union, and the final report join) — unlike the cheap codegen
+    # projections the recompute-per-consumer policy (q170, SCALE.md)
+    # tolerates, the Python-side decode dominates; materialize once.
+    hashed = materialize_once(multimodal.phash_blobs(blobs, strict=False))
     pairs = dedup.hamming_neardup_pairs(
         hashed.filter(F.col("phash").isNotNull()),
         max_hamming=3,
