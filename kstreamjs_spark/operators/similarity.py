@@ -484,3 +484,118 @@ def knn_join(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def gram_upper(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    chunk: int = 512,
+) -> DataFrame:
+    """Distributed upper-triangle Gram (uncentered second-moment) matrix
+    of an embedding column — the one-pass precursor to covariance / PCA
+    whitening in embedding-pipeline curation (e.g. before SemDeDup-style
+    semantic dedup, q170).
+
+    Returns long-form ``(i, j, cell_q)`` with ``i <= j`` and
+    ``cell_q = SUM over rows of floor(x_i * x_j * scale + 0.5)`` (the
+    repo's quantize-BEFORE-sum idiom: per-row products are rounded to
+    int64 first, so the sum is order-independent and bit-identical on
+    any partitioning — and on the DuckDB oracle).
+
+    Plan shape (the textbook distributed Gram): ONE Arrow-batched
+    mapInPandas pass emits a dim x dim int64 partial per PARTITION
+    (vectorized einsum over ``chunk``-row sub-batches keeps peak memory
+    at chunk*dim^2 doubles), so the only exchange carries
+    O(partitions * dim^2/2) rows — never O(N). A final groupBy (i, j)
+    folds partials. At 100 TB with dim=64 that is ~2080 rows per
+    partition regardless of row count; the scan dominates, as it must.
+    """
+    import numpy as np
+
+    def part(it):
+        acc = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for s in range(0, len(X), chunk):
+                sub = X[s : s + chunk]
+                prod = np.einsum("ni,nj->nij", sub, sub)
+                q = np.floor(prod * scale + 0.5).astype(np.int64).sum(axis=0)
+                acc = q if acc is None else acc + q
+        if acc is not None:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "cell_q": acc[iu, ju],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(part, "i int, j int, cell_q long")
+    return partials.groupBy("i", "j").agg(
+        F.sum("cell_q").cast("long").alias("cell_q")
+    )
+
+
+def power_iteration_infnorm(
+    cells: dict, dim: int, iters: int = 12
+) -> list[float]:
+    """Leading eigenvector of a quantized symmetric matrix by power
+    iteration with INFINITY-norm scaling — every step is exactly
+    reproducible on any engine because no floating-point SUM ever
+    happens: the matvec quantizes each term to int64
+    (``floor(double(M_ij) * v_j + 0.5)``) and sums exact integers, and
+    the scaling divisor is the exact integer max |component|. L2
+    normalization would need a 64-term double sum whose value depends
+    on summation order (numpy is pairwise, SQL engines unspecified);
+    the infinity norm has no such term. Convergence is the classic
+    power-method rate either way; the returned vector has |v|_inf = 1.
+
+    ``cells`` maps (i, j) with i <= j to the int64 Gram cell
+    (`gram_upper` output, collected — BOUNDED by construction at
+    dim*(dim+1)/2 entries, never data-sized; same policy as the k-means
+    centroid collects). Pure driver-side Python on a dim x dim matrix.
+    """
+    import math
+
+    m = [[0.0] * dim for _ in range(dim)]
+    for (i, j), q in cells.items():
+        m[i][j] = float(q)
+        m[j][i] = float(q)
+    v = [0.125 if dim == 64 else 1.0 / math.sqrt(dim) for _ in range(dim)]
+    for _ in range(iters):
+        w = [
+            sum(int(math.floor(m[i][j] * v[j] + 0.5)) for j in range(dim))
+            for i in range(dim)
+        ]
+        mx = max(abs(x) for x in w)
+        v = [float(x) / float(mx) for x in w]
+    return v
+
+
+def project_quantized(
+    df: DataFrame,
+    direction: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "pc_q",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Project every embedding onto a literal ``direction`` vector with
+    the quantize-per-term idiom: each product x_j * d_j is floored to
+    int64 at ``scale`` BEFORE the fold, so the per-row score is an exact
+    integer sum — order-independent, oracle-reproducible. One codegen
+    projection over the scan; zero shuffle, zero Python in the row path
+    (the direction is a plan literal)."""
+    d = F.array(*[F.lit(float(x)) for x in direction])
+    terms = F.zip_with(
+        as_double(F.col(vec_col)),
+        d,
+        lambda x, y: F.floor(x * y * F.lit(float(scale)) + F.lit(0.5)),
+    )
+    score = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return df.withColumn(out_col, score.cast("long"))

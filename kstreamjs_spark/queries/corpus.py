@@ -1435,3 +1435,126 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         # loop) must not stack another cached copy per failed attempt
         d.unpersist()
     return spark.createDataFrame(rows, report.schema)
+
+
+# ------------------------------------ Q172 distributed Gram matrix (PCA prep)
+# One home for the quantized Gram SQL — q172's oracle AND the base of
+# q172b's power-iteration chain.
+_GRAM_SQL = """
+  SELECT i.i AS i, j.j AS j,
+         CAST(SUM(CAST(floor(CAST(embedding[i.i+1] AS DOUBLE)
+                     * CAST(embedding[j.j+1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS cell_q
+  FROM embeddings, range(64) i(i), range(64) j(j)
+  WHERE i.i <= j.j
+  GROUP BY 1, 2
+"""
+
+_PCA_ITERS = 96
+
+
+def _power_iteration_oracle(iters: int = _PCA_ITERS) -> str:
+    """DuckDB mirror of `similarity.power_iteration_infnorm`, unrolled:
+    every step is a quantized int64 matvec (floor per term, exact int
+    sum — order-free) scaled by the exact integer max |component|, so
+    the chain is bit-identical to the engine's driver-side iteration.
+    CTEs are MATERIALIZED — inlined CTEs would re-evaluate the whole
+    chain per reference (exponential blowup)."""
+    steps = [
+        f"g AS MATERIALIZED ({_GRAM_SQL})",
+        "m AS MATERIALIZED (SELECT i, j, cell_q FROM g "
+        "UNION ALL SELECT j, i, cell_q FROM g WHERE i < j)",
+        "v0 AS MATERIALIZED (SELECT i.i AS i, CAST(0.125 AS DOUBLE) AS v "
+        "FROM range(64) i(i))",
+    ]
+    for t in range(1, iters + 1):
+        steps.append(
+            f"w{t} AS MATERIALIZED (SELECT m.i AS i, "
+            f"SUM(CAST(floor(CAST(m.cell_q AS DOUBLE) * v{t-1}.v + 0.5) "
+            f"AS BIGINT)) AS w FROM m JOIN v{t-1} ON m.j = v{t-1}.i "
+            f"GROUP BY m.i)"
+        )
+        steps.append(
+            f"v{t} AS MATERIALIZED (SELECT i, CAST(w AS DOUBLE) / "
+            f"CAST((SELECT MAX(ABS(w)) FROM w{t}) AS DOUBLE) AS v "
+            f"FROM w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+        SELECT e.vec_id,
+               CAST(SUM(CAST(floor(CAST(e.embedding[v.i+1] AS DOUBLE)
+                           * v.v * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS pc1_q
+        FROM embeddings e, v{iters} v
+        GROUP BY e.vec_id ORDER BY e.vec_id"""
+    )
+
+
+@query(
+    "q172_embedding_gram",
+    oracle=_GRAM_SQL + " ORDER BY 1, 2",
+    tags=("similarity", "llm"),
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Gram (uncentered second-moment) matrix of the
+    embedding table — the one-pass linear-algebra precursor to
+    covariance/PCA whitening in embedding curation (whiten before
+    SemDeDup q170 / ANN indexing). `similarity.gram_upper`: ONE
+    Arrow-batched mapInPandas pass emits a dim x dim int64 partial per
+    partition (vectorized einsum in chunked sub-batches), then a single
+    tiny exchange of O(partitions * dim^2/2) rows folds the partials —
+    shuffle volume is independent of N, the 100 TB shape. Per-row
+    products are quantized to int64 BEFORE any sum (floor(x*y*1e6+0.5),
+    the repo idiom), so the result is bit-identical on any partitioning
+    and on the oracle."""
+    from ..operators.similarity import gram_upper
+
+    (emb,) = load(spark, sf, "embeddings")
+    return gram_upper(emb, vec_col="embedding").orderBy("i", "j")
+
+
+@query(
+    "q172b_pca_power_iteration",
+    oracle=_power_iteration_oracle(),
+    tags=("similarity", "llm"),
+)
+def q172b(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-principal-direction projection of every embedding — PCA
+    via POWER ITERATION, hash-matched end-to-end against a DuckDB
+    oracle that unrolls all 96 steps as a generated CTE chain. The
+    iterative linear algebra is exactly reproducible across engines
+    because no floating-point SUM ever occurs: the matvec quantizes
+    each term to int64 and sums exact integers, and scaling divides by
+    the exact integer max |component| (infinity norm) instead of an
+    order-sensitive L2 norm (`similarity.power_iteration_infnorm`).
+
+    Plan shape: the distributed work is q172's one-pass Gram (shuffle
+    O(partitions * dim^2), never O(N)) plus ONE zero-shuffle codegen
+    projection of the final direction (a plan literal) over the scan
+    (`similarity.project_quantized`); the 96-step iteration itself runs
+    driver-side on the collected dim x dim matrix — BOUNDED by
+    construction (2080 cells, the k-means-centroid collect policy),
+    equivalent at any corpus size. Convergence on real spectra is the
+    behavioral pytest's claim (cos >= 0.99 vs numpy eigh at this
+    fixture's 1.017 spectral-gap ratio, the slow-convergence regime);
+    the hash match pins the deterministic computation itself."""
+    from ..operators.similarity import (
+        gram_upper,
+        power_iteration_infnorm,
+        project_quantized,
+    )
+
+    (emb,) = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cells = {
+        (r["i"], r["j"]): r["cell_q"]
+        for r in gram_upper(emb, vec_col="embedding").collect()
+    }
+    v = power_iteration_infnorm(cells, dim, iters=_PCA_ITERS)
+    return (
+        project_quantized(emb, v, vec_col="embedding", out_col="pc1_q")
+        .select("vec_id", "pc1_q")
+        .orderBy("vec_id")
+    )

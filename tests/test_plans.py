@@ -976,3 +976,28 @@ def test_disjunctive_predicates_push_to_both_scans(spark):
     assert li, plan
     assert pt, plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q172_gram_shuffles_partials_not_rows(spark):
+    """The Gram pass must exchange only per-partition dim x dim partials
+    (one MapInPandas feeding one hashpartitioning exchange on (i, j)) —
+    never N rows; and nothing about the plan may depend on corpus size."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q172_embedding_gram", spark), mode="simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_q172b_projection_is_literal_zero_shuffle(spark):
+    """q172b's returned frame (the per-vector projection) must be one
+    codegen projection over the scan with the direction as a plan
+    literal: no exchange other than the final orderBy's range partition,
+    no join, no Python in the row path."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q172b_pca_power_iteration", spark), mode="simple")
+    assert "Join" not in plan, plan
+    assert "MapInPandas" not in plan, plan  # iteration ran on the driver
+    assert plan.count("Exchange") == plan.count("Exchange rangepartitioning"), plan
