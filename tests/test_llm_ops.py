@@ -1502,3 +1502,77 @@ def test_project_quantized_matches_python_mirror(spark):
             for j, x in enumerate(row["embedding"])
         )
         assert got[row["vec_id"]] == want
+
+
+# ------------------------------------------------- Z-order layout (q173)
+
+
+def test_zvalue_matches_python_morton_mirror(spark):
+    """The codegen shift/and/or chain equals a straight Python Morton
+    interleave on adversarial bit patterns (all-ones, alternating,
+    single-bit, boundary values)."""
+    from kstreamjs_spark.operators import layout
+
+    vals = [0, 1, 2, 3, 0xFFFF, 0xAAAA, 0x5555, 0x8000, 12345, 54321]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", layout.zvalue(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y), (x, y)
+
+
+def test_zorder_buckets_bound_both_dims(spark):
+    """The layout claim, measured: bucketing the Morton curve bounds
+    BOTH quantized dimensions (small avg per-bucket range in x AND y),
+    while bucketing an x-sort at the SAME bucket count bounds only x —
+    its per-bucket y range stays ~the full 16-bit domain. This is
+    exactly the min-max-pruning property a lakehouse writer buys with
+    ZORDER."""
+    from kstreamjs_spark.operators import layout
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    x = layout.quantize16(F.col("o_custkey"))
+    y = layout.quantize16(F.floor(F.col("o_totalprice")))
+    proj = orders.select(
+        x.alias("x16"), y.alias("y16"),
+        F.shiftright(layout.zvalue(x, y), 22).alias("zb"),
+        # x-sorted baseline at a comparable bucket count: top 6 bits of
+        # x16 -> 64 buckets (sf-smoke orders ~1.5k rows; z uses the same
+        # data so sparse-bucket effects hit both layouts alike).
+        F.shiftright(F.col("x16"), 10).alias("xb"),
+    )
+
+    def spreads(bucket_col):
+        r = (
+            proj.groupBy(bucket_col)
+            .agg(
+                (F.max("x16") - F.min("x16")).alias("rx"),
+                (F.max("y16") - F.min("y16")).alias("ry"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .filter(F.col("n") >= 2)
+            .agg(F.avg("rx"), F.avg("ry"))
+            .collect()[0]
+        )
+        return r[0], r[1]
+
+    zx, zy = spreads("zb")
+    xx, xy = spreads("xb")
+    # x-sort: x tightly bounded, y unbounded (~full domain)
+    assert xx < 2048 and xy > 32768, (xx, xy)
+    # z-order: BOTH bounded, far below the x-sort's y spread
+    assert zx < 16384 and zy < 16384, (zx, zy)
+    assert zy < xy / 4, (zy, xy)

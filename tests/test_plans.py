@@ -1001,3 +1001,15 @@ def test_q172b_projection_is_literal_zero_shuffle(spark):
     assert "Join" not in plan, plan
     assert "MapInPandas" not in plan, plan  # iteration ran on the driver
     assert plan.count("Exchange") == plan.count("Exchange rangepartitioning"), plan
+
+
+def test_q173_zorder_is_codegen_single_exchange(spark):
+    """The z-value must be a pure codegen expression (no Python, no
+    join) and the stats aggregate must exchange once on the bucket id
+    with map-side partials — 1024-row state per partition at any N."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q173_zorder_layout", spark), mode="simple")
+    assert "Join" not in plan and "InPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
