@@ -1217,6 +1217,48 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ------------------------------------ Q174 MJPEG video frame-pixel dedup
+@query(
+    "q174_video_mjpeg_phash_dedup",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """VIDEO perceptual near-dup over REAL frame-PIXEL decode — the
+    q158 chain one modality up, for the Motion-JPEG family (every
+    sample a standalone JPEG: the webcam/capture/archival format whose
+    frame pixels need no codec library):
+
+      synthesize MJPEG MP4 (real JPEG frames in a real ISO-BMFF
+      container, stsd codec b'jpeg') -> walk the stts/stsz/stsc/stco
+      sample tables -> SELECTIVELY decode the middle frame only (seek +
+      one huffman+IDCT JPEG pixel decode per video, cost independent of
+      video length) -> luma -> pHash -> Hamming chunk equi-join.
+
+    Fixture (`multimodal.synth_mjpeg_blobs`, the ONE arithmetic home):
+    group g = doc_id//3 shares a group-determined video (n_frames =
+    3 + g%3, frame f's 56x56 quant-exact blocks vary with f — the
+    middle-frame pick is load-bearing, a wrong frame index changes the
+    hash). Same-group videos hash identically (hamming 0); the oracle
+    states the closed-form pair set, and only a correct container walk
+    + frame seek + full JPEG pixel decode reproduces it. Inter-frame
+    codecs (H.264/VP9/AV1) remain the honest environment-blocked stub.
+
+    Scale shape identical to q158: one Arrow-batched projection (blobs
+    never leave the executors), 8-byte chunk-key candidate join, no
+    cross join."""
+    (documents,) = load(spark, sf, "documents")
+    videos = multimodal.synth_mjpeg_blobs(documents)
+    hashed = multimodal.mjpeg_phash_blobs(videos)
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="vhash"
+    )
+
+
 # ------------------------------------------------- text statistics / quality
 @query(
     "q34_text_stats",

@@ -1576,3 +1576,57 @@ def test_zorder_buckets_bound_both_dims(spark):
     # z-order: BOTH bounded, far below the x-sort's y spread
     assert zx < 16384 and zy < 16384, (zx, zy)
     assert zy < xy / 4, (zy, xy)
+
+
+# ------------------------------------------- MJPEG video frame decode (q174)
+
+
+def test_mjpeg_frame_decode_equals_standalone_jpeg():
+    """Seek-and-decode through the container must yield the EXACT pixel
+    array of the standalone JPEG frame; wrong codec, bad index, and
+    non-MP4 payloads return None (total kernel)."""
+    frames = [
+        multimodal.encode_jpeg(
+            56, 56, [28 + 2 * ((13 * f + b) % 114) for b in range(49)]
+        )
+        for f in range(4)
+    ]
+    v = multimodal.encode_mp4(
+        4, width=56, height=56, frames=frames, codec=b"jpeg"
+    )
+    assert multimodal.mp4_codec(v) == b"jpeg"
+    for f in range(4):
+        px = multimodal.decode_mjpeg_frame(v, f)
+        ref = multimodal.decode_jpeg_pixels(frames[f])
+        assert px is not None and (px == ref).all(), f
+    assert multimodal.decode_mjpeg_frame(v, 4) is None
+    assert multimodal.decode_mjpeg_frame(v, -1) is None
+    # default (non-MJPEG) container: codec mp4v -> pixel decode refuses
+    plain = multimodal.encode_mp4(4)
+    assert multimodal.mp4_codec(plain) == b"mp4v"
+    assert multimodal.decode_mjpeg_frame(plain, 0) is None
+    assert multimodal.decode_mjpeg_frame(b"\x00garbage", 0) is None
+
+
+def test_mjpeg_phash_separates_groups(spark):
+    """The q174 invariant, measured: same-group videos hash identically
+    (hamming 0) and the minimum CROSS-group pHash distance stays far
+    beyond the <=3 join cut."""
+    d = docs(spark).limit(60)
+    hashed = multimodal.mjpeg_phash_blobs(
+        multimodal.synth_mjpeg_blobs(d)
+    ).collect()
+    by_group = {}
+    for r in hashed:
+        by_group.setdefault(r["doc_id"] // 3, []).append(r["vhash"])
+        assert r["n_frames"] == 3 + (r["doc_id"] // 3) % 3
+    for g, hs in by_group.items():
+        assert len(set(hs)) == 1, g
+    reps = {g: hs[0] for g, hs in by_group.items()}
+    keys = sorted(reps)
+    min_cross = min(
+        bin(reps[a] ^ reps[b]).count("1")
+        for i, a in enumerate(keys)
+        for b in keys[i + 1:]
+    )
+    assert min_cross > 3, min_cross
