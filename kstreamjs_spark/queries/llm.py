@@ -2734,3 +2734,144 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------- Q175 exact-substring dedup (maximal duplicated spans)
+_SSD_W = 8  # window width in tokens — the dedup granularity
+
+
+@query(
+    "q175_substring_dedup",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+        w AS (SELECT doc_id, lang, len(ts) AS n_tokens, ts,
+                     unnest(generate_series(1, len(ts) - {_SSD_W - 1}, 1))
+                         AS st
+              FROM t WHERE len(ts) >= {_SSD_W}),
+        f AS (SELECT doc_id, lang, n_tokens, st,
+                     {text.fingerprint_sql(
+                         "array_to_string(list_slice(ts, st, st + "
+                         + str(_SSD_W - 1) + "), ' ')")} AS wfp
+              FROM w),
+        m AS (SELECT doc_id, lang, n_tokens, st,
+                     COUNT(*) OVER (PARTITION BY wfp) AS nd
+              FROM f),
+        d AS (SELECT doc_id, lang, n_tokens,
+                     st, st + {_SSD_W - 1} AS en
+              FROM m WHERE nd >= 2),
+        g AS (SELECT doc_id, lang, n_tokens, st, en,
+                     MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS pmax
+              FROM d),
+        i AS (SELECT doc_id, lang, n_tokens, st, en,
+                     SUM(CASE WHEN pmax IS NULL OR st > pmax + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY st
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS gid
+              FROM g),
+        s AS (SELECT doc_id, lang, n_tokens, gid,
+                     MAX(en) - MIN(st) + 1 AS span_tokens
+              FROM i GROUP BY doc_id, lang, n_tokens, gid)
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(span_tokens) * 1000 // n_tokens AS BIGINT)
+                   AS dup_permille
+        FROM s GROUP BY doc_id, lang, n_tokens
+    """,
+    tags=("dedup", "text", "llm", "quality"),
+)
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup at arbitrary alignment — the suffix-array
+    family (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", public): every STRIDE-1 window of 8 tokens is
+    fingerprinted, windows whose fingerprint recurs anywhere in the corpus
+    mark their token span as duplicated, and per document the overlapping
+    marked spans are merged into MAXIMAL duplicated regions
+    (gaps-and-islands), yielding the duplicated-token count/fraction that
+    drives span-level removal. This is strictly stronger than q112's
+    aligned non-overlapping chunks: a shared run is caught at ANY offset
+    in either document. Spark-first plan, two exchanges total: (1) window
+    fingerprints are computed IN THE SCAN PROJECTION (text never
+    shuffles; the exchange carries (wfp, doc_id, pos) only) and
+    multiplicity comes from ONE count-window over wfp — q112's measured
+    single-pass formulation, bucket width = window multiplicity, the same
+    boilerplate-bounded argument; (2) the island merge runs per doc_id
+    (running-max window + island-id prefix sum + island extents), and the
+    final per-doc aggregate REUSES the doc_id exchange (HashPartitioning
+    on doc_id satisfies the groupBy). At 100 TB the shuffled bytes are
+    O(total_tokens) fixed-width rows — the same asymptotic bill as the
+    suffix-array construction the reference family pays, with no driver
+    state. Fingerprint equality stands in for string equality (q25/q57's
+    established contract, shared modulus with the oracle)."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", F.split("text", " ").alias("ts")
+    )
+    w = d.select(
+        "doc_id",
+        "lang",
+        F.size("ts").alias("n_tokens"),
+        "ts",
+    ).filter(F.col("n_tokens") >= _SSD_W)
+    ex = w.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.col("n_tokens") - F.lit(_SSD_W - 1), F.lit(1)
+            )
+        ).alias("st"),
+        text.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), _SSD_W), " ")
+        ).alias("wfp"),
+    )
+    mult = Window.partitionBy("wfp")
+    dup = (
+        ex.withColumn("nd", F.count(F.lit(1)).over(mult))
+        .filter(F.col("nd") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "st",
+            (F.col("st") + F.lit(_SSD_W - 1)).alias("en"),
+        )
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("st")
+    pmax = by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    run = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        dup.withColumn("pmax", F.max("en").over(pmax))
+        .withColumn(
+            "gid",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull()
+                    | (F.col("st") > F.col("pmax") + 1),
+                    1,
+                ).otherwise(0)
+            ).over(run),
+        )
+        .groupBy("doc_id", "lang", "n_tokens", "gid")
+        .agg((F.max("en") - F.min("st") + 1).alias("span_tokens"))
+    )
+    per_doc = isl.groupBy("doc_id", "lang", "n_tokens").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_tokens",
+        "n_spans",
+        F.expr("dup_tokens * 1000 DIV n_tokens").cast("long")
+        .alias("dup_permille"),
+    )

@@ -1630,3 +1630,75 @@ def test_mjpeg_phash_separates_groups(spark):
         for b in keys[i + 1:]
     )
     assert min_cross > 3, min_cross
+
+
+def test_substring_dedup_merges_misaligned_spans(spark):
+    """q175's island merge on a handcrafted corpus: a 10-token run shared
+    between two docs at DIFFERENT offsets (the case q112's aligned chunks
+    miss), plus two overlapping duplicated runs inside one doc that must
+    merge into ONE maximal span; a unique doc must not appear at all."""
+    import pyspark.sql.functions as F
+    from kstreamjs_spark.operators import text as text_ops
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: run at tokens 3..12 (two leading filler tokens + pre)
+            (1, "pre1 pre2 " + run + " tail1 tail2", "en"),
+            # doc 2: SAME run at tokens 1..10 (misaligned vs doc 1)
+            (2, run + " other trailing words here", "en"),
+            # doc 3: unique text, no 8-token window repeats
+            (3, "one two three four five six seven eight nine ten", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    # Run the q175 body directly against the frame (bypassing load()).
+    from kstreamjs_spark.queries.llm import _SSD_W
+    from kstreamjs_spark.operators import dedup
+    from pyspark.sql import Window
+
+    d = docs.select("doc_id", "lang", F.split("text", " ").alias("ts"))
+    w = d.select(
+        "doc_id", "lang", F.size("ts").alias("n_tokens"), "ts"
+    ).filter(F.col("n_tokens") >= _SSD_W)
+    ex = w.select(
+        "doc_id", "lang", "n_tokens",
+        F.explode(F.sequence(
+            F.lit(1), F.col("n_tokens") - F.lit(_SSD_W - 1), F.lit(1)
+        )).alias("st"),
+        text_ops.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), _SSD_W), " ")
+        ).alias("wfp"),
+    )
+    mult = Window.partitionBy("wfp")
+    dup = (
+        ex.withColumn("nd", F.count(F.lit(1)).over(mult))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "lang", "n_tokens", "st",
+                (F.col("st") + F.lit(_SSD_W - 1)).alias("en"))
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("st")
+    pmax = by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    runw = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = (
+        dup.withColumn("pmax", F.max("en").over(pmax))
+        .withColumn("gid", F.sum(F.when(
+            F.col("pmax").isNull() | (F.col("st") > F.col("pmax") + 1), 1
+        ).otherwise(0)).over(runw))
+        .groupBy("doc_id", "n_tokens", "gid")
+        .agg((F.max("en") - F.min("st") + 1).alias("span_tokens"),
+             F.min("st").alias("s"), F.max("en").alias("e"))
+    )
+    collected = isl.collect()
+    # exactly ONE island per affected doc — overlapping windows merged
+    assert len(collected) == 2
+    rows = {r["doc_id"]: r for r in collected}
+    # doc 3 is clean
+    assert 3 not in rows
+    # doc 1: the 10-token run occupies tokens 3..12 — three overlapping
+    # 8-token windows (st=3,4,5) merge into ONE island spanning 3..12.
+    r1 = rows[1]
+    assert (r1["s"], r1["e"], r1["span_tokens"]) == (3, 12, 10)
+    # doc 2: same run at tokens 1..10 — island spans 1..10.
+    r2 = rows[2]
+    assert (r2["s"], r2["e"], r2["span_tokens"]) == (1, 10, 10)
