@@ -31,7 +31,7 @@ Scale properties (100 TB corpus, billions of pairs):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..plans import materialize_once
 
@@ -119,3 +119,56 @@ def keep_canonical(docs: DataFrame, components: DataFrame,
         F.col("node").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 8, damp_num: int = 85,
+             init: int = 1_000_000) -> DataFrame:
+    """Integer-exact PageRank over a directed edge list (Brin & Page 1998,
+    public) — the iterative-join graph centrality every corpus-curation
+    stack runs on its link graph. Requires every node to have out-degree
+    >= 1 (no dangling redistribution is performed; symmetrize the edges or
+    add self-loops first if the graph has sinks — the co-purchase graph
+    q176 feeds is symmetric by construction).
+
+    Determinism contract (q172b's policy): ranks live in int64 micro-units
+    and each edge contribution is floor((rank * damp_num) / (100 *
+    outdeg)) via integer DIV — NO floating-point sum exists, so the result
+    is bit-identical on any partitioning and any engine that mirrors the
+    arithmetic.
+
+    Scale shape: the edge frame is materialized ONCE (localCheckpoint /
+    checkpoint per the cluster policy) with out-degree riding a
+    count-window on the src partitioning; each iteration is one equi-join
+    of the O(nodes) rank frame against the cached edges plus one dst
+    aggregation whose map-side partial agg shrinks the exchange to
+    O(nodes) rows. Per-iteration wall carries Spark's fixed 2-stage
+    scheduling constant (the q81b Lloyd precedent — measured ~0.3 s/iter
+    at local[8], exponent 0.47 across sf0.01->sf0.1, SCALE.md round-10
+    note); at cluster scale the edge scan dominates and the constant
+    vanishes."""
+    base = (100 - damp_num) * init // 100
+    ed = materialize_once(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .withColumn(
+            "od",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long"),
+        )
+    )
+    ranks = (
+        ed.select("src").distinct()
+        .select(F.col("src").alias("node"),
+                F.lit(init).cast("long").alias("rnk"))
+    )
+    contrib = F.expr(f"(rnk * {damp_num}) DIV (100 * od)")
+    for _ in range(iters):
+        ranks = (
+            ed.join(ranks, ed["src"] == F.col("node"))
+            .groupBy("dst")
+            .agg((F.lit(base) + F.sum(contrib)).cast("long").alias("rnk"))
+            .select(F.col("dst").alias("node"), "rnk")
+        )
+    deg = ed.select("src", "od").distinct()
+    return deg.join(ranks, deg["src"] == F.col("node")).select(
+        F.col("src").alias("node"), F.col("od").alias("out_degree"), "rnk"
+    )

@@ -849,3 +849,89 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("zb")
     )
+
+
+# --------------------- Q176 PageRank over the part co-purchase graph
+_PR_ITERS = 8
+_PR_DAMP_NUM = 85          # d = 0.85 as an exact integer ratio
+_PR_BASE = 150_000         # (1 - d) in micro-rank units
+_PR_INIT = 1_000_000       # initial rank, micro-units
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-CTE DuckDB mirror of the Spark iteration (q172b's generated
+    MATERIALIZED-chain policy): one CTE per PageRank step, identical
+    integer arithmetic — (rnk * 85) // (100 * od) per edge, floor division
+    on BIGINT, so no floating-point sum ever occurs on either engine."""
+    head = f"""
+        WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                   FROM lineitem a JOIN lineitem b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey <> b.l_partkey),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+                FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST({_PR_INIT} AS BIGINT) AS rnk
+               FROM deg)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+        r{i} AS (SELECT e.dst AS node,
+                        CAST({_PR_BASE} + SUM((r.rnk * {_PR_DAMP_NUM})
+                                              // (100 * d.od))
+                             AS BIGINT) AS rnk
+                 FROM e JOIN r{i - 1} r ON e.src = r.node
+                        JOIN deg d ON d.src = e.src
+                 GROUP BY e.dst)""")
+    return (
+        head + "," + ",".join(steps) + f"""
+        SELECT d.src AS part_id, d.od AS out_degree, r.rnk AS pr_rank
+        FROM r{_PR_ITERS} r JOIN deg d ON d.src = r.node"""
+    )
+
+
+@query(
+    "q176_copurchase_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PAGERANK — the iterative-join graph op (Brin & Page
+    1998, public) every corpus-curation stack runs on its link graph
+    (crawl ranking, doc-importance weighting); here over the part
+    CO-PURCHASE graph (parts sharing an order — the classic retail item
+    graph, symmetric so every node has out- and in-edges and the fixed
+    point is NOT reached in one step). Exactly engine-reproducible like
+    q172b: ranks live in int64 micro-units, each edge contribution is
+    floor((rank * 85) / (100 * outdeg)) via integer DIV — no
+    floating-point sum exists on either engine — and the oracle unrolls
+    all 8 steps as a generated CTE chain. Spark-first plan: the edge list
+    builds from ONE lineitem self equi-join on l_orderkey (pair fan-out
+    bounded by order width, never corpus size — the 100 TB bill is the
+    orderkey exchange), out-degree rides a count-window on the same src
+    partitioning, and the edge frame is MATERIALIZED ONCE (it is consumed
+    by all 8 iterations); each iteration is then one equi-join of the
+    small rank frame against the cached edges plus one dst aggregation
+    exchange — rank rows are O(nodes), never O(edges), so the per-step
+    shuffle shrinks by orders of magnitude vs re-deriving the graph.
+    Dangling-node redistribution is structurally unnecessary: co-purchase
+    edges are symmetric, so out-degree >= 1 for every node by
+    construction. Iteration lives in operators/cluster.py:pagerank
+    (hand-computed-graph pytest drives it directly)."""
+    (li,) = load(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("dst"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return cluster.pagerank(
+        e, iters=_PR_ITERS, damp_num=_PR_DAMP_NUM, init=_PR_INIT
+    ).select(
+        F.col("node").alias("part_id"),
+        "out_degree",
+        F.col("rnk").alias("pr_rank"),
+    )

@@ -55,3 +55,42 @@ def test_unconverged_raises(spark):
         cluster.connected_components(chain, max_iter=2)
     ok = cluster.connected_components(chain, max_iter=10)
     assert {r["label"] for r in ok.collect()} == {0}
+
+
+def test_pagerank_matches_python_mirror(spark):
+    """cluster.pagerank on a hand-built symmetric graph (triangle 1-2-3
+    plus pendant 3-4) equals a pure-Python mirror of the exact integer
+    arithmetic — and iteration genuinely moves ranks (the pendant's rank
+    differs from its 1-step value)."""
+    import pyspark.sql.functions as F
+    from kstreamjs_spark.operators.cluster import pagerank
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["out_degree"], r["rnk"])
+        for r in pagerank(df, iters=8).collect()
+    }
+
+    # pure-Python mirror: identical integer arithmetic
+    from collections import defaultdict
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    od = {u: len(vs) for u, vs in out.items()}
+    rnk = {u: 1_000_000 for u in od}
+    for _ in range(8):
+        nxt = defaultdict(lambda: 150_000)
+        for u, vs in out.items():
+            c = (rnk[u] * 85) // (100 * od[u])
+            for v in vs:
+                nxt[v] += c
+        rnk = dict(nxt)
+    assert got == {u: (od[u], rnk[u]) for u in od}
+    # hub 3 (degree 3) outranks triangle peers, which outrank the pendant
+    assert got[3][1] > got[1][1] == got[2][1] > got[4][1]
+    # multi-hop propagation actually happened: one iteration gives the
+    # pendant 150000 + 1000000*85//300; eight iterations give more
+    one_step = 150_000 + (1_000_000 * 85) // 300
+    assert got[4][1] != one_step
