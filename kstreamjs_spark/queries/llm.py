@@ -2875,3 +2875,139 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("dup_tokens * 1000 DIV n_tokens").cast("long")
         .alias("dup_permille"),
     )
+
+
+# --------------- Q177 DSIR — data selection via importance resampling
+_DSIR_BUCKETS = 64   # hashed-bigram feature space
+_DSIR_K = 100        # selection size
+_DSIR_TARGET = "en"  # target distribution = English docs; raw pool = rest
+
+
+@query(
+    "q177_dsir_select",
+    oracle=f"""
+        WITH tk AS (SELECT doc_id, lang, source,
+                           string_split(text,' ') AS ts
+                    FROM documents),
+        bg AS (SELECT doc_id, lang, source,
+                      unnest(list_transform(generate_series(1, len(ts)-1),
+                             i -> ts[i] || ' ' || ts[i+1])) AS b
+               FROM tk WHERE len(ts) >= 2),
+        fb AS (SELECT doc_id, lang, source,
+                      {text.fingerprint_sql('b')} % {_DSIR_BUCKETS} AS f
+               FROM bg),
+        stats AS (SELECT f,
+                         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET}')
+                             AS ct,
+                         COUNT(*) FILTER (WHERE lang <> '{_DSIR_TARGET}')
+                             AS cr
+                  FROM fb GROUP BY f),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM stats),
+        lam AS (SELECT f,
+                       CAST(floor(ln(((ct + 1.0) * (tr + {_DSIR_BUCKETS}))
+                                     / ((cr + 1.0)
+                                        * (tt + {_DSIR_BUCKETS})))
+                                  * 1000000 + 0.5) AS BIGINT) AS lam
+                FROM stats CROSS JOIN tot),
+        sc AS (SELECT fb.doc_id, fb.source,
+                      COUNT(*) AS n_bigrams, SUM(lam.lam) AS score
+               FROM fb JOIN lam USING (f)
+               WHERE fb.lang <> '{_DSIR_TARGET}'
+               GROUP BY fb.doc_id, fb.source),
+        r AS (SELECT *, row_number()
+                            OVER (ORDER BY score DESC, doc_id) AS rn
+              FROM sc)
+        SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(score AS BIGINT) AS dsir_score
+        FROM r WHERE rn <= {_DSIR_K}
+    """,
+    tags=("sampling", "llm", "quality"),
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    public): select from a raw pool the documents whose hashed-n-gram
+    feature distribution best matches a TARGET corpus. Features are
+    bigrams hashed into 64 buckets (q36's rolling fingerprint mod 64 —
+    one shared constant with the oracle); target (lang=en) and raw bucket
+    multinomials get +1 smoothing; each bucket's log importance ratio
+    ln(p_f/q_f) is quantized to int64 MICRO-NATS by the q86 policy
+    (floor(ln·1e6 + 0.5) of a single ln over an exactly-representable
+    integer ratio — no FP sum crosses engines), so every per-doc score is
+    an exact integer sum. Spark-first plan: bucket ids are computed in
+    the scan projection (text never shuffles); the 64-row stats table
+    comes from ONE groupBy over the full corpus with map-side partials;
+    the totals ride a 1-row broadcast crossJoin (established scalar-frame
+    pattern); scoring broadcast-joins the 64-row lambda table to the raw
+    side's per-bigram rows and aggregates per doc in ONE doc_id exchange
+    (partial agg collapses bigrams before the shuffle); selection is
+    TakeOrdered depth-100 (never a global sort). Two corpus scans total —
+    the fit pass and the score pass — exactly the two passes the DSIR
+    recipe itself prescribes at 100 TB."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("ts")
+    )
+    bg = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1))
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("ts", F.col("i")),
+                F.element_at("ts", F.col("i") + 1),
+            ).alias("b"),
+        )
+    )
+    fb = bg.select(
+        "doc_id",
+        "lang",
+        "source",
+        (text.fingerprint("b") % _DSIR_BUCKETS).alias("f"),
+    )
+    is_t = F.col("lang") == _DSIR_TARGET
+    stats = fb.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lam = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(
+                F.ln(
+                    ((F.col("ct") + 1.0) * (F.col("tr") + _DSIR_BUCKETS))
+                    / ((F.col("cr") + 1.0) * (F.col("tt") + _DSIR_BUCKETS))
+                )
+                * 1000000
+                + 0.5
+            ).cast("long").alias("lam"),
+        )
+    )
+    sc = (
+        fb.filter(~is_t)
+        .join(F.broadcast(lam), "f")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("lam").cast("long").alias("dsir_score"),
+        )
+    )
+    return (
+        sc.orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "source", "n_bigrams", "dsir_score")
+    )

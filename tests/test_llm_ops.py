@@ -1702,3 +1702,82 @@ def test_substring_dedup_merges_misaligned_spans(spark):
     # doc 2: same run at tokens 1..10 — island spans 1..10.
     r2 = rows[2]
     assert (r2["s"], r2["e"], r2["span_tokens"]) == (1, 10, 10)
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """q177's scoring core on a handcrafted corpus: a raw doc sharing the
+    target's bigrams must outscore a raw doc with alien vocabulary (the
+    importance-ratio sign check), with the exact integer micro-nat
+    arithmetic mirrored in Python."""
+    import math
+    import pyspark.sql.functions as F
+    from kstreamjs_spark.operators import text as text_ops
+
+    B = 64
+    target_text = "the cat sat on the mat and the dog ran"
+    docs = spark.createDataFrame(
+        [
+            (1, target_text, "en", "s"),
+            (2, "the cat sat on the mat quite often", "es", "s"),
+            (3, "zzq qqz zqz qzz zzz qzq zqq qqq", "es", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    d = docs.select("doc_id", "lang", F.split("text", " ").alias("ts"))
+    bg = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id", "lang",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1)))
+            .alias("i"), "ts")
+        .select(
+            "doc_id", "lang",
+            F.concat_ws(" ", F.element_at("ts", F.col("i")),
+                        F.element_at("ts", F.col("i") + 1)).alias("b"))
+    )
+    fb = bg.select(
+        "doc_id", "lang", (text_ops.fingerprint("b") % B).alias("f")
+    )
+    is_t = F.col("lang") == "en"
+    stats = fb.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"))
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam = stats.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(F.ln(((F.col("ct") + 1.0) * (F.col("tr") + B))
+                     / ((F.col("cr") + 1.0) * (F.col("tt") + B)))
+                * 1000000 + 0.5).cast("long").alias("lam"))
+    sc = (fb.filter(~is_t).join(F.broadcast(lam), "f")
+          .groupBy("doc_id").agg(F.sum("lam").alias("score")))
+    got = {r["doc_id"]: r["score"] for r in sc.collect()}
+    # doc 2 (shares target bigrams) must outscore doc 3 (alien bigrams)
+    assert got[2] > got[3]
+
+    # exact Python mirror of the integer micro-nat arithmetic
+    def fp(b):
+        acc = 0
+        for t in b.split(" "):
+            acc = (acc * 31 + (len(t) * 131 + ord(t[0]) * 7
+                               + ord(t[-1]))) % 1000000007
+        return acc
+
+    def bigrams(s):
+        ws = s.split(" ")
+        return [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+
+    ct, cr = [0] * B, [0] * B
+    for txt, lang in [(target_text, "en"),
+                      ("the cat sat on the mat quite often", "es"),
+                      ("zzq qqz zqz qzz zzz qzq zqq qqq", "es")]:
+        for b in bigrams(txt):
+            (ct if lang == "en" else cr)[fp(b) % B] += 1
+    tt, tr = sum(ct), sum(cr)
+    lam_py = [math.floor(math.log(((c + 1.0) * (tr + B))
+                                  / ((r + 1.0) * (tt + B))) * 1e6 + 0.5)
+              for c, r in zip(ct, cr)]
+    exp2 = sum(lam_py[fp(b) % B]
+               for b in bigrams("the cat sat on the mat quite often"))
+    exp3 = sum(lam_py[fp(b) % B]
+               for b in bigrams("zzq qqz zqz qzz zzz qzq zqq qqq"))
+    assert (got[2], got[3]) == (exp2, exp3)
