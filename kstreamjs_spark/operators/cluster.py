@@ -155,20 +155,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long"),
         )
     )
-    ranks = (
-        ed.select("src").distinct()
-        .select(F.col("src").alias("node"),
-                F.lit(init).cast("long").alias("rnk"))
+    # The node universe (every node has out-degree >= 1 per the contract,
+    # so distinct srcs IS the universe). Ranks must be rebuilt over this
+    # frame each iteration — rebuilding from groupBy(dst) alone would drop
+    # in-degree-0 source nodes after step 1, losing their outgoing
+    # contributions for every later step (asymmetric graphs; symmetric
+    # graphs like q176's never exercise the coalesce).
+    nodes = materialize_once(
+        ed.select("src", "od").distinct()
+        .select(F.col("src").alias("node"), "od")
     )
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rnk"))
     contrib = F.expr(f"(rnk * {damp_num}) DIV (100 * od)")
     for _ in range(iters):
-        ranks = (
+        contribs = (
             ed.join(ranks, ed["src"] == F.col("node"))
             .groupBy("dst")
-            .agg((F.lit(base) + F.sum(contrib)).cast("long").alias("rnk"))
-            .select(F.col("dst").alias("node"), "rnk")
+            .agg(F.sum(contrib).alias("s"))
         )
-    deg = ed.select("src", "od").distinct()
-    return deg.join(ranks, deg["src"] == F.col("node")).select(
-        F.col("src").alias("node"), F.col("od").alias("out_degree"), "rnk"
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long").alias("rnk"),
+            )
+        )
+    return nodes.join(ranks, "node").select(
+        "node", F.col("od").alias("out_degree"), "rnk"
     )

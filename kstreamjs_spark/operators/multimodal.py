@@ -1348,15 +1348,20 @@ def decode_mp4(blob: bytes) -> tuple[int, int, int, int, int, int] | None:
     )
 
 
-def mp4_sample_table(blob: bytes) -> list[tuple[int, int, int, int]] | None:
+def mp4_sample_table(
+    blob: bytes, meta: dict | None = None
+) -> list[tuple[int, int, int, int]] | None:
     """REAL frame-sample kernel: walk stts/stsz/stsc/stco to produce one
     (frame_idx, frame_off, frame_bytes, t_ms) row per video sample —
     exactly what a keyframe-seeking extractor reads before touching any
     codec. ``frame_off`` is relative to the mdat payload (file-absolute
     stco offsets minus the located mdat start) so downstream arithmetic
     is container-layout-independent. Returns None for non-MP4 payloads or
-    files whose chunk tables are absent/inconsistent."""
-    meta = _parse_mp4(blob)
+    files whose chunk tables are absent/inconsistent. Pass ``meta`` (a
+    `_parse_mp4` result for the SAME blob) to skip the re-parse in hot
+    loops that already walked the boxes."""
+    if meta is None:
+        meta = _parse_mp4(blob)
     if meta is None or not meta["chunk_offsets"] or not meta["stsc"]:
         return None
     sizes = meta["sizes"]
@@ -1536,6 +1541,59 @@ def _jpeg_seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
+def _jpeg_validate_fixture(
+    width: int, height: int, block_values: list[int], n_components: int,
+    subsampling: str,
+) -> tuple[bool, int, int, int]:
+    """Shared parameter contract of the baseline AND progressive fixture
+    encoders (one home — q40i pins their pixel equality, so the accepted
+    input space must never diverge). Returns (is420, wb, hb, nb)."""
+    if width % 8 or height % 8 or width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive multiples of 8")
+    if n_components not in (1, 3):
+        raise ValueError("n_components must be 1 (gray) or 3 (YCbCr)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    is420 = n_components == 3 and subsampling == "420"
+    if is420 and (width % 16 or height % 16):
+        raise ValueError("4:2:0 needs width/height multiples of 16")
+    wb, hb = width // 8, height // 8
+    nb = wb * hb
+    if len(block_values) != nb:
+        raise ValueError(f"need {nb} block values, got {len(block_values)}")
+    if any(v % 2 or not 0 <= v <= 255 for v in block_values):
+        raise ValueError("block values must be even bytes")
+    return is420, wb, hb, nb
+
+
+def _jpeg_mcu_order(
+    block_values: list[int], wb: int, hb: int, n_components: int,
+    is420: bool,
+):
+    """Interleaved MCU emit order shared by the baseline and progressive
+    encoders — the ONE home for the 4:2:0 2x2-Y traversal (the q40i
+    oracle relies on baseline<->progressive pixel equality, so the emit
+    orders must never diverge). Yields (component_index, y_block_value),
+    value None for the neutral-chroma blocks."""
+    if is420:
+        # 4 Y blocks (2x2, raster within the MCU), one Cb, one Cr; the
+        # Y DC predictor chains in EMIT order
+        for myi in range(hb // 2):
+            for mxi in range(wb // 2):
+                for v in range(2):
+                    for hh in range(2):
+                        yield 0, block_values[(myi * 2 + v) * wb
+                                              + mxi * 2 + hh]
+                yield 1, None
+                yield 2, None
+    else:
+        for v in block_values:
+            yield 0, v
+            if n_components == 3:
+                yield 1, None
+                yield 2, None
+
+
 def encode_jpeg(
     width: int, height: int, block_values: list[int], n_components: int = 1,
     subsampling: str = "444",
@@ -1558,21 +1616,9 @@ def encode_jpeg(
     format; width/height must be multiples of 16 so every MCU is full,
     and neutral chroma makes the construction independent of the
     decoder's upsampling filter, keeping it closed-form)."""
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("width/height must be positive multiples of 8")
-    if n_components not in (1, 3):
-        raise ValueError("n_components must be 1 (gray) or 3 (YCbCr)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    is420 = n_components == 3 and subsampling == "420"
-    if is420 and (width % 16 or height % 16):
-        raise ValueError("4:2:0 needs width/height multiples of 16")
-    wb, hb = width // 8, height // 8
-    nb = wb * hb
-    if len(block_values) != nb:
-        raise ValueError(f"need {nb} block values, got {len(block_values)}")
-    if any(v % 2 or not 0 <= v <= 255 for v in block_values):
-        raise ValueError("block values must be even bytes")
+    is420, wb, hb, nb = _jpeg_validate_fixture(
+        width, height, block_values, n_components, subsampling
+    )
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
@@ -1592,28 +1638,15 @@ def encode_jpeg(
             w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
         w.write(*eob)
 
-    def put_neutral_chroma() -> None:
-        # neutral Cb then Cr blocks (quantized DC 0, predictors stay
-        # 0 -> category-0 code + EOB each)
-        w.write(*zero_dc)
-        w.write(*eob)
-        w.write(*zero_dc)
-        w.write(*eob)
-
-    if is420:
-        # MCU traversal: 4 Y blocks (2x2, raster within the MCU), one
-        # Cb, one Cr; the Y DC predictor chains in EMIT order
-        for myi in range(hb // 2):
-            for mxi in range(wb // 2):
-                for v in range(2):
-                    for hh in range(2):
-                        put_y(block_values[(myi * 2 + v) * wb + mxi * 2 + hh])
-                put_neutral_chroma()
-    else:
-        for v in block_values:
+    for comp, v in _jpeg_mcu_order(block_values, wb, hb, n_components,
+                                   is420):
+        if comp == 0:
             put_y(v)
-            if n_components == 3:
-                put_neutral_chroma()
+        else:
+            # neutral chroma block (quantized DC 0, predictor stays
+            # 0 -> category-0 code + EOB)
+            w.write(*zero_dc)
+            w.write(*eob)
     dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes(_JPEG_QTAB))
     y_samp = 0x22 if is420 else 0x11
     comp_specs = bytes([1, y_samp, 0]) + b"".join(
@@ -1688,46 +1721,20 @@ def encode_jpeg_progressive(
     symbol of real progressive files. Decoded pixels are identical to
     the baseline encoding of the same values, so the q40-family
     closed-form oracles carry over unchanged."""
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("width/height must be positive multiples of 8")
-    if n_components not in (1, 3):
-        raise ValueError("n_components must be 1 (gray) or 3 (YCbCr)")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    is420 = n_components == 3 and subsampling == "420"
-    if is420 and (width % 16 or height % 16):
-        raise ValueError("4:2:0 needs width/height multiples of 16")
-    wb, hb = width // 8, height // 8
-    nb = wb * hb
-    if len(block_values) != nb:
-        raise ValueError(f"need {nb} block values, got {len(block_values)}")
-    if any(v % 2 or not 0 <= v <= 255 for v in block_values):
-        raise ValueError("block values must be even bytes")
+    is420, wb, hb, nb = _jpeg_validate_fixture(
+        width, height, block_values, n_components, subsampling
+    )
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     eob_bits, eob_vals = _jpeg_flat_table({r << 4 for r in range(15)})
     ac_codes = _jpeg_canonical_codes(eob_bits, eob_vals)
 
-    # DC emit order: interleaved MCU traversal (matches the decoder's
-    # scan order; grayscale's 1x1 MCU degenerates to block raster)
-    seq: list[tuple[int, int]] = []
-    if is420:
-        for myi in range(hb // 2):
-            for mxi in range(wb // 2):
-                for v in range(2):
-                    for hh in range(2):
-                        seq.append(
-                            (0, (block_values[
-                                (myi * 2 + v) * wb + mxi * 2 + hh
-                            ] - 128) // 2)
-                        )
-                seq.append((1, 0))
-                seq.append((2, 0))
-    else:
-        for v in block_values:
-            seq.append((0, (v - 128) // 2))
-            if n_components == 3:
-                seq.append((1, 0))
-                seq.append((2, 0))
+    # DC emit order: the SHARED interleaved MCU traversal (matches the
+    # decoder's scan order; grayscale's 1x1 MCU degenerates to raster)
+    seq: list[tuple[int, int]] = [
+        (comp, 0 if v is None else (v - 128) // 2)
+        for comp, v in _jpeg_mcu_order(block_values, wb, hb,
+                                       n_components, is420)
+    ]
 
     w1 = _JpegBitWriter()
     _jpeg_write_dc_first(w1, dc_codes, seq, al=1)
@@ -2740,7 +2747,12 @@ def mp4_codec(blob: bytes) -> bytes | None:
     return None if meta is None else meta["codec"]
 
 
-def decode_mjpeg_frame(blob: bytes, frame_idx: int):
+def decode_mjpeg_frame(
+    blob: bytes,
+    frame_idx: int,
+    meta: dict | None = None,
+    table: list[tuple[int, int, int, int]] | None = None,
+):
     """REAL video-frame PIXEL decode for the Motion-JPEG family: seek
     ONE sample via the stts/stsz/stsc/stco tables (`mp4_sample_table`),
     slice its bytes out of mdat, and run the full JPEG pixel kernel on
@@ -2753,11 +2765,17 @@ def decode_mjpeg_frame(blob: bytes, frame_idx: int):
     JPEG — the webcam/capture/archival format), so frame pixels need no
     codec library and SELECTIVE decode is exact: cost is per SAMPLED
     frame, never per video second. Inter-frame codecs (H.264/VP9/AV1)
-    remain the honest environment-blocked stub (module docstring)."""
-    meta = _parse_mp4(blob)
+    remain the honest environment-blocked stub (module docstring).
+
+    ``meta``/``table`` accept precomputed `_parse_mp4`/`mp4_sample_table`
+    results for the SAME blob so hot loops (mjpeg_phash_blobs) parse the
+    container once, not three times."""
+    if meta is None:
+        meta = _parse_mp4(blob)
     if meta is None or meta["codec"] != b"jpeg":
         return None
-    table = mp4_sample_table(blob)
+    if table is None:
+        table = mp4_sample_table(blob, meta=meta)
     if table is None or not 0 <= frame_idx < len(table):
         return None
     _, off, size, _ = table[frame_idx]
@@ -2781,10 +2799,16 @@ def mjpeg_phash_blobs(
             ids, counts, hashes = [], [], []
             for d, b in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(b)
-                table = mp4_sample_table(blob)
+                meta = _parse_mp4(blob)
+                table = (
+                    mp4_sample_table(blob, meta=meta)
+                    if meta is not None else None
+                )
                 if table is None:
                     raise ValueError("mjpeg_phash_blobs: not a valid MP4")
-                px = decode_mjpeg_frame(blob, len(table) // 2)
+                px = decode_mjpeg_frame(
+                    blob, len(table) // 2, meta=meta, table=table
+                )
                 if px is None:
                     raise ValueError("mjpeg_phash_blobs: not an MJPEG track")
                 ids.append(d)

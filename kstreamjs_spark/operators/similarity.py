@@ -565,13 +565,23 @@ def power_iteration_infnorm(
     for (i, j), q in cells.items():
         m[i][j] = float(q)
         m[j][i] = float(q)
-    v = [0.125 if dim == 64 else 1.0 / math.sqrt(dim) for _ in range(dim)]
+    v = [1.0 / math.sqrt(dim)] * dim  # 1/sqrt(64) == 0.125 exactly in IEEE
     for _ in range(iters):
         w = [
             sum(int(math.floor(m[i][j] * v[j] + 0.5)) for j in range(dim))
             for i in range(dim)
         ]
         mx = max(abs(x) for x in w)
+        if mx == 0:
+            # Degenerate all-zero matvec: every Gram cell quantized to 0
+            # (all |x_i*x_j*scale + 0.5| < 1 — e.g. near-zero embeddings).
+            # There is no leading direction to find; fail with a named
+            # error instead of a bare ZeroDivisionError.
+            raise ValueError(
+                "power_iteration_infnorm: quantized matvec is all-zero "
+                "(degenerate Gram — embeddings too small for the "
+                "quantization scale); no leading direction exists"
+            )
         v = [float(x) / float(mx) for x in w]
     return v
 

@@ -73,20 +73,26 @@ def test_pagerank_matches_python_mirror(spark):
         for r in pagerank(df, iters=8).collect()
     }
 
-    # pure-Python mirror: identical integer arithmetic
-    from collections import defaultdict
-    out = defaultdict(list)
-    for a, b in edges:
-        out[a].append(b)
-    od = {u: len(vs) for u, vs in out.items()}
-    rnk = {u: 1_000_000 for u in od}
-    for _ in range(8):
-        nxt = defaultdict(lambda: 150_000)
-        for u, vs in out.items():
-            c = (rnk[u] * 85) // (100 * od[u])
-            for v in vs:
-                nxt[v] += c
-        rnk = dict(nxt)
+    # pure-Python mirror: identical integer arithmetic; EVERY node gets
+    # base each step (non-receivers stay alive — the in-degree-0 fix)
+    def mirror(edge_list, iters=8):
+        from collections import defaultdict
+        out = defaultdict(list)
+        for a, b in edge_list:
+            out[a].append(b)
+        od = {u: len(vs) for u, vs in out.items()}
+        rnk = {u: 1_000_000 for u in od}
+        for _ in range(iters):
+            nxt = {u: 150_000 for u in od}
+            for u, vs in out.items():
+                c = (rnk[u] * 85) // (100 * od[u])
+                for v in vs:
+                    if v in nxt:
+                        nxt[v] += c
+            rnk = nxt
+        return od, rnk
+
+    od, rnk = mirror(edges)
     assert got == {u: (od[u], rnk[u]) for u in od}
     # hub 3 (degree 3) outranks triangle peers, which outrank the pendant
     assert got[3][1] > got[1][1] == got[2][1] > got[4][1]
@@ -94,3 +100,31 @@ def test_pagerank_matches_python_mirror(spark):
     # pendant 150000 + 1000000*85//300; eight iterations give more
     one_step = 150_000 + (1_000_000 * 85) // 300
     assert got[4][1] != one_step
+
+    # ASYMMETRIC graph: C(3)->A(1), A(1)<->B(2). C has in-degree 0 but
+    # out-degree 1 — it must stay in the output at the base-only rank AND
+    # keep contributing to A every step (the groupBy(dst)-rebuild bug
+    # dropped it after step 1).
+    asym = [(3, 1), (1, 2), (2, 1)]
+    df2 = spark.createDataFrame(asym, "src long, dst long")
+    got2 = {
+        r["node"]: (r["out_degree"], r["rnk"])
+        for r in pagerank(df2, iters=8).collect()
+    }
+    od2, rnk2 = mirror(asym)
+    assert got2 == {u: (od2[u], rnk2[u]) for u in od2}
+    assert got2[3][1] == 150_000  # source node: base only, never dropped
+    # and A's rank provably includes C's ongoing contribution: a buggy
+    # mirror that drops non-receivers after each step (the
+    # groupBy(dst)-rebuild bug) yields a DIFFERENT value for A
+    rnk_buggy = {u: 1_000_000 for u in od2}
+    for _ in range(8):
+        nxt = {}
+        for u, vs in {3: [1], 1: [2], 2: [1]}.items():
+            if u not in rnk_buggy:
+                continue
+            c = (rnk_buggy[u] * 85) // (100 * od2[u])
+            for v in vs:
+                nxt[v] = nxt.get(v, 150_000) + c
+        rnk_buggy = nxt
+    assert got2[1][1] != rnk_buggy[1]

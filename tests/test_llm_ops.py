@@ -1781,3 +1781,14 @@ def test_dsir_prefers_target_like_docs(spark):
     exp3 = sum(lam_py[fp(b) % B]
                for b in bigrams("zzq qqz zqz qzz zzz qzq zqq qqq"))
     assert (got[2], got[3]) == (exp2, exp3)
+
+
+def test_power_iteration_degenerate_gram_raises_named_error():
+    """All-zero quantized Gram (near-zero embeddings) must fail with a
+    named ValueError, not a bare ZeroDivisionError."""
+    import pytest
+    from kstreamjs_spark.operators.similarity import power_iteration_infnorm
+
+    cells = {(i, j): 0 for i in range(4) for j in range(i, 4)}
+    with pytest.raises(ValueError, match="all-zero"):
+        power_iteration_infnorm(cells, dim=4, iters=3)
