@@ -690,3 +690,107 @@ def fuzzy_prefix_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def substring_dup_islands(
+    documents: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """MAXIMAL duplicated-region extents for the exact-substring dedup
+    family (Lee et al. 2021, public): fingerprint every STRIDE-1
+    ``width``-token window, mark windows whose fingerprint recurs
+    ANYWHERE in the corpus, and merge each document's marked spans into
+    maximal islands (gaps-and-islands). Returns one row per island:
+    (id, *carry, n_tokens, gid, isl_st, isl_en) — the shared
+    intermediate of the span REPORT (substring_dup_spans / q175) and the
+    span REMOVAL (q175b's scrub).
+
+    Plan (two content exchanges): window fingerprints are computed in the
+    scan projection — text never shuffles, the first exchange carries
+    fixed-width (wfp, id, pos) rows (the same O(total_tokens) bill the
+    suffix-array construction pays) and multiplicity is ONE count-window
+    over wfp (bucket = window multiplicity, boilerplate-bounded, q112's
+    measured single-pass formulation); the second exchange partitions by
+    document for the island windows, and the island aggregate REUSES it.
+    Fingerprint equality stands in for string equality (q25/q57's
+    contract, shared modulus with the oracle SQL)."""
+    from pyspark.sql import Window
+    from . import text as _text
+
+    d = _spread(documents, id_col).select(
+        id_col, *carry, F.split(text_col, " ").alias("ts")
+    )
+    w = d.select(
+        id_col, *carry, F.size("ts").alias("n_tokens"), "ts"
+    ).filter(F.col("n_tokens") >= width)
+    ex = w.select(
+        id_col,
+        *carry,
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens") - F.lit(width - 1),
+                       F.lit(1))
+        ).alias("st"),
+        _text.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), width), " ")
+        ).alias("wfp"),
+    )
+    mult = Window.partitionBy("wfp")
+    dup = (
+        ex.withColumn("nd", F.count(F.lit(1)).over(mult))
+        .filter(F.col("nd") >= 2)
+        .select(id_col, *carry, "n_tokens", "st",
+                (F.col("st") + F.lit(width - 1)).alias("en"))
+    )
+    by_doc = Window.partitionBy(id_col).orderBy("st")
+    pmax = by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    run = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        dup.withColumn("pmax", F.max("en").over(pmax))
+        .withColumn(
+            "gid",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull()
+                    | (F.col("st") > F.col("pmax") + 1),
+                    1,
+                ).otherwise(0)
+            ).over(run),
+        )
+        .groupBy(id_col, *carry, "n_tokens", "gid")
+        .agg(F.min("st").alias("isl_st"), F.max("en").alias("isl_en"))
+    )
+
+
+def substring_dup_spans(
+    documents: DataFrame,
+    width: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-document duplicated-span REPORT over
+    :func:`substring_dup_islands` (q175's single home, also driven by the
+    behavioral pytest and the century profiler): one row per AFFECTED
+    document — (id, *carry, n_tokens, dup_tokens, n_spans, dup_permille
+    as integer DIV). Plan shape inherited from the islands builder; the
+    per-doc aggregate reuses its document partitioning."""
+    isl = substring_dup_islands(documents, width, id_col, text_col, carry)
+    per_doc = isl.withColumn(
+        "span_tokens", F.col("isl_en") - F.col("isl_st") + 1
+    ).groupBy(id_col, *carry, "n_tokens").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    return per_doc.select(
+        id_col,
+        *carry,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_tokens",
+        "n_spans",
+        F.expr("dup_tokens * 1000 DIV n_tokens").cast("long")
+        .alias("dup_permille"),
+    )

@@ -2808,73 +2808,11 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     O(total_tokens) fixed-width rows — the same asymptotic bill as the
     suffix-array construction the reference family pays, with no driver
     state. Fingerprint equality stands in for string equality (q25/q57's
-    established contract, shared modulus with the oracle)."""
+    established contract, shared modulus with the oracle). Body lives in
+    operators/dedup.py:substring_dup_spans (single home, also driven by
+    the behavioral pytest and the century profiler)."""
     (documents,) = load(spark, sf, "documents")
-    d = dedup.spread(documents, "doc_id").select(
-        "doc_id", "lang", F.split("text", " ").alias("ts")
-    )
-    w = d.select(
-        "doc_id",
-        "lang",
-        F.size("ts").alias("n_tokens"),
-        "ts",
-    ).filter(F.col("n_tokens") >= _SSD_W)
-    ex = w.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.col("n_tokens") - F.lit(_SSD_W - 1), F.lit(1)
-            )
-        ).alias("st"),
-        text.fingerprint(
-            F.array_join(F.slice("ts", F.col("st"), _SSD_W), " ")
-        ).alias("wfp"),
-    )
-    mult = Window.partitionBy("wfp")
-    dup = (
-        ex.withColumn("nd", F.count(F.lit(1)).over(mult))
-        .filter(F.col("nd") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "st",
-            (F.col("st") + F.lit(_SSD_W - 1)).alias("en"),
-        )
-    )
-    by_doc = Window.partitionBy("doc_id").orderBy("st")
-    pmax = by_doc.rowsBetween(Window.unboundedPreceding, -1)
-    run = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    isl = (
-        dup.withColumn("pmax", F.max("en").over(pmax))
-        .withColumn(
-            "gid",
-            F.sum(
-                F.when(
-                    F.col("pmax").isNull()
-                    | (F.col("st") > F.col("pmax") + 1),
-                    1,
-                ).otherwise(0)
-            ).over(run),
-        )
-        .groupBy("doc_id", "lang", "n_tokens", "gid")
-        .agg((F.max("en") - F.min("st") + 1).alias("span_tokens"))
-    )
-    per_doc = isl.groupBy("doc_id", "lang", "n_tokens").agg(
-        F.sum("span_tokens").cast("long").alias("dup_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "lang",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "dup_tokens",
-        "n_spans",
-        F.expr("dup_tokens * 1000 DIV n_tokens").cast("long")
-        .alias("dup_permille"),
-    )
+    return dedup.substring_dup_spans(documents, width=_SSD_W)
 
 
 # --------------- Q177 DSIR — data selection via importance resampling
@@ -3010,4 +2948,124 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
         sc.orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(_DSIR_K)
         .select("doc_id", "source", "n_bigrams", "dsir_score")
+    )
+
+
+# ------------------- Q175b exact-substring SCRUB (span removal)
+@query(
+    "q175b_substring_scrub",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+        w AS (SELECT doc_id, len(ts) AS n_tokens, ts,
+                     unnest(generate_series(1, len(ts) - {_SSD_W - 1}, 1))
+                         AS st
+              FROM t WHERE len(ts) >= {_SSD_W}),
+        f AS (SELECT doc_id, st,
+                     {text.fingerprint_sql(
+                         "array_to_string(list_slice(ts, st, st + "
+                         + str(_SSD_W - 1) + "), ' ')")} AS wfp
+              FROM w),
+        m AS (SELECT doc_id, st, COUNT(*) OVER (PARTITION BY wfp) AS nd
+              FROM f),
+        d AS (SELECT doc_id, st, st + {_SSD_W - 1} AS en
+              FROM m WHERE nd >= 2),
+        g AS (SELECT doc_id, st, en,
+                     MAX(en) OVER (PARTITION BY doc_id ORDER BY st
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS pmax
+              FROM d),
+        i AS (SELECT doc_id, st, en,
+                     SUM(CASE WHEN pmax IS NULL OR st > pmax + 1
+                              THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY st
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS gid
+              FROM g),
+        isl AS (SELECT doc_id, gid, MIN(st) AS s, MAX(en) AS e
+                FROM i GROUP BY doc_id, gid),
+        tok AS (SELECT doc_id, lang, len(ts) AS n_tokens,
+                       unnest(ts) AS tok,
+                       unnest(generate_series(1, len(ts))) AS pos
+                FROM t),
+        cov AS (SELECT k.doc_id, k.lang, k.n_tokens, k.tok, k.pos,
+                       EXISTS(SELECT 1 FROM isl
+                              WHERE isl.doc_id = k.doc_id
+                                AND k.pos BETWEEN isl.s AND isl.e) AS c
+                FROM tok k)
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) FILTER (WHERE NOT c) AS BIGINT)
+                   AS kept_tokens,
+               COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT c), '') AS scrubbed_text
+        FROM cov GROUP BY doc_id, lang, n_tokens
+    """,
+    tags=("dedup", "text", "llm", "quality"),
+)
+def q175b(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring SCRUB — the REMOVAL half of the suffix-array dedup
+    family q175 reports on: every maximal duplicated region (text that
+    appears verbatim anywhere else in the corpus at >= 8-token length) is
+    cut from every document, and the surviving tokens are reassembled
+    into the deduplicated text — the transformation Lee et al. 2021
+    actually apply before training. TOTAL over the corpus: clean and
+    too-short documents pass through verbatim; a fully-duplicated
+    document survives as an empty string (kept_tokens = 0), never a
+    dropped row. Plan: islands come from substring_dup_islands (two
+    content exchanges, text never shuffles on that side); the
+    reassembly side posexplodes tokens ONCE, marks coverage with a
+    per-document left equi-join against the islands (range predicate
+    rides the doc_id equi-join; bucket width = tokens-per-doc x
+    islands-per-doc, bounded by document length — never corpus size),
+    and rebuilds the string with the q47 idiom (sort INSIDE the
+    collected array — collect_list order is nondeterministic at any
+    parallelism, array_sort(struct(pos, tok)) is not). Reassembly is the
+    one stage whose exchange carries token text — inherent to any
+    transformation that must EMIT text."""
+    (documents,) = load(spark, sf, "documents")
+    isl = dedup.substring_dup_islands(
+        documents, width=_SSD_W, carry=()
+    ).select(
+        F.col("doc_id").alias("i_doc"), "isl_st", "isl_en"
+    )
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", F.split("text", " ").alias("ts")
+    )
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size("ts").alias("n_tokens"),
+        F.posexplode("ts").alias("pos0", "tok"),
+    ).select(
+        "doc_id", "lang", "n_tokens", "tok",
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    j = tok.join(
+        isl,
+        (F.col("doc_id") == F.col("i_doc"))
+        & F.col("pos").between(F.col("isl_st"), F.col("isl_en")),
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("isl_st").isNull(), F.struct("pos", "tok")
+    )
+    return (
+        j.groupBy("doc_id", "lang", "n_tokens")
+        .agg(
+            F.sum(F.when(F.col("isl_st").isNull(), 1).otherwise(0))
+            .cast("long").alias("kept_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+        )
+        .select(
+            "doc_id", "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "kept_tokens", "scrubbed_text",
+        )
     )

@@ -1633,17 +1633,16 @@ def test_mjpeg_phash_separates_groups(spark):
 
 
 def test_substring_dedup_merges_misaligned_spans(spark):
-    """q175's island merge on a handcrafted corpus: a 10-token run shared
-    between two docs at DIFFERENT offsets (the case q112's aligned chunks
-    miss), plus two overlapping duplicated runs inside one doc that must
-    merge into ONE maximal span; a unique doc must not appear at all."""
-    import pyspark.sql.functions as F
-    from kstreamjs_spark.operators import text as text_ops
+    """dedup.substring_dup_spans on a handcrafted corpus: a 10-token run
+    shared between two docs at DIFFERENT offsets (the case q112's aligned
+    chunks miss) must merge its three overlapping 8-token windows into
+    ONE maximal island per doc; a unique doc must not appear at all."""
+    from kstreamjs_spark.operators.dedup import substring_dup_spans
 
     run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     docs = spark.createDataFrame(
         [
-            # doc 1: run at tokens 3..12 (two leading filler tokens + pre)
+            # doc 1: run at tokens 3..12 (two leading filler tokens)
             (1, "pre1 pre2 " + run + " tail1 tail2", "en"),
             # doc 2: SAME run at tokens 1..10 (misaligned vs doc 1)
             (2, run + " other trailing words here", "en"),
@@ -1652,56 +1651,17 @@ def test_substring_dedup_merges_misaligned_spans(spark):
         ],
         "doc_id long, text string, lang string",
     )
-    # Run the q175 body directly against the frame (bypassing load()).
-    from kstreamjs_spark.queries.llm import _SSD_W
-    from kstreamjs_spark.operators import dedup
-    from pyspark.sql import Window
-
-    d = docs.select("doc_id", "lang", F.split("text", " ").alias("ts"))
-    w = d.select(
-        "doc_id", "lang", F.size("ts").alias("n_tokens"), "ts"
-    ).filter(F.col("n_tokens") >= _SSD_W)
-    ex = w.select(
-        "doc_id", "lang", "n_tokens",
-        F.explode(F.sequence(
-            F.lit(1), F.col("n_tokens") - F.lit(_SSD_W - 1), F.lit(1)
-        )).alias("st"),
-        text_ops.fingerprint(
-            F.array_join(F.slice("ts", F.col("st"), _SSD_W), " ")
-        ).alias("wfp"),
-    )
-    mult = Window.partitionBy("wfp")
-    dup = (
-        ex.withColumn("nd", F.count(F.lit(1)).over(mult))
-        .filter(F.col("nd") >= 2)
-        .select("doc_id", "lang", "n_tokens", "st",
-                (F.col("st") + F.lit(_SSD_W - 1)).alias("en"))
-    )
-    by_doc = Window.partitionBy("doc_id").orderBy("st")
-    pmax = by_doc.rowsBetween(Window.unboundedPreceding, -1)
-    runw = by_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    isl = (
-        dup.withColumn("pmax", F.max("en").over(pmax))
-        .withColumn("gid", F.sum(F.when(
-            F.col("pmax").isNull() | (F.col("st") > F.col("pmax") + 1), 1
-        ).otherwise(0)).over(runw))
-        .groupBy("doc_id", "n_tokens", "gid")
-        .agg((F.max("en") - F.min("st") + 1).alias("span_tokens"),
-             F.min("st").alias("s"), F.max("en").alias("e"))
-    )
-    collected = isl.collect()
-    # exactly ONE island per affected doc — overlapping windows merged
-    assert len(collected) == 2
-    rows = {r["doc_id"]: r for r in collected}
-    # doc 3 is clean
-    assert 3 not in rows
-    # doc 1: the 10-token run occupies tokens 3..12 — three overlapping
-    # 8-token windows (st=3,4,5) merge into ONE island spanning 3..12.
-    r1 = rows[1]
-    assert (r1["s"], r1["e"], r1["span_tokens"]) == (3, 12, 10)
-    # doc 2: same run at tokens 1..10 — island spans 1..10.
-    r2 = rows[2]
-    assert (r2["s"], r2["e"], r2["span_tokens"]) == (1, 10, 10)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"],
+                      r["dup_permille"])
+        for r in substring_dup_spans(docs, width=8).collect()
+    }
+    # doc 3 is clean; docs 1 and 2 each carry ONE merged 10-token island
+    # (windows at st 3,4,5 resp. 1,2,3 merged), 10*1000 DIV 14 = 714
+    assert got == {
+        1: (14, 10, 1, 714),
+        2: (14, 10, 1, 714),
+    }
 
 
 def test_dsir_prefers_target_like_docs(spark):
@@ -1792,3 +1752,53 @@ def test_power_iteration_degenerate_gram_raises_named_error():
     cells = {(i, j): 0 for i in range(4) for j in range(i, 4)}
     with pytest.raises(ValueError, match="all-zero"):
         power_iteration_infnorm(cells, dim=4, iters=3)
+
+
+def test_substring_scrub_totality_and_exact_removal(spark):
+    """q175b's scrub core via the operators: partial-dup docs lose exactly
+    the shared island, clean docs pass through verbatim, and a fully
+    duplicated doc survives as an EMPTY row (kept_tokens 0), never a
+    dropped row."""
+    from kstreamjs_spark.queries.llm import q175b  # registered fn
+    import kstreamjs_spark.tables as tables
+    import pyspark.sql.functions as F
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    full = "wun too three fore fyve sicks sevn ate"  # 8 tokens, duplicated
+    docs = spark.createDataFrame(
+        [
+            (1, "pre1 pre2 " + run + " tail1 tail2", "en", "s", 1),
+            (2, run + " other trailing words here", "en", "s", 1),
+            (3, "one two three four five six seven eight nine ten",
+             "en", "s", 1),
+            (4, full, "en", "s", 1),
+            (5, full, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("__scrub_docs")
+    # drive the registered query body against this frame via a monkey-
+    # patched load (the oracle compare path uses parquet; here we pin
+    # semantics only)
+    orig = tables.load
+    try:
+        tables.load = lambda spark_, sf_, *names: (docs,)
+        import kstreamjs_spark.queries.llm as llm_mod
+        orig_load = llm_mod.load
+        llm_mod.load = tables.load
+        try:
+            got = {
+                r["doc_id"]: (r["kept_tokens"], r["scrubbed_text"])
+                for r in q175b(spark, "unused").collect()
+            }
+        finally:
+            llm_mod.load = orig_load
+    finally:
+        tables.load = orig
+    assert got == {
+        1: (4, "pre1 pre2 tail1 tail2"),
+        2: (4, "other trailing words here"),
+        3: (10, "one two three four five six seven eight nine ten"),
+        4: (0, ""),
+        5: (0, ""),
+    }
