@@ -3069,3 +3069,159 @@ def q175b(spark: SparkSession, sf: str) -> DataFrame:
             "kept_tokens", "scrubbed_text",
         )
     )
+
+
+# --------------------------- Q178 Gopher quality-rule funnel
+# Rae et al. 2021 (public) rule set, thresholds adapted to the fixture
+# corpus where noted; the REQUIRED-WORD list is Gopher's, intersected
+# with the repo's en function-word vocabulary.
+_GOPHER_WC_LO, _GOPHER_WC_HI = 50, 100_000
+_GOPHER_MWL_LO10, _GOPHER_MWL_HI10 = 30, 100   # mean word length x10
+_GOPHER_REQ = ("the", "of", "and", "to")       # >= 2 distinct required
+_GOPHER_TOP2_BP = 2000                         # top-2-gram chars <= 20%
+
+
+@query(
+    "q178_gopher_rules",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          string_split(text,' ') AS ts
+                   FROM documents),
+        m AS (SELECT doc_id, lang, n_chars, ts, len(ts) AS n_tok,
+                     list_sum(list_transform(ts, x -> len(x)))
+                         AS sum_len,
+                     len(list_distinct(list_filter(ts,
+                         x -> list_contains({_sql_list(_GOPHER_REQ)}, x))))
+                         AS n_req
+              FROM t),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i+1])) AS b
+               FROM m WHERE n_tok >= 2),
+        cov AS (SELECT doc_id,
+                       MAX(cnt * blen) AS top_cov
+                FROM (SELECT doc_id, b, COUNT(*) AS cnt,
+                             len(b) AS blen
+                      FROM bg GROUP BY doc_id, b, len(b))
+                GROUP BY doc_id),
+        r AS (SELECT m.doc_id, m.lang,
+                     CASE WHEN m.n_tok BETWEEN {_GOPHER_WC_LO}
+                               AND {_GOPHER_WC_HI}
+                          THEN 0 ELSE 1 END AS f_wc,
+                     CASE WHEN m.n_tok > 0
+                               AND (10 * m.sum_len) // m.n_tok
+                                   BETWEEN {_GOPHER_MWL_LO10}
+                                       AND {_GOPHER_MWL_HI10}
+                          THEN 0 ELSE 1 END AS f_mwl,
+                     CASE WHEN m.n_req >= 2 THEN 0 ELSE 1 END AS f_req,
+                     CASE WHEN COALESCE(cov.top_cov, 0) * 10000
+                               // GREATEST(m.n_chars, 1)
+                               <= {_GOPHER_TOP2_BP}
+                          THEN 0 ELSE 1 END AS f_top
+              FROM m LEFT JOIN cov ON cov.doc_id = m.doc_id)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f_wc) AS BIGINT) AS fail_wordcount,
+               CAST(SUM(f_mwl) AS BIGINT) AS fail_wordlen,
+               CAST(SUM(f_req) AS BIGINT) AS fail_required,
+               CAST(SUM(f_top) AS BIGINT) AS fail_topngram,
+               CAST(SUM(CASE WHEN f_wc + f_mwl + f_req + f_top = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM r GROUP BY lang
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """GOPHER quality-rule funnel (Rae et al. 2021, public — the named
+    heuristic filter set every modern pretraining pipeline starts from):
+    per language, how many documents fail EACH rule and how many pass
+    them all — word-count bounds [50, 100k], mean-word-length bounds
+    [3, 10] (exact integers: x10 basis via (10*sum_len) DIV n_tok),
+    the required-function-word rule (>= 2 distinct of the/of/and/to —
+    Gopher's list intersected with the fixture vocabulary), and the
+    top-2-gram character-coverage ceiling (<= 20% of chars in the single
+    most covering bigram — max(count x char-len), deterministic without
+    a tie-break). ALL integer arithmetic. Spark-first plan, one corpus
+    scan: per-doc scalars (token count, summed token length, distinct
+    required-word hits) are scan-projection higher-order functions with
+    NO explode; only the top-bigram rule explodes, and its two
+    aggregations carry fixed-width (doc_id, bigram) rows with map-side
+    partials; the per-rule funnel is a per-lang aggregate over the
+    joined verdicts. The rules are VERDICT columns, not filters, so one
+    pass yields the whole go/no-go table — at 100 TB you read the funnel
+    before committing to a cutoff (q117's banding precedent, extended to
+    the named rule set)."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("ts")
+    )
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
+    m = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "ts",
+        F.size("ts").alias("n_tok"),
+        F.aggregate(
+            F.transform("ts", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.array_intersect(F.array_distinct("ts"), req)
+        ).alias("n_req"),
+    )
+    bg = m.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    cov = (
+        bg.groupBy("doc_id", "b")
+        .agg((F.count(F.lit(1)) * F.length("b")).alias("covb"))
+        .groupBy("doc_id")
+        .agg(F.max("covb").alias("top_cov"))
+    )
+    r = m.join(cov, "doc_id", "left").select(
+        "lang",
+        F.when(
+            F.col("n_tok").between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
+        ).otherwise(1).alias("f_wc"),
+        F.when(
+            (F.col("n_tok") > 0)
+            & F.expr("(10 * sum_len) DIV n_tok").between(
+                _GOPHER_MWL_LO10, _GOPHER_MWL_HI10
+            ),
+            0,
+        ).otherwise(1).alias("f_mwl"),
+        F.when(F.col("n_req") >= 2, 0).otherwise(1).alias("f_req"),
+        F.when(
+            F.expr(
+                "(COALESCE(top_cov, 0) * 10000)"
+                " DIV GREATEST(n_chars, 1)"
+            )
+            <= _GOPHER_TOP2_BP,
+            0,
+        ).otherwise(1).alias("f_top"),
+    )
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("f_wc").cast("long").alias("fail_wordcount"),
+        F.sum("f_mwl").cast("long").alias("fail_wordlen"),
+        F.sum("f_req").cast("long").alias("fail_required"),
+        F.sum("f_top").cast("long").alias("fail_topngram"),
+        F.sum(
+            F.when(
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_req")
+                + F.col("f_top") == 0,
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("pass_all"),
+    )

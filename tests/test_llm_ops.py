@@ -1802,3 +1802,44 @@ def test_substring_scrub_totality_and_exact_removal(spark):
         4: (0, ""),
         5: (0, ""),
     }
+
+
+def test_gopher_rules_fail_modes(spark):
+    """q178's rule verdicts on a handcrafted corpus: one doc per failure
+    mode plus one passing doc, funnel counts exact."""
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.queries.llm import q178
+
+    # doc 1 passes all: 60 tokens, every bigram unique (a unique token
+    # between function words), mean word length in range
+    t1 = " ".join(
+        f"u{i:03d} " + ["the", "of", "and", "to"][i % 4] for i in range(30)
+    )
+    # doc 2 fails word count ONLY: 40 tokens (< 50), 4-char tokens keep
+    # the word-length rule green and unique bigrams keep coverage low
+    t2 = ("the of and to "
+          + " ".join(f"v{i:03d}" for i in range(36)))
+    # doc 3 fails required words ONLY: 60 varied tokens, no function words
+    t3 = " ".join(f"q{i:02d} r{i:02d}a s{i:02d}bc t{i:02d}d u{i:02d}"
+                  for i in range(12))
+    # doc 4 fails top-2-gram ONLY: 'dupx dupx' wall-to-wall (4-char token
+    # keeps mean word length >= 3.0)
+    t4 = (" ".join(["dupx"] * 46) + " the of and to "
+          + " ".join(f"zz{i:02d}x" for i in range(10)))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t))
+         for i, t in ((1, t1), (2, t2), (3, t3), (4, t4))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = llm_mod.load
+    llm_mod.load = lambda spark_, sf_, *names: (docs,)
+    try:
+        row = q178(spark, "unused").collect()[0].asDict()
+    finally:
+        llm_mod.load = orig
+    assert row["n_docs"] == 4
+    assert row["fail_wordcount"] == 1   # doc 2
+    assert row["fail_required"] == 1    # doc 3
+    assert row["fail_topngram"] == 1    # doc 4
+    assert row["fail_wordlen"] == 0
+    assert row["pass_all"] == 1         # doc 1
