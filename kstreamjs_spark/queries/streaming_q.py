@@ -825,3 +825,169 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
     )
     novel = batch.join(corpus_fps, "fp", "left_anti").select("doc_id", "fp")
     return run_to_memory(novel, "q168", output_mode="append")
+
+
+# --------------- Q177b STREAMING DSIR — importance scoring at ingest
+def _q177b_oracle() -> str:
+    """q177's fit+score CTE chain WITHOUT the top-k rank (every raw doc
+    scores at ingest; selection stays a downstream batch concern)."""
+    from ..operators.text import fingerprint_sql
+    from .llm import _DSIR_BUCKETS, _DSIR_TARGET
+
+    return f"""
+        WITH tk AS (SELECT doc_id, lang, source,
+                           string_split(text,' ') AS ts
+                    FROM documents),
+        bg AS (SELECT doc_id, lang, source,
+                      unnest(list_transform(generate_series(1, len(ts)-1),
+                             i -> ts[i] || ' ' || ts[i+1])) AS b
+               FROM tk WHERE len(ts) >= 2),
+        fb AS (SELECT doc_id, lang, source,
+                      {fingerprint_sql('b')} % {_DSIR_BUCKETS} AS f
+               FROM bg),
+        stats AS (SELECT f,
+                         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET}')
+                             AS ct,
+                         COUNT(*) FILTER (WHERE lang <> '{_DSIR_TARGET}')
+                             AS cr
+                  FROM fb GROUP BY f),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM stats),
+        lam AS (SELECT f,
+                       CAST(floor(ln(((ct + 1.0) * (tr + {_DSIR_BUCKETS}))
+                                     / ((cr + 1.0)
+                                        * (tt + {_DSIR_BUCKETS})))
+                                  * 1000000 + 0.5) AS BIGINT) AS lam
+                FROM stats CROSS JOIN tot)
+        SELECT fb.doc_id, fb.source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lam.lam) AS BIGINT) AS dsir_score
+        FROM fb JOIN lam USING (f)
+        WHERE fb.lang <> '{_DSIR_TARGET}'
+        GROUP BY fb.doc_id, fb.source
+    """
+
+
+@query(
+    "q177b_stream_dsir_score",
+    oracle=None,  # bound at import end — needs llm registered first
+    tags=("streaming", "sampling", "llm", "quality"),
+)
+def q177b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING DSIR — q177's importance scoring deployed the way an
+    ingestion service runs it: the 64-bucket log-importance table is fit
+    ONCE from the static corpus (same +1-smoothed target/raw multinomials,
+    same micro-nat quantization — one source of arithmetic, q177's
+    builders), COLLECTED as 64 bounded literals (the k-means-centroid
+    collect policy), and every arriving raw document is scored in a PURE
+    SCAN PROJECTION — bigrams, buckets, and the integer lambda sum are
+    higher-order functions over the row's own tokens, so the stream needs
+    NO explode, NO join, and NO state: append mode, one output row per
+    arrival at arrival time. This is the deployment shape batch q177
+    selects from; global top-k stays a downstream batch concern (a stream
+    cannot rank globally without unbounded state). Output equals the
+    batch score for every raw doc regardless of micro-batch boundaries
+    (stateless by construction — the strongest boundary-independence
+    argument of the streaming twins)."""
+    from ..operators import text as text_ops
+    from .llm import _DSIR_BUCKETS, _DSIR_TARGET
+
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select(
+        "lang", F.split("text", " ").alias("ts")
+    )
+    bg = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1))
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "lang",
+            F.concat_ws(
+                " ",
+                F.element_at("ts", F.col("i")),
+                F.element_at("ts", F.col("i") + 1),
+            ).alias("b"),
+        )
+    )
+    fb = bg.select(
+        "lang", (text_ops.fingerprint("b") % _DSIR_BUCKETS).alias("f")
+    )
+    is_t = F.col("lang") == _DSIR_TARGET
+    stats = fb.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lam_rows = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "f",
+            F.floor(
+                F.ln(
+                    ((F.col("ct") + 1.0) * (F.col("tr") + _DSIR_BUCKETS))
+                    / ((F.col("cr") + 1.0) * (F.col("tt") + _DSIR_BUCKETS))
+                )
+                * 1000000
+                + 0.5
+            ).cast("long").alias("lam"),
+        )
+        .collect()  # BOUNDED: exactly _DSIR_BUCKETS rows by construction
+    )
+    lam_by_f = {r["f"]: r["lam"] for r in lam_rows}
+    # absent buckets (no bigram hashed there) never occur in scoring by
+    # construction — scored docs hash into fitted buckets only when the
+    # fit saw the whole corpus, which it did; default 0 keeps the
+    # expression total anyway
+    lam_arr = F.array(*[
+        F.lit(int(lam_by_f.get(f, 0))).cast("long")
+        for f in range(_DSIR_BUCKETS)
+    ])
+
+    sdf = stream_table(spark, sf, "documents")
+    raw = sdf.filter(
+        (F.col("lang") != _DSIR_TARGET)
+        & (F.size(F.split("text", " ")) >= 2)
+    ).select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i),
+            F.element_at(F.col("ts"), i + 1),
+        ),
+    )
+    score = F.aggregate(
+        F.transform(
+            bigrams,
+            lambda b: F.element_at(
+                lam_arr,
+                (text_ops.fingerprint(b) % _DSIR_BUCKETS + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = raw.select(
+        "doc_id",
+        "source",
+        (F.size("ts") - 1).cast("long").alias("n_bigrams"),
+        score.alias("dsir_score"),
+    )
+    return run_to_memory(scored, "q177b", output_mode="append")
+
+
+# Bind q177b's oracle now that the builder and llm's constants exist
+# (one arithmetic home — the SQL is generated from the same constants
+# the Spark side reads).
+from dataclasses import replace as _dc_replace  # noqa: E402
+
+from . import REGISTRY  # noqa: E402
+
+REGISTRY["q177b_stream_dsir_score"] = _dc_replace(
+    REGISTRY["q177b_stream_dsir_score"], oracle=_q177b_oracle()
+)

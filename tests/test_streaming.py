@@ -543,3 +543,64 @@ def test_stream_phash_dedup_update_folds_across_triggers(spark, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+def test_stream_dsir_scoring_stateless_per_trigger(spark, tmp_path):
+    """q177b's deployment claims, pinned adversarially: replayed as
+    single-file micro-batches, every raw doc emits EXACTLY once (append
+    mode, stateless scan projection — no dedup state needed to get this
+    right), and the per-doc score equals batch q177's score for the
+    same doc."""
+    import uuid
+
+    import pyspark.sql.functions as F
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.queries.llm import q177, _DSIR_K
+    from kstreamjs_spark.queries.streaming_q import q177b
+    import kstreamjs_spark.queries.streaming_q as sq_mod
+    from kstreamjs_spark.tables import load
+
+    src = str(tmp_path / "src")
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    # drive q177b with a 1-file-per-trigger replay of the SAME corpus
+    orig_stream_table = sq_mod.stream_table
+    orig_load = sq_mod.load
+
+    def patched_stream(spark_, sf_, name):
+        return (
+            spark_.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+
+    sq_mod.stream_table = patched_stream
+    sq_mod.load = lambda spark_, sf_, *n: (spark.read.parquet(src),)
+    try:
+        out = q177b(spark, SF_SMOKE)
+    finally:
+        sq_mod.stream_table = orig_stream_table
+        sq_mod.load = orig_load
+    rows = {r["doc_id"]: (r["n_bigrams"], r["dsir_score"])
+            for r in out.collect()}
+    raw_ids = [
+        r["doc_id"] for r in docs.filter(
+            (F.col("lang") != "en")
+            & (F.size(F.split("text", " ")) >= 2)
+        ).select("doc_id").collect()
+    ]
+    # exactly once per raw doc
+    assert sorted(rows) == sorted(raw_ids)
+
+    # scores equal batch q177's for the docs q177 ranks (top-K subset)
+    orig_llm_load = llm_mod.load
+    llm_mod.load = lambda spark_, sf_, *n: (spark.read.parquet(src),)
+    try:
+        batch = {r["doc_id"]: (r["n_bigrams"], r["dsir_score"])
+                 for r in q177(spark, SF_SMOKE).collect()}
+    finally:
+        llm_mod.load = orig_llm_load
+    assert 0 < len(batch) <= _DSIR_K
+    for did, v in batch.items():
+        assert rows[did] == v
