@@ -717,7 +717,6 @@ def substring_dup_islands(
     document for the island windows, and the island aggregate REUSES it.
     Fingerprint equality stands in for string equality (q25/q57's
     contract, shared modulus with the oracle SQL)."""
-    from pyspark.sql import Window
     from . import text as _text
 
     d = _spread(documents, id_col).select(

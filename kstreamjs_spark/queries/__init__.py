@@ -97,7 +97,7 @@ _WINDOW_SIZE = 50
 # ROUND-10 NOTE: if CORRECTNESS_r09 is green, keep the list empty and
 # let the sort finish the r6 tail; pin only if an oracle TEXT changes.
 # Round 10: CORRECTNESS_r09 came back 50/50 green (48 hash + 2
-# rows-only by design) — list stays empty. The twenty never-checked
+# rows-only by design) — list stays empty. The never-checked
 # round-10 queries (q158c cross-codec pHash, q40h 4:2:0 JPEG, q40i
 # progressive JPEG, q165b update-mode pHash dedup, q166b update-mode
 # inverted index, q167b update-mode decontamination, q169b batch
@@ -106,7 +106,8 @@ _WINDOW_SIZE = 50
 # video frame-pixel dedup, q175 exact-substring dedup,
 # q175b substring scrub, q176 PageRank, q177 DSIR selection,
 # q177b streaming DSIR, q178
-# Gopher rules — all hist-0, DERIVED by the sort) enter first,
+# Gopher rules — all hist-0, the COUNT deliberately not hand-
+# written here, DERIVED by the sort) enter first,
 # then the staleness sort
 # drains the remaining r6 tail and the oldest r7 rows. Round-10 edits
 # touching ALREADY-ATTESTED queries: q158/q160/q165 now flow through

@@ -2820,10 +2820,10 @@ _DSIR_BUCKETS = 64   # hashed-bigram feature space
 _DSIR_K = 100        # selection size
 _DSIR_TARGET = "en"  # target distribution = English docs; raw pool = rest
 
-
-@query(
-    "q177_dsir_select",
-    oracle=f"""
+# The fit (tk -> bg -> fb -> stats -> tot -> lam) and the raw-doc scoring
+# aggregate are ONE arithmetic home shared by batch q177 and streaming
+# q177b — both the SQL text and the Spark builders below.
+_DSIR_FIT_SQL = f"""
         WITH tk AS (SELECT doc_id, lang, source,
                            string_split(text,' ') AS ts
                     FROM documents),
@@ -2846,12 +2846,77 @@ _DSIR_TARGET = "en"  # target distribution = English docs; raw pool = rest
                                      / ((cr + 1.0)
                                         * (tt + {_DSIR_BUCKETS})))
                                   * 1000000 + 0.5) AS BIGINT) AS lam
-                FROM stats CROSS JOIN tot),
+                FROM stats CROSS JOIN tot)"""
+
+_DSIR_SCORE_SQL = f"""
         sc AS (SELECT fb.doc_id, fb.source,
                       COUNT(*) AS n_bigrams, SUM(lam.lam) AS score
                FROM fb JOIN lam USING (f)
                WHERE fb.lang <> '{_DSIR_TARGET}'
-               GROUP BY fb.doc_id, fb.source),
+               GROUP BY fb.doc_id, fb.source)"""
+
+
+def _dsir_fb(documents: DataFrame, *, spread_ids: bool = True) -> DataFrame:
+    """Per-bigram bucket rows (doc_id, lang, source, f) — the Spark
+    mirror of the tk/bg/fb CTEs."""
+    d = (
+        dedup.spread(documents, "doc_id") if spread_ids else documents
+    ).select("doc_id", "lang", "source", F.split("text", " ").alias("ts"))
+    bg = (
+        d.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1))
+            ).alias("i"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(
+                " ",
+                F.element_at("ts", F.col("i")),
+                F.element_at("ts", F.col("i") + 1),
+            ).alias("b"),
+        )
+    )
+    return bg.select(
+        "doc_id",
+        "lang",
+        "source",
+        (text.fingerprint("b") % _DSIR_BUCKETS).alias("f"),
+    )
+
+
+def _dsir_lam(fb: DataFrame) -> DataFrame:
+    """The 64-row quantized log-importance table — the Spark mirror of
+    the stats/tot/lam CTEs (q86 micro-nat policy)."""
+    is_t = F.col("lang") == _DSIR_TARGET
+    stats = fb.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.floor(
+            F.ln(
+                ((F.col("ct") + 1.0) * (F.col("tr") + _DSIR_BUCKETS))
+                / ((F.col("cr") + 1.0) * (F.col("tt") + _DSIR_BUCKETS))
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("lam"),
+    )
+
+
+@query(
+    "q177_dsir_select",
+    oracle=_DSIR_FIT_SQL + "," + _DSIR_SCORE_SQL + f""",
         r AS (SELECT *, row_number()
                             OVER (ORDER BY score DESC, doc_id) AS rn
               FROM sc)
@@ -2882,61 +2947,10 @@ def q177(spark: SparkSession, sf: str) -> DataFrame:
     the fit pass and the score pass — exactly the two passes the DSIR
     recipe itself prescribes at 100 TB."""
     (documents,) = load(spark, sf, "documents")
-    d = dedup.spread(documents, "doc_id").select(
-        "doc_id", "lang", "source", F.split("text", " ").alias("ts")
-    )
-    bg = (
-        d.filter(F.size("ts") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1))
-            ).alias("i"),
-            "ts",
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.concat_ws(
-                " ",
-                F.element_at("ts", F.col("i")),
-                F.element_at("ts", F.col("i") + 1),
-            ).alias("b"),
-        )
-    )
-    fb = bg.select(
-        "doc_id",
-        "lang",
-        "source",
-        (text.fingerprint("b") % _DSIR_BUCKETS).alias("f"),
-    )
-    is_t = F.col("lang") == _DSIR_TARGET
-    stats = fb.groupBy("f").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
-    )
-    tot = stats.agg(
-        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
-    )
-    lam = (
-        stats.crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.floor(
-                F.ln(
-                    ((F.col("ct") + 1.0) * (F.col("tr") + _DSIR_BUCKETS))
-                    / ((F.col("cr") + 1.0) * (F.col("tt") + _DSIR_BUCKETS))
-                )
-                * 1000000
-                + 0.5
-            ).cast("long").alias("lam"),
-        )
-    )
+    fb = _dsir_fb(documents)
+    lam = _dsir_lam(fb)
     sc = (
-        fb.filter(~is_t)
+        fb.filter(F.col("lang") != _DSIR_TARGET)
         .join(F.broadcast(lam), "f")
         .groupBy("doc_id", "source")
         .agg(

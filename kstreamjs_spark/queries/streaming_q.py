@@ -830,40 +830,15 @@ def q168(spark: SparkSession, sf: str) -> DataFrame:
 # --------------- Q177b STREAMING DSIR — importance scoring at ingest
 def _q177b_oracle() -> str:
     """q177's fit+score CTE chain WITHOUT the top-k rank (every raw doc
-    scores at ingest; selection stays a downstream batch concern)."""
-    from ..operators.text import fingerprint_sql
-    from .llm import _DSIR_BUCKETS, _DSIR_TARGET
+    scores at ingest; selection stays a downstream batch concern) —
+    assembled from the SAME shared SQL fragments batch q177's oracle
+    uses (_DSIR_FIT_SQL / _DSIR_SCORE_SQL: one arithmetic home)."""
+    from .llm import _DSIR_FIT_SQL, _DSIR_SCORE_SQL
 
-    return f"""
-        WITH tk AS (SELECT doc_id, lang, source,
-                           string_split(text,' ') AS ts
-                    FROM documents),
-        bg AS (SELECT doc_id, lang, source,
-                      unnest(list_transform(generate_series(1, len(ts)-1),
-                             i -> ts[i] || ' ' || ts[i+1])) AS b
-               FROM tk WHERE len(ts) >= 2),
-        fb AS (SELECT doc_id, lang, source,
-                      {fingerprint_sql('b')} % {_DSIR_BUCKETS} AS f
-               FROM bg),
-        stats AS (SELECT f,
-                         COUNT(*) FILTER (WHERE lang = '{_DSIR_TARGET}')
-                             AS ct,
-                         COUNT(*) FILTER (WHERE lang <> '{_DSIR_TARGET}')
-                             AS cr
-                  FROM fb GROUP BY f),
-        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM stats),
-        lam AS (SELECT f,
-                       CAST(floor(ln(((ct + 1.0) * (tr + {_DSIR_BUCKETS}))
-                                     / ((cr + 1.0)
-                                        * (tt + {_DSIR_BUCKETS})))
-                                  * 1000000 + 0.5) AS BIGINT) AS lam
-                FROM stats CROSS JOIN tot)
-        SELECT fb.doc_id, fb.source,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(lam.lam) AS BIGINT) AS dsir_score
-        FROM fb JOIN lam USING (f)
-        WHERE fb.lang <> '{_DSIR_TARGET}'
-        GROUP BY fb.doc_id, fb.source
+    return _DSIR_FIT_SQL + "," + _DSIR_SCORE_SQL + """
+        SELECT doc_id, source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(score AS BIGINT) AS dsir_score
+        FROM sc
     """
 
 
@@ -889,54 +864,14 @@ def q177b(spark: SparkSession, sf: str) -> DataFrame:
     (stateless by construction — the strongest boundary-independence
     argument of the streaming twins)."""
     from ..operators import text as text_ops
-    from .llm import _DSIR_BUCKETS, _DSIR_TARGET
+    from .llm import _DSIR_BUCKETS, _DSIR_TARGET, _dsir_fb, _dsir_lam
 
     (documents,) = load(spark, sf, "documents")
-    d = documents.select(
-        "lang", F.split("text", " ").alias("ts")
-    )
-    bg = (
-        d.filter(F.size("ts") >= 2)
-        .select(
-            "lang",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ts") - 1, F.lit(1))
-            ).alias("i"),
-            "ts",
-        )
-        .select(
-            "lang",
-            F.concat_ws(
-                " ",
-                F.element_at("ts", F.col("i")),
-                F.element_at("ts", F.col("i") + 1),
-            ).alias("b"),
-        )
-    )
-    fb = bg.select(
-        "lang", (text_ops.fingerprint("b") % _DSIR_BUCKETS).alias("f")
-    )
-    is_t = F.col("lang") == _DSIR_TARGET
-    stats = fb.groupBy("f").agg(
-        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
-    )
-    tot = stats.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
-    lam_rows = (
-        stats.crossJoin(F.broadcast(tot))
-        .select(
-            "f",
-            F.floor(
-                F.ln(
-                    ((F.col("ct") + 1.0) * (F.col("tr") + _DSIR_BUCKETS))
-                    / ((F.col("cr") + 1.0) * (F.col("tt") + _DSIR_BUCKETS))
-                )
-                * 1000000
-                + 0.5
-            ).cast("long").alias("lam"),
-        )
-        .collect()  # BOUNDED: exactly _DSIR_BUCKETS rows by construction
-    )
+    # fit via q177's shared builders; the stream replay reads the same
+    # table, so no id-spread repartition is needed on the fit side
+    lam_rows = _dsir_lam(
+        _dsir_fb(documents, spread_ids=False)
+    ).collect()  # BOUNDED: exactly _DSIR_BUCKETS rows by construction
     lam_by_f = {r["f"]: r["lam"] for r in lam_rows}
     # absent buckets (no bigram hashed there) never occur in scoring by
     # construction — scored docs hash into fitted buckets only when the

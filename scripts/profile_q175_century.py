@@ -36,14 +36,30 @@ def corpus(spark, mult: int, base_rows: int = 5000):
     )
 
 
+def _clear_evdir(evdir: str) -> None:
+    import shutil
+
+    if not os.path.isdir(evdir):
+        os.makedirs(evdir, exist_ok=True)
+        return
+    for f in os.listdir(evdir):
+        p = os.path.join(evdir, f)
+        if os.path.isfile(p):
+            os.remove(p)
+        else:
+            shutil.rmtree(p)
+
+
 def main() -> int:
     mults = [int(a) for a in sys.argv[1:] if not a.startswith("--")] or [
         1, 10, 100,
     ]
     results = []
     for mult in mults:
-        # build_session pins its event dir; the shared dir is cleared
-        # between runs below so task_s is per-run
+        # build_session pins its event dir; clear it BEFORE each run so
+        # stale logs (a prior q26 profile, an aborted sweep) never leak
+        # into this run's task-second sums
+        _clear_evdir("/tmp/spark-events-q26")
         spark = build_session(False)
         d = corpus(spark, mult)
         t0 = time.perf_counter()
@@ -79,15 +95,6 @@ def main() -> int:
         )
         for s in sorted(report, key=lambda s: -(s.get("task_s") or 0))[:6]:
             print("  ", json.dumps(s), flush=True)
-        # clear the shared event dir between runs so task_s is per-run
-        for f in os.listdir("/tmp/spark-events-q26"):
-            p = os.path.join("/tmp/spark-events-q26", f)
-            if os.path.isfile(p):
-                os.remove(p)
-            else:
-                import shutil
-
-                shutil.rmtree(p)
     print(json.dumps([
         {"mult": m, "docs_affected": n, "wall_s": round(w, 1),
          "task_s": round(t, 1), "docgen_task_s": round(g, 1)}

@@ -1759,9 +1759,8 @@ def test_substring_scrub_totality_and_exact_removal(spark):
     the shared island, clean docs pass through verbatim, and a fully
     duplicated doc survives as an EMPTY row (kept_tokens 0), never a
     dropped row."""
+    import kstreamjs_spark.queries.llm as llm_mod
     from kstreamjs_spark.queries.llm import q175b  # registered fn
-    import kstreamjs_spark.tables as tables
-    import pyspark.sql.functions as F
 
     run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
     full = "wun too three fore fyve sicks sevn ate"  # 8 tokens, duplicated
@@ -1776,25 +1775,18 @@ def test_substring_scrub_totality_and_exact_removal(spark):
         ],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    docs.createOrReplaceTempView("__scrub_docs")
-    # drive the registered query body against this frame via a monkey-
-    # patched load (the oracle compare path uses parquet; here we pin
-    # semantics only)
-    orig = tables.load
+    # drive the registered query body against this frame via the module's
+    # own load binding (llm.py binds `load` at import — patching
+    # kstreamjs_spark.tables.load would be dead code)
+    orig_load = llm_mod.load
+    llm_mod.load = lambda spark_, sf_, *names: (docs,)
     try:
-        tables.load = lambda spark_, sf_, *names: (docs,)
-        import kstreamjs_spark.queries.llm as llm_mod
-        orig_load = llm_mod.load
-        llm_mod.load = tables.load
-        try:
-            got = {
-                r["doc_id"]: (r["kept_tokens"], r["scrubbed_text"])
-                for r in q175b(spark, "unused").collect()
-            }
-        finally:
-            llm_mod.load = orig_load
+        got = {
+            r["doc_id"]: (r["kept_tokens"], r["scrubbed_text"])
+            for r in q175b(spark, "unused").collect()
+        }
     finally:
-        tables.load = orig
+        llm_mod.load = orig_load
     assert got == {
         1: (4, "pre1 pre2 tail1 tail2"),
         2: (4, "other trailing words here"),
