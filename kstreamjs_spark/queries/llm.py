@@ -3023,7 +3023,13 @@ def q175b(spark: SparkSession, sf: str) -> DataFrame:
     appears verbatim anywhere else in the corpus at >= 8-token length) is
     cut from every document, and the surviving tokens are reassembled
     into the deduplicated text — the transformation Lee et al. 2021
-    actually apply before training. TOTAL over the corpus: clean and
+    actually apply before training. Semantics choice, made explicit:
+    remove-ALL-occurrences (C4-style boilerplate removal), not
+    keep-one-copy — at MAXIMAL-span granularity keep-one is ill-posed
+    (two docs' islands over the same shared run have different extents,
+    so no occurrence is canonical for "the span"); pipelines that need
+    keep-one compose q25/q110's document-level keepers with this scrub.
+    TOTAL over the corpus: clean and
     too-short documents pass through verbatim; a fully-duplicated
     document survives as an empty string (kept_tokens = 0), never a
     dropped row. Plan: islands come from substring_dup_islands (two
