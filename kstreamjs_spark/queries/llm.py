@@ -3245,3 +3245,131 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("pass_all"),
     )
+
+
+# --------------------- Q179 distributed BPE tokenizer training
+_BPE_MERGES = 6
+_BPE_SEP = "\x1f"  # unit-separator — cannot occur in corpus tokens
+
+
+def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+    """Generated-CTE mirror of the k-merge BPE loop (the q172b unrolled-
+    chain policy): each level computes the pair table, takes the argmax
+    (count DESC, pair ASC — fully deterministic), and applies the merge
+    with THREE sep-anchored replace passes. Both engines' ``replace`` is
+    leftmost non-overlapping scan-resumes-after, so the two sides agree
+    exactly — including on the chained-occurrence case where one anchored
+    pass misses alternate overlaps (three passes converge at these word
+    lengths, and identically on both engines either way)."""
+    sql = """
+        WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(string_split(text,' ')) AS word
+                          FROM documents)
+                    GROUP BY word),
+        seq0 AS (SELECT word, c,
+                        array_to_string(string_split(word, ''), chr(31))
+                            AS s
+                 FROM w0)"""
+    for i in range(1, k + 1):
+        p = i - 1
+        expr = "chr(31) || s || chr(31)"
+        for _ in range(3):
+            expr = (
+                f"replace({expr}, chr(31) || t.pr || chr(31), "
+                f"chr(31) || replace(t.pr, chr(31), '') || chr(31))"
+            )
+        sql += f""",
+        pair{i} AS (SELECT l[j] || chr(31) || l[j+1] AS pr, SUM(c) AS n
+                    FROM (SELECT string_split(s, chr(31)) AS l, c
+                          FROM seq{p}),
+                         unnest(generate_series(1, len(l)-1)) AS g(j)
+                    GROUP BY pr),
+        top{i} AS (SELECT pr, n FROM pair{i} ORDER BY n DESC, pr LIMIT 1),
+        seq{i} AS (SELECT word, c, trim({expr}, chr(31)) AS s
+                   FROM seq{p} CROSS JOIN top{i} t)"""
+    sql += f"""
+        SELECT word, c AS word_count,
+               CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
+               replace(s, chr(31), ' ') AS segmentation
+        FROM seq{k}"""
+    return sql
+
+
+@query(
+    "q179_bpe_train",
+    oracle=_bpe_oracle(),
+    tags=("text", "llm", "tokenizer"),
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, public —
+    the algorithm behind every modern subword vocabulary): learn the
+    first 6 merges on the corpus word-frequency table and return every
+    word's final segmentation. Spark-first shape, the standard scalable
+    BPE factorization: training runs on the WORD-COUNT table (millions
+    of rows at 100 TB — distributed; never on the token stream), built
+    by one corpus scan + one aggregate and MATERIALIZED ONCE; each merge
+    round is then (a) one pair-count aggregate over the words frame with
+    map-side partials — the only per-round shuffle, O(distinct pairs)
+    rows, (b) a 1-ROW argmax collect (count DESC, pair ASC tiebreak —
+    the centroid-collect bounded policy), and (c) a codegen
+    merge-application: three sep-anchored ``replace`` passes on the
+    symbol string, NO Python in the row path. Both engines' ``replace``
+    is leftmost non-overlapping with identical resume semantics, so the
+    merge application agrees exactly (documented in _bpe_oracle); the
+    oracle unrolls all 6 rounds as a generated CTE chain with the
+    argmax as a 1-row cross join. Output is the APPLIED tokenizer —
+    (word, count, n_symbols, segmentation) for the whole vocabulary."""
+    from ..plans import materialize_once
+
+    (documents,) = load(spark, sf, "documents")
+    w = materialize_once(
+        documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    seq = w.select(
+        "word", "c",
+        F.array_join(F.split("word", ""), _BPE_SEP).alias("s"),
+    )
+    for _ in range(_BPE_MERGES):
+        lcol = F.split("s", _BPE_SEP)
+        pair_arr = F.when(
+            F.size(lcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(lcol) - 1),
+                lambda j: F.concat(
+                    F.element_at(lcol, j),
+                    F.lit(_BPE_SEP),
+                    F.element_at(lcol, j + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            seq.select(F.explode(pair_arr).alias("pr"), "c")
+            .groupBy("pr")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), "pr")
+            .limit(1)
+            .collect()[0]  # BOUNDED: exactly one row by construction
+        )
+        tp = top["pr"]
+        merged = tp.replace(_BPE_SEP, "")
+        expr = F.concat(F.lit(_BPE_SEP), F.col("s"), F.lit(_BPE_SEP))
+        for _ in range(3):
+            expr = F.replace(
+                expr,
+                F.lit(_BPE_SEP + tp + _BPE_SEP),
+                F.lit(_BPE_SEP + merged + _BPE_SEP),
+            )
+        seq = seq.select(
+            "word", "c", F.btrim(expr, F.lit(_BPE_SEP)).alias("s")
+        )
+    return seq.select(
+        "word",
+        F.col("c").alias("word_count"),
+        F.size(F.split("s", _BPE_SEP)).cast("long").alias("n_symbols"),
+        F.replace(F.col("s"), F.lit(_BPE_SEP), F.lit(" "))
+        .alias("segmentation"),
+    )

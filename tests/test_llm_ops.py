@@ -1835,3 +1835,57 @@ def test_gopher_rules_fail_modes(spark):
     assert row["fail_topngram"] == 1    # doc 4
     assert row["fail_wordlen"] == 0
     assert row["pass_all"] == 1         # doc 1
+
+
+def test_bpe_train_matches_python_mirror(spark):
+    """q179's merge loop on the classic Sennrich corpus shape (low/lower/
+    newest/widest): equals a pure-Python mirror of the exact algorithm
+    (argmax by count DESC then pair ASC; three sep-anchored replace
+    passes), and the first merge is 'e s' (count 9, tie with 's t'
+    broken lexicographically)."""
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.queries.llm import q179, _BPE_MERGES
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = llm_mod.load
+    llm_mod.load = lambda spark_, sf_, *n: (docs,)
+    try:
+        got = {
+            r["word"]: (r["word_count"], r["n_symbols"], r["segmentation"])
+            for r in q179(spark, "unused").collect()
+        }
+    finally:
+        llm_mod.load = orig
+
+    # pure-Python mirror: same argmax, same anchored 3-pass replace
+    SEP = "\x1f"
+    from collections import Counter
+    wc = Counter(words)
+    seq = {w: SEP.join(list(w)) for w in wc}
+    merges = []
+    for _ in range(_BPE_MERGES):
+        pc = Counter()
+        for w, s in seq.items():
+            syms = s.split(SEP)
+            for a, b in zip(syms, syms[1:]):
+                pc[a + SEP + b] += wc[w]
+        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        tp, merged = top[0], top[0].replace(SEP, "")
+        merges.append(tp.replace(SEP, " "))
+        for w, s in seq.items():
+            x = SEP + s + SEP
+            for _ in range(3):
+                x = x.replace(SEP + tp + SEP, SEP + merged + SEP)
+            seq[w] = x.strip(SEP)
+    exp = {
+        w: (wc[w], len(seq[w].split(SEP)), seq[w].replace(SEP, " "))
+        for w in wc
+    }
+    assert got == exp
+    assert merges[0] == "e s"  # the documented tiebreak case
+    # the famous example actually learns multi-char subwords
+    assert any(n < len(w) for w, (_, n, _) in got.items())
