@@ -3256,11 +3256,24 @@ def _bpe_oracle(k: int = _BPE_MERGES) -> str:
     """Generated-CTE mirror of the k-merge BPE loop (the q172b unrolled-
     chain policy): each level computes the pair table, takes the argmax
     (count DESC, pair ASC — fully deterministic), and applies the merge
-    with THREE sep-anchored replace passes. Both engines' ``replace`` is
-    leftmost non-overlapping scan-resumes-after, so the two sides agree
-    exactly — including on the chained-occurrence case where one anchored
-    pass misses alternate overlaps (three passes converge at these word
-    lengths, and identically on both engines either way)."""
+    with a LEFT-TO-RIGHT STRING FOLD — exact greedy BPE application:
+    when the accumulator's last symbol equals the pair's left and the
+    incoming symbol equals its right, append the right WITHOUT a
+    separator (replacing trailing ``a`` with ``a||b`` IS appending
+    ``b``); a just-merged symbol string-differs from the pair's left, so
+    self-overlapping runs pair two-at-a-time exactly as Sennrich's
+    algorithm does ('aaaaa' -> aa aa a — a sep-anchored replace gets
+    this WRONG, stranding singles mid-run, which a review pass caught
+    empirically). The argmax rides a LEFT JOIN ON TRUE so a round with
+    no pairs left is a NULL no-op level, mirroring the Spark side's
+    early loop exit."""
+    fold = """list_reduce(string_split(s, chr(31)),
+                     (acc, x) -> CASE
+                       WHEN x = t.b AND (acc = t.a
+                                         OR ends_with(acc,
+                                                      chr(31) || t.a))
+                       THEN acc || x
+                       ELSE acc || chr(31) || x END)"""
     sql = """
         WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
                     FROM (SELECT unnest(string_split(text,' ')) AS word
@@ -3272,21 +3285,17 @@ def _bpe_oracle(k: int = _BPE_MERGES) -> str:
                  FROM w0)"""
     for i in range(1, k + 1):
         p = i - 1
-        expr = "chr(31) || s || chr(31)"
-        for _ in range(3):
-            expr = (
-                f"replace({expr}, chr(31) || t.pr || chr(31), "
-                f"chr(31) || replace(t.pr, chr(31), '') || chr(31))"
-            )
         sql += f""",
         pair{i} AS (SELECT l[j] || chr(31) || l[j+1] AS pr, SUM(c) AS n
                     FROM (SELECT string_split(s, chr(31)) AS l, c
                           FROM seq{p}),
                          unnest(generate_series(1, len(l)-1)) AS g(j)
                     GROUP BY pr),
-        top{i} AS (SELECT pr, n FROM pair{i} ORDER BY n DESC, pr LIMIT 1),
-        seq{i} AS (SELECT word, c, trim({expr}, chr(31)) AS s
-                   FROM seq{p} CROSS JOIN top{i} t)"""
+        top{i} AS (SELECT split_part(pr, chr(31), 1) AS a,
+                          split_part(pr, chr(31), 2) AS b
+                   FROM pair{i} ORDER BY n DESC, pr LIMIT 1),
+        seq{i} AS (SELECT word, c, {fold} AS s
+                   FROM seq{p} LEFT JOIN top{i} t ON true)"""
     sql += f"""
         SELECT word, c AS word_count,
                CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
@@ -3311,14 +3320,17 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     round is then (a) one pair-count aggregate over the words frame with
     map-side partials — the only per-round shuffle, O(distinct pairs)
     rows, (b) a 1-ROW argmax collect (count DESC, pair ASC tiebreak —
-    the centroid-collect bounded policy), and (c) a codegen
-    merge-application: three sep-anchored ``replace`` passes on the
-    symbol string, NO Python in the row path. Both engines' ``replace``
-    is leftmost non-overlapping with identical resume semantics, so the
-    merge application agrees exactly (documented in _bpe_oracle); the
-    oracle unrolls all 6 rounds as a generated CTE chain with the
-    argmax as a 1-row cross join. Output is the APPLIED tokenizer —
-    (word, count, n_symbols, segmentation) for the whole vocabulary."""
+    the centroid-collect bounded policy; an empty pair table ends
+    training early — the vocabulary is fully merged), and (c) a codegen
+    merge-application: a left-to-right STRING FOLD over the symbol
+    array (F.aggregate), NO Python in the row path — exact greedy BPE
+    including self-overlapping runs ('aaaaa' pairs two-at-a-time to
+    aa aa a; a sep-anchored replace strands singles mid-run, caught
+    empirically by a review pass and pinned in the pytest). The oracle
+    unrolls all 6 rounds as a generated CTE chain with the same fold
+    (list_reduce) and the argmax as a 1-row LEFT join. Output is the
+    APPLIED tokenizer — (word, count, n_symbols, segmentation) for the
+    whole vocabulary."""
     from ..plans import materialize_once
 
     (documents,) = load(spark, sf, "documents")
@@ -3346,26 +3358,30 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        top = (
+        rows = (
             seq.select(F.explode(pair_arr).alias("pr"), "c")
             .groupBy("pr")
             .agg(F.sum("c").alias("n"))
             .orderBy(F.col("n").desc(), "pr")
             .limit(1)
-            .collect()[0]  # BOUNDED: exactly one row by construction
+            .collect()  # BOUNDED: at most one row by construction
         )
-        tp = top["pr"]
-        merged = tp.replace(_BPE_SEP, "")
-        expr = F.concat(F.lit(_BPE_SEP), F.col("s"), F.lit(_BPE_SEP))
-        for _ in range(3):
-            expr = F.replace(
-                expr,
-                F.lit(_BPE_SEP + tp + _BPE_SEP),
-                F.lit(_BPE_SEP + merged + _BPE_SEP),
-            )
-        seq = seq.select(
-            "word", "c", F.btrim(expr, F.lit(_BPE_SEP)).alias("s")
+        if not rows:
+            break  # vocabulary fully merged; oracle's NULL no-op rounds
+        a, b = rows[0]["pr"].split(_BPE_SEP)
+        folded = F.aggregate(
+            F.slice(lcol, 2, F.size(lcol) - 1),
+            F.element_at(lcol, 1),
+            lambda acc, x: F.when(
+                (x == F.lit(b))
+                & (
+                    (acc == F.lit(a))
+                    | acc.endswith(F.lit(_BPE_SEP + a))
+                ),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
         )
+        seq = seq.select("word", "c", folded.alias("s"))
     return seq.select(
         "word",
         F.col("c").alias("word_count"),

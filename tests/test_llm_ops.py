@@ -1839,14 +1839,17 @@ def test_gopher_rules_fail_modes(spark):
 
 def test_bpe_train_matches_python_mirror(spark):
     """q179's merge loop on the classic Sennrich corpus shape (low/lower/
-    newest/widest): equals a pure-Python mirror of the exact algorithm
-    (argmax by count DESC then pair ASC; three sep-anchored replace
-    passes), and the first merge is 'e s' (count 9, tie with 's t'
-    broken lexicographically)."""
+    newest/widest) PLUS a repeated-letter run word: equals a pure-Python
+    mirror of textbook greedy BPE (argmax by count DESC then pair ASC;
+    leftmost two-at-a-time pairing), the first merge is 'e s' (count 9,
+    tie with 's t' broken lexicographically), and the self-overlapping
+    run pairs two-at-a-time ('aaaaa' -> aa aa a — the case a sep-anchored
+    replace gets wrong, caught by a review pass)."""
     import kstreamjs_spark.queries.llm as llm_mod
     from kstreamjs_spark.queries.llm import q179, _BPE_MERGES
 
-    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    words = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+             + ["aaaaa"] * 4)
     docs = spark.createDataFrame(
         [(1, " ".join(words), "en", "s", 1)],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -1861,31 +1864,41 @@ def test_bpe_train_matches_python_mirror(spark):
     finally:
         llm_mod.load = orig
 
-    # pure-Python mirror: same argmax, same anchored 3-pass replace
-    SEP = "\x1f"
+    # pure-Python mirror: textbook greedy BPE merge application
     from collections import Counter
     wc = Counter(words)
-    seq = {w: SEP.join(list(w)) for w in wc}
+    seq = {w: list(w) for w in wc}
     merges = []
     for _ in range(_BPE_MERGES):
         pc = Counter()
-        for w, s in seq.items():
-            syms = s.split(SEP)
-            for a, b in zip(syms, syms[1:]):
-                pc[a + SEP + b] += wc[w]
-        top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        tp, merged = top[0], top[0].replace(SEP, "")
-        merges.append(tp.replace(SEP, " "))
-        for w, s in seq.items():
-            x = SEP + s + SEP
-            for _ in range(3):
-                x = x.replace(SEP + tp + SEP, SEP + merged + SEP)
-            seq[w] = x.strip(SEP)
+        for w, syms in seq.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wc[w]
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(a + " " + b)
+        for w, syms in seq.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seq[w] = out
     exp = {
-        w: (wc[w], len(seq[w].split(SEP)), seq[w].replace(SEP, " "))
-        for w in wc
+        w: (wc[w], len(syms), " ".join(syms)) for w, syms in seq.items()
     }
     assert got == exp
-    assert merges[0] == "e s"  # the documented tiebreak case
+    # round 1 is the run pair (16 occurrences); the classic 'e s'
+    # tiebreak (count 9, over 's t') still happens in a later round
+    assert merges[0] == "a a"
+    assert "e s" in merges
+    # the self-overlapping run pairs two-at-a-time, leftmost first
+    assert got["aaaaa"][2] in ("aa aa a", "aaaa a", "aaaaa")
+    assert got["aaaaa"] == exp["aaaaa"]
     # the famous example actually learns multi-char subwords
     assert any(n < len(w) for w, (_, n, _) in got.items())
