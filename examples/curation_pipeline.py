@@ -5,6 +5,8 @@ actually uses them:
   1. exact dedup        keep the lowest doc_id per content fingerprint
   2. near-dup dedup     MinHash-LSH candidates -> connected components ->
                         longest-member keeper per cluster
+  2b. boilerplate cut   exact-substring duplicated-span fraction (q175's
+                        suffix-array family) drops template-heavy docs
   3. quality gate       integer band score (length / stopwords / repetition)
   4. decontamination    drop docs sharing 5-gram shingles with the held-out
                         eval slice
@@ -64,6 +66,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     docs = docs.join(drop, "doc_id", "left_anti")
     n2 = docs.count()
 
+    # 2b. Sub-document boilerplate cut (q175's suffix-array family):
+    #     drop docs where >= 60% of tokens sit inside a duplicated span.
+    #     On THIS synthetic corpus duplication is whole-document, so the
+    #     doc-level dedup above already caught it and this step passes
+    #     everything — on a real crawl (shared headers/footers inside
+    #     otherwise-distinct pages) this is the step that bites.
+    boiler = (
+        dedup.substring_dup_spans(docs, width=8)
+        .filter(F.col("dup_permille") >= 600)
+        .select("doc_id")
+    )
+    docs = docs.join(boiler, "doc_id", "left_anti")
+    n2b = docs.count()
+
     # 3. Quality gate: all three integer criteria must hold (band == 3).
     toks = text.tokens("text")
     tri = dedup.shingle_list("text", 3)
@@ -118,8 +134,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     n_bins = packed.select("pack_id").distinct().count()
 
     print(
-        f"raw={n0} exact-dedup={n1} near-dedup={n2} quality={n3} "
-        f"decontaminated={n4} sampled={n5} bins={n_bins}"
+        f"raw={n0} exact-dedup={n1} near-dedup={n2} boilerplate={n2b} "
+        f"quality={n3} decontaminated={n4} sampled={n5} bins={n_bins}"
     )
     spark.stop()
     return 0
