@@ -926,3 +926,155 @@ from . import REGISTRY  # noqa: E402
 REGISTRY["q177b_stream_dsir_score"] = _dc_replace(
     REGISTRY["q177b_stream_dsir_score"], oracle=_q177b_oracle()
 )
+
+
+# ----------- Q178b STREAMING Gopher rules — quality filtering at ingest
+def _q178b_oracle() -> str:
+    """Per-document Gopher verdicts (no funnel — the funnel is a batch
+    report; at ingest each doc carries its own verdict): same rules and
+    constants as batch q178, with the top-2-gram coverage computed
+    ROW-LOCALLY (count equal bigrams inside the doc's own list) so the
+    oracle needs no self-join — mirroring the stream side exactly."""
+    from .llm import (
+        _GOPHER_MWL_HI10,
+        _GOPHER_MWL_LO10,
+        _GOPHER_REQ,
+        _GOPHER_TOP2_BP,
+        _GOPHER_WC_LO,
+        _GOPHER_WC_HI,
+        _sql_list,
+    )
+
+    return f"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          string_split(text,' ') AS ts
+                   FROM documents),
+        m AS (SELECT doc_id, lang, n_chars, len(ts) AS n_tok,
+                     list_sum(list_transform(ts, x -> len(x))) AS sum_len,
+                     len(list_distinct(list_filter(ts,
+                         x -> list_contains({_sql_list(_GOPHER_REQ)}, x))))
+                         AS n_req,
+                     CASE WHEN len(ts) >= 2 THEN
+                       list_max(list_transform(
+                         list_transform(generate_series(1, len(ts)-1),
+                                        i -> ts[i] || ' ' || ts[i+1]),
+                         b2 -> len(list_filter(
+                                 list_transform(
+                                   generate_series(1, len(ts)-1),
+                                   i -> ts[i] || ' ' || ts[i+1]),
+                                 z -> z = b2)) * len(b2)))
+                     ELSE 0 END AS top_cov
+              FROM t)
+        SELECT doc_id, lang,
+               CAST(CASE WHEN n_tok BETWEEN {_GOPHER_WC_LO}
+                              AND {_GOPHER_WC_HI}
+                         THEN 0 ELSE 1 END AS BIGINT) AS f_wc,
+               CAST(CASE WHEN n_tok > 0
+                              AND (10 * sum_len) // n_tok
+                                  BETWEEN {_GOPHER_MWL_LO10}
+                                      AND {_GOPHER_MWL_HI10}
+                         THEN 0 ELSE 1 END AS BIGINT) AS f_mwl,
+               CAST(CASE WHEN n_req >= 2 THEN 0 ELSE 1 END AS BIGINT)
+                   AS f_req,
+               CAST(CASE WHEN top_cov * 10000 // GREATEST(n_chars, 1)
+                              <= {_GOPHER_TOP2_BP}
+                         THEN 0 ELSE 1 END AS BIGINT) AS f_top
+        FROM m
+    """
+
+
+@query(
+    "q178b_stream_gopher_filter",
+    oracle=None,  # bound at import end, like q177b
+    tags=("streaming", "text", "llm", "quality"),
+)
+def q178b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING Gopher quality filtering — q178's named rule set the way
+    an ingestion service applies it: every arriving document carries its
+    own per-rule verdict columns, computed in a PURE SCAN PROJECTION
+    (append mode, no state, no join — the q177b deployment argument).
+    The batch funnel's one cross-row rule (top-2-gram coverage) is
+    reformulated ROW-LOCALLY: count equal bigrams inside the document's
+    own bigram list via nested higher-order functions — O(len²) per row
+    in codegen, bounded by document length, never corpus size, and
+    value-identical to the batch groupBy formulation (same max of
+    count × char-length). Constants are imported from batch q178 — one
+    rule home. Output: (doc_id, lang, f_wc, f_mwl, f_req, f_top) per
+    arrival; the corpus funnel stays a batch report (q178)."""
+    from .llm import (
+        _GOPHER_MWL_HI10,
+        _GOPHER_MWL_LO10,
+        _GOPHER_REQ,
+        _GOPHER_TOP2_BP,
+        _GOPHER_WC_LO,
+        _GOPHER_WC_HI,
+    )
+
+    sdf = stream_table(spark, sf, "documents")
+    ts = F.split("text", " ")
+    d = sdf.select(
+        "doc_id", "lang", "n_chars", ts.alias("ts")
+    )
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.size("ts") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("ts"), i),
+            F.element_at(F.col("ts"), i + 1),
+        ),
+    )
+    top_cov = F.when(
+        F.size("ts") >= 2,
+        F.array_max(
+            F.transform(
+                bgs,
+                lambda b2: (
+                    F.size(F.filter(bgs, lambda z: z == b2))
+                    * F.length(b2)
+                ).cast("int"),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    m = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size("ts").alias("n_tok"),
+        F.aggregate(
+            F.transform("ts", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.array_intersect(F.array_distinct("ts"), req)
+        ).alias("n_req"),
+        top_cov.alias("top_cov"),
+    )
+    out = m.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("n_tok").between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
+        ).otherwise(1).cast("long").alias("f_wc"),
+        F.when(
+            (F.col("n_tok") > 0)
+            & F.expr("(10 * sum_len) DIV n_tok").between(
+                _GOPHER_MWL_LO10, _GOPHER_MWL_HI10
+            ),
+            0,
+        ).otherwise(1).cast("long").alias("f_mwl"),
+        F.when(F.col("n_req") >= 2, 0).otherwise(1).cast("long")
+        .alias("f_req"),
+        F.when(
+            F.expr("(CAST(top_cov AS BIGINT) * 10000)"
+                   " DIV GREATEST(n_chars, 1)")
+            <= _GOPHER_TOP2_BP,
+            0,
+        ).otherwise(1).cast("long").alias("f_top"),
+    )
+    return run_to_memory(out, "q178b", output_mode="append")
+
+
+REGISTRY["q178b_stream_gopher_filter"] = _dc_replace(
+    REGISTRY["q178b_stream_gopher_filter"], oracle=_q178b_oracle()
+)

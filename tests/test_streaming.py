@@ -604,3 +604,63 @@ def test_stream_dsir_scoring_stateless_per_trigger(spark, tmp_path):
     assert 0 < len(batch) <= _DSIR_K
     for did, v in batch.items():
         assert rows[did] == v
+
+
+def test_stream_gopher_filter_matches_batch_funnel(spark, tmp_path):
+    """q178b's row-local verdicts, aggregated per lang, must equal batch
+    q178's funnel (which computes the top-2-gram rule via a groupBy —
+    the two formulations are value-identical by construction, asserted
+    here on real data), and every doc emits exactly once across
+    single-file micro-batches (stateless append mode)."""
+    import pyspark.sql.functions as F
+    import kstreamjs_spark.queries.llm as llm_mod
+    import kstreamjs_spark.queries.streaming_q as sq_mod
+    from kstreamjs_spark.queries.llm import q178
+    from kstreamjs_spark.queries.streaming_q import q178b
+    from kstreamjs_spark.tables import load
+
+    src = str(tmp_path / "src")
+    (docs,) = load(spark, SF_SMOKE, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    orig_stream = sq_mod.stream_table
+    sq_mod.stream_table = lambda spark_, sf_, name: (
+        spark_.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    try:
+        out = q178b(spark, SF_SMOKE)
+    finally:
+        sq_mod.stream_table = orig_stream
+    rows = out.collect()
+    # exactly once per doc
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    )
+
+    # aggregate the per-doc verdicts into q178's funnel shape
+    got = {
+        r["lang"]: (r["n"], r["wc"], r["mwl"], r["req"], r["top"], r["pa"])
+        for r in out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("f_wc").alias("wc"),
+            F.sum("f_mwl").alias("mwl"),
+            F.sum("f_req").alias("req"),
+            F.sum("f_top").alias("top"),
+            F.sum(F.when(
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_req")
+                + F.col("f_top") == 0, 1).otherwise(0)).alias("pa"),
+        ).collect()
+    }
+    orig_load = llm_mod.load
+    llm_mod.load = lambda spark_, sf_, *n: (docs,)
+    try:
+        exp = {
+            r["lang"]: (r["n_docs"], r["fail_wordcount"], r["fail_wordlen"],
+                        r["fail_required"], r["fail_topngram"], r["pass_all"])
+            for r in q178(spark, SF_SMOKE).collect()
+        }
+    finally:
+        llm_mod.load = orig_load
+    assert got == exp
