@@ -12,6 +12,8 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -1077,4 +1079,159 @@ def q178b(spark: SparkSession, sf: str) -> DataFrame:
 
 REGISTRY["q178b_stream_gopher_filter"] = _dc_replace(
     REGISTRY["q178b_stream_gopher_filter"], oracle=_q178b_oracle()
+)
+
+
+# ------------- Q179b STREAMING BPE application — tokenize at ingest
+def _q179b_oracle() -> str:
+    """Batch mirror: q179's 6-level training chain (same generated CTEs)
+    computes the merges, then every DOCUMENT (not vocab word) tokenizes
+    by folding each of its words through the same greedy merge fold —
+    exactly what the stream side does with the merges as literals."""
+    from .llm import _bpe_oracle
+
+    train = _bpe_oracle()
+    # reuse the training chain up to its final SELECT: rebuild it as a
+    # CTE by splitting on the known tail
+    head, tail = train.rsplit("SELECT word, c AS word_count", 1)
+    assert tail is not None
+    return head.rstrip() + """,
+        vocab AS (SELECT word, s FROM seq6)
+        SELECT d.doc_id,
+               CAST(SUM(len(string_split(v.s, chr(31)))) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) d
+        JOIN vocab v ON v.word = d.word
+        GROUP BY d.doc_id
+    """
+
+
+@query(
+    "q179b_stream_bpe_tokenize",
+    oracle=None,  # bound at import end, like q177b/q178b
+    tags=("streaming", "text", "llm", "tokenizer"),
+)
+def q179b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING BPE application — tokenize at ingest with a vocabulary
+    TRAINED batch-side (the universal production split: train offline,
+    apply online): q179's 6 merges are learned on the static corpus
+    (same loop, same argmax policy), collected as <= 6 bounded (a, b)
+    pairs, and every arriving document tokenizes in ONE Arrow-batched
+    kernel — textbook greedy merge application per word, the merge list
+    shipped in the task closure (a real tokenizer's merge table is a
+    bounded artifact; this is exactly how production tokenizers apply),
+    with a per-batch word cache so the kernel is O(distinct words), not
+    O(tokens). No explode, no join, no state: append mode, one row per
+    arrival with its BPE token count. The oracle replays q179's
+    training CTEs and tokenizes via a vocab join — equality proves the
+    kernel's application matches training's segmentation exactly.
+    (A first cut unrolled the folds as one nested codegen expression:
+    value-identical, but Catalyst optimization time hit ~9 min at
+    sf0.1 — measured, replaced with the kernel.)"""
+    from ..plans import materialize_once
+    from .llm import _BPE_MERGES, _BPE_SEP
+
+    (documents,) = load(spark, sf, "documents")
+    w = materialize_once(
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    seq = w.select(
+        "word", "c",
+        F.array_join(F.split("word", ""), _BPE_SEP).alias("s"),
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(_BPE_MERGES):
+        lcol = F.split("s", _BPE_SEP)
+        pair_arr = F.when(
+            F.size(lcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(lcol) - 1),
+                lambda j: F.concat(
+                    F.element_at(lcol, j),
+                    F.lit(_BPE_SEP),
+                    F.element_at(lcol, j + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rows = (
+            seq.select(F.explode(pair_arr).alias("pr"), "c")
+            .groupBy("pr")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), "pr")
+            .limit(1)
+            .collect()  # BOUNDED: at most one row
+        )
+        if not rows:
+            break
+        a, b = rows[0]["pr"].split(_BPE_SEP)
+        merges.append((a, b))
+        folded = F.aggregate(
+            F.slice(lcol, 2, F.size(lcol) - 1),
+            F.element_at(lcol, 1),
+            lambda acc, x: F.when(
+                (x == F.lit(b))
+                & ((acc == F.lit(a))
+                   | acc.endswith(F.lit(_BPE_SEP + a))),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+        )
+        seq = seq.select("word", "c", folded.alias("s"))
+
+    # Application kernel: Arrow-batched Python folding each word through
+    # the merge list — real tokenizers apply as a library kernel, and the
+    # merge list is a BOUNDED artifact (<= _BPE_MERGES pairs here; ~256k
+    # in a production vocab — ships in the task closure either way). A
+    # first cut unrolled the 6 folds as one nested codegen expression:
+    # value-identical but the expression tree blew Catalyst optimization
+    # time to ~9 min at sf0.1 — measured, replaced. The per-word cache
+    # makes the kernel O(distinct words) per batch, not O(tokens).
+    frozen_merges = tuple(merges)
+
+    def tokenize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def n_sym(word: str) -> int:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            for a, b in frozen_merges:
+                out_syms, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out_syms.append(a + b)
+                        i += 2
+                    else:
+                        out_syms.append(syms[i])
+                        i += 1
+                syms = out_syms
+            cache[word] = len(syms)
+            return cache[word]
+
+        for pdf in it:
+            words = pdf["text"].str.split(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": [
+                        sum(n_sym(w) for w in ws) for ws in words
+                    ],
+                    "n_words": [len(ws) for ws in words],
+                }
+            )
+
+    sdf = stream_table(spark, sf, "documents")
+    out = sdf.select("doc_id", "text").mapInPandas(
+        tokenize, "doc_id long, n_bpe_tokens long, n_words long"
+    )
+    return run_to_memory(out, "q179b", output_mode="append")
+
+
+REGISTRY["q179b_stream_bpe_tokenize"] = _dc_replace(
+    REGISTRY["q179b_stream_bpe_tokenize"], oracle=_q179b_oracle()
 )
