@@ -3330,10 +3330,28 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     unrolls all 6 rounds as a generated CTE chain with the same fold
     (list_reduce) and the argmax as a 1-row LEFT join. Output is the
     APPLIED tokenizer — (word, count, n_symbols, segmentation) for the
-    whole vocabulary."""
+    whole vocabulary. Training loop lives in _bpe_train (one home,
+    shared with streaming q179b's fit side)."""
+    (documents,) = load(spark, sf, "documents")
+    seq, _merges = _bpe_train(documents)
+    return seq.select(
+        "word",
+        F.col("c").alias("word_count"),
+        F.size(F.split("s", _BPE_SEP)).cast("long").alias("n_symbols"),
+        F.replace(F.col("s"), F.lit(_BPE_SEP), F.lit(" "))
+        .alias("segmentation"),
+    )
+
+
+def _bpe_train(documents: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """q179's training loop — ONE home shared by batch q179 and streaming
+    q179b's fit side: returns (final symbol-sequence frame (word, c, s),
+    the learned merge list in rank order). The word-count table is
+    materialized once; each round is one pair-count aggregate, a 1-row
+    argmax collect (count DESC, pair ASC), and the greedy string fold.
+    An empty pair table ends training early (vocabulary fully merged)."""
     from ..plans import materialize_once
 
-    (documents,) = load(spark, sf, "documents")
     w = materialize_once(
         documents.select(
             F.explode(F.split("text", " ")).alias("word")
@@ -3345,6 +3363,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         "word", "c",
         F.array_join(F.split("word", ""), _BPE_SEP).alias("s"),
     )
+    merges: list[tuple[str, str]] = []
     for _ in range(_BPE_MERGES):
         lcol = F.split("s", _BPE_SEP)
         pair_arr = F.when(
@@ -3369,6 +3388,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
         if not rows:
             break  # vocabulary fully merged; oracle's NULL no-op rounds
         a, b = rows[0]["pr"].split(_BPE_SEP)
+        merges.append((a, b))
         folded = F.aggregate(
             F.slice(lcol, 2, F.size(lcol) - 1),
             F.element_at(lcol, 1),
@@ -3382,10 +3402,4 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
         )
         seq = seq.select("word", "c", folded.alias("s"))
-    return seq.select(
-        "word",
-        F.col("c").alias("word_count"),
-        F.size(F.split("s", _BPE_SEP)).cast("long").alias("n_symbols"),
-        F.replace(F.col("s"), F.lit(_BPE_SEP), F.lit(" "))
-        .alias("segmentation"),
-    )
+    return seq, merges

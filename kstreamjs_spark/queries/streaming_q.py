@@ -1130,56 +1130,10 @@ def q179b(spark: SparkSession, sf: str) -> DataFrame:
     (A first cut unrolled the folds as one nested codegen expression:
     value-identical, but Catalyst optimization time hit ~9 min at
     sf0.1 — measured, replaced with the kernel.)"""
-    from ..plans import materialize_once
-    from .llm import _BPE_MERGES, _BPE_SEP
+    from .llm import _bpe_train
 
     (documents,) = load(spark, sf, "documents")
-    w = materialize_once(
-        documents.select(F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    seq = w.select(
-        "word", "c",
-        F.array_join(F.split("word", ""), _BPE_SEP).alias("s"),
-    )
-    merges: list[tuple[str, str]] = []
-    for _ in range(_BPE_MERGES):
-        lcol = F.split("s", _BPE_SEP)
-        pair_arr = F.when(
-            F.size(lcol) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(lcol) - 1),
-                lambda j: F.concat(
-                    F.element_at(lcol, j),
-                    F.lit(_BPE_SEP),
-                    F.element_at(lcol, j + 1),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        rows = (
-            seq.select(F.explode(pair_arr).alias("pr"), "c")
-            .groupBy("pr")
-            .agg(F.sum("c").alias("n"))
-            .orderBy(F.col("n").desc(), "pr")
-            .limit(1)
-            .collect()  # BOUNDED: at most one row
-        )
-        if not rows:
-            break
-        a, b = rows[0]["pr"].split(_BPE_SEP)
-        merges.append((a, b))
-        folded = F.aggregate(
-            F.slice(lcol, 2, F.size(lcol) - 1),
-            F.element_at(lcol, 1),
-            lambda acc, x: F.when(
-                (x == F.lit(b))
-                & ((acc == F.lit(a))
-                   | acc.endswith(F.lit(_BPE_SEP + a))),
-                F.concat(acc, x),
-            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
-        )
-        seq = seq.select("word", "c", folded.alias("s"))
+    _seq, merges = _bpe_train(documents)  # fit via q179's shared trainer
 
     # Application kernel: Arrow-batched Python folding each word through
     # the merge list — real tokenizers apply as a library kernel, and the
