@@ -3100,6 +3100,77 @@ _GOPHER_MWL_LO10, _GOPHER_MWL_HI10 = 30, 100   # mean word length x10
 _GOPHER_REQ = ("the", "of", "and", "to")       # >= 2 distinct required
 _GOPHER_TOP2_BP = 2000                         # top-2-gram chars <= 20%
 
+# ONE home for the rule expressions, shared by batch q178 (funnel) and
+# streaming q178b (per-doc verdicts at ingest) on BOTH engines — the
+# only legitimate difference between the two queries is WHERE top_cov
+# comes from (groupBy vs row-local), so that is the only parameter.
+_GOPHER_SCALARS_SQL = f"""len(ts) AS n_tok,
+                     list_sum(list_transform(ts, x -> len(x)))
+                         AS sum_len,
+                     len(list_distinct(list_filter(ts,
+                         x -> list_contains({_sql_list(_GOPHER_REQ)}, x))))
+                         AS n_req"""
+
+
+def _gopher_verdicts_sql(top_cov: str, pre: str = "") -> str:
+    """The four rule CASEs over scalars qualified by ``pre``, with the
+    top-2-gram coverage supplied as an expression by the caller."""
+    return f"""CASE WHEN {pre}n_tok BETWEEN {_GOPHER_WC_LO}
+                               AND {_GOPHER_WC_HI}
+                          THEN 0 ELSE 1 END AS f_wc,
+                     CASE WHEN {pre}n_tok > 0
+                               AND (10 * {pre}sum_len) // {pre}n_tok
+                                   BETWEEN {_GOPHER_MWL_LO10}
+                                       AND {_GOPHER_MWL_HI10}
+                          THEN 0 ELSE 1 END AS f_mwl,
+                     CASE WHEN {pre}n_req >= 2 THEN 0 ELSE 1 END AS f_req,
+                     CASE WHEN {top_cov} * 10000
+                               // GREATEST({pre}n_chars, 1)
+                               <= {_GOPHER_TOP2_BP}
+                          THEN 0 ELSE 1 END AS f_top"""
+
+
+def _gopher_scalar_exprs() -> list:
+    """Spark mirror of _GOPHER_SCALARS_SQL — per-doc rule scalars from a
+    ``ts`` token-array column."""
+    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
+    return [
+        F.size("ts").alias("n_tok"),
+        F.aggregate(
+            F.transform("ts", lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.array_intersect(F.array_distinct("ts"), req)
+        ).alias("n_req"),
+    ]
+
+
+def _gopher_verdict_exprs() -> list:
+    """Spark mirror of _gopher_verdicts_sql — requires columns n_tok,
+    sum_len, n_req, n_chars, and a long ``top_cov`` (0 when absent)."""
+    return [
+        F.when(
+            F.col("n_tok").between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
+        ).otherwise(1).cast("long").alias("f_wc"),
+        F.when(
+            (F.col("n_tok") > 0)
+            & F.expr("(10 * sum_len) DIV n_tok").between(
+                _GOPHER_MWL_LO10, _GOPHER_MWL_HI10
+            ),
+            0,
+        ).otherwise(1).cast("long").alias("f_mwl"),
+        F.when(F.col("n_req") >= 2, 0).otherwise(1).cast("long")
+        .alias("f_req"),
+        F.when(
+            F.expr("(CAST(top_cov AS BIGINT) * 10000)"
+                   " DIV GREATEST(n_chars, 1)")
+            <= _GOPHER_TOP2_BP,
+            0,
+        ).otherwise(1).cast("long").alias("f_top"),
+    ]
+
 
 @query(
     "q178_gopher_rules",
@@ -3107,12 +3178,8 @@ _GOPHER_TOP2_BP = 2000                         # top-2-gram chars <= 20%
         WITH t AS (SELECT doc_id, lang, n_chars,
                           string_split(text,' ') AS ts
                    FROM documents),
-        m AS (SELECT doc_id, lang, n_chars, ts, len(ts) AS n_tok,
-                     list_sum(list_transform(ts, x -> len(x)))
-                         AS sum_len,
-                     len(list_distinct(list_filter(ts,
-                         x -> list_contains({_sql_list(_GOPHER_REQ)}, x))))
-                         AS n_req
+        m AS (SELECT doc_id, lang, n_chars, ts,
+                     {_GOPHER_SCALARS_SQL}
               FROM t),
         bg AS (SELECT doc_id,
                       unnest(list_transform(
@@ -3126,19 +3193,8 @@ _GOPHER_TOP2_BP = 2000                         # top-2-gram chars <= 20%
                       FROM bg GROUP BY doc_id, b, len(b))
                 GROUP BY doc_id),
         r AS (SELECT m.doc_id, m.lang,
-                     CASE WHEN m.n_tok BETWEEN {_GOPHER_WC_LO}
-                               AND {_GOPHER_WC_HI}
-                          THEN 0 ELSE 1 END AS f_wc,
-                     CASE WHEN m.n_tok > 0
-                               AND (10 * m.sum_len) // m.n_tok
-                                   BETWEEN {_GOPHER_MWL_LO10}
-                                       AND {_GOPHER_MWL_HI10}
-                          THEN 0 ELSE 1 END AS f_mwl,
-                     CASE WHEN m.n_req >= 2 THEN 0 ELSE 1 END AS f_req,
-                     CASE WHEN COALESCE(cov.top_cov, 0) * 10000
-                               // GREATEST(m.n_chars, 1)
-                               <= {_GOPHER_TOP2_BP}
-                          THEN 0 ELSE 1 END AS f_top
+                     {_gopher_verdicts_sql(
+                         "COALESCE(cov.top_cov, 0)", pre="m.")}
               FROM m LEFT JOIN cov ON cov.doc_id = m.doc_id)
         SELECT lang,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -3176,21 +3232,12 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     d = dedup.spread(documents, "doc_id").select(
         "doc_id", "lang", "n_chars", F.split("text", " ").alias("ts")
     )
-    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
     m = d.select(
         "doc_id",
         "lang",
         "n_chars",
         "ts",
-        F.size("ts").alias("n_tok"),
-        F.aggregate(
-            F.transform("ts", lambda x: F.length(x)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(
-            F.array_intersect(F.array_distinct("ts"), req)
-        ).alias("n_req"),
+        *_gopher_scalar_exprs(),
     )
     bg = m.filter(F.col("n_tok") >= 2).select(
         "doc_id",
@@ -3207,29 +3254,14 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
         bg.groupBy("doc_id", "b")
         .agg((F.count(F.lit(1)) * F.length("b")).alias("covb"))
         .groupBy("doc_id")
-        .agg(F.max("covb").alias("top_cov"))
+        .agg(F.max("covb").cast("long").alias("cov_raw"))
     )
-    r = m.join(cov, "doc_id", "left").select(
-        "lang",
-        F.when(
-            F.col("n_tok").between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
-        ).otherwise(1).alias("f_wc"),
-        F.when(
-            (F.col("n_tok") > 0)
-            & F.expr("(10 * sum_len) DIV n_tok").between(
-                _GOPHER_MWL_LO10, _GOPHER_MWL_HI10
-            ),
-            0,
-        ).otherwise(1).alias("f_mwl"),
-        F.when(F.col("n_req") >= 2, 0).otherwise(1).alias("f_req"),
-        F.when(
-            F.expr(
-                "(COALESCE(top_cov, 0) * 10000)"
-                " DIV GREATEST(n_chars, 1)"
-            )
-            <= _GOPHER_TOP2_BP,
-            0,
-        ).otherwise(1).alias("f_top"),
+    r = (
+        m.join(cov, "doc_id", "left")
+        .withColumn(
+            "top_cov", F.coalesce(F.col("cov_raw"), F.lit(0).cast("long"))
+        )
+        .select("lang", *_gopher_verdict_exprs())
     )
     return r.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -3252,7 +3284,7 @@ _BPE_MERGES = 6
 _BPE_SEP = "\x1f"  # unit-separator — cannot occur in corpus tokens
 
 
-def _bpe_oracle(k: int = _BPE_MERGES) -> str:
+def _bpe_oracle(k: int = _BPE_MERGES, chain_only: bool = False) -> str:
     """Generated-CTE mirror of the k-merge BPE loop (the q172b unrolled-
     chain policy): each level computes the pair table, takes the argmax
     (count DESC, pair ASC — fully deterministic), and applies the merge
@@ -3296,6 +3328,10 @@ def _bpe_oracle(k: int = _BPE_MERGES) -> str:
                    FROM pair{i} ORDER BY n DESC, pr LIMIT 1),
         seq{i} AS (SELECT word, c, {fold} AS s
                    FROM seq{p} LEFT JOIN top{i} t ON true)"""
+    if chain_only:
+        # just the CTE chain (callers append their own tail CTEs + SELECT
+        # — an explicit API, not string surgery over generated SQL)
+        return sql
     sql += f"""
         SELECT word, c AS word_count,
                CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,

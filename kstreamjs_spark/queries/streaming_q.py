@@ -937,25 +937,14 @@ def _q178b_oracle() -> str:
     constants as batch q178, with the top-2-gram coverage computed
     ROW-LOCALLY (count equal bigrams inside the doc's own list) so the
     oracle needs no self-join — mirroring the stream side exactly."""
-    from .llm import (
-        _GOPHER_MWL_HI10,
-        _GOPHER_MWL_LO10,
-        _GOPHER_REQ,
-        _GOPHER_TOP2_BP,
-        _GOPHER_WC_LO,
-        _GOPHER_WC_HI,
-        _sql_list,
-    )
+    from .llm import _GOPHER_SCALARS_SQL, _gopher_verdicts_sql
 
     return f"""
         WITH t AS (SELECT doc_id, lang, n_chars,
                           string_split(text,' ') AS ts
                    FROM documents),
-        m AS (SELECT doc_id, lang, n_chars, len(ts) AS n_tok,
-                     list_sum(list_transform(ts, x -> len(x))) AS sum_len,
-                     len(list_distinct(list_filter(ts,
-                         x -> list_contains({_sql_list(_GOPHER_REQ)}, x))))
-                         AS n_req,
+        m AS (SELECT doc_id, lang, n_chars,
+                     {_GOPHER_SCALARS_SQL},
                      CASE WHEN len(ts) >= 2 THEN
                        list_max(list_transform(
                          list_transform(generate_series(1, len(ts)-1),
@@ -966,22 +955,16 @@ def _q178b_oracle() -> str:
                                    i -> ts[i] || ' ' || ts[i+1]),
                                  z -> z = b2)) * len(b2)))
                      ELSE 0 END AS top_cov
-              FROM t)
+              FROM t),
+        r AS (SELECT doc_id, lang,
+                     {_gopher_verdicts_sql("top_cov")}
+              FROM m)
         SELECT doc_id, lang,
-               CAST(CASE WHEN n_tok BETWEEN {_GOPHER_WC_LO}
-                              AND {_GOPHER_WC_HI}
-                         THEN 0 ELSE 1 END AS BIGINT) AS f_wc,
-               CAST(CASE WHEN n_tok > 0
-                              AND (10 * sum_len) // n_tok
-                                  BETWEEN {_GOPHER_MWL_LO10}
-                                      AND {_GOPHER_MWL_HI10}
-                         THEN 0 ELSE 1 END AS BIGINT) AS f_mwl,
-               CAST(CASE WHEN n_req >= 2 THEN 0 ELSE 1 END AS BIGINT)
-                   AS f_req,
-               CAST(CASE WHEN top_cov * 10000 // GREATEST(n_chars, 1)
-                              <= {_GOPHER_TOP2_BP}
-                         THEN 0 ELSE 1 END AS BIGINT) AS f_top
-        FROM m
+               CAST(f_wc AS BIGINT) AS f_wc,
+               CAST(f_mwl AS BIGINT) AS f_mwl,
+               CAST(f_req AS BIGINT) AS f_req,
+               CAST(f_top AS BIGINT) AS f_top
+        FROM r
     """
 
 
@@ -1003,21 +986,13 @@ def q178b(spark: SparkSession, sf: str) -> DataFrame:
     count × char-length). Constants are imported from batch q178 — one
     rule home. Output: (doc_id, lang, f_wc, f_mwl, f_req, f_top) per
     arrival; the corpus funnel stays a batch report (q178)."""
-    from .llm import (
-        _GOPHER_MWL_HI10,
-        _GOPHER_MWL_LO10,
-        _GOPHER_REQ,
-        _GOPHER_TOP2_BP,
-        _GOPHER_WC_LO,
-        _GOPHER_WC_HI,
-    )
+    from .llm import _gopher_scalar_exprs, _gopher_verdict_exprs
 
     sdf = stream_table(spark, sf, "documents")
     ts = F.split("text", " ")
     d = sdf.select(
         "doc_id", "lang", "n_chars", ts.alias("ts")
     )
-    req = F.array(*[F.lit(w) for w in _GOPHER_REQ])
     bgs = F.transform(
         F.sequence(F.lit(1), F.size("ts") - 1),
         lambda i: F.concat_ws(
@@ -1030,50 +1005,24 @@ def q178b(spark: SparkSession, sf: str) -> DataFrame:
         F.array_max(
             F.transform(
                 bgs,
+                # long, matching batch q178's groupBy count — an int
+                # would wrap negative on extreme docs and silently PASS
+                # the coverage rule
                 lambda b2: (
                     F.size(F.filter(bgs, lambda z: z == b2))
-                    * F.length(b2)
-                ).cast("int"),
+                    .cast("long") * F.length(b2)
+                ),
             )
         ),
-    ).otherwise(F.lit(0))
+    ).otherwise(F.lit(0).cast("long"))
     m = d.select(
         "doc_id",
         "lang",
         "n_chars",
-        F.size("ts").alias("n_tok"),
-        F.aggregate(
-            F.transform("ts", lambda x: F.length(x)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(
-            F.array_intersect(F.array_distinct("ts"), req)
-        ).alias("n_req"),
+        *_gopher_scalar_exprs(),
         top_cov.alias("top_cov"),
     )
-    out = m.select(
-        "doc_id",
-        "lang",
-        F.when(
-            F.col("n_tok").between(_GOPHER_WC_LO, _GOPHER_WC_HI), 0
-        ).otherwise(1).cast("long").alias("f_wc"),
-        F.when(
-            (F.col("n_tok") > 0)
-            & F.expr("(10 * sum_len) DIV n_tok").between(
-                _GOPHER_MWL_LO10, _GOPHER_MWL_HI10
-            ),
-            0,
-        ).otherwise(1).cast("long").alias("f_mwl"),
-        F.when(F.col("n_req") >= 2, 0).otherwise(1).cast("long")
-        .alias("f_req"),
-        F.when(
-            F.expr("(CAST(top_cov AS BIGINT) * 10000)"
-                   " DIV GREATEST(n_chars, 1)")
-            <= _GOPHER_TOP2_BP,
-            0,
-        ).otherwise(1).cast("long").alias("f_top"),
-    )
+    out = m.select("doc_id", "lang", *_gopher_verdict_exprs())
     return run_to_memory(out, "q178b", output_mode="append")
 
 
@@ -1088,15 +1037,10 @@ def _q179b_oracle() -> str:
     computes the merges, then every DOCUMENT (not vocab word) tokenizes
     by folding each of its words through the same greedy merge fold —
     exactly what the stream side does with the merges as literals."""
-    from .llm import _bpe_oracle
+    from .llm import _BPE_MERGES, _bpe_oracle
 
-    train = _bpe_oracle()
-    # reuse the training chain up to its final SELECT: rebuild it as a
-    # CTE by splitting on the known tail
-    head, tail = train.rsplit("SELECT word, c AS word_count", 1)
-    assert tail is not None
-    return head.rstrip() + """,
-        vocab AS (SELECT word, s FROM seq6)
+    return _bpe_oracle(chain_only=True) + f""",
+        vocab AS (SELECT word, s FROM seq{_BPE_MERGES})
         SELECT d.doc_id,
                CAST(SUM(len(string_split(v.s, chr(31)))) AS BIGINT)
                    AS n_bpe_tokens,
@@ -1152,6 +1096,11 @@ def q179b(spark: SparkSession, sf: str) -> DataFrame:
             got = cache.get(word)
             if got is not None:
                 return got
+            if word == "":
+                # training splits '' to [''] (one empty symbol) on both
+                # engines; list('') == [] would under-count by one
+                cache[word] = 1
+                return 1
             syms = list(word)
             for a, b in frozen_merges:
                 out_syms, i = [], 0

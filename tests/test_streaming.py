@@ -664,3 +664,37 @@ def test_stream_gopher_filter_matches_batch_funnel(spark, tmp_path):
     finally:
         llm_mod.load = orig_load
     assert got == exp
+
+
+def test_stream_bpe_tokenize_counts_empty_words(spark, tmp_path):
+    """Review-pass regression: a double space splits to an empty-string
+    word, which training and the oracle count as ONE symbol — the
+    application kernel must agree (list('') == [] would under-count)."""
+    import kstreamjs_spark.queries.streaming_q as sq_mod
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.queries.streaming_q import q179b
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(1, "ab  ab ab", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    orig_stream, orig_load = sq_mod.stream_table, sq_mod.load
+    orig_llm_load = llm_mod.load
+    sq_mod.stream_table = lambda s_, sf_, n_: (
+        s_.readStream.schema(schema).parquet(src)
+    )
+    sq_mod.load = lambda s_, sf_, *n_: (spark.read.parquet(src),)
+    llm_mod.load = sq_mod.load
+    try:
+        rows = q179b(spark, "unused").collect()
+    finally:
+        sq_mod.stream_table, sq_mod.load = orig_stream, orig_load
+        llm_mod.load = orig_llm_load
+    assert len(rows) == 1
+    r = rows[0]
+    # words: ['ab', '', 'ab', 'ab'] -> merge (a,b) learned; 'ab' becomes
+    # one symbol, '' counts as one symbol -> 4 BPE tokens, 4 words
+    assert (r["n_bpe_tokens"], r["n_words"]) == (4, 4)
