@@ -107,7 +107,8 @@ _WINDOW_SIZE = 50
 # q175b substring scrub, q176 PageRank, q177 DSIR selection,
 # q177b streaming DSIR, q178
 # Gopher rules, q178b streaming Gopher filter, q179 BPE training,
-# q179b streaming BPE tokenize — all hist-0, the COUNT
+# q179b streaming BPE tokenize, q180 Misra-Gries heavy hitters —
+# all hist-0, the COUNT
 # deliberately not hand-
 # written here, DERIVED by the sort) enter first,
 # then the staleness sort

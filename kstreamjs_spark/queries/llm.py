@@ -3439,3 +3439,37 @@ def _bpe_train(documents: DataFrame) -> tuple[DataFrame, list[tuple[str, str]]]:
         )
         seq = seq.select("word", "c", folded.alias("s"))
     return seq, merges
+
+
+# ----------------- Q180 Misra-Gries heavy hitters (mergeable sketch)
+_MG_K = 64        # counters per partition summary
+_MG_TOP = 10      # report size
+
+
+@query("q180_heavy_hitters", oracle=None,
+       tags=("sketch", "approx", "text", "llm"))
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """HEAVY HITTERS via Misra-Gries — the mergeable-summary pattern
+    (Misra & Gries 1982; Agarwal et al. 2012 "Mergeable Summaries",
+    public) the built-in sketches (q24b HLL/GK, q50 HLL-union) don't
+    show: a BOUNDED imperative per-partition summary (<= 64 counters,
+    Arrow kernel — tokens never leave their partition) merged by ONE
+    ordinary groupBy-sum over <= 64 x partitions rows, with the provable
+    guarantee est in [true - N/65, true] and every token above the N/65
+    frequency threshold present. Output: top-10 tokens by estimated
+    count (est DESC, token ASC — deterministic: in-partition traversal
+    is pinned by sortWithinPartitions and the decrement-all step has no
+    tie ambiguity). Rows-only by design — a sketch is not
+    SQL-expressible (the q163 category); the error-bound, completeness,
+    and determinism contracts are pinned quantitatively in pytest and
+    APPROX_EVIDENCE.json against exact counts."""
+    from ..operators import sketch
+
+    (documents,) = load(spark, sf, "documents")
+    toks = dedup.spread(documents, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    hh = sketch.misra_gries(
+        toks, "token", k=_MG_K, sort_cols=("doc_id",)
+    ).select(F.col("item").alias("token"), "est_count")
+    return hh.orderBy(F.col("est_count").desc(), "token").limit(_MG_TOP)

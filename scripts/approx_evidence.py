@@ -264,6 +264,49 @@ def main() -> int:
         "mean_rel_err": round(sum(rels) / len(rels), 4),
     }
 
+    # ---- q180: Misra-Gries heavy hitters vs exact token counts at BOTH
+    # scale factors — max over-count must be 0 (MG never over-counts),
+    # max under-count must respect N/(k+1), and every token above the
+    # threshold must be present in the merged summary.
+    from kstreamjs_spark.operators import sketch
+    from kstreamjs_spark.queries.llm import _MG_K
+
+    mg_out = {}
+    for mg_sf in (sf, "/root/testdata/sf0.1"):
+        (docs_mg,) = load(spark, mg_sf, "documents")
+        toks = dedup.spread(docs_mg, "doc_id").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        got = {
+            r["item"]: r["est_count"]
+            for r in sketch.misra_gries(
+                toks, "token", k=_MG_K, sort_cols=("doc_id",)
+            ).collect()
+        }
+        exact = {
+            r["token"]: r["c"]
+            for r in toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = sum(exact.values())
+        bound = n // (_MG_K + 1)
+        over = max((est - exact[t] for t, est in got.items()), default=0)
+        under = max((exact[t] - est for t, est in got.items()), default=0)
+        missing_heavy = [
+            t for t, c in exact.items() if c > bound and t not in got
+        ]
+        mg_out[mg_sf.rsplit("/", 1)[-1]] = {
+            "n_tokens": n,
+            "k": _MG_K,
+            "error_bound": bound,
+            "max_over_count": int(over),
+            "max_under_count": int(under),
+            "bound_respected": bool(over <= 0 and under <= bound),
+            "n_missing_heavy": len(missing_heavy),
+        }
+    out["q180_heavy_hitters"] = mg_out
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -1902,3 +1902,46 @@ def test_bpe_train_matches_python_mirror(spark):
     assert got["aaaaa"] == exp["aaaaa"]
     # the famous example actually learns multi-char subwords
     assert any(n < len(w) for w, (_, n, _) in got.items())
+
+
+def test_misra_gries_bound_completeness_determinism(spark):
+    """sketch.misra_gries contracts on a skewed corpus with vocabulary >>
+    k (so decrements actually fire): (a) never over-counts, (b) never
+    under-counts by more than N/(k+1), (c) every item above the N/(k+1)
+    frequency threshold is PRESENT, (d) deterministic across runs, and
+    the bound holds at two different partition counts."""
+    import pyspark.sql.functions as F
+    from collections import Counter
+    from kstreamjs_spark.operators.sketch import misra_gries
+
+    # skewed stream: 3 heavy items + 200 distinct light items, k = 8
+    items = (["hot1"] * 400 + ["hot2"] * 250 + ["hot3"] * 120
+             + [f"cold{i:03d}" for i in range(200) for _ in (0, 1)])
+    true = Counter(items)
+    n = len(items)
+    k = 8
+    bound = n // (k + 1)
+    rows = [(i, t) for i, t in enumerate(items)]
+    for parts in (2, 8):
+        df = spark.createDataFrame(rows, "rid long, token string") \
+            .repartition(parts, "rid")
+        got = {
+            r["item"]: r["est_count"]
+            for r in misra_gries(df, "token", k=k,
+                                 sort_cols=("rid",)).collect()
+        }
+        for item, est in got.items():
+            assert est <= true[item], (parts, item)
+            assert est >= true[item] - bound, (parts, item)
+        for item, c in true.items():
+            if c > bound:
+                assert item in got, (parts, item)
+        # decrements really fired: the summary is not the exact table
+        assert any(got[i] < true[i] for i in got)
+        # determinism: a second run returns the identical summary
+        got2 = {
+            r["item"]: r["est_count"]
+            for r in misra_gries(df, "token", k=k,
+                                 sort_cols=("rid",)).collect()
+        }
+        assert got == got2
