@@ -2169,6 +2169,12 @@ def _jpeg_decode_ac_first(reader, rows, coefs, act, ss, se, al):
             if s == 0:
                 if r == 15:
                     k += 16  # ZRL
+                    if k > se + 1:
+                        # a ZRL landing past the band end is the same
+                        # malformed-stream class as a coefficient run
+                        # overrunning it (k == se+1 just exhausts the
+                        # band) — reject, don't silently accept
+                        raise ValueError("AC ZRL past band end")
                     continue
                 eobrun = (1 << r) - 1
                 if r:

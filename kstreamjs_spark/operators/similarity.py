@@ -486,6 +486,88 @@ def knn_join(
     )
 
 
+def _semdedup_candidates(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    max_cell: int | None = None,
+) -> DataFrame:
+    """The bounded pair frame behind `semdedup_drops`: (cid, i, vi, j, vj)
+    rows with i < j, restricted to pairs sharing a (possibly sub-split)
+    cell key. Factored out so the hot-cell ceiling's join-size bound is
+    directly testable — the adversarial all-one-cell test counts THESE
+    rows, not the post-threshold survivors."""
+    a = assigned
+    key = ["cid"]
+    if max_cell is not None:
+        if max_cell < 2:
+            raise ValueError(f"max_cell must allow pairs (>= 2), got {max_cell}")
+        # Per-cell counts are a k-row (cell-count-sized) frame — explicit
+        # broadcast, the centroid-collect scale class. Cells above the cap
+        # sub-split by a deterministic id hash into ceil(n_c/max_cell)
+        # sub-cells, so every join bucket holds ~max_cell rows.
+        counts = a.groupBy("cid").agg(F.count(F.lit(1)).alias("_cn"))
+        n_sub = F.greatest(
+            F.ceil(F.col("_cn") / F.lit(max_cell)), F.lit(1)
+        ).cast("long")
+        a = (
+            a.join(F.broadcast(counts), "cid")
+            .withColumn("_sub", F.pmod(F.xxhash64(F.col(id_col)), n_sub))
+            .drop("_cn")
+        )
+        key = ["cid", "_sub"]
+    left = a.select(*key, F.col(id_col).alias("i"), F.col(vec_col).alias("vi"))
+    right = a.select(*key, F.col(id_col).alias("j"), F.col(vec_col).alias("vj"))
+    return left.join(right, key).filter(F.col("i") < F.col("j"))
+
+
+def semdedup_drops(
+    assigned: DataFrame,
+    theta: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    max_cell: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup's drop set (Abbas et al. 2023, public): given cell-assigned
+    vectors (``cid``, ``id_col``, ``vec_col`` array<double>), return the
+    (cid, id) rows dropped by keep-first greedy dedup — every vector with
+    a >= ``theta`` 6-dp-rounded-cosine neighbor of SMALLER id in its cell.
+
+    ``max_cell`` is the hot-cell ceiling (q159's ``max_bucket`` /
+    ``max_df`` precedent, round-11): a degenerate corpus — a botched
+    embedder emitting one direction, the q115 failure mode — assigns
+    EVERYTHING to one cell and makes the cid equi-join quadratic in N
+    with nothing to stop it. Cells above ``max_cell`` rows SUB-SPLIT by a
+    deterministic id hash into ceil(n_c/max_cell) sub-cells and pairs are
+    scored within sub-cells only, bounding every join bucket at
+    ~``max_cell`` rows (candidate rows <= ceil(n_c/max_cell) *
+    C(max_cell', 2) per cell instead of C(n_c, 2)). Unlike q159's
+    non-discriminative buckets, a hot SemDeDup cell is where dups LIVE —
+    dropping it would skip dedup exactly where it matters — so the cap
+    splits rather than drops: cross-sub-cell pairs are the recall cost
+    (an s-way split sees ~1/s of a cell's pairs; in the all-identical
+    degenerate case each sub-cell still collapses to one keeper, so the
+    guard turns "job never finishes" into "keeps s representatives
+    instead of 1"). Every emitted drop remains a TRUE >= theta pair
+    (candidates shrink, scoring doesn't change) — drops(max_cell) is a
+    subset of drops(None), pinned by test. At 100 TB the primary lever
+    is still k scaling with N (cells of ~1k vectors); ``max_cell`` is
+    the guardrail for the geometry where assignment degenerates.
+    Default None keeps the exact oracle-matched semantics (q170)."""
+    cand = _semdedup_candidates(
+        assigned, id_col=id_col, vec_col=vec_col, max_cell=max_cell
+    )
+    return (
+        cand.filter(
+            F.round(cosine(F.col("vi"), F.col("vj")), round_to)
+            >= F.lit(float(theta))
+        )
+        .select("cid", F.col("j").alias(id_col))
+        .distinct()
+    )
+
+
 def gram_upper(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -41,12 +41,18 @@ def misra_gries(
     summation: returns (item, est_count) with <= k x partitions rows,
     where est_count is within [true - N/(k+1), true] for the GLOBAL
     count N = total rows. Callers rank/threshold downstream. Pass
-    ``sort_cols`` to pin a deterministic in-partition traversal order
-    (any deterministic total order works; the bound holds for any
-    order)."""
+    ``sort_cols`` to pin a deterministic in-partition traversal order —
+    the bound holds for ANY order, but the exact estimates only
+    reproduce if ``sort_cols`` is a TOTAL order over the rows (ties
+    leave the traversal to Spark's scan order; q180 adds a posexplode
+    position column for exactly this)."""
     src = df.select(col, *sort_cols)
     if sort_cols:
         src = src.sortWithinPartitions(*sort_cols)
+    # the summary's item column carries the INPUT column's type — a
+    # numeric key must not silently coerce to string at Arrow conversion
+    # (phash_blobs' schema-derivation precedent)
+    item_type = df.schema[col].dataType.simpleString()
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
@@ -70,7 +76,7 @@ def misra_gries(
                 {"item": list(counters), "est": list(counters.values())}
             )
 
-    partials = src.mapInPandas(summarize, "item string, est long")
+    partials = src.mapInPandas(summarize, f"item {item_type}, est long")
     return partials.groupBy("item").agg(
         F.sum("est").cast("long").alias("est_count")
     )

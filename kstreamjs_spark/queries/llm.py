@@ -704,6 +704,7 @@ _SEMDEDUP_THETA = 0.4  # 6-dp-rounded cosine at/above which a pair is a dup
         ORDER BY cid
     """,
     tags=("similarity", "dedup", "llm", "clustering"),
+    bench=True,
 )
 def q170(spark: SparkSession, sf: str) -> DataFrame:
     """SEMANTIC dedup, SemDeDup-style (Abbas et al. 2023, public): the
@@ -727,13 +728,15 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     cartesian). The fixture uses k=8 to stay inside q81's oracle-able
     deterministic init; at 100 TB k scales with N (cells of ~1k
     vectors), which ALSO spreads the cid shuffle across k partitions
-    — and a degenerate hot cell gets the same max-bucket ceiling
-    treatment as q159 (drop or split cells above a size cap). The
-    assignment projection is consumed three times (totals + both join
-    sides) and recomputed per consumer — deliberate: it is pure
-    codegen over the scan, and re-running it is cheaper at every scale
-    than materializing N assigned vectors (the q157b A/B's lesson,
-    SCALE.md round-10)."""
+    — and a degenerate hot cell (the all-one-cell geometry a botched
+    embedder produces) gets `similarity.semdedup_drops`'s ``max_cell``
+    sub-split ceiling, q159's max-bucket precedent (round-11;
+    adversarially tested, OFF here so the oracle semantics stay
+    exact). The assignment projection is consumed three times
+    (totals + both join sides) and recomputed per consumer —
+    deliberate: it is pure codegen over the scan, and re-running it
+    is cheaper at every scale than materializing N assigned vectors
+    (the q157b A/B's lesson, SCALE.md round-10)."""
     from ..operators import kmeans
 
     (emb,) = load(spark, sf, "embeddings")
@@ -741,17 +744,8 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     a = kmeans.assign(emb, cents).select(
         "vec_id", "cid", similarity.as_double(F.col("embedding")).alias("v")
     )
-    left = a.select("cid", F.col("vec_id").alias("i"), F.col("v").alias("vi"))
-    right = a.select("cid", F.col("vec_id").alias("j"), F.col("v").alias("vj"))
-    dropped = (
-        left.join(right, "cid")
-        .filter(F.col("i") < F.col("j"))
-        .filter(
-            F.round(similarity.cosine(F.col("vi"), F.col("vj")), 6)
-            >= F.lit(_SEMDEDUP_THETA)
-        )
-        .select("cid", F.col("j").alias("vec_id"))
-        .distinct()
+    dropped = similarity.semdedup_drops(
+        a, theta=_SEMDEDUP_THETA, id_col="vec_id", vec_col="v", max_cell=None
     )
     totals = a.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     drops = dropped.groupBy("cid").agg(
@@ -1054,6 +1048,7 @@ def _synth_group_images_multicodec(df: DataFrame) -> DataFrame:
           ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
     """,
     tags=("multimodal", "dedup", "llm"),
+    bench=True,
 )
 def q158c(spark: SparkSession, sf: str) -> DataFrame:
     """CROSS-CODEC perceptual image near-dup: the q158 chain with each
@@ -1226,6 +1221,7 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
           ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
     """,
     tags=("multimodal", "dedup", "llm"),
+    bench=True,
 )
 def q174(spark: SparkSession, sf: str) -> DataFrame:
     """VIDEO perceptual near-dup over REAL frame-PIXEL decode — the
@@ -2785,6 +2781,7 @@ _SSD_W = 8  # window width in tokens — the dedup granularity
         FROM s GROUP BY doc_id, lang, n_tokens
     """,
     tags=("dedup", "text", "llm", "quality"),
+    bench=True,
 )
 def q175(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT-SUBSTRING dedup at arbitrary alignment — the suffix-array
@@ -3344,6 +3341,7 @@ def _bpe_oracle(k: int = _BPE_MERGES, chain_only: bool = False) -> str:
     "q179_bpe_train",
     oracle=_bpe_oracle(),
     tags=("text", "llm", "tokenizer"),
+    bench=True,
 )
 def q179(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, public —
@@ -3466,10 +3464,13 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import sketch
 
     (documents,) = load(spark, sf, "documents")
+    # (doc_id, pos) is a TOTAL order over the exploded tokens — doc_id
+    # alone ties all tokens of a doc, leaving traversal (and thus the
+    # exact estimates) to Spark's scan order rather than the pinned key
     toks = dedup.spread(documents, "doc_id").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     hh = sketch.misra_gries(
-        toks, "token", k=_MG_K, sort_cols=("doc_id",)
+        toks, "token", k=_MG_K, sort_cols=("doc_id", "pos")
     ).select(F.col("item").alias("token"), "est_count")
     return hh.orderBy(F.col("est_count").desc(), "token").limit(_MG_TOP)

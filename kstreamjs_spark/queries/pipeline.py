@@ -893,6 +893,7 @@ def _pagerank_oracle() -> str:
     "q176_copurchase_pagerank",
     oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
+    bench=True,
 )
 def q176(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed PAGERANK — the iterative-join graph op (Brin & Page

@@ -115,7 +115,55 @@ def run_point(mult: int, scale_k: bool) -> dict:
     }
 
 
+def run_degenerate(mult: int, max_cell: int | None) -> dict:
+    """Round-11: the adversarial geometry the max_cell ceiling exists
+    for — EVERY vector lands in ONE cell (a botched embedder emitting a
+    single direction; q115's failure mode). Measures the REAL operator
+    (`similarity.semdedup_drops`), uncapped (quadratic, C(N,2) pairs)
+    vs capped (sub-split: ~ceil(N/max_cell)*C(max_cell,2) pairs —
+    linear in N at fixed max_cell)."""
+    from kstreamjs_spark.operators import similarity
+
+    spark = build_session(tmpfs=False, parts=max(64, 32 * mult))
+    sc = spark.sparkContext
+    n = BASE_N * mult
+    a = vectors(spark, n).withColumn("cid", F.lit(0).cast("long"))
+    label = f"degen_m{mult}_{'cap' + str(max_cell) if max_cell else 'uncapped'}"
+    t0 = time.time()
+    sc.setJobGroup(label, label)
+    n_drops = similarity.semdedup_drops(
+        a, theta=0.2, id_col="vec_id", vec_col="v", max_cell=max_cell
+    ).count()
+    wall = time.time() - t0
+    app_id = sc.applicationId
+    spark.stop()
+    time.sleep(1.0)
+    evlog = max(
+        glob.glob(os.path.join(EVDIR, f"*{app_id}*")), key=os.path.getmtime
+    )
+    groups = group_task_seconds(evlog)
+    task_s = sum(g["task_s"] for gname, g in groups.items() if gname == label)
+    return {
+        "geometry": "all_one_cell",
+        "mult": mult,
+        "n": n,
+        "max_cell": max_cell,
+        "n_drops": n_drops,
+        "wall_s": round(wall, 2),
+        "task_s": round(task_s, 2),
+    }
+
+
+def main_degenerate() -> None:
+    for mult in (1, 2):
+        for cap in (None, 625):
+            print(json.dumps(run_degenerate(mult, cap)), flush=True)
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--degenerate"]:
+        main_degenerate()
+        return
     mults = [int(m) for m in sys.argv[1:]] or [1, 10, 100]
     rows = []
     for m in mults:

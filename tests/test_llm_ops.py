@@ -1945,3 +1945,85 @@ def test_misra_gries_bound_completeness_determinism(spark):
                                  sort_cols=("rid",)).collect()
         }
         assert got == got2
+
+
+def test_semdedup_max_cell_caps_degenerate_hot_cell(spark):
+    """Adversarial all-one-cell geometry (the q115 failure mode: a botched
+    embedder emits one direction, so k-means assigns EVERYTHING to cell
+    0) — without a ceiling the cid equi-join is quadratic in N with
+    nothing to stop it. With max_cell the hot cell sub-splits into
+    ceil(n/max_cell) hash sub-cells, so the CANDIDATE row count is
+    bounded by the sub-cell pair sum, far below C(n, 2); drops are still
+    found inside every sub-cell (each collapses to one keeper), and
+    every emitted drop remains a true >= theta pair."""
+    import numpy as np
+
+    n, cap = 600, 50
+    rng = np.random.RandomState(23)
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    # tiny per-row jitter: one direction (all cosines ~1.0), distinct rows
+    rows = [
+        (i, 0, [float(x) for x in base + 1e-6 * rng.standard_normal(16)])
+        for i in range(n)
+    ]
+    a = spark.createDataFrame(rows, "vec_id long, cid long, v array<double>")
+
+    uncapped_cands = similarity._semdedup_candidates(a).count()
+    assert uncapped_cands == n * (n - 1) // 2  # the quadratic, unguarded
+
+    capped_cands = similarity._semdedup_candidates(a, max_cell=cap).count()
+    # ceil(600/50)=12 sub-cells; hash spread is uneven, but the pair sum
+    # must sit far below quadratic — 12 perfectly even sub-cells give
+    # 12*C(50,2)=14,700; allow 3x hash-imbalance headroom, still ~12x
+    # below C(600,2)=179,700
+    assert capped_cands <= 3 * 12 * (cap * (cap - 1) // 2), capped_cands
+    assert capped_cands < uncapped_cands / 4
+
+    dropped = similarity.semdedup_drops(a, theta=0.4, max_cell=cap)
+    got = {r["vec_id"] for r in dropped.collect()}
+    full = {
+        r["vec_id"]
+        for r in similarity.semdedup_drops(a, theta=0.4).collect()
+    }
+    # subset property: candidates shrink, scoring doesn't — no false drops
+    assert got <= full
+    assert full == set(range(1, n))  # uncapped: everything but vec 0 drops
+    # each sub-cell keeps exactly one representative (all pairs >= theta
+    # within a sub-cell), so survivors == number of NON-EMPTY sub-cells
+    # <= ceil(n/cap) + hash-imbalance; pin the order of magnitude
+    survivors = n - len(got)
+    assert survivors <= 3 * 12, survivors
+    # determinism: the id-hash sub-split is partition-count-invariant
+    got2 = {
+        r["vec_id"]
+        for r in similarity.semdedup_drops(
+            a.repartition(7), theta=0.4, max_cell=cap
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_semdedup_max_cell_leaves_cold_cells_exact(spark):
+    """Cells at/below the ceiling never sub-split: drops(max_cell) equals
+    drops(None) exactly when no cell exceeds the cap — the guard is
+    invisible until the degenerate geometry actually appears."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for cid in range(4):
+        base = rng.standard_normal(16)
+        for i in range(20):  # 20 <= max_cell=50
+            v = base + 0.05 * rng.standard_normal(16)
+            rows.append((cid * 100 + i, cid, [float(x) for x in v]))
+    a = spark.createDataFrame(rows, "vec_id long, cid long, v array<double>")
+    exact = {
+        (r["cid"], r["vec_id"])
+        for r in similarity.semdedup_drops(a, theta=0.4).collect()
+    }
+    capped = {
+        (r["cid"], r["vec_id"])
+        for r in similarity.semdedup_drops(a, theta=0.4, max_cell=50).collect()
+    }
+    assert capped == exact
