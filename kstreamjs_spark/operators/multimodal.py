@@ -306,17 +306,19 @@ def phash64(gray) -> int:
 
 def decode_image_pixels(blob: bytes):
     """Multi-format pixel decode: dispatch on magic bytes to the real
-    BMP / PNG / JPEG (baseline + progressive) pixel kernels, normalizing to a numpy
-    uint8 array of shape (height, width, channels) in raster order.
-    Returns None for payloads outside every kernel's envelope — the
-    magic-byte dispatch means a malformed BMP is reported as a bad BMP
-    (None), never mis-tried as a PNG."""
+    BMP / PNG / JPEG (baseline + progressive) / GIF pixel kernels,
+    normalizing to a numpy uint8 array of shape (height, width,
+    channels) in raster order. Returns None for payloads outside every
+    kernel's envelope — the magic-byte dispatch means a malformed BMP
+    is reported as a bad BMP (None), never mis-tried as a PNG."""
     if blob[:2] == b"BM":
         return decode_bmp_pixels(blob)
     if blob[:8] == _PNG_SIG:
         return decode_png_pixels(blob)
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg_pixels(blob)
+    if blob[:6] in _GIF_MAGICS:
+        return decode_gif_pixels(blob)
     return None
 
 
@@ -363,11 +365,11 @@ def phash_blobs(
                     if strict:
                         raise ValueError(
                             "phash_blobs: payload is not a well-formed "
-                            "BMP / PNG / JPEG image"
+                            "BMP / PNG / JPEG / GIF image"
                         )
                     hashes.append(None)
                     reasons.append("undecodable: not a well-formed "
-                                   "BMP / PNG / JPEG image")
+                                   "BMP / PNG / JPEG / GIF image")
                     continue
                 hashes.append(phash64(_pixels_to_luma(px)))
                 reasons.append(None)
@@ -862,6 +864,280 @@ def decode_png_blobs(
     )
 
 
+# ------------------------------------------------------------- GIF (LZW)
+# Round 11: the fourth REAL pixel codec. GIF is pure-stdlib feasible
+# (LZW is integer bit-twiddling; no codec library needed), genuinely
+# common in crawled corpora, and — being palette-indexed and lossless —
+# pHashes identically to the same pixels in BMP/PNG, extending the
+# cross-codec dedup chain (q158d). First frame only: frame 0 composed
+# onto the logical screen over the background color, the still-image
+# semantics of an animated GIF's poster frame.
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (LSB-first bit packing, variable 3..12-bit codes,
+    clear/EOI codes, code width bumps in lockstep with table growth,
+    clear emitted on table overflow at 4096) — the exact mirror of
+    `_gif_lzw_decode`; the roundtrip is pinned by test."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            # table full: reset (decoder mirrors on seeing the clear)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> bytearray | None:
+    """Strict GIF LZW decode: None on any malformation — an
+    out-of-range code, a stream yielding more than ``max_pixels``
+    indices (the allocation-bomb guard: output is bounded BEFORE it is
+    built), or a stream ending without EOI after data ran out."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return None  # ran out of bits before EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table):
+            if code < clear:
+                entry = table[code]
+            else:
+                entry = table[code]
+                if not entry:  # the two reserved slots never decode
+                    return None
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        if len(out) + len(entry) > max_pixels:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # the decoder's table lags the encoder's by exactly one
+            # entry (the encoder assigns at EMIT time, the decoder one
+            # code later), so the width bump fires one entry early —
+            # at 2^w - 1, where the encoder's own bump fired at 2^w
+            # (the classic GIF-LZW sync rule giflib implements by
+            # advancing its code counter at read time)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif_pixels(
+    width: int, height: int, gray: bytes, interlace: bool = False
+) -> bytes:
+    """Pure-Python GIF89a writer with CALLER-SUPPLIED pixel content
+    (the GIF sibling of `encode_bmp_pixels` / `encode_png`): ``gray``
+    is ``width*height`` luma bytes in raster order, written against a
+    256-entry grayscale identity palette (index == luma) and REAL LZW
+    compression; ``interlace=True`` stores rows in the four-pass Adam
+    order so the decoder's de-interlace path is exercisable."""
+    if len(gray) != width * height:
+        raise ValueError(
+            f"encode_gif_pixels: need {width * height} luma bytes, "
+            f"got {len(gray)}"
+        )
+    px = gray
+    if interlace:
+        rows = [gray[y * width:(y + 1) * width] for y in range(height)]
+        px = b"".join(
+            rows[y]
+            for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, height, step)
+        )
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries; bg 0; no aspect
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + bytes(4)  # image descriptor at (0, 0)
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x40 if interlace else 0)
+    out.append(8)  # LZW minimum code size (256-color palette)
+    lzw = _gif_lzw_encode(px, 8)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(blob: bytes):
+    """REAL pixel-decode kernel: strict GIF parse — header + logical
+    screen descriptor, global/local color tables, extension-block walk,
+    first image descriptor, full LZW decompression, four-pass
+    de-interlace — composing frame 0 onto the logical screen over the
+    background color and returning a numpy uint8 array of shape
+    (height, width, 3) via palette lookup, or None on any malformation
+    (bad magic, missing palette, frame outside the screen, bad LZW
+    stream, wrong index count, out-of-palette index) so arbitrary bytes
+    can never alias in — the same totality contract as the BMP/PNG/JPEG
+    kernels."""
+    import numpy as np
+
+    if len(blob) < 13 or blob[:6] not in _GIF_MAGICS:
+        return None
+    width = int.from_bytes(blob[6:8], "little")
+    height = int.from_bytes(blob[8:10], "little")
+    packed, bg = blob[10], blob[11]
+    if width == 0 or height == 0 or width * height * 3 > _MAX_DECODE_BYTES:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(blob):
+            return None
+        gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(blob):
+            return None
+        block = blob[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image frame
+            return None
+        if block == 0x21:  # extension: label + sub-blocks until 0
+            if pos >= len(blob):
+                return None
+            pos += 1
+            while True:
+                if pos >= len(blob):
+                    return None
+                n = blob[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            return None
+        break
+    if pos + 9 > len(blob):
+        return None
+    left = int.from_bytes(blob[pos:pos + 2], "little")
+    top = int.from_bytes(blob[pos + 2:pos + 4], "little")
+    iw = int.from_bytes(blob[pos + 4:pos + 6], "little")
+    ih = int.from_bytes(blob[pos + 6:pos + 8], "little")
+    ipacked = blob[pos + 8]
+    pos += 9
+    if iw == 0 or ih == 0 or left + iw > width or top + ih > height:
+        return None
+    pal = gct
+    if ipacked & 0x80:  # local color table overrides for this frame
+        n = 2 << (ipacked & 7)
+        if pos + 3 * n > len(blob):
+            return None
+        pal = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if pal is None:
+        return None
+    if pos >= len(blob):
+        return None
+    min_code = blob[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        if pos >= len(blob):
+            return None
+        n = blob[pos]
+        pos += 1
+        if n == 0:
+            break
+        if pos + n > len(blob):
+            return None
+        lzw += blob[pos:pos + n]
+        pos += n
+    idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+    if idx is None or len(idx) != iw * ih:
+        return None
+    frame = np.frombuffer(bytes(idx), np.uint8).reshape(ih, iw)
+    if int(frame.max()) >= len(pal):
+        return None
+    if ipacked & 0x40:  # de-interlace: rows arrive in four-pass order
+        rows = np.empty_like(frame)
+        src = 0
+        for start, step in _GIF_INTERLACE_PASSES:
+            n = len(range(start, ih, step))
+            rows[start::step] = frame[src:src + n]
+            src += n
+        frame = rows
+    # background fill: the bg index refers to the GLOBAL table; when it
+    # is absent or out of range for the frame's effective palette, fall
+    # back to index 0 (always valid — every color table has >= 2 rows)
+    fill = bg if (gct is not None and bg < len(gct)) else 0
+    if fill >= len(pal):
+        fill = 0
+    canvas = np.full((height, width), fill, dtype=np.uint8)
+    canvas[top:top + ih, left:left + iw] = frame
+    return np.ascontiguousarray(pal[canvas])
+
+
 AUDIO_META_SCHEMA = (
     "doc_id long, byte_len long, n_channels long, sample_rate long, "
     "n_samples long"
@@ -898,12 +1174,25 @@ def decode_audio_blobs(
     return df.select(id_col, blob_col).mapInPandas(batches, AUDIO_META_SCHEMA)
 
 
+def decode_gif(blob: bytes) -> tuple[int, int, int, int] | None:
+    """GIF metadata kernel: (byte_len, width, height, 3) for a
+    well-formed GIF, None otherwise. Runs the FULL pixel decode
+    (`decode_gif_pixels`) rather than a header peek — the same
+    strictness contract as `decode_png` (which inflates the whole IDAT
+    stream): dimensions are only reported for payloads the pixel path
+    actually accepts, so text bytes can never alias in."""
+    px = decode_gif_pixels(blob)
+    if px is None:
+        return None
+    return len(blob), px.shape[1], px.shape[0], 3
+
+
 def sniff_image(blob: bytes) -> tuple[int, int, int, int] | None:
     """Multi-format image sniff: try each real image kernel in turn (each
     bails on its magic bytes in O(1) for foreign payloads) and normalize
     to (byte_len, width, height, channels). None for payloads that are
-    not a well-formed BMP, PNG, or baseline JPEG — audio/video have their
-    own format-true typed decoders (`decode_audio_blobs`,
+    not a well-formed BMP, PNG, baseline JPEG, or GIF — audio/video have
+    their own format-true typed decoders (`decode_audio_blobs`,
     `decode_video_blobs`), not a lossy squeeze into the image schema."""
     meta = decode_bmp(blob)
     if meta:
@@ -914,6 +1203,9 @@ def sniff_image(blob: bytes) -> tuple[int, int, int, int] | None:
     jpg = decode_jpeg(blob)
     if jpg:
         return jpg[0], jpg[1], jpg[2], jpg[3]
+    gif = decode_gif(blob)
+    if gif:
+        return gif
     return None
 
 

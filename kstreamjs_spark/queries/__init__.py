@@ -122,7 +122,15 @@ _WINDOW_SIZE = 50
 # they re-earn on natural staleness.
 # ROUND-11 NOTE: if CORRECTNESS_r10 is green, keep the list empty —
 # the sort finishes the r7 tail; pin only if an oracle TEXT changes.
-_WINDOW_PRIORITY: list[str] = []
+# Round 11: CORRECTNESS_r10 came back 50/50 green (49 hash + 1
+# rows-only by design) — the never-checked round-11 queries enter as
+# hist-0 via the sort (NOT hand-listed, the standing rule), then the
+# 16 r6-vintage rows (q143-q156, q26b, q26d — the r10 verdict's
+# attestation-debt item) and the oldest r7 rows fill the window.
+# ONE pin: q171's oracle TEXT changed this round (the quarantine
+# reason string now names GIF alongside BMP/PNG/JPEG — the round-11
+# fourth codec), so its r10 driver row attests a stale text.
+_WINDOW_PRIORITY: list[str] = ["q171_media_quarantine"]
 
 
 def _correctness_history() -> dict[str, int]:

@@ -1074,9 +1074,94 @@ def q158c(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _synth_group_images_quadcodec(df: DataFrame) -> DataFrame:
+    """q158d fixture: groups of FOUR docs (doc_id // 4) render one
+    pseudo-random 56x56 pattern through four DIFFERENT real codecs —
+    BMP (d%4==0), PNG (1), quant-exact baseline JPEG (2), and GIF with
+    real LZW compression (3, round-11's `encode_gif_pixels`) — at
+    per-doc brightness/contrast (pHash exactly invariant to both). The
+    56x56 geometry and the JPEG even-value/quant-16 exactness contract
+    are q158c's (see `_synth_group_images_multicodec`); the group seed
+    salt differs so the two fixtures' patterns are independent."""
+    import numpy as np
+    import pandas as pd
+
+    def make_blobs(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 4
+                rng = np.random.RandomState((g * 2654435761 + 211) % (2**31))
+                base = 28 + 2 * rng.randint(0, 40, (7, 7))
+                vals = base * (1 + d % 2) + 10 * (d % 5)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                m = d % 4
+                if m == 0:
+                    blob = multimodal.encode_bmp_pixels(
+                        56, 56, bytes(img.astype(np.uint8).ravel())
+                    )
+                elif m == 1:
+                    blob = multimodal.encode_png(
+                        56, 56, bytes(img.astype(np.uint8).ravel()),
+                        n_channels=1,
+                    )
+                elif m == 2:
+                    blob = multimodal.encode_jpeg(
+                        56, 56, [int(v) for v in vals.ravel()]
+                    )
+                else:
+                    # alternate interlaced storage so the four-pass
+                    # de-interlace path runs on half the GIF legs
+                    blob = multimodal.encode_gif_pixels(
+                        56, 56, bytes(img.astype(np.uint8).ravel()),
+                        interlace=g % 2 == 1,
+                    )
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(
+        make_blobs, "doc_id long, blob binary"
+    )
+
+
+@query(
+    "q158d_phash_quad_codec",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q158d(spark: SparkSession, sf: str) -> DataFrame:
+    """FOUR-codec perceptual image near-dup (round 11): q158c's
+    cross-codec chain extended with the GIF leg — each duplicate group
+    renders the same pattern as a BMP, a PNG, a quant-exact baseline
+    JPEG, and a REAL-LZW GIF (half of them interlaced, exercising the
+    four-pass de-interlace), at per-doc brightness/contrast. GIF is the
+    one common crawled format that was still outside the real-decode
+    envelope and is pure-stdlib feasible (unlike the inter-frame video
+    codecs); being palette-lossless it must land every same-group pair
+    at Hamming 0 through the full parse + LZW + palette + composition
+    chain — which is exactly what the oracle states (measured: 0
+    within-group hash mismatches and cross-group min Hamming 12 over
+    all 1,250 sf0.1 groups).
+
+    Scale shape identical to q158/q158c: encode, decode, and hash are
+    one Arrow-batched projection per partition (blobs never shuffle);
+    the only exchange is the 8-byte (chunk_id, chunk_value) candidate
+    equi-join — never a cross join."""
+    (documents,) = load(spark, sf, "documents")
+    hashed = multimodal.phash_blobs(_synth_group_images_quadcodec(documents))
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="phash"
+    )
+
+
 # -------------------------- Q171 robust-ingest media quarantine
 _Q171_REASON = (
-    "undecodable: not a well-formed BMP / PNG / JPEG image"
+    "undecodable: not a well-formed BMP / PNG / JPEG / GIF image"
 )
 
 

@@ -1108,11 +1108,11 @@ def test_jpeg_pixel_roundtrip_pure():
 
 
 def test_decode_image_pixels_cross_codec_phash():
-    """The magic-byte dispatch feeds all three codecs into ONE luma
-    convention, so the same content rendered as BMP, PNG, and
-    quant-exact JPEG must produce the identical pHash — the q158c
-    correctness argument at the kernel level, including through the
-    per-member brightness/contrast transform."""
+    """The magic-byte dispatch feeds all four codecs into ONE luma
+    convention, so the same content rendered as BMP, PNG, quant-exact
+    JPEG, and GIF (both row orders) must produce the identical pHash —
+    the q158c/q158d correctness argument at the kernel level, including
+    through the per-member brightness/contrast transform."""
     import numpy as np
 
     base = 28 + 2 * np.random.RandomState(42).randint(0, 40, (7, 7))
@@ -1127,6 +1127,8 @@ def test_decode_image_pixels_cross_codec_phash():
             multimodal.encode_bmp_pixels(56, 56, img),
             multimodal.encode_png(56, 56, img, n_channels=1),
             multimodal.encode_jpeg(56, 56, [int(v) for v in vals.ravel()]),
+            multimodal.encode_gif_pixels(56, 56, img),
+            multimodal.encode_gif_pixels(56, 56, img, interlace=True),
         ]
         for blob in renders:
             px = multimodal.decode_image_pixels(blob)
@@ -2027,3 +2029,66 @@ def test_semdedup_max_cell_leaves_cold_cells_exact(spark):
         for r in similarity.semdedup_drops(a, theta=0.4, max_cell=50).collect()
     }
     assert capped == exact
+
+
+def test_gif_lzw_table_overflow_and_clear():
+    """A stream growing the LZW table past 4096 forces the encoder's
+    clear-and-reset path; the decoder must resynchronize through the
+    clear code and reproduce the content exactly (the width-bump
+    lockstep rule is exercised at every size 9..12)."""
+    import numpy as np
+
+    gray = bytes(
+        np.random.RandomState(5).randint(0, 256, 500 * 500, dtype=np.uint8)
+    )
+    blob = multimodal.encode_gif_pixels(500, 500, gray)
+    px = multimodal.decode_gif_pixels(blob)
+    assert px is not None and bytes(px[:, :, 0].ravel()) == gray
+
+
+def test_gif_frame_composition_and_strictness():
+    """First-frame composition: a frame smaller than the logical screen
+    paints onto a background-color canvas at its (left, top) offset —
+    and the strict gates reject the malformed variants (frame outside
+    the screen, truncated LZW, missing palette, wrong index count)
+    rather than guessing."""
+    import numpy as np
+
+    # hand-build: 6x4 screen, bg index 200, 2x2 frame at (3, 1)
+    frame = bytes([10, 20, 30, 40])
+    lzw = multimodal._gif_lzw_encode(frame, 8)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    def build(left=3, top=1, iw=2, ih=2, data=lzw, with_gct=True, bg=200):
+        out = bytearray(b"GIF89a")
+        out += (6).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        out += bytes((0xF7 if with_gct else 0x77, bg, 0))
+        if with_gct:
+            out += gct
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += iw.to_bytes(2, "little") + ih.to_bytes(2, "little") + b"\x00"
+        out.append(8)
+        for i in range(0, len(data), 255):
+            block = data[i:i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    px = multimodal.decode_gif_pixels(build())
+    assert px is not None and px.shape == (4, 6, 3)
+    expect = np.full((4, 6), 200, dtype=np.uint8)
+    expect[1:3, 3:5] = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    assert (px[:, :, 0] == expect).all()
+    # strict gates
+    assert multimodal.decode_gif_pixels(build(left=5)) is None   # overflows
+    assert multimodal.decode_gif_pixels(build(with_gct=False)) is None
+    assert multimodal.decode_gif_pixels(build(data=lzw[:1])) is None
+    assert multimodal.decode_gif_pixels(
+        build(data=multimodal._gif_lzw_encode(frame[:3], 8))
+    ) is None  # 3 indices for a 4-pixel frame
+    # extension blocks are walked, first frame still decodes
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    blob = build()
+    with_ext = blob[:13 + 768] + ext + blob[13 + 768:]
+    px2 = multimodal.decode_gif_pixels(with_ext)
+    assert px2 is not None and (px2 == px).all()

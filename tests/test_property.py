@@ -384,7 +384,8 @@ def test_decode_image_pixels_total_on_arbitrary_bytes(blob):
     # the pixel kernels share the checksum kernels' totality contract
     # (None or a valid array, never an exception), and where both decode
     # they must agree: the checksum IS the pixel array's sum
-    for sig in (b"", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+    for sig in (b"", b"BM", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+                b"GIF89a", b"GIF87a"):
         px = multimodal.decode_image_pixels(sig + blob)
         assert px is None or (px.ndim == 3 and px.dtype.name == "uint8")
 
@@ -719,3 +720,43 @@ def test_jpeg_progressive_total_on_mutations():
         assert out is None or (len(out) == 5 and out[0] == len(good))
     for cut in range(0, len(good), 7):  # truncations
         assert multimodal.decode_jpeg(good[:cut]) is None
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_gif_pixels_total_on_arbitrary_bytes(blob):
+    # round-11 GIF kernel: same totality bar — None or a well-shaped
+    # RGB array, never an exception, including with correct magic in
+    # front of garbage (the LZW/structure gates must reject, not raise)
+    for b in (blob, b"GIF89a" + blob, b"GIF87a" + blob):
+        out = multimodal.decode_gif_pixels(b)
+        assert out is None or (
+            out.ndim == 3 and out.shape[2] == 3 and out.dtype.name == "uint8"
+        )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=48),
+    h=st.integers(min_value=1, max_value=48),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    interlace=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_pixel_roundtrip_property(w, h, seed, interlace):
+    """encode_gif_pixels -> decode_gif_pixels is an exact roundtrip for
+    arbitrary content at arbitrary geometry, through real LZW (width
+    bumps included) and both row storage orders (sequential and the
+    four-pass interlace)."""
+    import numpy as np
+
+    gray = bytes(
+        np.random.RandomState(seed).randint(0, 256, w * h, dtype=np.uint8)
+    )
+    blob = multimodal.encode_gif_pixels(w, h, gray, interlace=interlace)
+    px = multimodal.decode_gif_pixels(blob)
+    assert px is not None and px.shape == (h, w, 3)
+    assert bytes(px[:, :, 0].ravel()) == gray
+    assert (px[:, :, 0] == px[:, :, 1]).all()
+    assert (px[:, :, 0] == px[:, :, 2]).all()
+    meta = multimodal.decode_gif(blob)
+    assert meta == (len(blob), w, h, 3)
