@@ -345,6 +345,96 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(j, "q51", output_mode="append")
 
 
+# ----------------------------- Q51b stream-stream LEFT OUTER interval join
+@query(
+    "q51b_stream_stream_left_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click'),
+             wm AS (SELECT least(
+                        MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                        MAX(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL '1 minute' - INTERVAL '1 second'
+                        AS cutoff
+                    FROM events)
+        SELECT p.event_id, p.user_id, c.click_ts
+        FROM p CROSS JOIN wm
+        LEFT JOIN c
+          ON p.user_id = c.user_id
+         AND c.click_ts > p.ts - INTERVAL '10 minutes'
+         AND c.click_ts <= p.ts
+        WHERE p.ts <= wm.cutoff
+    """,
+    tags=("streaming", "join"),
+)
+def q51b(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (round 11, the r10
+    verdict's north-star gap #4): q51's enrichment shape when the
+    business question is "every purchase, WITH its prior clicks if any"
+    — the unmatched purchase must still come out, as a NULL-click row.
+    Spark emits the NULL row only when the join state for that purchase
+    EXPIRES (the watermark passes its eviction bound — until then a
+    matching click could still arrive), so outer results are inherently
+    watermark-gated: matched rows stream out immediately, null rows
+    trail by the watermark. The replay therefore compares the
+    WATERMARK-CLOSED REGION: purchases with ts <= final watermark
+    (min of both sides' max event time − the 1-minute delay, − 1 s so
+    no row sits exactly on the eviction boundary, where emit-vs-hold is
+    an engine-internal strictness choice) — the same cutoff the oracle
+    restates as a scalar subquery. Within that region the streaming
+    result must equal the batch LEFT JOIN exactly: every matched pair
+    AND every null row, the latter proving state eviction really emits
+    (numRowsRemoved > 0 is pinned by the adversarial multi-trigger test
+    in tests/test_streaming.py, which also pins that null rows do NOT
+    appear before the watermark passes).
+
+    Scale shape: identical to q51 — both sides keyed on user_id, state
+    bounded by the 10-minute interval + 1-minute delay; the outer
+    variant adds no state, only the deferred null emission."""
+    p = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    c = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "left_outer",
+    ).select("event_id", "user_id", "ts", "click_ts")
+    sink = run_to_memory(j, "q51b", output_mode="append")
+    # the watermark-closed cutoff, computed from the batch table with the
+    # SAME expression the oracle uses (1-row collect — bounded)
+    ev = load(spark, sf, "events")[0]
+    cut = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
+             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+    return sink.filter(F.col("ts") <= F.lit(cut)).select(
+        "event_id", "user_id", "click_ts"
+    )
+
+
 # --------------------------------------- Q63 stream-static enrichment join
 @query(
     "q63_stream_static_join",

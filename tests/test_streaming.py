@@ -698,3 +698,101 @@ def test_stream_bpe_tokenize_counts_empty_words(spark, tmp_path):
     # words: ['ab', '', 'ab', 'ab'] -> merge (a,b) learned; 'ab' becomes
     # one symbol, '' counts as one symbol -> 4 BPE tokens, 4 words
     assert (r["n_bpe_tokens"], r["n_words"]) == (4, 4)
+
+
+def test_stream_left_outer_join_null_emission_is_watermark_gated(
+    spark, tmp_path
+):
+    """q51b's production claims, pinned adversarially on a crafted
+    corpus replayed as TIME-ORDERED single-file micro-batches:
+    (a) an unmatched purchase the watermark has passed emits its NULL
+        row (state eviction really produces the outer result,
+        numRowsRemoved > 0 in the join's state metrics);
+    (b) an unmatched purchase the final watermark has NOT passed emits
+        NOTHING — null rows are watermark-gated, never eager (emitting
+        eagerly would be wrong: a matching click could still arrive);
+    (c) matched pairs stream out regardless of the watermark;
+    (d) the 6-trigger split equals the one-batch replay — boundary
+        independence with join state in play."""
+    import uuid
+
+    base = 1_700_000_000
+    rows = [
+        # (event_id, user_id, event_type, ts_off)
+        (101, 1, "purchase", 1000),  # no click in (400, 1000]: null row
+        (102, 2, "purchase", 1200),  # click at 900 in (600, 1200]: pair
+        (1, 2, "click", 900),
+        (2, 1, "click", 300),        # outside user 1's window
+        (3, 3, "click", 1100),       # click with no purchase: no row
+        (103, 4, "purchase", 4000),  # watermark never passes: NO row
+        (4, 5, "click", 4020),       # sets click-side max ts
+        (104, 6, "purchase", 3000),  # closed (wm 3940): null row
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, o) for e, u, t, o in rows],
+        "event_id long, user_id long, event_type string, off long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    src = str(tmp_path / "events")
+    df.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+
+    def run(max_files):
+        def reader():
+            r = spark.readStream.schema(schema)
+            if max_files:
+                r = r.option("maxFilesPerTrigger", str(max_files))
+            return r.parquet(src)
+
+        p = (
+            reader().filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+        c = (
+            reader().filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"),
+                    F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "1 minute")
+        )
+        j = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("click_ts") <= F.col("ts")),
+            "left_outer",
+        ).select("event_id", "user_id", "click_ts")
+        qname = f"q51b_adv_{uuid.uuid4().hex[:8]}"
+        q = (
+            j.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+        removed = 0
+        for pr in q.recentProgress:
+            for op in pr.get("stateOperators", []):
+                removed += op.get("numRowsRemoved", 0) or 0
+        got = sorted(
+            (r["event_id"], r["user_id"],
+             None if r["click_ts"] is None else int(r["click_ts"].timestamp()))
+            for r in spark.table(qname).collect()
+        )
+        return got, removed
+
+    split, split_removed = run(1)
+    whole, _ = run(None)
+    expected = sorted([
+        (101, 1, None),            # (a) closed unmatched -> null row
+        (102, 2, base + 900),      # (c) matched pair
+        (104, 6, None),            # (a) closed unmatched -> null row
+        # (103, 4): open at final watermark 3940 < 4000 -> ABSENT (b)
+    ])
+    assert split == expected, split
+    assert whole == expected, whole
+    assert split_removed > 0  # state really evicted under the split replay
