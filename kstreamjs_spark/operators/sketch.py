@@ -1,8 +1,10 @@
-"""Mergeable frequency sketches: Misra-Gries heavy hitters.
+"""Mergeable sketches: Misra-Gries heavy hitters (frequencies) and a
+deterministic KLL-style compactor (quantiles).
 
 The distributed pattern the built-in approximate aggregates (HLL++,
 GK — q24b/q50) don't demonstrate: a BOUNDED per-partition summary built
-imperatively, merged by plain aggregation, with a PROVABLE error bound.
+imperatively, merged by plain aggregation (MG: groupBy-sum) or union
+(KLL: the weighted-item multiset), with a PROVABLE error bound.
 
 Misra-Gries(k) guarantees: for every item t,
     true_count - N/(k+1)  <=  estimate(t)  <=  true_count
@@ -24,6 +26,7 @@ data-dependent tie ambiguity.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,4 +82,122 @@ def misra_gries(
     partials = src.mapInPandas(summarize, f"item {item_type}, est long")
     return partials.groupBy("item").agg(
         F.sum("est").cast("long").alias("est_count")
+    )
+
+
+def _kll_partition_summary(values, k: int):
+    """Deterministic KLL-style multi-level compactor over one partition's
+    value stream (Karnin-Lang-Liberty 2016 / Manku-Rajagopalan-Lindsay
+    1998, public; deterministic alternating compaction instead of coin
+    flips). Returns (levels, err, n): ``levels[h]`` holds items of
+    weight 2^h (each <= k items), ``err`` is the SELF-COMPUTED rank-error
+    bound — each compaction of a level-h buffer moves a queried rank by
+    at most 2^h (sorted buffer, every other item kept: a rank inside the
+    buffer shifts by at most one item's weight), so the bound is the sum
+    of 2^h over performed compactions — and ``n`` the item count."""
+    levels: list[list[float]] = [[]]
+    toggles: list[int] = [0]
+    err = 0
+    n = 0
+    for v in values:
+        n += 1
+        levels[0].append(float(v))
+        h = 0
+        while len(levels[h]) >= k:
+            buf = sorted(levels[h])
+            held: list[float] = []
+            if len(buf) % 2:
+                held = [buf.pop()]  # odd: hold the max back, exactly
+            sel = buf[toggles[h]::2]
+            toggles[h] ^= 1
+            levels[h] = held
+            if h + 1 == len(levels):
+                levels.append([])
+                toggles.append(0)
+            levels[h + 1].extend(sel)
+            err += 1 << h
+            h += 1
+    return levels, err, n
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    k: int = 200,
+    sort_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Mergeable quantile sketch: per-partition deterministic KLL
+    summaries merged by UNION (a weighted-item multiset is its own
+    merge — the under/over-counts ADD, so the merged rank error is the
+    sum of the per-partition bounds; Agarwal et al. 2012's mergeability
+    argument, the q180 pattern for quantiles), then each target
+    quantile answered from the merged summary: the smallest value whose
+    cumulative weight reaches ceil(q*N).
+
+    Returns one row per quantile: (q, est, n, err_bound) where
+    ``err_bound`` is the sketch's own conservative worst-case bound on
+    |true_rank(est) - q*N| in ROWS: the summed per-compaction bounds
+    plus the largest item weight (rank discretization). For fixed k the
+    bound is O(N log(N/k) / k) — measured far tighter in practice
+    (APPROX_EVIDENCE.json).
+
+    Scale shape: the value stream never leaves its partition (the
+    Arrow kernel reduces each partition to <= k*log2(N_p/k) fixed-width
+    rows); the only exchange carries the summary rows — logarithmic in
+    the data per partition. The final selection is a bounded driver
+    collect (the centroid-collect policy: P * k * levels rows).
+    Determinism: pass ``sort_cols`` as a TOTAL order to pin the
+    in-partition traversal (the bound holds for any order; the exact
+    estimates reproduce only under a pinned order AND fixed
+    partitioning)."""
+    if k < 8:
+        # k=1 would never shrink a buffer (hold-one-back + empty
+        # selection); tiny k gives useless bounds anyway
+        raise ValueError(f"kll_quantiles needs k >= 8, got {k}")
+    spark = df.sparkSession
+    src = df.select(col, *sort_cols)
+    if sort_cols:
+        src = src.sortWithinPartitions(*sort_cols)
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def values():
+            for pdf in it:
+                yield from pdf[col]
+
+        levels, err, n = _kll_partition_summary(values(), k)
+        rows = [
+            (h, v, 1 << h, 0, 0)
+            for h, buf in enumerate(levels)
+            for v in buf
+        ]
+        if n:
+            rows.append((-1, 0.0, 0, err, n))  # per-partition meta row
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["lvl", "value", "weight", "err", "n"]
+            )
+
+    summary = src.mapInPandas(
+        summarize, "lvl int, value double, weight long, err long, n long"
+    ).collect()
+    items = sorted(
+        (r["value"], r["weight"]) for r in summary if r["lvl"] >= 0
+    )
+    err_total = sum(r["err"] for r in summary if r["lvl"] < 0)
+    n_total = sum(r["n"] for r in summary if r["lvl"] < 0)
+    w_max = max((w for _, w in items), default=0)
+    out = []
+    for q in quantiles:
+        target = max(1, int(math.ceil(q * n_total))) if n_total else 0
+        cum = 0
+        est = items[-1][0] if items else None
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        out.append((float(q), est, n_total, err_total + w_max))
+    return spark.createDataFrame(
+        out, "q double, est double, n long, err_bound long"
     )

@@ -3559,3 +3559,36 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         toks, "token", k=_MG_K, sort_cols=("doc_id", "pos")
     ).select(F.col("item").alias("token"), "est_count")
     return hh.orderBy(F.col("est_count").desc(), "token").limit(_MG_TOP)
+
+
+# --------------- Q181 KLL quantile sketch (mergeable rank summary)
+_KLL_K = 200
+_KLL_QS = (0.5, 0.9, 0.99)
+
+
+@query("q181_quantile_sketch", oracle=None,
+       tags=("sketch", "approx", "relational"))
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """QUANTILES via a mergeable KLL-style sketch — the other summary a
+    100 TB rollup needs next to q180's frequencies (Karnin-Lang-Liberty
+    2016 / MRL 1998, public; deterministic alternating compaction):
+    each partition reduces its l_extendedprice stream to <= k*log(N/k)
+    weighted items plus a SELF-COMPUTED rank-error bound, summaries
+    merge by union (the under/over-counts add — Agarwal et al. 2012's
+    mergeability, exactly q180's argument transposed to ranks), and
+    p50/p90/p99 come off the merged summary with a per-answer
+    guarantee: |true_rank(est) - q*N| <= err_bound, reported in the
+    row itself. Rows-only by design (a sketch is not SQL-expressible —
+    the q163/q180 category); the bound, mergeability, and determinism
+    contracts are pinned quantitatively in pytest and
+    APPROX_EVIDENCE.json against exact percentiles
+    (operators/percentile.py's histogram path / DuckDB median) at both
+    SFs. Traversal pinned by the (l_orderkey, l_linenumber) total
+    order."""
+    from ..operators import sketch
+
+    (lineitem,) = load(spark, sf, "lineitem")
+    return sketch.kll_quantiles(
+        lineitem, "l_extendedprice", quantiles=_KLL_QS, k=_KLL_K,
+        sort_cols=("l_orderkey", "l_linenumber"),
+    )

@@ -274,13 +274,14 @@ def main() -> int:
     mg_out = {}
     for mg_sf in (sf, "/root/testdata/sf0.1"):
         (docs_mg,) = load(spark, mg_sf, "documents")
+        # (doc_id, pos) total order — mirrors q180 (round-11 ADVICE fix)
         toks = dedup.spread(docs_mg, "doc_id").select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
         )
         got = {
             r["item"]: r["est_count"]
             for r in sketch.misra_gries(
-                toks, "token", k=_MG_K, sort_cols=("doc_id",)
+                toks, "token", k=_MG_K, sort_cols=("doc_id", "pos")
             ).collect()
         }
         exact = {
@@ -306,6 +307,54 @@ def main() -> int:
             "n_missing_heavy": len(missing_heavy),
         }
     out["q180_heavy_hitters"] = mg_out
+
+    # ---- q181: KLL quantile sketch vs exact ranks at BOTH scale
+    # factors — for each reported quantile the TRUE rank of the
+    # estimate must sit within the sketch's own reported err_bound of
+    # the target rank, and the bound itself must stay a small fraction
+    # of N (the usefulness check: a vacuous bound would also "pass").
+    from kstreamjs_spark.queries.llm import _KLL_K, _KLL_QS
+
+    kll_out = {}
+    for kq_sf in (sf, "/root/testdata/sf0.1"):
+        (li,) = load(spark, kq_sf, "lineitem")
+        rows = sketch.kll_quantiles(
+            li, "l_extendedprice", quantiles=_KLL_QS, k=_KLL_K,
+            sort_cols=("l_orderkey", "l_linenumber"),
+        ).collect()
+        import numpy as np
+
+        xs = np.sort(
+            np.array(
+                [r[0] for r in li.select("l_extendedprice").collect()],
+                dtype=float,
+            )
+        )
+        n = len(xs)
+        per_q = {}
+        worst = 0
+        for r in rows:
+            target = max(1, int(np.ceil(r["q"] * n)))
+            lo = int(np.searchsorted(xs, r["est"], side="left"))
+            hi = int(np.searchsorted(xs, r["est"], side="right"))
+            dev = max(lo - target, target - hi, 0)
+            worst = max(worst, dev)
+            per_q[str(r["q"])] = {
+                "est": r["est"],
+                "rank_dev": dev,
+                "err_bound": r["err_bound"],
+            }
+        kll_out[kq_sf.rsplit("/", 1)[-1]] = {
+            "n": n,
+            "k": _KLL_K,
+            "quantiles": per_q,
+            "worst_rank_dev": worst,
+            "bound_respected": all(
+                v["rank_dev"] <= v["err_bound"] for v in per_q.values()
+            ),
+            "bound_over_n": round(rows[0]["err_bound"] / n, 4),
+        }
+    out["q181_quantile_sketch"] = kll_out
 
     doc = {
         "sf_dir": sf,

@@ -2092,3 +2092,66 @@ def test_gif_frame_composition_and_strictness():
     with_ext = blob[:13 + 768] + ext + blob[13 + 768:]
     px2 = multimodal.decode_gif_pixels(with_ext)
     assert px2 is not None and (px2 == px).all()
+
+
+def test_kll_quantiles_bound_mergeability_determinism(spark):
+    """q181's contracts, the q180 pattern transposed to ranks:
+    (1) BOUND — for every reported quantile, the estimate's true rank
+        sits within the sketch's own reported err_bound of the target
+        (checked on uniform AND heavily-skewed data, and at two
+        partition counts — the merge path is exercised because every
+        partition contributes an independent summary whose errors ADD);
+    (2) USEFULNESS — the bound is a small fraction of N, not vacuous;
+    (3) DETERMINISM — same data, same partitioning, pinned traversal
+        order => identical rows;
+    (4) exactness on data smaller than one buffer (no compaction ever
+        fires: err_bound == the discretization weight 1, estimates are
+        exact order statistics)."""
+    import numpy as np
+
+    from kstreamjs_spark.operators import sketch
+
+    rng = np.random.RandomState(17)
+    n = 40_000
+    for name, vals in [
+        ("uniform", rng.uniform(0, 1e6, n)),
+        ("pareto", rng.pareto(1.2, n) * 100),
+    ]:
+        xs = np.sort(vals)
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(vals)],
+            "rid long, x double",
+        )
+        for parts in (4, 13):
+            rows = sketch.kll_quantiles(
+                df.repartition(parts, "rid"), "x",
+                quantiles=(0.1, 0.5, 0.9, 0.99), k=128,
+                sort_cols=("rid",),
+            ).collect()
+            for r in rows:
+                target = max(1, int(np.ceil(r["q"] * n)))
+                lo = int(np.searchsorted(xs, r["est"], side="left"))
+                hi = int(np.searchsorted(xs, r["est"], side="right"))
+                dev = max(lo - target, target - hi, 0)
+                assert dev <= r["err_bound"], (name, parts, r, dev)
+                assert r["n"] == n
+            assert rows[0]["err_bound"] <= n // 8, (name, parts, rows[0])
+        one = sketch.kll_quantiles(
+            df.repartition(7, "rid"), "x", quantiles=(0.5,), k=128,
+            sort_cols=("rid",),
+        ).collect()
+        two = sketch.kll_quantiles(
+            df.repartition(7, "rid"), "x", quantiles=(0.5,), k=128,
+            sort_cols=("rid",),
+        ).collect()
+        assert one == two, name
+    # (4) sub-buffer data: exact
+    small = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(rng.permutation(100))],
+        "rid long, x double",
+    ).coalesce(1)
+    rows = sketch.kll_quantiles(
+        small, "x", quantiles=(0.5, 0.9), k=128, sort_cols=("rid",)
+    ).collect()
+    assert [r["est"] for r in rows] == [49.0, 89.0], rows
+    assert all(r["err_bound"] == 1 for r in rows), rows
