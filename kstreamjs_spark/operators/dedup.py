@@ -487,10 +487,24 @@ def hamming_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance k over ANY precomputed
     64-bit hash column (SimHash of text, pHash of images, …), using the
-    standard chunk pigeonhole: split the hash into 4 16-bit chunks — a
-    pair within distance k<=3 must agree on >=1 chunk, so candidates
-    come from equi-joins on (chunk_id, chunk_value), never a cross join.
-    Output (d1, d2, hamming), d1 < d2, exact-verified.
+    chunk pigeonhole at one of two geometries:
+
+    - k <= 3: 4 chunks of 16 bits, single-chunk keys — a pair within
+      distance 3 must agree on >= 1 chunk (4 exploded rows per input).
+    - 4 <= k <= 6 (round 11, the q26c recall fix): 8 chunks of 8 bits,
+      TWO-CHUNK COMBINATION keys — within distance 6 at most 6 chunks
+      are dirty, so >= 2 are clean and some PAIR of chunks matches
+      exactly; candidates come from the equi-join on
+      (combo_id, chunk_i||chunk_j), a 16-bit value per key like the
+      4x16 scheme, so bucket widths are unchanged while the guaranteed
+      radius doubles. C(8,2) = 28 exploded rows per input — a constant
+      factor on the candidate join, never a wider bucket.
+
+    Either way candidates come from equi-joins, never a cross join, and
+    are exact-verified by the true bit_count. Output (d1, d2, hamming),
+    d1 < d2. k > 6 is refused rather than silently under-recalled
+    (3-of-9+ combination schemes exist but nothing in the inventory
+    needs them).
 
     Scale note: a clique of m EXACT duplicates (hamming 0) legitimately
     yields m*(m-1)/2 pairs — quadratic output is the semantics, not a
@@ -499,17 +513,14 @@ def hamming_neardup_pairs(
     representative + member list), run this operator on the
     representatives, then expand — the pair semantics are preserved and
     the candidate join never sees the clique."""
-    if max_hamming > 3:
-        # 4 fixed 16-bit chunks pigeonhole distances <= 3 only; a larger
-        # threshold silently loses pairs whose differing bits spread one
-        # per chunk — refuse rather than under-recall.
+    if max_hamming > 6:
         raise ValueError(
-            f"hamming_neardup_pairs guarantees recall for max_hamming <= 3 "
-            f"(4 chunks), got {max_hamming}"
+            f"hamming_neardup_pairs guarantees recall for max_hamming <= 6 "
+            f"(2-of-8-chunk pigeonhole), got {max_hamming}"
         )
     sh = hashed.select(F.col(id_col), F.col(hash_col).alias("h"))
-    chunks = F.array(
-        *[
+    if max_hamming <= 3:
+        chunk_structs = [
             F.struct(
                 F.lit(c).alias("cid"),
                 F.shiftright(F.col("h"), 16 * c)
@@ -518,7 +529,20 @@ def hamming_neardup_pairs(
             )
             for c in range(4)
         ]
-    )
+    else:
+        byte = [
+            F.shiftright(F.col("h"), 8 * c).bitwiseAND(F.lit(0xFF))
+            for c in range(8)
+        ]
+        chunk_structs = [
+            F.struct(
+                F.lit(i * 8 + j).alias("cid"),
+                (F.shiftleft(byte[i], 8) + byte[j]).alias("cval"),
+            )
+            for i in range(8)
+            for j in range(i + 1, 8)
+        ]
+    chunks = F.array(*chunk_structs)
     ex = sh.select(F.col(id_col), "h", F.explode(chunks).alias("c")).select(
         F.col(id_col), "h", F.col("c.cid").alias("cid"), F.col("c.cval").alias("cval")
     )

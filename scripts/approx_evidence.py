@@ -104,7 +104,15 @@ def main() -> int:
         }
     out["q26b_minhash_neardup"]["banding_curve"] = banding
 
-    # ---- q26c: simhash recall vs the exact Jaccard pair set
+    # ---- q26c: simhash recall vs the exact Jaccard pair set. Round 11:
+    # the 2-of-8-chunk combination pigeonhole (radius 6) replaced the
+    # radius-3 geometry whose 0.6 recall was the family's floor — the
+    # fixture's true pairs reach SimHash distance 5. The surplus pairs
+    # are TRUE hamming<=6 pairs (the operator is exact for its own
+    # metric, brute-force-pinned in pytest); like q26b's candidates
+    # they feed an exact-Jaccard verify when the downstream needs the
+    # lexical metric, so jaccard_precision is a property of SimHash as
+    # a proxy, not an operator error.
     sh = {(r[0], r[1]) for r in q["q26c_simhash_neardup"].fn(spark, sf).collect()}
     out["q26c_simhash_neardup"] = {
         "n_exact_pairs": len(truth),
@@ -112,6 +120,10 @@ def main() -> int:
         "recall_vs_exact": (
             round(len(sh & set(truth)) / len(truth), 4) if truth else None
         ),
+        "jaccard_precision": (
+            round(len(sh & set(truth)) / len(sh), 4) if sh else None
+        ),
+        "max_hamming": 6,
     }
 
     # ---- q27b / q42: ANN top-10 vs exact cosine top-10

@@ -2155,3 +2155,81 @@ def test_kll_quantiles_bound_mergeability_determinism(spark):
     ).collect()
     assert [r["est"] for r in rows] == [49.0, 89.0], rows
     assert all(r["err_bound"] == 1 for r in rows), rows
+
+
+def test_hamming_pairs_combination_scheme_exact_vs_bruteforce(spark):
+    """Round-11 radius-6 pigeonhole: pairs planted at every distance
+    0..8 over a random hash population — the operator must return
+    EXACTLY the brute-force hamming<=6 pair set (the 2-of-8-chunk
+    combination keys guarantee every such pair is a candidate; the
+    verify step drops everything else, including the planted 7s/8s),
+    and the radius-3 path must be byte-identical to before (the 4x16
+    single-chunk geometry is untouched)."""
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    hs = [int(x) for x in rng.randint(-2**63, 2**63, 200, dtype=np.int64)]
+    for d in range(9):  # distances 0..8: 7 and 8 must NOT come back
+        v = np.int64(hs[d])
+        for b in rng.choice(64, d, replace=False):
+            v = np.int64(v ^ np.int64(np.uint64(1) << np.uint64(int(b))))
+        hs.append(int(v))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hs)], "doc_id long, h long"
+    )
+    exact = set()
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin((hs[i] ^ hs[j]) & (2**64 - 1)).count("1")
+            if d <= 6:
+                exact.add((i, j, d))
+    got = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in dedup.hamming_neardup_pairs(df, max_hamming=6).collect()
+    }
+    assert got == exact
+    got3 = {
+        (r["d1"], r["d2"], r["hamming"])
+        for r in dedup.hamming_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert got3 == {t for t in exact if t[2] <= 3}
+    # radius > 6 still refuses rather than under-recalls
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming <= 6"):
+        dedup.hamming_neardup_pairs(df, max_hamming=7)
+
+
+def test_simhash_radius6_recalls_all_fixture_neardups(spark):
+    """q26c's recall floor, closed (the r9/r10 verdicts' 0.6-recall
+    watch item): every exact-Jaccard>=0.5 pair whose SimHash distance
+    is ACTUALLY within the radius must be recalled — the operator may
+    only miss pairs SimHash itself places far apart (the smoke corpus
+    has two such: distances 31 and 53, short docs where token-set
+    overlap does not imply angular similarity — the proxy's honest
+    limit, unreachable at ANY blocking radius), and those must be the
+    ONLY misses. On the evidence corpus (sf0.01, distances <= 5) this
+    means recall 1.0 — APPROX_EVIDENCE.json."""
+    d = docs(spark)
+    exact = {
+        (r["d1"], r["d2"])
+        for r in dedup.jaccard_pairs(
+            d, threshold=0.5, partition_col=None
+        ).collect()
+    }
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in d.select(
+            "doc_id", dedup.simhash64("text").alias("h")
+        ).collect()
+    }
+    sh = {
+        (r["d1"], r["d2"])
+        for r in dedup.simhash_neardup_pairs(d, max_hamming=6).collect()
+    }
+    for a, b in exact - sh:  # every miss is a true far-in-simhash pair
+        assert bin(hs[a] ^ hs[b]).count("1") > 6, (a, b)
+    within = {p for p in exact
+              if bin(hs[p[0]] ^ hs[p[1]]).count("1") <= 6}
+    assert within <= sh, f"missed in-radius: {within - sh}"
+    assert len(exact & sh) / len(exact) >= 0.9
