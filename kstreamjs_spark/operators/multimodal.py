@@ -877,10 +877,16 @@ _GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 
 def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
-    """GIF-variant LZW (LSB-first bit packing, variable 3..12-bit codes,
-    clear/EOI codes, code width bumps in lockstep with table growth,
-    clear emitted on table overflow at 4096) — the exact mirror of
-    `_gif_lzw_decode`; the roundtrip is pinned by test."""
+    """GIF-variant LZW (LSB-first bit packing, variable 3..12-bit
+    codes, clear/EOI codes, clear emitted on table overflow at 4096).
+    Width-bump convention: both sides track a CODE COUNTER (``track``,
+    giflib's RunningCode) advanced per stream code, bumping the width
+    when the counter passes 2^w — NOT a table-entry count. The
+    distinction matters exactly at the stream tail: the final data code
+    and EOI carry no table assignment, so an entry-count convention
+    desyncs by one bit when the last assignment lands on a bump
+    boundary (found by the hypothesis roundtrip fuzz at ~256-pixel
+    high-entropy payloads). The exact mirror of `_gif_lzw_decode`."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
@@ -896,7 +902,7 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
             nbits -= 8
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
-    next_code = eoi + 1
+    next_code = eoi + 1  # next code value to assign == the code counter
     width = min_code_size + 1
     emit(clear, width)
     w = b""
@@ -906,11 +912,13 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
             w = wc
             continue
         emit(table[w], width)
+        # giflib's EGifCompressOutput order: bump check AFTER emitting,
+        # BEFORE this emission's assignment (counter still pre-increment)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
         if next_code < 4096:
             table[wc] = next_code
             next_code += 1
-            if next_code == (1 << width) and width < 12:
-                width += 1
         else:
             # table full: reset (decoder mirrors on seeing the clear)
             emit(clear, width)
@@ -920,6 +928,8 @@ def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -932,7 +942,10 @@ def _gif_lzw_decode(
     """Strict GIF LZW decode: None on any malformation — an
     out-of-range code, a stream yielding more than ``max_pixels``
     indices (the allocation-bomb guard: output is bounded BEFORE it is
-    built), or a stream ending without EOI after data ran out."""
+    built), or a stream ending without EOI after data ran out. Width
+    bumps follow the code-counter convention (see `_gif_lzw_encode`):
+    ``track`` advances per code READ, so final-code/EOI reads stay in
+    lockstep with an encoder whose tail emissions assign nothing."""
     if not 2 <= min_code_size <= 8:
         return None
     clear = 1 << min_code_size
@@ -940,6 +953,7 @@ def _gif_lzw_decode(
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
     width = min_code_size + 1
+    track = eoi + 1  # giflib RunningCode: codes read since last clear
     prev: bytes | None = None
     acc = nbits = pos = 0
     while True:
@@ -955,17 +969,21 @@ def _gif_lzw_decode(
         if code == clear:
             table = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = min_code_size + 1
+            track = eoi + 1
             prev = None
             continue
         if code == eoi:
             return out
+        # post-read counter advance + bump (giflib DGifDecompressInput):
+        # ++ then bump when the counter PASSES 2^w — equivalent in
+        # stream position to the encoder's pre-assignment >= check
+        track += 1
+        if track > (1 << width) and width < 12:
+            width += 1
         if code < len(table):
-            if code < clear:
-                entry = table[code]
-            else:
-                entry = table[code]
-                if not entry:  # the two reserved slots never decode
-                    return None
+            entry = table[code]
+            if code >= clear and not entry:
+                return None  # the two reserved slots never decode
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
         else:
@@ -975,15 +993,8 @@ def _gif_lzw_decode(
         out += entry
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
-            # the decoder's table lags the encoder's by exactly one
-            # entry (the encoder assigns at EMIT time, the decoder one
-            # code later), so the width bump fires one entry early —
-            # at 2^w - 1, where the encoder's own bump fired at 2^w
-            # (the classic GIF-LZW sync rule giflib implements by
-            # advancing its code counter at read time)
-            if len(table) == (1 << width) - 1 and width < 12:
-                width += 1
         prev = entry
+
 
 
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -1028,17 +1039,19 @@ def encode_gif_pixels(
     return bytes(out)
 
 
-def decode_gif_pixels(blob: bytes):
-    """REAL pixel-decode kernel: strict GIF parse — header + logical
-    screen descriptor, global/local color tables, extension-block walk,
-    first image descriptor, full LZW decompression, four-pass
-    de-interlace — composing frame 0 onto the logical screen over the
-    background color and returning a numpy uint8 array of shape
-    (height, width, 3) via palette lookup, or None on any malformation
-    (bad magic, missing palette, frame outside the screen, bad LZW
-    stream, wrong index count, out-of-palette index) so arbitrary bytes
-    can never alias in — the same totality contract as the BMP/PNG/JPEG
-    kernels."""
+def _gif_parse(blob: bytes, max_frames: int | None = None):
+    """Shared strict GIF parser: header + logical screen descriptor +
+    global color table, then the block walk collecting frame records —
+    image descriptors with their local color tables, concatenated LZW
+    sub-block data, and the preceding graphic-control state (delay,
+    disposal method, transparency index). Returns
+    (width, height, bg, gct, frames) or None on any malformation.
+
+    ``max_frames`` bounds the walk: parsing stops once that many frames
+    are collected WITHOUT requiring the trailer (the single-frame
+    consumers — pHash ingest — validate through the frames they use,
+    the same laziness decode_mp4's box walk applies past moov); with
+    ``max_frames=None`` the walk is strict to the 0x3B trailer."""
     import numpy as np
 
     if len(blob) < 13 or blob[:6] not in _GIF_MAGICS:
@@ -1056,86 +1069,288 @@ def decode_gif_pixels(blob: bytes):
             return None
         gct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    frames: list[dict] = []
+    delay_cs = 0
+    disposal = 0
+    transp = None
     while True:
         if pos >= len(blob):
             return None
         block = blob[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image frame
-            return None
+        if block == 0x3B:
+            break
         if block == 0x21:  # extension: label + sub-blocks until 0
             if pos >= len(blob):
                 return None
+            label = blob[pos]
             pos += 1
+            first = True
             while True:
                 if pos >= len(blob):
                     return None
                 n = blob[pos]
-                pos += 1 + n
+                pos += 1
                 if n == 0:
                     break
+                if label == 0xF9 and first and n >= 4:
+                    # graphic control: packed(disposal/transp flag),
+                    # delay (LE centiseconds), transparent index
+                    gp = blob[pos]
+                    disposal = (gp >> 2) & 7
+                    delay_cs = int.from_bytes(blob[pos + 1:pos + 3], "little")
+                    transp = blob[pos + 3] if gp & 1 else None
+                first = False
+                pos += n
             continue
         if block != 0x2C:
             return None
-        break
-    if pos + 9 > len(blob):
-        return None
-    left = int.from_bytes(blob[pos:pos + 2], "little")
-    top = int.from_bytes(blob[pos + 2:pos + 4], "little")
-    iw = int.from_bytes(blob[pos + 4:pos + 6], "little")
-    ih = int.from_bytes(blob[pos + 6:pos + 8], "little")
-    ipacked = blob[pos + 8]
-    pos += 9
-    if iw == 0 or ih == 0 or left + iw > width or top + ih > height:
-        return None
-    pal = gct
-    if ipacked & 0x80:  # local color table overrides for this frame
-        n = 2 << (ipacked & 7)
-        if pos + 3 * n > len(blob):
+        if pos + 9 > len(blob):
             return None
-        pal = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
-        pos += 3 * n
-    if pal is None:
-        return None
-    if pos >= len(blob):
-        return None
-    min_code = blob[pos]
-    pos += 1
-    lzw = bytearray()
-    while True:
+        left = int.from_bytes(blob[pos:pos + 2], "little")
+        top = int.from_bytes(blob[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(blob[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(blob[pos + 6:pos + 8], "little")
+        ipacked = blob[pos + 8]
+        pos += 9
+        if iw == 0 or ih == 0 or left + iw > width or top + ih > height:
+            return None
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            if pos + 3 * n > len(blob):
+                return None
+            lct = np.frombuffer(blob, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
         if pos >= len(blob):
             return None
-        n = blob[pos]
+        min_code = blob[pos]
         pos += 1
-        if n == 0:
+        data = bytearray()
+        while True:
+            if pos >= len(blob):
+                return None
+            n = blob[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(blob):
+                return None
+            data += blob[pos:pos + n]
+            pos += n
+        frames.append({
+            "left": left, "top": top, "iw": iw, "ih": ih,
+            "interlace": bool(ipacked & 0x40), "lct": lct,
+            "min_code": min_code, "data": bytes(data),
+            "delay_cs": delay_cs, "disposal": disposal, "transp": transp,
+        })
+        delay_cs, disposal, transp = 0, 0, None
+        if max_frames is not None and len(frames) >= max_frames:
             break
-        if pos + n > len(blob):
-            return None
-        lzw += blob[pos:pos + n]
-        pos += n
-    idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
-    if idx is None or len(idx) != iw * ih:
+    if not frames:
         return None
-    frame = np.frombuffer(bytes(idx), np.uint8).reshape(ih, iw)
-    if int(frame.max()) >= len(pal):
+    return width, height, bg, gct, frames
+
+
+def _gif_frame_indices(fr: dict):
+    """LZW-decode one parsed frame record to its (ih, iw) palette-index
+    array (de-interlaced), or None."""
+    import numpy as np
+
+    idx = _gif_lzw_decode(fr["data"], fr["min_code"], fr["iw"] * fr["ih"])
+    if idx is None or len(idx) != fr["iw"] * fr["ih"]:
         return None
-    if ipacked & 0x40:  # de-interlace: rows arrive in four-pass order
+    frame = np.frombuffer(bytes(idx), np.uint8).reshape(fr["ih"], fr["iw"])
+    if fr["interlace"]:
         rows = np.empty_like(frame)
-        src = 0
+        src_row = 0
         for start, step in _GIF_INTERLACE_PASSES:
-            n = len(range(start, ih, step))
-            rows[start::step] = frame[src:src + n]
-            src += n
+            n = len(range(start, fr["ih"], step))
+            rows[start::step] = frame[src_row:src_row + n]
+            src_row += n
         frame = rows
-    # background fill: the bg index refers to the GLOBAL table; when it
-    # is absent or out of range for the frame's effective palette, fall
-    # back to index 0 (always valid — every color table has >= 2 rows)
-    fill = bg if (gct is not None and bg < len(gct)) else 0
-    if fill >= len(pal):
-        fill = 0
-    canvas = np.full((height, width), fill, dtype=np.uint8)
-    canvas[top:top + ih, left:left + iw] = frame
-    return np.ascontiguousarray(pal[canvas])
+    return frame
+
+
+def _gif_bg_rgb(bg: int, gct):
+    """Background fill color as an RGB triple: the bg index into the
+    global table when valid, else black (a GIF without a global table
+    has no defined background color)."""
+    if gct is not None and bg < len(gct):
+        return gct[bg]
+    import numpy as np
+
+    return np.zeros(3, dtype=np.uint8)
+
+
+def decode_gif_frame(blob: bytes, frame_idx: int):
+    """REAL animated-GIF frame PIXEL decode: parse frames 0..frame_idx,
+    LZW-decode each, and compose them IN SEQUENCE onto the logical
+    screen — paint-over for disposal none/do-not-dispose (0/1),
+    region-restore-to-background for disposal 2, honoring per-frame
+    transparency — returning the (height, width, 3) uint8 array the
+    animation shows at that frame, or None (malformed stream, index out
+    of range, or disposal 3 restore-to-previous, which is honestly
+    rejected rather than approximated). Unlike MP4's chunk tables GIF
+    has NO random access — every frame is a delta over the previous
+    canvas — so selective decode is inherently O(frame_idx); the cost
+    claim for middle-frame sampling is linear in video length, stated
+    as such (`gif_anim_phash_blobs`)."""
+    import numpy as np
+
+    if frame_idx < 0:
+        return None
+    parsed = _gif_parse(blob, max_frames=frame_idx + 1)
+    if parsed is None:
+        return None
+    width, height, bg, gct, frames = parsed
+    if len(frames) <= frame_idx:
+        return None
+    bg_rgb = _gif_bg_rgb(bg, gct)
+    canvas = np.empty((height, width, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    for f, fr in enumerate(frames[:frame_idx + 1]):
+        pal = fr["lct"] if fr["lct"] is not None else gct
+        if pal is None:
+            return None
+        frame = _gif_frame_indices(fr)
+        if frame is None or int(frame.max()) >= len(pal):
+            return None
+        region = canvas[fr["top"]:fr["top"] + fr["ih"],
+                        fr["left"]:fr["left"] + fr["iw"]]
+        rgb = pal[frame]
+        if fr["transp"] is not None:
+            mask = frame != fr["transp"]
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        if f < frame_idx:
+            if fr["disposal"] == 2:
+                region[:] = bg_rgb
+            elif fr["disposal"] == 3:
+                return None  # restore-to-previous: reject, don't guess
+    return np.ascontiguousarray(canvas)
+
+
+def decode_gif_pixels(blob: bytes):
+    """REAL pixel-decode kernel: strict GIF parse — header + logical
+    screen descriptor, global/local color tables, extension-block walk,
+    first image descriptor, full LZW decompression, four-pass
+    de-interlace — composing frame 0 onto the logical screen over the
+    background color and returning a numpy uint8 array of shape
+    (height, width, 3) via palette lookup, or None on any malformation
+    (bad magic, missing palette, frame outside the screen, bad LZW
+    stream, wrong index count, out-of-palette index) so arbitrary bytes
+    can never alias in — the same totality contract as the BMP/PNG/JPEG
+    kernels. The still-image entry point of the shared parser
+    (`_gif_parse`); the animation surface is `decode_gif_frame` /
+    `gif_frame_table`."""
+    return decode_gif_frame(blob, 0)
+
+
+def gif_frame_table(blob: bytes):
+    """Container-level frame metadata without pixel decode (the GIF
+    analog of `mp4_sample_table`): per-frame
+    (frame_idx, left, top, width, height, delay_cs, lzw_byte_len)
+    tuples from a STRICT full-file parse, or None. The LZW payloads are
+    walked (sub-block structure validated) but not decompressed — the
+    cheap first pass a video pipeline runs before deciding which frames
+    to decode."""
+    parsed = _gif_parse(blob)
+    if parsed is None:
+        return None
+    _, _, _, _, frames = parsed
+    return [
+        (i, fr["left"], fr["top"], fr["iw"], fr["ih"], fr["delay_cs"],
+         len(fr["data"]))
+        for i, fr in enumerate(frames)
+    ]
+
+
+def encode_gif_anim(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delay_cs: int = 10,
+) -> bytes:
+    """Animated-GIF writer (the fixture generator for the real
+    animation decode path): every frame is a full-screen grayscale
+    plane (``width*height`` luma bytes) against the shared 256-entry
+    identity palette, preceded by a graphic-control extension carrying
+    ``delay_cs`` and disposal do-not-dispose, plus the NETSCAPE2.0
+    loop-forever application extension real encoders emit. Real LZW per
+    frame."""
+    if not frames:
+        raise ValueError("encode_gif_anim: need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(
+                f"encode_gif_anim: every frame needs {width * height} "
+                f"luma bytes, got {len(f)}"
+            )
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes((0xF7, 0, 0))
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    # NETSCAPE2.0 loop extension (loop count 0 = forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for gray in frames:
+        out += b"\x21\xf9\x04"          # graphic control, 4 data bytes
+        out.append(0x04)                  # disposal 1 (do not dispose)
+        out += delay_cs.to_bytes(2, "little")
+        out += b"\x00\x00"                # no transparency; terminator
+        out += b"\x2c" + bytes(4)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out.append(0)
+        out.append(8)
+        lzw = _gif_lzw_encode(gray, 8)
+        for i in range(0, len(lzw), 255):
+            block = lzw[i:i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_anim_phash_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-animation perceptual hash over a binary column of GIFs: walk
+    the frame table, decode the MIDDLE frame (sequential composition —
+    GIF frames are deltas, so unlike MJPEG's chunk-table seek the cost
+    is O(n_frames/2) LZW decodes per animation; stated, not hidden),
+    collapse to luma, pHash. One Arrow-batched mapInPandas projection —
+    (id, n_frames, vhash) is the shuffle key for Hamming-bucketed
+    animation near-dup, q174's chain for the GIF container."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, counts, hashes = [], [], []
+            for d, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(b)
+                table = gif_frame_table(blob)
+                if table is None:
+                    raise ValueError(
+                        "gif_anim_phash_blobs: not a valid GIF"
+                    )
+                px = decode_gif_frame(blob, len(table) // 2)
+                if px is None:
+                    raise ValueError(
+                        "gif_anim_phash_blobs: undecodable middle frame"
+                    )
+                ids.append(d)
+                counts.append(len(table))
+                hashes.append(phash64(_pixels_to_luma(px)))
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": counts, "vhash": hashes}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, f"{id_col} {id_type}, n_frames long, vhash long"
+    )
+
 
 
 AUDIO_META_SCHEMA = (

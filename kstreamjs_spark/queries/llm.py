@@ -3598,3 +3598,78 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
         lineitem, "l_extendedprice", quantiles=_KLL_QS, k=_KLL_K,
         sort_cols=("l_orderkey", "l_linenumber"),
     )
+
+
+# ------------------- Q182 animated-GIF perceptual dedup (middle frame)
+def _synth_gif_anim_blobs(df: DataFrame) -> DataFrame:
+    """q182 fixture-synthesis stage — q174's derivation arithmetic for
+    the GIF container: every doc in perceptual group g = id//3 gets the
+    SAME animation (group-determined length n_frames = 3 + g%3; frame f
+    a 56x56 grayscale plane whose 7x7 blocks hold values drawn from an
+    rng seeded by (g, f) — INDEPENDENT patterns per group and per
+    frame, so animations dedup exactly by group while a wrong frame
+    index changes the hash) rendered at per-doc brightness/contrast
+    (vals*(1+d%2) + 10*(d%5), pHash exactly invariant to both). Real
+    LZW encoding per frame, graphic-control delays, NETSCAPE loop
+    extension — the blob is what a crawler actually stores for an
+    animated GIF."""
+    import numpy as np
+    import pandas as pd
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                n_frames = 3 + g % 3
+                frames = []
+                for f in range(n_frames):
+                    rng = np.random.RandomState(
+                        (g * 2654435761 + f * 97 + 59) % (2**31)
+                    )
+                    base = 28 + 2 * rng.randint(0, 40, (7, 7))
+                    vals = base * (1 + d % 2) + 10 * (d % 5)
+                    img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                    frames.append(bytes(img.astype(np.uint8).ravel()))
+                blobs.append(
+                    multimodal.encode_gif_anim(56, 56, frames, delay_cs=4)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(make, "doc_id long, blob binary")
+
+
+@query(
+    "q182_gif_anim_phash_dedup",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm", "video"),
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """ANIMATED-GIF perceptual dedup over real frame-pixel decode
+    (round 11): q174's video-dedup chain for the GIF container — the
+    other intra-frame animation format a crawl actually contains whose
+    frames need NO codec library. The frame table walks the
+    graphic-control/image-descriptor structure (`gif_frame_table`, the
+    `mp4_sample_table` analog), the MIDDLE frame decodes through full
+    LZW + sequential composition (`decode_gif_frame` — GIF frames are
+    deltas over the canvas, so unlike MJPEG's chunk-table seek the cost
+    is O(n_frames/2) per animation; stated, not hidden), and the pHash
+    feeds the same Hamming chunk equi-join. Group-determined animation
+    LENGTH and per-(group, frame) independent content make the
+    middle-frame pick load-bearing — a wrong frame index or a botched
+    composition changes the hash and the closed-form oracle catches it.
+
+    Scale shape identical to q174: synthesis, decode, and hash are one
+    Arrow-batched projection per partition (blobs never shuffle); the
+    only exchange is the 8-byte (chunk_id, chunk_value) candidate
+    equi-join."""
+    (documents,) = load(spark, sf, "documents")
+    hashed = multimodal.gif_anim_phash_blobs(_synth_gif_anim_blobs(documents))
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, id_col="doc_id", hash_col="vhash"
+    )

@@ -2233,3 +2233,108 @@ def test_simhash_radius6_recalls_all_fixture_neardups(spark):
               if bin(hs[p[0]] ^ hs[p[1]]).count("1") <= 6}
     assert within <= sh, f"missed in-radius: {within - sh}"
     assert len(exact & sh) / len(exact) >= 0.9
+
+
+def test_gif_anim_roundtrip_frame_table_and_middle_frame():
+    """Animated-GIF surface (round 11): the frame table reports every
+    frame's geometry/delay without decoding; sequential composition
+    reproduces each full-screen frame exactly; out-of-range indices are
+    None."""
+    import numpy as np
+
+    rng = np.random.RandomState(41)
+    frames = [
+        bytes(rng.randint(0, 256, 40 * 30, dtype=np.uint8)) for _ in range(5)
+    ]
+    anim = multimodal.encode_gif_anim(40, 30, frames, delay_cs=7)
+    table = multimodal.gif_frame_table(anim)
+    assert [t[:6] for t in table] == [
+        (i, 0, 0, 40, 30, 7) for i in range(5)
+    ]
+    for i, f in enumerate(frames):
+        px = multimodal.decode_gif_frame(anim, i)
+        assert bytes(px[:, :, 0].ravel()) == f, i
+    assert multimodal.decode_gif_frame(anim, 5) is None
+    assert multimodal.decode_gif_frame(anim, -1) is None
+
+
+def test_gif_anim_disposal_and_transparency_composition():
+    """Hand-built two-frame GIF: frame 0 full-screen with disposal 2
+    (restore to background), frame 1 a 2x2 patch — the composed second
+    frame must show background everywhere except the patch; disposal 3
+    (restore to previous) is rejected rather than approximated; a
+    transparent index leaves the underlying canvas visible."""
+    import numpy as np
+
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+
+    def build(disp0, transp1=None):
+        lzw0 = multimodal._gif_lzw_encode(bytes([50] * 16), 8)
+        patch = bytes([99, 77, 77, 99])
+        lzw1 = multimodal._gif_lzw_encode(patch, 8)
+        out = bytearray(b"GIF89a")
+        out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        out += bytes((0xF7, 200, 0)) + gct
+        out += b"\x21\xf9\x04" + bytes([disp0 << 2])
+        out += (5).to_bytes(2, "little") + b"\x00\x00"
+        out += b"\x2c" + bytes(4)
+        out += (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        out += b"\x00\x08" + bytes([len(lzw0)]) + lzw0 + b"\x00"
+        gp1 = 0x04 | (1 if transp1 is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([gp1]) + (5).to_bytes(2, "little")
+        out += bytes([transp1 or 0]) + b"\x00"
+        out += b"\x2c" + (1).to_bytes(2, "little") * 2
+        out += (2).to_bytes(2, "little") * 2
+        out += b"\x00\x08" + bytes([len(lzw1)]) + lzw1 + b"\x00\x3b"
+        return bytes(out)
+
+    px = multimodal.decode_gif_frame(build(2), 1)
+    expect = np.full((4, 4), 200)
+    expect[1:3, 1:3] = [[99, 77], [77, 99]]
+    assert (px[:, :, 0] == expect).all()
+    # disposal 1: frame 0 persists under the patch
+    px1 = multimodal.decode_gif_frame(build(1), 1)
+    expect1 = np.full((4, 4), 50)
+    expect1[1:3, 1:3] = [[99, 77], [77, 99]]
+    assert (px1[:, :, 0] == expect1).all()
+    # transparency: index 77 pixels don't paint -> frame 0's 50 shows
+    pxt = multimodal.decode_gif_frame(build(1, transp1=77), 1)
+    expectt = np.full((4, 4), 50)
+    expectt[1, 1] = expectt[2, 2] = 99
+    assert (pxt[:, :, 0] == expectt).all()
+    assert multimodal.decode_gif_frame(build(3), 1) is None  # disposal 3
+
+
+def test_gif_anim_phash_separates_groups_and_middle_frame_matters(spark):
+    """q182's correctness argument at the operator level: same-group
+    docs (different brightness/contrast) hash identically from the
+    middle frame; a DIFFERENT frame index of the same animation hashes
+    differently (per-(group, frame) independent content makes the
+    middle-frame pick load-bearing)."""
+    from kstreamjs_spark.queries.llm import _synth_gif_anim_blobs
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    blobs = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in _synth_gif_anim_blobs(ids).collect()
+    }
+    h = {
+        r["doc_id"]: (r["n_frames"], r["vhash"])
+        for r in multimodal.gif_anim_phash_blobs(
+            spark.createDataFrame(
+                [(d, b) for d, b in blobs.items()],
+                "doc_id long, blob binary",
+            )
+        ).collect()
+    }
+    assert h[0] == h[1] == h[2]      # group 0 collapses
+    assert h[3] == h[4] == h[5]      # group 1 collapses
+    assert h[0][1] != h[3][1]        # groups separate
+    # middle frame is load-bearing: frame 0 of doc 0 hashes differently
+    mid = len(multimodal.gif_frame_table(blobs[0])) // 2
+    assert mid != 0
+    px0 = multimodal.decode_gif_frame(blobs[0], 0)
+    alt = multimodal.phash64(multimodal._pixels_to_luma(px0))
+    assert alt != h[0][1]

@@ -760,3 +760,19 @@ def test_gif_pixel_roundtrip_property(w, h, seed, interlace):
     assert (px[:, :, 0] == px[:, :, 2]).all()
     meta = multimodal.decode_gif(blob)
     assert meta == (len(blob), w, h, 3)
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=200, deadline=None)
+def test_gif_anim_surface_total_on_arbitrary_bytes(blob):
+    # the animation surface shares the still kernel's totality bar:
+    # frame table and any frame index decode-or-None, never raise
+    for b in (blob, b"GIF89a" + blob):
+        t = multimodal.gif_frame_table(b)
+        assert t is None or isinstance(t, list)
+        for idx in (0, 2):
+            out = multimodal.decode_gif_frame(b, idx)
+            assert out is None or (
+                out.ndim == 3 and out.shape[2] == 3
+                and out.dtype.name == "uint8"
+            )
