@@ -1093,6 +1093,10 @@ def _gif_parse(blob: bytes, max_frames: int | None = None):
                 pos += 1
                 if n == 0:
                     break
+                if pos + n > len(blob):
+                    # truncated sub-block: reject, never index past the
+                    # buffer (the GCE reads below index up to pos+3)
+                    return None
                 if label == 0xF9 and first and n >= 4:
                     # graphic control: packed(disposal/transp flag),
                     # delay (LE centiseconds), transparent index

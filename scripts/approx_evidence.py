@@ -1,6 +1,7 @@
-"""Quantitative evidence for the six rows-only (approximate-by-design)
+"""Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50). Each is measured against its EXACT
+q26b, q26c, q27b, q42, q50, q159, q180, q181; q163's behavioral
+contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
 artifact that persists across rounds (referenced from BASELINE.md)

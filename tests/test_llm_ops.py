@@ -2338,3 +2338,19 @@ def test_gif_anim_phash_separates_groups_and_middle_frame_matters(spark):
     px0 = multimodal.decode_gif_frame(blobs[0], 0)
     alt = multimodal.phash64(multimodal._pixels_to_luma(px0))
     assert alt != h[0][1]
+
+
+def test_gif_truncated_extension_returns_none():
+    """Review-pass regression (round 11): a graphic-control extension
+    whose declared sub-block length runs past the end of the buffer
+    must decode to None on every GIF surface — the GCE parse indexes
+    up to 4 bytes into the sub-block, so a missing bounds check was an
+    IndexError (task-killing) instead of a quarantine."""
+    import numpy as np
+
+    gray = bytes(np.random.RandomState(0).randint(0, 256, 16, dtype=np.uint8))
+    blob = multimodal.encode_gif_pixels(4, 4, gray)
+    trunc = blob[:13 + 768] + b"\x21\xf9\x04\x09"  # GCE cut mid-payload
+    assert multimodal.decode_gif_pixels(trunc) is None
+    assert multimodal.gif_frame_table(trunc) is None
+    assert multimodal.decode_gif_frame(trunc, 0) is None

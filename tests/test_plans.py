@@ -875,7 +875,12 @@ def test_phash_neardup_bucket_join_is_equi_not_cross(spark):
     image-dedup cost is shuffle-on-8-byte-keys, never all-pairs."""
     from kstreamjs_spark.plans import explain_str
 
-    for name in ("q158_phash_image_neardup", "q158c_phash_cross_codec"):
+    for name in ("q158_phash_image_neardup", "q158c_phash_cross_codec",
+                 "q158d_phash_quad_codec", "q182_gif_anim_phash_dedup",
+                 "q26c_simhash_neardup"):
+        # q158d/q182 add the round-11 GIF legs; q26c runs the radius-6
+        # 2-of-8-chunk COMBINATION keys — same contract: candidates from
+        # the (cid, cval) equi-join, never a cross join
         plan = explain_str(q(name, spark), "simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
