@@ -717,32 +717,37 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     embedding-space complement of the lexical near-dup family — k-means
     cells bound the pairwise search (q81's zero-shuffle assignment:
     centroids are plan literals, the cell id is one codegen'd
-    projection), then WITHIN each cell an equi-join on cid scores
-    pairwise cosine and every vector with a >= theta neighbor of
-    SMALLER id is dropped (keep-first greedy — deterministic, and what
-    a streaming ingest naturally does). Output: per-cell
-    (n_vecs, n_dropped, n_kept).
+    projection), then each cell's pairwise cosines score in ONE
+    Arrow-batched numpy kernel (`similarity.semdedup_cell_stats` —
+    the shape the SemDeDup paper itself runs) and every vector with a
+    >= theta neighbor of SMALLER id is dropped (keep-first greedy —
+    deterministic, and what a streaming ingest naturally does).
+    Output: per-cell (n_vecs, n_dropped, n_kept), emitted BY the
+    kernel — the rollup is fused, so the whole query is one cell-key
+    exchange plus a k-row sum (the round-11 rework: the previous cid
+    equi-join paid an expression-eval constant per pair ELEMENT in the
+    fold cosine — 7.8 s at sf0.1 vs ~1 s fused, while the pair count
+    is identical; bench-driven, the q179b unroll-vs-kernel lesson).
 
     Determinism: pair membership tests the 6-dp-ROUNDED cosine (the
-    q58 idiom — both engines round the same value, so the >= theta
-    boundary cannot flip on libm low bits); assignment parity with the
-    oracle is q81's established contract.
+    q58 idiom — the round absorbs summation-order low bits, numpy here
+    vs DuckDB's native kernel, the same cross-engine contract q27/q58
+    already stand on; rounding is floor(x*1e6+0.5), HALF_UP on the
+    non-negative thetas dedup uses); assignment parity with the oracle
+    is q81's established contract.
 
     Scale shape: the whole point of SemDeDup is that cells bound the
-    quadratic — cost is sum of n_c^2 over cells, never N^2, and the
-    only corpus shuffle is the cid equi-join (plan-asserted no
-    cartesian). The fixture uses k=8 to stay inside q81's oracle-able
-    deterministic init; at 100 TB k scales with N (cells of ~1k
-    vectors), which ALSO spreads the cid shuffle across k partitions
-    — and a degenerate hot cell (the all-one-cell geometry a botched
-    embedder produces) gets `similarity.semdedup_drops`'s ``max_cell``
-    sub-split ceiling, q159's max-bucket precedent (round-11;
-    adversarially tested, OFF here so the oracle semantics stay
-    exact). The assignment projection is consumed three times
-    (totals + both join sides) and recomputed per consumer —
-    deliberate: it is pure codegen over the scan, and re-running it
-    is cheaper at every scale than materializing N assigned vectors
-    (the q157b A/B's lesson, SCALE.md round-10)."""
+    quadratic — kernel pair work is sum of n_c^2 over cells, never
+    N^2, and the only corpus shuffle is the cell-key exchange
+    (plan-asserted: FlatMapGroupsInPandas, no join at all). The
+    fixture uses k=8 to stay inside q81's oracle-able deterministic
+    init; at 100 TB k scales with N (cells of ~1k vectors), which ALSO
+    spreads the exchange across k partitions — and a degenerate hot
+    cell (the all-one-cell geometry a botched embedder produces) gets
+    the ``max_cell`` sub-split ceiling, q159's max-bucket precedent
+    (round-11; adversarially tested, OFF here so the oracle semantics
+    stay exact — with the kernel it bounds task MEMORY as well as
+    pair work)."""
     from ..operators import kmeans
 
     (emb,) = load(spark, sf, "embeddings")
@@ -750,22 +755,16 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     a = kmeans.assign(emb, cents).select(
         "vec_id", "cid", similarity.as_double(F.col("embedding")).alias("v")
     )
-    dropped = similarity.semdedup_drops(
+    stats = similarity.semdedup_cell_stats(
         a, theta=_SEMDEDUP_THETA, id_col="vec_id", vec_col="v", max_cell=None
     )
-    totals = a.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    drops = dropped.groupBy("cid").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dropped")
-    )
     return (
-        totals.join(drops, "cid", "left")
-        .select(
+        stats.select(
             "cid",
             "n_vecs",
-            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long")
-            .alias("n_dropped"),
-            (F.col("n_vecs") - F.coalesce(F.col("n_dropped"), F.lit(0)))
-            .cast("long").alias("n_kept"),
+            "n_dropped",
+            (F.col("n_vecs") - F.col("n_dropped")).cast("long")
+            .alias("n_kept"),
         )
         .orderBy("cid")
     )

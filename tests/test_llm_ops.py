@@ -1971,16 +1971,18 @@ def test_semdedup_max_cell_caps_degenerate_hot_cell(spark):
     ]
     a = spark.createDataFrame(rows, "vec_id long, cid long, v array<double>")
 
-    uncapped_cands = similarity._semdedup_candidates(a).count()
-    assert uncapped_cands == n * (n - 1) // 2  # the quadratic, unguarded
-
-    capped_cands = similarity._semdedup_candidates(a, max_cell=cap).count()
-    # ceil(600/50)=12 sub-cells; hash spread is uneven, but the pair sum
-    # must sit far below quadratic — 12 perfectly even sub-cells give
-    # 12*C(50,2)=14,700; allow 3x hash-imbalance headroom, still ~12x
-    # below C(600,2)=179,700
-    assert capped_cands <= 3 * 12 * (cap * (cap - 1) // 2), capped_cands
-    assert capped_cands < uncapped_cands / 4
+    # the ceiling's bound surface is the GROUP SIZE the scoring kernel
+    # sees (pair work and task memory are both ~size^2): uncapped, one
+    # group of n; capped, ceil(600/50)=12 hash sub-cells whose largest
+    # must sit well under n (3x headroom over the even split for hash
+    # imbalance)
+    sub, key = similarity._semdedup_subsplit(a, max_cell=cap)
+    sizes = [
+        r["c"] for r in
+        sub.groupBy(*key).agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert sum(sizes) == n and len(sizes) == 12, (len(sizes), sum(sizes))
+    assert max(sizes) <= 3 * cap, max(sizes)
 
     dropped = similarity.semdedup_drops(a, theta=0.4, max_cell=cap)
     got = {r["vec_id"] for r in dropped.collect()}

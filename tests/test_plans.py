@@ -851,21 +851,20 @@ def test_materialize_once_prefers_reliable_checkpoint(spark, tmp_path):
 
 
 def test_semdedup_pairwise_is_cell_equi_join(spark):
-    """q170's plan contract: the SemDeDup pairwise search is an
-    EQUI-join on the k-means cell id (cost = sum of n_c^2 over cells,
-    never N^2) — no cartesian/nested-loop join anywhere, and the cell
+    """q170's plan contract (round-11 kernel rework): the SemDeDup
+    pairwise search is ONE Arrow-batched grouped kernel on the k-means
+    cell key (FlatMapGroupsInPandas over one hash exchange — pair work
+    = sum of n_c^2 over cells, never N^2, scored as a numpy matmul
+    inside the group) — NO join of any kind in the plan, and the cell
     assignment itself is a codegen'd projection (centroids are plan
-    literals, no join for the assignment)."""
+    literals)."""
     from kstreamjs_spark.plans import explain_str
 
     plan = explain_str(q("q170_semdedup", spark), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    join_lines = [
-        l for l in plan.splitlines()
-        if ("SortMergeJoin" in l or "HashJoin" in l) and "cid" in l
-    ]
-    assert join_lines, plan
+    assert "Join" not in plan, plan  # rollup fused into the kernel
+    assert "FlatMapGroupsInPandas" in plan, plan
 
 
 def test_phash_neardup_bucket_join_is_equi_not_cross(spark):
