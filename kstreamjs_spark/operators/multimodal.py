@@ -1357,6 +1357,342 @@ def gif_anim_phash_blobs(
 
 
 
+# ------------------------------------------------------------ APNG
+# Round 11, second animation container: APNG rides the PNG chunk
+# stream (acTL/fcTL/fdAT, RFC-pending W3C spec, public) — pure-stdlib
+# feasible like GIF, and the still decoders already do the right thing
+# (an APNG's IDAT is its default image, so `decode_png_pixels` on an
+# APNG blob returns the poster frame). This section adds the ANIMATION
+# surface: strict frame parse, per-frame region decode, composition
+# with all three dispose ops and both blend ops.
+
+
+def _apng_parse(blob: bytes):
+    """Strict APNG parse: full CRC-verified chunk walk collecting IHDR,
+    acTL, and the fcTL/fdAT/IDAT frame structure. Returns
+    (width, height, nch, frames) where each frame is a dict
+    {x, y, w, h, delay_num, delay_den, dispose, blend, raw} with
+    ``raw`` the frame's inflated+validated filtered bytes, or None on
+    any malformation: bad CRC, missing/duplicated acTL, non-consecutive
+    sequence numbers, frame region outside the canvas, fcTL count !=
+    acTL num_frames, undeclared trailing bytes, oversized or lying
+    deflate streams (the `_png_parse` bomb bound per frame). A plain
+    PNG (no acTL) returns None — it is a still image, not an
+    animation."""
+    import zlib
+
+    if len(blob) < len(_PNG_SIG) + 12 or blob[:8] != _PNG_SIG:
+        return None
+    pos, ihdr, actl, seen_end = 8, None, None, False
+    # frame assembly state
+    fcts: list[dict] = []          # fcTL records in stream order
+    datas: list[bytearray] = []    # compressed bytes per fcTL
+    idat = bytearray()
+    idat_after_fctl = False        # first fcTL appeared before IDAT
+    next_seq = 0
+    while pos + 12 <= len(blob):
+        size = int.from_bytes(blob[pos:pos + 4], "big")
+        ctype = blob[pos + 4:pos + 8]
+        end = pos + 8 + size
+        if end + 4 > len(blob):
+            return None
+        data = blob[pos + 8:end]
+        crc = int.from_bytes(blob[end:end + 4], "big")
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != crc:
+            return None
+        if ctype == b"IHDR":
+            if ihdr is not None or size != 13:
+                return None
+            ihdr = data
+        elif ctype == b"acTL":
+            if actl is not None or size != 8 or idat:
+                return None  # one acTL, before the first IDAT
+            actl = (
+                int.from_bytes(data[0:4], "big"),
+                int.from_bytes(data[4:8], "big"),
+            )
+        elif ctype == b"fcTL":
+            if size != 26 or int.from_bytes(data[0:4], "big") != next_seq:
+                return None
+            next_seq += 1
+            fcts.append({
+                "w": int.from_bytes(data[4:8], "big"),
+                "h": int.from_bytes(data[8:12], "big"),
+                "x": int.from_bytes(data[12:16], "big"),
+                "y": int.from_bytes(data[16:20], "big"),
+                "delay_num": int.from_bytes(data[20:22], "big"),
+                "delay_den": int.from_bytes(data[22:24], "big"),
+                "dispose": data[24],
+                "blend": data[25],
+            })
+            datas.append(bytearray())
+            if not idat:
+                idat_after_fctl = True
+        elif ctype == b"IDAT":
+            idat += data
+            if idat_after_fctl and len(fcts) == 1:
+                datas[0] += data  # IDAT is frame 0's data
+        elif ctype == b"fdAT":
+            if size < 4 or not fcts or len(fcts) < 2:
+                return None  # fdAT before the second fcTL is malformed
+            if int.from_bytes(data[0:4], "big") != next_seq:
+                return None
+            next_seq += 1
+            datas[-1] += data[4:]
+        elif ctype == b"IEND":
+            seen_end = end + 4 == len(blob)
+            break
+        pos = end + 4
+    if ihdr is None or actl is None or not idat or not seen_end:
+        return None
+    if not idat_after_fctl:
+        return None  # default image outside the animation: unsupported
+    if actl[0] != len(fcts) or not fcts:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
+    nch = _PNG_CHANNELS.get(color_type)
+    if (
+        width == 0 or height == 0 or depth != 8 or nch is None
+        or comp != 0 or filt != 0 or interlace != 0
+    ):
+        return None
+    if width * height * max(nch, 3) > _MAX_DECODE_BYTES:
+        return None
+    frames = []
+    for fc, cdata in zip(fcts, datas):
+        w, h = fc["w"], fc["h"]
+        if (
+            w == 0 or h == 0
+            or fc["x"] + w > width or fc["y"] + h > height
+        ):
+            return None
+        expected = h * (w * nch + 1)
+        if expected > _MAX_DECODE_BYTES:
+            return None
+        d = zlib.decompressobj()
+        try:
+            raw = d.decompress(bytes(cdata), expected + 1)
+        except zlib.error:
+            return None
+        if (
+            len(raw) != expected
+            or not d.eof or d.unused_data or d.unconsumed_tail
+        ):
+            return None
+        frames.append({**fc, "raw": raw})
+    return width, height, nch, frames
+
+
+def apng_frame_table(blob: bytes):
+    """Per-frame APNG metadata (the `gif_frame_table` /
+    `mp4_sample_table` analog): (frame_idx, x, y, w, h, delay_num,
+    delay_den, dispose_op, blend_op) from the strict full parse, or
+    None. The frame deflate streams are validated (inflated against
+    their declared geometry) but no filter walk / composition runs."""
+    parsed = _apng_parse(blob)
+    if parsed is None:
+        return None
+    _, _, _, frames = parsed
+    return [
+        (i, f["x"], f["y"], f["w"], f["h"], f["delay_num"],
+         f["delay_den"], f["dispose"], f["blend"])
+        for i, f in enumerate(frames)
+    ]
+
+
+def decode_apng_frame(blob: bytes, frame_idx: int):
+    """REAL APNG frame PIXEL decode: compose frames 0..frame_idx onto
+    the canvas per the W3C APNG spec — regions unfilter through the
+    shared PNG filter walk, dispose ops none(0) / background(1,
+    region to fully-transparent) / previous(2, region restored to its
+    pre-render content; on frame 0 treated as background, per spec),
+    blend ops source(0, overwrite) and over(1, Porter-Duff — computed
+    in float64 and rounded half-up, a fixed deterministic convention;
+    channels without alpha make over == source). Returns the
+    (height, width, nch) uint8 canvas at that frame, or None. Like
+    GIF, APNG frames are deltas — selective decode is inherently
+    O(frame_idx), stated where the cost claim matters
+    (`apng_phash_blobs`)."""
+    import numpy as np
+
+    if frame_idx < 0:
+        return None
+    parsed = _apng_parse(blob)
+    if parsed is None:
+        return None
+    width, height, nch, frames = parsed
+    if frame_idx >= len(frames):
+        return None
+    canvas = np.zeros((height, width, nch), dtype=np.uint8)
+    for i, fr in enumerate(frames[:frame_idx + 1]):
+        samples = _png_unfilter(fr["raw"], fr["w"], fr["h"], nch)
+        if samples is None:
+            return None
+        patch = (
+            np.frombuffer(bytes(samples), dtype=np.uint8)
+            .reshape(fr["h"], fr["w"], nch)
+        )
+        y0, y1 = fr["y"], fr["y"] + fr["h"]
+        x0, x1 = fr["x"], fr["x"] + fr["w"]
+        region = canvas[y0:y1, x0:x1]
+        saved = region.copy() if fr["dispose"] == 2 else None
+        has_alpha = nch in (2, 4)
+        if fr["blend"] == 1 and has_alpha:
+            fg = patch.astype(np.float64)
+            bg = region.astype(np.float64)
+            af = fg[:, :, -1:] / 255.0
+            ab = bg[:, :, -1:] / 255.0
+            ao = af + ab * (1.0 - af)
+            safe = np.where(ao == 0.0, 1.0, ao)
+            color = (
+                fg[:, :, :-1] * af + bg[:, :, :-1] * ab * (1.0 - af)
+            ) / safe
+            out = np.concatenate([color, ao * 255.0], axis=2)
+            region[:] = np.floor(out + 0.5).astype(np.uint8)
+        elif fr["blend"] in (0, 1):
+            region[:] = patch
+        else:
+            return None  # unknown blend op
+        if i < frame_idx:
+            if fr["dispose"] == 1 or (fr["dispose"] == 2 and i == 0):
+                region[:] = 0
+            elif fr["dispose"] == 2:
+                region[:] = saved
+            elif fr["dispose"] != 0:
+                return None  # unknown dispose op
+    return np.ascontiguousarray(canvas)
+
+
+def encode_apng(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    n_channels: int = 1,
+    delay_num: int = 4,
+    delay_den: int = 100,
+) -> bytes:
+    """APNG writer (fixture generator for the animation decode path):
+    full-screen frames against the shared IHDR geometry, blend source,
+    dispose none; frame 0 rides IDAT (fcTL first, per spec), later
+    frames ride sequence-numbered fdAT chunks; every frame's scanlines
+    rotate through all five PNG filters (the `encode_png` idiom)."""
+    import zlib
+
+    if not frames:
+        raise ValueError("encode_apng: need at least one frame")
+    for f in frames:
+        if len(f) != width * height * n_channels:
+            raise ValueError(
+                f"encode_apng: every frame needs "
+                f"{width * height * n_channels} bytes, got {len(f)}"
+            )
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes((8, color_type, 0, 0, 0))
+    )
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(
+        b"acTL", len(frames).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    )
+    seq = 0
+    stride = width * n_channels
+
+    def filtered(pixels: bytes) -> bytes:
+        rows = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            row = pixels[y * stride:(y + 1) * stride]
+            ft = y % 5
+            rows.append(ft)
+            if ft == 0:
+                rows += row
+            elif ft == 1:
+                rows += bytes(
+                    (row[i] - (row[i - n_channels] if i >= n_channels else 0))
+                    & 0xFF
+                    for i in range(stride)
+                )
+            elif ft == 2:
+                rows += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+            elif ft == 3:
+                rows += bytes(
+                    (row[i] - (
+                        ((row[i - n_channels] if i >= n_channels else 0)
+                         + prev[i]) >> 1
+                    )) & 0xFF
+                    for i in range(stride)
+                )
+            else:
+                rows += bytes(
+                    (row[i] - _paeth(
+                        row[i - n_channels] if i >= n_channels else 0,
+                        prev[i],
+                        prev[i - n_channels] if i >= n_channels else 0,
+                    )) & 0xFF
+                    for i in range(stride)
+                )
+            prev = row
+        return zlib.compress(bytes(rows), 6)
+
+    for fi, gray in enumerate(frames):
+        fctl = (
+            seq.to_bytes(4, "big")
+            + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+            + delay_num.to_bytes(2, "big") + delay_den.to_bytes(2, "big")
+            + bytes((0, 0))  # dispose none, blend source
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        comp = filtered(gray)
+        if fi == 0:
+            out += _png_chunk(b"IDAT", comp)
+        else:
+            out += _png_chunk(b"fdAT", seq.to_bytes(4, "big") + comp)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def apng_phash_blobs(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Per-animation perceptual hash over a binary column of APNGs:
+    middle-frame decode (sequential composition, O(n_frames/2) per
+    animation — stated, the GIF note applies), luma, pHash. One
+    Arrow-batched mapInPandas projection; (id, n_frames, vhash) is the
+    shuffle key for Hamming-bucketed animation near-dup."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, counts, hashes = [], [], []
+            for d, b in zip(pdf[id_col], pdf[blob_col]):
+                blob = bytes(b)
+                table = apng_frame_table(blob)
+                if table is None:
+                    raise ValueError("apng_phash_blobs: not a valid APNG")
+                px = decode_apng_frame(blob, len(table) // 2)
+                if px is None:
+                    raise ValueError(
+                        "apng_phash_blobs: undecodable middle frame"
+                    )
+                ids.append(d)
+                counts.append(len(table))
+                hashes.append(phash64(_pixels_to_luma(px)))
+            yield pd.DataFrame(
+                {id_col: ids, "n_frames": counts, "vhash": hashes}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, blob_col).mapInPandas(
+        batches, f"{id_col} {id_type}, n_frames long, vhash long"
+    )
+
+
 AUDIO_META_SCHEMA = (
     "doc_id long, byte_len long, n_channels long, sample_rate long, "
     "n_samples long"

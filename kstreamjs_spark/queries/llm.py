@@ -3672,3 +3672,70 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, id_col="doc_id", hash_col="vhash"
     )
+
+
+# ------------------- Q183 APNG animation perceptual dedup (middle frame)
+def _synth_apng_anim_blobs(df: DataFrame) -> DataFrame:
+    """q183 fixture-synthesis stage — q182's derivation arithmetic for
+    the APNG container (group-determined n_frames = 3 + g%3, per-(g, f)
+    independent 56x56 patterns at per-doc brightness/contrast), with a
+    DIFFERENT seed salt so the two animation fixtures are independent.
+    Frames compress through real per-frame DEFLATE with the all-five-
+    filters rotation; frame 0 rides IDAT, the rest sequence-numbered
+    fdAT — the blob is what a crawler stores for an animated PNG."""
+    import numpy as np
+    import pandas as pd
+
+    def make(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                n_frames = 3 + g % 3
+                frames = []
+                for f in range(n_frames):
+                    rng = np.random.RandomState(
+                        (g * 2654435761 + f * 131 + 73) % (2**31)
+                    )
+                    base = 28 + 2 * rng.randint(0, 40, (7, 7))
+                    vals = base * (1 + d % 2) + 10 * (d % 5)
+                    img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                    frames.append(bytes(img.astype(np.uint8).ravel()))
+                blobs.append(multimodal.encode_apng(56, 56, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(make, "doc_id long, blob binary")
+
+
+@query(
+    "q183_apng_anim_phash_dedup",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm", "video"),
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """APNG animation perceptual dedup over real frame decode
+    (round 11): q182's chain for the SECOND pure-stdlib animation
+    container — APNG rides the PNG chunk stream (acTL/fcTL/fdAT, W3C
+    spec, public), so `apng_frame_table` walks CRC-verified chunks and
+    sequence numbers, `decode_apng_frame` composes regions through the
+    shared PNG inflate + all-five-filter reconstruction with the
+    spec's dispose (none/background/previous) and blend (source/over
+    Porter-Duff) semantics, and the middle frame pHashes into the same
+    Hamming chunk equi-join. Group-determined length and per-(group,
+    frame) independent content keep the middle-frame pick and the
+    composition load-bearing, exactly as q182 argues.
+
+    Scale shape identical to q174/q182: synthesis, decode, and hash
+    are one Arrow-batched projection per partition (blobs never
+    shuffle); the only exchange is the 8-byte (chunk_id, chunk_value)
+    candidate equi-join."""
+    (documents,) = load(spark, sf, "documents")
+    hashed = multimodal.apng_phash_blobs(_synth_apng_anim_blobs(documents))
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, id_col="doc_id", hash_col="vhash"
+    )

@@ -2356,3 +2356,142 @@ def test_gif_truncated_extension_returns_none():
     assert multimodal.decode_gif_pixels(trunc) is None
     assert multimodal.gif_frame_table(trunc) is None
     assert multimodal.decode_gif_frame(trunc, 0) is None
+
+
+def test_apng_roundtrip_frame_table_and_middle_frame():
+    """APNG surface (round 11): frame table from the strict chunk walk;
+    full-screen frames reproduce exactly through per-frame DEFLATE +
+    the shared five-filter reconstruction; the default image (IDAT) is
+    frame 0, so the STILL kernel on the same blob returns it."""
+    import numpy as np
+
+    rng = np.random.RandomState(43)
+    frames = [
+        bytes(rng.randint(0, 256, 40 * 30, dtype=np.uint8)) for _ in range(5)
+    ]
+    blob = multimodal.encode_apng(40, 30, frames, delay_num=3)
+    table = multimodal.apng_frame_table(blob)
+    assert [t[:7] for t in table] == [
+        (i, 0, 0, 40, 30, 3, 100) for i in range(5)
+    ]
+    for i, f in enumerate(frames):
+        px = multimodal.decode_apng_frame(blob, i)
+        assert bytes(px[:, :, 0].ravel()) == f, i
+    assert multimodal.decode_apng_frame(blob, 5) is None
+    still = multimodal.decode_png_pixels(blob)
+    assert bytes(still[:, :, 0].ravel()) == frames[0]
+
+
+def test_apng_dispose_blend_composition():
+    """Hand-built APNGs pin the spec semantics: region paint over a
+    persisting canvas, dispose background (region to transparent),
+    dispose previous (region restored), and Porter-Duff OVER blending
+    of a half-alpha RGBA patch with the documented deterministic
+    rounding; sequence-number gaps are rejected."""
+    import zlib
+
+    import numpy as np
+
+    def raw(pix, w, h, nch):
+        stride = w * nch
+        rows = bytearray()
+        for y in range(h):
+            rows.append(0)
+            rows += pix[y * stride:(y + 1) * stride]
+        return zlib.compress(bytes(rows))
+
+    def build(frames, W=4, H=4, nch=1, break_seq=False):
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+        out = bytearray(multimodal._PNG_SIG)
+        out += multimodal._png_chunk(
+            b"IHDR",
+            W.to_bytes(4, "big") + H.to_bytes(4, "big")
+            + bytes((8, color_type, 0, 0, 0)),
+        )
+        out += multimodal._png_chunk(
+            b"acTL", len(frames).to_bytes(4, "big") + bytes(4)
+        )
+        seq = 0
+        for fi, (x, y, w, h, pix, disp, blend) in enumerate(frames):
+            fctl = (
+                seq.to_bytes(4, "big")
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + x.to_bytes(4, "big") + y.to_bytes(4, "big")
+                + (1).to_bytes(2, "big") + (10).to_bytes(2, "big")
+                + bytes((disp, blend))
+            )
+            out += multimodal._png_chunk(b"fcTL", fctl)
+            seq += 1
+            comp = raw(pix, w, h, nch)
+            if fi == 0:
+                out += multimodal._png_chunk(b"IDAT", comp)
+            else:
+                if break_seq:
+                    seq += 1  # gap in the shared sequence: must reject
+                out += multimodal._png_chunk(
+                    b"fdAT", seq.to_bytes(4, "big") + comp
+                )
+                seq += 1
+        out += multimodal._png_chunk(b"IEND", b"")
+        return bytes(out)
+
+    full, patch = bytes([50] * 16), bytes([99, 77, 77, 99])
+    px = multimodal.decode_apng_frame(
+        build([(0, 0, 4, 4, full, 0, 0), (1, 1, 2, 2, patch, 0, 0)]), 1
+    )
+    exp = np.full((4, 4), 50)
+    exp[1:3, 1:3] = [[99, 77], [77, 99]]
+    assert (px[:, :, 0] == exp).all()
+    px = multimodal.decode_apng_frame(
+        build([(0, 0, 4, 4, full, 1, 0), (1, 1, 2, 2, patch, 0, 0)]), 1
+    )
+    exp = np.zeros((4, 4))
+    exp[1:3, 1:3] = [[99, 77], [77, 99]]
+    assert (px[:, :, 0] == exp).all()
+    px = multimodal.decode_apng_frame(
+        build([(0, 0, 4, 4, full, 0, 0), (0, 0, 2, 2, bytes([99] * 4), 2, 0),
+               (3, 3, 1, 1, bytes([7]), 0, 0)]), 2
+    )
+    exp = np.full((4, 4), 50)
+    exp[3, 3] = 7
+    assert (px[:, :, 0] == exp).all()
+    fg = bytes([200, 0, 0, 128] * 4)
+    bg = bytes([0, 0, 100, 255] * 16)
+    px = multimodal.decode_apng_frame(
+        build([(0, 0, 4, 4, bg, 0, 0), (1, 1, 2, 2, fg, 0, 1)], nch=4), 1
+    )
+    assert tuple(px[1, 1]) == (100, 0, 50, 255), px[1, 1]
+    assert tuple(px[0, 0]) == (0, 0, 100, 255)
+    assert multimodal.decode_apng_frame(
+        build([(0, 0, 4, 4, full, 0, 0), (1, 1, 2, 2, patch, 0, 0)],
+              break_seq=True), 1
+    ) is None
+
+
+def test_apng_anim_phash_separates_groups_and_middle_frame_matters(spark):
+    """q183's correctness argument at the operator level — the q182
+    test transposed to the APNG container."""
+    from kstreamjs_spark.queries.llm import _synth_apng_anim_blobs
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    blobs = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in _synth_apng_anim_blobs(ids).collect()
+    }
+    h = {
+        r["doc_id"]: (r["n_frames"], r["vhash"])
+        for r in multimodal.apng_phash_blobs(
+            spark.createDataFrame(
+                [(d, b) for d, b in blobs.items()],
+                "doc_id long, blob binary",
+            )
+        ).collect()
+    }
+    assert h[0] == h[1] == h[2]
+    assert h[3] == h[4] == h[5]
+    assert h[0][1] != h[3][1]
+    mid = len(multimodal.apng_frame_table(blobs[0])) // 2
+    assert mid != 0
+    px0 = multimodal.decode_apng_frame(blobs[0], 0)
+    alt = multimodal.phash64(multimodal._pixels_to_luma(px0))
+    assert alt != h[0][1]

@@ -776,3 +776,17 @@ def test_gif_anim_surface_total_on_arbitrary_bytes(blob):
                 out.ndim == 3 and out.shape[2] == 3
                 and out.dtype.name == "uint8"
             )
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=200, deadline=None)
+def test_apng_surface_total_on_arbitrary_bytes(blob):
+    # the APNG animation surface shares the PNG kernel's totality bar
+    for b in (blob, b"\x89PNG\r\n\x1a\n" + blob):
+        t = multimodal.apng_frame_table(b)
+        assert t is None or isinstance(t, list)
+        for idx in (0, 2):
+            out = multimodal.decode_apng_frame(b, idx)
+            assert out is None or (
+                out.ndim == 3 and out.dtype.name == "uint8"
+            )
