@@ -3241,3 +3241,123 @@ def q162(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------- Q184 customer order-count distribution (TPC-H Q13)
+@query(
+    "q184_customer_distribution",
+    oracle="""
+        WITH oc AS (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '5-LOW'
+          GROUP BY c.c_custkey)
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM oc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer order-count DISTRIBUTION (TPC-H Q13 shape, round 11) —
+    the one classic shape the inventory lacked: a LEFT join whose
+    unmatched side must surface as a ZERO bucket in a histogram of
+    counts (customers with no qualifying orders are the business
+    signal, so an inner join is the classic wrong answer). The filter
+    (here: priority <> '5-LOW', standing in for Q13's comment
+    NOT LIKE — this corpus has no o_comment) sits in the JOIN
+    CONDITION, not a WHERE, which is what keeps orderless customers
+    alive.
+
+    Scale shape: orders pre-aggregate to per-customer counts BEFORE
+    the join (map-side partials; the join then moves customer-sized
+    rows, never order-sized — LEFT join + COUNT commutes with the
+    pre-aggregate when the count of an absent key coalesces to 0);
+    the final histogram is bounded by the distinct count values
+    (dozens), so the second aggregate is kilobytes. All-integer
+    output, hash-exact."""
+    customer, orders = load(spark, sf, "customer", "orders")
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "5-LOW")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_count"))
+    )
+    oc = (
+        customer.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).cast("long")
+                .alias("c_count"))
+    )
+    return (
+        oc.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ----------------------------- Q185 top supplier by revenue (TPC-H Q15)
+_Q185_FROM = "1995-07-01"
+_Q185_TO = "1995-10-01"
+
+
+@query(
+    "q185_top_supplier",
+    oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                     * 10000 + 0.5) AS BIGINT))
+                      AS BIGINT) AS r_q
+          FROM lineitem
+          WHERE l_shipdate >= DATE '{_Q185_FROM}'
+            AND l_shipdate < DATE '{_Q185_TO}'
+          GROUP BY l_suppkey),
+        mx AS (SELECT MAX(r_q) AS m FROM rev)
+        SELECT s.s_suppkey, s.s_name, rev.r_q / 10000.0 AS total_revenue
+        FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        CROSS JOIN mx
+        WHERE rev.r_q = mx.m
+        ORDER BY s.s_suppkey
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H Q15 shape, round 11):
+    the max-of-an-aggregate membership test Q15 spells with a view —
+    suppliers whose three-month revenue EQUALS the global maximum
+    (plural on ties, which is why the shape is not a LIMIT 1).
+
+    Scale shape: revenue per supplier is ONE map-combined aggregate
+    over the date-pruned scan (predicate pushed to parquet); the
+    global max is a 1-row aggregate over the supplier-sized frame,
+    broadcast back (explicit F.broadcast, the scalar-broadcast idiom);
+    membership is an exact integer equality on the 1e-4-quantized
+    revenue — quantized per ROW before the sum (the q09 idiom), so
+    the max and the equality can never split on double low bits, and
+    ties are exact. The one double (total_revenue) is a single
+    division of an exact integer — deterministic both engines."""
+    supplier, lineitem = load(spark, sf, "supplier", "lineitem")
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(_Q185_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q185_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(qrev).cast("long").alias("r_q"))
+    )
+    mx = rev.groupBy().agg(F.max("r_q").alias("m"))
+    return (
+        supplier.join(rev, supplier.s_suppkey == rev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("r_q") == F.col("m"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("r_q") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
