@@ -85,20 +85,11 @@ def misra_gries(
     )
 
 
-def _kll_partition_summary(values, k: int):
-    """Deterministic KLL-style multi-level compactor over one partition's
-    value stream (Karnin-Lang-Liberty 2016 / Manku-Rajagopalan-Lindsay
-    1998, public; deterministic alternating compaction instead of coin
-    flips). Returns (levels, err, n): ``levels[h]`` holds items of
-    weight 2^h (each <= k items), ``err`` is the SELF-COMPUTED rank-error
-    bound — each compaction of a level-h buffer moves a queried rank by
-    at most 2^h (sorted buffer, every other item kept: a rank inside the
-    buffer shifts by at most one item's weight), so the bound is the sum
-    of 2^h over performed compactions — and ``n`` the item count."""
-    levels: list[list[float]] = [[]]
-    toggles: list[int] = [0]
-    err = 0
-    n = 0
+def _kll_update(levels, toggles, err, n, values, k: int):
+    """Fold ``values`` into an existing compactor state (the incremental
+    core shared by the batch per-partition summary and the streaming
+    per-key state of q181b). Mutates ``levels``/``toggles`` in place and
+    returns the updated (levels, toggles, err, n)."""
     for v in values:
         n += 1
         levels[0].append(float(v))
@@ -117,6 +108,20 @@ def _kll_partition_summary(values, k: int):
             levels[h + 1].extend(sel)
             err += 1 << h
             h += 1
+    return levels, toggles, err, n
+
+
+def _kll_partition_summary(values, k: int):
+    """Deterministic KLL-style multi-level compactor over one partition's
+    value stream (Karnin-Lang-Liberty 2016 / Manku-Rajagopalan-Lindsay
+    1998, public; deterministic alternating compaction instead of coin
+    flips). Returns (levels, err, n): ``levels[h]`` holds items of
+    weight 2^h (each <= k items), ``err`` is the SELF-COMPUTED rank-error
+    bound — each compaction of a level-h buffer moves a queried rank by
+    at most 2^h (sorted buffer, every other item kept: a rank inside the
+    buffer shifts by at most one item's weight), so the bound is the sum
+    of 2^h over performed compactions — and ``n`` the item count."""
+    levels, _, err, n = _kll_update([[]], [0], 0, 0, values, k)
     return levels, err, n
 
 
@@ -186,6 +191,17 @@ def kll_quantiles(
     )
     err_total = sum(r["err"] for r in summary if r["lvl"] < 0)
     n_total = sum(r["n"] for r in summary if r["lvl"] < 0)
+    out = _kll_estimate(items, err_total, n_total, quantiles)
+    return spark.createDataFrame(
+        out, "q double, est double, n long, err_bound long"
+    )
+
+
+def _kll_estimate(items, err_total, n_total, quantiles):
+    """Answer ``quantiles`` from a merged weighted-item summary: the
+    smallest value whose cumulative weight reaches ceil(q*N), with the
+    per-answer bound err_total + max item weight (rank discretization).
+    ``items`` must be sorted by value."""
     w_max = max((w for _, w in items), default=0)
     out = []
     for q in quantiles:
@@ -198,6 +214,4 @@ def kll_quantiles(
                 est = v
                 break
         out.append((float(q), est, n_total, err_total + w_max))
-    return spark.createDataFrame(
-        out, "q double, est double, n long, err_bound long"
-    )
+    return out

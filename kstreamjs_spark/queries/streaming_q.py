@@ -1228,3 +1228,103 @@ def q179b(spark: SparkSession, sf: str) -> DataFrame:
 REGISTRY["q179b_stream_bpe_tokenize"] = _dc_replace(
     REGISTRY["q179b_stream_bpe_tokenize"], oracle=_q179b_oracle()
 )
+
+
+# ------------------- Q181b STREAMING quantile sketch (keyed KLL state)
+_Q181B_K = 200
+_Q181B_QS = (0.5, 0.9, 0.99)
+_Q181B_BUCKETS = 8
+
+
+@query("q181b_stream_quantile_sketch", oracle=None,
+       tags=("streaming", "sketch", "approx", "stateful"))
+def q181b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING quantile sketch (round 11): q181's mergeable KLL
+    compactor maintained as KEYED STREAMING STATE — the deployment
+    shape for percentile monitoring over an unbounded stream, and the
+    demonstration q180/q181 still lacked: a sketch that FOLDS ACROSS
+    MICRO-BATCHES via `applyInPandasWithState` instead of being
+    rebuilt per batch. The lineitem replay hashes into 8 buckets
+    (`pmod(xxhash64(l_orderkey), 8)` — a deterministic key, so state
+    parallelism is data-independent); each bucket's GroupState carries
+    the full compactor (levels + alternation toggles JSON-serialized,
+    err, n — bounded: <= k*log2(n/k) floats) and each trigger folds
+    that batch's values through the SAME `_kll_update` core the batch
+    operator uses (one arithmetic home). After the replay the 8 final
+    summaries merge by union — mergeability is the whole point
+    (Agarwal et al. 2012) — and p50/p90/p99 come off the merged items
+    with the summed bound, exactly `kll_quantiles`' final step.
+
+    Rows-only by design (the q180/q181 category — and the streaming
+    estimates legitimately differ from batch q181's: the sketch's
+    exact items depend on arrival grouping; the BOUND does not). The
+    pytest contract pins: n == exact row count (exactly-once folding
+    across triggers), the merged bound respected vs numpy-exact ranks,
+    and bound non-vacuousness."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import _kll_estimate, _kll_update
+
+    sdf = stream_table(spark, sf, "lineitem").select(
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_Q181B_BUCKETS))
+        .alias("bucket"),
+        F.col("l_extendedprice").alias("x"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            levels_js, toggles_js, err, n = state.get
+            levels = json.loads(levels_js)
+            toggles = json.loads(toggles_js)
+        else:
+            levels, toggles, err, n = [[]], [0], 0, 0
+        for pdf in pdfs:
+            levels, toggles, err, n = _kll_update(
+                levels, toggles, err, n, pdf["x"], _Q181B_K
+            )
+        state.update((json.dumps(levels), json.dumps(toggles), err, n))
+        yield pd.DataFrame({
+            "bucket": [key[0]],
+            "levels": [json.dumps(levels)],
+            "err": [err],
+            "n": [n],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "bucket bigint, levels string, err bigint, n bigint"
+        ),
+        stateStructType=(
+            "levels string, toggles string, err bigint, n bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q181b", output_mode="append")
+    # final state per bucket = the row with the largest n (strictly
+    # increasing per trigger — q44's compaction rule), then the bounded
+    # merge + estimate (8 summaries, kilobytes)
+    finals = (
+        sink.groupBy("bucket")
+        .agg(
+            F.max_by("levels", "n").alias("levels"),
+            F.max_by("err", "n").alias("err"),
+            F.max("n").alias("n"),
+        )
+        .collect()
+    )
+    items = sorted(
+        (float(v), 1 << h)
+        for r in finals
+        for h, buf in enumerate(json.loads(r["levels"]))
+        for v in buf
+    )
+    err_total = sum(r["err"] for r in finals)
+    n_total = sum(r["n"] for r in finals)
+    rows = _kll_estimate(items, err_total, n_total, _Q181B_QS)
+    return spark.createDataFrame(
+        rows, "q double, est double, n long, err_bound long"
+    )

@@ -796,3 +796,98 @@ def test_stream_left_outer_join_null_emission_is_watermark_gated(
     assert split == expected, split
     assert whole == expected, whole
     assert split_removed > 0  # state really evicted under the split replay
+
+
+def test_stream_kll_sketch_folds_state_and_respects_bound(spark, tmp_path):
+    """q181b's contracts on a crafted multi-trigger replay: the keyed
+    KLL state FOLDS across micro-batches (n == exact row count — state
+    is updated, never rebuilt per batch), the merged bound holds vs
+    numpy-exact ranks, and it stays non-vacuous."""
+    import json
+
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kstreamjs_spark.operators.sketch import _kll_estimate, _kll_update
+
+    rng = np.random.RandomState(19)
+    n = 30_000
+    vals = rng.pareto(1.3, n) * 100
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "rid long, x double"
+    )
+    src = str(tmp_path / "src")
+    df.repartitionByRange(6, "rid").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    assert len(parts) == 6
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+    k = 128
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(
+            F.pmod(F.xxhash64("rid"), F.lit(4)).alias("bucket"), "x"
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            lj, tj, err, cnt = state.get
+            levels, toggles = json.loads(lj), json.loads(tj)
+        else:
+            levels, toggles, err, cnt = [[]], [0], 0, 0
+        for pdf in pdfs:
+            levels, toggles, err, cnt = _kll_update(
+                levels, toggles, err, cnt, pdf["x"], k
+            )
+        state.update((json.dumps(levels), json.dumps(toggles), err, cnt))
+        yield pd.DataFrame({
+            "bucket": [key[0]], "levels": [json.dumps(levels)],
+            "err": [err], "n": [cnt],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket bigint, levels string, err bigint, n bigint",
+        stateStructType=(
+            "levels string, toggles string, err bigint, n bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q181b_adv", output_mode="append")
+    finals = (
+        sink.groupBy("bucket")
+        .agg(
+            F.max_by("levels", "n").alias("levels"),
+            F.max_by("err", "n").alias("err"),
+            F.max("n").alias("n"),
+        )
+        .collect()
+    )
+    # each bucket emitted once per trigger it saw rows in: state FOLDED
+    assert sink.count() > len(finals)
+    items = sorted(
+        (float(v), 1 << h)
+        for r in finals
+        for h, buf in enumerate(json.loads(r["levels"]))
+        for v in buf
+    )
+    n_total = sum(r["n"] for r in finals)
+    assert n_total == n  # exactly-once folding across all triggers
+    err_total = sum(r["err"] for r in finals)
+    xs = np.sort(vals)
+    for q, est, n_out, bound in _kll_estimate(
+        items, err_total, n_total, (0.1, 0.5, 0.9, 0.99)
+    ):
+        lo = int(np.searchsorted(xs, est, side="left"))
+        hi = int(np.searchsorted(xs, est, side="right"))
+        target = max(1, int(np.ceil(q * n)))
+        dev = max(lo - target, target - hi, 0)
+        assert dev <= bound, (q, dev, bound)
+        assert bound <= n // 8
