@@ -1328,3 +1328,95 @@ def q181b(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "q double, est double, n long, err_bound long"
     )
+
+
+# ------------------- Q180b STREAMING heavy hitters (keyed MG state)
+_Q180B_K = 64
+_Q180B_TOP = 10
+_Q180B_BUCKETS = 8
+
+
+@query("q180b_stream_heavy_hitters", oracle=None,
+       tags=("streaming", "sketch", "approx", "stateful", "text"))
+def q180b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING heavy hitters (round 11): q180's Misra-Gries summary
+    maintained as KEYED STREAMING STATE — with q181b this completes
+    the sketch matrix (frequencies x quantiles, batch x streaming).
+    Tokens hash into 8 buckets by pmod(xxhash64(token), 8), so EVERY
+    occurrence of a token lands in one bucket and the final answer is
+    a plain UNION of the per-bucket counter sets (disjoint token
+    spaces — no cross-summary merge at all, which even SHARPENS the
+    batch bound: each bucket under-counts by at most N_bucket/(k+1)
+    <= N/(k+1), and a globally-heavy token is a fortiori heavy in its
+    own bucket, so heavy-completeness carries over). Each bucket's
+    GroupState holds its <= k counters (JSON — bounded) folded across
+    micro-batches by the classic increment / insert / decrement-all
+    step. Output: top-10 tokens by estimated count (est DESC, token
+    ASC), the q180 shape.
+
+    Rows-only by design (the q180/q181 category); the pytest contract
+    and APPROX_EVIDENCE pin never-over-counts, the per-bucket bound,
+    heavy-completeness, and exactly-once folding (total stream n ==
+    exact token count)."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = stream_table(spark, sf, "documents").select(
+        F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select(
+        F.pmod(F.xxhash64("token"), F.lit(_Q180B_BUCKETS)).alias("bucket"),
+        "token",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cj, n = state.get
+            counters = json.loads(cj)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                n += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _Q180B_K:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        state.update((json.dumps(counters), n))
+        yield pd.DataFrame({
+            "bucket": [key[0]],
+            "counters": [json.dumps(counters)],
+            "n": [n],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket bigint, counters string, n bigint",
+        stateStructType="counters string, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q180b", output_mode="append")
+    finals = (
+        sink.groupBy("bucket")
+        .agg(F.max_by("counters", "n").alias("counters"),
+             F.max("n").alias("n"))
+        .collect()
+    )
+    rows = sorted(
+        (
+            (tok, est)
+            for r in finals
+            for tok, est in json.loads(r["counters"]).items()
+        ),
+        key=lambda te: (-te[1], te[0]),
+    )[:_Q180B_TOP]
+    return spark.createDataFrame(rows, "token string, est_count long")

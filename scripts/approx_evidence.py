@@ -369,6 +369,71 @@ def main() -> int:
         }
     out["q181_quantile_sketch"] = kll_out
 
+    # ---- q181b: the STREAMING KLL — same exact-rank comparison on the
+    # replayed result (arrival grouping differs from batch q181, the
+    # bound must hold regardless; n must equal the exact row count —
+    # exactly-once folding across micro-batches).
+    kllb_out = {}
+    for kq_sf in (sf, "/root/testdata/sf0.1"):
+        rows = q["q181b_stream_quantile_sketch"].fn(spark, kq_sf).collect()
+        (li,) = load(spark, kq_sf, "lineitem")
+        import numpy as np
+
+        xs = np.sort(
+            np.array(
+                [r[0] for r in li.select("l_extendedprice").collect()],
+                dtype=float,
+            )
+        )
+        n = len(xs)
+        per_q = {}
+        for r in rows:
+            target = max(1, int(np.ceil(r["q"] * n)))
+            lo = int(np.searchsorted(xs, r["est"], side="left"))
+            hi = int(np.searchsorted(xs, r["est"], side="right"))
+            per_q[str(r["q"])] = {
+                "est": r["est"],
+                "rank_dev": max(lo - target, target - hi, 0),
+                "err_bound": r["err_bound"],
+            }
+        kllb_out[kq_sf.rsplit("/", 1)[-1]] = {
+            "n_exact": n,
+            "n_streamed": rows[0]["n"],
+            "exactly_once": rows[0]["n"] == n,
+            "quantiles": per_q,
+            "bound_respected": all(
+                v["rank_dev"] <= v["err_bound"] for v in per_q.values()
+            ),
+        }
+    out["q181b_stream_quantile_sketch"] = kllb_out
+
+    # ---- q180b: the STREAMING Misra-Gries — never over-counts, and
+    # every token the stream surfaced is within its exact count; n
+    # equals the exact token count (exactly-once folding).
+    mgb_out = {}
+    for mg_sf in (sf, "/root/testdata/sf0.1"):
+        rows = q["q180b_stream_heavy_hitters"].fn(spark, mg_sf).collect()
+        (docs_b,) = load(spark, mg_sf, "documents")
+        exact = {
+            r["token"]: r["c"]
+            for r in docs_b.select(
+                F.explode(F.split("text", " ")).alias("token")
+            )
+            .groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        over = max((r["est_count"] - exact[r["token"]] for r in rows),
+                   default=0)
+        under = max((exact[r["token"]] - r["est_count"] for r in rows),
+                    default=0)
+        mgb_out[mg_sf.rsplit("/", 1)[-1]] = {
+            "top_k_reported": len(rows),
+            "max_over_count": int(over),
+            "max_under_count": int(under),
+            "never_over_counts": bool(over <= 0),
+        }
+    out["q180b_stream_heavy_hitters"] = mgb_out
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -891,3 +891,119 @@ def test_stream_kll_sketch_folds_state_and_respects_bound(spark, tmp_path):
         dev = max(lo - target, target - hi, 0)
         assert dev <= bound, (q, dev, bound)
         assert bound <= n // 8
+
+
+def test_stream_misra_gries_folds_state_and_respects_bound(spark, tmp_path):
+    """q180b's contracts on a multi-trigger replay over a skewed vocab:
+    token-bucketed MG state folds across micro-batches (total n ==
+    exact token count), never over-counts, under-counts within the
+    PER-BUCKET bound N_b/(k+1), and every globally-heavy token
+    survives in its bucket's counter set."""
+    import json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k, buckets = 16, 4
+    # skewed corpus: 3 heavy tokens + long tail, 6 files
+    rows = []
+    rid = 0
+    for i in range(1200):
+        toks = ["alpha"] if i % 2 else ["beta"]
+        if i % 3 == 0:
+            toks.append("gamma")
+        toks.append(f"tail{i % 97}")
+        for t in toks:
+            rows.append((rid, t))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid long, token string")
+    src = str(tmp_path / "src")
+    df.repartitionByRange(6, "rid").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(
+            F.pmod(F.xxhash64("token"), F.lit(buckets)).alias("bucket"),
+            "token",
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            cj, n = state.get
+            counters = json.loads(cj)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for tok in pdf["token"]:
+                n += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = []
+                    for t in counters:
+                        counters[t] -= 1
+                        if counters[t] == 0:
+                            dead.append(t)
+                    for t in dead:
+                        del counters[t]
+        state.update((json.dumps(counters), n))
+        yield pd.DataFrame({
+            "bucket": [key[0]], "counters": [json.dumps(counters)],
+            "n": [n],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket bigint, counters string, n bigint",
+        stateStructType="counters string, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q180b_adv", output_mode="append")
+    finals = (
+        sink.groupBy("bucket")
+        .agg(F.max_by("counters", "n").alias("counters"),
+             F.max("n").alias("n"))
+        .collect()
+    )
+    assert sink.count() > len(finals)  # state folded across triggers
+    exact: dict = {}
+    for _, t in rows:
+        exact[t] = exact.get(t, 0) + 1
+    n_total = sum(r["n"] for r in finals)
+    assert n_total == len(rows)  # exactly-once
+    # per-bucket bounds + heavy completeness
+    import numpy as np  # noqa: F401
+
+    got: dict = {}
+    bucket_n = {r["bucket"]: r["n"] for r in finals}
+    bucket_of = {}
+    for r in (
+        spark.createDataFrame([(t,) for t in exact], "token string")
+        .select("token", F.pmod(F.xxhash64("token"), F.lit(buckets))
+                .alias("b"))
+        .collect()
+    ):
+        bucket_of[r["token"]] = r["b"]
+    for r in finals:
+        for tok, est in json.loads(r["counters"]).items():
+            got[tok] = est
+            assert est <= exact[tok], (tok, est, exact[tok])  # never over
+            assert exact[tok] - est <= bucket_n[r["bucket"]] // (k + 1) + 1
+    heavy = [
+        t for t, c in exact.items()
+        if c > bucket_n[bucket_of[t]] // (k + 1)
+    ]
+    missing = [t for t in heavy if t not in got]
+    assert not missing, missing
+    for t in ("alpha", "beta", "gamma"):
+        assert t in got
