@@ -130,6 +130,17 @@ _WINDOW_SIZE = 50
 # ONE pin: q171's oracle TEXT changed this round (the quarantine
 # reason string now names GIF alongside BMP/PNG/JPEG — the round-11
 # fourth codec), so its r10 driver row attests a stale text.
+# Round-11 edits touching ALREADY-ATTESTED queries (no pins needed —
+# oracle texts unchanged, selfcheck-green at both SFs on final HEAD):
+# q170 re-plans through similarity.semdedup_cell_stats (fused numpy
+# kernel, one exchange — same values), q26c moved to the radius-6
+# combination pigeonhole (rows-only anyway), q180 pins traversal with
+# (doc_id, pos), and every pHash-family query flows through the
+# GIF-extended decode_image_pixels dispatch (byte-identical on
+# non-GIF blobs by magic-byte construction).
+# ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —
+# the sort drains the remaining r7 rows (28 stay outside the r11
+# window) then the r8 tail; pin only if an oracle TEXT changes.
 _WINDOW_PRIORITY: list[str] = ["q171_media_quarantine"]
 
 
