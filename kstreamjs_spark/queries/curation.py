@@ -3361,3 +3361,330 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# -------------------------- Q186 shipping priority (TPC-H Q3, round 11)
+_Q186_DATE = "1997-06-15"
+
+
+@query(
+    "q186_shipping_priority",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '{_Q186_DATE}'
+          AND l.l_shipdate > TIMESTAMP '{_Q186_DATE}'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3 shape, round 11): unshipped-revenue
+    top-10 for one market segment — the canonical selective 3-table
+    join + aggregate + top-k.
+
+    Scale shape: both date predicates and the segment filter push to
+    the parquet scans (PushedFilters); the segment-filtered customer
+    side shrinks ~5x before its join; the grouped aggregate is
+    map-combined on the (orderkey, date, priority) key; the final
+    top-10 is TakeOrderedAndProject (per-partition heaps, O(k) driver
+    memory — no global sort). Revenue quantized per ROW before the sum
+    (the q09/q185 idiom) so ordering ties are exact integers; the
+    l_orderkey tiebreak makes the LIMIT a total order."""
+    customer, orders, lineitem = load(
+        spark, sf, "customer", "orders", "lineitem"
+    )
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    cut = F.lit(_Q186_DATE).cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(F.col("l_shipdate") > cut).select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(qrev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ----------------------- Q187 order priority checking (TPC-H Q4, round 11)
+_Q187_FROM = "1997-01-01"
+_Q187_TO = "1997-04-01"
+
+
+@query(
+    "q187_order_priority",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q187_FROM}'
+          AND o.o_orderdate < TIMESTAMP '{_Q187_TO}'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, round 11): per-priority
+    counts of orders having AT LEAST ONE late line — Q4's
+    l_commitdate < l_receiptdate test re-expressed on this schema as
+    l_shipdate > o_orderdate + 90 days (the q128 lateness convention;
+    this corpus carries no commit/receipt dates).
+
+    The EXISTS is a LEFT SEMI join whose condition spans both sides
+    (key equality + the lateness comparison) — Spark keeps the key
+    part as the equi-join and evaluates the comparison as a join
+    residual, so the plan is a hash semi-join on l_orderkey, never a
+    cartesian. Scale shape: the quarter predicate prunes orders at the
+    scan; the semi join deduplicates order keys on the build side
+    as it probes (no distinct needed, no row explosion for multi-line
+    orders); the priority rollup is 5 groups — kilobytes."""
+    orders, lineitem = load(spark, sf, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(_Q187_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q187_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------- Q188 forecast revenue change (TPC-H Q6, round 11)
+@query(
+    "q188_forecast_revenue",
+    oracle="""
+        SELECT SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                        AS BIGINT)) / 10000.0 AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.045 AND l_discount <= 0.075
+          AND l_quantity < 24
+    """,
+    tags=("relational", "scan", "tpch"),
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 shape, round 11): the pure
+    scan-aggregate — what would revenue have been without these
+    discounts. No join, no groupBy key: ONE map-combined global
+    aggregate over a fully-pushed-down scan (all three predicates
+    reach parquet; ReadSchema is 4 columns of 11). The discount band
+    uses open midpoints (0.045/0.075) rather than equality on stored
+    doubles — the fixture's 0.01-step grid makes the band exactly
+    {0.05, 0.06, 0.07} on both engines without trusting double
+    representation of the literals. Revenue quantized per row before
+    the sum; deterministic to the last bit."""
+    (lineitem,) = load(spark, sf, "lineitem")
+    qrev = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+    ).cast("long")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .groupBy()
+        .agg(
+            (F.sum(qrev) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------- Q189 volume shipping (TPC-H Q7, round 11)
+_Q189_N1 = "NATION_1"
+_Q189_N2 = "NATION_2"
+
+
+@query(
+    "q189_volume_shipping",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = '{_Q189_N1}' AND n2.n_name = '{_Q189_N2}')
+            OR (n1.n_name = '{_Q189_N2}' AND n2.n_name = '{_Q189_N1}'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume shipping between two nations (TPC-H Q7 shape, round 11):
+    bilateral trade volume by year and direction — the 6-table join
+    with a DISJUNCTIVE cross-table predicate (either nation supplies
+    the other).
+
+    Scale shape: nation is a BROADCAST_DIMS table (25 rows at any SF)
+    — both nation joins broadcast, so the disjunction evaluates as a
+    residual filter on broadcast-joined rows, never a shuffle; the
+    two-year predicate pushes to the lineitem scan. The supplier and
+    customer joins are key-shuffles of scan-pruned columns only. The
+    4-column projection of lineitem is what crosses the wire; volume
+    is quantized per row before the sum (exact), and the 2x2xyears
+    result is bounded."""
+    supplier, lineitem, orders, customer, nation = load(
+        spark, sf, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    qvol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_orderkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == _Q189_N1)
+             & (F.col("cust_nation") == _Q189_N2))
+            | ((F.col("supp_nation") == _Q189_N2)
+               & (F.col("cust_nation") == _Q189_N1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.sum(qvol) / 10000.0).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------- Q190 returned items (TPC-H Q10, round 11)
+_Q190_FROM = "1997-01-01"
+_Q190_TO = "1997-04-01"
+
+
+@query(
+    "q190_returned_items",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS revenue,
+               c.c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q190_FROM}'
+          AND o.o_orderdate < TIMESTAMP '{_Q190_TO}'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape, round 11): the top-20
+    customers by revenue lost to returns in one quarter — the
+    customer-attribution join with two selective scan filters.
+
+    Scale shape: the quarter predicate prunes orders and the
+    returnflag prunes lineitem AT THE SCAN (both PushedFilters); the
+    order-line join runs on the pruned sides; nation broadcasts
+    (BROADCAST_DIMS). The aggregate groups on the customer key with
+    its attributes carried as grouping columns (functionally dependent
+    — no second join to re-attach them); top-20 is
+    TakeOrderedAndProject with the c_custkey tiebreak making the LIMIT
+    a total order. Revenue quantized per row before the sum."""
+    customer, orders, lineitem, nation = load(
+        spark, sf, "customer", "orders", "lineitem", "nation"
+    )
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(_Q190_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q190_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(qrev) / 10000.0).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
