@@ -775,3 +775,179 @@ def project_quantized(
         terms, F.lit(0).cast("long"), lambda acc, x: acc + x
     )
     return df.withColumn(out_col, score.cast("long"))
+
+
+# ------------------------------------------------ product quantization (PQ)
+def pq_codebooks(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_cent: int = 16,
+    dim: int = 64,
+    sample_rows: int = 512,
+    iterations: int = 3,
+) -> list[list[list[float]]]:
+    """Train PQ sub-codebooks (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search", public): split the ``dim`` dimensions
+    into ``m`` contiguous subspaces of dim/m each and k-means each
+    subspace independently to ``n_cent`` centroids. Training runs on a
+    bounded driver-side sample (the `_centroids_from_sample` policy: at
+    100 TB you train once on ~1e5 rows and broadcast; the codebook is
+    m * n_cent * dim/m floats — kilobytes). Vectors are L2-normalized
+    BEFORE subspace split so ADC inner products approximate cosine.
+    Deterministic: sample ordered by id, init = first ``n_cent`` sample
+    sub-vectors, numpy argmin breaks ties toward the lower index."""
+    if dim % m:
+        raise ValueError(f"pq: m={m} must divide dim={dim}")
+    sub = dim // m
+    rows = (
+        vectors.select(vec_col)
+        .orderBy(id_col)
+        .limit(max(sample_rows, n_cent * 4))
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[0]] for r in rows], dtype=np.float64)
+    if X.shape[0] < n_cent:
+        raise ValueError(
+            f"pq: codebook needs >= {n_cent} sample vectors, got {X.shape[0]}"
+        )
+    if X.shape[1] != dim:
+        raise ValueError(f"pq: dim={dim} but sample vectors have {X.shape[1]}")
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(norms == 0.0, 1.0, norms)
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        P = Xn[:, s * sub:(s + 1) * sub]
+        C = P[:n_cent].copy()
+        for _ in range(iterations):
+            # L2 assignment: argmin ||p - c||^2 = argmin (||c||^2 - 2 p.c)
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (P @ C.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(n_cent):
+                members = P[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector to ``m`` small-int codes (nearest sub-centroid
+    per subspace, L2 on the normalized vector). One Arrow-batched
+    pandas_udf — m matmuls per batch, no shuffle: the encoding rides the
+    scan projection exactly like the banded-LSH signatures. At 100 TB
+    the codes table is m bytes-ish per row (vs dim * 4 for the raw
+    vectors) and is what ADC scans; raw vectors are fetched only for
+    rerank candidates."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m = len(B)
+    sub = dim // m
+
+    @pandas_udf("array<int>")
+    def enc(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        lens = v.map(len)
+        if not (lens == dim).all():
+            bad = int(lens[lens != dim].iloc[0])
+            raise ValueError(f"pq_encode: dim={dim} but vector has length {bad}")
+        X = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / np.where(norms == 0.0, 1.0, norms)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            P = Xn[:, s * sub:(s + 1) * sub]
+            C = B[s]
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (P @ C.T)
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return vectors.withColumn(out_col, enc(F.col(vec_col)))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_cent: int = 16,
+    dim: int = 64,
+    rerank: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ/ADC approximate top-k with exact rerank — the memory-bound ANN
+    scale path (IVFADC's ADC half; Jegou et al. 2011): vectors live as
+    ``m`` sub-quantizer codes, the query builds an m x n_cent lookup
+    table of sub-inner-products against the NORMALIZED query, and each
+    row's approximate cosine is the sum of m table lookups — a pure
+    codegen expression over an int-array column (zip_with + element_at +
+    aggregate; no Python, no shuffle). The ADC top ``k * rerank``
+    candidates (TakeOrderedAndProject) are then scored EXACTLY by
+    re-joining their raw vectors and cut to the final k.
+
+    At 100 TB: the codes table is ~m + id bytes per row — a 30-60x scan
+    reduction vs raw float32 vectors — and the rerank join touches only
+    k * rerank rows by id (broadcast the candidate id list). The
+    codebook is kilobytes, shipped as plan literals. Recall comes from
+    rerank width: ADC ordering errors beyond position k * rerank are
+    the only misses (measured in APPROX_EVIDENCE.json vs exact q27).
+    """
+    books = pq_codebooks(
+        vectors, vec_col=vec_col, id_col=id_col, m=m, n_cent=n_cent, dim=dim
+    )
+    qrow = query.limit(2).collect()
+    if len(qrow) != 1:
+        raise ValueError(f"pq_topk expects exactly one query row, got {len(qrow)}")
+    qv = np.array([float(x) for x in qrow[0]["qv"]], dtype=np.float64)
+    if qv.shape[0] != dim:
+        raise ValueError(f"pq_topk: dim={dim} but query 'qv' has length {qv.shape[0]}")
+    qn = np.linalg.norm(qv)
+    qu = qv / (qn if qn > 0.0 else 1.0)
+    sub = dim // m
+    # LUT[s][j] = <q_sub_s, c_sj>; ADC score = sum_s LUT[s][code_s]
+    lut = [
+        [float(np.dot(qu[s * sub:(s + 1) * sub], np.asarray(c)))
+         for c in books[s]]
+        for s in range(m)
+    ]
+    lut_col = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in lut
+    ])
+    encoded = pq_encode(vectors, books, vec_col=vec_col, dim=dim)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            lut_col,
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.select(id_col, adc.alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col(id_col))
+        .limit(k * rerank)
+    )
+    qdf = query.select(F.col("qv"))
+    rer = (
+        vectors.join(F.broadcast(cand.select(id_col)), id_col)
+        .crossJoin(F.broadcast(qdf))
+        .select(
+            F.col(id_col),
+            F.round(
+                cosine(as_double(F.col(vec_col)), F.col("qv")), round_to
+            ).alias("score"),
+        )
+    )
+    return rer.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

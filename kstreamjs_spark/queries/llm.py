@@ -3739,3 +3739,23 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, id_col="doc_id", hash_col="vhash"
     )
+
+
+@query("q191_pq_ann_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC approximate top-10 with exact rerank (round 11): vectors
+    compressed to 16 sub-quantizer codes (sample-trained codebooks,
+    Arrow-batched encoding), query scored by an m x 16 lookup table as
+    a pure codegen int-array expression, ADC top-80 reranked exactly.
+    The memory-bound ANN scale path — at 100 TB the ADC scan reads a
+    ~16x smaller codes table and only 80 raw vectors are fetched.
+    Operating point m=16 (4-dim subspaces), rerank=8: top-10 overlap
+    vs exact 10/10 at sf0.001 and sf0.01, 9/10 at sf0.1 on the
+    near-uniform worst-case corpus (the q42/q27b bar). Rows-only
+    check; overlap measured in APPROX_EVIDENCE.json and pinned by
+    tests/test_llm_ops.py."""
+    (emb,) = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    return similarity.pq_topk(emb, qv, k=10, m=16, rerank=8)

@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181; q163's behavioral
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191; q163's behavioral
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -132,7 +132,7 @@ def main() -> int:
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     exact10 = [r["vec_id"] for r in similarity.topk_cosine(emb, qv, k=10).collect()]
-    for name in ("q27b_ann_lsh_topk", "q42_ivf_ann_topk"):
+    for name in ("q27b_ann_lsh_topk", "q42_ivf_ann_topk", "q191_pq_ann_topk"):
         approx10 = [r["vec_id"] for r in q[name].fn(spark, sf).collect()]
         out[name] = {
             "k": 10,
@@ -241,6 +241,17 @@ def main() -> int:
         "candidate_fraction": round(
             similarity.ann_topk_lsh_banded(emb1, qv1, k=n1 + 1).count() / n1, 4
         ),
+    }
+    pq1 = [
+        r["vec_id"]
+        for r in similarity.pq_topk(emb1, qv1, k=10, m=16, rerank=8).collect()
+    ]
+    out["q191_pq_ann_topk"]["sf0.1"] = {
+        "top10_overlap": len(set(ex1) & set(pq1)),
+        "rank1_matches_exact": bool(pq1 and pq1[0] == ex1[0]),
+        # the rerank fetch is the candidate set: k * rerank rows by id —
+        # constant in N, so the fraction vanishes as the corpus grows
+        "candidate_fraction": round(80 / n1, 4),
     }
 
     # ---- q24b: sketch aggregates vs exact

@@ -2495,3 +2495,91 @@ def test_apng_anim_phash_separates_groups_and_middle_frame_matters(spark):
     px0 = multimodal.decode_apng_frame(blobs[0], 0)
     alt = multimodal.phash64(multimodal._pixels_to_luma(px0))
     assert alt != h[0][1]
+
+
+def test_pq_topk_recall_and_rank1(spark):
+    """PQ/ADC with exact rerank at q191's operating point (m=16,
+    rerank=8) must contain the self-match at rank 1 and overlap the
+    exact top-10 by >= 8 on the near-uniform worst-case corpus —
+    the bar the banded-LSH and IVF paths carry."""
+    e = emb(spark)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [r["vec_id"] for r in similarity.topk_cosine(e, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.pq_topk(e, qv, k=10, m=16, rerank=8).collect()
+    ]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes carry m entries in [0, n_cent); encoding the same table
+    twice with the same codebooks is bit-identical (deterministic
+    training + argmin tie-break toward the lower index)."""
+    e = emb(spark).limit(64)
+    books = similarity.pq_codebooks(e, m=8, n_cent=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    got = similarity.pq_encode(e, books).select("vec_id", "codes").collect()
+    again = similarity.pq_encode(e, books).select("vec_id", "codes").collect()
+    assert sorted((r["vec_id"], tuple(r["codes"])) for r in got) == sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in again
+    )
+    for r in got:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_adc_approximates_cosine(spark):
+    """The ADC score (sum of LUT lookups on the normalized query) must
+    track true cosine: mean |adc - cosine| under 0.1 over the corpus —
+    the quantization-error contract that makes the rerank window
+    meaningful. Computed via the same codebooks/encoding pq_topk uses."""
+    import numpy as np
+
+    e = emb(spark)
+    rows = e.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = X[0] / np.linalg.norm(X[0])
+    books = similarity.pq_codebooks(e, m=16, n_cent=16)
+    sub = 64 // 16
+    codes_rows = similarity.pq_encode(
+        e, books, dim=64
+    ).select("vec_id", "codes").collect()
+    lut = np.array(
+        [[float(np.dot(q[s * sub:(s + 1) * sub], np.asarray(c)))
+          for c in books[s]] for s in range(16)]
+    )
+    by_id = {r["vec_id"]: r["codes"] for r in codes_rows}
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    true_cos = Xn @ q
+    errs = []
+    for i, r in enumerate(rows):
+        codes = by_id[r["vec_id"]]
+        adc = sum(lut[s][codes[s]] for s in range(16))
+        errs.append(abs(adc - true_cos[i]))
+    assert float(np.mean(errs)) < 0.1
+
+
+def test_pq_guards(spark):
+    """m must divide dim; wrong-length vectors fail loudly at encode;
+    a multi-row query frame is rejected."""
+    import pytest as _pytest
+
+    e = emb(spark)
+    with _pytest.raises(ValueError, match="must divide"):
+        similarity.pq_codebooks(e, m=7)
+    books = similarity.pq_codebooks(e, m=8)
+    bad = e.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with _pytest.raises(Exception, match="length 32"):
+        similarity.pq_encode(bad, books).collect()
+    two = e.limit(2).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    with _pytest.raises(ValueError, match="exactly one query row"):
+        similarity.pq_topk(e, two, k=5)
