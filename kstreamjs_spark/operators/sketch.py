@@ -215,3 +215,81 @@ def _kll_estimate(items, err_total, n_total, quantiles):
                 break
         out.append((float(q), est, n_total, err_total + w_max))
     return out
+
+
+def kmv_summary(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-partition KMV (k-minimum-values) summaries: the k smallest
+    DISTINCT xxhash64 values of ``df[col]`` per partition, <= k rows
+    each (Bar-Yossef et al. 2002 / Beyer et al. 2007, public). The
+    summary is a pure function of the input SET — no traversal-order
+    pin needed (unlike MG/KLL): min-of-hashes commutes, dedup commutes,
+    so the merge (union then global k smallest distinct) is exact
+    mergeability, not bound-addition.
+
+    The hash rides the scan projection JVM-side (F.xxhash64); the
+    Arrow kernel only maintains the bounded k-min set (heap + member
+    set, O(k) memory), so the per-partition exchange is <= k longs —
+    constant in data size."""
+    import heapq
+
+    hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
+
+    def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list[int] = []  # max-heap via negation
+        seen: set[int] = set()
+        for pdf in it:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in seen:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -h)
+                    seen.add(h)
+                elif h < -heap[0]:
+                    dead = -heapq.heappushpop(heap, -h)
+                    seen.discard(dead)
+                    seen.add(h)
+        if heap:
+            yield pd.DataFrame({"h": sorted(-x for x in heap)})
+
+    return hashed.mapInPandas(summarize, "h long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str,
+    k: int = 1024,
+) -> tuple[int, int]:
+    """Mergeable distinct-count estimate from a KMV sketch: merge the
+    per-partition summaries (union -> global k smallest distinct, a
+    TakeOrdered over <= k x partitions rows) and estimate
+    D ~= (k-1) / u_k where u_k is the k-th smallest hash mapped to
+    (0,1) (the classic unbiased KMV estimator). When fewer than k
+    distinct hashes exist the sketch holds the ENTIRE distinct set and
+    the answer is exact. Returns (estimate, n_kept).
+
+    Standard error is ~1/sqrt(k-2) (k=1024 -> ~3.1%); measured far
+    tighter on the test corpus (APPROX_EVIDENCE.json). Deterministic:
+    same input set -> same hashes -> same k minima -> same estimate,
+    any partitioning, any order."""
+    if k < 16:
+        raise ValueError(f"kmv_distinct needs k >= 16, got {k}")
+    rows = (
+        kmv_summary(df, col, k=k)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    n_kept = len(rows)
+    if n_kept < k:
+        return n_kept, n_kept  # sketch holds the whole distinct set
+    h_k = rows[-1]["h"]
+    # map signed 64-bit to (0,1): u = (h + 2^63 + 1) / (2^64 + 2)
+    u_k = (h_k + 2**63 + 1) / float(2**64 + 2)
+    est = int(round((k - 1) / u_k))
+    return est, n_kept

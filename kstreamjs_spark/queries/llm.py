@@ -3759,3 +3759,46 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     return similarity.pq_topk(emb, qv, k=10, m=16, rerank=8)
+
+
+@query("q192_kmv_distinct", oracle=None,
+       tags=("sketch", "approx", "text", "llm"))
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """CARDINALITY via a mergeable KMV (k-minimum-values) sketch —
+    completing the mergeable-summary matrix (q180 frequencies, q181
+    quantiles, here distinct counts; Bar-Yossef et al. 2002 / Beyer et
+    al. 2007, public). Unlike MG/KLL the summary is a pure function of
+    the input SET (min-of-hashes commutes, dedup commutes), so the
+    merge is EXACT union — no traversal pin, no bound addition — and
+    the estimate is deterministic on any partitioning. Two scopes the
+    corpus audit needs: distinct whitespace tokens over documents (the
+    vocabulary size feeding q80/q105) and distinct users over events.
+    The estimator (k-1)/u_k carries a ~1/sqrt(k-2) standard error
+    (k=1024 -> ~3.1%); when distinct < k the sketch holds the whole
+    set and the answer is EXACT (reported via the `exact` flag).
+    Rows-only by design (the q180/q181 category); relative error vs
+    exact countDistinct pinned in APPROX_EVIDENCE.json at both SFs and
+    by pytest contracts."""
+    from ..operators import sketch
+
+    documents, events, lineitem = load(
+        spark, sf, "documents", "events", "lineitem"
+    )
+    toks = documents.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    rows = []
+    for scope, frame, col in (
+        # doc_tokens and event_users sit in the exact-when-small regime
+        # (distinct < k: the sketch IS the distinct set); order_keys is
+        # the estimator regime (15k/150k distinct >> k=1024)
+        ("doc_tokens", toks, "tok"),
+        ("event_users", events, "user_id"),
+        ("order_keys", lineitem, "l_orderkey"),
+    ):
+        est, n_kept = sketch.kmv_distinct(frame, col, k=1024)
+        rows.append((scope, est, n_kept, 1024, n_kept < 1024))
+    return spark.createDataFrame(
+        rows, "scope string, est_distinct long, n_kept long, k long, "
+              "exact boolean"
+    )

@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181, q191; q163's behavioral
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192; q163's
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -444,6 +444,47 @@ def main() -> int:
             "never_over_counts": bool(over <= 0),
         }
     out["q180b_stream_heavy_hitters"] = mgb_out
+
+    # ---- q192: KMV distinct sketch vs exact countDistinct per scope at
+    # BOTH scale factors; the order_keys scope is the estimator regime
+    # (distinct >> k), the other two the exact-when-small regime
+    kmv_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        rows = {r["scope"]: r for r in q["q192_kmv_distinct"].fn(spark, kv_sf).collect()}
+        docs_v, events_v, li_v = (
+            load(spark, kv_sf, "documents")[0],
+            load(spark, kv_sf, "events")[0],
+            load(spark, kv_sf, "lineitem")[0],
+        )
+        exact = {
+            "doc_tokens": docs_v.select(
+                F.explode(F.split("text", " ")).alias("t")
+            ).agg(F.countDistinct("t")).collect()[0][0],
+            "event_users": events_v.agg(
+                F.countDistinct("user_id")
+            ).collect()[0][0],
+            "order_keys": li_v.agg(
+                F.countDistinct("l_orderkey")
+            ).collect()[0][0],
+        }
+        scopes = {}
+        for s, r in rows.items():
+            ex = exact[s]
+            scopes[s] = {
+                "est": int(r["est_distinct"]),
+                "exact": int(ex),
+                "rel_err": round(abs(r["est_distinct"] - ex) / ex, 4),
+                "exact_regime": bool(r["exact"]),
+            }
+            if r["exact"]:
+                # the exact-when-small contract is a hard equality
+                assert r["est_distinct"] == ex, (s, kv_sf)
+        kmv_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "k": 1024,
+            "std_err_bound": round(1.0 / (1024 - 2) ** 0.5, 4),
+            "scopes": scopes,
+        }
+    out["q192_kmv_distinct"] = kmv_out
 
     doc = {
         "sf_dir": sf,

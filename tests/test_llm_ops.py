@@ -2583,3 +2583,43 @@ def test_pq_guards(spark):
     )
     with _pytest.raises(ValueError, match="exactly one query row"):
         similarity.pq_topk(e, two, k=5)
+
+
+def test_kmv_distinct_exact_estimator_and_determinism(spark):
+    """sketch.kmv_distinct contracts: EXACT when distinct < k (the
+    sketch holds the whole set), estimator within 5x the standard
+    error 1/sqrt(k-2) when distinct >> k, and identical output across
+    partitionings (the summary is a pure function of the input set —
+    KMV's edge over order-pinned MG/KLL)."""
+    from kstreamjs_spark.operators.sketch import kmv_distinct
+
+    # exact regime: 300 distinct < k=1024
+    small = spark.range(3000).select((F.col("id") % 300).alias("v"))
+    est, n_kept = kmv_distinct(small, "v", k=1024)
+    assert (est, n_kept) == (300, 300)
+
+    # estimator regime: 50k distinct >> k=256
+    big = spark.range(50_000).select(F.col("id").alias("v"))
+    k = 256
+    est, n_kept = kmv_distinct(big, "v", k=k)
+    assert n_kept == k
+    rel = abs(est - 50_000) / 50_000
+    assert rel < 5.0 / (k - 2) ** 0.5, f"rel err {rel:.4f} too large"
+
+    # determinism across partitionings (and with duplicates folded in)
+    dup = big.unionByName(big.limit(1000))
+    for parts in (2, 16):
+        est2, _ = kmv_distinct(dup.repartition(parts), "v", k=k)
+        assert est2 == est
+
+
+def test_kmv_guards(spark):
+    import pytest as _pytest
+
+    from kstreamjs_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with _pytest.raises(ValueError, match="k >= 16"):
+        kmv_distinct(df, "v", k=4)
+    # empty input: zero kept, zero estimate
+    assert kmv_distinct(df.filter("v < 0"), "v", k=64) == (0, 0)
