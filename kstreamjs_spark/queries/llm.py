@@ -3802,3 +3802,207 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
         rows, "scope string, est_distinct long, n_kept long, k long, "
               "exact boolean"
     )
+
+
+# ------------------- Q193 C4 quality rules (Raffel et al. 2020, public)
+# The corpus is token soup (no punctuation, no newlines), so page
+# structure is INJECTED deterministically from (doc_id, line_idx) — the
+# q164 fixture convention, stated identically in both engine texts:
+# lines are 8-token windows; line j of doc d is decorated with
+#   'lorem ipsum ' prefix   iff (d*13 + j) % 17 == 0   (+2 words)
+#   ' {' suffix             iff (d*7  + j) % 11 == 0   (+1 word)
+#   ' javascript' suffix    iff (d*3  + j) % 13 == 0   (+1 word)
+#   terminal '.'            iff (d + j) % 3 != 0       (+0 words)
+# C4's rules then apply: a LINE is kept iff it ends in terminal
+# punctuation AND has >= 5 words AND does not mention javascript; a
+# PAGE is kept iff no '{', no 'lorem ipsum', and >= 3 kept lines.
+# kept_chars counts the undecorated token bytes of kept lines
+# (tokens + single spaces).
+_C4_LINE_W = 8
+_C4_MIN_WORDS = 5
+_C4_MIN_LINES = 3
+
+
+def _c4_doc_cols():
+    """Per-document C4 columns (n_lines, n_kept_lines, any_brace,
+    any_lorem, kept_chars, doc_kept) over a frame carrying doc_id and
+    ts (the token array). Pure codegen higher-order functions — one
+    scan projection, shared verbatim by batch q193 and streaming
+    q193b (one rule home)."""
+    d = F.col("doc_id")
+    ts = F.col("ts")
+    n_tok = F.size(ts)
+    w = F.lit(_C4_LINE_W)
+    n_lines = F.ceil(n_tok / w).cast("long")
+    js_seq = F.sequence(F.lit(0).cast("long"), n_lines - 1)
+
+    def base(j):
+        return F.least(w.cast("long"), n_tok.cast("long") - j * w)
+
+    def lorem(j):
+        return (d * 13 + j) % 17 == 0
+
+    def brace(j):
+        return (d * 7 + j) % 11 == 0
+
+    def js(j):
+        return (d * 3 + j) % 13 == 0
+
+    def punct(j):
+        return (d + j) % 3 != 0
+
+    def words(j):
+        return (
+            base(j)
+            + F.when(lorem(j), 2).otherwise(0)
+            + F.when(brace(j), 1).otherwise(0)
+            + F.when(js(j), 1).otherwise(0)
+        )
+
+    def kept(j):
+        return punct(j) & ~js(j) & (words(j) >= _C4_MIN_WORDS)
+
+    def chars(j):
+        sl = F.slice(ts, (j * w + 1).cast("int"), base(j).cast("int"))
+        return (
+            F.aggregate(
+                sl, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+            )
+            + base(j)
+            - 1
+        )
+
+    n_kept = F.size(F.filter(js_seq, kept)).cast("long")
+    any_brace = F.exists(js_seq, brace)
+    any_lorem = F.exists(js_seq, lorem)
+    kept_chars = F.aggregate(
+        F.filter(js_seq, kept),
+        F.lit(0).cast("long"),
+        lambda a, j: a + chars(j),
+    )
+    doc_kept = ~any_brace & ~any_lorem & (n_kept >= _C4_MIN_LINES)
+    return [
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        any_brace.alias("any_brace"),
+        any_lorem.alias("any_lorem"),
+        kept_chars.alias("kept_chars"),
+        doc_kept.alias("doc_kept"),
+    ]
+
+
+_C4_DOC_SQL = f"""
+        t AS (SELECT doc_id, lang, source,
+                     string_split(text, ' ') AS ts
+              FROM documents),
+        l AS (SELECT doc_id, lang, source, ts, len(ts) AS n_tok,
+                     CAST(ceil(len(ts) / {_C4_LINE_W}.0) AS BIGINT)
+                         AS n_lines
+              FROM t),
+        x AS (SELECT doc_id, lang, source, ts, n_tok, n_lines,
+                     CAST(j AS BIGINT) AS j
+              FROM l, LATERAL unnest(generate_series(0, n_lines - 1))
+                   AS u(j)),
+        f AS (SELECT doc_id, lang, source, n_lines, j,
+                     least({_C4_LINE_W}, n_tok - j * {_C4_LINE_W}) AS base,
+                     ((doc_id * 13 + j) % 17 = 0) AS lorem,
+                     ((doc_id * 7 + j) % 11 = 0) AS brace,
+                     ((doc_id * 3 + j) % 13 = 0) AS js,
+                     ((doc_id + j) % 3 <> 0) AS punct,
+                     list_aggregate(
+                         list_transform(
+                             ts[j * {_C4_LINE_W} + 1 :
+                                j * {_C4_LINE_W} +
+                                least({_C4_LINE_W},
+                                      n_tok - j * {_C4_LINE_W})],
+                             s -> len(s)),
+                         'sum')
+                       + least({_C4_LINE_W}, n_tok - j * {_C4_LINE_W}) - 1
+                         AS chars
+              FROM x),
+        k AS (SELECT *,
+                     base + CASE WHEN lorem THEN 2 ELSE 0 END
+                          + CASE WHEN brace THEN 1 ELSE 0 END
+                          + CASE WHEN js THEN 1 ELSE 0 END AS words
+              FROM f),
+        kk AS (SELECT *,
+                      (punct AND NOT js AND words >= {_C4_MIN_WORDS})
+                          AS kept
+               FROM k),
+        doc AS (SELECT doc_id, lang, source,
+                       MAX(n_lines) AS n_lines,
+                       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_kept_lines,
+                       bool_or(brace) AS any_brace,
+                       bool_or(lorem) AS any_lorem,
+                       CAST(COALESCE(SUM(CASE WHEN kept THEN chars
+                                          ELSE 0 END), 0) AS BIGINT)
+                           AS kept_chars
+                FROM kk GROUP BY doc_id, lang, source)
+"""
+
+
+@query(
+    "q193_c4_rules",
+    oracle=f"""
+        WITH {_C4_DOC_SQL},
+        v AS (SELECT *,
+                     (NOT any_brace AND NOT any_lorem
+                      AND n_kept_lines >= {_C4_MIN_LINES}) AS doc_kept
+              FROM doc)
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               CAST(SUM(n_kept_lines) AS BIGINT) AS n_kept_lines,
+               CAST(SUM(CASE WHEN any_brace THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_brace,
+               CAST(SUM(CASE WHEN any_lorem THEN 1 ELSE 0 END)
+                    AS BIGINT) AS drop_lorem,
+               CAST(SUM(CASE WHEN doc_kept THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_kept,
+               CAST(SUM(CASE WHEN doc_kept THEN kept_chars ELSE 0 END)
+                    AS BIGINT) AS kept_chars
+        FROM v
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 quality-rule funnel (Raffel et al. 2020 §2.2, public) — the
+    OTHER canonical web-corpus ruleset next to q178's Gopher rules
+    (production pipelines run both): line-level keep (terminal
+    punctuation, >= 5 words, no javascript mention) cascading into
+    page-level drop ('{', 'lorem ipsum', < 3 kept lines), reported as
+    a per-(lang, source) yield funnel. Page structure is injected
+    deterministically from (doc_id, line_idx) — the q164 fixture
+    convention; both engine texts state the identical construction.
+
+    Scale shape: ONE scan projection computes every per-line flag and
+    the per-doc verdicts as nested higher-order functions (codegen,
+    O(lines) per doc, zero Python, zero explode — the line dimension
+    never materializes as rows); the only exchange is the final
+    (lang, source) rollup of a dozen groups. All-integer output,
+    hash-exact at both SFs."""
+    (documents,) = load(spark, sf, "documents")
+    per_doc = documents.select(
+        "doc_id", "lang", "source", F.split("text", " ").alias("ts")
+    ).select("doc_id", "lang", "source", *_c4_doc_cols())
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_kept_lines").cast("long").alias("n_kept_lines"),
+            F.sum(F.col("any_brace").cast("long")).cast("long")
+            .alias("drop_brace"),
+            F.sum(F.col("any_lorem").cast("long")).cast("long")
+            .alias("drop_lorem"),
+            F.sum(F.col("doc_kept").cast("long")).cast("long")
+            .alias("docs_kept"),
+            F.sum(
+                F.when(F.col("doc_kept"), F.col("kept_chars")).otherwise(0)
+            ).cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1420,3 +1420,53 @@ def q180b(spark: SparkSession, sf: str) -> DataFrame:
         key=lambda te: (-te[1], te[0]),
     )[:_Q180B_TOP]
     return spark.createDataFrame(rows, "token string, est_count long")
+
+
+# ------------- Q193b STREAMING C4 filtering — quality verdicts at ingest
+def _q193b_oracle() -> str:
+    """Batch mirror of the per-arrival verdict rows: q193's shared CTE
+    chain down to the per-document level (no corpus rollup — the
+    stream emits one row per arriving doc)."""
+    from .llm import _C4_DOC_SQL, _C4_MIN_LINES
+
+    return f"""
+        WITH {_C4_DOC_SQL}
+        SELECT doc_id, lang, n_lines, n_kept_lines,
+               any_brace, any_lorem, kept_chars,
+               (NOT any_brace AND NOT any_lorem
+                AND n_kept_lines >= {_C4_MIN_LINES}) AS doc_kept
+        FROM doc
+    """
+
+
+@query(
+    "q193b_stream_c4_filter",
+    oracle=None,  # bound at import end, like q177b/q178b
+    tags=("streaming", "text", "llm", "quality"),
+)
+def q193b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING C4 quality filtering — q193's ruleset the way an
+    ingestion service applies it (the q178b deployment shape): every
+    arriving document carries its per-line-cascade verdict columns,
+    computed in a PURE SCAN PROJECTION — append mode, no state, no
+    join, no explode (the line dimension stays inside nested
+    higher-order functions). The rule expressions are imported from
+    batch q193 (`_c4_doc_cols` — one rule home); the oracle replays
+    q193's CTE chain to the per-document level, so equality proves the
+    stream side applies exactly the batch semantics."""
+    from .llm import _C4_MIN_LINES, _c4_doc_cols
+
+    sdf = stream_table(spark, sf, "documents")
+    per_doc = sdf.select(
+        "doc_id", "lang", F.split("text", " ").alias("ts")
+    ).select("doc_id", "lang", *_c4_doc_cols())
+    out = per_doc.select(
+        "doc_id", "lang", "n_lines", "n_kept_lines",
+        "any_brace", "any_lorem", "kept_chars", "doc_kept",
+    )
+    return run_to_memory(out, "q193b", output_mode="append")
+
+
+REGISTRY["q193b_stream_c4_filter"] = _dc_replace(
+    REGISTRY["q193b_stream_c4_filter"], oracle=_q193b_oracle()
+)
