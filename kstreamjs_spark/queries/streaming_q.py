@@ -1470,3 +1470,102 @@ def q193b(spark: SparkSession, sf: str) -> DataFrame:
 REGISTRY["q193b_stream_c4_filter"] = _dc_replace(
     REGISTRY["q193b_stream_c4_filter"], oracle=_q193b_oracle()
 )
+
+
+# ----------------------------- Q51c stream-stream FULL OUTER interval join
+@query(
+    "q51c_stream_stream_full_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click'),
+             wm AS (SELECT least(
+                        MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                        MAX(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL '1 minute' - INTERVAL '1 second'
+                        AS cutoff
+                    FROM events)
+        SELECT p.event_id, p.user_id AS p_user, c.user_id AS c_user,
+               c.click_ts
+        FROM p FULL JOIN c
+          ON p.user_id = c.user_id
+         AND c.click_ts > p.ts - INTERVAL '10 minutes'
+         AND c.click_ts <= p.ts
+        CROSS JOIN wm
+        WHERE (p.event_id IS NOT NULL AND p.ts <= wm.cutoff)
+           OR (p.event_id IS NULL
+               AND c.click_ts <= wm.cutoff - INTERVAL '10 minutes')
+    """,
+    tags=("streaming", "join"),
+)
+def q51c(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (round 11) — completing
+    the stream-join matrix (q51 inner, q51b left outer): every
+    purchase WITH its prior clicks if any, AND every click that
+    attributed to no purchase — the two-sided audit shape (unattributed
+    clicks are the marketing-waste signal, unmatched purchases the
+    organic-sales signal).
+
+    Null emission is watermark-gated PER SIDE, at different bounds: an
+    unmatched purchase's state expires when the watermark passes its
+    own event time (clicks only look backward from it), but an
+    unmatched CLICK can still match purchases up to 10 minutes ahead,
+    so its state lives until the watermark passes click_ts + 10min.
+    The replay therefore compares a two-sided watermark-closed region:
+    purchase-bearing rows with ts <= cutoff, null-purchase rows with
+    click_ts <= cutoff - 10min (cutoff = min of both sides' max event
+    time - 1min delay - 1s eviction-boundary margin, same scalar the
+    oracle restates). Within it the streaming result must equal the
+    batch FULL JOIN exactly — both null populations included, pinned
+    further by the adversarial multi-trigger test
+    (tests/test_streaming.py: both-side null gating + split==whole).
+
+    Scale shape: q51's — keyed on user_id, state bounded by interval +
+    delay; the full-outer variant adds only the second deferred null
+    path, no extra state."""
+    p = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    c = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "full_outer",
+    ).select("event_id", "p_user", "ts", "c_user", "click_ts")
+    sink = run_to_memory(j, "q51c", output_mode="append")
+    ev = load(spark, sf, "events")[0]
+    cut = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
+             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+    return sink.filter(
+        (F.col("event_id").isNotNull() & (F.col("ts") <= F.lit(cut)))
+        | (
+            F.col("event_id").isNull()
+            & (
+                F.col("click_ts")
+                <= F.lit(cut) - F.expr("INTERVAL 10 MINUTES")
+            )
+        )
+    ).select("event_id", "p_user", "c_user", "click_ts")

