@@ -285,10 +285,18 @@ def kmv_distinct(
         .limit(k)
         .collect()
     )
-    n_kept = len(rows)
+    return kmv_estimate([r["h"] for r in rows], k)
+
+
+def kmv_estimate(sorted_hashes: list[int], k: int) -> tuple[int, int]:
+    """The KMV estimator over an already-merged, ascending k-min hash
+    list — shared by batch `kmv_distinct` and the streaming keyed-state
+    variant (q192b), one arithmetic home. Exact when fewer than k
+    distinct hashes exist (the list IS the distinct set)."""
+    n_kept = len(sorted_hashes)
     if n_kept < k:
         return n_kept, n_kept  # sketch holds the whole distinct set
-    h_k = rows[-1]["h"]
+    h_k = sorted_hashes[-1]
     # map signed 64-bit to (0,1): u = (h + 2^63 + 1) / (2^64 + 2)
     u_k = (h_k + 2**63 + 1) / float(2**64 + 2)
     est = int(round((k - 1) / u_k))

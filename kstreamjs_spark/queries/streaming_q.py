@@ -1569,3 +1569,89 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     ).select("event_id", "p_user", "c_user", "click_ts")
+
+
+# ----------- Q192b STREAMING KMV — distinct-count sketch as keyed state
+_Q192B_K = 1024
+_Q192B_BUCKETS = 8
+
+
+@query("q192b_stream_kmv_distinct", oracle=None,
+       tags=("streaming", "sketch", "approx"))
+def q192b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING KMV (round 11): q192's k-minimum-values summary
+    maintained as KEYED STREAMING STATE — completing the sketch matrix
+    for cardinality (with q180b frequencies and q181b quantiles every
+    mergeable summary now runs batch AND streaming). Hashes bucket by
+    pmod(xxhash64, 8); each bucket's GroupState holds ITS OWN k
+    smallest distinct hashes (per-bucket k = full k: in the worst case
+    every global minimum lands in one bucket, so nothing smaller
+    guarantees containment of the global k-min), folded monotonically
+    across micro-batches (set-union then trim — the k-min fold
+    commutes, so arrival grouping CANNOT change the result). The final
+    answer unions the bucket sets, takes the global k smallest, and
+    applies the SAME `kmv_estimate` arithmetic as batch — which is why
+    the streaming estimate must EQUAL batch q192's order_keys estimate
+    exactly, the equality the pytest contract pins (MG/KLL can only
+    pin bounds; KMV's set-purity makes streaming == batch a hard
+    equality).
+
+    Scale shape: state bounded at 8k longs total regardless of stream
+    length; emission is per-bucket per-trigger (append mode), the
+    union/estimate a bounded driver fold (the centroid-collect
+    policy). Rows-only by design (the q180/q181 category);
+    APPROX_EVIDENCE records the equality at both SFs."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketch import kmv_estimate
+
+    sdf = stream_table(spark, sf, "lineitem").select(
+        F.xxhash64("l_orderkey").alias("h")
+    ).select(F.pmod("h", F.lit(_Q192B_BUCKETS)).alias("bucket"), "h")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            sj, n_rows = state.get
+            vals = set(_json.loads(sj))
+        else:
+            vals, n_rows = set(), 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for h in pdf["h"]:
+                vals.add(int(h))
+        if len(vals) > _Q192B_K:
+            vals = set(sorted(vals)[:_Q192B_K])
+        mins = sorted(vals)
+        state.update((_json.dumps(mins), n_rows))
+        yield pd.DataFrame({
+            "bucket": [key[0]],
+            "mins": [_json.dumps(mins)],
+            "n_rows": [n_rows],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket bigint, mins string, n_rows bigint",
+        stateStructType="mins string, n_rows bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q192b", output_mode="append")
+    # final state per bucket = the emission with the largest n_rows
+    # (strictly increasing per bucket, so max_by is the last trigger)
+    finals = (
+        sink.groupBy("bucket")
+        .agg(F.max_by("mins", "n_rows").alias("mins"))
+        .collect()
+    )
+    merged = sorted(
+        {h for r in finals for h in _json.loads(r["mins"])}
+    )[:_Q192B_K]
+    est, n_kept = kmv_estimate(merged, _Q192B_K)
+    return spark.createDataFrame(
+        [("order_keys", est, n_kept, _Q192B_K, n_kept < _Q192B_K)],
+        "scope string, est_distinct long, n_kept long, k long, "
+        "exact boolean",
+    )

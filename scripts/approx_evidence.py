@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192; q163's
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b;
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -485,6 +485,28 @@ def main() -> int:
             "scopes": scopes,
         }
     out["q192_kmv_distinct"] = kmv_out
+
+    # ---- q192b: the STREAMING KMV — set-purity makes streaming == batch
+    # a HARD equality (not a bound): the replayed keyed-state estimate
+    # must equal batch q192's order_keys row exactly at both SFs
+    kmvb_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        batch_row = {
+            r["scope"]: r
+            for r in q["q192_kmv_distinct"].fn(spark, kv_sf).collect()
+        }["order_keys"]
+        stream_row = q["q192b_stream_kmv_distinct"].fn(spark, kv_sf).collect()[0]
+        eq = (
+            int(stream_row["est_distinct"]) == int(batch_row["est_distinct"])
+            and int(stream_row["n_kept"]) == int(batch_row["n_kept"])
+        )
+        assert eq, (kv_sf, stream_row, batch_row)
+        kmvb_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "stream_est": int(stream_row["est_distinct"]),
+            "batch_est": int(batch_row["est_distinct"]),
+            "stream_equals_batch": eq,
+        }
+    out["q192b_stream_kmv_distinct"] = kmvb_out
 
     doc = {
         "sf_dir": sf,

@@ -1115,3 +1115,87 @@ def test_stream_full_outer_join_gates_nulls_on_both_sides(spark, tmp_path):
     assert split == expected, split
     assert whole == expected, whole
     assert split_removed > 0
+
+
+def test_stream_kmv_folds_state_and_equals_batch(spark, tmp_path):
+    """q192b's contract: the keyed k-min state folds across
+    micro-batches and — because the k-min fold is a pure function of
+    the input SET — the streamed estimate EQUALS the batch
+    kmv_distinct on the same data exactly (a hard equality, unlike the
+    MG/KLL bound pins), including under a duplicate-heavy split
+    replay."""
+    import json as _json
+    import uuid
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kstreamjs_spark.operators.sketch import kmv_distinct, kmv_estimate
+
+    k, buckets = 256, 4
+    # 5000 distinct keys, each row value repeated in later files too
+    df = spark.createDataFrame(
+        [(i % 5000,) for i in range(12_000)], "v long"
+    ).withColumn("rid", F.monotonically_increasing_id())
+    src = str(tmp_path / "kmv_src")
+    df.repartitionByRange(6, "rid").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(F.xxhash64("v").alias("h"))
+        .select(F.pmod("h", F.lit(buckets)).alias("bucket"), "h")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            sj, n_rows = state.get
+            vals = set(_json.loads(sj))
+        else:
+            vals, n_rows = set(), 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for h in pdf["h"]:
+                vals.add(int(h))
+        if len(vals) > k:
+            vals = set(sorted(vals)[:k])
+        state.update((_json.dumps(sorted(vals)), n_rows))
+        yield pd.DataFrame({
+            "bucket": [key[0]],
+            "mins": [_json.dumps(sorted(vals))],
+            "n_rows": [n_rows],
+        })
+
+    out = sdf.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType="bucket bigint, mins string, n_rows bigint",
+        stateStructType="mins string, n_rows bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    qname = f"kmv_adv_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(600)
+    finals = (
+        spark.table(qname).groupBy("bucket")
+        .agg(F.max_by("mins", "n_rows").alias("mins"),
+             F.max("n_rows").alias("n_rows"))
+        .collect()
+    )
+    # state folded: total rows seen across buckets == stream length
+    assert sum(r["n_rows"] for r in finals) == 12_000
+    merged = sorted({h for r in finals for h in _json.loads(r["mins"])})[:k]
+    got = kmv_estimate(merged, k)
+    expected = kmv_distinct(df.select("v"), "v", k=k)
+    assert got == expected
+    # and the estimator regime really engaged (5000 distinct >> k)
+    assert got[1] == k and abs(got[0] - 5000) / 5000 < 5.0 / (k - 2) ** 0.5
