@@ -991,3 +991,77 @@ def pq_query_encoded(
         )
     )
     return rer.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 16,
+    n_cent: int = 16,
+    dim: int = 64,
+    rerank: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVFADC — the canonical composition (Jegou et al. 2011's actual
+    index): IVF cells bound WHICH rows are scanned (partition pruning,
+    q42's half) and PQ/ADC bounds WHAT is read per row (the 16x-smaller
+    codes, q191's half). Cell assignment and codes are both scan-side
+    and offline-able; a query probes ``n_probe`` of ``n_centroids``
+    cells, ADC-scores ONLY those rows via the LUT expression, and
+    exact-reranks the top k * rerank.
+
+    At 100 TB with the codes table partitioned by cell: a query reads
+    n_probe/n_centroids of a codes table that is itself ~16x smaller
+    than the raw vectors — the two reductions MULTIPLY (~64x less I/O
+    at the defaults) while the rerank stays a constant 80-row fetch.
+    This convenience form trains + encodes inline like `pq_topk`; the
+    production path persists (cell, id, codes) partitioned by cell and
+    serves via the same expressions.
+
+    Recall: the cell probe can exclude true neighbors (q42's error
+    source) on top of ADC ordering error (q191's) — measured jointly
+    in APPROX_EVIDENCE.json; probing all cells recovers exactly
+    q191's recall by construction."""
+    cents = _centroids_from_sample(vectors, n_centroids, vec_col, id_col)
+    lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+
+    def cell_of(vec: Column) -> Column:
+        sims = F.array(*[cosine(as_double(vec), c) for c in lits])
+        return F.array_position(sims, F.array_max(sims)).cast("int")
+
+    books = pq_codebooks(
+        vectors, vec_col=vec_col, id_col=id_col, m=m, n_cent=n_cent, dim=dim
+    )
+    encoded = pq_encode(vectors, books, vec_col=vec_col, dim=dim).select(
+        id_col, "codes", cell_of(F.col(vec_col)).alias("_cell")
+    )
+    qrow = query.limit(2).collect()
+    if len(qrow) != 1:
+        raise ValueError(
+            f"ivfpq_topk expects exactly one query row, got {len(qrow)}"
+        )
+    qv = np.array([float(x) for x in qrow[0]["qv"]], dtype=np.float64)
+    if qv.shape[0] != dim:
+        raise ValueError(
+            f"ivfpq_topk: dim={dim} but query 'qv' has length {qv.shape[0]}"
+        )
+    # probe cells: top n_probe by cosine(query, centroid), driver-side
+    # (the codebook is tiny — same arithmetic as cell_of)
+    C = np.asarray(cents, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    qu = qv / (qn if qn > 0.0 else 1.0)
+    cn = C / np.where(
+        (n := np.linalg.norm(C, axis=1, keepdims=True)) == 0.0, 1.0, n
+    )
+    order = np.argsort(-(cn @ qu), kind="stable")
+    probe = [int(c) + 1 for c in order[:n_probe]]  # 1-based like cell_of
+    pruned = encoded.filter(F.col("_cell").isin(probe)).select(id_col, "codes")
+    return pq_query_encoded(
+        pruned, vectors, books, query, k=k, vec_col=vec_col, id_col=id_col,
+        dim=dim, rerank=rerank, round_to=round_to,
+    )

@@ -4006,3 +4006,23 @@ def q193(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query("q194_ivfpq_ann_topk", oracle=None,
+       tags=("similarity", "llm", "approx"))
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC approximate top-10 (round 11) — the canonical composed
+    index (Jegou et al. 2011): IVF cells bound WHICH rows are scanned
+    (q42's partition pruning), PQ/ADC bounds WHAT is read per row
+    (q191's 16x-smaller codes); the reductions MULTIPLY (~n_probe/
+    n_centroids x 1/16 of the raw-vector I/O at the defaults) while
+    the exact rerank stays a constant 80-row fetch. Rows-only check;
+    top-10 overlap vs exact q27 measured in APPROX_EVIDENCE.json —
+    the cell probe adds q42's error source on top of q191's ADC
+    ordering error, so the composed recall is the honest product of
+    the two."""
+    (emb,) = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    return similarity.ivfpq_topk(emb, qv, k=10)

@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b;
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b, q194;
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -132,7 +132,8 @@ def main() -> int:
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     exact10 = [r["vec_id"] for r in similarity.topk_cosine(emb, qv, k=10).collect()]
-    for name in ("q27b_ann_lsh_topk", "q42_ivf_ann_topk", "q191_pq_ann_topk"):
+    for name in ("q27b_ann_lsh_topk", "q42_ivf_ann_topk", "q191_pq_ann_topk",
+                 "q194_ivfpq_ann_topk"):
         approx10 = [r["vec_id"] for r in q[name].fn(spark, sf).collect()]
         out[name] = {
             "k": 10,
@@ -246,6 +247,17 @@ def main() -> int:
         r["vec_id"]
         for r in similarity.pq_topk(emb1, qv1, k=10, m=16, rerank=8).collect()
     ]
+    ivfpq1 = [
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(emb1, qv1, k=10).collect()
+    ]
+    out["q194_ivfpq_ann_topk"]["sf0.1"] = {
+        "top10_overlap": len(set(ex1) & set(ivfpq1)),
+        "rank1_matches_exact": bool(ivfpq1 and ivfpq1[0] == ex1[0]),
+        # the two reductions multiply: n_probe/n_centroids of the rows,
+        # each read as 16 small ints instead of 64 doubles
+        "probe_fraction": 4 / 16,
+    }
     out["q191_pq_ann_topk"]["sf0.1"] = {
         "top10_overlap": len(set(ex1) & set(pq1)),
         "rank1_matches_exact": bool(pq1 and pq1[0] == ex1[0]),

@@ -2623,3 +2623,27 @@ def test_kmv_guards(spark):
         kmv_distinct(df, "v", k=4)
     # empty input: zero kept, zero estimate
     assert kmv_distinct(df.filter("v < 0"), "v", k=64) == (0, 0)
+
+
+def test_ivfpq_recall_and_all_probe_identity(spark):
+    """IVFADC at q194's operating point must contain the self-match at
+    rank 1 and overlap the exact top-10 by >= 8; probing ALL cells must
+    reproduce the PQ-only result exactly (the cell filter is the only
+    difference by construction)."""
+    e = emb(spark)
+    qv = e.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    exact = [r["vec_id"] for r in similarity.topk_cosine(e, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivfpq_topk(e, qv, k=10).collect()]
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 8
+    full = [
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(e, qv, k=10, n_probe=16).collect()
+    ]
+    pq = [
+        r["vec_id"]
+        for r in similarity.pq_topk(e, qv, k=10, m=16, rerank=8).collect()
+    ]
+    assert full == pq
