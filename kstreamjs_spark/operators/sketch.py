@@ -301,3 +301,56 @@ def kmv_estimate(sorted_hashes: list[int], k: int) -> tuple[int, int]:
     u_k = (h_k + 2**63 + 1) / float(2**64 + 2)
     est = int(round((k - 1) / u_k))
     return est, n_kept
+
+
+def kmv_set_relations(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    k: int = 1024,
+) -> dict:
+    """Set algebra on KMV sketches (Beyer et al. 2007, public): from the
+    two k-min summaries alone, estimate |A|, |B|, |A UNION B|,
+    |A INTERSECT B| and Jaccard — WITHOUT ever joining the full sets.
+    The union sketch is exact sketch algebra: the k smallest of
+    (kmin(A) UNION kmin(B)) ARE the k smallest of A UNION B. The
+    intersection uses the ratio estimator: rho = |{h in union sketch:
+    h in BOTH input sketches}| / |union sketch| estimates Jaccard, and
+    |A INTERSECT B| ~= rho * D_union. When |A UNION B| < k every number
+    is exact (the sketches hold the full distinct sets).
+
+    The expensive half (per-set k-min summaries) is the same bounded
+    per-partition exchange as `kmv_distinct`; the set algebra is a
+    driver-side fold over <= 2k longs — the centroid-collect policy.
+    At 100 TB this is THE way to ask "how much do two corpora overlap"
+    without shuffling either: two scans, four kilobytes exchanged."""
+    if k < 16:
+        raise ValueError(f"kmv_set_relations needs k >= 16, got {k}")
+
+    def _sketch(df: DataFrame, col: str) -> list[int]:
+        return [
+            r["h"]
+            for r in kmv_summary(df, col, k=k)
+            .distinct().orderBy("h").limit(k).collect()
+        ]
+
+    sa, sb = _sketch(df_a, col_a), _sketch(df_b, col_b)
+    est_a, _ = kmv_estimate(sa, k)
+    est_b, _ = kmv_estimate(sb, k)
+    union = sorted(set(sa) | set(sb))[:k]
+    est_union, n_kept = kmv_estimate(union, k)
+    in_both = set(sa) & set(sb)
+    rho = (
+        sum(1 for h in union if h in in_both) / len(union) if union else 0.0
+    )
+    est_inter = int(round(rho * est_union))
+    return {
+        "est_a": est_a,
+        "est_b": est_b,
+        "est_union": est_union,
+        "est_intersection": est_inter,
+        "est_jaccard": rho,
+        "n_kept": n_kept,
+        "exact": n_kept < k,
+    }

@@ -4026,3 +4026,38 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
         similarity.as_double(F.col("embedding")).alias("qv")
     )
     return similarity.ivfpq_topk(emb, qv, k=10)
+
+
+@query("q195_kmv_overlap", oracle=None,
+       tags=("sketch", "approx", "relational"))
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """SET ALGEBRA on KMV sketches (round 11; Beyer et al. 2007,
+    public) — the q95/q100 cross-source-overlap question answered at
+    SKETCH cost: how many order keys appear in BOTH the returned
+    ('R') and accepted ('A') line populations, and their Jaccard,
+    estimated from two bounded k-min summaries without ever joining
+    the full key sets (two scans, <= 2k longs exchanged — at 100 TB
+    the contamination-overlap audit that doesn't shuffle either
+    corpus). The union sketch is exact sketch algebra (k smallest of
+    the union of sketches ARE the union's k smallest); intersection
+    via the ratio estimator rho * D_union; everything exact when the
+    union fits in k. Rows-only by design; rel err vs the exact join
+    pinned in APPROX_EVIDENCE.json at both SFs."""
+    from ..operators import sketch
+
+    (lineitem,) = load(spark, sf, "lineitem")
+    rel = sketch.kmv_set_relations(
+        lineitem.filter(F.col("l_returnflag") == "R"), "l_orderkey",
+        lineitem.filter(F.col("l_returnflag") == "A"), "l_orderkey",
+        k=1024,
+    )
+    return spark.createDataFrame(
+        [(
+            "returned_vs_accepted_orders",
+            rel["est_a"], rel["est_b"], rel["est_union"],
+            rel["est_intersection"],
+            round(rel["est_jaccard"], 6), rel["exact"],
+        )],
+        "scope string, est_a long, est_b long, est_union long, "
+        "est_intersection long, est_jaccard double, exact boolean",
+    )

@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b, q194;
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b, q194, q195;
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -519,6 +519,37 @@ def main() -> int:
             "stream_equals_batch": eq,
         }
     out["q192b_stream_kmv_distinct"] = kmvb_out
+
+    # ---- q195: KMV set relations vs the exact distinct-key join at
+    # BOTH scale factors (every relation estimate vs truth)
+    kmvr_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        (li_v,) = load(spark, kv_sf, "lineitem")
+        a = li_v.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+        b = li_v.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+        ea = a.distinct().count()
+        eb = b.distinct().count()
+        ei = a.distinct().join(b.distinct(), "l_orderkey").count()
+        eu = ea + eb - ei
+        r = q["q195_kmv_overlap"].fn(spark, kv_sf).collect()[0]
+        kmvr_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "k": 1024,
+            "std_err_bound": round(1.0 / (1024 - 2) ** 0.5, 4),
+            "rel_err": {
+                "a": round(abs(r["est_a"] - ea) / ea, 4),
+                "b": round(abs(r["est_b"] - eb) / eb, 4),
+                "union": round(abs(r["est_union"] - eu) / eu, 4),
+                "intersection": round(
+                    abs(r["est_intersection"] - ei) / ei, 4
+                ),
+                "jaccard": round(
+                    abs(r["est_jaccard"] - ei / eu) / (ei / eu), 4
+                ),
+            },
+            "exact_intersection": int(ei),
+            "est_intersection": int(r["est_intersection"]),
+        }
+    out["q195_kmv_overlap"] = kmvr_out
 
     doc = {
         "sf_dir": sf,

@@ -2647,3 +2647,34 @@ def test_ivfpq_recall_and_all_probe_identity(spark):
         for r in similarity.pq_topk(e, qv, k=10, m=16, rerank=8).collect()
     ]
     assert full == pq
+
+
+def test_kmv_set_relations_exact_and_estimator(spark):
+    """sketch.kmv_set_relations contracts: EXACT (every field) when the
+    union fits in k; in the estimator regime each relation estimate
+    lands within 5x the standard error 1/sqrt(k-2) of truth on a
+    planted-overlap key space."""
+    from kstreamjs_spark.operators.sketch import kmv_set_relations
+
+    # exact regime: A = 0..299, B = 200..499 -> union 500 < k
+    a = spark.range(300).select(F.col("id").alias("v"))
+    b = spark.range(200, 500).select(F.col("id").alias("v"))
+    rel = kmv_set_relations(a, "v", b, "v", k=1024)
+    assert rel["exact"]
+    assert (rel["est_a"], rel["est_b"]) == (300, 300)
+    assert (rel["est_union"], rel["est_intersection"]) == (500, 100)
+    assert abs(rel["est_jaccard"] - 100 / 500) < 1e-9
+
+    # estimator regime: |A| = |B| = 30k, overlap 20k, union 40k >> k
+    k = 256
+    a = spark.range(30_000).select(F.col("id").alias("v"))
+    b = spark.range(10_000, 40_000).select(F.col("id").alias("v"))
+    rel = kmv_set_relations(a, "v", b, "v", k=k)
+    assert not rel["exact"]
+    tol = 5.0 / (k - 2) ** 0.5
+    for key, truth in (
+        ("est_a", 30_000), ("est_b", 30_000),
+        ("est_union", 40_000), ("est_intersection", 20_000),
+    ):
+        assert abs(rel[key] - truth) / truth < tol, (key, rel[key])
+    assert abs(rel["est_jaccard"] - 0.5) < tol
