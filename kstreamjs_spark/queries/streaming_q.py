@@ -1655,3 +1655,42 @@ def q192b(spark: SparkSession, sf: str) -> DataFrame:
         "scope string, est_distinct long, n_kept long, k long, "
         "exact boolean",
     )
+
+
+# --------------- Q191b STREAMING PQ encode — index maintenance at ingest
+@query("q191b_stream_pq_encode", oracle=None,
+       tags=("streaming", "similarity", "approx"))
+def q191b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING PQ encoding (round 11) — the index-MAINTENANCE half of
+    ANN serving (q191 trains/serves, this keeps the codes table fresh):
+    the sub-codebooks are trained ONCE on the static corpus (same
+    `pq_codebooks`, the train-offline/apply-online split of
+    q177b/q179b), shipped as bounded task-closure constants, and every
+    arriving vector encodes in the same Arrow-batched kernel batch
+    `pq_encode` uses — one arithmetic home, no state, no join, no
+    explode: append mode, one (vec_id, codes) row per arrival, exactly
+    what a production pipeline upserts into the partitioned codes
+    table.
+
+    Rows-only by design (codes are not SQL-expressible at sane oracle
+    size) — but with the q192b-style HARD equality: encoding is a pure
+    per-row function, so the streamed codes must equal batch
+    `pq_encode` bit-for-bit, pinned by the pytest contract and
+    asserted in APPROX_EVIDENCE at both SFs. The output projects the
+    codes to a stable compare shape (vec_id, first/last code, code
+    sum) so the driver's rows-only check still covers every row."""
+    from ..operators import similarity
+
+    (emb,) = load(spark, sf, "embeddings")
+    books = similarity.pq_codebooks(emb, m=16, n_cent=16)
+    sdf = stream_table(spark, sf, "embeddings")
+    enc = similarity.pq_encode(sdf, books, dim=64).select("vec_id", "codes")
+    out = enc.select(
+        "vec_id",
+        F.element_at("codes", 1).alias("c_first"),
+        F.element_at("codes", 16).alias("c_last"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("c_sum"),
+    )
+    return run_to_memory(out, "q191b", output_mode="append")

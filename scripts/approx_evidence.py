@@ -1,6 +1,6 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
-q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q192, q192b, q194, q195;
+q26b, q26c, q27b, q42, q50, q159, q180, q181, q191, q191b, q192, q192b, q194, q195;
 contract lives in pytest). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
@@ -550,6 +550,28 @@ def main() -> int:
             "est_intersection": int(r["est_intersection"]),
         }
     out["q195_kmv_overlap"] = kmvr_out
+
+    # ---- q191b: streaming PQ encode — hard equality with batch encode
+    # (pure per-row function of the shipped codebooks) at both SFs
+    pqb_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        (emb_v,) = load(spark, kv_sf, "embeddings")
+        books = similarity.pq_codebooks(emb_v, m=16, n_cent=16)
+        batch = {
+            r["vec_id"]: (r["codes"][0], r["codes"][15], sum(r["codes"]))
+            for r in similarity.pq_encode(emb_v, books, dim=64)
+            .select("vec_id", "codes").collect()
+        }
+        stream = {
+            r["vec_id"]: (r["c_first"], r["c_last"], r["c_sum"])
+            for r in q["q191b_stream_pq_encode"].fn(spark, kv_sf).collect()
+        }
+        assert stream == batch, kv_sf
+        pqb_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "n_rows": len(stream),
+            "stream_equals_batch": True,
+        }
+    out["q191b_stream_pq_encode"] = pqb_out
 
     doc = {
         "sf_dir": sf,

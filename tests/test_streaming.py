@@ -1199,3 +1199,26 @@ def test_stream_kmv_folds_state_and_equals_batch(spark, tmp_path):
     assert got == expected
     # and the estimator regime really engaged (5000 distinct >> k)
     assert got[1] == k and abs(got[0] - 5000) / 5000 < 5.0 / (k - 2) ** 0.5
+
+
+def test_stream_pq_encode_equals_batch(spark):
+    """q191b's hard equality: streaming PQ encoding is a pure per-row
+    function of the shipped codebooks, so the replayed codes must
+    equal batch pq_encode bit-for-bit on every vector."""
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.tables import load
+
+    got = {
+        r["vec_id"]: (r["c_first"], r["c_last"], r["c_sum"])
+        for r in all_queries()["q191b_stream_pq_encode"]
+        .fn(spark, SF_SMOKE).collect()
+    }
+    (emb,) = load(spark, SF_SMOKE, "embeddings")
+    books = similarity.pq_codebooks(emb, m=16, n_cent=16)
+    expected = {
+        r["vec_id"]: (r["codes"][0], r["codes"][15], sum(r["codes"]))
+        for r in similarity.pq_encode(emb, books, dim=64)
+        .select("vec_id", "codes").collect()
+    }
+    assert got == expected
