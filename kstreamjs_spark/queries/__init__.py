@@ -138,11 +138,11 @@ _WINDOW_SIZE = 50
 # (doc_id, pos), and every pHash-family query flows through the
 # GIF-extended decode_image_pixels dispatch (byte-identical on
 # non-GIF blobs by magic-byte construction).
-# Round-11 continuation: fourteen more queries landed after the first
+# Round-11 continuation: more queries landed after the first
 # attestation (q186-q190 TPC-H Q3/Q4/Q6/Q7/Q10, q191/q191b PQ ANN
 # batch+streaming-encode, q194 IVFADC, q192/q192b KMV batch+streaming,
-# q195 KMV set relations, q193/q193b C4 rules, q51c full-outer stream
-# join) — all hist-0, they enter the window via the
+# q195 KMV set relations, q193/q193b C4 rules, q51c/q51d full-outer
+# and left-semi stream joins) — fifteen total — all hist-0, they enter the window via the
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
 # ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —

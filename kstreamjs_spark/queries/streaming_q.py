@@ -1694,3 +1694,85 @@ def q191b(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("c_sum"),
     )
     return run_to_memory(out, "q191b", output_mode="append")
+
+
+# ------------------------------ Q51d stream-stream LEFT SEMI interval join
+@query(
+    "q51d_stream_stream_semi_join",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click'),
+             wm AS (SELECT least(
+                        MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                        MAX(CASE WHEN event_type = 'click' THEN ts END))
+                        - INTERVAL '1 minute' - INTERVAL '1 second'
+                        AS cutoff
+                    FROM events)
+        SELECT p.event_id, p.user_id
+        FROM p CROSS JOIN wm
+        WHERE p.ts <= wm.cutoff
+          AND EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = p.user_id
+              AND c.click_ts > p.ts - INTERVAL '10 minutes'
+              AND c.click_ts <= p.ts)
+    """,
+    tags=("streaming", "join"),
+)
+def q51d(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (round 11) — with q51/q51b/
+    q51c this covers every stream-stream interval-join type Spark
+    supports (inner, left outer, full outer, left semi; left anti is
+    not a supported stream-stream type): purchases that HAD at least
+    one prior click — the attribution FILTER shape, emitting each
+    qualifying purchase ONCE regardless of how many clicks matched (the
+    inner join's fan-out is exactly what the semi form removes).
+
+    A purchase emits as soon as its first matching click is seen;
+    unmatched purchases never emit. The replay still compares the
+    watermark-closed region (purchases with ts <= cutoff): an OPEN
+    purchase's status could change if a matching click arrived later,
+    so only closed rows are deterministic — the same cutoff scalar the
+    oracle restates around its EXISTS. State bounds are q51's; the
+    semi form HALVES the output side (no click columns cross the
+    sink)."""
+    p = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 minute")
+    )
+    c = (
+        stream_table(spark, sf, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("click_ts") <= F.col("ts")),
+        "left_semi",
+    ).select("event_id", "user_id", "ts")
+    sink = run_to_memory(j, "q51d", output_mode="append")
+    ev = load(spark, sf, "events")[0]
+    cut = (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
+             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+    return sink.filter(F.col("ts") <= F.lit(cut)).select(
+        "event_id", "user_id"
+    )

@@ -1222,3 +1222,79 @@ def test_stream_pq_encode_equals_batch(spark):
         .select("vec_id", "codes").collect()
     }
     assert got == expected
+
+
+def test_stream_semi_join_emits_once_and_only_matched(spark, tmp_path):
+    """q51d's claims: (a) a purchase with MULTIPLE matching clicks
+    emits exactly ONCE (the fan-out the semi form removes); (b) an
+    unmatched purchase never emits; (c) split == whole."""
+    import uuid
+
+    base = 1_700_000_000
+    rows = [
+        (101, 1, "purchase", 1200),  # clicks at 900 AND 1000: ONE row
+        (1, 1, "click", 900),
+        (2, 1, "click", 1000),
+        (102, 2, "purchase", 1100),  # no click in window: no row
+        (3, 2, "click", 200),        # outside (500, 1100]
+        (103, 3, "purchase", 4000),  # open at wm: excluded by region
+        (4, 4, "click", 4020),       # sets click-side max
+    ]
+    df = spark.createDataFrame(
+        [(e, u, t, o) for e, u, t, o in rows],
+        "event_id long, user_id long, event_type string, off long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_seconds(F.lit(base) + F.col("off")).alias("ts"),
+    )
+    src = str(tmp_path / "events")
+    df.repartitionByRange(6, "ts").write.mode("overwrite").parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    mt = time.time() - 3600
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (mt + i * 10, mt + i * 10))
+    schema = spark.read.parquet(src).schema
+
+    def run(max_files):
+        def reader():
+            r = spark.readStream.schema(schema)
+            if max_files:
+                r = r.option("maxFilesPerTrigger", str(max_files))
+            return r.parquet(src)
+
+        p = (
+            reader().filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+        c = (
+            reader().filter(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"),
+                    F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "1 minute")
+        )
+        j = p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("click_ts") <= F.col("ts")),
+            "left_semi",
+        ).select("event_id", "user_id", "ts")
+        qname = f"q51d_adv_{uuid.uuid4().hex[:8]}"
+        q = (
+            j.writeStream.format("memory").queryName(qname)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(600)
+        cutoff = base + 4000 - 60 - 1  # min-side max 4000, 1min delay, 1s
+        return sorted(
+            (r["event_id"], r["user_id"])
+            for r in spark.table(qname).collect()
+            if int(r["ts"].timestamp()) <= cutoff
+        )
+
+    split = run(1)
+    whole = run(None)
+    expected = [(101, 1)]  # once, despite two matching clicks
+    assert split == expected, split
+    assert whole == expected, whole
