@@ -233,7 +233,12 @@ def kmv_summary(
     The hash rides the scan projection JVM-side (F.xxhash64); the
     Arrow kernel only maintains the bounded k-min set (heap + member
     set, O(k) memory), so the per-partition exchange is <= k longs —
-    constant in data size."""
+    constant in data size.
+
+    NULL semantics: xxhash64(NULL) is the seed constant, so NULLs in
+    ``col`` count as ONE distinct value — unlike countDistinct, which
+    EXCLUDES them. Filter nulls first when the SQL semantics are
+    wanted (q192's scopes are null-free by schema); pinned by test."""
     import heapq
 
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))

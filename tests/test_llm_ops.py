@@ -2678,3 +2678,17 @@ def test_kmv_set_relations_exact_and_estimator(spark):
     ):
         assert abs(rel[key] - truth) / truth < tol, (key, rel[key])
     assert abs(rel["est_jaccard"] - 0.5) < tol
+
+
+def test_kmv_null_semantics_documented(spark):
+    """KMV counts NULL as one distinct value (xxhash64(NULL) is the
+    seed constant) — unlike countDistinct, which excludes NULLs. The
+    documented contract: est(values + nulls) == est(values) + 1."""
+    from kstreamjs_spark.operators.sketch import kmv_distinct
+
+    vals = spark.range(100).select(F.col("id").alias("v"))
+    with_null = vals.unionByName(
+        spark.range(1).select(F.lit(None).cast("long").alias("v"))
+    )
+    assert kmv_distinct(vals, "v", k=256) == (100, 100)
+    assert kmv_distinct(with_null, "v", k=256) == (101, 101)
