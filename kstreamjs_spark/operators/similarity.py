@@ -909,8 +909,8 @@ def pq_topk(
     table, and serve queries through `pq_query_encoded` — the query
     cost is then the small-codes scan plus the constant rerank, never
     a re-encode (measured in SCALE.md's century sweep: the encode pass
-    dominates this inline form; the served-query path is ~7x cheaper
-    task-seconds than exact brute force at 2M rows and growing with N).
+    dominates this inline form; the served-query path is 4.3x cheaper
+    task-seconds than exact brute force at 2M rows and widening with N).
     """
     books = pq_codebooks(
         vectors, vec_col=vec_col, id_col=id_col, m=m, n_cent=n_cent, dim=dim
@@ -921,7 +921,26 @@ def pq_topk(
     return pq_query_encoded(
         encoded, vectors, books, query, k=k, vec_col=vec_col,
         id_col=id_col, dim=dim, rerank=rerank, round_to=round_to,
+        _qv=_query_vec(query, dim, "pq_topk"),
     )
+
+
+def _query_vec(query: DataFrame, dim: int, what: str) -> np.ndarray:
+    """Collect and validate the single-row query frame (bounded: one
+    row) — shared by every PQ entry point so the query-side plan runs
+    ONCE and error messages name the function the caller actually
+    used."""
+    qrow = query.limit(2).collect()
+    if len(qrow) != 1:
+        raise ValueError(
+            f"{what} expects exactly one query row, got {len(qrow)}"
+        )
+    qv = np.array([float(x) for x in qrow[0]["qv"]], dtype=np.float64)
+    if qv.shape[0] != dim:
+        raise ValueError(
+            f"{what}: dim={dim} but query 'qv' has length {qv.shape[0]}"
+        )
+    return qv
 
 
 def pq_query_encoded(
@@ -935,6 +954,7 @@ def pq_query_encoded(
     dim: int = 64,
     rerank: int = 4,
     round_to: int = 6,
+    _qv: np.ndarray | None = None,
 ) -> DataFrame:
     """The ONLINE half of PQ ANN: serve one query against a PREBUILT
     (id, codes) table (`pq_encode` output, persisted offline) + the raw
@@ -943,16 +963,9 @@ def pq_query_encoded(
     by id — the production serving shape whose cost is independent of
     the encode pass."""
     m = len(books)
-    qrow = query.limit(2).collect()
-    if len(qrow) != 1:
-        raise ValueError(
-            f"pq_topk expects exactly one query row, got {len(qrow)}"
-        )
-    qv = np.array([float(x) for x in qrow[0]["qv"]], dtype=np.float64)
-    if qv.shape[0] != dim:
-        raise ValueError(
-            f"pq_topk: dim={dim} but query 'qv' has length {qv.shape[0]}"
-        )
+    qv = _qv if _qv is not None else _query_vec(
+        query, dim, "pq_query_encoded"
+    )
     qn = np.linalg.norm(qv)
     qu = qv / (qn if qn > 0.0 else 1.0)
     sub = dim // m
@@ -1040,16 +1053,7 @@ def ivfpq_topk(
     encoded = pq_encode(vectors, books, vec_col=vec_col, dim=dim).select(
         id_col, "codes", cell_of(F.col(vec_col)).alias("_cell")
     )
-    qrow = query.limit(2).collect()
-    if len(qrow) != 1:
-        raise ValueError(
-            f"ivfpq_topk expects exactly one query row, got {len(qrow)}"
-        )
-    qv = np.array([float(x) for x in qrow[0]["qv"]], dtype=np.float64)
-    if qv.shape[0] != dim:
-        raise ValueError(
-            f"ivfpq_topk: dim={dim} but query 'qv' has length {qv.shape[0]}"
-        )
+    qv = _query_vec(query, dim, "ivfpq_topk")
     # probe cells: top n_probe by cosine(query, centroid), driver-side
     # (the codebook is tiny — same arithmetic as cell_of)
     C = np.asarray(cents, dtype=np.float64)
@@ -1063,5 +1067,5 @@ def ivfpq_topk(
     pruned = encoded.filter(F.col("_cell").isin(probe)).select(id_col, "codes")
     return pq_query_encoded(
         pruned, vectors, books, query, k=k, vec_col=vec_col, id_col=id_col,
-        dim=dim, rerank=rerank, round_to=round_to,
+        dim=dim, rerank=rerank, round_to=round_to, _qv=qv,
     )

@@ -3789,8 +3789,9 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
     )
     rows = []
     for scope, frame, col in (
-        # doc_tokens and event_users sit in the exact-when-small regime
-        # (distinct < k: the sketch IS the distinct set); order_keys is
+        # doc_tokens is exact-when-small at every SF (31 distinct);
+        # event_users is exact at sf0.01 (150) but crosses into the
+        # estimator regime at sf0.1 (1500 > k); order_keys is always
         # the estimator regime (15k/150k distinct >> k=1024)
         ("doc_tokens", toks, "tok"),
         ("event_users", events, "user_id"),

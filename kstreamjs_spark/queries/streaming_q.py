@@ -345,6 +345,30 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(j, "q51", output_mode="append")
 
 
+def _events_cutoff(spark: SparkSession, sf: str):
+    """The q51b/q51c/q51d watermark-closed cutoff, computed from the
+    batch events table with the SAME expression each oracle's wm CTE
+    states (min of both sides' max event time - the 1-minute delay -
+    a 1-second eviction-boundary margin); 1-row collect — bounded.
+    One home for the scalar so the three outer/semi join replays and
+    their oracles can never desynchronize on the delay or margin."""
+    ev = load(spark, sf, "events")[0]
+    return (
+        ev.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+            ).alias("m")
+        )
+        .select(
+            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
+             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
+        )
+        .collect()[0]["cutoff"]
+    )
+
+
 # ----------------------------- Q51b stream-stream LEFT OUTER interval join
 @query(
     "q51b_stream_stream_left_join",
@@ -413,23 +437,7 @@ def q51b(spark: SparkSession, sf: str) -> DataFrame:
         "left_outer",
     ).select("event_id", "user_id", "ts", "click_ts")
     sink = run_to_memory(j, "q51b", output_mode="append")
-    # the watermark-closed cutoff, computed from the batch table with the
-    # SAME expression the oracle uses (1-row collect — bounded)
-    ev = load(spark, sf, "events")[0]
-    cut = (
-        ev.groupBy()
-        .agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-            ).alias("m")
-        )
-        .select(
-            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
-             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
-        )
-        .collect()[0]["cutoff"]
-    )
+    cut = _events_cutoff(spark, sf)
     return sink.filter(F.col("ts") <= F.lit(cut)).select(
         "event_id", "user_id", "click_ts"
     )
@@ -1544,21 +1552,7 @@ def q51c(spark: SparkSession, sf: str) -> DataFrame:
         "full_outer",
     ).select("event_id", "p_user", "ts", "c_user", "click_ts")
     sink = run_to_memory(j, "q51c", output_mode="append")
-    ev = load(spark, sf, "events")[0]
-    cut = (
-        ev.groupBy()
-        .agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-            ).alias("m")
-        )
-        .select(
-            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
-             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
-        )
-        .collect()[0]["cutoff"]
-    )
+    cut = _events_cutoff(spark, sf)
     return sink.filter(
         (F.col("event_id").isNotNull() & (F.col("ts") <= F.lit(cut)))
         | (
@@ -1758,21 +1752,7 @@ def q51d(spark: SparkSession, sf: str) -> DataFrame:
         "left_semi",
     ).select("event_id", "user_id", "ts")
     sink = run_to_memory(j, "q51d", output_mode="append")
-    ev = load(spark, sf, "events")[0]
-    cut = (
-        ev.groupBy()
-        .agg(
-            F.least(
-                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-            ).alias("m")
-        )
-        .select(
-            (F.col("m") - F.expr("INTERVAL 1 MINUTE")
-             - F.expr("INTERVAL 1 SECOND")).alias("cutoff")
-        )
-        .collect()[0]["cutoff"]
-    )
+    cut = _events_cutoff(spark, sf)
     return sink.filter(F.col("ts") <= F.lit(cut)).select(
         "event_id", "user_id"
     )
