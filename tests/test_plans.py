@@ -1017,3 +1017,60 @@ def test_q173_zorder_is_codegen_single_exchange(spark):
     assert "Join" not in plan and "InPandas" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
+def test_ivfpq_partitioned_codes_serve_with_pruning(spark, tmp_path):
+    """q194's deployment claim, end-to-end with the REAL operators: the
+    (cell, id, codes) table persisted partitionBy(cell), a query served
+    through pq_query_encoded over the partition-pruned read must (a)
+    show PartitionFilters in the scan — file-level pruning, not a
+    post-scan filter — and (b) return exactly what the in-memory
+    ivfpq_topk composition returns for the same probe set."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.plans import explain_str
+    from kstreamjs_spark.tables import load
+
+    (emb,) = load(spark, SF_SMOKE, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        similarity.as_double(F.col("embedding")).alias("qv")
+    )
+    # offline: train both codebooks, persist the cell-partitioned codes
+    cents = similarity._centroids_from_sample(
+        emb, 16, "embedding", "vec_id"
+    )
+    lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+    sims = F.array(*[
+        similarity.cosine(
+            similarity.as_double(F.col("embedding")), c
+        ) for c in lits
+    ])
+    cell = F.array_position(sims, F.array_max(sims)).cast("int")
+    books = similarity.pq_codebooks(emb, m=16, n_cent=16)
+    path = str(tmp_path / "ivfpq_codes")
+    similarity.pq_encode(emb, books, dim=64).select(
+        "vec_id", "codes", cell.alias("cell")
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+    # online: pick the probe cells exactly as ivfpq_topk does
+    C = np.asarray(cents, dtype=np.float64)
+    q0 = np.array(
+        [float(x) for x in qv.collect()[0]["qv"]], dtype=np.float64
+    )
+    qu = q0 / np.linalg.norm(q0)
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    probe = [int(c) + 1 for c in np.argsort(-(cn @ qu), kind="stable")[:4]]
+    pruned = spark.read.parquet(path).filter(F.col("cell").isin(probe))
+    plan = explain_str(pruned)
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    served = similarity.pq_query_encoded(
+        pruned.select("vec_id", "codes"), emb, books, qv, k=10, rerank=8
+    ).collect()
+    inmem = similarity.ivfpq_topk(emb, qv, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in served] == [
+        (r["vec_id"], r["score"]) for r in inmem
+    ]
