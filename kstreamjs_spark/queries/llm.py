@@ -4062,3 +4062,121 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         "scope string, est_a long, est_b long, est_union long, "
         "est_intersection long, est_jaccard double, exact boolean",
     )
+
+
+# ------------- Q196 Kneser-Ney bigram LM scoring (CCNet-style quality)
+@query(
+    "q196_kneser_ney_score",
+    oracle="""
+        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS ts
+                    FROM documents),
+        bg AS (SELECT doc_id,
+                      unnest(list_transform(
+                          generate_series(1, len(ts) - 1),
+                          i -> ts[i] || chr(31) || ts[i+1])) AS b
+               FROM tk WHERE len(ts) >= 2),
+        bgc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cb
+                FROM bg GROUP BY b),
+        ctx AS (SELECT string_split(b, chr(31))[1] AS w1,
+                       CAST(SUM(cb) AS BIGINT) AS cw1,
+                       CAST(COUNT(*) AS BIGINT) AS n1l
+                FROM bgc GROUP BY 1),
+        cont AS (SELECT string_split(b, chr(31))[2] AS w2,
+                        CAST(COUNT(*) AS BIGINT) AS n1r
+                 FROM bgc GROUP BY 1),
+        btypes AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bgc),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(floor(ln(
+                     CAST(btypes.bt * (4 * bgc.cb - 3)
+                          + 3 * ctx.n1l * cont.n1r AS DOUBLE)
+                     / CAST(4 * ctx.cw1 * btypes.bt AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS q
+          FROM bg
+          JOIN bgc USING (b)
+          JOIN ctx ON ctx.w1 = string_split(bg.b, chr(31))[1]
+          JOIN cont ON cont.w2 = string_split(bg.b, chr(31))[2]
+          CROSS JOIN btypes)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(q) / (COUNT(*) * 1000000.0), 6) AS avg_logprob_kn
+        FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (round 11; Kneser & Ney
+    1995 / Chen & Goodman 1998, public) — the smoothing a real
+    CCNet-style perplexity filter runs (KenLM's default), upgrading
+    q86's add-1 proxy: P(w2|w1) = (c(w1w2) - d)/c(w1•) +
+    d·N1+(w1•)/c(w1•) · N1+(•w2)/N1+(••) with d = 3/4. Every factor is
+    an integer count, so with d = 3/4 the probability is the exact
+    rational (B·(4·c_b − 3) + 3·n1l·n1r) / (4·c(w1•)·B) — ONE ln per
+    bigram over an exactly-representable quotient, quantized to
+    micro-nats before the per-doc sum (the q86/q177 idiom: order-free
+    integer aggregation, cross-engine hash-exact). Scoring covers each
+    doc's own observed bigrams, so the discounted term is always
+    positive and no backoff-to-unigram branch is needed.
+
+    Scale shape: four vocabulary-sized count tables (bigram counts,
+    left-context totals + continuation fan-out, right continuation
+    fan-out — all map-side combined) joined to the doc-bigram stream on
+    token keys (AQE broadcasts while the vocabulary fits, shuffle join
+    beyond), one 1-row broadcast (distinct bigram types), one doc_id
+    rollup. No driver loop, no unbounded state."""
+    (documents,) = load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bigram_structs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = dedup.spread(documents, "doc_id").select(
+        "doc_id", F.explode(bigram_structs).alias("s")
+    ).select(
+        "doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
+    )
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cw1"),
+        F.count(F.lit(1)).cast("long").alias("n1l"),
+    )
+    cont = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1r")
+    )
+    btypes = bgc.agg(F.count(F.lit(1)).cast("long").alias("bt"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (
+                        F.col("bt") * (4 * F.col("cb") - 3)
+                        + 3 * F.col("n1l") * F.col("n1r")
+                    ).cast("double")
+                    / (4 * F.col("cw1") * F.col("bt")).cast("double")
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum("q") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("avg_logprob_kn"),
+    )

@@ -2692,3 +2692,68 @@ def test_kmv_null_semantics_documented(spark):
     )
     assert kmv_distinct(vals, "v", k=256) == (100, 100)
     assert kmv_distinct(with_null, "v", k=256) == (101, 101)
+
+
+def test_kneser_ney_matches_python_mirror_and_orders_fluency(spark):
+    """q196's KN arithmetic vs a pure-Python integer mirror on a
+    hand-built corpus, plus the ranking property the filter exists
+    for: a document of corpus-frequent bigrams outscores one built
+    from bigrams seen only once."""
+    import math
+
+    from kstreamjs_spark.queries import all_queries
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.tables import load as real_load
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the rug"),
+        (2, "the cat sat on the mat"),
+        (3, "zq xv qy vw"),          # every bigram unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def fake_load(spark_, sf_, *names):
+        assert names == ("documents",)
+        return [df]
+
+    orig = llm_mod.load
+    llm_mod.load = fake_load
+    try:
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob_kn"])
+            for r in all_queries()["q196_kneser_ney_score"]
+            .fn(spark, "unused").collect()
+        }
+    finally:
+        llm_mod.load = orig
+
+    # pure-Python mirror with the same integer formulation
+    from collections import Counter, defaultdict
+
+    bgs_per_doc = {}
+    allbg = Counter()
+    for d, text in docs:
+        ts = text.split(" ")
+        bgs = list(zip(ts, ts[1:]))
+        bgs_per_doc[d] = bgs
+        allbg.update(bgs)
+    cw1 = defaultdict(int)
+    n1l = defaultdict(int)
+    n1r = defaultdict(int)
+    for (w1, w2), c in allbg.items():
+        cw1[w1] += c
+        n1l[w1] += 1
+        n1r[w2] += 1
+    B = len(allbg)
+    expected = {}
+    for d, bgs in bgs_per_doc.items():
+        qs = []
+        for w1, w2 in bgs:
+            num = B * (4 * allbg[(w1, w2)] - 3) + 3 * n1l[w1] * n1r[w2]
+            den = 4 * cw1[w1] * B
+            qs.append(math.floor(math.log(num / den) * 1_000_000 + 0.5))
+        expected[d] = (len(bgs), round(sum(qs) / (len(bgs) * 1e6), 6))
+    assert got == expected
+    # fluent (repeated) bigrams outscore the all-singleton doc
+    assert got[0][1] > got[3][1]
