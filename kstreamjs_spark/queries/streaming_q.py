@@ -1756,3 +1756,115 @@ def q51d(spark: SparkSession, sf: str) -> DataFrame:
     return sink.filter(F.col("ts") <= F.lit(cut)).select(
         "event_id", "user_id"
     )
+
+
+# --------- Q196b STREAMING Kneser-Ney scoring — perplexity filter at ingest
+def _q196b_oracle() -> str:
+    """Batch mirror: q196's oracle verbatim — the stream emits exactly
+    the batch per-document rows (the model is fit on the SAME static
+    corpus the batch query trains on)."""
+    from . import REGISTRY as _REG
+
+    return _REG["q196_kneser_ney_score"].oracle
+
+
+@query(
+    "q196b_stream_kneser_ney_score",
+    oracle=None,  # bound at import end, like q177b/q178b/q193b
+    tags=("streaming", "text", "llm", "quality"),
+)
+def q196b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING Kneser-Ney scoring (round 11) — the CCNet deployment
+    shape: the LM is TRAINED OFFLINE on the static corpus (q196's exact
+    count tables, one arithmetic home) and shipped to workers as a
+    bounded artifact (KenLM deployments ship the binary model file the
+    same way; the q179b shipped-tokenizer argument), then every
+    arriving document scores in ONE Arrow-batched kernel — its own
+    bigrams looked up in the closure dict, quantized micro-nat sum,
+    one output row per arrival. No explode, no join, no state: append
+    mode. The oracle is q196's batch text verbatim, so equality proves
+    the kernel's lookup-and-sum matches the distributed join-and-sum
+    bit-for-bit."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from collections.abc import Iterator
+
+    from .llm import load as llm_load  # same loader, one home
+
+    (documents,) = llm_load(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bg = documents.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("s")
+    ).select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    bgc_rows = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).collect()
+    )
+    # bounded model artifact: |bigram types| rows (vocabulary-squared
+    # ceiling; a production KenLM binary is the same bounded ship)
+    cb = {(r["w1"], r["w2"]): int(r["cb"]) for r in bgc_rows}
+    cw1: dict = {}
+    n1l: dict = {}
+    n1r: dict = {}
+    for (w1, w2), c in cb.items():
+        cw1[w1] = cw1.get(w1, 0) + c
+        n1l[w1] = n1l.get(w1, 0) + 1
+        n1r[w2] = n1r.get(w2, 0) + 1
+    B = len(cb)
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_n, out_avg = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = text.split(" ")
+                if len(ts) < 2:
+                    continue
+                qsum = 0
+                n = 0
+                for w1, w2 in zip(ts, ts[1:]):
+                    num = B * (4 * cb[(w1, w2)] - 3) + 3 * n1l[w1] * n1r[w2]
+                    den = 4 * cw1[w1] * B
+                    qsum += math.floor(math.log(num / den) * 1_000_000 + 0.5)
+                    n += 1
+                out_ids.append(int(doc_id))
+                out_n.append(n)
+                # engines ROUND half-up on the double's SHORTEST decimal
+                # string (Spark: BigDecimal.valueOf -> Double.toString),
+                # not its full binary expansion — Python's repr() is the
+                # same shortest round-trip string, so Decimal(repr(x))
+                # reproduces the engine boundary cases exactly (found on
+                # a real x.xxxxxx5 doc; Decimal(float) uses the full
+                # expansion and rounds the other way there)
+                val = qsum / (n * 1_000_000.0)
+                out_avg.append(float(
+                    Decimal(repr(val)).quantize(
+                        Decimal("0.000001"), rounding=ROUND_HALF_UP
+                    )
+                ))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "n_bigrams": pd.Series(out_n, dtype="int64"),
+                "avg_logprob_kn": pd.Series(out_avg, dtype="float64"),
+            })
+
+    sdf = stream_table(spark, sf, "documents").select("doc_id", "text")
+    out = sdf.mapInPandas(
+        score, "doc_id long, n_bigrams long, avg_logprob_kn double"
+    )
+    return run_to_memory(out, "q196b", output_mode="append")
+
+
+REGISTRY["q196b_stream_kneser_ney_score"] = _dc_replace(
+    REGISTRY["q196b_stream_kneser_ney_score"], oracle=_q196b_oracle()
+)
