@@ -142,8 +142,8 @@ _WINDOW_SIZE = 50
 # attestation (q186-q190 TPC-H Q3/Q4/Q6/Q7/Q10, q191/q191b PQ ANN
 # batch+streaming-encode, q194 IVFADC, q192/q192b KMV batch+streaming,
 # q195 KMV set relations, q193/q193b C4 rules, q51c/q51d full-outer
-# and left-semi stream joins, q196/q196b Kneser-Ney LM scoring
-# batch+streaming) — seventeen total — all hist-0, they enter the window via the
+# and left-semi stream joins, q196/q196b/q197 Kneser-Ney LM
+# scoring batch+streaming + CCNet bands) — eighteen total — all hist-0, they enter the window via the
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
 # ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —

@@ -4180,3 +4180,66 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("q") / (F.count(F.lit(1)) * 1_000_000.0), 6
         ).alias("avg_logprob_kn"),
     )
+
+
+# ----------- Q197 CCNet head/middle/tail banding on the KN scores
+def _q197_oracle() -> str:
+    """q196's oracle text verbatim as a derived table (one scoring
+    home), banded by NTILE over the same total order."""
+    base = REGISTRY["q196_kneser_ney_score"].oracle
+    return f"""
+        SELECT band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(avg_logprob_kn) AS min_score,
+               MAX(avg_logprob_kn) AS max_score,
+               CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams
+        FROM (
+          SELECT doc_id, n_bigrams, avg_logprob_kn,
+                 CAST(NTILE(3) OVER (
+                     ORDER BY avg_logprob_kn DESC, doc_id) AS BIGINT)
+                     AS band
+          FROM ({base}) scores
+        ) banded
+        GROUP BY band
+        ORDER BY band
+    """
+
+
+@query(
+    "q197_ccnet_bands",
+    oracle=None,  # bound at import end (builds on q196's text)
+    tags=("text", "llm", "quality"),
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet's head/middle/tail split (round 11; Wenzek et al. 2020,
+    public) — the final stage of the perplexity-filtering pipeline:
+    rank every document by its KN score (q196, one scoring home) and
+    cut the corpus into three equal-count bands; head = most fluent
+    third (what CCNet keeps or upweights). NTILE over a TOTAL order
+    (score desc, doc_id tiebreak) keeps the band assignment
+    deterministic across engines. One window over the doc-score frame
+    (corpus-sized but narrow: three columns per row), then a 3-row
+    rollup — the window's single global sort is the dominant cost at
+    scale, exactly what a 100 TB deployment replaces with
+    range-partitioned bucketing on the score (the q173 layout
+    argument)."""
+    scored = REGISTRY["q196_kneser_ney_score"].fn(spark, sf)
+    w = Window.orderBy(F.col("avg_logprob_kn").desc(), F.col("doc_id"))
+    banded = scored.withColumn("band", F.ntile(3).over(w).cast("long"))
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob_kn").alias("min_score"),
+            F.max("avg_logprob_kn").alias("max_score"),
+            F.sum("n_bigrams").cast("long").alias("n_bigrams"),
+        )
+        .orderBy("band")
+    )
+
+
+from dataclasses import replace as _dc_replace_q197  # noqa: E402
+
+REGISTRY["q197_ccnet_bands"] = _dc_replace_q197(
+    REGISTRY["q197_ccnet_bands"], oracle=_q197_oracle()
+)
