@@ -239,27 +239,23 @@ def kmv_summary(
     ``col`` count as ONE distinct value — unlike countDistinct, which
     EXCLUDES them. Filter nulls first when the SQL semantics are
     wanted (q192's scopes are null-free by schema); pinned by test."""
-    import heapq
+    import numpy as np
 
     hashed = df.select(F.xxhash64(F.col(col)).alias("h"))
 
     def summarize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        heap: list[int] = []  # max-heap via negation
-        seen: set[int] = set()
+        # vectorized k-min fold: the fold is associative and monotone
+        # (cur always holds the k smallest distinct seen), so each Arrow
+        # batch folds in one np.unique (sort + dedup in C) — no per-value
+        # Python. A first cut looped a heap per element; vectorizing cut
+        # the kernel from interpreter-bound to Arrow-bound (measured in
+        # SCALE.md's decade sweep).
+        cur = np.empty(0, dtype=np.int64)
         for pdf in it:
-            for h in pdf["h"]:
-                h = int(h)
-                if h in seen:
-                    continue
-                if len(heap) < k:
-                    heapq.heappush(heap, -h)
-                    seen.add(h)
-                elif h < -heap[0]:
-                    dead = -heapq.heappushpop(heap, -h)
-                    seen.discard(dead)
-                    seen.add(h)
-        if heap:
-            yield pd.DataFrame({"h": sorted(-x for x in heap)})
+            arr = pdf["h"].to_numpy(dtype=np.int64, copy=False)
+            cur = np.unique(np.concatenate([cur, arr]))[:k]
+        if len(cur):
+            yield pd.DataFrame({"h": cur})
 
     return hashed.mapInPandas(summarize, "h long")
 
