@@ -147,8 +147,11 @@ _WINDOW_SIZE = 50
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
 # ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —
-# the sort drains the remaining r7 rows then the r8 tail; pin only if
-# an oracle TEXT changes.
+# the 19 continuation queries (q186-q197, q191b/q192b/q193b/q196b,
+# q51c/q51d, q194, q195) enter as hist-0 ahead of the r7/r8 staleness
+# drain; pin only if an oracle TEXT changes. The q171 pin below is for
+# THIS round's window (its oracle text changed in r11); drop it once
+# CORRECTNESS_r11 shows q171 green.
 _WINDOW_PRIORITY: list[str] = ["q171_media_quarantine"]
 
 
