@@ -143,7 +143,8 @@ _WINDOW_SIZE = 50
 # batch+streaming-encode, q194 IVFADC, q192/q192b KMV batch+streaming,
 # q195 KMV set relations, q193/q193b C4 rules, q51c/q51d full-outer
 # and left-semi stream joins, q196/q196b/q197 Kneser-Ney LM
-# scoring batch+streaming + CCNet bands) — eighteen total — all hist-0, they enter the window via the
+# scoring batch+streaming + CCNet bands, q198 exact heavy hitters) —
+# nineteen total — all hist-0, they enter the window via the
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
 # ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —

@@ -4243,3 +4243,51 @@ from dataclasses import replace as _dc_replace_q197  # noqa: E402
 REGISTRY["q197_ccnet_bands"] = _dc_replace_q197(
     REGISTRY["q197_ccnet_bands"], oracle=_q197_oracle()
 )
+
+
+# --------- Q198 exact heavy hitters — the two-pass MG + recount pattern
+@query(
+    "q198_exact_heavy_hitters",
+    oracle="""
+        SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY w
+        ORDER BY cnt DESC, token
+        LIMIT 10
+    """,
+    tags=("sketch", "text", "llm"),
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT top-k heavy hitters with bounded memory — the standard
+    two-pass pattern that turns q180's approximate summary into an
+    exact answer (Misra-Gries' classic deployment): pass 1 builds
+    MG(k') candidates (every item with count > N/(k'+1) is guaranteed
+    present — a SUPERSET of the true top-k whenever the k-th heavy
+    count clears that bar, which the caller sizes k' for); pass 2
+    exact-counts ONLY the <= k' candidates (broadcast isin filter on
+    the scan — the count state is candidate-sized, never
+    vocabulary-sized) and takes the top k with a total order.
+
+    Because the answer is exact, this is the one sketch-family query
+    the oracle can hash-match outright — the sketch does the memory
+    bounding, not the semantics. At 100 TB: pass 1 exchanges k' x P
+    summary rows, pass 2 counts 64 candidates instead of the full
+    vocabulary; both scans, no vocabulary-sized shuffle anywhere."""
+    from ..operators import sketch
+
+    (documents,) = load(spark, sf, "documents")
+    toks = documents.select(
+        F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("token", "pos")
+    cand_rows = sketch.misra_gries(
+        toks.select("token"), "token", k=64
+    ).collect()
+    candidates = [r["item"] for r in cand_rows]  # bounded: <= 64
+    return (
+        toks.filter(F.col("token").isin(candidates))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(10)
+    )

@@ -2757,3 +2757,41 @@ def test_kneser_ney_matches_python_mirror_and_orders_fluency(spark):
     assert got == expected
     # fluent (repeated) bigrams outscore the all-singleton doc
     assert got[0][1] > got[3][1]
+
+
+def test_exact_heavy_hitters_superset_guarantee(spark):
+    """q198's two-pass correctness on a crafted corpus where vocabulary
+    >> k': the MG candidate pass must still contain every true top-k
+    item (their counts clear N/(k'+1)), so the recount returns the
+    exact top-k."""
+    import kstreamjs_spark.queries.llm as llm_mod
+    from kstreamjs_spark.queries import all_queries
+
+    # 20 heavy tokens (x200 each) + 4000 singletons; N = 8000,
+    # N/(k'+1) = 8000/65 ~ 123 < 200 -> superset guaranteed
+    rows = []
+    did = 0
+    for h in range(20):
+        for _ in range(20):  # 20 docs x 10 tokens = 200 occurrences
+            rows.append((did, " ".join([f"hv{h:02d}"] * 10))); did += 1
+    singles = [f"s{i}" for i in range(4000)]
+    for i in range(0, 4000, 10):
+        rows.append((did, " ".join(singles[i:i + 10]))); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fake_load(spark_, sf_, *names):
+        assert names == ("documents",)
+        return [df]
+
+    orig = llm_mod.load
+    llm_mod.load = fake_load
+    try:
+        got = [
+            (r["token"], r["cnt"])
+            for r in all_queries()["q198_exact_heavy_hitters"]
+            .fn(spark, "unused").collect()
+        ]
+    finally:
+        llm_mod.load = orig
+    expected = [(f"hv{h:02d}", 200) for h in range(10)]  # ties -> token asc
+    assert got == expected
