@@ -144,11 +144,11 @@ _WINDOW_SIZE = 50
 # q195 KMV set relations, q193/q193b C4 rules, q51c/q51d full-outer
 # and left-semi stream joins, q196/q196b/q197 Kneser-Ney LM
 # scoring batch+streaming + CCNet bands, q198 exact heavy hitters) —
-# nineteen total — all hist-0, they enter the window via the
+# twenty total — all hist-0, they enter the window via the
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
 # ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —
-# the 19 continuation queries (q186-q197, q191b/q192b/q193b/q196b,
+# the 20 continuation queries (q186-q198, q191b/q192b/q193b/q196b,
 # q51c/q51d, q194, q195) enter as hist-0 ahead of the r7/r8 staleness
 # drain; pin only if an oracle TEXT changes. The q171 pin below is for
 # THIS round's window (its oracle text changed in r11); drop it once
