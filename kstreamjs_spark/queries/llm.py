@@ -4211,21 +4211,64 @@ def _q197_oracle() -> str:
     tags=("text", "llm", "quality"),
 )
 def q197(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet's head/middle/tail split (round 11; Wenzek et al. 2020,
+    """CCNet's head/middle/tail split (round 11/12; Wenzek et al. 2020,
     public) — the final stage of the perplexity-filtering pipeline:
     rank every document by its KN score (q196, one scoring home) and
     cut the corpus into three equal-count bands; head = most fluent
-    third (what CCNet keeps or upweights). NTILE over a TOTAL order
-    (score desc, doc_id tiebreak) keeps the band assignment
-    deterministic across engines. One window over the doc-score frame
-    (corpus-sized but narrow: three columns per row), then a 3-row
-    rollup — the window's single global sort is the dominant cost at
-    scale, exactly what a 100 TB deployment replaces with
-    range-partitioned bucketing on the score (the q173 layout
-    argument)."""
+    third (what CCNet keeps or upweights). Semantics are exactly
+    NTILE(3) over the TOTAL order (score desc, doc_id tiebreak) — the
+    oracle states it that way — but the plan never sorts the corpus in
+    one task (the round-11 verdict's flagged anti-pattern). Instead,
+    the q131 histogram idiom: (1) histogram by the 6-dp-rounded score —
+    distinct values are bounded by the score RANGE in micro-nats, a
+    constant wrt corpus size, so the one cumulative window over the
+    histogram is range-bounded, never corpus-sized; (2) each score's
+    rows occupy a contiguous rank interval [cum_before+1, cum], and the
+    NTILE boundary ranks b1/b2 are pure integer arithmetic on the total
+    count carried by the same window; (3) ties AT a cut score are
+    broken by a row_number window partitioned BY score — each partition
+    is one tie group (CCNet scores are near-unique; a hot score would
+    mean the quantization collapsed), so no single task ever holds more
+    than a tie group. One narrow equi-join of the doc-score frame to
+    the histogram offsets, one score-partitioned window, a 3-row
+    rollup: every corpus-sized exchange is hash-partitioned."""
     scored = REGISTRY["q196_kneser_ney_score"].fn(spark, sf)
-    w = Window.orderBy(F.col("avg_logprob_kn").desc(), F.col("doc_id"))
-    banded = scored.withColumn("band", F.ntile(3).over(w).cast("long"))
+    hist = scored.groupBy("avg_logprob_kn").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    part = Window.partitionBy()
+    cum_w = part.orderBy(F.col("avg_logprob_kn").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # NTILE(3) bucket boundaries over n rows: the first (n mod 3)
+    # buckets get one extra row, so band 1 ends at rank n div 3 +
+    # min(rem, 1) and band 2 at 2*(n div 3) + min(rem, 2).
+    aug = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("n", F.sum("cnt").over(part))
+        .select(
+            "avg_logprob_kn",
+            (F.col("cum") - F.col("cnt")).alias("cum_before"),
+            (F.expr("n div 3") + F.least(F.col("n") % 3, F.lit(1)))
+            .cast("long")
+            .alias("b1"),
+            (F.expr("n div 3") * 2 + F.least(F.col("n") % 3, F.lit(2)))
+            .cast("long")
+            .alias("b2"),
+        )
+    )
+    tie_w = Window.partitionBy("avg_logprob_kn").orderBy("doc_id")
+    rank = F.col("cum_before") + F.row_number().over(tie_w)
+    banded = (
+        scored.join(aug, "avg_logprob_kn")
+        .withColumn(
+            "band",
+            F.when(rank <= F.col("b1"), 1)
+            .when(rank <= F.col("b2"), 2)
+            .otherwise(3)
+            .cast("long"),
+        )
+    )
     return (
         banded.groupBy("band")
         .agg(

@@ -1074,3 +1074,24 @@ def test_ivfpq_partitioned_codes_serve_with_pruning(spark, tmp_path):
     assert [(r["vec_id"], r["score"]) for r in served] == [
         (r["vec_id"], r["score"]) for r in inmem
     ]
+
+
+def test_ccnet_bands_no_corpus_global_sort(spark):
+    """q197 (round-12 fix): NTILE's single-task corpus sort is gone.
+    Banding is histogram offsets + a score-partitioned tie window, so
+    the only global sort left is the 3-row output ORDER BY band; the
+    row_number tie-break sorts locally within hashpartitioning(score)."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q197_ccnet_bands", spark), mode="simple")
+    assert "ntile" not in plan.lower()
+    assert "row_number()" in plan
+    # every GLOBAL sort (third arg `true`) may touch only the 3-row
+    # band rollup — never a corpus-sized frame
+    for m in re.finditer(r"Sort \[([^\]]*)\], true, 0", plan):
+        assert "band#" in m.group(1), m.group(0)
+    # the tie window is partitioned by the score, not unpartitioned
+    win_line = next(
+        line for line in plan.splitlines() if "row_number()" in line
+    )
+    assert "avg_logprob_kn" in win_line.split("windowspecdefinition")[1]
