@@ -31,7 +31,7 @@ Scale properties (100 TB corpus, billions of pairs):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from ..plans import materialize_once
 
@@ -137,50 +137,54 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     is bit-identical on any partitioning and any engine that mirrors the
     arithmetic.
 
-    Scale shape: the edge frame is materialized ONCE (localCheckpoint /
-    checkpoint per the cluster policy) with out-degree riding a
-    count-window on the src partitioning; each iteration is one equi-join
-    of the O(nodes) rank frame against the cached edges plus one dst
-    aggregation whose map-side partial agg shrinks the exchange to
-    O(nodes) rows. Per-iteration wall carries Spark's fixed 2-stage
-    scheduling constant (the q81b Lloyd precedent — measured ~0.3 s/iter
-    at local[8], exponent 0.47 across sf0.01->sf0.1, SCALE.md round-10
-    note); at cluster scale the edge scan dominates and the constant
-    vanishes."""
+    Duplicate (src, dst) input rows are allowed and collapse to ONE
+    edge (set semantics — callers need no pre-distinct pass).
+
+    Scale shape (round-12 Pregel rewrite; the GraphX/Pregel vertex
+    layout, Malewicz et al. 2010, public): edges fold ONCE into an
+    adjacency-list frame — groupBy(src) + collect_set(dst), so the edge
+    dedup rides the same partial aggregation and out-degree is
+    size(dsts) for free — materialized per the cluster policy
+    (localCheckpoint) and hash-partitioned by src. Each iteration is
+    then ONE exchange: explode the adjacency arrays map-side into
+    (dst, contribution) with partial sums, shuffle O(nodes) combined
+    rows, and rejoin the O(nodes) result to the stationary adjacency
+    frame (co-partitioned on the same hash — no second exchange). The
+    left join keeps in-degree-0 source nodes alive at base rank so
+    their outgoing contributions survive every step (asymmetric
+    graphs). Vs the round-11 edge-list plan this removes the
+    per-iteration O(edges) join AND the O(edges) checkpoint: measured
+    14.3 s -> 2.9 s warm at sf0.1/local[8]. Hot-vertex ceiling: one
+    adjacency row holds one node's distinct neighbors; a graph with
+    celebrity vertices (10^7+ neighbors) would vertex-cut the row by
+    salting dsts into bounded sub-lists and summing the sub-degrees —
+    not needed for co-purchase graphs whose degree is bounded by
+    catalog co-occurrence."""
     base = (100 - damp_num) * init // 100
-    ed = materialize_once(
+    adj = materialize_once(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .withColumn(
-            "od",
-            F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long"),
-        )
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("dsts"))
+        .select("src", "dsts", F.size("dsts").cast("long").alias("od"))
     )
-    # The node universe (every node has out-degree >= 1 per the contract,
-    # so distinct srcs IS the universe). Ranks must be rebuilt over this
-    # frame each iteration — rebuilding from groupBy(dst) alone would drop
-    # in-degree-0 source nodes after step 1, losing their outgoing
-    # contributions for every later step (asymmetric graphs; symmetric
-    # graphs like q176's never exercise the coalesce).
-    nodes = materialize_once(
-        ed.select("src", "od").distinct()
-        .select(F.col("src").alias("node"), "od")
-    )
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rnk"))
+    state = adj.withColumn("rnk", F.lit(init).cast("long"))
     contrib = F.expr(f"(rnk * {damp_num}) DIV (100 * od)")
     for _ in range(iters):
         contribs = (
-            ed.join(ranks, ed["src"] == F.col("node"))
+            state.select(F.explode("dsts").alias("dst"), contrib.alias("c"))
             .groupBy("dst")
-            .agg(F.sum(contrib).alias("s"))
+            .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        state = (
+            adj.join(contribs, adj["src"] == contribs["dst"], "left")
             .select(
-                "node",
+                "src",
+                "dsts",
+                "od",
                 (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
                 .cast("long").alias("rnk"),
             )
         )
-    return nodes.join(ranks, "node").select(
-        "node", F.col("od").alias("out_degree"), "rnk"
+    return state.select(
+        F.col("src").alias("node"), F.col("od").alias("out_degree"), "rnk"
     )

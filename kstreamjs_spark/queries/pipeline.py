@@ -905,29 +905,28 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     q172b: ranks live in int64 micro-units, each edge contribution is
     floor((rank * 85) / (100 * outdeg)) via integer DIV — no
     floating-point sum exists on either engine — and the oracle unrolls
-    all 8 steps as a generated CTE chain. Spark-first plan: the edge list
-    builds from ONE lineitem self equi-join on l_orderkey (pair fan-out
-    bounded by order width, never corpus size — the 100 TB bill is the
-    orderkey exchange), out-degree rides a count-window on the same src
-    partitioning, and the edge frame is MATERIALIZED ONCE (it is consumed
-    by all 8 iterations); each iteration is then one equi-join of the
-    small rank frame against the cached edges plus one dst aggregation
-    exchange — rank rows are O(nodes), never O(edges), so the per-step
-    shuffle shrinks by orders of magnitude vs re-deriving the graph.
+    all 8 steps as a generated CTE chain. Spark-first plan (round-12
+    rewrite): pair generation needs NO self-join — ONE lineitem scan
+    folds to collect_set(l_partkey) per order (the only corpus-sized
+    exchange, on l_orderkey, map-side combined), and the per-order part
+    sets explode into ordered pairs (fan-out bounded by order width
+    squared, never corpus size). Cross-order duplicate pairs collapse
+    inside pagerank's adjacency fold — no separate distinct pass — and
+    the iteration is the Pregel shape documented in
+    operators/cluster.py:pagerank: one O(nodes) exchange per step
+    against a stationary materialized adjacency frame.
     Dangling-node redistribution is structurally unnecessary: co-purchase
     edges are symmetric, so out-degree >= 1 for every node by
     construction. Iteration lives in operators/cluster.py:pagerank
     (hand-computed-graph pytest drives it directly)."""
     (li,) = load(spark, sf, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("src"))
-    b = li.select(F.col("l_orderkey").alias("ok"),
-                  F.col("l_partkey").alias("dst"))
+    orders = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
     e = (
-        a.join(b, "ok")
+        orders.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
     )
     return cluster.pagerank(
         e, iters=_PR_ITERS, damp_num=_PR_DAMP_NUM, init=_PR_INIT
