@@ -1429,6 +1429,12 @@ def _apng_parse(blob: bytes):
             if not idat:
                 idat_after_fctl = True
         elif ctype == b"IDAT":
+            if len(fcts) >= 2:
+                # spec requires IDAT chunks to be consecutive and belong
+                # to frame 0: IDAT after a second fcTL (or after fdAT,
+                # which needs that second fcTL) is malformed, not
+                # silently unattributed bytes
+                return None
             idat += data
             if idat_after_fctl and len(fcts) == 1:
                 datas[0] += data  # IDAT is frame 0's data

@@ -528,8 +528,14 @@ def semdedup_drops(
 ) -> DataFrame:
     """SemDeDup's drop set (Abbas et al. 2023, public): given cell-assigned
     vectors (``cid``, ``id_col``, ``vec_col`` array<double>), return the
-    (cid, id) rows dropped by keep-first greedy dedup — every vector with
-    a >= ``theta`` rounded-cosine neighbor of SMALLER id in its cell.
+    (cid, id) rows dropped: a vector is dropped iff ANY smaller-id
+    vector in its cell is a >= ``theta`` rounded-cosine neighbor —
+    including neighbors that were themselves dropped. NOTE this is NOT
+    transitive keep-first greedy: in an A-B, B-C chain with A-C below
+    theta, true keep-first would re-keep C (its only >= theta neighbor
+    B is already gone); this rule drops both B and C. Deterministic,
+    order-free, and what the oracle states — the two rules differ only
+    on such chains.
 
     Execution (round-11 rework, bench-driven): ONE hash exchange on the
     cell key feeds an Arrow-batched `applyInPandas` kernel that scores
@@ -585,7 +591,8 @@ def semdedup_drops(
 def _semdedup_dropped_mask(pdf, id_col, vec_col, theta, round_to):
     """Shared scoring core: sort the cell by id, score pairwise rounded
     cosines as a row-chunked numpy matmul, return (sorted pdf, boolean
-    dropped mask) under keep-first greedy semantics."""
+    dropped mask) under the dropped-iff-any-smaller-id-neighbor rule
+    (see semdedup_drops: not transitive keep-first)."""
     import numpy as np
 
     pdf = pdf.sort_values(id_col)

@@ -69,3 +69,106 @@ def window_collect(
         full_schema += f", {k} {dict(df.dtypes)[k]}"
     full_schema += ", " + out_schema
     return grouped.applyInPandas(apply_fn, full_schema)
+
+
+def window_collect_stateful(
+    df: DataFrame,
+    ts_col: str,
+    interval_ms: int,
+    collect: Callable[[pd.DataFrame], dict],
+    out_schema: str,
+    keys: Iterable[str] = (),
+    sort_by: Iterable[str] | None = None,
+    origin_ms: int = 0,
+) -> DataFrame:
+    """Fire-once streaming tumbling window for arbitrary Python reducers
+    (round 12; closes the last §2A semantic delta vs the reference).
+
+    The reference's window buffers rows and invokes ``collect`` exactly
+    once per window when event time passes the window end plus the
+    buffer interval (/root/reference/src/stream.ts:157-198). The
+    ``applyInPandas`` adapter above matches that on batch input but on
+    STREAMING input runs per micro-batch, emitting one partial row per
+    batch for a window that spans batches. This operator is the exact
+    streaming equivalent: keyed GroupState buffers the window's rows
+    across micro-batches (``applyInPandasWithState``, the proven
+    q180b/q181b/q192b fold shape) and an EVENT-TIME TIMEOUT at the
+    window end fires the reducer ONCE when the watermark (the facade's
+    ``buffer_interval_ms``) passes it. Rows arriving for an
+    already-due window are late by the stream's own watermark and are
+    dropped — the same drop-late-data policy the reference implements
+    (src/stream.ts:157-177) and the built-in ``aggs`` path inherits
+    from Spark's streaming aggregation.
+
+    Requires ``df`` to be streaming WITH a watermark on ``ts_col``
+    (the facade sets it) — EventTimeTimeout needs one. State size is
+    bounded by (rows in flight per window) x (open windows per key),
+    the identical bound the reference's in-process buffer has; the
+    buffered rows live in the state store, partitioned by
+    (window, keys), so no executor holds more than its groups.
+
+    ``origin_ms`` aligns windows to ``from_ms % interval`` exactly as
+    the batch path's ``startTime`` does (non-negative event times).
+    """
+    import pickle
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(keys)
+    sort_cols = list(sort_by) if sort_by else [ts_col]
+    in_cols = list(df.columns)
+    dtypes = dict(df.dtypes)
+    ws_expr = (
+        f"{origin_ms} + ((unix_millis({ts_col}) - {origin_ms})"
+        f" DIV {interval_ms}) * {interval_ms}"
+    )
+    wdf = df.withColumn("__ws", F.expr(ws_expr))
+
+    def fire(ws_ms: int, key, buf: bytes) -> pd.DataFrame:
+        pdf = pickle.loads(buf).sort_values(sort_cols, kind="mergesort")
+        res = collect(pdf)
+        base = {
+            "window_start": [pd.to_datetime(ws_ms, unit="ms")],
+            "window_end": [pd.to_datetime(ws_ms + interval_ms, unit="ms")],
+        }
+        for i, k in enumerate(keys):
+            base[k] = [key[1 + i]]
+        for col, val in res.items():
+            base[col] = [val]
+        return pd.DataFrame(base)
+
+    def update(key, pdfs, state: GroupState):
+        ws = int(key[0])
+        if state.hasTimedOut:
+            (buf,) = state.get
+            state.remove()
+            yield fire(ws, key, buf)
+            return
+        if state.getCurrentWatermarkMs() >= ws + interval_ms:
+            # the window is already due: these rows are late per the
+            # watermark and are dropped (reference drop-late policy);
+            # fire once from whatever was buffered
+            if state.exists:
+                (buf,) = state.get
+                state.remove()
+                yield fire(ws, key, buf)
+            return
+        chunks = []
+        if state.exists:
+            chunks.append(pickle.loads(state.get[0]))
+        for pdf in pdfs:
+            chunks.append(pdf[in_cols])
+        state.update((pickle.dumps(pd.concat(chunks, ignore_index=True)),))
+        state.setTimeoutTimestamp(ws + interval_ms)
+
+    full_schema = "window_start timestamp, window_end timestamp"
+    for k in keys:
+        full_schema += f", {k} {dtypes[k]}"
+    full_schema += ", " + out_schema
+    return wdf.groupBy("__ws", *keys).applyInPandasWithState(
+        update,
+        outputStructType=full_schema,
+        stateStructType="buf binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

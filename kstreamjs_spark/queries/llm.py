@@ -720,8 +720,11 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
     projection), then each cell's pairwise cosines score in ONE
     Arrow-batched numpy kernel (`similarity.semdedup_cell_stats` —
     the shape the SemDeDup paper itself runs) and every vector with a
-    >= theta neighbor of SMALLER id is dropped (keep-first greedy —
-    deterministic, and what a streaming ingest naturally does).
+    >= theta neighbor of SMALLER id is dropped — dropped neighbors
+    included, so NOT transitive keep-first greedy (an A-B, B-C chain
+    with A-C < theta drops both B and C); deterministic, order-free,
+    and exactly what the oracle states (operators/similarity.py:
+    semdedup_drops documents the delta).
     Output: per-cell (n_vecs, n_dropped, n_kept), emitted BY the
     kernel — the rollup is fused, so the whole query is one cell-key
     exchange plus a k-row sum (the round-11 rework: the previous cid
@@ -4316,21 +4319,45 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     the oracle can hash-match outright — the sketch does the memory
     bounding, not the semantics. At 100 TB: pass 1 exchanges k' x P
     summary rows, pass 2 counts 64 candidates instead of the full
-    vocabulary; both scans, no vocabulary-sized shuffle anywhere."""
+    vocabulary; both scans, no vocabulary-sized shuffle anywhere.
+
+    The exactness guarantee is CHECKED at runtime (round 12, advisor
+    ask): pass 2 folds non-candidates into one NULL bucket, so the
+    same bounded aggregate yields every candidate's exact count AND
+    the total token count N; the result is provably the true top-10
+    iff the 10th-ranked candidate count exceeds N/(k'+1) (anything
+    outside MG(k') is bounded by that bar). A fixture or data change
+    that silently broke the precondition now raises instead of
+    returning a wrong answer labeled exact."""
     from ..operators import sketch
 
     (documents,) = load(spark, sf, "documents")
     toks = documents.select(
-        F.posexplode(F.split("text", " ")).alias("pos", "token")
-    ).select("token", "pos")
-    cand_rows = sketch.misra_gries(
-        toks.select("token"), "token", k=64
-    ).collect()
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cand_rows = sketch.misra_gries(toks, "token", k=64).collect()
     candidates = [r["item"] for r in cand_rows]  # bounded: <= 64
-    return (
-        toks.filter(F.col("token").isin(candidates))
-        .groupBy("token")
+    counted = (
+        toks.select(
+            F.when(F.col("token").isin(candidates), F.col("token"))
+            .alias("t")
+        )
+        .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "token")
-        .limit(10)
+        .collect()
+    )  # bounded: <= 65 rows (64 candidates + the non-candidate bucket)
+    n_total = sum(r["cnt"] for r in counted)
+    top = sorted(
+        ((r["cnt"], r["t"]) for r in counted if r["t"] is not None),
+        key=lambda cv: (-cv[0], cv[1]),
+    )[:10]
+    if len(top) < 10 or top[-1][0] * 65 <= n_total:
+        raise RuntimeError(
+            "q198: MG(64) superset precondition violated — 10th "
+            f"candidate count {top[-1][0] if top else 0} does not "
+            f"exceed N/(k'+1) = {n_total}/65; the top-10 would not be "
+            "provably exact"
+        )
+    return spark.createDataFrame(
+        [(t, c) for c, t in top], "token string, cnt long"
     )

@@ -1606,18 +1606,23 @@ def q192b(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.pmod("h", F.lit(_Q192B_BUCKETS)).alias("bucket"), "h")
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         if state.exists:
             sj, n_rows = state.get
-            vals = set(_json.loads(sj))
+            cur = np.array(_json.loads(sj), dtype=np.int64)
         else:
-            vals, n_rows = set(), 0
+            cur, n_rows = np.empty(0, dtype=np.int64), 0
+        # fold per Arrow batch and trim to k EACH time (round-12
+        # advisor fix): the working set stays O(k + batch_chunk), not
+        # O(batch distinct) — the same vectorized np.unique k-min fold
+        # kmv_summary uses (one arithmetic home)
         for pdf in pdfs:
             n_rows += len(pdf)
-            for h in pdf["h"]:
-                vals.add(int(h))
-        if len(vals) > _Q192B_K:
-            vals = set(sorted(vals)[:_Q192B_K])
-        mins = sorted(vals)
+            cur = np.unique(
+                np.concatenate([cur, pdf["h"].to_numpy(dtype=np.int64)])
+            )[:_Q192B_K]
+        mins = [int(v) for v in cur]
         state.update((_json.dumps(mins), n_rows))
         yield pd.DataFrame({
             "bucket": [key[0]],

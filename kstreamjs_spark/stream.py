@@ -35,7 +35,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
-from .operators.window import window_collect
+from .operators.window import window_collect, window_collect_stateful
 
 # Spark's default JSON timestampFormat keeps only milliseconds; the engine's
 # event times are microsecond-resolution, so every JSON write/read on this
@@ -223,14 +223,15 @@ class Stream:
           meaningful on streaming input.
         - ``aggs``: named built-in aggregates — THE fast path.
         - ``collect``/``out_schema``: arbitrary Python reducer over the
-          whole window (reference `collect` callback, src/stream.ts:133)
-          via the applyInPandas adapter; rows arrive event-time-sorted.
-          On STREAMING input the reducer runs per micro-batch: a window
-          whose rows span micro-batches emits one partial row per batch
-          (matching the reference, whose window also fires once from
-          whatever it buffered, src/stream.ts:186-198, but not the exact
-          batch semantics of ``aggs``, which is stateful across batches).
-          Cross-batch exact reduction needs applyInPandasWithState.
+          whole window (reference `collect` callback, src/stream.ts:133);
+          rows arrive event-time-sorted. On batch input this is the
+          applyInPandas adapter; on STREAMING input (round 12) it is
+          EXACT across micro-batches: keyed GroupState buffers the
+          window's rows and an event-time timeout fires the reducer
+          ONCE when the watermark passes the window end — the
+          reference's fire-once buffer (src/stream.ts:186-198) and its
+          drop-late-data policy (src/stream.ts:157-177), stateful like
+          ``aggs``. See operators/window.py:window_collect_stateful.
         """
         df = self.df
         ts = self.ts_col
@@ -258,6 +259,19 @@ class Stream:
             return self._wrap(out)
         if collect is None or out_schema is None:
             raise ValueError("window() needs either aggs= or collect=+out_schema=")
+        if df.isStreaming:
+            return self._wrap(
+                window_collect_stateful(
+                    df,
+                    ts_col=ts,
+                    interval_ms=interval_ms,
+                    collect=collect,
+                    out_schema=out_schema,
+                    keys=keys,
+                    sort_by=[ts],
+                    origin_ms=(from_ms % interval_ms) if from_ms else 0,
+                )
+            )
         return self._wrap(
             window_collect(
                 df,

@@ -790,3 +790,28 @@ def test_apng_surface_total_on_arbitrary_bytes(blob):
             assert out is None or (
                 out.ndim == 3 and out.dtype.name == "uint8"
             )
+
+
+def test_gif_lzw_roundtrip_forces_table_overflow_reset():
+    """The 48x48 property cap (2304 px) never fills the 4096-entry LZW
+    table, so the encoder's clear-code reset branch was suite-uncovered
+    (round-11 advisor). Two >=20k-px payloads force it: high-entropy
+    bytes (table fills fastest: mostly 2-byte strings) and a long-run
+    payload (table fills with ever-longer runs, exercising deep prefix
+    chains at reset time). Both must roundtrip exactly."""
+    import numpy as np
+
+    w, h = 160, 140  # 22400 px >> 4096-entry table capacity
+    entropic = bytes(
+        np.random.RandomState(7).randint(0, 256, w * h, dtype=np.uint8)
+    )
+    runs = bytes(
+        np.repeat(
+            np.arange(0, 256, dtype=np.uint8), (w * h) // 256 + 1
+        )[: w * h]
+    )
+    for gray in (entropic, runs):
+        blob = multimodal.encode_gif_pixels(w, h, gray)
+        px = multimodal.decode_gif_pixels(blob)
+        assert px is not None and px.shape == (h, w, 3)
+        assert bytes(px[:, :, 0].ravel()) == gray

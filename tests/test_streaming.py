@@ -1298,3 +1298,66 @@ def test_stream_semi_join_emits_once_and_only_matched(spark, tmp_path):
     expected = [(101, 1)]  # once, despite two matching clicks
     assert split == expected, split
     assert whole == expected, whole
+
+
+def test_window_collect_fires_once_across_microbatches(spark, tmp_path):
+    """Facade window(collect=) on STREAMING input reduces EXACTLY ONCE
+    per window even when the window's rows span micro-batches (round
+    12; closes the last §2A semantic delta — the reference's window
+    buffers and fires once, src/stream.ts:186-198, where the round-11
+    facade emitted one partial row per micro-batch). Window [0,2s)
+    deliberately spans batches 0 and 1 (maxFilesPerTrigger=1); the
+    10s watermark keeps the spread on time; a far-future sentinel in
+    the last batch advances the final watermark past every real
+    window. The streamed rows must equal the batch-path rows on the
+    identical input — same values AND same row count (fire-once, not
+    one-partial-per-batch)."""
+    d = str(tmp_path / "wcs_in")
+    os.makedirs(d, exist_ok=True)
+    files = [
+        [(100, 1), (300, 2), (2_100, 10)],      # window 0 partly here
+        [(500, 4), (2_500, 20)],                # rest of windows 0 and 1
+        [(10_000_000, 999)],                    # sentinel: flush watermark
+    ]
+    now = time.time()
+    for i, rows in enumerate(files):
+        p = f"{d}/f{i}.parquet"
+        _write_file(spark, rows, p)
+        for root, _, names in os.walk(p):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    def collect(pdf):
+        # order-sensitive on purpose: proves rows arrive ts-sorted and
+        # complete (a per-batch partial would change first/last/n)
+        v = pdf["v"].tolist()
+        return {"s": int(sum(v)), "first": int(v[0]),
+                "last": int(v[-1]), "n": len(v)}
+
+    out_schema = "s long, first long, last long, n int"
+    schema = spark.read.parquet(f"{d}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d + "/*")
+    )
+    streamed = (
+        Stream(sdf, "ts")
+        .window(interval_ms=2_000, buffer_interval_ms=10_000,
+                collect=collect, out_schema=out_schema)
+        .run_available("wcs_parity")
+        .collect()
+    )
+    batch_rows = [r for rows in files[:2] for r in rows]
+    bdf = spark.createDataFrame(batch_rows, "ts long, v long").select(
+        F.timestamp_millis(F.col("ts")).alias("ts"), "v"
+    )
+    expected = (
+        Stream.from_dataframe(bdf, "ts")
+        .window(interval_ms=2_000, collect=collect, out_schema=out_schema)
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["window_end"], r["s"],
+                     r["first"], r["last"], r["n"])
+    assert sorted(map(key, streamed)) == sorted(map(key, expected))
+    # fire-once: exactly one row per real window, none for the sentinel
+    assert len(streamed) == 2
