@@ -208,3 +208,35 @@ def compressibility(df, text_col: str = "text", id_col: str = "doc_id",
         f"{id_col} {id_type}, n_bytes long, n_compressed long, "
         "comp_ratio double",
     )
+
+
+def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
+    """Unicode normalization (UAX #15, public) as an Arrow-batched
+    kernel — the step every multilingual corpus pipeline runs BEFORE
+    tokenization/shingling/fingerprinting, because canonically
+    equivalent strings ("e" + U+0301 vs precomposed U+00E9) otherwise
+    hash, shingle, and dedup as different documents (CCNet and C4 both
+    normalize first). ``form`` is NFC/NFD/NFKC/NFKD per stdlib
+    ``unicodedata``; DuckDB's ``nfc_normalize`` (utf8proc) mirrors the
+    NFC form, which is how q84b hash-matches it cross-engine.
+
+    Arrow-batched pandas_udf (the documented non-SQL-expression
+    exception, like ``compressibility``): normalization tables are not
+    expressible in Catalyst, so this is one Python roundtrip per batch,
+    scan-side, zero shuffle, NULL-preserving.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    # no type hints: postponed annotation evaluation (future.annotations)
+    # turns them into strings pandas_udf cannot resolve; the returnType
+    # argument carries the schema instead (the q48 idiom)
+    @F.pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return _norm(F.col(text) if isinstance(text, str) else text)

@@ -679,6 +679,58 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ------------------------------------------ Q84b Unicode NFC normalization
+@query(
+    "q84b_unicode_nfc",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(decorated) AS BIGINT) AS len_decomposed,
+               CAST(length(nfc_normalize(decorated)) AS BIGINT) AS len_nfc,
+               nfc_normalize(decorated) AS nfc_text
+        FROM (SELECT doc_id,
+                     text || ' cafe' || chr(769) || ' A' || chr(778)
+                          || ' n' || chr(771) AS decorated
+              FROM documents)
+        ORDER BY doc_id
+    """,
+    tags=("text", "llm"),
+)
+def q84b(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFC normalization (round 12; UAX #15, public) — the step
+    q84's regex-class normalization skips and every real multilingual
+    pipeline needs: canonically equivalent strings ("e" + COMBINING
+    ACUTE vs precomposed U+00E9) must hash/shingle/dedup identically.
+    The corpus text is ASCII, so each doc is DECORATED with a
+    deterministic decomposed suffix (combining acute/ring/tilde, built
+    from identical literals on both engines) and normalized through the
+    Arrow kernel (operators/text.py:unicode_normalize, stdlib
+    unicodedata); the oracle runs DuckDB's utf8proc ``nfc_normalize``
+    on the same bytes — codepoint lengths before/after AND the full
+    normalized string hash-match, proving the two normalization tables
+    agree. BMP-only suffix so Spark's UTF-16 length == DuckDB's
+    codepoint length. Scan-side projection, zero shuffle; the
+    composition test (fingerprint stability across NFC/NFD variants)
+    lives in tests/test_corpus.py."""
+    (docs,) = load(spark, sf, "documents")
+    decorated = F.concat(
+        # decomposed combining sequences, escape-built so nothing
+        # can silently precompose them (mirrors the oracle chr()s)
+        "text", F.lit(" cafe\u0301 A\u030a n\u0303")
+    ).alias("decorated")
+    return (
+        docs.select("doc_id", decorated)
+        .select(
+            "doc_id",
+            F.length("decorated").cast("long").alias("len_decomposed"),
+            F.length(
+                text.unicode_normalize("decorated", "NFC")
+            ).cast("long").alias("len_nfc"),
+            text.unicode_normalize("decorated", "NFC").alias("nfc_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------- Q85 embedding quantization
 @query(
     "q85_quantize_embeddings",

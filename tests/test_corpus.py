@@ -293,3 +293,41 @@ def test_gini_histogram_closed_form_matches_naive(spark):
         assert got["n_events"] == sum(counts)
         assert got["max_per_key"] == max(counts)
         assert abs(got["gini"] - naive_gini(counts)) < 1e-9, counts
+
+
+def test_unicode_normalize_fingerprint_stability(spark):
+    """q84b's composition contract: NFC/NFD variants of the SAME text
+    must fingerprint (and therefore dedup) identically once normalized
+    through text.unicode_normalize — the reason the operator exists.
+    Unnormalized, the variants fingerprint differently (the bug being
+    prevented); normalized, NFC(x) == NFC(NFD(x)) byte-for-byte and
+    idempotence holds. Also pins NULL propagation and form validation."""
+    import pytest
+
+    import unicodedata
+
+    nfc_text = unicodedata.normalize("NFC", "caf\u00e9 jalape\u00f1o \u00c5ngstr\u00f6m")
+    nfd_text = unicodedata.normalize("NFD", nfc_text)
+    assert nfc_text != nfd_text  # the variants really are distinct bytes
+    df = spark.createDataFrame(
+        [(1, nfc_text), (2, nfd_text), (3, None)], "id long, t string"
+    )
+    out = df.select(
+        "id",
+        text.fingerprint(text.unicode_normalize("t", "NFC")).alias("fp_norm"),
+        text.fingerprint("t").alias("fp_raw"),
+        text.unicode_normalize("t", "NFC").alias("nfc"),
+        text.unicode_normalize(
+            text.unicode_normalize("t", "NFC"), "NFC"
+        ).alias("nfc2"),
+    ).collect()
+    rows = {r["id"]: r for r in out}
+    # unnormalized variants hash apart; normalized they collide
+    assert rows[1]["fp_raw"] != rows[2]["fp_raw"]
+    assert rows[1]["fp_norm"] == rows[2]["fp_norm"]
+    assert rows[1]["nfc"] == rows[2]["nfc"] == nfc_text
+    # idempotence and NULL propagation
+    assert all(r["nfc"] == r["nfc2"] for r in out if r["nfc"] is not None)
+    assert rows[3]["nfc"] is None and rows[3]["fp_norm"] is None
+    with pytest.raises(ValueError):
+        text.unicode_normalize("t", "NFX")
