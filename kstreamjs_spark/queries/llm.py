@@ -1305,6 +1305,66 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------------------- Q160b cross-codec audio dedup (FLAC)
+@query(
+    "q160b_audio_cross_codec",
+    oracle="""
+        SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(0 AS BIGINT) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def q160b(spark: SparkSession, sf: str) -> DataFrame:
+    """CROSS-CODEC audio near-dup (round 12) — q158c's shape for the
+    audio modality: each duplicate group renders ONE pseudo-random
+    2100-sample pattern through TWO different real codecs, 16-bit PCM
+    WAV (member 0, gain 1) and FLAC (members 1-2, gains 2 and 3;
+    `encode_flac_samples` at block_size=512, so the decode walks FOUR
+    Rice-coded frames plus a ragged 52-sample last block, CRC-8/16 and
+    MD5 verified per clip). FLAC is lossless, so
+    `decode_audio_samples`' magic-byte dispatch reproduces the exact
+    int16 samples either way, and the energy-difference AFP's gain
+    invariance (adjacent-energy comparisons, exact int arithmetic)
+    lands every same-group pair at Hamming 0 — the closed-form pair
+    set the oracle states; only a correct FLAC frame walk + predictor
+    reconstruction + energy chain reproduces it. Scale shape identical
+    to q160: encode/decode/hash are one Arrow-batched projection,
+    blobs never shuffle, the only exchange is the 8-byte chunk-key
+    candidate equi-join."""
+    import numpy as np
+    import pandas as pd
+
+    (documents,) = load(spark, sf, "documents")
+
+    def make_clips(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761 + 29) % (2**31))
+                base = rng.randint(-4096, 4096, 2100)
+                scaled = (base * (1 + d % 3)).astype(np.int16)
+                if d % 3 == 0:
+                    blobs.append(multimodal.encode_wav_samples(scaled))
+                else:
+                    blobs.append(
+                        multimodal.encode_flac_samples(
+                            scaled, block_size=512
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    blobs = documents.select("doc_id").mapInPandas(
+        make_clips, "doc_id long, blob binary"
+    )
+    hashed = multimodal.afp_blobs(blobs)
+    return dedup.hamming_neardup_pairs(
+        hashed, max_hamming=3, hash_col="afp"
+    )
+
+
 # ------------------------------------ Q174 MJPEG video frame-pixel dedup
 @query(
     "q174_video_mjpeg_phash_dedup",

@@ -815,3 +815,211 @@ def test_gif_lzw_roundtrip_forces_table_overflow_reset():
         px = multimodal.decode_gif_pixels(blob)
         assert px is not None and px.shape == (h, w, 3)
         assert bytes(px[:, :, 0].ravel()) == gray
+
+
+# ------------------------------------------------------------ FLAC (round 12)
+@given(
+    n=st.integers(min_value=1, max_value=3000),
+    nch=st.integers(min_value=1, max_value=2),
+    bs=st.sampled_from([256, 512, 1024, 4096]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    smooth=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_property(n, nch, bs, seed, smooth):
+    """encode_flac_samples -> decode_flac_samples is an exact int16
+    roundtrip at arbitrary length/channels/block size — through real
+    Rice coding, fixed predictors, multi-frame walks with ragged last
+    blocks, CRC-8/CRC-16, and the STREAMINFO MD5 check."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    if smooth:
+        t = np.arange(n * nch)
+        s = (3000 * np.sin(t / 37.0) + rng.randint(-32, 32, n * nch)).astype(
+            np.int16
+        )
+    else:
+        s = rng.randint(-32768, 32768, n * nch).astype(np.int16)
+    blob = multimodal.encode_flac_samples(s, n_channels=nch, block_size=bs)
+    dec = multimodal.decode_flac_samples(blob)
+    assert dec is not None
+    rate, arr = dec
+    assert rate == 16000 and arr.shape == (n, nch)
+    assert np.array_equal(arr.ravel(), s)
+
+
+@given(blob=raw_bytes)
+@settings(max_examples=300, deadline=None)
+def test_decode_flac_total_on_arbitrary_bytes(blob):
+    for b in (blob, b"fLaC" + blob):
+        out = multimodal.decode_flac_samples(b)
+        assert out is None or (
+            isinstance(out[0], int) and out[1].dtype.name == "int16"
+        )
+
+
+def test_flac_total_on_mutations_and_crc_rejects():
+    """Totality over corrupted payloads: single-byte flips anywhere in
+    a valid multi-frame file must reject or decode-equal (flips in the
+    zero-padded size fields can be no-ops), never raise; every
+    truncation rejects; and a flip INSIDE a frame's coded region must
+    be caught by CRC/MD5 — never silently alter the samples."""
+    import numpy as np
+
+    s = np.random.RandomState(3).randint(-2048, 2048, 700).astype(np.int16)
+    good = multimodal.encode_flac_samples(s, block_size=256)
+    ref = multimodal.decode_flac_samples(good)
+    assert ref is not None
+    for flip in range(len(good)):
+        mutated = bytearray(good)
+        mutated[flip] ^= 0xFF
+        out = multimodal.decode_flac_samples(bytes(mutated))
+        assert out is None or np.array_equal(out[1], ref[1])
+    for cut in range(0, len(good), 5):
+        assert multimodal.decode_flac_samples(good[:cut]) is None
+
+
+def _handmade_flac(subframes_writer, n, nch, samples_interleaved):
+    """Assemble a one-frame FLAC stream around hand-written subframes:
+    STREAMINFO (with the true MD5), frame header, the caller's subframe
+    bits, padding and both CRCs — lets tests drive decoder paths the
+    encoder never emits (LPC, stereo decorrelation, wasted bits)."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5(
+        np.asarray(samples_interleaved, dtype="<i2").tobytes()
+    ).digest()
+    si = 0
+    si = (si << 16) | n
+    si = (si << 16) | n
+    si = (si << 24) | 0
+    si = (si << 24) | 0
+    si = (si << 20) | 16000
+    si = (si << 3) | (nch - 1)
+    si = (si << 5) | 15
+    si = (si << 36) | n
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + (34).to_bytes(3, "big") + si.to_bytes(18, "big") + md5
+    w = multimodal._FlacBitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)
+    w.write(0, 4)
+    # the caller supplies the channel-assignment nibble via this hook
+    # so stereo-decorrelation modes are expressible
+    ch_code = subframes_writer("ch_code", w, None)
+    w.write(ch_code, 4)
+    w.write(0b100, 3)
+    w.write(0, 1)
+    w.write_bytes(multimodal._flac_utf8_encode(0))
+    w.write(n - 1, 16)
+    w.write(multimodal._flac_crc8(w.buf), 8)
+    subframes_writer("subframes", w, n)
+    w.align()
+    w.write(multimodal._flac_crc16(w.buf), 16)
+    return bytes(out + w.buf)
+
+
+def _write_verbatim_subframe(w, vals, bps):
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    for v in vals:
+        w.write(int(v) & ((1 << bps) - 1), bps)
+
+
+def test_flac_stereo_decorrelation_modes_decode():
+    """Left/side, right/side and mid/side frames (which the encoder
+    never emits) reconstruct the exact L/R samples, side channel at
+    bps+1 — pinned against the numpy mirror of the spec arithmetic."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    L = rng.randint(-2000, 2000, 96).astype(np.int64)
+    R = rng.randint(-2000, 2000, 96).astype(np.int64)
+    inter = np.empty(192, dtype=np.int16)
+    inter[0::2], inter[1::2] = L, R
+    cases = {
+        8: (L, L - R),                     # left/side
+        9: (L - R, R),                     # right/side
+        10: ((L + R) >> 1, L - R),         # mid/side
+    }
+    for code, (c0, c1) in cases.items():
+        def writer(stage, w, n, _code=code, _c0=c0, _c1=c1):
+            if stage == "ch_code":
+                return _code
+            if _code == 9:  # right/side: the SIDE channel comes first
+                _write_verbatim_subframe(w, _c0, 17)
+                _write_verbatim_subframe(w, _c1, 16)
+            else:
+                _write_verbatim_subframe(w, _c0, 16)
+                _write_verbatim_subframe(w, _c1, 17)
+            return None
+
+        gen = _handmade_flac(writer, 96, 2, inter)
+        dec = multimodal.decode_flac_samples(gen)
+        assert dec is not None, code
+        assert np.array_equal(dec[1].ravel(), inter), code
+
+
+def test_flac_lpc_and_wasted_bits_decode():
+    """An LPC subframe (order 2, shift 5) and a wasted-bits subframe
+    reconstruct exactly — decoder paths the FIXED-only encoder never
+    exercises, pinned against pure-Python mirrors."""
+    import numpy as np
+
+    # LPC: s[i] = ((2*s[i-1]... coefs (3, -1) >> 1) + residual
+    warm = [100, 130]
+    coefs, shift, prec = [3, -1], 1, 4  # prec-1 coded as 3
+    res = [5, -7, 2, 0, 11, -3, 1, 4]
+    samples = list(warm)
+    for r in res:
+        pred = (coefs[0] * samples[-1] + coefs[1] * samples[-2]) >> shift
+        samples.append(pred + r)
+    n = len(samples)
+
+    def writer(stage, w, _n):
+        if stage == "ch_code":
+            return 0  # mono
+        w.write(0, 1)
+        w.write(32 + len(coefs) - 1, 6)   # LPC, order 2
+        w.write(0, 1)
+        for v in warm:
+            w.write(v & 0xFFFF, 16)
+        w.write(prec - 1, 4)
+        w.write(shift & 0x1F, 5)
+        for c in coefs:
+            w.write(c & (2**prec - 1), prec)
+        w.write(0, 2)                     # rice method 0
+        w.write(0, 4)                     # partition order 0
+        w.write(2, 4)                     # rice param 2
+        for r in res:
+            u = r * 2 if r >= 0 else -r * 2 - 1
+            w.write_unary(u >> 2)
+            w.write(u & 3, 2)
+        return None
+
+    blob = _handmade_flac(writer, n, 1, samples)
+    dec = multimodal.decode_flac_samples(blob)
+    assert dec is not None
+    assert dec[1].ravel().tolist() == samples
+
+    # wasted bits: constant subframe at bps-2 with 2 wasted bits
+    vals = [-404] * 12  # -101 << 2
+    def writer2(stage, w, _n):
+        if stage == "ch_code":
+            return 0
+        w.write(0, 1)
+        w.write(0, 6)       # CONSTANT
+        w.write(1, 1)       # wasted-bits flag
+        w.write_unary(1)    # unary 1 -> wasted = 2
+        w.write(-101 & 0x3FFF, 14)
+        return None
+
+    blob2 = _handmade_flac(writer2, 12, 1, vals)
+    dec2 = multimodal.decode_flac_samples(blob2)
+    assert dec2 is not None
+    assert dec2[1].ravel().tolist() == vals
