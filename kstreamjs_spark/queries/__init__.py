@@ -147,13 +147,23 @@ _WINDOW_SIZE = 50
 # twenty total — all hist-0, they enter the window via the
 # sort ahead of the staleness drain, which is correct: never-checked
 # first.
-# ROUND-12 NOTE: if CORRECTNESS_r11 is green, keep the list empty —
-# the 20 continuation queries (q186-q198, q191b/q192b/q193b/q196b,
-# q51c/q51d, q194, q195) enter as hist-0 ahead of the r7/r8 staleness
-# drain; pin only if an oracle TEXT changes. The q171 pin below is for
-# THIS round's window (its oracle text changed in r11); drop it once
-# CORRECTNESS_r11 shows q171 green.
-_WINDOW_PRIORITY: list[str] = ["q171_media_quarantine"]
+# ROUND-12 WINDOW: CORRECTNESS_r11 came back fully green (q171
+# included), so the r11 pin is dropped. Three queries changed BEHAVIOR
+# this round under an unchanged oracle — q197 (NTILE -> histogram band
+# cuts), q176 (Pregel adjacency rewrite), q198 (runtime precondition +
+# null-bucket recount) — and are pinned so the driver re-attests the
+# new plans rather than trusting selfcheck alone. Arithmetic: 3 pins +
+# 2 new hist-0 queries (q84b, q160b) + all 44 r7-vintage rows + 1 r8
+# row = 50 — the full r7 staleness drain the r11 verdict asked for
+# still fits.
+# ROUND-13 NOTE: if CORRECTNESS_r12 is green, EMPTY this list again;
+# pin only oracle-text changes or behavior changes under an unchanged
+# oracle.
+_WINDOW_PRIORITY: list[str] = [
+    "q197_ccnet_bands",
+    "q176_copurchase_pagerank",
+    "q198_exact_heavy_hitters",
+]
 
 
 def _correctness_history() -> dict[str, int]:
