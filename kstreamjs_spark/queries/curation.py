@@ -3688,3 +3688,265 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ------------------- Q199 local supplier volume (TPC-H Q5 shape)
+_Q199_REGION = "ASIA"
+_Q199_FROM = "1997-01-01"
+_Q199_TO = "1998-01-01"
+
+
+@query(
+    "q199_local_supplier_volume",
+    oracle=f"""
+        SELECT n.n_name,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = '{_Q199_REGION}'
+          AND o.o_orderdate >= TIMESTAMP '{_Q199_FROM}'
+          AND o.o_orderdate < TIMESTAMP '{_Q199_TO}'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5 shape, round 12) — the classic
+    6-table star join with the LOCAL constraint (supplier and customer
+    in the same nation) expressed as an extra equi-condition on the
+    lineitem-supplier join, NOT a post-filter: Catalyst pushes it into
+    the join so mismatched-nation rows never survive the probe. Dims
+    (nation x region) broadcast; the orderdate filter pushes to the
+    orders scan; fact-side joins are AQE-planned on the two fact keys.
+    Revenue quantized per row (the q186 idiom) so the DESC ordering
+    ties exactly."""
+    customer, orders, lineitem, supplier, nation, region = load(
+        spark, sf, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    nr = (
+        nation.join(
+            region.filter(F.col("r_name") == _Q199_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(_Q199_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q199_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        customer.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            lineitem.select(
+                "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(qrev) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ------------------- Q200 national market share (TPC-H Q8 shape)
+_Q200_NATION = "NATION_7"
+_Q200_REGION = "ASIA"
+_Q200_TYPE = "ECONOMY"
+
+
+@query(
+    "q200_nation_market_share",
+    oracle=f"""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               ROUND(
+                 SUM(CASE WHEN sn.n_name = '{_Q200_NATION}'
+                          THEN CAST(FLOOR(l.l_extendedprice
+                                          * (1 - l.l_discount)
+                                          * 10000 + 0.5) AS BIGINT)
+                          ELSE 0 END)
+                 * 1.0 /
+                 SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000 + 0.5) AS BIGINT)),
+                 6) AS mkt_share
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE p.p_type = '{_Q200_TYPE}'
+          AND r.r_name = '{_Q200_REGION}'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape, round 12): the share of
+    one supplying nation's revenue within a consuming region's market
+    for one part type, by order year — the 8-table join with TWO roles
+    for nation (customer side restricting the market, supplier side
+    labeling the competitor). Both nation dims and region broadcast;
+    the p_type filter prunes the part build side before the fact probe;
+    share = ratio of two integer-quantized sums (exact ties), rounded
+    to 6 dp on both engines."""
+    customer, orders, lineitem, supplier, nation, region, part = load(
+        spark, sf, "customer", "orders", "lineitem", "supplier",
+        "nation", "region", "part",
+    )
+    qrev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    market_nations = (
+        nation.join(
+            region.filter(F.col("r_name") == _Q200_REGION),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    joined = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount",
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type") == _Q200_TYPE)
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(market_nations),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key")
+        )
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("sn_name") == _Q200_NATION, qrev)
+                    .otherwise(F.lit(0).cast("long"))
+                )
+                * 1.0
+                / F.sum(qrev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ------------------- Q201 product-type profit (TPC-H Q9 shape, adapted)
+_Q201_NAME_PART = "gear"
+
+
+@query(
+    "q201_product_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)
+                               - p.p_retailprice * l.l_quantity * 0.1)
+                              * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%{_Q201_NAME_PART}%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape, round 12, ADAPTED: the
+    testdata star has no partsupp, so supply cost is proxied by 10% of
+    p_retailprice x quantity — same join topology and arithmetic
+    shape, profit = revenue minus cost joined in from the part dim).
+    The p_name LIKE filter prunes the broadcast part build side; the
+    per-row profit expression is written IDENTICALLY on both engines
+    (one IEEE multiply chain, then the 1e4 quantize) so the sums are
+    integer-exact; group by supplier nation x order year."""
+    orders, lineitem, supplier, nation, part = load(
+        spark, sf, "orders", "lineitem", "supplier", "nation", "part"
+    )
+    qprofit = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+        )
+        * 10000
+        + 0.5
+    ).cast("long")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount",
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(_Q201_NAME_PART))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(qprofit) / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )

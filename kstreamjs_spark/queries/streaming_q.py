@@ -216,6 +216,60 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --------------------- Q33b STREAMING window-collect (fire-once state)
+@query(
+    "q33b_stream_window_collect",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                   AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+              (SELECT MAX(ts) - INTERVAL 1 MILLISECOND FROM events)
+        GROUP BY 1
+    """,
+    tags=("streaming", "udf", "window-agg", "stateful"),
+)
+def q33b(spark: SparkSession, sf: str) -> DataFrame:
+    """q33's arbitrary-Python window reducer on a REAL micro-batched
+    stream through the facade's round-12 fire-once path
+    (operators/window.py:window_collect_stateful): GroupState buffers
+    each hour's rows across triggers and the event-time timeout runs
+    the reducer ONCE per window when the watermark passes its end —
+    the reference's buffered window semantics (src/stream.ts:186-198)
+    made exactly stateful, closing the last §2A delta. The oracle is
+    the SAME hourly quantized sum as q33 restricted to CLOSED windows:
+    the final watermark is max(ts) minus the 1 ms buffer interval, so
+    hours whose end exceeds it are still open when the replay ends —
+    held in state, not emitted — exactly as the reference's buffer
+    holds its open window at shutdown. APPEND mode output (each row
+    emitted exactly once, by the timeout), unlike q33/q141's
+    complete-mode aggregations."""
+    sdf = stream_table(spark, sf, "events")
+    from ..stream import Stream
+
+    def collect(pdf: pd.DataFrame) -> dict:
+        # the q33 reducer plus a row count: quantize-before-sum keeps
+        # the Python path bit-stable vs the SQL oracle
+        q = np.floor(pdf["value"].to_numpy() * 1e4 + 0.5).astype("int64")
+        return {"sum_value": int(q.sum()) / 1e4, "n": len(pdf)}
+
+    out = (
+        Stream(sdf.select("ts", "value"), "ts")
+        .window(
+            interval_ms=3_600_000,
+            buffer_interval_ms=1,
+            collect=collect,
+            out_schema="sum_value double, n long",
+        )
+        .run_available("q33b", output_mode="append")
+    )
+    return out.select(
+        F.col("window_start").alias("hour"), "sum_value", "n"
+    )
+
+
 # ------------------------------------------------ Q41 streaming union
 @query(
     "q41_stream_union",
