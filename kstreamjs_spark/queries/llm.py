@@ -4421,3 +4421,111 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(t, c) for c, t in top], "token string, cnt long"
     )
+
+
+# ----------- Q202 filter-stack ensemble (Gopher x C4 contingency)
+@query(
+    "q202_filter_ensemble",
+    oracle=f"""
+        WITH gt AS (SELECT doc_id, n_chars,
+                           string_split(text, ' ') AS ts
+                    FROM documents),
+        gm AS (SELECT doc_id, n_chars, ts, {_GOPHER_SCALARS_SQL}
+               FROM gt),
+        gbg AS (SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i+1])) AS b
+                FROM gm WHERE n_tok >= 2),
+        gcov AS (SELECT doc_id, MAX(cnt * blen) AS top_cov
+                 FROM (SELECT doc_id, b, COUNT(*) AS cnt,
+                              len(b) AS blen
+                       FROM gbg GROUP BY doc_id, b, len(b))
+                 GROUP BY doc_id),
+        g AS (SELECT gm.doc_id, gm.n_chars,
+                     {_gopher_verdicts_sql(
+                         "COALESCE(gcov.top_cov, 0)", pre="gm.")}
+              FROM gm LEFT JOIN gcov ON gcov.doc_id = gm.doc_id),
+        {_C4_DOC_SQL},
+        v AS (SELECT doc_id,
+                     (NOT any_brace AND NOT any_lorem
+                      AND n_kept_lines >= {_C4_MIN_LINES}) AS c4_kept
+              FROM doc)
+        SELECT (g.f_wc + g.f_mwl + g.f_req + g.f_top = 0) AS gopher_pass,
+               v.c4_kept,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(g.n_chars) AS BIGINT) AS sum_chars
+        FROM g JOIN v USING (doc_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER-STACK ensemble (round 12): the go/no-go contingency a
+    real curation run reads before committing to a ruleset — every doc
+    judged by BOTH canonical rule families in one pass (Gopher, Rae et
+    al. 2021; C4, Raffel et al. 2020), rolled up into the 2x2
+    (gopher_pass, c4_kept) table with doc and char mass per cell. The
+    off-diagonal cells ARE the decision data: docs C4 keeps but Gopher
+    rejects (and vice versa) quantify how much corpus each ruleset
+    uniquely removes. Rule arithmetic is shared verbatim with
+    q178/q193 (one rule home: _gopher_scalar_exprs /
+    _gopher_verdict_exprs / _c4_doc_cols) — this query adds NO new
+    rule text, only the composition.
+
+    Scale shape: both families are scan-projection verdicts; the only
+    corpus-keyed exchanges are Gopher's top-bigram aggregate and the
+    doc_id join of the two verdict frames (AQE-planned equi-join),
+    then a 4-row rollup."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "n_chars", F.split("text", " ").alias("ts")
+    )
+    m = d.select("doc_id", "n_chars", "ts", *_gopher_scalar_exprs())
+    bg = m.filter(F.col("n_tok") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)
+                ),
+            )
+        ).alias("b"),
+    )
+    cov = (
+        bg.groupBy("doc_id", "b")
+        .agg((F.count(F.lit(1)) * F.length("b")).alias("covb"))
+        .groupBy("doc_id")
+        .agg(F.max("covb").cast("long").alias("cov_raw"))
+    )
+    gopher = (
+        m.join(cov, "doc_id", "left")
+        .withColumn(
+            "top_cov", F.coalesce(F.col("cov_raw"), F.lit(0).cast("long"))
+        )
+        .select("doc_id", "n_chars", *_gopher_verdict_exprs())
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_req")
+                + F.col("f_top") == 0
+            ).alias("gopher_pass"),
+        )
+    )
+    c4 = (
+        documents.select("doc_id", F.split("text", " ").alias("ts"))
+        .select("doc_id", *_c4_doc_cols())
+        .select("doc_id", F.col("doc_kept").alias("c4_kept"))
+    )
+    return (
+        gopher.join(c4, "doc_id")
+        .groupBy("gopher_pass", "c4_kept")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("gopher_pass", "c4_kept")
+    )
