@@ -4529,3 +4529,187 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("gopher_pass", "c4_kept")
     )
+
+
+# ------- Q203 Gopher repetition-signal family (top-n + dup-n coverage)
+# Gopher's published repetition thresholds (Rae et al. 2021, table A1):
+# top-n-gram char coverage ceilings for n=2,3,4 and duplicate-n-gram
+# char-fraction ceilings for n=5..10, in basis points of n_chars.
+_Q203_TOP_BP = {2: 2000, 3: 1800, 4: 1600}
+_Q203_DUP_BP = {5: 1500, 6: 1400, 7: 1300, 8: 1200, 9: 1100, 10: 1000}
+
+
+def _q203_oracle() -> str:
+    fail_cols = []
+    for n, bp in _Q203_TOP_BP.items():
+        fail_cols.append(
+            f"CAST(SUM(CASE WHEN n = {n} AND top_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS fail_top{n}"
+        )
+    for n, bp in _Q203_DUP_BP.items():
+        fail_cols.append(
+            f"CAST(SUM(CASE WHEN n = {n} AND dup_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS fail_dup{n}"
+        )
+    return f"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+        g AS (SELECT doc_id, n,
+                     array_to_string(list_slice(ts, i, i + n - 1), ' ')
+                         AS gram
+              FROM t,
+                   LATERAL unnest(generate_series(2, 10)) AS nn(n),
+                   LATERAL unnest(generate_series(1,
+                       GREATEST(len(ts) - n + 1, 0))) AS ii(i)),
+        c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+                     len(gram) AS glen
+              FROM g GROUP BY doc_id, n, gram, len(gram)),
+        per AS (SELECT doc_id, n,
+                       MAX(cnt * glen) AS top_raw,
+                       COALESCE(SUM(CASE WHEN cnt >= 2
+                                         THEN cnt * glen END), 0)
+                           AS dup_raw
+                FROM c GROUP BY doc_id, n),
+        j AS (SELECT t.doc_id, t.lang, t.n_chars, per.n,
+                     per.top_raw, per.dup_raw
+              FROM t LEFT JOIN per ON per.doc_id = t.doc_id),
+        perdoc AS (SELECT doc_id, lang, {", ".join(
+            f"MAX(CASE WHEN n = {n} AND top_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS f_top{n}" for n, bp in _Q203_TOP_BP.items())},
+            {", ".join(
+            f"MAX(CASE WHEN n = {n} AND dup_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS f_dup{n}" for n, bp in _Q203_DUP_BP.items())}
+            FROM j GROUP BY doc_id, lang)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               {", ".join(
+                   f"CAST(SUM(f_top{n}) AS BIGINT) AS fail_top{n}"
+                   for n in _Q203_TOP_BP)},
+               {", ".join(
+                   f"CAST(SUM(f_dup{n}) AS BIGINT) AS fail_dup{n}"
+                   for n in _Q203_DUP_BP)},
+               CAST(SUM(CASE WHEN {" + ".join(
+                   [f"f_top{n}" for n in _Q203_TOP_BP]
+                   + [f"f_dup{n}" for n in _Q203_DUP_BP])} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        FROM perdoc
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
+@query("q203_gopher_repetition", oracle=_q203_oracle(),
+       tags=("text", "llm", "quality"))
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher's FULL repetition-signal family (Rae et al. 2021 A1,
+    public; round 12) — the eight n-gram rules q178 sampled one of:
+    top-n-gram character-coverage ceilings (n = 2, 3, 4) and
+    duplicate-n-gram coverage ceilings (n = 5..10, the count x
+    char-len mass of grams occurring twice or more — the standard
+    non-positional restatement, identical on both engines). Per-lang
+    funnel: documents failing EACH of the nine rules, plus pass_all.
+
+    Scale shape: ONE explode produces every (doc, n, position) gram —
+    9x token fan-out, fixed-width rows — then two map-combined
+    aggregates (gram counts, per-(doc, n) top/dup mass) and a per-doc
+    conditional rollup; thresholds are integer basis points (raw *
+    10000 div n_chars), so no double ever decides a verdict. At 100 TB
+    the gram exchange dominates and is exactly the q178 top-bigram
+    shape widened by the constant 9."""
+    (documents,) = load(spark, sf, "documents")
+    d = dedup.spread(documents, "doc_id").select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("ts")
+    )
+    grams = (
+        d.select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(2), F.lit(10))).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.size("ts") - F.col("n") + 1, F.lit(0)
+                    ),
+                )
+            ).alias("i"),
+            F.col("ts"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.array_join(
+                F.slice("ts", F.col("i"), F.col("n")), " "
+            ).alias("gram"),
+        )
+    )
+    per = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(
+            (F.count(F.lit(1)) * F.length("gram")).alias("mass"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("mass").cast("long").alias("top_raw"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("mass"))),
+                F.lit(0),
+            ).cast("long").alias("dup_raw"),
+        )
+    )
+    j = d.select("doc_id", "lang", "n_chars").join(per, "doc_id", "left")
+    bp = lambda raw: F.expr(f"{raw} * 10000 DIV GREATEST(n_chars, 1)")
+    flags = []
+    for n, th in _Q203_TOP_BP.items():
+        flags.append(
+            F.max(
+                F.when(
+                    (F.col("n") == n) & (bp("top_raw") > th), 1
+                ).otherwise(0)
+            ).alias(f"f_top{n}")
+        )
+    for n, th in _Q203_DUP_BP.items():
+        flags.append(
+            F.max(
+                F.when(
+                    (F.col("n") == n) & (bp("dup_raw") > th), 1
+                ).otherwise(0)
+            ).alias(f"f_dup{n}")
+        )
+    perdoc = j.groupBy("doc_id", "lang").agg(*flags)
+    all_flags = [f"f_top{n}" for n in _Q203_TOP_BP] + [
+        f"f_dup{n}" for n in _Q203_DUP_BP
+    ]
+    return (
+        perdoc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[
+                F.sum(f"f_top{n}").cast("long").alias(f"fail_top{n}")
+                for n in _Q203_TOP_BP
+            ],
+            *[
+                F.sum(f"f_dup{n}").cast("long").alias(f"fail_dup{n}")
+                for n in _Q203_DUP_BP
+            ],
+            F.sum(
+                F.when(
+                    sum(
+                        (F.col(c) for c in all_flags), F.lit(0)
+                    ) == 0,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("pass_all"),
+        )
+        .orderBy("lang")
+    )
