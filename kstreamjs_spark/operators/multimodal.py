@@ -4084,6 +4084,8 @@ def decode_flac_samples(blob: bytes):
             return None
         if blocking == 0 and number != frame_idx:
             return None  # fixed blocking: the coded number IS the index
+        if blocking == 1 and number != got:
+            return None  # variable blocking: it is the first SAMPLE index
         if bs_code == 0:
             return None
         elif bs_code == 1:

@@ -1361,3 +1361,61 @@ def test_window_collect_fires_once_across_microbatches(spark, tmp_path):
     assert sorted(map(key, streamed)) == sorted(map(key, expected))
     # fire-once: exactly one row per real window, none for the sentinel
     assert len(streamed) == 2
+
+
+def test_window_collect_stateful_keyed(spark, tmp_path):
+    """The keyed variant of the fire-once collect path: (window, key)
+    groups buffer independently, key columns ride through the output,
+    and each (window, key) fires exactly once — against the batch
+    facade on identical rows."""
+    d = str(tmp_path / "wcsk_in")
+    os.makedirs(d, exist_ok=True)
+    rows0 = [(100, 1), (300, 2), (2_100, 10)]
+    rows1 = [(500, 4), (2_500, 20)]
+    sentinel = [(10_000_000, 999)]
+
+    def write_keyed(rows, path, ksel):
+        df = spark.createDataFrame(
+            [(ts, v, f"k{(v % ksel)}") for ts, v in rows],
+            "ts long, v long, k string",
+        ).select(F.timestamp_millis(F.col("ts")).alias("ts"), "v", "k")
+        df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    now = time.time()
+    for i, rows in enumerate([rows0, rows1, sentinel]):
+        p = f"{d}/f{i}.parquet"
+        write_keyed(rows, p, 2)
+        for root, _, names in os.walk(p):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    def collect(pdf):
+        return {"s": int(pdf["v"].sum()), "n": len(pdf)}
+
+    schema = spark.read.parquet(f"{d}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d + "/*")
+    )
+    streamed = (
+        Stream(sdf, "ts")
+        .window(interval_ms=2_000, buffer_interval_ms=10_000,
+                keys=["k"], collect=collect, out_schema="s long, n int")
+        .run_available("wcsk")
+        .collect()
+    )
+    batch_rows = rows0 + rows1
+    bdf = spark.createDataFrame(
+        [(ts, v, f"k{(v % 2)}") for ts, v in batch_rows],
+        "ts long, v long, k string",
+    ).select(F.timestamp_millis(F.col("ts")).alias("ts"), "v", "k")
+    expected = (
+        Stream.from_dataframe(bdf, "ts")
+        .window(interval_ms=2_000, keys=["k"],
+                collect=collect, out_schema="s long, n int")
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["k"], r["s"], r["n"])
+    assert sorted(map(key, streamed)) == sorted(map(key, expected))
+    # one row per (window, key) that has data; sentinel window withheld
+    assert len(streamed) == len(expected)
