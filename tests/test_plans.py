@@ -1095,3 +1095,30 @@ def test_ccnet_bands_no_corpus_global_sort(spark):
         line for line in plan.splitlines() if "row_number()" in line
     )
     assert "avg_logprob_kn" in win_line.split("windowspecdefinition")[1]
+
+
+def test_round12_tpch_shapes_no_cartesian_and_broadcast_dims(spark):
+    """q199/q200/q201: star joins must stay equi (no cartesian, no
+    nested-loop) with at least one broadcast dim in each plan."""
+    from kstreamjs_spark.plans import explain_str
+
+    for name in (
+        "q199_local_supplier_volume",
+        "q200_nation_market_share",
+        "q201_product_profit",
+    ):
+        plan = explain_str(q(name, spark), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_round12_rule_queries_no_cartesian(spark):
+    """q202/q203: the rule funnels are scan projections + equi joins;
+    the only allowed nested-loop is none (no 1-row scalar cross here)."""
+    from kstreamjs_spark.plans import explain_str
+
+    for name in ("q202_filter_ensemble", "q203_gopher_repetition"):
+        plan = explain_str(q(name, spark), mode="simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
