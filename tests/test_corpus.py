@@ -331,3 +331,18 @@ def test_unicode_normalize_fingerprint_stability(spark):
     assert rows[3]["nfc"] is None and rows[3]["fp_norm"] is None
     with pytest.raises(ValueError):
         text.unicode_normalize("t", "NFX")
+
+
+def test_unicode_normalize_nfkc_compatibility_folds(spark):
+    """NFKC (compatibility) folds ligatures/fullwidth forms that NFC
+    preserves — the form real tokenization pipelines use when they
+    want 'ﬁ' == 'fi' and fullwidth digits == ASCII digits."""
+    df = spark.createDataFrame(
+        [(1, "ﬁle ０１２")], "id long, t string"
+    )
+    r = df.select(
+        text.unicode_normalize("t", "NFC").alias("nfc"),
+        text.unicode_normalize("t", "NFKC").alias("nfkc"),
+    ).collect()[0]
+    assert r["nfc"] == "ﬁle ０１２"  # NFC preserves
+    assert r["nfkc"] == "file 012"                     # NFKC folds
