@@ -116,11 +116,14 @@ def main() -> int:
     # plans. A bench that starts above the threshold is stamped
     # contaminated so downstream readers (and the judge) discount the
     # wall column instead of adjudicating host drift from prose.
+    # Gate on load at PROCESS START only: load_before is stamped right
+    # after the bench's own 32-thread DuckDB loop, so it reflects the
+    # bench's work, not external drift (per the note above).
     load_gate = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    contaminated = max(load_start, load_before) > load_gate
+    contaminated = load_start > load_gate
     if contaminated:
         print(
-            f"WARNING: bench started at loadavg {max(load_start, load_before)}"
+            f"WARNING: bench started at loadavg {load_start}"
             f" > gate {load_gate}; wall numbers are contention-contaminated",
             file=sys.stderr,
         )
