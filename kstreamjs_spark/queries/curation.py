@@ -3717,6 +3717,7 @@ _Q199_TO = "1998-01-01"
         ORDER BY revenue DESC, n.n_name
     """,
     tags=("relational", "join", "tpch"),
+    bench=True,
 )
 def q199(spark: SparkSession, sf: str) -> DataFrame:
     """Local supplier volume (TPC-H Q5 shape, round 12) — the classic

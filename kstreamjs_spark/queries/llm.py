@@ -4604,7 +4604,7 @@ def _q203_oracle() -> str:
 
 
 @query("q203_gopher_repetition", oracle=_q203_oracle(),
-       tags=("text", "llm", "quality"))
+       tags=("text", "llm", "quality"), bench=True)
 def q203(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher's FULL repetition-signal family (Rae et al. 2021 A1,
     public; round 12) — the eight n-gram rules q178 sampled one of:
