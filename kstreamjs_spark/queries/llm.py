@@ -1306,6 +1306,41 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------- Q160b cross-codec audio dedup (FLAC)
+def _synth_group_clips_dualcodec(df: DataFrame) -> DataFrame:
+    """q160b/q160c fixture (one home): groups of 3 docs share one
+    pseudo-random 2100-sample pattern; member 0 renders 16-bit WAV at
+    gain 1, members 1-2 render multi-frame FLAC (block_size=512, ragged
+    52-sample last block) at gains 2 and 3 — range-safe (|base| < 4096,
+    max 12288 < 2^15) and group-constant under the energy AFP."""
+    import numpy as np
+    import pandas as pd
+
+    def make_clips(it):
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 3
+                rng = np.random.RandomState((g * 2654435761 + 29) % (2**31))
+                base = rng.randint(-4096, 4096, 2100)
+                scaled = (base * (1 + d % 3)).astype(np.int16)
+                if d % 3 == 0:
+                    blobs.append(multimodal.encode_wav_samples(scaled))
+                else:
+                    blobs.append(
+                        multimodal.encode_flac_samples(
+                            scaled, block_size=512
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return df.select("doc_id").mapInPandas(
+        make_clips, "doc_id long, blob binary"
+    )
+
+
+
+
 @query(
     "q160b_audio_cross_codec",
     oracle="""
@@ -1331,35 +1366,10 @@ def q160b(spark: SparkSession, sf: str) -> DataFrame:
     reconstruction + energy chain reproduces it. Scale shape identical
     to q160: encode/decode/hash are one Arrow-batched projection,
     blobs never shuffle, the only exchange is the 8-byte chunk-key
-    candidate equi-join."""
-    import numpy as np
-    import pandas as pd
-
+    candidate equi-join. Fixture synthesis shared with the streaming
+    twin q160c (`_synth_group_clips_dualcodec`, one home)."""
     (documents,) = load(spark, sf, "documents")
-
-    def make_clips(it):
-        for pdf in it:
-            blobs = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g = d // 3
-                rng = np.random.RandomState((g * 2654435761 + 29) % (2**31))
-                base = rng.randint(-4096, 4096, 2100)
-                scaled = (base * (1 + d % 3)).astype(np.int16)
-                if d % 3 == 0:
-                    blobs.append(multimodal.encode_wav_samples(scaled))
-                else:
-                    blobs.append(
-                        multimodal.encode_flac_samples(
-                            scaled, block_size=512
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
-
-    blobs = documents.select("doc_id").mapInPandas(
-        make_clips, "doc_id long, blob binary"
-    )
-    hashed = multimodal.afp_blobs(blobs)
+    hashed = multimodal.afp_blobs(_synth_group_clips_dualcodec(documents))
     return dedup.hamming_neardup_pairs(
         hashed, max_hamming=3, hash_col="afp"
     )

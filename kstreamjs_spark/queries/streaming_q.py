@@ -1927,3 +1927,44 @@ def q196b(spark: SparkSession, sf: str) -> DataFrame:
 REGISTRY["q196b_stream_kneser_ney_score"] = _dc_replace(
     REGISTRY["q196b_stream_kneser_ney_score"], oracle=_q196b_oracle()
 )
+
+
+# ----------------- Q160c streaming audio fingerprint dedup (at ingest)
+@query(
+    "q160c_stream_afp_dedup",
+    oracle="""
+        SELECT CAST(3 * (doc_id // 3) AS BIGINT) AS group_rep,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM documents GROUP BY 1
+    """,
+    tags=("streaming", "multimodal", "dedup"),
+)
+def q160c(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming AUDIO dedup at ingest (round 12) — q165's shape for
+    the audio modality, completing the batch+stream matrix for both
+    perceptual families (images: q158/q165; audio: q160b/here). The
+    documents replay synthesizes each group's clip THROUGH TWO CODECS
+    in-stream (q160b's fixture: WAV at gain 1, multi-frame FLAC at
+    gains 2-3), the codec-dispatching decode + energy AFP runs INSIDE
+    the streaming plan (Arrow mapInPandas on the unbounded frame), and
+    a streaming aggregation folds arrivals by fingerprint — duplicates
+    collapse regardless of which micro-batch (or codec) carries them.
+    AFP gain-invariance + FLAC losslessness make the hash exactly
+    group-constant, so the result equals the batch closed form
+    EXACTLY. Complete mode (open-ended group state, the q29/q165
+    rationale). Fixture synthesis shared with batch q160b
+    (`_synth_group_clips_dualcodec`, one home)."""
+    from ..operators import multimodal
+    from .llm import _synth_group_clips_dualcodec
+
+    sdf = stream_table(spark, sf, "documents")
+    hashed = multimodal.afp_blobs(_synth_group_clips_dualcodec(sdf))
+    agg = (
+        hashed.groupBy("afp")
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select("group_rep", "n_members")
+    )
+    return run_to_memory(agg, "q160c", output_mode="complete")
