@@ -4723,3 +4723,105 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -------- Q204 Matryoshka truncation recall audit (MRL, public)
+_Q204_PREFIX = 16   # audit the first-16-of-64 dim prefix
+_Q204_K = 10
+_Q204_QMOD = 101    # query sample: vec_id % 101 == 0 (bounded audit set)
+
+
+@query(
+    "q204_matryoshka_recall",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv,
+                     v[1:{_Q204_PREFIX}] AS qt
+              FROM e WHERE vec_id % {_Q204_QMOD} = 0),
+        p AS (SELECT q.qid, e.vec_id,
+                     ROUND(list_cosine_similarity(e.v, q.qv), 6)
+                         AS sfull,
+                     ROUND(list_cosine_similarity(
+                         e.v[1:{_Q204_PREFIX}], q.qt), 6) AS strunc
+              FROM e, q),
+        r AS (SELECT qid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY sfull DESC, vec_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                         ORDER BY strunc DESC, vec_id) AS rt
+              FROM p),
+        per AS (SELECT qid,
+                       SUM(CASE WHEN rf <= {_Q204_K}
+                                 AND rt <= {_Q204_K}
+                                THEN 1 ELSE 0 END) AS overlap
+                FROM r GROUP BY qid)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(overlap / {_Q204_K}.0), 6) AS avg_recall,
+               ROUND(MIN(overlap / {_Q204_K}.0), 6) AS min_recall
+        FROM per
+    """,
+    tags=("similarity", "llm", "embedding"),
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka truncation recall audit (Kusupati et al. 2022 MRL,
+    public; round 12) — the dimension-reduction question every
+    embedding-storage budget decision asks: if queries ran on the
+    first {16}-of-64 dim prefix, what fraction of each query's exact
+    top-10 survives? Recall@10 per sampled query (bounded audit set,
+    vec_id % 101 == 0), reported as (n_queries, avg, min). Overlap is
+    computed ROW-LOCALLY: one pass scores full AND truncated cosine
+    per (query, vector) pair, two qid-partitioned rank windows, and a
+    member of both top-10s is simply a row with both ranks <= 10 —
+    no set materialization. Cosines rounded to 6 dp with vec_id
+    tiebreaks (the q27 determinism contract).
+
+    Scale shape: the query side is a bounded SAMPLE (an audit, not a
+    serving path), broadcast against the corpus — one scan, two
+    windows partitioned by query id, a per-query rollup. At 100 TB
+    recall auditing stays O(sample x N) with the corpus read once."""
+    from ..operators.similarity import as_double, cosine
+
+    (emb,) = load(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qs = e.filter(F.col("vec_id") % _Q204_QMOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.slice("v", 1, _Q204_PREFIX).alias("qt"),
+    )
+    p = e.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("sfull"),
+        F.round(
+            cosine(F.slice("v", 1, _Q204_PREFIX), F.col("qt")), 6
+        ).alias("strunc"),
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("sfull").desc(), "vec_id"
+    )
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("strunc").desc(), "vec_id"
+    )
+    per = (
+        p.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rf") <= _Q204_K) & (F.col("rt") <= _Q204_K),
+                    1,
+                ).otherwise(0)
+            ).alias("overlap")
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg(F.col("overlap") / float(_Q204_K)), 6)
+        .alias("avg_recall"),
+        F.round(F.min(F.col("overlap") / float(_Q204_K)), 6)
+        .alias("min_recall"),
+    )
