@@ -298,6 +298,40 @@ def minhash_signature(
     )
 
 
+def _check_bands(num_perm: int, bands: int) -> int:
+    if num_perm % bands:
+        # Silent truncation would leave the trailing num_perm % bands
+        # permutations out of every band — the caller's (r, b) sizing and
+        # the 1-(1-j^r)^b curve would be quietly wrong.
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm})"
+        )
+    return num_perm // bands
+
+
+def minhash_bands(sig: Column, num_perm: int, bands: int) -> Column:
+    """Band structs (band, bsig) over a minhash signature column — the
+    ONE banding home shared by the batch candidate equi-join
+    (_lsh_candidate_pairs) and the streaming candidate index (q205):
+    band b's key is the comma-joined minima of its rows_per_band
+    permutation slots, so a (band, bsig) equality IS the banded-LSH
+    collision event on both execution paths."""
+    rows_per_band = _check_bands(num_perm, bands)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(sig, (b * rows_per_band + j + 1))
+                    for j in range(rows_per_band)
+                ],
+            ).alias("bsig"),
+        ),
+    )
+
+
 def _lsh_candidate_pairs(
     documents: DataFrame,
     num_perm: int,
@@ -315,14 +349,7 @@ def _lsh_candidate_pairs(
     (minhash_verified_pairs, carry_sigs=False: the ~2*num_perm*8 bytes per
     candidate would cross the dropDuplicates shuffle only to be
     discarded)."""
-    if num_perm % bands:
-        # Silent truncation would leave the trailing num_perm % bands
-        # permutations out of every band — the caller's (r, b) sizing and
-        # the 1-(1-j^r)^b curve would be quietly wrong.
-        raise ValueError(
-            f"bands ({bands}) must divide num_perm ({num_perm})"
-        )
-    rows_per_band = num_perm // bands
+    rows_per_band = _check_bands(num_perm, bands)
     # Docs with no shingles (< n tokens) would all keep the fold's init
     # value in every signature slot — identical signatures that false-
     # positive as near-dups of each other. Drop them BEFORE the signature:
@@ -332,19 +359,7 @@ def _lsh_candidate_pairs(
     sig = _spread(eligible, id_col).select(
         F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
     )
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.concat_ws(
-                ",",
-                *[
-                    F.element_at(F.col("sig"), (b * rows_per_band + j + 1))
-                    for j in range(rows_per_band)
-                ],
-            ).alias("bsig"),
-        ),
-    )
+    band_arr = minhash_bands(F.col("sig"), num_perm, bands)
     banded = sig.select(
         F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bs")
     ).select(

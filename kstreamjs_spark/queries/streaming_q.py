@@ -1968,3 +1968,105 @@ def q160c(spark: SparkSession, sf: str) -> DataFrame:
         .select("group_rep", "n_members")
     )
     return run_to_memory(agg, "q160c", output_mode="complete")
+
+
+# --------- Q205 streaming MinHash-banded near-dup candidates at ingest
+_Q205_PERMS = 64
+_Q205_BANDS = 16
+
+
+@query(
+    "q205_stream_minhash_candidates",
+    oracle=None,  # the banded index is Spark-hash-based (q26b's category);
+                  # the contract is HARD equality with the batch candidate
+                  # set, pinned in pytest + APPROX_EVIDENCE
+    tags=("streaming", "dedup", "llm", "approx", "stateful"),
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING near-dup candidate detection at ingest (round 12) —
+    the text analog of q165's streaming perceptual dedup and the
+    missing production shape next to batch q26b: every arriving
+    document's MinHash signature bands into 16 bucket keys (the SAME
+    `minhash_bands` home the batch equi-join uses), each (band, bsig)
+    bucket's GroupState holds the doc ids seen so far, and a new
+    arrival emits a candidate pair against every earlier member of its
+    bucket THE MOMENT it lands — plus pairs among same-trigger
+    arrivals, emitted once by the larger id. Cross-band duplicate
+    emissions collapse in the final distinct, so the emitted pair SET
+    equals batch `_lsh_candidate_pairs` EXACTLY regardless of arrival
+    grouping (set semantics: bucket membership is arrival-order-free) —
+    the hard equality APPROX_EVIDENCE records at both SFs and pytest
+    pins across micro-batch schedules.
+
+    Scale shape: signatures and banding are scan projections on the
+    unbounded frame; state per bucket is its member-id list — the SAME
+    Sum(bucket^2) candidate bill the batch join pays, bounded by band
+    selectivity (16 of 64 perms per key); the emission exchange
+    carries only (d1, d2) longs. Rows-only by design (the q26b
+    category: Spark-hash-based banding has no SQL restatement)."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import minhash_bands, minhash_signature, tokens
+
+    sdf = stream_table(spark, sf, "documents")
+    banded = (
+        sdf.filter(F.size(tokens("text")) >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                minhash_bands(
+                    minhash_signature("text", _Q205_PERMS, 3, 42),
+                    _Q205_PERMS,
+                    _Q205_BANDS,
+                )
+            ).alias("bs"),
+        )
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.bsig").alias("bsig"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            members = _json.loads(state.get[0])
+        else:
+            members = []
+        seen = set(members)
+        new_ids = sorted(
+            {
+                int(d)
+                for pdf in pdfs
+                for d in pdf["doc_id"]
+                if int(d) not in seen
+            }
+        )
+        if not new_ids:
+            return
+        combined = sorted(seen | set(new_ids))
+        state.update((_json.dumps(combined),))
+        d1s, d2s = [], []
+        # every pair with a NEW larger member: old-new pairs as the new
+        # doc lands, new-new pairs exactly once (only the larger id is
+        # the outer b); old-old pairs were emitted in earlier triggers
+        for b in new_ids:
+            for a in combined:
+                if a >= b:
+                    break
+                d1s.append(a)
+                d2s.append(b)
+        if d1s:
+            yield pd.DataFrame({"d1": d1s, "d2": d2s})
+
+    pairs = banded.groupBy("band", "bsig").applyInPandasWithState(
+        update,
+        outputStructType="d1 long, d2 long",
+        stateStructType="members string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(pairs, "q205", output_mode="append")
+    return sink.distinct().orderBy("d1", "d2")

@@ -521,6 +521,35 @@ def main() -> int:
         }
     out["q192b_stream_kmv_distinct"] = kmvb_out
 
+    # ---- q205: the STREAMING banded-minhash candidate index — set
+    # semantics make streaming == batch a HARD equality (the q192b
+    # category): the streamed pair set must equal _lsh_candidate_pairs
+    # exactly at both SFs, independent of micro-batch schedule
+    mhs_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        (docs_v,) = load(spark, kv_sf, "documents")
+        batch_pairs = {
+            (r["d1"], r["d2"])
+            for r in dedup._lsh_candidate_pairs(
+                docs_v, 64, 16, 3, "doc_id", "text", 42, carry_sigs=False
+            ).collect()
+        }
+        stream_pairs = {
+            (r["d1"], r["d2"])
+            for r in q["q205_stream_minhash_candidates"]
+            .fn(spark, kv_sf).collect()
+        }
+        assert stream_pairs == batch_pairs, (
+            kv_sf,
+            len(stream_pairs),
+            len(batch_pairs),
+        )
+        mhs_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "n_pairs": len(batch_pairs),
+            "stream_equals_batch": stream_pairs == batch_pairs,
+        }
+    out["q205_stream_minhash_candidates"] = mhs_out
+
     # ---- q195: KMV set relations vs the exact distinct-key join at
     # BOTH scale factors (every relation estimate vs truth)
     kmvr_out = {}

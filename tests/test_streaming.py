@@ -1419,3 +1419,107 @@ def test_window_collect_stateful_keyed(spark, tmp_path):
     assert sorted(map(key, streamed)) == sorted(map(key, expected))
     # one row per (window, key) that has data; sentinel window withheld
     assert len(streamed) == len(expected)
+
+
+def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
+    """q205's contract: the streamed candidate-pair SET equals batch
+    _lsh_candidate_pairs exactly, for any micro-batch schedule —
+    bucket membership is arrival-order-free set semantics, old-new
+    pairs emit as the new doc lands, new-new pairs emit once."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    from kstreamjs_spark.operators.dedup import (
+        _lsh_candidate_pairs, minhash_bands, minhash_signature, tokens,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "another unrelated sentence about spark engines",
+        "completely different words entirely here today",  # near-dup of 2
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    bdf = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        (r["d1"], r["d2"])
+        for r in _lsh_candidate_pairs(
+            bdf, 64, 16, 3, "doc_id", "text", 42, carry_sigs=False
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one candidate pair"
+
+    d = str(tmp_path / "mh_in")
+    os.makedirs(d, exist_ok=True)
+    # schedule A: 2 docs per file; schedule B: all in one file
+    for tag, chunks in (
+        ("a", [rows[0:2], rows[2:4], rows[4:6]]),
+        ("b", [rows]),
+    ):
+        dd = f"{d}/{tag}"
+        os.makedirs(dd, exist_ok=True)
+        now = time.time()
+        for i, chunk in enumerate(chunks):
+            p = f"{dd}/f{i}.parquet"
+            spark.createDataFrame(chunk, "doc_id long, text string") \
+                .coalesce(1).write.mode("overwrite").parquet(p)
+            for root, _, names in os.walk(p):
+                for n in names:
+                    os.utime(os.path.join(root, n), (now + i, now + i))
+        schema = spark.read.parquet(f"{dd}/f0.parquet").schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dd + "/*")
+        )
+        banded = (
+            sdf.filter(F.size(tokens("text")) >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    minhash_bands(
+                        minhash_signature("text", 64, 3, 42), 64, 16
+                    )
+                ).alias("bs"),
+            )
+            .select("doc_id", F.col("bs.band").alias("band"),
+                    F.col("bs.bsig").alias("bsig"))
+        )
+
+        def update(key, pdfs, state: GroupState):
+            members = _json.loads(state.get[0]) if state.exists else []
+            seen = set(members)
+            new_ids = sorted({
+                int(x) for pdf in pdfs for x in pdf["doc_id"]
+                if int(x) not in seen
+            })
+            if not new_ids:
+                return
+            combined = sorted(seen | set(new_ids))
+            state.update((_json.dumps(combined),))
+            d1s, d2s = [], []
+            for b in new_ids:
+                for a in combined:
+                    if a >= b:
+                        break
+                    d1s.append(a)
+                    d2s.append(b)
+            if d1s:
+                yield pd.DataFrame({"d1": d1s, "d2": d2s})
+
+        pairs = banded.groupBy("band", "bsig").applyInPandasWithState(
+            update, outputStructType="d1 long, d2 long",
+            stateStructType="members string", outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        got = {
+            (r["d1"], r["d2"])
+            for r in run_to_memory(
+                pairs, f"mh_{tag}", output_mode="append"
+            ).distinct().collect()
+        }
+        assert got == expected, (tag, got, expected)
