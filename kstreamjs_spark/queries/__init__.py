@@ -153,10 +153,10 @@ _WINDOW_SIZE = 50
 # cuts), q176 (Pregel adjacency rewrite), q198 (runtime precondition +
 # null-bucket recount) — and are pinned so the driver re-attests the
 # new plans rather than trusting selfcheck alone. Final round-12
-# arithmetic: 3 pins + 10 new hist-0 queries (q33b, q84b, q160b,
-# q160c, q199-q204) + 37 r7-vintage rows = 50. The r11 verdict's
-# "drain all 44 r7 rows" predates the 10 additions — never-checked
-# outranks staleness, so 7 r7 rows carry to r13's window.
+# arithmetic: 3 pins + 11 new hist-0 queries (q33b, q84b, q160b,
+# q160c, q199-q205) + 36 r7-vintage rows = 50. The r11 verdict's
+# "drain all 44 r7 rows" predates the 11 additions — never-checked
+# outranks staleness, so 8 r7 rows carry to r13's window.
 # ROUND-13 NOTE: if CORRECTNESS_r12 is green, EMPTY this list again;
 # pin only oracle-text changes or behavior changes under an unchanged
 # oracle.
