@@ -1523,3 +1523,52 @@ def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
             ).distinct().collect()
         }
         assert got == expected, (tag, got, expected)
+
+
+def test_window_collect_stateful_from_origin_alignment(spark, tmp_path):
+    """from_ms on the STREAMING collect path: early rows are dropped
+    and windows align to from_ms (origin = from_ms % interval), exactly
+    like the batch path — same boundaries, same sums."""
+    d = str(tmp_path / "wcso_in")
+    os.makedirs(d, exist_ok=True)
+    # interval 2s, from=500ms -> windows [500,2500), [2500,4500), ...
+    rows0 = [(100, 99), (600, 1), (2_400, 2)]   # 100ms is pre-from: drop
+    rows1 = [(2_600, 4)]
+    sentinel = [(9_000_000, 0)]
+    now = time.time()
+    for i, rows in enumerate([rows0, rows1, sentinel]):
+        p = f"{d}/f{i}.parquet"
+        _write_file(spark, rows, p)
+        for root, _, names in os.walk(p):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    def collect(pdf):
+        return {"s": int(pdf["v"].sum())}
+
+    schema = spark.read.parquet(f"{d}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(d + "/*")
+    )
+    streamed = sorted(
+        (r["window_start"], r["window_end"], r["s"])
+        for r in Stream(sdf, "ts")
+        .window(interval_ms=2_000, from_ms=500, buffer_interval_ms=10_000,
+                collect=collect, out_schema="s long")
+        .run_available("wcso").collect()
+    )
+    bdf = spark.createDataFrame(
+        rows0 + rows1, "ts long, v long"
+    ).select(F.timestamp_millis(F.col("ts")).alias("ts"), "v")
+    expected = sorted(
+        (r["window_start"], r["window_end"], r["s"])
+        for r in Stream.from_dataframe(bdf, "ts")
+        .window(interval_ms=2_000, from_ms=500,
+                collect=collect, out_schema="s long")
+        .collect()
+    )
+    assert streamed == expected
+    # boundaries aligned to the 500ms origin, pre-from row dropped
+    assert all(ws.microsecond == 500_000 for ws, _, _ in streamed)
+    assert sum(s for _, _, s in streamed) == 1 + 2 + 4
