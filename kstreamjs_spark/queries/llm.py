@@ -4767,7 +4767,7 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
     """Matryoshka truncation recall audit (Kusupati et al. 2022 MRL,
     public; round 12) — the dimension-reduction question every
     embedding-storage budget decision asks: if queries ran on the
-    first {16}-of-64 dim prefix, what fraction of each query's exact
+    first-16-of-64 dim prefix, what fraction of each query's exact
     top-10 survives? Recall@10 per sampled query (bounded audit set,
     vec_id % 101 == 0), reported as (n_queries, avg, min). Overlap is
     computed ROW-LOCALLY: one pass scores full AND truncated cosine
