@@ -4825,3 +4825,231 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min(F.col("overlap") / float(_Q204_K)), 6)
         .alias("min_recall"),
     )
+
+
+# --------- Q206 dedup threshold-sensitivity curve (integer bands)
+@query(
+    "q206_dedup_threshold_curve",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s,
+                      len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        b AS (SELECT d1, d2,
+                     CAST((10 * common) // (n1 + n2 - common) AS BIGINT)
+                         AS band
+              FROM pairs),
+        pb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs
+               FROM b WHERE band >= 3 GROUP BY band),
+        dm AS (SELECT doc, MAX(band) AS m
+               FROM (SELECT d1 AS doc, band FROM b WHERE band >= 3
+                     UNION ALL
+                     SELECT d2 AS doc, band FROM b WHERE band >= 3)
+               GROUP BY doc),
+        dh AS (SELECT m AS band, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM dm GROUP BY m),
+        g AS (SELECT CAST(x AS BIGINT) AS band
+              FROM unnest(generate_series(3, 10)) AS t(x))
+        SELECT g.band,
+               COALESCE(pb.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+               CAST((SELECT COALESCE(SUM(n_pairs), 0) FROM pb
+                     WHERE pb.band >= g.band) AS BIGINT) AS cum_pairs,
+               CAST((SELECT COALESCE(SUM(n_docs), 0) FROM dh
+                     WHERE dh.band >= g.band) AS BIGINT) AS cum_docs
+        FROM g LEFT JOIN pb ON pb.band = g.band
+        ORDER BY g.band
+    """,
+    tags=("dedup", "llm"),
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup THRESHOLD-SENSITIVITY curve (round 12) — the parameter
+    question every near-dup deployment answers before committing to a
+    cutoff: at each Jaccard band (0.3 steps of 0.1 up to exact dup),
+    how many candidate pairs exist, how many pairs a >= cutoff run
+    would act on (cum_pairs), and how many documents are touched by at
+    least one such pair (cum_docs — the drop-count ceiling). Bands are
+    PURE INTEGER arithmetic on the exact shingle counts —
+    (10*common) div union — so no floating-point rounding ever picks a
+    band on either engine (sidestepping the 0.x*10 IEEE band-edge trap
+    entirely). One shingle equi-join (q26's machinery, shared
+    `_shingle_pair_counts` home), two bounded 8-row rollups; the grid
+    join makes the output row set a constant 8 regardless of data."""
+    from ..operators.dedup import _shingle_pair_counts
+
+    (documents,) = load(spark, sf, "documents")
+    agg = _shingle_pair_counts(
+        documents, n=3, partition_col="source"
+    )
+    b = agg.select(
+        "d1",
+        "d2",
+        F.expr("(10 * common) DIV (n1 + n2 - common)")
+        .cast("long")
+        .alias("band"),
+    ).filter(F.col("band") >= 3)
+    pb = b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    dm = (
+        b.select(F.col("d1").alias("doc"), "band")
+        .unionByName(b.select(F.col("d2").alias("doc"), "band"))
+        .groupBy("doc")
+        .agg(F.max("band").alias("band"))
+    )
+    dh = dm.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    grid = spark.range(3, 11).select(F.col("id").alias("band"))
+    # cumulative sums ride an 8-row window over the joined grid —
+    # bounded by the band count, never the data
+    w = Window.orderBy(F.col("band").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(pb, "band", "left")
+        .join(dh, "band", "left")
+        .select(
+            "band",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("__nd"),
+        )
+        .withColumn("cum_pairs", F.sum("n_pairs").over(w).cast("long"))
+        .withColumn("cum_docs", F.sum("__nd").over(w).cast("long"))
+        .select("band", "n_pairs", "cum_pairs", "cum_docs")
+        .orderBy("band")
+    )
+
+
+# --------- Q207 content-defined chunking (CDC) storage-dedup audit
+_Q207_W = 8     # rolling-window width (chars)
+_Q207_D = 71    # boundary density: ~1 boundary per D positions (prime)
+
+
+@query(
+    "q207_cdc_chunk_dedup",
+    oracle=f"""
+        WITH d AS (SELECT doc_id, text, len(text) AS n
+                   FROM documents WHERE len(text) >= 1),
+        hb AS (SELECT doc_id, i AS e
+               FROM d, LATERAL unnest(generate_series({_Q207_W}, n))
+                    AS t(i)
+               WHERE list_aggregate(list_transform(
+                       generate_series(i - {_Q207_W - 1}, i),
+                       j -> ord(substr(text, j, 1))
+                            * (j - i + {_Q207_W})), 'sum')
+                     % {_Q207_D} = 0),
+        ends AS (SELECT DISTINCT doc_id, e
+                 FROM (SELECT doc_id, e FROM hb
+                       UNION ALL SELECT doc_id, n FROM d)),
+        ch AS (SELECT doc_id,
+                      COALESCE(LAG(e) OVER (PARTITION BY doc_id
+                                            ORDER BY e), 0) + 1 AS s,
+                      e
+               FROM ends),
+        ck AS (SELECT substr(d.text, ch.s, ch.e - ch.s + 1) AS chunk
+               FROM ch JOIN d USING (doc_id))
+        SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct,
+               CAST(SUM(len(chunk)) AS BIGINT) AS total_chars,
+               CAST((SELECT SUM(len(c)) FROM
+                     (SELECT DISTINCT chunk AS c FROM ck)) AS BIGINT)
+                   AS distinct_chars,
+               ROUND(1 - (SELECT SUM(len(c)) FROM
+                          (SELECT DISTINCT chunk AS c FROM ck)) * 1.0
+                       / SUM(len(chunk)), 6) AS savings
+        FROM ck
+    """,
+    tags=("dedup", "llm", "storage"),
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking dedup audit (round 12; the
+    Rabin/FastCDC family, Muthitacharoen et al. 2001 LBFS, public) —
+    the STORAGE-level dedup question next to the document-level
+    families: split every text at content-defined boundaries (a
+    windowed positional hash of the last 8 chars hitting 0 mod 71),
+    so identical passages chunk identically wherever they sit, then
+    measure global chunk-store savings: distinct-chunk chars vs total
+    chars. Insertions shift byte offsets but NOT downstream chunk
+    boundaries — the property fixed-size blocks lack and the reason
+    every dedup filesystem/corpus store uses CDC. The hash is the
+    portable positional fold pinned identical on both engines; chunks
+    partition each doc exactly (sum of chunk lens == total chars — an
+    oracle-checked invariant).
+
+    Scale shape: boundary detection is one explode over positions with
+    a W-term codegen fold per position (O(W n) scan work, no Python);
+    chunk slicing joins the bounded (doc, end) frame back to the text
+    by doc_id; the dedup accounting is one distinct + two global sums
+    — the same map-combined shape as q25. At 100 TB the chunk-hash
+    exchange (not the text) is the bill, exactly like production CDC
+    stores which ship fingerprints, not bytes."""
+    W, D = _Q207_W, _Q207_D
+    (documents,) = load(spark, sf, "documents")
+    d = documents.filter(F.length("text") >= 1).select(
+        "doc_id", "text", F.length("text").alias("n")
+    )
+    hb = (
+        d.filter(F.col("n") >= W)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(W), F.col("n"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("e"),
+            F.aggregate(
+                F.sequence(F.col("i") - (W - 1), F.col("i")),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.ascii(F.substr("text", j, F.lit(1)))
+                * (j - F.col("i") + W),
+            ).alias("h"),
+        )
+        .filter(F.col("h") % D == 0)
+        .select("doc_id", "e")
+    )
+    ends = hb.unionByName(
+        d.select("doc_id", F.col("n").alias("e"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("e")
+    ch = ends.withColumn(
+        "s", F.coalesce(F.lag("e").over(w), F.lit(0)) + 1
+    )
+    ck = ch.join(d.select("doc_id", "text"), "doc_id").select(
+        F.expr("substr(text, s, e - s + 1)").alias("chunk")
+    )
+    n_docs = d.count()  # bounded: one scalar for the audit header
+    dc = ck.distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.length("chunk")).cast("long").alias("distinct_chars"),
+    )
+    tot = ck.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.length("chunk")).cast("long").alias("total_chars"),
+    )
+    return tot.crossJoin(F.broadcast(dc)).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "n_chunks",
+        "n_distinct",
+        "total_chars",
+        "distinct_chars",
+        F.round(
+            1 - F.col("distinct_chars") / F.col("total_chars"), 6
+        ).alias("savings"),
+    )

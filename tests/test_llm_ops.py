@@ -2795,3 +2795,43 @@ def test_exact_heavy_hitters_superset_guarantee(spark):
         llm_mod.load = orig
     expected = [(f"hv{h:02d}", 200) for h in range(10)]  # ties -> token asc
     assert got == expected
+
+
+def test_cdc_chunks_resynchronize_after_insertion():
+    """q207's defining property (why CDC beats fixed-size blocks): a
+    prefix insertion shifts every byte offset, yet all chunks after
+    the first boundary re-synchronize — pure-python mirror of the
+    exact windowed-hash arithmetic the query pins cross-engine."""
+    W, D = 8, 71
+
+    def chunks(text):
+        ends = [
+            i
+            for i in range(W, len(text) + 1)
+            if sum(
+                ord(text[j - 1]) * (j - i + W)
+                for j in range(i - W + 1, i + 1)
+            ) % D == 0
+        ]
+        if not ends or ends[-1] != len(text):
+            ends.append(len(text))
+        out, s = [], 1
+        for e in ends:
+            out.append(text[s - 1:e])
+            s = e + 1
+        return out
+
+    import random
+
+    rng = random.Random(5)
+    s = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    base = chunks(s)
+    assert len(base) > 10  # boundaries actually fire at this density
+    assert "".join(base) == s  # chunks partition the text exactly
+    shifted = chunks("QQQQ" + s)
+    assert "".join(shifted) == "QQQQ" + s
+    # everything after the first post-insertion boundary is identical:
+    # the two chunk SETS share all but a constant number of chunks
+    missing = set(base) - set(shifted)
+    assert len(missing) <= 2, (len(base), len(missing))
+    # a fixed-size blocker would share ZERO blocks after a 4-char shift
