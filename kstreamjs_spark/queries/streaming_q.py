@@ -2070,3 +2070,169 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     )
     sink = run_to_memory(pairs, "q205", output_mode="append")
     return sink.distinct().orderBy("d1", "d2")
+
+
+# ---------- Q203b STREAMING Gopher repetition filter (at ingest)
+def _q203b_oracle() -> str:
+    from .llm import _Q203_DUP_BP, _Q203_TOP_BP
+
+    flag_exprs = []
+    for n, bp in _Q203_TOP_BP.items():
+        flag_exprs.append(
+            f"MAX(CASE WHEN n = {n} AND top_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS f_top{n}"
+        )
+    for n, bp in _Q203_DUP_BP.items():
+        flag_exprs.append(
+            f"MAX(CASE WHEN n = {n} AND dup_raw * 10000"
+            f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+            f" AS f_dup{n}"
+        )
+    all_flags = [f"f_top{n}" for n in _Q203_TOP_BP] + [
+        f"f_dup{n}" for n in _Q203_DUP_BP
+    ]
+    return f"""
+        WITH t AS (SELECT doc_id, lang, n_chars,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+        g AS (SELECT doc_id, n,
+                     array_to_string(list_slice(ts, i, i + n - 1), ' ')
+                         AS gram
+              FROM t,
+                   LATERAL unnest(generate_series(2, 10)) AS nn(n),
+                   LATERAL unnest(generate_series(1,
+                       GREATEST(len(ts) - n + 1, 0))) AS ii(i)),
+        c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt,
+                     len(gram) AS glen
+              FROM g GROUP BY doc_id, n, gram, len(gram)),
+        per AS (SELECT doc_id, n,
+                       MAX(cnt * glen) AS top_raw,
+                       COALESCE(SUM(CASE WHEN cnt >= 2
+                                         THEN cnt * glen END), 0)
+                           AS dup_raw
+                FROM c GROUP BY doc_id, n),
+        j AS (SELECT t.doc_id, t.lang, t.n_chars, per.n,
+                     per.top_raw, per.dup_raw
+              FROM t LEFT JOIN per ON per.doc_id = t.doc_id)
+        SELECT doc_id, lang,
+               {", ".join(flag_exprs)},
+               CASE WHEN {" + ".join(
+                   f"MAX(CASE WHEN n = {n} AND top_raw * 10000"
+                   f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+                   for n, bp in _Q203_TOP_BP.items())}
+                    + {" + ".join(
+                   f"MAX(CASE WHEN n = {n} AND dup_raw * 10000"
+                   f" // GREATEST(n_chars, 1) > {bp} THEN 1 ELSE 0 END)"
+                   for n, bp in _Q203_DUP_BP.items())} = 0
+                    THEN 1 ELSE 0 END AS pass_all
+        FROM j
+        GROUP BY doc_id, lang
+        ORDER BY doc_id
+    """
+
+
+@query(
+    "q203b_stream_repetition_filter",
+    oracle=None,  # bound at import end (constants shared with q203)
+    tags=("streaming", "text", "llm", "quality"),
+)
+def q203b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING Gopher repetition filtering — q203's nine n-gram
+    rules the way an ingestion service applies them (the q178b
+    deployment shape): every arriving document carries its own
+    per-rule verdicts, computed ROW-LOCALLY in a pure scan projection
+    (append mode, no state, no shuffle — the gram counts are within
+    the document by definition, so the batch groupBy reformulates as
+    nested higher-order functions, O(L^2) per doc per n in codegen,
+    bounded by document length, never corpus size). Thresholds are the
+    SAME integer basis points as batch q203 (one rule home). Output:
+    (doc_id, lang, f_top2..4, f_dup5..10, pass_all) per arrival —
+    hash-matched against the batch per-doc SQL at both SFs."""
+    from .llm import _Q203_DUP_BP, _Q203_TOP_BP
+
+    sdf = stream_table(spark, sf, "documents")
+    d = sdf.select(
+        "doc_id", "lang", "n_chars", F.split("text", " ").alias("ts")
+    )
+
+    def grams(n):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("ts") - n + 1, F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice("ts", i, n), " "),
+        )
+
+    def counted_structs(n):
+        # (cnt, glen) per DISTINCT n-gram, all row-local; plain
+        # closures (PySpark reads lambda arity: a second default arg
+        # would be parsed as the element INDEX)
+        gs = grams(n)
+
+        def cnt_struct(g):
+            return F.struct(
+                F.size(F.filter(gs, lambda z: z == g))
+                .cast("long").alias("cnt"),
+                F.length(g).cast("long").alias("glen"),
+            )
+
+        return F.transform(F.array_distinct(gs), cnt_struct)
+
+    # raw masses first (named columns), then integer-DIV flags via expr
+    raw_cols = []
+    for n in list(_Q203_TOP_BP) + list(_Q203_DUP_BP):
+        counted = counted_structs(n)
+        if n in _Q203_TOP_BP:
+            raw = F.when(
+                F.size("ts") >= n,
+                F.array_max(
+                    F.transform(
+                        counted, lambda s: s["cnt"] * s["glen"]
+                    )
+                ),
+            ).otherwise(F.lit(0)).cast("long")
+            raw_cols.append(raw.alias(f"top{n}_raw"))
+        else:
+            raw = F.aggregate(
+                counted,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.when(s["cnt"] >= 2, s["cnt"] * s["glen"])
+                .otherwise(F.lit(0).cast("long")),
+            )
+            raw_cols.append(raw.alias(f"dup{n}_raw"))
+    m = d.select("doc_id", "lang", "n_chars", *raw_cols)
+    flag_exprs = [
+        F.expr(
+            f"CASE WHEN top{n}_raw * 10000 DIV GREATEST(n_chars, 1)"
+            f" > {th} THEN 1 ELSE 0 END"
+        ).alias(f"f_top{n}")
+        for n, th in _Q203_TOP_BP.items()
+    ] + [
+        F.expr(
+            f"CASE WHEN dup{n}_raw * 10000 DIV GREATEST(n_chars, 1)"
+            f" > {th} THEN 1 ELSE 0 END"
+        ).alias(f"f_dup{n}")
+        for n, th in _Q203_DUP_BP.items()
+    ]
+    flagged = m.select("doc_id", "lang", *flag_exprs)
+    all_flags = [f"f_top{n}" for n in _Q203_TOP_BP] + [
+        f"f_dup{n}" for n in _Q203_DUP_BP
+    ]
+    out = flagged.withColumn(
+        "pass_all",
+        F.when(
+            sum((F.col(c) for c in all_flags), F.lit(0)) == 0, 1
+        ).otherwise(0),
+    )
+    return run_to_memory(out, "q203b", output_mode="append").orderBy(
+        "doc_id"
+    )
+
+
+from dataclasses import replace as _dc_replace_q203b  # noqa: E402
+
+REGISTRY["q203b_stream_repetition_filter"] = _dc_replace_q203b(
+    REGISTRY["q203b_stream_repetition_filter"], oracle=_q203b_oracle()
+)
