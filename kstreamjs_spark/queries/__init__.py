@@ -153,10 +153,10 @@ _WINDOW_SIZE = 50
 # cuts), q176 (Pregel adjacency rewrite), q198 (runtime precondition +
 # null-bucket recount) — and are pinned so the driver re-attests the
 # new plans rather than trusting selfcheck alone. Final round-12
-# arithmetic: 3 pins + 14 new hist-0 queries (q33b, q84b, q160b,
-# q160c, q199-q207, q203b) + 33 r7-vintage rows = 50. The r11
-# verdict's "drain all 44 r7 rows" predates the 14 additions —
-# never-checked outranks staleness, so 11 r7 rows carry to r13.
+# arithmetic: 3 pins + 15 new hist-0 queries (q33b, q84b, q160b,
+# q160c, q199-q208, q203b) + 32 r7-vintage rows = 50. The r11
+# verdict's "drain all 44 r7 rows" predates the 15 additions —
+# never-checked outranks staleness, so 12 r7 rows carry to r13.
 # ROUND-13 NOTE: if CORRECTNESS_r12 is green, EMPTY this list again;
 # pin only oracle-text changes or behavior changes under an unchanged
 # oracle.

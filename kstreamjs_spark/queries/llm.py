@@ -5053,3 +5053,139 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
             1 - F.col("distinct_chars") / F.col("total_chars"), 6
         ).alias("savings"),
     )
+
+
+# --------- Q208 retrieval-quality metrics (MRR@10 / NDCG@10 / hit rate)
+_Q208_NQ = len(_BM25B_QUERIES)  # 24 queries, ids 0..23
+_Q208_K = _BM25B_K
+
+
+def _q208_oracle() -> str:
+    """q157b's oracle text verbatim as the ranking home (the q197
+    pattern), evaluated against the deterministic synthetic relevance
+    rel(q, d) = (d mod NQ == q). All metric arithmetic is quantized to
+    micro-units per query BEFORE any sum, so no IEEE summation order
+    ever moves a rounded metric."""
+    base = REGISTRY["q157b_bm25_batch_topk"].oracle
+    nq, k = _Q208_NQ, _Q208_K
+    return f"""
+        WITH ranked AS ({base}),
+        rq AS (SELECT CAST(doc_id % {nq} AS BIGINT) AS query_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_rel
+               FROM documents GROUP BY 1),
+        perq AS (
+          SELECT r.query_id,
+                 COALESCE(SUM(CASE WHEN r.doc_id % {nq} = r.query_id
+                       THEN CAST(FLOOR(1000000.0 / log2(r.rank + 1)
+                                       + 0.5) AS BIGINT) END), 0)
+                     AS dcg_int,
+                 MIN(CASE WHEN r.doc_id % {nq} = r.query_id
+                          THEN r.rank END) AS min_rank
+          FROM ranked r GROUP BY r.query_id),
+        scored AS (
+          SELECT perq.query_id,
+                 CASE WHEN perq.min_rank IS NULL THEN 0
+                      ELSE CAST(FLOOR(1000000.0 / perq.min_rank + 0.5)
+                                AS BIGINT) END AS mrr_int,
+                 CASE WHEN perq.dcg_int = 0 THEN 0
+                      ELSE CAST(FLOOR(1000000.0 * perq.dcg_int /
+                        (SELECT SUM(CAST(FLOOR(1000000.0 / log2(i + 1)
+                                               + 0.5) AS BIGINT))
+                         FROM unnest(generate_series(1,
+                              LEAST(rq.n_rel, {k}))) AS t(i))
+                        + 0.5) AS BIGINT) END AS ndcg_int,
+                 CASE WHEN perq.min_rank IS NULL THEN 0 ELSE 1 END
+                     AS hit
+          FROM perq JOIN rq USING (query_id))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(SUM(mrr_int) / (COUNT(*) * 1000000.0), 6) AS mrr,
+               ROUND(SUM(ndcg_int) / (COUNT(*) * 1000000.0), 6)
+                   AS ndcg,
+               ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS hit_rate
+        FROM scored
+    """
+
+
+@query(
+    "q208_retrieval_eval",
+    oracle=None,  # bound at import end (builds on q157b's text)
+    tags=("retrieval", "llm", "eval"),
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality evaluation (round 12) — the rank-metric
+    family every retrieval stack reports and the inventory lacked:
+    MRR@10, binary NDCG@10, and hit-rate@10 of the q157b BM25 ranking
+    against a deterministic synthetic relevance (rel(q, d) iff
+    d mod 24 == q — known-class retrieval; the METRIC ARITHMETIC is
+    the operator under test, the labels are fixture). Determinism
+    contract: every per-rank gain quantizes to micro-units BEFORE any
+    sum (floor(1e6/log2(rank+1))), per-query NDCG quantizes its
+    single division the same way, so all cross-row aggregation is
+    integer and no IEEE summation order can move a rounded metric —
+    the q196 micro-nat idiom applied to IR metrics.
+
+    Scale shape: the ranking is q157b's one-corpus-pass top-k; the
+    metrics add one per-class relevance count (a 24-row broadcast) and
+    one 24-row rollup — evaluation costs nothing beyond the ranking
+    at any corpus size."""
+    ranked = REGISTRY["q157b_bm25_batch_topk"].fn(spark, sf)
+    (documents,) = load(spark, sf, "documents")
+    nq, k = _Q208_NQ, _Q208_K
+    rq = documents.groupBy(
+        (F.col("doc_id") % nq).cast("long").alias("query_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rel"))
+    rel = F.col("doc_id") % nq == F.col("query_id")
+    gain = F.floor(
+        1_000_000.0 / F.log2(F.col("rank") + 1) + 0.5
+    ).cast("long")
+    perq = ranked.groupBy("query_id").agg(
+        F.coalesce(
+            F.sum(F.when(rel, gain)), F.lit(0).cast("long")
+        ).alias("dcg_int"),
+        F.min(F.when(rel, F.col("rank"))).alias("min_rank"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.floor(1_000_000.0 / F.log2(i + 1) + 0.5).cast("long"),
+    )
+    scored = (
+        perq.join(F.broadcast(rq), "query_id")
+        .select(
+            "query_id",
+            F.when(F.col("min_rank").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(1_000_000.0 / F.col("min_rank") + 0.5)
+                .cast("long")
+            )
+            .alias("mrr_int"),
+            F.when(F.col("dcg_int") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    1_000_000.0 * F.col("dcg_int") / idcg + 0.5
+                ).cast("long")
+            )
+            .alias("ndcg_int"),
+            F.when(F.col("min_rank").isNull(), 0).otherwise(1)
+            .alias("hit"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.sum("mrr_int") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("mrr"),
+        F.round(
+            F.sum("ndcg_int") / (F.count(F.lit(1)) * 1_000_000.0), 6
+        ).alias("ndcg"),
+        F.round(F.sum("hit") * 1.0 / F.count(F.lit(1)), 6)
+        .alias("hit_rate"),
+    )
+
+
+from dataclasses import replace as _dc_replace_q208  # noqa: E402
+
+REGISTRY["q208_retrieval_eval"] = _dc_replace_q208(
+    REGISTRY["q208_retrieval_eval"], oracle=_q208_oracle()
+)
