@@ -722,10 +722,17 @@ def q84b(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             F.length("decorated").cast("long").alias("len_decomposed"),
-            F.length(
-                text.unicode_normalize("decorated", "NFC")
-            ).cast("long").alias("len_nfc"),
+            # normalize ONCE and derive both columns from the alias —
+            # two unicode_normalize calls are two distinct pandas_udf
+            # instances Spark cannot common-subexpression-eliminate
+            # (round-12 review find: the Arrow round-trip ran twice)
             text.unicode_normalize("decorated", "NFC").alias("nfc_text"),
+        )
+        .select(
+            "doc_id",
+            "len_decomposed",
+            F.length("nfc_text").cast("long").alias("len_nfc"),
+            "nfc_text",
         )
         .orderBy("doc_id")
     )

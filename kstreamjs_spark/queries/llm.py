@@ -4305,7 +4305,13 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
     than a tie group. One narrow equi-join of the doc-score frame to
     the histogram offsets, one score-partitioned window, a 3-row
     rollup: every corpus-sized exchange is hash-partitioned."""
-    scored = REGISTRY["q196_kneser_ney_score"].fn(spark, sf)
+    # the KN scoring pipeline feeds BOTH the histogram and the join
+    # probe (different projections — ReuseExchange cannot collapse
+    # them), so materialize it once (the q157b tf policy; round-12
+    # review find: unmaterialized, the dominant scoring cost ran twice)
+    scored = materialize_once(
+        REGISTRY["q196_kneser_ney_score"].fn(spark, sf)
+    )
     hist = scored.groupBy("avg_logprob_kn").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
@@ -4644,13 +4650,18 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id",
             "n",
+            # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+            # (step inferred -1), so a doc with < n tokens must yield
+            # an EMPTY position array, matching the oracle's empty
+            # generate_series — unguarded it would explode i=0 (slice
+            # start 0 crashes) and a partial gram at i=1
             F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(
-                        F.size("ts") - F.col("n") + 1, F.lit(0)
+                F.when(
+                    F.size("ts") >= F.col("n"),
+                    F.sequence(
+                        F.lit(1), F.size("ts") - F.col("n") + 1
                     ),
-                )
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("i"),
             F.col("ts"),
         )
@@ -5032,19 +5043,23 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
         "s", F.coalesce(F.lag("e").over(w), F.lit(0)) + 1
     )
     ck = ch.join(d.select("doc_id", "text"), "doc_id").select(
-        F.expr("substr(text, s, e - s + 1)").alias("chunk")
+        "doc_id", F.expr("substr(text, s, e - s + 1)").alias("chunk")
     )
-    n_docs = d.count()  # bounded: one scalar for the audit header
-    dc = ck.distinct().agg(
+    # n_docs rides the same aggregate (every doc with n >= 1 owns at
+    # least one chunk, so countDistinct(doc_id) here IS the doc count
+    # — round-12 review find: a separate d.count() action re-scanned
+    # the corpus just for the header scalar)
+    dc = ck.select("chunk").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.sum(F.length("chunk")).cast("long").alias("distinct_chars"),
     )
     tot = ck.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
         F.sum(F.length("chunk")).cast("long").alias("total_chars"),
     )
     return tot.crossJoin(F.broadcast(dc)).select(
-        F.lit(n_docs).cast("long").alias("n_docs"),
+        "n_docs",
         "n_chunks",
         "n_distinct",
         "total_chars",

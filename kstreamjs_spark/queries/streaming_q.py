@@ -225,7 +225,11 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
                    AS sum_value,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events
-        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        -- STRICT <: Spark fires an event-time timeout only when the
+        -- watermark strictly exceeds it (timeoutTimestamp < watermark
+        -- in FlatMapGroupsWithStateExec), so a window whose end lands
+        -- EXACTLY on the final watermark is held in state, not emitted
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <
               (SELECT MAX(ts) - INTERVAL 1 MILLISECOND FROM events)
         GROUP BY 1
     """,
@@ -1975,51 +1979,34 @@ _Q205_PERMS = 64
 _Q205_BANDS = 16
 
 
-@query(
-    "q205_stream_minhash_candidates",
-    oracle=None,  # the banded index is Spark-hash-based (q26b's category);
-                  # the contract is HARD equality with the batch candidate
-                  # set, pinned in pytest + APPROX_EVIDENCE
-    tags=("streaming", "dedup", "llm", "approx", "stateful"),
-)
-def q205(spark: SparkSession, sf: str) -> DataFrame:
-    """STREAMING near-dup candidate detection at ingest (round 12) —
-    the text analog of q165's streaming perceptual dedup and the
-    missing production shape next to batch q26b: every arriving
-    document's MinHash signature bands into 16 bucket keys (the SAME
-    `minhash_bands` home the batch equi-join uses), each (band, bsig)
-    bucket's GroupState holds the doc ids seen so far, and a new
-    arrival emits a candidate pair against every earlier member of its
-    bucket THE MOMENT it lands — plus pairs among same-trigger
-    arrivals, emitted once by the larger id. Cross-band duplicate
-    emissions collapse in the final distinct, so the emitted pair SET
-    equals batch `_lsh_candidate_pairs` EXACTLY regardless of arrival
-    grouping (set semantics: bucket membership is arrival-order-free) —
-    the hard equality APPROX_EVIDENCE records at both SFs and pytest
-    pins across micro-batch schedules.
-
-    Scale shape: signatures and banding are scan projections on the
-    unbounded frame; state per bucket is its member-id list — the SAME
-    Sum(bucket^2) candidate bill the batch join pays, bounded by band
-    selectivity (16 of 64 perms per key); the emission exchange
-    carries only (d1, d2) longs. Rows-only by design (the q26b
-    category: Spark-hash-based banding has no SQL restatement)."""
+def minhash_candidate_stream(
+    sdf: DataFrame,
+    num_perm: int = _Q205_PERMS,
+    bands: int = _Q205_BANDS,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The shipped q205 pipeline as a reusable streaming transform
+    (one code home — the schedule-invariance pytest drives THIS, not a
+    private copy): band each arriving doc through `minhash_bands`,
+    keep per-(band, bsig) member ids in GroupState, emit candidate
+    pairs the moment the later member lands. Callers dedupe the
+    cross-band emissions with a final distinct."""
     import json as _json
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.dedup import minhash_bands, minhash_signature, tokens
 
-    sdf = stream_table(spark, sf, "documents")
     banded = (
-        sdf.filter(F.size(tokens("text")) >= 3)
+        sdf.filter(F.size(tokens("text")) >= n)
         .select(
             "doc_id",
             F.explode(
                 minhash_bands(
-                    minhash_signature("text", _Q205_PERMS, 3, 42),
-                    _Q205_PERMS,
-                    _Q205_BANDS,
+                    minhash_signature("text", num_perm, n, seed),
+                    num_perm,
+                    bands,
                 )
             ).alias("bs"),
         )
@@ -2061,13 +2048,46 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
         if d1s:
             yield pd.DataFrame({"d1": d1s, "d2": d2s})
 
-    pairs = banded.groupBy("band", "bsig").applyInPandasWithState(
+    return banded.groupBy("band", "bsig").applyInPandasWithState(
         update,
         outputStructType="d1 long, d2 long",
         stateStructType="members string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+@query(
+    "q205_stream_minhash_candidates",
+    oracle=None,  # the banded index is Spark-hash-based (q26b's category);
+                  # the contract is HARD equality with the batch candidate
+                  # set, pinned in pytest + APPROX_EVIDENCE
+    tags=("streaming", "dedup", "llm", "approx", "stateful"),
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING near-dup candidate detection at ingest (round 12) —
+    the text analog of q165's streaming perceptual dedup and the
+    missing production shape next to batch q26b: every arriving
+    document's MinHash signature bands into 16 bucket keys (the SAME
+    `minhash_bands` home the batch equi-join uses), each (band, bsig)
+    bucket's GroupState holds the doc ids seen so far, and a new
+    arrival emits a candidate pair against every earlier member of its
+    bucket THE MOMENT it lands — plus pairs among same-trigger
+    arrivals, emitted once by the larger id. Cross-band duplicate
+    emissions collapse in the final distinct, so the emitted pair SET
+    equals batch `_lsh_candidate_pairs` EXACTLY regardless of arrival
+    grouping (set semantics: bucket membership is arrival-order-free) —
+    the hard equality APPROX_EVIDENCE records at both SFs and pytest
+    pins across micro-batch schedules.
+
+    Scale shape: signatures and banding are scan projections on the
+    unbounded frame; state per bucket is its member-id list — the SAME
+    Sum(bucket^2) candidate bill the batch join pays, bounded by band
+    selectivity (16 of 64 perms per key); the emission exchange
+    carries only (d1, d2) longs. Rows-only by design (the q26b
+    category: Spark-hash-based banding has no SQL restatement)."""
+    sdf = stream_table(spark, sf, "documents")
+    pairs = minhash_candidate_stream(sdf)
     sink = run_to_memory(pairs, "q205", output_mode="append")
     return sink.distinct().orderBy("d1", "d2")
 
@@ -2157,12 +2177,17 @@ def q203b(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def grams(n):
-        return F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size("ts") - n + 1, F.lit(0))
+        # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a
+        # doc with < n tokens must yield an empty gram array (q203's
+        # fix, same trap): unguarded, slice start 0 crashes and i=1
+        # would emit a partial gram
+        return F.when(
+            F.size("ts") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - n + 1),
+                lambda i: F.array_join(F.slice("ts", i, n), " "),
             ),
-            lambda i: F.array_join(F.slice("ts", i, n), " "),
-        )
+        ).otherwise(F.array().cast("array<string>"))
 
     def counted_structs(n):
         # (cnt, glen) per DISTINCT n-gram, all row-local; plain

@@ -2835,3 +2835,49 @@ def test_cdc_chunks_resynchronize_after_insertion():
     missing = set(base) - set(shifted)
     assert len(missing) <= 2, (len(base), len(missing))
     # a fixed-size blocker would share ZERO blocks after a 4-char shift
+
+
+def test_gopher_repetition_short_docs_no_crash(spark):
+    """Regression (round-12 review find): Spark's sequence(1, 0) is the
+    DESCENDING [1, 0], so a document with fewer tokens than the max
+    gram order n=10 used to explode position 0 (slice-start crash) and
+    a partial gram at i=1. Short docs must contribute ZERO grams for
+    every n > their length — verified against a hand mirror."""
+    from unittest import mock
+
+    import kstreamjs_spark.queries.llm as llm
+    from kstreamjs_spark.queries import all_queries
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", 5),                    # 3 tokens < all n>3
+            (2, "x " * 11 + "y", "en", 23),           # 12 tokens, heavy dup
+            (3, "", "en", 0),                          # empty text
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    spec = all_queries()["q203_gopher_repetition"]
+    with mock.patch.object(llm, "load", lambda _s, _sf, *_t: (docs,)):
+        rows = spec.fn(spark, "ignored").collect()
+    (r,) = rows
+    assert r["n_docs"] == 3
+    # the empty doc has zero grams for every n => passes all nine
+    # rules; the 3-token doc legitimately FAILS the top-coverage
+    # ceilings (any single gram dominates a tiny doc — faithful
+    # Gopher); the x-run doc fails everything
+    assert r["pass_all"] == 1
+    # and the ORACLE agrees on the same short-doc fixture — the actual
+    # regression gate (pre-fix the engine crashed; a partial-gram bug
+    # would diverge from the empty generate_series here)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        docs.toPandas(),
+    )
+    (orow,) = con.execute(spec.oracle).fetchall()
+    cols = [d[0] for d in con.description]
+    got = {c: r[c] for c in cols}
+    want = dict(zip(cols, orow))
+    assert got == want, (got, want)

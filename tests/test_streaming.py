@@ -1425,16 +1425,11 @@ def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
     """q205's contract: the streamed candidate-pair SET equals batch
     _lsh_candidate_pairs exactly, for any micro-batch schedule —
     bucket membership is arrival-order-free set semantics, old-new
-    pairs emit as the new doc lands, new-new pairs emit once."""
-    import json as _json
-
-    import pyspark.sql.functions as F
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    import pandas as pd
-
-    from kstreamjs_spark.operators.dedup import (
-        _lsh_candidate_pairs, minhash_bands, minhash_signature, tokens,
-    )
+    pairs emit as the new doc lands, new-new pairs emit once. Drives
+    the SHIPPED pipeline (queries.streaming_q.minhash_candidate_stream
+    — one code home), not a private copy."""
+    from kstreamjs_spark.operators.dedup import _lsh_candidate_pairs
+    from kstreamjs_spark.queries.streaming_q import minhash_candidate_stream
 
     texts = [
         "the quick brown fox jumps over the lazy dog",
@@ -1476,46 +1471,7 @@ def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(dd + "/*")
         )
-        banded = (
-            sdf.filter(F.size(tokens("text")) >= 3)
-            .select(
-                "doc_id",
-                F.explode(
-                    minhash_bands(
-                        minhash_signature("text", 64, 3, 42), 64, 16
-                    )
-                ).alias("bs"),
-            )
-            .select("doc_id", F.col("bs.band").alias("band"),
-                    F.col("bs.bsig").alias("bsig"))
-        )
-
-        def update(key, pdfs, state: GroupState):
-            members = _json.loads(state.get[0]) if state.exists else []
-            seen = set(members)
-            new_ids = sorted({
-                int(x) for pdf in pdfs for x in pdf["doc_id"]
-                if int(x) not in seen
-            })
-            if not new_ids:
-                return
-            combined = sorted(seen | set(new_ids))
-            state.update((_json.dumps(combined),))
-            d1s, d2s = [], []
-            for b in new_ids:
-                for a in combined:
-                    if a >= b:
-                        break
-                    d1s.append(a)
-                    d2s.append(b)
-            if d1s:
-                yield pd.DataFrame({"d1": d1s, "d2": d2s})
-
-        pairs = banded.groupBy("band", "bsig").applyInPandasWithState(
-            update, outputStructType="d1 long, d2 long",
-            stateStructType="members string", outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+        pairs = minhash_candidate_stream(sdf)
         got = {
             (r["d1"], r["d2"])
             for r in run_to_memory(
