@@ -1528,3 +1528,42 @@ def test_window_collect_stateful_from_origin_alignment(spark, tmp_path):
     # boundaries aligned to the 500ms origin, pre-from row dropped
     assert all(ws.microsecond == 500_000 for ws, _, _ in streamed)
     assert sum(s for _, _, s in streamed) == 1 + 2 + 4
+
+
+def test_window_collect_stateful_strict_watermark_boundary(spark, tmp_path):
+    """Pins the strict timeout semantics q33b's oracle encodes (round-12
+    review find, verified against Spark's FlatMapGroupsWithStateExec:
+    timeouts fire only when timeoutTimestamp < watermark). A window
+    whose end lands EXACTLY on the final watermark is HELD in state;
+    one more millisecond of event time releases it."""
+
+    def run(last_ts_ms, tag):
+        d = str(tmp_path / f"wm_{tag}")
+        os.makedirs(d, exist_ok=True)
+        now = time.time()
+        for i, rows in enumerate([[(100, 7)], [(last_ts_ms, 0)]]):
+            p = f"{d}/f{i}.parquet"
+            _write_file(spark, rows, p)
+            for root, _, names in os.walk(p):
+                for n in names:
+                    os.utime(os.path.join(root, n), (now + i, now + i))
+        schema = spark.read.parquet(f"{d}/f0.parquet").schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(d + "/*")
+        )
+        return (
+            Stream(sdf, "ts")
+            .window(interval_ms=2_000, buffer_interval_ms=1,
+                    collect=lambda pdf: {"s": int(pdf["v"].sum())},
+                    out_schema="s long")
+            .run_available(f"wm_{tag}")
+            .collect()
+        )
+
+    # final watermark = 2001 - 1 = 2000 == window [0,2000) end: HELD
+    held = run(2_001, "held")
+    assert [r["s"] for r in held] == []
+    # final watermark = 2002 - 1 = 2001 > 2000: fires exactly once
+    fired = run(2_002, "fired")
+    assert [r["s"] for r in fired] == [7]
