@@ -2033,16 +2033,26 @@ def minhash_candidate_stream(
         )
         if not new_ids:
             return
-        combined = sorted(seen | set(new_ids))
-        state.update((_json.dumps(combined),))
+        old = sorted(seen)
+        state.update((_json.dumps(sorted(seen | set(new_ids))),))
         d1s, d2s = [], []
-        # every pair with a NEW larger member: old-new pairs as the new
-        # doc lands, new-new pairs exactly once (only the larger id is
-        # the outer b); old-old pairs were emitted in earlier triggers
+        # old-new pairs: every new id against EVERY existing member,
+        # normalized (min, max) — a new arrival may carry a SMALLER id
+        # than an old member (nothing orders ingest by doc id), so
+        # pairing only new-as-larger would lose (new_small, old_large)
+        # forever: the old larger id never becomes "new" again. old and
+        # new_ids are disjoint by construction, so no self-pairs.
         for b in new_ids:
-            for a in combined:
-                if a >= b:
-                    break
+            for a in old:
+                if a < b:
+                    d1s.append(a)
+                    d2s.append(b)
+                else:
+                    d1s.append(b)
+                    d2s.append(a)
+        # new-new pairs exactly once: the larger new id is the outer b
+        for i, b in enumerate(new_ids):
+            for a in new_ids[:i]:
                 d1s.append(a)
                 d2s.append(b)
         if d1s:
@@ -2089,6 +2099,102 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
     sdf = stream_table(spark, sf, "documents")
     pairs = minhash_candidate_stream(sdf)
     sink = run_to_memory(pairs, "q205", output_mode="append")
+    return sink.distinct().orderBy("d1", "d2")
+
+
+def minhash_verified_stream(
+    sdf: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = _Q205_PERMS,
+    bands: int = _Q205_BANDS,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """END-TO-END streaming near-dup dedup: q205's candidate emission
+    extended with IN-STREAM exact-Jaccard verification and a keep/drop
+    decision, all inside the one streaming plan. Candidates from the
+    stateful banded index (`minhash_candidate_stream`, one code home)
+    stream-static join back to the corpus store's per-doc shingle
+    arrays (two equi-joins on the doc id — the q63 enrichment shape),
+    true n-gram Jaccard is intersected expression-side, sub-threshold
+    candidates are DROPPED in-stream, and each surviving pair carries
+    its decision: `drop_id` = the larger member (min-id-keeper policy,
+    the q110/q168 convention — an ingest service anti-joins arrivals
+    against the accumulating drop set).
+
+    Scale shape: verify cost is O(|candidates| x avg_shingles) per
+    micro-batch — the same bill batch `minhash_verified_pairs` pays,
+    bounded by band selectivity; the static side is a doc-id equi-join
+    (shuffled-hash/broadcast by size), never a cross join. Cross-band
+    duplicate emissions re-verify (<= bands x) and collapse in the
+    caller's distinct; a production sink would dropDuplicates per
+    trigger instead."""
+    from ..operators.dedup import shingles
+
+    cand = minhash_candidate_stream(sdf, num_perm, bands, n, seed)
+    sh = corpus.select("doc_id", shingles("text", n).alias("sh"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    joined = cand.join(s1, "d1").join(s2, "d2")
+    common = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - common
+    jac = F.round(common / union, 6)
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard", F.col("d2").alias("drop_id"))
+    )
+
+
+@query(
+    "q205b_stream_minhash_verify",
+    oracle="""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(string_split(text,' ')) - 2),
+                     i -> string_split(text,' ')[i] || ' ' ||
+                          string_split(text,' ')[i+1] || ' ' ||
+                          string_split(text,' ')[i+2])) AS shingles
+          FROM documents
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s,
+                      len(shingles) AS n FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common,
+                 any_value(a.n) AS n1, any_value(b.n) AS n2
+          FROM ex a JOIN ex b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(common * 1.0 / (n1 + n2 - common), 6) AS jaccard,
+               d2 AS drop_id
+        FROM pairs
+        WHERE ROUND(common * 1.0 / (n1 + n2 - common), 6) >= 0.5
+        ORDER BY d1, d2
+    """,
+    tags=("streaming", "dedup", "llm", "stateful"),
+)
+def q205b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING near-dup dedup END-TO-END (round 13) — the last
+    missing production shape in the dedup matrix: q205 stops at
+    candidate emission; this pipeline VERIFIES (in-stream exact
+    3-gram Jaccard via stream-static shingle join) and DECIDES
+    (drop_id = larger member, the q110 min-id-keeper policy) before
+    anything reaches the sink. Because streamed candidates equal batch
+    `_lsh_candidate_pairs` for any schedule (set-semantics state,
+    pinned in pytest) and the verify expressions are the SAME ones
+    `minhash_verified_pairs` uses, the streamed verified set equals
+    the batch q26d result exactly — which on this corpus equals the
+    full unblocked pairwise exact-Jaccard >= 0.5 set (100% recall at
+    the operating point), so this entry is HASH-checked against the
+    same closed-form SQL oracle as q26d, not rows-only."""
+    sdf = stream_table(spark, sf, "documents")
+    (corpus,) = load(spark, sf, "documents")
+    verified = minhash_verified_stream(sdf, corpus)
+    sink = run_to_memory(verified, "q205b", output_mode="append")
     return sink.distinct().orderBy("d1", "d2")
 
 

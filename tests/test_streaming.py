@@ -1451,10 +1451,14 @@ def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
 
     d = str(tmp_path / "mh_in")
     os.makedirs(d, exist_ok=True)
-    # schedule A: 2 docs per file; schedule B: all in one file
+    # schedule A: 2 docs per file ascending; schedule B: all in one
+    # file; schedule C: DESCENDING id order — docs 0/1 land in buckets
+    # that already hold the larger member 3 (the regression the r12
+    # advice found: pairing new-as-larger-only loses (0,3)/(1,3))
     for tag, chunks in (
         ("a", [rows[0:2], rows[2:4], rows[4:6]]),
         ("b", [rows]),
+        ("c", [rows[4:6], rows[2:4], rows[0:2]]),
     ):
         dd = f"{d}/{tag}"
         os.makedirs(dd, exist_ok=True)
@@ -1479,6 +1483,62 @@ def test_stream_minhash_candidates_equal_batch_any_schedule(spark, tmp_path):
             ).distinct().collect()
         }
         assert got == expected, (tag, got, expected)
+
+
+def test_stream_minhash_verified_equal_batch_any_schedule(spark, tmp_path):
+    """q205b's contract: the streamed VERIFIED pair set (in-stream
+    exact-Jaccard over stream-static shingle join, plus the drop_id
+    decision) equals batch minhash_verified_pairs exactly, for any
+    micro-batch schedule — including descending-id delivery. Drives
+    the SHIPPED minhash_verified_stream (one code home)."""
+    from kstreamjs_spark.operators.dedup import minhash_verified_pairs
+    from kstreamjs_spark.queries.streaming_q import minhash_verified_stream
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",   # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+        "another unrelated sentence about spark engines",
+        "completely different words entirely here today",  # near-dup of 2
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    bdf = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in minhash_verified_pairs(bdf, threshold=0.5).collect()
+    }
+    assert expected, "fixture must produce at least one verified pair"
+
+    d = str(tmp_path / "mhv_in")
+    os.makedirs(d, exist_ok=True)
+    for tag, chunks in (
+        ("a", [rows[0:2], rows[2:4], rows[4:6]]),
+        ("c", [rows[4:6], rows[2:4], rows[0:2]]),  # descending ids
+    ):
+        dd = f"{d}/{tag}"
+        os.makedirs(dd, exist_ok=True)
+        now = time.time()
+        for i, chunk in enumerate(chunks):
+            p = f"{dd}/f{i}.parquet"
+            spark.createDataFrame(chunk, "doc_id long, text string") \
+                .coalesce(1).write.mode("overwrite").parquet(p)
+            for root, _, names in os.walk(p):
+                for n in names:
+                    os.utime(os.path.join(root, n), (now + i, now + i))
+        schema = spark.read.parquet(f"{dd}/f0.parquet").schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dd + "/*")
+        )
+        verified = minhash_verified_stream(sdf, bdf, threshold=0.5)
+        got_rows = run_to_memory(
+            verified, f"mhv_{tag}", output_mode="append"
+        ).distinct().collect()
+        got = {(r["d1"], r["d2"], r["jaccard"]) for r in got_rows}
+        assert got == expected, (tag, got, expected)
+        # decision column: drop the larger member of every verified pair
+        assert all(r["drop_id"] == r["d2"] for r in got_rows)
 
 
 def test_window_collect_stateful_from_origin_alignment(spark, tmp_path):
