@@ -3953,3 +3953,171 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
         .agg((F.sum(qprofit) / 10000.0).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+# ------------- Q209 parts/supplier relationship (TPC-H Q16 shape)
+_Q209_EXCL_BRAND = "Brand#13"
+_Q209_EXCL_TYPE = "MEDIUM"
+_Q209_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+@query(
+    "q209_parts_supplier_relationship",
+    oracle=f"""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        complaints AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> '{_Q209_EXCL_BRAND}'
+          AND p.p_type NOT LIKE '{_Q209_EXCL_TYPE}%'
+          AND p.p_size IN ({", ".join(str(s) for s in _Q209_SIZES)})
+          AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM complaints)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape, round 13 —
+    completes the TPC-H shape sweep with q210). The schema has no
+    partsupp table, so the supply relation is derived as DISTINCT
+    (l_partkey, l_suppkey) from lineitem — one hash exchange on the
+    pair key; the Q16 "Customer Complaints" NOT IN subquery maps to
+    negative-balance suppliers, compiled as a BROADCAST anti-join
+    (supplier ids are bounded — never a correlated loop). Part
+    predicates (<> brand, NOT LIKE type prefix, size IN-list) push to
+    the part scan; count(distinct suppkey) per (brand, type, size)
+    re-aggregates on the grouping key. DESC count + full key ordering
+    ties exactly (integer counts)."""
+    part, supplier, lineitem = load(
+        spark, sf, "part", "supplier", "lineitem"
+    )
+    ps = (
+        lineitem.select("l_partkey", "l_suppkey").distinct()
+    )
+    complaints = supplier.filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = part.filter(
+        (F.col("p_brand") != _Q209_EXCL_BRAND)
+        & ~F.col("p_type").startswith(_Q209_EXCL_TYPE)
+        & F.col("p_size").isin(*_Q209_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# ------------- Q210 potential part promotion (TPC-H Q20 shape)
+_Q210_NAME_PREFIX = "red"
+_Q210_NATION = "NATION_3"
+_Q210_WIN_FROM = "1997-01-01"
+_Q210_WIN_TO = "1998-01-01"
+
+
+@query(
+    "q210_potential_part_promotion",
+    oracle=f"""
+        WITH agg AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CASE WHEN l_shipdate < TIMESTAMP '{_Q210_WIN_FROM}'
+                          THEN CAST(FLOOR(l_quantity * 100 + 0.5)
+                                    AS BIGINT) ELSE 0 END) AS hist_q,
+                 SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_Q210_WIN_FROM}'
+                           AND l_shipdate < TIMESTAMP '{_Q210_WIN_TO}'
+                          THEN CAST(FLOOR(l_quantity * 100 + 0.5)
+                                    AS BIGINT) ELSE 0 END) AS win_q
+          FROM lineitem GROUP BY 1, 2),
+        qual AS (
+          SELECT DISTINCT a.l_suppkey FROM agg a
+          WHERE a.win_q > 0 AND 2 * a.hist_q > a.win_q
+            AND a.l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '{_Q210_NAME_PREFIX}%'))
+        SELECT s.s_name FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = '{_Q210_NATION}'
+          AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+        ORDER BY s.s_name
+    """,
+    tags=("relational", "join", "tpch"),
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape, round 13): suppliers
+    in one nation holding surplus stock of name-matched parts. Q20's
+    nested EXISTS/IN chain — parts IN-list inside a partsupp filter
+    inside a supplier semi-join, with a CORRELATED half-sum scalar
+    subquery per (part, supplier) — compiles here to a SINGLE lineitem
+    pass with conditional aggregation (hist_q = pre-window quantity,
+    the ps_availqty proxy; win_q = in-window demand) followed by two
+    semi-joins over pre-aggregates, never a correlated loop. The
+    half-sum predicate is exact in integers (quantities quantized x100,
+    `2*hist > win` instead of `hist > 0.5*win`); win_q > 0 mirrors
+    Q20's NULL-scalar-subquery exclusion. Part names semi-join
+    broadcast; the qualifying supplier set semi-joins the nation-
+    filtered supplier dim. Scale shape: one shuffle on the (part,
+    supplier) pair key, everything after is broadcast-sized."""
+    part, supplier, lineitem, nation = load(
+        spark, sf, "part", "supplier", "lineitem", "nation"
+    )
+    qqty = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    win_from = F.lit(_Q210_WIN_FROM).cast("timestamp")
+    win_to = F.lit(_Q210_WIN_TO).cast("timestamp")
+    agg = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < win_from, qqty).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("hist_q"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= win_from)
+                    & (F.col("l_shipdate") < win_to),
+                    qqty,
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("win_q"),
+        )
+    )
+    red_parts = part.filter(
+        F.col("p_name").startswith(_Q210_NAME_PREFIX)
+    ).select("p_partkey")
+    qual = (
+        agg.filter(
+            (F.col("win_q") > 0) & (2 * F.col("hist_q") > F.col("win_q"))
+        )
+        .join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(
+                nation.filter(F.col("n_name") == _Q210_NATION).select(
+                    "n_nationkey"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )

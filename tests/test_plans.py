@@ -1122,3 +1122,28 @@ def test_round12_rule_queries_no_cartesian(spark):
         plan = explain_str(q(name, spark), mode="simple")
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_round13_q209_q210_semi_anti_shapes(spark):
+    """q209/q210 (TPC-H Q16/Q20 shapes): the NOT IN / nested EXISTS-IN
+    chains must compile to broadcast anti/semi joins over
+    pre-aggregates — never a correlated loop, cartesian, or
+    nested-loop join."""
+    from kstreamjs_spark.plans import explain_str
+
+    p209 = explain_str(q("q209_parts_supplier_relationship", spark),
+                       mode="simple")
+    assert "CartesianProduct" not in p209
+    assert "BroadcastNestedLoopJoin" not in p209
+    # complaints NOT IN -> broadcast ANTI join on the supplier key
+    assert re.search(r"BroadcastHashJoin \[l_suppkey.*LeftAnti", p209), p209
+
+    p210 = explain_str(q("q210_potential_part_promotion", spark),
+                       mode="simple")
+    assert "CartesianProduct" not in p210
+    assert "BroadcastNestedLoopJoin" not in p210
+    # parts IN-list and supplier IN -> two LeftSemi joins
+    assert len(re.findall(r"LeftSemi", p210)) >= 2, p210
+    # one lineitem pass: the half-sum pair aggregate appears as a single
+    # hash aggregate keyed by the (partkey, suppkey) pair
+    assert len(re.findall(r"Scan parquet.*lineitem", p210)) == 1, p210
