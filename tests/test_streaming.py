@@ -1627,3 +1627,36 @@ def test_window_collect_stateful_strict_watermark_boundary(spark, tmp_path):
     # final watermark = 2002 - 1 = 2001 > 2000: fires exactly once
     fired = run(2_002, "fired")
     assert [r["s"] for r in fired] == [7]
+
+
+def test_window_state_arrow_ipc_roundtrip():
+    """Round-13 state encoding: the fire-once window buffers Arrow IPC
+    stream chunks (version-stable bytes), not pickle. The encoder must
+    roundtrip every dtype the buffered rows can carry — timestamps,
+    ints, floats, strings with NULLs — value- and dtype-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from kstreamjs_spark.operators.window import (
+        ipc_deserialize,
+        ipc_serialize,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([1_000, 3_500, 7_200], unit="ms"),
+            "v": pd.Series([1, -2, 3], dtype="int64"),
+            "x": pd.Series([0.5, np.nan, 2.25], dtype="float64"),
+            "s": pd.Series(["a", None, "c"], dtype="object"),
+        }
+    )
+    buf = ipc_serialize(pdf)
+    assert isinstance(buf, bytes)
+    back = ipc_deserialize(buf)
+    pd.testing.assert_frame_equal(back, pdf)
+    # chunked append-then-concat (the per-trigger shape) equals the
+    # one-shot frame
+    parts = [ipc_deserialize(ipc_serialize(pdf.iloc[i : i + 1]))
+             for i in range(len(pdf))]
+    merged = pd.concat(parts, ignore_index=True)
+    pd.testing.assert_frame_equal(merged, pdf)
