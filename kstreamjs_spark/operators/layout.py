@@ -21,7 +21,7 @@ reference src/stream.ts:240-247); this is a north-star extension.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 #: Number of bits interleaved per dimension (16+16 -> 32-bit z-value).
 Z_BITS = 16
@@ -61,3 +61,33 @@ def zvalue_sql(x_expr: str, y_expr: str, bits: int = Z_BITS) -> str:
         terms.append(f"((({x_expr} >> {b}) & 1) << {2 * b})")
         terms.append(f"((({y_expr} >> {b}) & 1) << {2 * b + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def write_zorder_partitioned(
+    df: DataFrame,
+    path: str,
+    x16: Column,
+    y16: Column,
+    file_bits: int = 4,
+) -> None:
+    """Materialize the z-ordered LAKEHOUSE LAYOUT: directory-partition
+    by the top ``file_bits*2`` interleaved bits of the z-value (a
+    deterministic z-range per directory — 2**(2*file_bits) cells), and
+    z-sort rows WITHIN each file so row-group min-max footers stay
+    tight on BOTH dimensions. One shuffle (hash on the cell id), one
+    file per cell (each distinct cell hashes to exactly one task).
+
+    At 100 TB the same plan swaps the deterministic cell id for
+    ``repartitionByRange(n_files, z)`` to balance file SIZES instead
+    of curve cells; the deterministic form here keeps the manifest
+    closed-form so the write is oracle-checkable end-to-end (q211)."""
+    z = zvalue(x16, y16)
+    shift = 2 * Z_BITS - 2 * file_bits
+    staged = (
+        df.withColumn("zfile", F.shiftright(z, shift))
+        .withColumn("__z", z)
+        .repartition("zfile")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    staged.write.mode("overwrite").partitionBy("zfile").parquet(path)

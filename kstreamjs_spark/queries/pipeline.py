@@ -935,3 +935,79 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
         "out_degree",
         F.col("rnk").alias("pr_rank"),
     )
+
+
+# --------------- Q211 lakehouse z-order WRITE + read-back manifest
+def _q211_oracle() -> str:
+    from ..operators.layout import quantize16_sql, zvalue_sql
+
+    x = quantize16_sql("o_custkey")
+    y = quantize16_sql("CAST(floor(o_totalprice) AS BIGINT)")
+    z = zvalue_sql(x, y)
+    return f"""
+        SELECT ({z} >> 24) AS zfile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN({x}) AS min_x, MAX({x}) AS max_x,
+               MIN({y}) AS min_y, MAX({y}) AS max_y,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "q211_lakehouse_zorder_write",
+    oracle=_q211_oracle(),
+    tags=("pipeline", "layout", "write"),
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse WRITE path (round 13) — q173 computed the z-order
+    footer statistics; this query actually WRITES the layout and
+    proves the roundtrip: orders are directory-partitioned by the top
+    8 interleaved z bits over (o_custkey, o_totalprice) — 256 curve
+    cells, one file per cell, rows z-sorted within each file
+    (`layout.write_zorder_partitioned`) — then the manifest a lakehouse
+    catalog would record (per-file row count, min/max of BOTH quantized
+    dimensions, exact cent-quantized price total) is recomputed FROM
+    THE WRITTEN FILES and hash-checked against the same closed-form
+    SQL over the original table. A hash match proves the write lost
+    and duplicated nothing and that every file's stats bound both
+    predicate columns — the data-skipping contract
+    (tests/test_llm_ops.py pins the skip counts vs an x-sorted layout).
+
+    Scale shape: one hash exchange on the cell id feeds the writer;
+    the read-back manifest is a scan + 256-group aggregate over
+    exactly the columns the footer already indexes. At 100 TB swap the
+    deterministic cell for repartitionByRange(n_files, z) to balance
+    file sizes (documented in the operator)."""
+    import os
+    import tempfile
+
+    from ..operators import layout
+
+    (orders,) = load(spark, sf, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"kstreamjs_zorder_{os.path.basename(sf.rstrip('/'))}",
+    )
+    x = layout.quantize16(F.col("o_custkey"))
+    y = layout.quantize16(F.floor(F.col("o_totalprice")))
+    layout.write_zorder_partitioned(orders, out, x, y, file_bits=4)
+    back = spark.read.parquet(out)
+    bx = layout.quantize16(F.col("o_custkey"))
+    by = layout.quantize16(F.floor(F.col("o_totalprice")))
+    return (
+        back.groupBy(F.col("zfile").cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(bx).alias("min_x"),
+            F.max(bx).alias("max_x"),
+            F.min(by).alias("min_y"),
+            F.max(by).alias("max_y"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_c"),
+        )
+        .orderBy("zfile")
+    )

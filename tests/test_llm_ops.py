@@ -2881,3 +2881,159 @@ def test_gopher_repetition_short_docs_no_crash(spark):
     got = {c: r[c] for c in cols}
     want = dict(zip(cols, orow))
     assert got == want, (got, want)
+
+
+def test_lakehouse_zorder_write_skips_files_on_y_band(spark, tmp_path):
+    """The WRITE path's data-skipping contract, measured on real
+    parquet footers (round 13, q211): write the z-partitioned layout
+    and an x-sorted layout at comparable file counts with the
+    clustering keys materialized, then count the files whose footer
+    min/max intersect a narrow y band — the skipping decision a
+    lakehouse catalog makes from exactly these stats. The x-sorted
+    layout cannot skip on y (every file spans ~the full y domain);
+    the z layout must skip a strict majority of its files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kstreamjs_spark.operators import layout
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    x = layout.quantize16(F.col("o_custkey"))
+    y = layout.quantize16(F.floor(F.col("o_totalprice")))
+    proj = orders.select("o_orderkey", x.alias("x16"), y.alias("y16"))
+
+    zdir = str(tmp_path / "zlayout")
+    layout.write_zorder_partitioned(
+        proj, zdir, F.col("x16"), F.col("y16"), file_bits=3
+    )
+    # x-sorted baseline at the same file count: 8 equal-width x
+    # buckets over the ACTUAL x domain (sf-smoke custkeys are small,
+    # so fixed high-bit bucketing would collapse to one file)
+    xdir = str(tmp_path / "xlayout")
+    max_x = proj.agg(F.max("x16")).collect()[0][0]
+    (
+        proj.withColumn(
+            "xfile", (F.col("x16") * 8 / F.lit(max_x + 1)).cast("long")
+        )
+        .repartition("xfile")
+        .sortWithinPartitions("x16")
+        .write.mode("overwrite").partitionBy("xfile").parquet(xdir)
+    )
+
+    def hit_files(root, lo, hi):
+        """(all files, files whose y16 footer range intersects [lo, hi])."""
+        all_paths, hit_paths = [], []
+        for p in glob.glob(root + "/**/*.parquet", recursive=True):
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name
+                     for i in range(md.num_columns)]
+            ci = names.index("y16")
+            stats = [md.row_group(rg).column(ci).statistics
+                     for rg in range(md.num_row_groups)]
+            all_paths.append(p)
+            if not (max(s.max for s in stats) < lo
+                    or min(s.min for s in stats) > hi):
+                hit_paths.append(p)
+        return all_paths, hit_paths
+
+    # a 1/16-domain y band (predicate on the SECOND dimension only —
+    # the case a 1-D x sort cannot help with)
+    lo, hi = 20480, 24575
+    z_all, z_hit = hit_files(zdir, lo, hi)
+    x_all, x_hit = hit_files(xdir, lo, hi)
+    assert len(z_all) >= 8 and len(x_all) >= 8, (len(z_all), len(x_all))
+    # x-sort: every file intersects the y band (no skipping)
+    assert len(x_hit) == len(x_all)
+    # z-order: a strict majority of files are skipped
+    assert len(z_hit) <= len(z_all) // 2, (len(z_hit), len(z_all))
+    # and the skipped files lose no rows: reading only hit files
+    # returns exactly the band's rows
+    hit_paths = z_hit
+    band_from_hits = (
+        spark.read.parquet(*hit_paths)
+        .filter((F.col("y16") >= lo) & (F.col("y16") <= hi))
+        .count()
+    )
+    band_full = proj.filter(
+        (F.col("y16") >= lo) & (F.col("y16") <= hi)
+    ).count()
+    assert band_from_hits == band_full > 0
+
+
+def test_q94_manifest_matches_written_shard_files(spark, tmp_path):
+    """q94's manifest is the plan for `write.partitionBy(shard)`; round
+    13 closes the loop: actually write the sharded layout, recompute
+    the manifest FROM THE WRITTEN FILES (per-directory row/char totals
+    and id extrema), and require it to equal q94's answer row for row."""
+    from kstreamjs_spark.operators import sampling
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.queries.pipeline import _SHARD_N, _SHARD_SEED
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "shards")
+    shard = (
+        sampling.hash_bucket("doc_id", _SHARD_SEED) % F.lit(_SHARD_N)
+    ).alias("shard")
+    (
+        docs.select(shard, "doc_id", "n_chars")
+        .repartition("shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+    )
+    from_files = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .collect()
+    }
+    manifest = {
+        tuple(r)
+        for r in all_queries()["q94_shard_manifest"]
+        .fn(spark, SF_SMOKE).collect()
+    }
+    assert from_files == manifest
+
+
+def test_unigram_lm_train_equals_pure_python_mirror(spark):
+    """q212's hard contract: the distributed Viterbi-EM (word-count
+    table + broadcast vocab + Arrow E-step) reproduces the pure-Python
+    single-process mirror EXACTLY — same final vocabulary, same
+    segmentation for every word. Integer micro-log-prob quantization is
+    what makes this equality exact rather than approximate."""
+    import duckdb
+
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.queries.llm import (
+        _UNI_MAX_WORD,
+        _unigram_mirror,
+    )
+
+    con = duckdb.connect()
+    wc = {
+        w: int(c)
+        for w, c in con.execute(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM '{SF_SMOKE}/documents.parquet')
+                WHERE len(word) BETWEEN 1 AND {_UNI_MAX_WORD}
+                GROUP BY word"""
+        ).fetchall()
+    }
+    _vocab, segs = _unigram_mirror(wc)
+    expected = {
+        (w, wc[w], len(seg), " ".join(seg)) for w, seg in segs.items()
+    }
+    got = {
+        (r["word"], r["word_count"], r["n_pieces"], r["segmentation"])
+        for r in all_queries()["q212_unigram_lm_train"]
+        .fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # the vocabulary must be bounded (the broadcast-artifact policy)
+    assert len(_vocab) <= 96
