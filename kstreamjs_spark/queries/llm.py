@@ -5204,3 +5204,233 @@ from dataclasses import replace as _dc_replace_q208  # noqa: E402
 REGISTRY["q208_retrieval_eval"] = _dc_replace_q208(
     REGISTRY["q208_retrieval_eval"], oracle=_q208_oracle()
 )
+
+
+# --------- Q212 unigram-LM (SentencePiece-style) tokenizer training
+_UNI_VOCAB = 96        # target vocabulary size (incl. all single chars)
+_UNI_MAX_PIECE = 4     # seed substring ceiling
+_UNI_ITERS = 2         # Viterbi-EM rounds
+_UNI_MAX_WORD = 16     # DP length bound (longer words are excluded
+                       # from training, mirrored exactly)
+_UNI_LOG_SCALE = 1_000_000  # micro-log-prob integer quantization
+
+
+def _unigram_viterbi(word: str, score: dict) -> list[str]:
+    """Best segmentation of ``word`` under integer piece scores —
+    maximize total score; ties prefer FEWER pieces, then the
+    lexicographically smaller piece list. Pure Python, deterministic;
+    the one segmentation home shared by the distributed E-step kernel
+    and the pure-Python mirror (same function, two callers — the
+    mirror's independence lives in the surrounding pipeline, not the
+    DP)."""
+    n = len(word)
+    # dp[i] = (total_score, -n_pieces, pieces_tuple) for word[:i]
+    dp: list = [None] * (n + 1)
+    dp[0] = (0, 0, ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - _UNI_MAX_PIECE), i):
+            if dp[j] is None:
+                continue
+            piece = word[j:i]
+            s = score.get(piece)
+            if s is None:
+                continue
+            cand = (
+                dp[j][0] + s,
+                dp[j][1] - 1,
+                dp[j][2] + (piece,),
+            )
+            # maximize (score, -n_pieces); minimize pieces lexicographically
+            if best is None or (
+                (cand[0], cand[1]) > (best[0], best[1])
+                or ((cand[0], cand[1]) == (best[0], best[1])
+                    and cand[2] < best[2])
+            ):
+                best = cand
+        dp[i] = best
+    assert dp[n] is not None  # single chars are always in the vocab
+    return list(dp[n][2])
+
+
+def _unigram_scores(vocab: dict) -> dict:
+    """Integer micro-log-prob scores with Laplace smoothing:
+    floor(ln((cnt+1) / (total + |V|)) * 1e6). Same CPython arithmetic
+    on both the distributed path and the mirror — bit-identical."""
+    import math
+
+    total = sum(vocab.values()) + len(vocab)
+    return {
+        p: math.floor(
+            math.log((c + 1) / total) * _UNI_LOG_SCALE
+        )
+        for p, c in vocab.items()
+    }
+
+
+def _unigram_select(char_counts: dict, multi_counts: dict) -> dict:
+    """Vocabulary selection: ALL single characters (coverage guarantee)
+    plus the top (vocab_size - |chars|) multi-char pieces by
+    (count DESC, piece ASC)."""
+    room = _UNI_VOCAB - len(char_counts)
+    kept = sorted(
+        multi_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:max(room, 0)]
+    vocab = dict(char_counts)
+    vocab.update(kept)
+    return vocab
+
+
+def _unigram_mirror(word_counts: dict) -> tuple[dict, dict]:
+    """Pure-Python single-process mirror of the WHOLE training loop
+    over a {word: count} table — the correctness pin for q212 (the
+    verdict-blessed q196-style mirror: the distributed pipeline must
+    reproduce this exactly at both SFs). Returns (final vocab counts,
+    {word: segmentation})."""
+    wc = {
+        w: c for w, c in word_counts.items()
+        if 0 < len(w) <= _UNI_MAX_WORD
+    }
+    chars: dict = {}
+    multi: dict = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for k in range(1, _UNI_MAX_PIECE + 1):
+                if i + k > len(w):
+                    break
+                p = w[i:i + k]
+                tgt = chars if k == 1 else multi
+                tgt[p] = tgt.get(p, 0) + c
+    vocab = _unigram_select(chars, multi)
+    segs: dict = {}
+    for _ in range(_UNI_ITERS):
+        score = _unigram_scores(vocab)
+        new_chars = {p: 0 for p in chars}
+        new_multi: dict = {}
+        for w, c in wc.items():
+            seg = _unigram_viterbi(w, score)
+            segs[w] = seg
+            for p in seg:
+                if len(p) == 1:
+                    new_chars[p] = new_chars.get(p, 0) + c
+                else:
+                    new_multi[p] = new_multi.get(p, 0) + c
+        vocab = _unigram_select(new_chars, new_multi)
+    return vocab, segs
+
+
+@query(
+    "q212_unigram_lm_train",
+    oracle=None,  # Viterbi-EM has no closed SQL form (q26b's category);
+                  # the contract is HARD equality with the pure-Python
+                  # mirror at both SFs (pytest + APPROX_EVIDENCE)
+    tags=("text", "llm", "tokenizer", "approx"),
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING (Kudo 2018,
+    public — the other family next to BPE q179): seed a substring
+    vocabulary from the corpus word-count table, then Viterbi-EM —
+    E-step segments every distinct word under integer micro-log-prob
+    scores (hard EM), M-step re-counts pieces over the best
+    segmentations and re-selects the vocabulary (all single chars kept
+    for coverage + top multi-char pieces by count).
+
+    Spark-first factorization, q179's exact scale shape: training runs
+    on the WORD-COUNT table (one corpus scan + one aggregate,
+    materialized once — never the token stream). Per round: the E-step
+    is an Arrow-batched mapInPandas over the words frame with the
+    BOUNDED vocabulary broadcast (<= 96 pieces — the centroid-collect
+    policy), the M-step is one piece-count aggregate (O(vocab) rows
+    out) + a bounded driver-side re-selection. Integer quantized
+    log-probs (floor(ln(p)*1e6)) make every comparison exact — no
+    float drift between executors, rounds, or the mirror. Output is
+    the APPLIED tokenizer — (word, word_count, n_pieces,
+    segmentation) over the full vocabulary, the q179 output shape.
+
+    Rows-only by design; hash-hard contract: equals `_unigram_mirror`
+    exactly at both SFs (tests/test_llm_ops.py + APPROX_EVIDENCE)."""
+    from ..plans import materialize_once
+
+    (documents,) = load(spark, sf, "documents")
+    w = materialize_once(
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(
+            (F.length("word") >= 1)
+            & (F.length("word") <= _UNI_MAX_WORD)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    # ---- seed counts: every substring of length 1.._UNI_MAX_PIECE,
+    # with multiplicity, weighted by word count — one distributed
+    # aggregate (expression-only substring generation via SQL
+    # higher-order functions: substring() takes runtime offsets there)
+    piece_rows = (
+        w.select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence(1, length(word)),
+                        i -> transform(
+                            sequence(1, least({_UNI_MAX_PIECE},
+                                              length(word) - i + 1)),
+                            k -> substring(word, i, k))))"""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    seed = {r["piece"]: int(r["n"]) for r in piece_rows.collect()
+            if len(r["piece"]) <= _UNI_MAX_PIECE}
+    chars = {p: c for p, c in seed.items() if len(p) == 1}
+    multi = {p: c for p, c in seed.items() if len(p) > 1}
+    vocab = _unigram_select(chars, multi)
+
+    import pandas as pd
+
+    final_seg = None
+    for _ in range(_UNI_ITERS):
+        score = _unigram_scores(vocab)
+        bscore = spark.sparkContext.broadcast(score)
+
+        def e_step(it):
+            sc = bscore.value
+            for pdf in it:
+                words, counts, pieces = [], [], []
+                for word, c in zip(pdf["word"], pdf["c"]):
+                    seg = _unigram_viterbi(word, sc)
+                    words.append(word)
+                    counts.append(int(c))
+                    pieces.append(seg)
+                yield pd.DataFrame(
+                    {"word": words, "c": counts, "pieces": pieces}
+                )
+
+        seg_df = w.mapInPandas(
+            e_step, "word string, c long, pieces array<string>"
+        )
+        final_seg = seg_df
+        piece_counts = (
+            seg_df.select("c", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("c").cast("long").alias("n"))
+            .collect()  # BOUNDED: <= _UNI_VOCAB rows by construction
+        )
+        new_chars = {p: 0 for p in chars}
+        new_multi: dict = {}
+        for r in piece_counts:
+            if len(r["piece"]) == 1:
+                new_chars[r["piece"]] = int(r["n"])
+            else:
+                new_multi[r["piece"]] = int(r["n"])
+        vocab = _unigram_select(new_chars, new_multi)
+
+    return final_seg.select(
+        "word",
+        F.col("c").alias("word_count"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("segmentation"),
+    ).orderBy("word")

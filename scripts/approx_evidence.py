@@ -603,6 +603,47 @@ def main() -> int:
         }
     out["q191b_stream_pq_encode"] = pqb_out
 
+    # ---- q212: unigram-LM Viterbi-EM trainer — hard equality with the
+    # pure-Python single-process mirror at both SFs (integer micro-log
+    # quantization makes the match exact, not approximate)
+    import duckdb as _duck
+
+    from kstreamjs_spark.queries.llm import (  # noqa: E402
+        _UNI_MAX_WORD,
+        _unigram_mirror,
+    )
+
+    uni_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        con = _duck.connect()
+        wc = {
+            w: int(c)
+            for w, c in con.execute(
+                f"""SELECT word, COUNT(*) FROM (
+                      SELECT unnest(string_split(text, ' ')) AS word
+                      FROM '{kv_sf}/documents.parquet')
+                    WHERE len(word) BETWEEN 1 AND {_UNI_MAX_WORD}
+                    GROUP BY word"""
+            ).fetchall()
+        }
+        _vocab, segs = _unigram_mirror(wc)
+        expected = {
+            (w, wc[w], len(s), " ".join(s)) for w, s in segs.items()
+        }
+        got = {
+            (r["word"], r["word_count"], r["n_pieces"],
+             r["segmentation"])
+            for r in q["q212_unigram_lm_train"].fn(spark, kv_sf)
+            .collect()
+        }
+        assert got == expected, kv_sf
+        uni_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "n_words": len(got),
+            "vocab_size": len(_vocab),
+            "spark_equals_mirror": True,
+        }
+    out["q212_unigram_lm_train"] = uni_out
+
     doc = {
         "sf_dir": sf,
         "note": (
