@@ -139,6 +139,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Duplicate (src, dst) input rows are allowed and collapse to ONE
     edge (set semantics — callers need no pre-distinct pass).
+    CHANGELOG round 12: this is a deliberate semantic change from the
+    round-11 edge-list implementation, which weighted duplicate edges
+    into out-degree (multiset semantics). Callers that want duplicate-
+    edge weighting must pre-aggregate an explicit weight column — an
+    error is impossible to raise here because a deduped input is
+    indistinguishable from a multiset one after collect_set.
 
     Scale shape (round-12 Pregel rewrite; the GraphX/Pregel vertex
     layout, Malewicz et al. 2010, public): edges fold ONCE into an
