@@ -3716,10 +3716,12 @@ _Q199_TO = "1998-01-01"
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """,
-    # not a bench row: the year+region filters leave DuckDB ~50 ms of
-    # work at sf0.1, so the comparison measures Spark's per-query
+    # in the basket since r13 (the verdict's rotation ask) with the
+    # floor caveat on record: the year+region filters leave DuckDB
+    # ~50 ms of work at sf0.1, so the ratio measures Spark's per-query
     # scheduling floor, not the join (the documented q150/q157b regime)
     tags=("relational", "join", "tpch"),
+    bench=True,
 )
 def q199(spark: SparkSession, sf: str) -> DataFrame:
     """Local supplier volume (TPC-H Q5 shape, round 12) — the classic
@@ -3901,6 +3903,7 @@ _Q201_NAME_PART = "gear"
         ORDER BY 1, 2 DESC
     """,
     tags=("relational", "join", "tpch"),
+    bench=True,
 )
 def q201(spark: SparkSession, sf: str) -> DataFrame:
     """Product-type profit (TPC-H Q9 shape, round 12, ADAPTED: the

@@ -5349,9 +5349,24 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
 
     Rows-only by design; hash-hard contract: equals `_unigram_mirror`
     exactly at both SFs (tests/test_llm_ops.py + APPROX_EVIDENCE)."""
-    from ..plans import materialize_once
-
     (documents,) = load(spark, sf, "documents")
+    final_seg, _vocab = _unigram_train(spark, documents)
+    return final_seg.select(
+        "word",
+        F.col("c").alias("word_count"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.array_join("pieces", " ").alias("segmentation"),
+    ).orderBy("word")
+
+
+def _unigram_train(
+    spark: SparkSession, documents: DataFrame
+) -> tuple[DataFrame, dict]:
+    """q212's training loop — ONE home shared by batch q212 and the
+    streaming q212b's fit side (the q179/_bpe_train convention).
+    Returns (final segmentation frame (word, c, pieces), the final
+    selected vocabulary counts)."""
+    from ..plans import materialize_once
     w = materialize_once(
         documents.select(F.explode(F.split("text", " ")).alias("word"))
         .filter(
@@ -5391,13 +5406,12 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
 
     import pandas as pd
 
-    final_seg = None
-    for _ in range(_UNI_ITERS):
-        score = _unigram_scores(vocab)
-        bscore = spark.sparkContext.broadcast(score)
-
+    def make_e_step(bcast):
+        # bind THIS round's broadcast explicitly: the returned seg_df
+        # is lazy (the final one re-executes after the loop), so a
+        # closure over the loop variable would silently rebind
         def e_step(it):
-            sc = bscore.value
+            sc = bcast.value
             for pdf in it:
                 words, counts, pieces = [], [], []
                 for word, c in zip(pdf["word"], pdf["c"]):
@@ -5409,8 +5423,15 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
                     {"word": words, "c": counts, "pieces": pieces}
                 )
 
+        return e_step
+
+    final_seg = None
+    for _ in range(_UNI_ITERS):
+        score = _unigram_scores(vocab)
+        bscore = spark.sparkContext.broadcast(score)
         seg_df = w.mapInPandas(
-            e_step, "word string, c long, pieces array<string>"
+            make_e_step(bscore),
+            "word string, c long, pieces array<string>",
         )
         final_seg = seg_df
         piece_counts = (
@@ -5428,9 +5449,4 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
                 new_multi[r["piece"]] = int(r["n"])
         vocab = _unigram_select(new_chars, new_multi)
 
-    return final_seg.select(
-        "word",
-        F.col("c").alias("word_count"),
-        F.size("pieces").cast("long").alias("n_pieces"),
-        F.array_join("pieces", " ").alias("segmentation"),
-    ).orderBy("word")
+    return final_seg, vocab

@@ -987,9 +987,13 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import layout
 
     (orders,) = load(spark, sf, "orders")
+    # pid-scoped so concurrent checkers (driver + an independent judge
+    # selfcheck) never overwrite each other's write mid-read; same
+    # process reuses its dir (overwrite mode)
     out = os.path.join(
         tempfile.gettempdir(),
-        f"kstreamjs_zorder_{os.path.basename(sf.rstrip('/'))}",
+        f"kstreamjs_zorder_{os.path.basename(sf.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     x = layout.quantize16(F.col("o_custkey"))
     y = layout.quantize16(F.floor(F.col("o_totalprice")))

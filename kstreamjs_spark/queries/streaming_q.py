@@ -2367,3 +2367,61 @@ from dataclasses import replace as _dc_replace_q203b  # noqa: E402
 REGISTRY["q203b_stream_repetition_filter"] = _dc_replace_q203b(
     REGISTRY["q203b_stream_repetition_filter"], oracle=_q203b_oracle()
 )
+
+
+# --------- Q212b STREAMING unigram-LM application — tokenize at ingest
+@query(
+    "q212b_stream_unigram_tokenize",
+    oracle=None,  # Viterbi segmentation has no closed SQL form (q212's
+                  # category); hard equality with the pure-Python mirror
+                  # is pinned in pytest + APPROX_EVIDENCE
+    tags=("streaming", "text", "llm", "tokenizer", "approx"),
+)
+def q212b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING unigram-LM application — tokenize at ingest with a
+    vocabulary TRAINED batch-side (q179b's universal production split,
+    for the SentencePiece family): q212's Viterbi-EM runs on the static
+    corpus (`_unigram_train`, one home), the final vocabulary's integer
+    micro-log-prob scores ship in the task closure (a BOUNDED artifact,
+    <= 96 pieces here, ~32k in a production vocab — ships either way),
+    and every arriving document tokenizes in ONE Arrow-batched kernel:
+    Viterbi DP per word over the score table, with a per-batch word
+    cache so the kernel is O(distinct words), not O(tokens). No
+    explode, no join, no state — append mode, one row per arrival with
+    its piece count. Single-char coverage in the vocabulary makes the
+    DP total on any corpus word."""
+    from .llm import _unigram_scores, _unigram_train, _unigram_viterbi
+
+    (documents,) = load(spark, sf, "documents")
+    _seg, vocab = _unigram_train(spark, documents)
+    score = _unigram_scores(vocab)
+
+    def tokenize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def n_pieces(w: str) -> int:
+            got = cache.get(w)
+            if got is None:
+                got = len(_unigram_viterbi(w, score)) if w else 0
+                cache[w] = got
+            return got
+
+        for pdf in it:
+            words = pdf["text"].str.split(" ")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_pieces": [
+                        sum(n_pieces(w) for w in ws) for ws in words
+                    ],
+                    "n_words": [len(ws) for ws in words],
+                }
+            )
+
+    sdf = stream_table(spark, sf, "documents")
+    out = sdf.select("doc_id", "text").mapInPandas(
+        tokenize, "doc_id long, n_pieces long, n_words long"
+    )
+    return run_to_memory(out, "q212b", output_mode="append").orderBy(
+        "doc_id"
+    )

@@ -644,6 +644,50 @@ def main() -> int:
         }
     out["q212_unigram_lm_train"] = uni_out
 
+    # ---- q212b: streaming unigram application — per-doc piece counts
+    # under the batch-trained final vocab equal the mirror at both SFs
+    from kstreamjs_spark.queries.llm import (  # noqa: E402
+        _unigram_scores,
+        _unigram_viterbi,
+    )
+
+    unib_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        con = _duck.connect()
+        wc = {
+            w: int(c)
+            for w, c in con.execute(
+                f"""SELECT word, COUNT(*) FROM (
+                      SELECT unnest(string_split(text, ' ')) AS word
+                      FROM '{kv_sf}/documents.parquet')
+                    WHERE len(word) BETWEEN 1 AND {_UNI_MAX_WORD}
+                    GROUP BY word"""
+            ).fetchall()
+        }
+        vocab_m, _segs = _unigram_mirror(wc)
+        sc = _unigram_scores(vocab_m)
+        expected = {}
+        for doc_id, text in con.execute(
+            f"SELECT doc_id, text FROM '{kv_sf}/documents.parquet'"
+        ).fetchall():
+            ws = text.split(" ")
+            expected[doc_id] = (
+                sum(len(_unigram_viterbi(w, sc)) if w else 0
+                    for w in ws),
+                len(ws),
+            )
+        got = {
+            r["doc_id"]: (r["n_pieces"], r["n_words"])
+            for r in q["q212b_stream_unigram_tokenize"]
+            .fn(spark, kv_sf).collect()
+        }
+        assert got == expected, kv_sf
+        unib_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "n_docs": len(got),
+            "stream_equals_mirror": True,
+        }
+    out["q212b_stream_unigram_tokenize"] = unib_out
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -3037,3 +3037,47 @@ def test_unigram_lm_train_equals_pure_python_mirror(spark):
     assert got == expected
     # the vocabulary must be bounded (the broadcast-artifact policy)
     assert len(_vocab) <= 96
+
+
+def test_stream_unigram_tokenize_equals_mirror(spark):
+    """q212b's hard contract: streamed per-doc piece counts under the
+    batch-trained final vocabulary equal the pure-Python mirror (train
+    with _unigram_mirror, score the final vocab, Viterbi every word)."""
+    import duckdb
+
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.queries.llm import (
+        _UNI_MAX_WORD,
+        _unigram_mirror,
+        _unigram_scores,
+        _unigram_viterbi,
+    )
+
+    con = duckdb.connect()
+    wc = {
+        w: int(c)
+        for w, c in con.execute(
+            f"""SELECT word, COUNT(*) FROM (
+                  SELECT unnest(string_split(text, ' ')) AS word
+                  FROM '{SF_SMOKE}/documents.parquet')
+                WHERE len(word) BETWEEN 1 AND {_UNI_MAX_WORD}
+                GROUP BY word"""
+        ).fetchall()
+    }
+    vocab, _segs = _unigram_mirror(wc)
+    score = _unigram_scores(vocab)
+    expected = {}
+    for doc_id, text in con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall():
+        ws = text.split(" ")
+        expected[doc_id] = (
+            sum(len(_unigram_viterbi(w, score)) if w else 0 for w in ws),
+            len(ws),
+        )
+    got = {
+        r["doc_id"]: (r["n_pieces"], r["n_words"])
+        for r in all_queries()["q212b_stream_unigram_tokenize"]
+        .fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
