@@ -81,13 +81,24 @@ def write_zorder_partitioned(
     ``repartitionByRange(n_files, z)`` to balance file SIZES instead
     of curve cells; the deterministic form here keeps the manifest
     closed-form so the write is oracle-checkable end-to-end (q211)."""
+    zorder_stage(df, x16, y16, file_bits).write.mode(
+        "overwrite"
+    ).partitionBy("zfile").parquet(path)
+
+
+def zorder_stage(
+    df: DataFrame, x16: Column, y16: Column, file_bits: int = 4
+) -> DataFrame:
+    """The staging plan behind :func:`write_zorder_partitioned`, shared
+    with the STREAMING ingest path (q211b writes each micro-batch
+    through this with mode('append')): cell id = top interleaved z
+    bits, one exchange hashed on it, rows z-sorted within."""
     z = zvalue(x16, y16)
     shift = 2 * Z_BITS - 2 * file_bits
-    staged = (
+    return (
         df.withColumn("zfile", F.shiftright(z, shift))
         .withColumn("__z", z)
         .repartition("zfile")
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    staged.write.mode("overwrite").partitionBy("zfile").parquet(path)

@@ -2425,3 +2425,79 @@ def q212b(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(out, "q212b", output_mode="append").orderBy(
         "doc_id"
     )
+
+
+# ------- Q211b STREAMING lakehouse ingest — z-ordered writes at ingest
+@query(
+    "q211b_stream_lakehouse_ingest",
+    oracle=None,  # bound at import end (shares q211's closed-form SQL)
+    tags=("streaming", "pipeline", "layout", "write"),
+)
+def q211b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING lakehouse ingest (round 13) — q211's write path the
+    way a production pipeline runs it: arriving orders flow through
+    `foreachBatch`, each micro-batch staged by the SAME
+    `layout.zorder_stage` home (cell id from the top interleaved z
+    bits, z-sorted within files) and APPENDED to the directory-
+    partitioned table — the streaming writer cannot partition-write
+    natively, so foreachBatch + batch writer is the canonical shape.
+    After the replay drains, the catalog manifest is recomputed FROM
+    THE WRITTEN FILES and checked against the same closed-form SQL as
+    q211: equality proves streamed ingest lost and duplicated nothing
+    across micro-batch appends. Per-cell stats stay tight because
+    every appended file is itself z-sorted — the skipping contract is
+    preserved under continuous ingest (the multi-batch append pytest
+    pins it)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import layout
+    from ..streaming.replay import run_foreach_batch
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"kstreamjs_zorder_stream_{os.path.basename(sf.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)  # append mode: start clean
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        x = layout.quantize16(F.col("o_custkey"))
+        y = layout.quantize16(F.floor(F.col("o_totalprice")))
+        layout.zorder_stage(batch_df, x, y, file_bits=4).write.mode(
+            "append"
+        ).partitionBy("zfile").parquet(out)
+
+    sdf = stream_table(spark, sf, "orders")
+    run_foreach_batch(sdf, write_batch, "q211b")
+
+    from ..operators.layout import quantize16
+
+    back = spark.read.parquet(out)
+    bx = quantize16(F.col("o_custkey"))
+    by = quantize16(F.floor(F.col("o_totalprice")))
+    return (
+        back.groupBy(F.col("zfile").cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(bx).alias("min_x"),
+            F.max(bx).alias("max_x"),
+            F.min(by).alias("min_y"),
+            F.max(by).alias("max_y"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_c"),
+        )
+        .orderBy("zfile")
+    )
+
+
+from dataclasses import replace as _dc_replace_q211b  # noqa: E402
+
+from .pipeline import _q211_oracle as _q211_oracle_import  # noqa: E402
+
+REGISTRY["q211b_stream_lakehouse_ingest"] = _dc_replace_q211b(
+    REGISTRY["q211b_stream_lakehouse_ingest"],
+    oracle=_q211_oracle_import(),
+)

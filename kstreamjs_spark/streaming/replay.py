@@ -75,3 +75,25 @@ def run_to_memory(
             f"streaming query {qname!r} did not finish within {timeout_s}s"
         )
     return spark.table(qname)
+
+
+def run_foreach_batch(
+    sdf: DataFrame, fn, name: str, timeout_s: int = 600,
+) -> None:
+    """Execute a streaming DataFrame to completion (AvailableNow)
+    through a ``foreachBatch`` sink — the production shape for sinks
+    the streaming writer cannot express natively (partitioned lakehouse
+    writes, MERGE upserts, multi-table fan-out). Same timeout contract
+    as :func:`run_to_memory`."""
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.foreachBatch(fn)
+        .queryName(qname)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {qname!r} did not finish within {timeout_s}s"
+        )
