@@ -134,12 +134,15 @@ def window_collect_stateful(
 
     State encoding (round 13): the buffer is an ``array<binary>`` of
     Arrow IPC stream chunks, ONE chunk appended per trigger — each
-    trigger serializes only its own new rows (O(new), not O(buffered):
-    re-encoding the whole accumulated frame every trigger would cost
-    O(B^2) total state-store I/O over a B-trigger window), and the
-    chunks are concatenated exactly once when the window fires. Arrow
-    IPC, not pickle, so a long-lived checkpoint survives pandas/pickle
-    version upgrades.
+    trigger ENCODES only its own new rows (the pandas->bytes
+    serialization cost drops from O(buffered) per trigger / O(B^2)
+    total to O(new)), and the chunks are concatenated exactly once
+    when the window fires. Arrow IPC, not pickle, so a long-lived
+    checkpoint survives pandas/pickle version upgrades. Honest limit:
+    GroupState is a single-value store, so the state-store WRITE per
+    trigger still copies all accumulated chunk bytes — a raw memcpy,
+    no re-encode; true O(new) appends need the state-v2 ListState
+    (`streaming/stateful_v2.py`, execution env-gated here).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

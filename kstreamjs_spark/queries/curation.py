@@ -4013,7 +4013,12 @@ def q209(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # no broadcast hint on the part side: the filtered part table
+        # is ~16% of part (size IN-list) — dim-sized here, NOT
+        # broadcastable at 100 TB; AQE picks broadcast at this SF and
+        # a shuffled hash join at scale. complaints IS force-broadcast:
+        # a flagged-supplier set is operationally bounded.
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -4101,8 +4106,11 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         agg.filter(
             (F.col("win_q") > 0) & (2 * F.col("hist_q") > F.col("win_q"))
         )
+        # no broadcast hint: the name-matched part set is ~1% of part
+        # (tens of millions of keys at 100 TB) — AQE broadcasts the
+        # 8 KB version at this SF, shuffles the semi-join at scale
         .join(
-            F.broadcast(red_parts),
+            red_parts,
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )

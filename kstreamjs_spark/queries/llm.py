@@ -5398,10 +5398,24 @@ def _unigram_train(
         .groupBy("piece")
         .agg(F.sum("c").cast("long").alias("n"))
     )
-    seed = {r["piece"]: int(r["n"]) for r in piece_rows.collect()
-            if len(r["piece"]) <= _UNI_MAX_PIECE}
-    chars = {p: c for p, c in seed.items() if len(p) == 1}
-    multi = {p: c for p, c in seed.items() if len(p) > 1}
+    # driver pulls only BOUNDED artifacts: the single-char alphabet
+    # (charset-bounded) and the top-(room) multi-char pieces via a
+    # distributed TakeOrdered — never the full substring table (at
+    # 100 TB the distinct <=4-gram space is millions of rows; the
+    # top-K order (-count, piece) is exactly _unigram_select's, so
+    # the selection is unchanged)
+    chars = {
+        r["piece"]: int(r["n"])
+        for r in piece_rows.filter(F.length("piece") == 1).collect()
+    }
+    room = max(_UNI_VOCAB - len(chars), 0)
+    multi = {
+        r["piece"]: int(r["n"])
+        for r in piece_rows.filter(F.length("piece") > 1)
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(room)
+        .collect()
+    }
     vocab = _unigram_select(chars, multi)
 
     import pandas as pd
