@@ -2501,3 +2501,104 @@ REGISTRY["q211b_stream_lakehouse_ingest"] = _dc_replace_q211b(
     REGISTRY["q211b_stream_lakehouse_ingest"],
     oracle=_q211_oracle_import(),
 )
+
+
+# --------- Q213 STREAMING SCD1 upsert — CDC apply via versioned merges
+@query(
+    "q213_stream_scd1_upsert",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc"),
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING SCD-TYPE-1 UPSERT (round 13) — the CDC-apply write
+    shape next to q121's batch SCD2 analytics: arriving events merge
+    into a keyed dimension table (one row per user: latest state +
+    lifetime event count) through `foreachBatch`, each micro-batch
+    committing a NEW VERSIONED snapshot directory (read v_{n-1}, merge
+    the batch, write v_n, advance the pointer) — the poor-man's
+    transaction log every lakehouse MERGE implements; the versioned
+    swap is what makes read-own-table-then-overwrite safe (Spark
+    cannot overwrite a path it is lazily reading). Merge arithmetic is
+    pure aggregation — counts ADD across versions, last_ts MAXes — so
+    the final snapshot equals the batch groupBy no matter how the
+    replay batches (the multi-batch pytest pins it).
+
+    Scale shape: per-commit cost is O(table + batch) — the naive
+    rewrite every real lakehouse avoids via partition-pruned MERGE
+    (Delta/Iceberg); the plumbing (keyed merge, versioned commit,
+    read-back) is the real part, the rewrite policy is the documented
+    swap-in. Hash contract: the read-back dimension table equals the
+    closed-form per-user rollup over the SOURCE table — a match
+    proves no event lost, duplicated, or mis-merged across commits."""
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"kstreamjs_scd1_{os.path.basename(sf.rstrip('/'))}"
+        f"_{os.getpid()}",
+    )
+    sdf = stream_table(spark, sf, "events")
+    return scd1_upsert_stream(sdf, root).orderBy("user_id")
+
+
+def scd1_upsert_stream(sdf: DataFrame, root: str) -> DataFrame:
+    """q213's pipeline as a reusable transform (one code home — the
+    multi-batch pytest drives THIS): foreachBatch versioned merge of
+    per-user (count, latest (ts, value)) into ``root``, returning the
+    final snapshot as a batch frame."""
+    import os
+    import shutil
+
+    from ..streaming.replay import run_foreach_batch
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    state = {"version": -1}
+
+    def commit(batch_df: DataFrame, _bid: int) -> None:
+        # "last" rides as a struct ordered (ts, value): struct MAX is
+        # lexicographic, and (user_id, ts) is unique in the source
+        # (asserted by the pytest), so the latest VALUE merges exactly
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(
+                F.struct(F.col("ts").alias("ts"),
+                         F.col("value").alias("value"))
+            ).alias("last"),
+        )
+        if state["version"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{root}/v{state['version']}"
+            )
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.max("last").alias("last"),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            f"{root}/v{state['version'] + 1}"
+        )
+        state["version"] += 1
+
+    run_foreach_batch(sdf, commit, "scd1")
+    return (
+        sdf.sparkSession.read.parquet(f"{root}/v{state['version']}")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.value").alias("last_value"),
+        )
+    )

@@ -1733,3 +1733,56 @@ def test_stream_lakehouse_ingest_multibatch_append(spark, tmp_path):
             pdf = pq.ParquetFile(p).read(columns=["o_totalprice"])
             ys = [int(v) & 0xFFFF for v in pdf["o_totalprice"].to_pylist()]
             assert all(lo <= yv <= hi for yv in ys), (cell, p)
+
+
+def test_stream_scd1_upsert_multibatch_equals_batch(spark, tmp_path):
+    """q213's contract under REAL multi-commit ingest: events split in
+    three files, one per trigger — each commit merges into a new
+    versioned snapshot; the final snapshot must equal the batch rollup
+    (count, max ts, value-at-max-ts per user) exactly, and the commit
+    log must hold one version per non-empty micro-batch. Also asserts
+    the (user_id, ts) uniqueness the latest-value tie-break relies on.
+    Drives the SHIPPED scd1_upsert_stream (one code home)."""
+    import glob
+
+    from kstreamjs_spark.queries.streaming_q import scd1_upsert_stream
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert (
+        events.groupBy("user_id", "ts").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src, exist_ok=True)
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=11)
+    now = time.time()
+    for i, p in enumerate(parts):
+        fp = f"{src}/f{i}.parquet"
+        p.coalesce(1).write.mode("overwrite").parquet(fp)
+        for root, _, names in os.walk(fp):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    table_root = str(tmp_path / "dim_user")
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+        for r in scd1_upsert_stream(sdf, table_root).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == expected
+    versions = sorted(glob.glob(table_root + "/v*"))
+    assert len(versions) == 3
