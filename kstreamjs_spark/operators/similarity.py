@@ -1076,3 +1076,86 @@ def ivfpq_topk(
         pruned, vectors, books, query, k=k, vec_col=vec_col, id_col=id_col,
         dim=dim, rerank=rerank, round_to=round_to, _qv=qv,
     )
+
+
+def srp_banded_buckets(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 20,
+    band_bits: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded SRP bucket keys per vector — the ONE banding home shared
+    by the batch embedding near-dup pair join
+    (`cosine_neardup_pairs_lsh`) and the streaming bucket index
+    (q214b): the signature is `_band_signature_udf`'s Arrow matmul
+    (same planes as `ann_topk_lsh_banded` at the same seed), exploded
+    to one (id, band, bsig) row per band. A (band, bsig) equality IS
+    the OR-amplified collision event on both execution paths."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim)).tolist()
+    sig = _band_signature_udf(planes, band_bits, dim, repr(vec_col))
+    return (
+        vectors.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
+        .select(
+            id_col,
+            F.posexplode("sig").alias("band", "bval"),
+        )
+        .select(
+            id_col, "band", F.col("bval").cast("string").alias("bsig")
+        )
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 20,
+    band_bits: int = 5,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS via banded SRP LSH + exact
+    verify — the embedding analog of `minhash_verified_pairs` (text)
+    and the hamming pair joins (perceptual): candidates from an
+    equi-join on (band, bsig) — Sum(bucket^2) cost, never N^2 — then
+    every candidate re-scored with TRUE cosine via two id equi-joins
+    back to the vectors, thresholded. No false positives by
+    construction; recall is the OR-amplified banding curve
+    1-(1-p_bit^b)^L at the operating angle (measured against the exact
+    pairwise SQL in APPROX_EVIDENCE).
+
+    At 100 TB: signatures are one Arrow matmul in the scan projection;
+    buckets are bounded by 2^band_bits per band times the cell load —
+    hot buckets (degenerate directions) would take the max_df-style
+    ceiling the text path uses."""
+    banded = srp_banded_buckets(
+        vectors, vec_col, id_col, n_bands, band_bits, dim, seed
+    )
+    l = banded.select(
+        F.col(id_col).alias("v1"), "band", "bsig"
+    )
+    r = banded.select(
+        F.col(id_col).alias("v2"), "band", "bsig"
+    )
+    cand = (
+        l.join(r, on=["band", "bsig"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    e = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    )
+    s1 = e.select(F.col(id_col).alias("v1"), F.col("v").alias("va"))
+    s2 = e.select(F.col(id_col).alias("v2"), F.col("v").alias("vb"))
+    joined = cand.join(s1, "v1").join(s2, "v2")
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        joined.select("v1", "v2", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )

@@ -5464,3 +5464,34 @@ def _unigram_train(
         vocab = _unigram_select(new_chars, new_multi)
 
     return final_seg, vocab
+
+
+# --------- Q214 embedding-cosine near-dup pairs via banded SRP LSH
+_Q214_THRESHOLD = 0.4
+
+
+@query(
+    "q214_embedding_neardup_lsh",
+    oracle=None,  # SRP banding is plane-seeded (q26b's category); the
+                  # recall-vs-exact gate lives in APPROX_EVIDENCE and
+                  # the streaming twin pins hard equality with THIS
+    tags=("dedup", "similarity", "llm", "approx"),
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at corpus scale (round 13) —
+    fills the one open cell in the dedup matrix's batch row: text has
+    exact/minhash/simhash pair joins, perceptual has hamming buckets,
+    embeddings had only label-blocked exact (q37) and cell-bounded
+    SemDeDup (q170); this is the unblocked LSH pair join — banded SRP
+    buckets (the `ann_topk_lsh_banded` signature home at the same
+    seed) + exact-cosine verification, `similarity.
+    cosine_neardup_pairs_lsh`. No false positives by construction;
+    recall is the OR-amplified banding curve at the operating angle,
+    measured against the exact pairwise SQL in APPROX_EVIDENCE at both
+    SFs."""
+    from ..operators.similarity import cosine_neardup_pairs_lsh
+
+    (emb,) = load(spark, sf, "embeddings")
+    return cosine_neardup_pairs_lsh(
+        emb, threshold=_Q214_THRESHOLD
+    ).orderBy("v1", "v2")

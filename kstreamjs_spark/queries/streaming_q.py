@@ -1992,10 +1992,6 @@ def minhash_candidate_stream(
     keep per-(band, bsig) member ids in GroupState, emit candidate
     pairs the moment the later member lands. Callers dedupe the
     cross-band emissions with a final distinct."""
-    import json as _json
-
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     from ..operators.dedup import minhash_bands, minhash_signature, tokens
 
     banded = (
@@ -2016,6 +2012,22 @@ def minhash_candidate_stream(
             F.col("bs.bsig").alias("bsig"),
         )
     )
+    return bucket_pair_stream(banded)
+
+
+def bucket_pair_stream(banded: DataFrame) -> DataFrame:
+    """Generic streaming bucket-collision pair emitter — the stateful
+    core shared by q205 (MinHash text buckets) and q214b (SRP
+    embedding buckets): ``banded`` is an unbounded (doc_id, band,
+    bsig) frame; each (band, bsig) bucket's GroupState holds the ids
+    seen so far (set semantics, arrival-order-free) and every new
+    member emits a normalized (min, max) pair against every earlier
+    member the moment it lands, plus same-trigger pairs once via the
+    larger id. Callers collapse cross-band duplicates with a final
+    distinct."""
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -2602,3 +2614,54 @@ def scd1_upsert_stream(sdf: DataFrame, root: str) -> DataFrame:
             F.col("last.value").alias("last_value"),
         )
     )
+
+
+# ------ Q214b STREAMING embedding near-dup — verify + decide at ingest
+@query(
+    "q214b_stream_embedding_neardup",
+    oracle=None,  # q214's category; hard streaming==batch equality
+                  # pinned in pytest + APPROX_EVIDENCE at both SFs
+    tags=("streaming", "dedup", "similarity", "llm", "approx",
+          "stateful"),
+)
+def q214b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING embedding near-dup at ingest (round 13) — the q205b
+    shape for the EMBEDDING modality, completing the streaming dedup
+    matrix (text candidates+verified, perceptual image+audio, now
+    semantic): every arriving vector's banded SRP signature (the ONE
+    `srp_banded_buckets` home the batch pair join uses) keys the
+    generic `bucket_pair_stream` state, collision pairs stream-static
+    join back to the vector store, TRUE cosine verifies in-stream, and
+    survivors carry the drop decision (larger id — the q110 keeper
+    policy). Set-semantics state makes the emitted pair set equal the
+    batch equi-join for ANY arrival schedule, so the verified output
+    equals batch `cosine_neardup_pairs_lsh` exactly — the hard
+    equality APPROX_EVIDENCE records at both SFs and pytest pins
+    across schedules including descending ids."""
+    from ..operators.similarity import (
+        as_double,
+        cosine,
+        srp_banded_buckets,
+    )
+    from .llm import _Q214_THRESHOLD
+
+    (emb,) = load(spark, sf, "embeddings")
+    sdf = stream_table(spark, sf, "embeddings")
+    banded = srp_banded_buckets(sdf).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    cand = bucket_pair_stream(banded).select(
+        F.col("d1").alias("v1"), F.col("d2").alias("v2")
+    )
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    s1 = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+    s2 = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+    joined = cand.join(s1, "v1").join(s2, "v2")
+    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    verified = (
+        joined.withColumn("score", score)
+        .filter(F.col("score") >= _Q214_THRESHOLD)
+        .select("v1", "v2", "score", F.col("v2").alias("drop_id"))
+    )
+    sink = run_to_memory(verified, "q214b", output_mode="append")
+    return sink.distinct().orderBy("v1", "v2")

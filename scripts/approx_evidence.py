@@ -688,6 +688,51 @@ def main() -> int:
         }
     out["q212b_stream_unigram_tokenize"] = unib_out
 
+    # ---- q214: banded-SRP embedding near-dup pairs — recall/precision
+    # vs the exact pairwise cosine SQL at both SFs (no false positives
+    # by construction: exact verify), plus q214b's hard streaming ==
+    # batch equality
+    from kstreamjs_spark.queries.llm import _Q214_THRESHOLD  # noqa: E402
+
+    emb_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        con = _duck.connect()
+        exact = {
+            (int(a), int(b))
+            for a, b in con.execute(
+                f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v
+                               FROM '{kv_sf}/embeddings.parquet')
+                    SELECT a.vec_id, b.vec_id
+                    FROM e a JOIN e b ON a.vec_id < b.vec_id
+                    WHERE ROUND(list_cosine_similarity(a.v, b.v), 6)
+                          >= {_Q214_THRESHOLD}"""
+            ).fetchall()
+        }
+        got_batch = {
+            (r["v1"], r["v2"], r["score"])
+            for r in q["q214_embedding_neardup_lsh"].fn(spark, kv_sf)
+            .collect()
+        }
+        got_pairs = {(a, b) for a, b, _ in got_batch}
+        assert got_pairs <= exact, kv_sf  # exact verify: no false pos
+        recall = len(got_pairs & exact) / max(len(exact), 1)
+        assert recall >= 0.8, (kv_sf, recall)
+        got_stream = {
+            (r["v1"], r["v2"], r["score"])
+            for r in q["q214b_stream_embedding_neardup"].fn(spark, kv_sf)
+            .collect()
+        }
+        assert got_stream == got_batch, kv_sf
+        emb_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "n_exact": len(exact),
+            "n_lsh_verified": len(got_pairs),
+            "recall": round(recall, 4),
+            "false_positives": 0,
+            "stream_equals_batch": True,
+        }
+    out["q214_embedding_neardup_lsh"] = emb_out
+    out["q214b_stream_embedding_neardup"] = emb_out
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -1786,3 +1786,86 @@ def test_stream_scd1_upsert_multibatch_equals_batch(spark, tmp_path):
     assert got == expected
     versions = sorted(glob.glob(table_root + "/v*"))
     assert len(versions) == 3
+
+
+def test_stream_embedding_neardup_equals_batch_any_schedule(spark, tmp_path):
+    """q214b's contract: the streamed VERIFIED embedding pair set
+    (bucket_pair_stream over SRP bands + in-stream exact cosine)
+    equals batch cosine_neardup_pairs_lsh exactly for any micro-batch
+    schedule, including descending-id delivery (the generic state
+    machine inherits q205's out-of-order fix)."""
+    import numpy as np
+
+    from kstreamjs_spark.operators.similarity import (
+        as_double,
+        cosine,
+        cosine_neardup_pairs_lsh,
+        srp_banded_buckets,
+    )
+    from kstreamjs_spark.queries.streaming_q import bucket_pair_stream
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(64)
+    rows = []
+    for i in range(8):
+        if i % 2 == 1:
+            # odd ids: small perturbation of the previous even id ->
+            # high-cosine near-dup pairs (i-1, i)
+            v = base * (i // 2 + 1) + rng.standard_normal(64) * 0.05
+        else:
+            base = rng.standard_normal(64)
+            v = base * (i // 2 + 1)
+        rows.append((i, [float(x) for x in v]))
+    bdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected = {
+        (r["v1"], r["v2"], r["score"])
+        for r in cosine_neardup_pairs_lsh(bdf, threshold=0.4).collect()
+    }
+    assert expected, "fixture must produce verified near-dup pairs"
+
+    d = str(tmp_path / "emb_in")
+    os.makedirs(d, exist_ok=True)
+    for tag, chunks in (
+        ("a", [rows[0:3], rows[3:6], rows[6:8]]),
+        ("c", [rows[6:8], rows[3:6], rows[0:3]]),  # descending ids
+    ):
+        dd = f"{d}/{tag}"
+        os.makedirs(dd, exist_ok=True)
+        now = time.time()
+        for i, chunk in enumerate(chunks):
+            p = f"{dd}/f{i}.parquet"
+            spark.createDataFrame(
+                chunk, "vec_id long, embedding array<float>"
+            ).coalesce(1).write.mode("overwrite").parquet(p)
+            for root, _, names in os.walk(p):
+                for n in names:
+                    os.utime(os.path.join(root, n), (now + i, now + i))
+        schema = spark.read.parquet(f"{dd}/f0.parquet").schema
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(dd + "/*")
+        )
+        banded = srp_banded_buckets(sdf).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        cand = bucket_pair_stream(banded).select(
+            F.col("d1").alias("v1"), F.col("d2").alias("v2")
+        )
+        e = bdf.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        s1 = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
+        s2 = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
+        verified = (
+            cand.join(s1, "v1").join(s2, "v2")
+            .withColumn(
+                "score", F.round(cosine(F.col("va"), F.col("vb")), 6)
+            )
+            .filter(F.col("score") >= 0.4)
+            .select("v1", "v2", "score")
+        )
+        got = {
+            (r["v1"], r["v2"], r["score"])
+            for r in run_to_memory(
+                verified, f"emb_{tag}", output_mode="append"
+            ).distinct().collect()
+        }
+        assert got == expected, (tag, got, expected)
