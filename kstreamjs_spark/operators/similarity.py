@@ -1118,6 +1118,7 @@ def cosine_neardup_pairs_lsh(
     band_bits: int = 5,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS via banded SRP LSH + exact
     verify — the embedding analog of `minhash_verified_pairs` (text)
@@ -1131,11 +1132,24 @@ def cosine_neardup_pairs_lsh(
 
     At 100 TB: signatures are one Arrow matmul in the scan projection;
     buckets are bounded by 2^band_bits per band times the cell load —
-    hot buckets (degenerate directions) would take the max_df-style
-    ceiling the text path uses."""
+    ``max_bucket`` is the hot-bucket ceiling (the text path's max_df
+    analog): buckets with more members than the ceiling are dropped
+    WHOLE before the pair join (deterministic, arrival-order-free), so
+    candidate cost stays Sum(min(bucket, ceiling)^2). Default None
+    (off) so the streaming twin's incremental emission stays exactly
+    equal — a stream cannot retract pairs it emitted before a bucket
+    crossed the ceiling."""
     banded = srp_banded_buckets(
         vectors, vec_col, id_col, n_bands, band_bits, dim, seed
     )
+    if max_bucket is not None:
+        hot = (
+            banded.groupBy("band", "bsig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band", "bsig")
+        )
+        banded = banded.join(hot, on=["band", "bsig"], how="left_anti")
     l = banded.select(
         F.col(id_col).alias("v1"), "band", "bsig"
     )

@@ -3081,3 +3081,42 @@ def test_stream_unigram_tokenize_equals_mirror(spark):
         .fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_cosine_neardup_lsh_max_bucket_ceiling(spark):
+    """The hot-bucket ceiling drops whole buckets deterministically:
+    with a ceiling of 1 no bucket can pair, so the result is empty;
+    with the ceiling off the fixture's near-dup pairs appear; and the
+    ceiling never ADDS pairs (subset of the unceilinged result)."""
+    import numpy as np
+
+    from kstreamjs_spark.operators.similarity import (
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(6):
+        if i % 2 == 1:
+            v = base + rng.standard_normal(64) * 0.05
+        else:
+            base = rng.standard_normal(64)
+            v = base
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = {
+        (r["v1"], r["v2"])
+        for r in cosine_neardup_pairs_lsh(df, threshold=0.4).collect()
+    }
+    assert full
+    capped1 = cosine_neardup_pairs_lsh(
+        df, threshold=0.4, max_bucket=1
+    ).collect()
+    assert capped1 == []
+    capped = {
+        (r["v1"], r["v2"])
+        for r in cosine_neardup_pairs_lsh(
+            df, threshold=0.4, max_bucket=2
+        ).collect()
+    }
+    assert capped <= full
