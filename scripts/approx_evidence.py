@@ -1,8 +1,9 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
 q26b, q26c, q27b, q42, q50, q159, q180, q180b, q181, q181b, q191,
-q191b, q192, q192b, q194, q195; q163's behavioral contract lives in
-pytest). Each is measured against its EXACT
+q191b, q192, q192b, q194, q195, q205, q212, q212b, q214, q214b;
+q163's behavioral contract lives in pytest). Each is measured against
+its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
 artifact that persists across rounds (referenced from BASELINE.md)
