@@ -1131,8 +1131,16 @@ def cosine_neardup_pairs_lsh(
     pairwise SQL in APPROX_EVIDENCE).
 
     At 100 TB: signatures are one Arrow matmul in the scan projection;
-    buckets are bounded by 2^band_bits per band times the cell load —
-    ``max_bucket`` is the hot-bucket ceiling (the text path's max_df
+    candidate cost is Sum(bucket^2) over 2^band_bits buckets per band.
+    PARAMETER HONESTY: the defaults (b=5, L=20) are tuned to the
+    synthetic corpus's operating point — cosine 0.4, where p_bit is
+    only ~0.63, so narrow bands are needed for recall and the bucket
+    bill is correspondingly fat. A production NEAR-DUP threshold
+    (0.9+: p_bit ~0.9) uses WIDE bands — b=16, L=20 gives recall
+    1-(1-0.9^16)^20 ~ 0.99 over 65k buckets per band, collapsing the
+    candidate bill to ~20*N^2/65536 — so at scale the knob to turn is
+    band_bits with the threshold, never a wider scan. ``max_bucket``
+    is the additional hot-bucket ceiling (the text path's max_df
     analog): buckets with more members than the ceiling are dropped
     WHOLE before the pair join (deterministic, arrival-order-free), so
     candidate cost stays Sum(min(bucket, ceiling)^2). Default None
