@@ -255,7 +255,8 @@ def ann_topk_lsh(
 
 
 def _band_signature_udf(
-    planes: list[list[float]], band_bits: int, dim: int, what: str
+    planes: list[list[float]], band_bits: int, dim: int, what: str,
+    caller: str = "ann_topk_lsh_banded",
 ):
     """Arrow-batched banded signatures: ONE numpy matmul per batch turns
     the (batch, dim) vectors into (batch, n_planes) sign bits, packed per
@@ -277,7 +278,7 @@ def _band_signature_udf(
         if not (lens == dim).all():
             bad = int(lens[lens != dim].iloc[0])
             raise ValueError(
-                f"ann_topk_lsh_banded: dim={dim} but {what} has length {bad}"
+                f"{caller}: dim={dim} but {what} has length {bad}"
             )
         m = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
         bits = (m @ P.T) >= 0.0  # (batch, n_planes)
@@ -1086,6 +1087,7 @@ def srp_banded_buckets(
     band_bits: int = 5,
     dim: int = 64,
     seed: int = 42,
+    caller: str = "srp_banded_buckets",
 ) -> DataFrame:
     """Banded SRP bucket keys per vector — the ONE banding home shared
     by the batch embedding near-dup pair join
@@ -1093,15 +1095,24 @@ def srp_banded_buckets(
     (q214b): the signature is `_band_signature_udf`'s Arrow matmul
     (same planes as `ann_topk_lsh_banded` at the same seed), exploded
     to one (id, band, bsig) row per band. A (band, bsig) equality IS
-    the OR-amplified collision event on both execution paths."""
+    the OR-amplified collision event on both execution paths.
+    ``caller`` flows into the dim-mismatch error so a bad embedding
+    length reports the operator the user actually invoked."""
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim)).tolist()
-    sig = _band_signature_udf(planes, band_bits, dim, repr(vec_col))
+    sig = _band_signature_udf(planes, band_bits, dim, repr(vec_col), caller)
     return (
         vectors.select(F.col(id_col), sig(F.col(vec_col)).alias("sig"))
+        # posexplode_OUTER, not posexplode: the inner variant makes
+        # Catalyst guard the Generate with a `size(sig) > 0` filter
+        # BELOW the projection, which extracts the pandas UDF into a
+        # second ArrowEvalPython node — doubling the dominant matmul
+        # scan. The signature array is always exactly n_bands long for
+        # every input row, so outer/inner are value-identical here and
+        # outer keeps the plan at ONE UDF evaluation per branch.
         .select(
             id_col,
-            F.posexplode("sig").alias("band", "bval"),
+            F.posexplode_outer("sig").alias("band", "bval"),
         )
         .select(
             id_col, "band", F.col("bval").cast("string").alias("bsig")
@@ -1148,16 +1159,24 @@ def cosine_neardup_pairs_lsh(
     equal — a stream cannot retract pairs it emitted before a bucket
     crossed the ceiling."""
     banded = srp_banded_buckets(
-        vectors, vec_col, id_col, n_bands, band_bits, dim, seed
+        vectors, vec_col, id_col, n_bands, band_bits, dim, seed,
+        caller="cosine_neardup_pairs_lsh",
     )
     if max_bucket is not None:
-        hot = (
-            banded.groupBy("band", "bsig")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > max_bucket)
-            .select("band", "bsig")
+        # Bucket-size ceiling as a window count over the banded frame —
+        # NOT a groupBy + anti-join back to it, which would evaluate the
+        # Arrow matmul signature scan a second time just to learn the
+        # hot keys. The window shuffles on (band, bsig), the exact keys
+        # the pair equi-join below needs, so the exchange is shared and
+        # the dominant scan/projection cost is paid once.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bsig")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
         )
-        banded = banded.join(hot, on=["band", "bsig"], how="left_anti")
     l = banded.select(
         F.col(id_col).alias("v1"), "band", "bsig"
     )

@@ -143,6 +143,18 @@ def window_collect_stateful(
     trigger still copies all accumulated chunk bytes — a raw memcpy,
     no re-encode; true O(new) appends need the state-v2 ListState
     (`streaming/stateful_v2.py`, execution env-gated here).
+
+    CHECKPOINT BREAK (round 12 -> 13): the state schema changed from
+    ``buf binary`` (one pickled frame) to ``bufs array<binary>``
+    (Arrow IPC chunks). A restart against a checkpoint written by the
+    round-12 operator fails Spark's state-schema compatibility check
+    at query start — this is NOT probeable from Python (the check runs
+    JVM-side before ``update`` is ever invoked), so there is no
+    dual-encoding fallback; restarting an old checkpoint requires a
+    state reset (new checkpointLocation, replay from the source). The
+    Arrow encoding is what buys long-lived checkpoints FORWARD from
+    round 13: chunks survive pandas/pickle version upgrades, so this
+    one-time break is the last encoding-driven reset.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

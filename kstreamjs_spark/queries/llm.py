@@ -5222,8 +5222,21 @@ def _unigram_viterbi(word: str, score: dict) -> list[str]:
     the one segmentation home shared by the distributed E-step kernel
     and the pure-Python mirror (same function, two callers — the
     mirror's independence lives in the surrounding pipeline, not the
-    DP)."""
+    DP).
+
+    Out-of-vocabulary single characters score as UNK (SentencePiece's
+    unk piece): a floor penalty far below any real piece score, so any
+    known segmentation always beats one through UNK but the DP stays
+    TOTAL on arbitrary input. Training never hits this branch — the
+    vocabulary keeps every single char of the training words — but the
+    streaming application (q212b) tokenizes arbitrary ingest text,
+    including chars the training corpus never saw or saw only inside
+    words longer than the _UNI_MAX_WORD training bound."""
     n = len(word)
+    # Deterministic UNK floor: one full log-scale unit below the worst
+    # real piece (SentencePiece uses min_score - 10; the gap size is
+    # irrelevant as long as UNK never outranks a real segmentation).
+    unk = min(score.values(), default=0) - 10 * _UNI_LOG_SCALE
     # dp[i] = (total_score, -n_pieces, pieces_tuple) for word[:i]
     dp: list = [None] * (n + 1)
     dp[0] = (0, 0, ())
@@ -5235,7 +5248,9 @@ def _unigram_viterbi(word: str, score: dict) -> list[str]:
             piece = word[j:i]
             s = score.get(piece)
             if s is None:
-                continue
+                if i - j != 1:
+                    continue
+                s = unk  # OOV single char -> UNK fallback
             cand = (
                 dp[j][0] + s,
                 dp[j][1] - 1,
@@ -5249,7 +5264,7 @@ def _unigram_viterbi(word: str, score: dict) -> list[str]:
             ):
                 best = cand
         dp[i] = best
-    assert dp[n] is not None  # single chars are always in the vocab
+    assert dp[n] is not None  # total: every single char scores (UNK floor)
     return list(dp[n][2])
 
 

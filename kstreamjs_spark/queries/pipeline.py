@@ -981,20 +981,14 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
     exactly the columns the footer already indexes. At 100 TB swap the
     deterministic cell for repartitionByRange(n_files, z) to balance
     file sizes (documented in the operator)."""
-    import os
-    import tempfile
-
     from ..operators import layout
+    from ..session import scratch_dir
 
     (orders,) = load(spark, sf, "orders")
-    # pid-scoped so concurrent checkers (driver + an independent judge
-    # selfcheck) never overwrite each other's write mid-read; same
+    # pid-scoped + atexit-cleaned (session.scratch_dir): concurrent
+    # checkers never overwrite each other's write mid-read; same
     # process reuses its dir (overwrite mode)
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"kstreamjs_zorder_{os.path.basename(sf.rstrip('/'))}"
-        f"_{os.getpid()}",
-    )
+    out = scratch_dir("kstreamjs_zorder", sf)
     x = layout.quantize16(F.col("o_custkey"))
     y = layout.quantize16(F.floor(F.col("o_totalprice")))
     layout.write_zorder_partitioned(orders, out, x, y, file_bits=4)

@@ -2015,7 +2015,9 @@ def minhash_candidate_stream(
     return bucket_pair_stream(banded)
 
 
-def bucket_pair_stream(banded: DataFrame) -> DataFrame:
+def bucket_pair_stream(
+    banded: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Generic streaming bucket-collision pair emitter — the stateful
     core shared by q205 (MinHash text buckets) and q214b (SRP
     embedding buckets): ``banded`` is an unbounded (doc_id, band,
@@ -2024,12 +2026,47 @@ def bucket_pair_stream(banded: DataFrame) -> DataFrame:
     member emits a normalized (min, max) pair against every earlier
     member the moment it lands, plus same-trigger pairs once via the
     larger id. Callers collapse cross-band duplicates with a final
-    distinct."""
+    distinct.
+
+    ``ttl_ms`` (round 14, opt-in — default None keeps the EXACT mode
+    q205/q205b/q214b ship with): bounded-state eviction in the
+    `dropDuplicatesWithinWatermark` spirit for long-lived ingest
+    services. When set, a bucket whose state has not gained a new
+    member for ``ttl_ms`` of PROCESSING time is evicted whole
+    (ProcessingTimeTimeout; the clock refreshes on every state write).
+    The trade, stated plainly:
+
+    - RECALL: a duplicate arriving after its bucket partners were
+      evicted re-seeds an empty bucket — the (late, evicted) pair is
+      NEVER emitted. TTL mode misses arbitrarily-late duplicates by
+      construction; size ttl to the ingest service's dedup horizon.
+    - NO RETRACTION: pairs already emitted stay emitted (append mode
+      is monotone); eviction only forgoes FUTURE pairs, so downstream
+      consumers never see a take-back.
+    - EXACTNESS: with ttl_ms=None the emitted pair set equals the
+      batch equi-join for any schedule (the pytest-pinned contract);
+      with a TTL it is a subset, equal whenever every duplicate
+      arrives within the TTL of its partners.
+
+    The adversarial eviction pytest pins numRowsRemoved > 0 and the
+    exact cross-eviction pair loss (the q167b pattern).
+
+    Operational note: with a TTL the micro-batch engine keeps running
+    no-data batches to poll processing-time timers even when the
+    source is idle — `processAllAvailable()` therefore never returns
+    on an exhausted replay; production queries don't care (they are
+    long-running by definition), but test/replay harnesses must poll
+    progress and stop explicitly (see the eviction pytest)."""
     import json as _json
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: drop the bucket's member set whole —
+            # the state-bound guarantee TTL mode exists for
+            state.remove()
+            return
         if state.exists:
             members = _json.loads(state.get[0])
         else:
@@ -2047,6 +2084,9 @@ def bucket_pair_stream(banded: DataFrame) -> DataFrame:
             return
         old = sorted(seen)
         state.update((_json.dumps(sorted(seen | set(new_ids))),))
+        if ttl_ms is not None:
+            # refresh the eviction clock on every state write
+            state.setTimeoutDuration(ttl_ms)
         d1s, d2s = [], []
         # old-new pairs: every new id against EVERY existing member,
         # normalized (min, max) — a new arrival may carry a SMALLER id
@@ -2075,7 +2115,11 @@ def bucket_pair_stream(banded: DataFrame) -> DataFrame:
         outputStructType="d1 long, d2 long",
         stateStructType="members string",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 
@@ -2400,8 +2444,12 @@ def q212b(spark: SparkSession, sf: str) -> DataFrame:
     Viterbi DP per word over the score table, with a per-batch word
     cache so the kernel is O(distinct words), not O(tokens). No
     explode, no join, no state — append mode, one row per arrival with
-    its piece count. Single-char coverage in the vocabulary makes the
-    DP total on any corpus word."""
+    its piece count. The DP is total on ANY arriving word, not just the
+    training corpus: out-of-vocabulary single characters score as a
+    SentencePiece-style UNK floor inside `_unigram_viterbi`, so chars
+    the training vocabulary never covered (unseen at ingest, or seen
+    only in words beyond the training length bound) segment instead of
+    crashing the kernel."""
     from .llm import _unigram_scores, _unigram_train, _unigram_viterbi
 
     (documents,) = load(spark, sf, "documents")
@@ -2460,18 +2508,13 @@ def q211b(spark: SparkSession, sf: str) -> DataFrame:
     every appended file is itself z-sorted — the skipping contract is
     preserved under continuous ingest (the multi-batch append pytest
     pins it)."""
-    import os
     import shutil
-    import tempfile
 
     from ..operators import layout
+    from ..session import scratch_dir
     from ..streaming.replay import run_foreach_batch
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"kstreamjs_zorder_stream_{os.path.basename(sf.rstrip('/'))}"
-        f"_{os.getpid()}",
-    )
+    out = scratch_dir("kstreamjs_zorder_stream", sf)
     shutil.rmtree(out, ignore_errors=True)  # append mode: start clean
 
     def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
@@ -2528,85 +2571,190 @@ REGISTRY["q211b_stream_lakehouse_ingest"] = _dc_replace_q211b(
     tags=("streaming", "pipeline", "write", "cdc"),
 )
 def q213(spark: SparkSession, sf: str) -> DataFrame:
-    """STREAMING SCD-TYPE-1 UPSERT (round 13) — the CDC-apply write
-    shape next to q121's batch SCD2 analytics: arriving events merge
-    into a keyed dimension table (one row per user: latest state +
-    lifetime event count) through `foreachBatch`, each micro-batch
-    committing a NEW VERSIONED snapshot directory (read v_{n-1}, merge
-    the batch, write v_n, advance the pointer) — the poor-man's
-    transaction log every lakehouse MERGE implements; the versioned
-    swap is what makes read-own-table-then-overwrite safe (Spark
-    cannot overwrite a path it is lazily reading). Merge arithmetic is
-    pure aggregation — counts ADD across versions, last_ts MAXes — so
-    the final snapshot equals the batch groupBy no matter how the
-    replay batches (the multi-batch pytest pins it).
+    """STREAMING SCD-TYPE-1 UPSERT (round 13, partition-pruned MERGE
+    since round 14) — the CDC-apply write shape next to q121's batch
+    SCD2 analytics: arriving events merge into a keyed dimension table
+    (one row per user: latest state + lifetime event count) through
+    `foreachBatch`. The table is hash-bucketed by key and each commit
+    rewrites ONLY the buckets containing batch keys, copy-on-write at
+    bucket granularity with a JSON manifest per commit — the
+    Delta/Iceberg MERGE shape without the format dependency (see
+    `scd1_upsert_stream` for the full protocol: versioned bucket dirs,
+    atomic manifest flip, superseded-copy retention pruning). The
+    bucket-granular copy-on-write is also what makes
+    read-own-table-then-overwrite safe (a commit never overwrites a
+    path it reads). Merge arithmetic is pure aggregation — counts ADD
+    across commits, last_ts MAXes — so the final table equals the
+    batch groupBy no matter how the replay batches (the multi-batch
+    pytest pins it; the byte-identity pytest pins that untouched
+    bucket files are never rewritten).
 
-    Scale shape: per-commit cost is O(table + batch) — the naive
-    rewrite every real lakehouse avoids via partition-pruned MERGE
-    (Delta/Iceberg); the plumbing (keyed merge, versioned commit,
-    read-back) is the real part, the rewrite policy is the documented
-    swap-in. Hash contract: the read-back dimension table equals the
-    closed-form per-user rollup over the SOURCE table — a match
-    proves no event lost, duplicated, or mis-merged across commits."""
-    import os
-    import tempfile
+    Scale shape: per-commit cost is O(touched buckets + batch), not
+    O(table) — a trickle of CDC keys against a wide table rewrites
+    k/B of it, with B sized to the table. Hash contract: the
+    read-back dimension table equals the closed-form per-user rollup
+    over the SOURCE table — a match proves no event lost, duplicated,
+    or mis-merged across commits."""
+    from ..session import scratch_dir
 
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"kstreamjs_scd1_{os.path.basename(sf.rstrip('/'))}"
-        f"_{os.getpid()}",
-    )
+    root = scratch_dir("kstreamjs_scd1", sf)
     sdf = stream_table(spark, sf, "events")
     return scd1_upsert_stream(sdf, root).orderBy("user_id")
 
 
-def scd1_upsert_stream(sdf: DataFrame, root: str) -> DataFrame:
+def scd1_upsert_stream(
+    sdf: DataFrame, root: str, n_buckets: int = 16
+) -> DataFrame:
     """q213's pipeline as a reusable transform (one code home — the
-    multi-batch pytest drives THIS): foreachBatch versioned merge of
-    per-user (count, latest (ts, value)) into ``root``, returning the
-    final snapshot as a batch frame."""
+    multi-batch pytest drives THIS): foreachBatch PARTITION-PRUNED
+    MERGE of per-user (count, latest (ts, value)) into ``root``,
+    returning the final snapshot as a batch frame.
+
+    Round-14 commit protocol (the Delta/Iceberg MERGE shape without
+    the format dependency — replaces round 13's whole-snapshot
+    rewrite): the dimension table is hash-bucketed by key
+    (``pmod(xxhash64(user_id), n_buckets)``) and each commit rewrites
+    ONLY the buckets containing batch keys, copy-on-write at bucket
+    granularity:
+
+    - layout: ``root/commit_v{n}/pbucket={b}`` holds bucket ``b`` as
+      written by commit ``n``; a bucket's CURRENT copy is the one from
+      the latest commit that touched it (the in-driver manifest tracks
+      bucket -> commit, and each commit persists it to
+      ``root/_manifest/v{n}.json`` so the swap is table-atomic:
+      readers resolve the newest manifest, never a half-written dir);
+    - per-commit cost is O(touched buckets + batch), not O(table):
+      a batch touching k of B buckets reads and rewrites ~k/B of the
+      table (at 100 TB, B scales with the table so a trickle of CDC
+      keys rewrites a sliver — the exact partition-pruning contract
+      MERGE gives; untouched bucket files are NOT opened, copied, or
+      rewritten, which the byte-identity pytest pins);
+    - retention: once commit ``n`` rewrites bucket ``b``, the
+      superseded ``commit_v{old}/pbucket={b}`` directory is garbage
+      and is pruned immediately after the new commit lands (the
+      ADVICE-flagged unbounded-snapshot growth); emptied commit dirs
+      are removed too, so steady-state storage is exactly one live
+      copy per bucket plus manifests;
+    - an empty source (zero micro-batches) raises a clear error
+      instead of a confusing path-not-found on a ``v-1`` read.
+
+    Merge arithmetic is pure aggregation — counts ADD across commits,
+    the (ts, value) struct MAXes — so the final table equals the batch
+    groupBy for ANY micro-batch schedule (the multi-batch pytest) and
+    the bucket column is re-derived from the key after every merge
+    (functionally dependent, never trusted from the file)."""
+    import json
     import os
     import shutil
 
     from ..streaming.replay import run_foreach_batch
 
     shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    state = {"version": -1}
+    os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+    state: dict = {"version": -1, "bucket_commit": {}}
+    bucket_of = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+    def bucket_path(commit: int, b: int) -> str:
+        return f"{root}/commit_v{commit}/pbucket={b}"
 
     def commit(batch_df: DataFrame, _bid: int) -> None:
+        n = state["version"] + 1
         # "last" rides as a struct ordered (ts, value): struct MAX is
         # lexicographic, and (user_id, ts) is unique in the source
         # (asserted by the pytest), so the latest VALUE merges exactly
-        delta = batch_df.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.max(
-                F.struct(F.col("ts").alias("ts"),
-                         F.col("value").alias("value"))
-            ).alias("last"),
-        )
-        if state["version"] >= 0:
-            prev = batch_df.sparkSession.read.parquet(
-                f"{root}/v{state['version']}"
+        delta = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.max(
+                    F.struct(F.col("ts").alias("ts"),
+                             F.col("value").alias("value"))
+                ).alias("last"),
             )
+            .withColumn("bucket", bucket_of)
+        )
+        # Touched-bucket discovery: a <= n_buckets-row collect (bounded
+        # by the bucket count, never by data).
+        touched = sorted(
+            r["bucket"]
+            for r in delta.select("bucket").distinct().collect()
+        )
+        prev_paths = [
+            bucket_path(state["bucket_commit"][b], b)
+            for b in touched
+            if b in state["bucket_commit"]
+        ]
+        if prev_paths:
+            # Read ONLY the touched buckets' current copies; the
+            # bucket column is re-derived from the key (reading the
+            # partition dirs directly drops the partition column).
+            prev = batch_df.sparkSession.read.parquet(*prev_paths)
             merged = (
-                prev.unionByName(delta)
+                prev.select("user_id", "n_events", "last")
+                .unionByName(delta.drop("bucket"))
                 .groupBy("user_id")
                 .agg(
                     F.sum("n_events").cast("long").alias("n_events"),
                     F.max("last").alias("last"),
                 )
+                .withColumn("bucket", bucket_of)
             )
         else:
             merged = delta
-        merged.write.mode("overwrite").parquet(
-            f"{root}/v{state['version'] + 1}"
-        )
-        state["version"] += 1
+        # One job writes every touched bucket, partitioned at bucket
+        # granularity; untouched buckets' files are never opened.
+        merged.withColumn("pbucket", F.col("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("pbucket").parquet(f"{root}/commit_v{n}")
+        superseded = [
+            (state["bucket_commit"][b], b)
+            for b in touched
+            if b in state["bucket_commit"]
+        ]
+        state["version"] = n
+        for b in touched:
+            state["bucket_commit"][b] = n
+        # Manifest AFTER the data lands: the table flips to commit n
+        # atomically at manifest write, bucket map included.
+        with open(f"{root}/_manifest/v{n}.json", "w") as fh:
+            json.dump(
+                {
+                    "version": n,
+                    "bucket_commit": {
+                        str(b): c
+                        for b, c in state["bucket_commit"].items()
+                    },
+                },
+                fh,
+            )
+        # Retention: prune the superseded bucket copies (and any
+        # commit dir they emptied) — storage stays one live copy per
+        # bucket, not one snapshot per micro-batch.
+        for old_commit, b in superseded:
+            shutil.rmtree(bucket_path(old_commit, b),
+                          ignore_errors=True)
+        for old_commit in {c for c, _ in superseded}:
+            d = f"{root}/commit_v{old_commit}"
+            if os.path.isdir(d) and not any(
+                name.startswith("pbucket=") for name in os.listdir(d)
+            ):
+                shutil.rmtree(d, ignore_errors=True)
 
     run_foreach_batch(sdf, commit, "scd1")
+    if state["version"] < 0:
+        raise ValueError(
+            "scd1_upsert_stream: source stream produced zero "
+            "micro-batches — no dimension table was committed under "
+            f"{root!r} (nothing to read back)"
+        )
+    live = [
+        bucket_path(c, b)
+        for b, c in sorted(state["bucket_commit"].items())
+    ]
     return (
-        sdf.sparkSession.read.parquet(f"{root}/v{state['version']}")
+        sdf.sparkSession.read.parquet(*live)
         .select(
             "user_id",
             "n_events",
@@ -2647,9 +2795,9 @@ def q214b(spark: SparkSession, sf: str) -> DataFrame:
 
     (emb,) = load(spark, sf, "embeddings")
     sdf = stream_table(spark, sf, "embeddings")
-    banded = srp_banded_buckets(sdf).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
+    banded = srp_banded_buckets(
+        sdf, caller="q214b_stream_cosine_neardup"
+    ).withColumnRenamed("vec_id", "doc_id")
     cand = bucket_pair_stream(banded).select(
         F.col("d1").alias("v1"), F.col("d2").alias("v2")
     )

@@ -74,3 +74,31 @@ def configure_runtime(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+
+
+def scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Pid-scoped scratch directory for queries that exercise the WRITE
+    path (q173/q211/q211b/q213): concurrent checkers (driver + an
+    independent judge selfcheck) never clobber each other's write
+    mid-read, the same process reuses its dir across invocations, and an
+    ``atexit`` hook removes every dir this process created — the
+    ADVICE-flagged leak of pid-scoped temp dirs that outlive the run.
+
+    Cleanup is registered once per path; crashes still leave dirs behind
+    (tempdir policy collects those), but every normal exit is clean."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+_SCRATCH_REGISTERED: set[str] = set()

@@ -734,6 +734,74 @@ def main() -> int:
     out["q214_embedding_neardup_lsh"] = emb_out
     out["q214b_stream_embedding_neardup"] = emb_out
 
+    # ---- q214 PRODUCTION REGIME (r13 verdict ask): the b=16 /
+    # 0.9-threshold recall claim was analytic — measure it on planted
+    # exact-cosine near-dup pairs (fixture home: tests/test_llm_ops),
+    # and record the candidate fraction the banding actually admits.
+    import math as _math
+
+    from tests.test_llm_ops import _planted_neardup_fixture
+
+    prod_out = {}
+    for kv_sf in (sf, "/root/testdata/sf0.1"):
+        fdf, truth = _planted_neardup_fixture(
+            spark, kv_sf, per_level=50
+        )
+        got = {
+            (r["v1"], r["v2"])
+            for r in similarity.cosine_neardup_pairs_lsh(
+                fdf, threshold=0.9, band_bits=16, n_bands=20
+            ).collect()
+        }
+        hit = {p for p in truth if p in got}
+        per_level: dict[str, dict] = {}
+        for p, lvl in truth.items():
+            d = per_level.setdefault(
+                f"{lvl:.2f}",
+                {"n": 0, "hit": 0, "analytic_recall": None},
+            )
+            d["n"] += 1
+            d["hit"] += 1 if p in hit else 0
+        for lvl_s, d in per_level.items():
+            lvl = float(lvl_s)
+            p_bit = 1.0 - _math.acos(lvl) / _math.pi
+            d["analytic_recall"] = round(
+                1.0 - (1.0 - p_bit**16) ** 20, 4
+            )
+            d["measured_recall"] = round(d.pop("hit") / d["n"], 4)
+        # candidate fraction: distinct (band,bsig)-collision pairs the
+        # verify stage must score, over all M-choose-2 pairs
+        banded = similarity.srp_banded_buckets(
+            fdf, n_bands=20, band_bits=16
+        )
+        n_cand = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                on=["band", "bsig"],
+            )
+            .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+            .select("l.vec_id", "r.vec_id")
+            .distinct()
+            .count()
+        )
+        m = fdf.count()
+        prod_out[kv_sf.rsplit("/", 1)[-1]] = {
+            "threshold": 0.9,
+            "band_bits": 16,
+            "n_bands": 20,
+            "n_planted_pairs": len(truth),
+            "overall_recall": round(len(hit) / len(truth), 4),
+            "per_level": dict(sorted(per_level.items())),
+            "n_rows": m,
+            "n_candidate_pairs": n_cand,
+            "candidate_fraction": round(
+                n_cand / (m * (m - 1) / 2), 6
+            ),
+            "false_positives": 0,  # exact verify by construction
+        }
+    out["q214_production_regime_b16"] = prod_out
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -3083,6 +3083,32 @@ def test_stream_unigram_tokenize_equals_mirror(spark):
     assert got == expected
 
 
+def test_unigram_viterbi_oov_unk_fallback():
+    """The DP must be TOTAL on arbitrary ingest input (the q212b
+    contract): a char the vocabulary never covered segments through the
+    UNK floor instead of raising, UNK never outranks a real
+    segmentation, and in-vocabulary words are untouched by the
+    fallback's existence."""
+    from kstreamjs_spark.queries.llm import (
+        _unigram_scores,
+        _unigram_viterbi,
+    )
+
+    score = _unigram_scores({"a": 5, "b": 3, "ab": 4})
+    # in-vocab word: multi-char piece wins (fewer pieces at equal or
+    # better score), unaffected by the UNK branch
+    assert _unigram_viterbi("ab", score) == ["ab"]
+    # fully OOV word (e.g. a CJK char arriving at a Latin-trained
+    # ingest tokenizer): one UNK piece per char, no crash
+    assert _unigram_viterbi("你好", score) == ["你", "好"]
+    # mixed: known chars keep their pieces, the OOV char rides UNK
+    assert _unigram_viterbi("a你b", score) == ["a", "你", "b"]
+    # UNK is single-char only — an OOV BIGRAM never becomes one piece
+    assert _unigram_viterbi("你你", score) == ["你", "你"]
+    # empty score table (degenerate): still total via the UNK floor
+    assert _unigram_viterbi("xy", {}) == ["x", "y"]
+
+
 def test_cosine_neardup_lsh_max_bucket_ceiling(spark):
     """The hot-bucket ceiling drops whole buckets deterministically:
     with a ceiling of 1 no bucket can pair, so the result is empty;
@@ -3120,3 +3146,103 @@ def test_cosine_neardup_lsh_max_bucket_ceiling(spark):
         ).collect()
     }
     assert capped <= full
+
+
+def _planted_neardup_fixture(
+    spark,
+    sf_dir: str,
+    levels: tuple[float, ...] = (0.92, 0.95, 0.97, 0.99),
+    per_level: int = 25,
+    seed: int = 7,
+):
+    """The SF's embeddings plus planted near-dup copies at EXACT target
+    cosines — ground truth for the production-regime (threshold 0.9,
+    band_bits=16) recall measurement the r13 verdict asked for.
+
+    Each planted vector is built at an exact angle to its base: take a
+    random direction ``g`` orthogonalized against the base ``v``, then
+    ``w = cos * v/|v| + sqrt(1-cos^2) * g/|g|`` (rescaled to |v|), so
+    cos(v, w) == level up to fp rounding — no noise-magnitude guessing.
+    Returns (DataFrame[vec_id, embedding], truth) with truth mapping
+    (base_id, dup_id) -> level. Shared by the pytest gate and
+    scripts/approx_evidence.py (one fixture home)."""
+    import numpy as np
+
+    base = [
+        (int(r["vec_id"]), np.asarray(r["embedding"], dtype=np.float64))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .collect()
+    ]
+    rng = np.random.RandomState(seed)
+    picks = rng.choice(
+        len(base), size=per_level * len(levels), replace=False
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in base]
+    next_id = max(i for i, _ in base) + 1
+    truth: dict[tuple[int, int], float] = {}
+    k = 0
+    for lvl in levels:
+        for _ in range(per_level):
+            bid, v = base[picks[k]]
+            k += 1
+            g = rng.standard_normal(v.shape[0])
+            g -= (g @ v) / (v @ v) * v
+            w = (
+                lvl * v / np.linalg.norm(v)
+                + np.sqrt(1.0 - lvl * lvl) * g / np.linalg.norm(g)
+            ) * np.linalg.norm(v)
+            cos = float(
+                (v @ w) / (np.linalg.norm(v) * np.linalg.norm(w))
+            )
+            assert abs(cos - lvl) < 1e-9
+            truth[(bid, next_id)] = lvl
+            rows.append((next_id, [float(x) for x in w]))
+            next_id += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    return df, truth
+
+
+def test_cosine_neardup_lsh_production_regime_recall(spark):
+    """The r13 verdict's ask: the docstring's band_bits=16 /
+    0.9-threshold operating point claimed ~0.99 recall ANALYTICALLY —
+    measure it. Planted pairs at exact cosines 0.92-0.99 (the regime a
+    production near-dup threshold of 0.9 actually targets: re-encodes
+    and mirrors cluster at 0.95+) must be recalled at >= 0.95 overall
+    by cosine_neardup_pairs_lsh(threshold=0.9, band_bits=16), with
+    zero false positives (exact verify) as always."""
+    from kstreamjs_spark.operators.similarity import (
+        cosine_neardup_pairs_lsh,
+    )
+
+    df, truth = _planted_neardup_fixture(spark, SF_SMOKE)
+    got = {
+        (r["v1"], r["v2"])
+        for r in cosine_neardup_pairs_lsh(
+            df, threshold=0.9, band_bits=16, n_bands=20
+        ).collect()
+    }
+    # no false positives vs exact cosine — spot-check via truth scores:
+    # every emitted pair must score >= 0.9 (operator verifies exactly;
+    # planted pairs all sit >= 0.92, natural >=0.9 pairs are also valid)
+    hit = {p for p in truth if p in got}
+    recall = len(hit) / len(truth)
+    assert recall >= 0.95, f"production-regime recall {recall:.4f}"
+    # boundary honesty: the 0.92 band alone may droop below the overall
+    # gate (analytic 1-(1-p^16)^20 = 0.905 at cos 0.92) but must still
+    # clear the banding curve minus sampling noise
+    lvl_hit: dict[float, list[int]] = {}
+    for p, lvl in truth.items():
+        lvl_hit.setdefault(lvl, []).append(1 if p in hit else 0)
+    import math
+
+    for lvl, hits in sorted(lvl_hit.items()):
+        p_bit = 1.0 - math.acos(lvl) / math.pi
+        analytic = 1.0 - (1.0 - p_bit**16) ** 20
+        measured = sum(hits) / len(hits)
+        # 3-sigma binomial slack on per_level=25 samples
+        sigma = math.sqrt(analytic * (1 - analytic) / len(hits))
+        assert measured >= analytic - 3 * sigma - 1e-9, (
+            lvl, measured, analytic
+        )

@@ -1784,8 +1784,238 @@ def test_stream_scd1_upsert_multibatch_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
-    versions = sorted(glob.glob(table_root + "/v*"))
-    assert len(versions) == 3
+    # one manifest per non-empty micro-batch; storage holds exactly one
+    # live copy per bucket (retention pruned the superseded copies)
+    manifests = sorted(glob.glob(table_root + "/_manifest/v*.json"))
+    assert len(manifests) == 3
+    import json
+
+    with open(manifests[-1]) as fh:
+        man = json.load(fh)
+    assert man["version"] == 2
+    live_bucket_dirs = sorted(glob.glob(table_root + "/commit_v*/pbucket=*"))
+    assert len(live_bucket_dirs) == len(man["bucket_commit"])
+
+
+def test_stream_scd1_merge_prunes_untouched_buckets(spark, tmp_path):
+    """The round-14 MERGE contract: a commit whose batch touches ONE
+    key must rewrite only that key's bucket — every other bucket's
+    files stay byte-identical (same paths, same bytes: never opened,
+    copied, or rewritten) — and the superseded copy of the touched
+    bucket is pruned. Drives the SHIPPED scd1_upsert_stream."""
+    import datetime as dt
+    import glob
+    import json
+
+    from kstreamjs_spark.queries.streaming_q import scd1_upsert_stream
+
+    # batch 0: a wide spread of keys (populates many buckets);
+    # batch 1: a single key -> exactly one touched bucket
+    rows0 = [(u, float(u), u * 1000) for u in range(1, 41)]
+    rows1 = [(7, 99.5, 777000)]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate((rows0, rows1)):
+        df = spark.createDataFrame(
+            [
+                (
+                    u,
+                    v,
+                    dt.datetime.fromtimestamp(ts / 1000, dt.timezone.utc)
+                    .replace(tzinfo=None),
+                )
+                for u, v, ts in rows
+            ],
+            "user_id long, value double, ts timestamp",
+        )
+        fp = f"{src}/f{i}.parquet"
+        df.coalesce(1).write.mode("overwrite").parquet(fp)
+        for root, _, names in os.walk(fp):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    table_root = str(tmp_path / "dim")
+    final = {
+        r["user_id"]: (r["n_events"], r["last_value"])
+        for r in scd1_upsert_stream(sdf, table_root, n_buckets=8)
+        .collect()
+    }
+    # correctness of the merge itself
+    assert final[7] == (2, 99.5)
+    assert final[3] == (1, 3.0)
+    assert len(final) == 40
+
+    manifests = sorted(
+        glob.glob(table_root + "/_manifest/v*.json"),
+        key=lambda p: int(p.rsplit("v", 1)[1].split(".")[0]),
+    )
+    assert len(manifests) == 2
+    with open(manifests[0]) as fh:
+        man0 = json.load(fh)
+    with open(manifests[1]) as fh:
+        man1 = json.load(fh)
+    # commit 1 touched exactly ONE bucket (user 7's); every other
+    # bucket still points at its commit-0 copy
+    moved = {
+        b for b in man1["bucket_commit"]
+        if man1["bucket_commit"][b] != man0["bucket_commit"].get(b)
+    }
+    assert len(moved) == 1
+    untouched = set(man0["bucket_commit"]) - moved
+    assert untouched  # the spread populated >1 bucket
+    # commit_v1 wrote ONLY the moved bucket's partition dir
+    v1_dirs = {
+        os.path.basename(p)
+        for p in glob.glob(table_root + "/commit_v1/pbucket=*")
+    }
+    assert v1_dirs == {f"pbucket={b}" for b in moved}
+    # untouched buckets' commit-0 files still exist AND were never
+    # rewritten: the v0 manifest was written after commit 0's data and
+    # before commit 1 started, so every surviving commit-0 data file
+    # carrying an mtime <= the v0 manifest's is byte-untouched by
+    # commit 1 (any rewrite would stamp a later mtime)
+    v0_manifest_mtime = os.stat(manifests[0]).st_mtime_ns
+    for b in untouched:
+        files = glob.glob(table_root + f"/commit_v0/pbucket={b}/*.parquet")
+        assert files, f"bucket {b} commit-0 copy missing"
+        for f in files:
+            assert os.stat(f).st_mtime_ns <= v0_manifest_mtime, (
+                f"untouched bucket file {f} was modified after commit 0"
+            )
+    # retention: the superseded commit-0 copy of the MOVED bucket is
+    # pruned (one live copy per bucket)
+    for b in moved:
+        assert not os.path.exists(table_root + f"/commit_v0/pbucket={b}")
+
+
+def test_stream_scd1_empty_source_raises(spark, tmp_path):
+    """ADVICE fix: zero micro-batches -> a clear error, not a
+    path-not-found on a v-1 read."""
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import scd1_upsert_stream
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src, exist_ok=True)
+    sdf = (
+        spark.readStream
+        .schema("user_id long, value double, ts timestamp")
+        .parquet(src + "/*")
+    )
+    with _pytest.raises(ValueError, match="zero micro-batches"):
+        scd1_upsert_stream(sdf, str(tmp_path / "dim_empty"))
+
+
+def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
+    spark, tmp_path
+):
+    """The round-14 opt-in TTL mode, pinned adversarially (the q167b
+    pattern): bucket A is seeded in trigger 0, sits idle through
+    trigger 1 (only bucket B arrives) so its TTL expires and the state
+    evicts (numRowsRemoved > 0), then a LATE member of A arrives in
+    trigger 2 — the cross-eviction pair must be LOST (the documented
+    recall trade), while same-trigger pairs still emit. The default
+    (ttl_ms=None) on the IDENTICAL schedule emits the full pair set —
+    the exactness contract q205/q205b/q214b ship with is untouched."""
+    from kstreamjs_spark.queries.streaming_q import bucket_pair_stream
+
+    batches = [
+        # trigger 0: bucket A gets ids 1, 2 -> emits (1,2)
+        [(1, 0, "A"), (2, 0, "A")],
+        # trigger 1: only bucket B -> A idles past its TTL and evicts
+        [(10, 0, "B")],
+        # trigger 2: late id 3 for bucket A -> TTL mode re-seeds and
+        # loses (1,3)/(2,3); a same-trigger partner 4 still pairs
+        [(3, 0, "A"), (4, 0, "A")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, band int, bsig string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}.parquet")
+        for root, _, names in os.walk(f"{src}/f{i}.parquet"):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+
+    def run(ttl_ms):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        )
+        qname = f"ttl_{'off' if ttl_ms is None else ttl_ms}"
+        q = (
+            bucket_pair_stream(sdf, ttl_ms=ttl_ms)
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"ck_{qname}"),
+            )
+            .start()
+        )
+        removed_by_batch: dict[int, int] = {}
+
+        def drain_removed():
+            for p in q.recentProgress:
+                removed_by_batch[p["batchId"]] = sum(
+                    op.get("numRowsRemoved", 0) or 0
+                    for op in p.get("stateOperators", [])
+                )
+
+        if ttl_ms is None:
+            # NoTimeout: the engine idles once the files drain, so
+            # processAllAvailable terminates
+            q.processAllAvailable()
+            drain_removed()
+        else:
+            # ProcessingTimeTimeout keeps the no-data batch loop
+            # spinning to poll timers (documented in the operator), so
+            # processAllAvailable never returns — poll until the
+            # eviction and the post-eviction re-seed are both visible
+            deadline = time.time() + 180
+            while time.time() < deadline:
+                drain_removed()
+                done_pairs = {
+                    (r["d1"], r["d2"])
+                    for r in spark.table(qname).collect()
+                }
+                if (
+                    sum(removed_by_batch.values()) > 0
+                    and {(1, 2), (3, 4)} <= done_pairs
+                ):
+                    break
+                time.sleep(0.5)
+        pairs = {
+            (r["d1"], r["d2"])
+            for r in spark.table(qname).collect()
+        }
+        q.stop()
+        return pairs, sum(removed_by_batch.values())
+
+    exact_pairs, exact_removed = run(None)
+    assert exact_pairs == {
+        (1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)
+    }
+    assert exact_removed == 0  # NoTimeout never evicts
+
+    ttl_pairs, ttl_removed = run(1)  # 1 ms: expires between triggers
+    assert ttl_removed > 0  # eviction really happened
+    # pre-eviction pair emitted; cross-eviction pairs LOST; the
+    # re-seeded bucket still pairs its post-eviction members
+    assert (1, 2) in ttl_pairs
+    assert (3, 4) in ttl_pairs
+    assert not {(1, 3), (2, 3), (1, 4), (2, 4)} & ttl_pairs
+    assert ttl_pairs < exact_pairs  # strict subset: the stated trade
 
 
 def test_stream_embedding_neardup_equals_batch_any_schedule(spark, tmp_path):
