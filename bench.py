@@ -75,6 +75,12 @@ def main() -> int:
     _CLOSED_FORM_ORACLE = {
         "q158c_phash_cross_codec",
         "q174_video_mjpeg_phash_dedup",
+        # round 14: the WRITE-path row — the engine writes the 256-cell
+        # z-ordered layout and re-reads the manifest from the files;
+        # DuckDB's oracle restates the manifest arithmetic from the
+        # source table without writing anything, so the ratio would
+        # compare a real write pipeline to a rollup query.
+        "q211_lakehouse_zorder_write",
     }
     oracle: dict[str, float] = {}
     no_oracle: list[str] = []

@@ -1147,10 +1147,16 @@ def cosine_neardup_pairs_lsh(
     synthetic corpus's operating point — cosine 0.4, where p_bit is
     only ~0.63, so narrow bands are needed for recall and the bucket
     bill is correspondingly fat. A production NEAR-DUP threshold
-    (0.9+: p_bit ~0.9) uses WIDE bands — b=16, L=20 gives recall
-    1-(1-0.9^16)^20 ~ 0.99 over 65k buckets per band, collapsing the
-    candidate bill to ~20*N^2/65536 — so at scale the knob to turn is
-    band_bits with the threshold, never a wider scan. ``max_bucket``
+    (0.9+: p_bit ~0.9) uses WIDE bands — b=16, L=20 over 65k buckets
+    per band, collapsing the candidate bill to ~20*N^2/65536 — so at
+    scale the knob to turn is band_bits with the threshold, never a
+    wider scan. MEASURED at that operating point (round 14, planted
+    exact-cosine pairs; APPROX_EVIDENCE `q214_production_regime_b16`):
+    overall recall 0.97-0.98 over a 0.92-0.99 cosine mix, candidate
+    fraction 0.07-0.14% of all pairs, zero false positives; per-level
+    recall tracks the analytic curve 1-(1-p_bit^16)^20 within binomial
+    noise, including the honest droop at the 0.92 boundary (analytic
+    0.906). The pytest gate pins >= 0.95 overall recall. ``max_bucket``
     is the additional hot-bucket ceiling (the text path's max_df
     analog): buckets with more members than the ceiling are dropped
     WHOLE before the pair join (deterministic, arrival-order-free), so

@@ -160,10 +160,27 @@ _WINDOW_SIZE = 50
 # ROUND-13 NOTE: if CORRECTNESS_r12 is green, EMPTY this list again;
 # pin only oracle-text changes or behavior changes under an unchanged
 # oracle.
+# Round 14: CORRECTNESS_r13 came back 50/50 green — the r12 pins are
+# dropped. Four queries changed BEHAVIOR this round under unchanged
+# oracles and are pinned so the driver re-attests the new plans:
+# q213 (whole-snapshot rewrite -> bucket-granular partition-pruned
+# MERGE with manifest + retention), q212b (UNK-floor Viterbi fallback
+# in the ingest tokenizer kernel), q214/q214b (the shared
+# srp_banded_buckets home re-planned: posexplode_outer + window-count
+# hot-bucket ceiling — one Arrow UDF evaluation per branch instead of
+# three). All four selfcheck-green at sf0.01 on the new code. The
+# staleness sort then drains the 25 r8-vintage rows (the r13 verdict's
+# rotation ask) and the oldest r9 rows — min vintage r9 after this
+# window if no new hist-0 additions outrank them (never-checked
+# round-14 queries enter first via the sort, the standing rule).
+# ROUND-15 NOTE: if CORRECTNESS_r14 is green, EMPTY this list again;
+# pin only oracle-text changes or behavior changes under an unchanged
+# oracle.
 _WINDOW_PRIORITY: list[str] = [
-    "q197_ccnet_bands",
-    "q176_copurchase_pagerank",
-    "q198_exact_heavy_hitters",
+    "q213_stream_scd1_upsert",
+    "q212b_stream_unigram_tokenize",
+    "q214_embedding_neardup_lsh",
+    "q214b_stream_embedding_neardup",
 ]
 
 

@@ -2205,6 +2205,9 @@ def minhash_verified_stream(
 
 @query(
     "q205b_stream_minhash_verify",
+    bench=True,  # round 14 (r13 verdict #8): the stream-verify shape
+                 # gets bench coverage; the oracle performs the exact
+                 # pairwise-Jaccard verify, a comparable-work ratio row
     oracle="""
         WITH sh AS (
           SELECT doc_id,
