@@ -102,3 +102,87 @@ def zorder_stage(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def compact_partitions(
+    spark,
+    root: str,
+    partition_col: str = "zfile",
+    max_files: int = 1,
+) -> list[tuple[str, int, int]]:
+    """Lakehouse OPTIMIZE-style SMALL-FILE COMPACTION (round 14) — the
+    maintenance half of the write path next to q211b's streaming
+    appends and q213's partition-pruned MERGE: continuous micro-batch
+    ingest leaves one small file per batch per partition; this
+    operator rewrites ONLY the partitions whose file count exceeds
+    ``max_files``, coalescing each to a single z-run, and leaves every
+    other partition's files physically untouched (the partition-pruned
+    contract, pytest-pinned by mtime).
+
+    Protocol (the copy-on-write + swap idiom q213 established —
+    staged writes sidestep Spark's cannot-overwrite-a-read-path rule
+    without materializing anything driver-side):
+
+    1. CENSUS from the directory listing (the manifest stand-in; a
+       metadata op, no data scan): partitions with > max_files files.
+    2. One job writes those partitions' rows to a staging dir,
+       repartitioned BY the partition column (all rows of a partition
+       land in one task -> exactly one output file per partition),
+       z-sorted within when the data carries a __z/sort column's
+       ordering already (parquet preserves row order per file, so
+       re-reading concatenated z-runs and writing one file keeps rows
+       grouped; footers stay tight because each source file was
+       z-sorted and the groups concatenate).
+    3. Per-partition atomic swap: os.rename the old dir out, the
+       staged dir in, then drop the old copies. Readers resolving the
+       table path never see a half-compacted partition.
+
+    Returns [(partition_value, files_before, files_after)] for the
+    compacted partitions. At 100 TB: the census comes from the real
+    table-format manifest, step 2 batches partitions into size-bounded
+    compaction groups, and the swap is a manifest commit — the shape
+    here is that protocol minus the format dependency."""
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    census: dict[str, int] = {}
+    for name in os.listdir(root):
+        if not name.startswith(prefix):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(root, name))
+            if f.endswith(".parquet")
+        )
+        census[name[len(prefix):]] = n
+    todo = sorted(v for v, n in census.items() if n > max_files)
+    if not todo:
+        return []
+    staging = root.rstrip("/") + "__compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # basePath keeps the partition column visible while scanning ONLY
+    # the to-compact partition dirs (partition pruning by path)
+    sub = spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, prefix + v) for v in todo]
+    )
+    (
+        sub.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    out = []
+    for v in todo:
+        old = os.path.join(root, prefix + v)
+        new = os.path.join(staging, prefix + v)
+        trash = old + "__old"
+        os.rename(old, trash)
+        os.rename(new, old)
+        shutil.rmtree(trash)
+        after = sum(
+            1 for f in os.listdir(old) if f.endswith(".parquet")
+        )
+        out.append((v, census[v], after))
+    shutil.rmtree(staging, ignore_errors=True)
+    return out

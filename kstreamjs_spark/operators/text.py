@@ -240,3 +240,233 @@ def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
         )
 
     return _norm(F.col(text) if isinstance(text, str) else text)
+
+
+# --------------------------- WordPiece-style greedy subword tokenizer
+# (round 14 — the third tokenizer family next to BPE q179 and
+# unigram-LM q212, and the only one whose APPLICATION is exactly
+# SQL-restatable: greedy longest-match is a functional graph — the
+# jump length at a position depends only on (word, position), never on
+# the path taken — so the chain walk is a recursive CTE in DuckDB and
+# a pure fold expression in Catalyst. No UDF, no DP, no state.)
+
+WORDPIECE_MAX_PIECE = 4
+WORDPIECE_K_MULTI = 64
+WORDPIECE_UNK = "[UNK]"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def wordpiece_vocab(
+    documents,
+    text_col: str = "text",
+    k_multi: int = WORDPIECE_K_MULTI,
+    max_piece: int = WORDPIECE_MAX_PIECE,
+) -> dict[int, list[str]]:
+    """Train the greedy vocabulary from the corpus word-count table:
+    ALL single characters (coverage guarantee — the q212 policy) plus
+    the top ``k_multi`` substrings of length 2..``max_piece`` by
+    (weighted count DESC, piece ASC). One corpus scan + one
+    substring-count aggregate; the driver pulls only BOUNDED artifacts
+    (the charset + a distributed top-K), never the substring table.
+    Returns pieces grouped by length — the shape
+    :func:`greedy_pieces` consumes and the oracle SQL mirrors."""
+    pieces = (
+        documents.select(
+            F.explode(F.split(text_col, " ")).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(
+                        sequence(1, length(word)),
+                        i -> transform(
+                            sequence(1, least({max_piece},
+                                              length(word) - i + 1)),
+                            k -> substring(word, i, k))))"""
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("c").cast("long").alias("n"))
+    )
+    chars = sorted(
+        r["piece"]
+        for r in pieces.filter(F.length("piece") == 1).collect()
+    )
+    multi = [
+        r["piece"]
+        for r in pieces.filter(F.length("piece") > 1)
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(k_multi)
+        .collect()
+    ]
+    by_len: dict[int, list[str]] = {1: chars}
+    for p in multi:
+        by_len.setdefault(len(p), []).append(p)
+    return by_len
+
+
+def wordpiece_vocab_sql(
+    k_multi: int = WORDPIECE_K_MULTI,
+    max_piece: int = WORDPIECE_MAX_PIECE,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB CTE text computing the IDENTICAL vocabulary (same counts,
+    same (n DESC, piece ASC) top-K, same all-chars coverage) — vocab AS
+    (piece, l). Symbol-for-symbol the builder above."""
+    return f"""
+        wp_wc AS (
+          SELECT w, COUNT(*) AS c FROM (
+            SELECT unnest(string_split({text_col}, ' ')) AS w
+            FROM {table})
+          WHERE len(w) >= 1 GROUP BY w
+        ),
+        wp_pieces AS (
+          SELECT substr(w, i, l) AS piece, SUM(c) AS n
+          FROM wp_wc
+          CROSS JOIN LATERAL unnest(generate_series(1, len(w))) AS gi(i)
+          CROSS JOIN LATERAL unnest(
+              generate_series(1, least({max_piece}, len(w) - i + 1))
+          ) AS gl(l)
+          GROUP BY 1
+        ),
+        wp_vocab AS (
+          SELECT piece, len(piece) AS l
+          FROM wp_pieces WHERE len(piece) = 1
+          UNION ALL
+          SELECT piece, len(piece) AS l FROM (
+            SELECT piece FROM wp_pieces WHERE len(piece) > 1
+            ORDER BY n DESC, piece LIMIT {k_multi})
+        )"""
+
+
+def greedy_pieces_sql(
+    word_expr: str, vocab_by_len: dict[int, list[str]]
+) -> str:
+    """Greedy longest-match-first segmentation of the word given by
+    ``word_expr`` (a SQL expression, typically a column name) under
+    the trained vocabulary, as ONE Spark SQL expression evaluating to
+    struct(n_pieces BIGINT, seg STRING) — seg space-separated with the
+    WordPiece '##' continuation marker rendered on every non-initial
+    piece (presentation only: this engine trains a single shared
+    vocabulary; the position-split ##-vocab is a production extension,
+    documented not implemented).
+
+    Mechanics: jumps = per-position longest vocab match (bounded CASE
+    over piece lengths, membership against BOUNDED literal vocab
+    arrays — <=~100 strings, the q212 broadcast-artifact policy),
+    let-bound once via a 1-element transform (Spark's portable let);
+    then one fold over positions follows the jump chain — greedy
+    longest-match is a functional graph (the jump at a position never
+    depends on the path), which is exactly what makes this
+    SQL-restatable as DuckDB's recursive CTE (`greedy_chain_sql`). An
+    off-vocabulary single character (impossible over the training
+    corpus by the all-chars coverage rule, routine at streaming
+    ingest) emits '[UNK]' and advances 1 — total on any input. All of
+    it inside whole-stage codegen; per-word cost O(len * max_piece)."""
+    w = f"({word_expr})"
+    lens = sorted((l for l in vocab_by_len if l > 1), reverse=True)
+    branches = []
+    for l in lens:
+        arr = ", ".join(_sql_str(p) for p in vocab_by_len.get(l, []))
+        if not arr:
+            continue
+        branches.append(
+            f"WHEN __p + {l - 1} <= length({w}) AND "
+            f"array_contains(array({arr}), substring({w}, __p, {l})) "
+            f"THEN {l}"
+        )
+    jump = (
+        "CASE " + " ".join(branches) + " ELSE 1 END" if branches else "1"
+    )
+    chars_arr = ", ".join(_sql_str(c) for c in vocab_by_len.get(1, []))
+    in_chars = (
+        f"array_contains(array({chars_arr}), substring({w}, acc.pos, 1))"
+        if chars_arr
+        else "false"
+    )
+    piece = (
+        f"IF(element_at(__js, acc.pos) = 1 AND NOT {in_chars}, "
+        f"{_sql_str(WORDPIECE_UNK)}, "
+        f"substring({w}, acc.pos, element_at(__js, acc.pos)))"
+    )
+    agg = f"""aggregate(
+          sequence(1, length({w})),
+          named_struct('pos', 1, 'n', CAST(0 AS BIGINT), 'seg', ''),
+          (acc, i) -> IF(i <> acc.pos, acc,
+            named_struct(
+              'pos', acc.pos + element_at(__js, acc.pos),
+              'n', acc.n + CAST(1 AS BIGINT),
+              'seg', concat(acc.seg, IF(acc.n = 0, '', ' ##'),
+                            {piece}))),
+          acc -> named_struct('n_pieces', acc.n, 'seg', acc.seg))"""
+    js = f"transform(sequence(1, length({w})), __p -> {jump})"
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than returning
+    # empty, so the empty word must short-circuit explicitly or the
+    # fold would emit one spurious UNK piece.
+    return (
+        f"IF(length({w}) < 1, "
+        f"named_struct('n_pieces', CAST(0 AS BIGINT), 'seg', ''), "
+        f"element_at(transform(array({js}), __js -> {agg}), 1))"
+    )
+
+
+def greedy_pieces(
+    word_expr: str, vocab_by_len: dict[int, list[str]]
+) -> Column:
+    """`greedy_pieces_sql` as a Column (struct(n_pieces, seg))."""
+    return F.expr(greedy_pieces_sql(word_expr, vocab_by_len))
+
+
+def greedy_chain_sql(
+    words_cte: str,
+    word_col: str = "w",
+    max_piece: int = WORDPIECE_MAX_PIECE,
+) -> str:
+    """DuckDB CTE chain restating `greedy_pieces_sql` EXACTLY over the
+    words in CTE ``words_cte`` (one row per distinct word): positions
+    x candidate lengths -> per-position longest vocab match (the jump
+    table), then a RECURSIVE chain walk — legal because greedy
+    longest-match is a functional graph, no aggregate needed in the
+    recursive term. Produces wp_seg(w, n_pieces, seg). Requires
+    `wordpiece_vocab_sql`'s wp_vocab CTE in scope."""
+    return f"""
+        wp_pos AS (
+          SELECT {word_col} AS w, gi.pos
+          FROM {words_cte}
+          CROSS JOIN LATERAL unnest(generate_series(1, len({word_col})))
+              AS gi(pos)
+        ),
+        wp_jump AS (
+          SELECT p.w, p.pos,
+                 COALESCE(MAX(CASE WHEN p.pos + v.l - 1 <= len(p.w)
+                                    AND substr(p.w, p.pos, v.l) = v.piece
+                               THEN v.l END), 1) AS jump
+          FROM wp_pos p LEFT JOIN wp_vocab v
+            ON v.piece = substr(p.w, p.pos, v.l)
+          GROUP BY p.w, p.pos
+        ),
+        wp_rec AS (
+          SELECT {word_col} AS w, 1 AS pos,
+                 CAST(0 AS BIGINT) AS n, '' AS seg
+          FROM {words_cte}
+          UNION ALL
+          SELECT r.w, r.pos + j.jump, r.n + 1,
+                 r.seg || CASE WHEN r.n = 0 THEN '' ELSE ' ##' END
+                       || substr(r.w, r.pos, j.jump)
+          FROM wp_rec r JOIN wp_jump j
+            ON j.w = r.w AND j.pos = r.pos
+          WHERE r.pos <= len(r.w)
+        ),
+        wp_seg AS (
+          SELECT w, n AS n_pieces, seg
+          FROM wp_rec WHERE pos = len(w) + 1
+        )"""

@@ -5510,3 +5510,77 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_neardup_pairs_lsh(
         emb, threshold=_Q214_THRESHOLD
     ).orderBy("v1", "v2")
+
+
+# --------- Q216 WordPiece-style greedy tokenizer — the third family
+def _q216_oracle() -> str:
+    from ..operators.text import greedy_chain_sql, wordpiece_vocab_sql
+
+    return f"""
+        WITH RECURSIVE {wordpiece_vocab_sql()},
+        {greedy_chain_sql("wp_wc")}
+        SELECT wc.w AS word,
+               CAST(wc.c AS BIGINT) AS word_count,
+               s.n_pieces,
+               s.seg AS segmentation
+        FROM wp_wc wc JOIN wp_seg s ON s.w = wc.w
+        ORDER BY word
+    """
+
+
+@query(
+    "q216_wordpiece_tokenize",
+    oracle=_q216_oracle(),
+    tags=("text", "llm", "tokenizer"),
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece-STYLE greedy longest-match tokenizer (round 14) — the
+    third tokenizer family next to BPE (q179, merge-driven) and
+    unigram-LM (q212, Viterbi-EM), and the only one whose application
+    is exactly SQL-restatable: greedy longest-match is a FUNCTIONAL
+    GRAPH (the jump at a position depends only on (word, position),
+    never on the path), so the whole query is hash-matched against a
+    DuckDB recursive-CTE oracle — no mirror, no rows-only row.
+
+    Two halves, both distributed: (1) vocabulary = ALL single chars
+    (coverage) + top-64 substrings of length 2..4 by weighted count —
+    one corpus scan + one substring aggregate, bounded driver
+    artifacts (`text.wordpiece_vocab`, the q212 seed machinery);
+    (2) application = per-position longest-match jump table + a fold
+    following the jump chain, ONE Catalyst expression per word
+    (`text.greedy_pieces_sql`) — pure whole-stage codegen, no UDF, no
+    Python, no shuffle beyond the word-count aggregate. Output is the
+    applied tokenizer over the distinct-word table: (word, word_count,
+    n_pieces, segmentation with '##' continuation rendering).
+
+    Scale shape: the word-count aggregate is the only exchange; the
+    vocabulary ships as a <=~100-string expression literal (the
+    broadcast-artifact policy); per-word apply cost is
+    O(len * max_piece) inside codegen. Simplification stated plainly:
+    one shared vocabulary (the position-split ##-vocab of full
+    WordPiece is a production extension); likelihood-driven vocab
+    SELECTION (vs count-driven) is q212's EM — this family
+    deliberately isolates the greedy APPLICATION semantics."""
+    from ..operators.text import greedy_pieces, wordpiece_vocab
+
+    (documents,) = load(spark, sf, "documents")
+    vocab = wordpiece_vocab(documents)
+    words = (
+        documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("word_count"))
+    )
+    g = greedy_pieces("word", vocab)
+    return (
+        words.select(
+            "word",
+            "word_count",
+            g["n_pieces"].alias("n_pieces"),
+            g["seg"].alias("segmentation"),
+        )
+        .orderBy("word")
+    )
+

@@ -1012,3 +1012,68 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("zfile")
     )
+
+
+# ------- Q215 lakehouse small-file COMPACTION (OPTIMIZE) + manifest
+@query(
+    "q215_lakehouse_compaction",
+    oracle=_q211_oracle(),
+    tags=("pipeline", "layout", "write", "maintenance"),
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse small-file COMPACTION (round 14) — the OPTIMIZE
+    maintenance shape that closes the write-path family: q211 writes
+    the z-ordered layout, q211b APPENDS to it per micro-batch (one
+    small file per batch per cell), q213 MERGEs at bucket granularity;
+    this query simulates the post-ingest state (orders appended in 4
+    key-range batches -> 4 files per z-cell), runs
+    `layout.compact_partitions` (census from the directory listing,
+    one staged write repartitioned by cell -> ONE file per compacted
+    cell, per-partition atomic dir swap), and re-derives the manifest
+    FROM THE COMPACTED FILES. Hash-matching q211's closed-form SQL
+    proves compaction lost, duplicated, and corrupted nothing; the
+    untouched-partition contract (cells under the file threshold are
+    never rewritten) and the file-count reduction are pytest-pinned.
+
+    Scale shape: the census is a metadata listing (a manifest read in
+    a real table format), the rewrite scans ONLY the over-threshold
+    partitions (path-pruned via basePath), and the swap is
+    per-partition atomic — a 1000-executor cluster compacts cells in
+    parallel and commits via manifest, the identical protocol plus
+    the format."""
+    from ..operators import layout
+    from ..session import scratch_dir
+
+    (orders,) = load(spark, sf, "orders")
+    out = scratch_dir("kstreamjs_compact", sf)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    x = layout.quantize16(F.col("o_custkey"))
+    y = layout.quantize16(F.floor(F.col("o_totalprice")))
+    # 4 key-range append batches: the small-file state continuous
+    # ingest leaves behind (each append z-stages its own rows)
+    for i in range(4):
+        batch = orders.filter(F.pmod(F.col("o_orderkey"), F.lit(4)) == i)
+        layout.zorder_stage(batch, x, y, file_bits=4).write.mode(
+            "append"
+        ).partitionBy("zfile").parquet(out)
+    layout.compact_partitions(spark, out, "zfile", max_files=1)
+
+    back = spark.read.parquet(out)
+    bx = layout.quantize16(F.col("o_custkey"))
+    by = layout.quantize16(F.floor(F.col("o_totalprice")))
+    return (
+        back.groupBy(F.col("zfile").cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(bx).alias("min_x"),
+            F.max(bx).alias("max_x"),
+            F.min(by).alias("min_y"),
+            F.max(by).alias("max_y"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_c"),
+        )
+        .orderBy("zfile")
+    )

@@ -2816,3 +2816,62 @@ def q214b(spark: SparkSession, sf: str) -> DataFrame:
     )
     sink = run_to_memory(verified, "q214b", output_mode="append")
     return sink.distinct().orderBy("v1", "v2")
+
+
+# ------ Q216b STREAMING WordPiece application — tokenize at ingest
+def _q216b_oracle() -> str:
+    from ..operators.text import greedy_chain_sql, wordpiece_vocab_sql
+
+    return f"""
+        WITH RECURSIVE {wordpiece_vocab_sql()},
+        {greedy_chain_sql("wp_wc")},
+        doc_words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(SUM(COALESCE(s.n_pieces, 0)) AS BIGINT) AS n_pieces,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM doc_words d LEFT JOIN wp_seg s ON s.w = d.w
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+@query(
+    "q216b_stream_wordpiece_tokenize",
+    oracle=_q216b_oracle(),
+    tags=("streaming", "text", "llm", "tokenizer"),
+)
+def q216b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING WordPiece application — tokenize at ingest (round
+    14), completing the tokenizer family's production split (q179b
+    BPE, q212b unigram, now greedy): the vocabulary trains batch-side
+    (`text.wordpiece_vocab`, one home with q216), and every arriving
+    document tokenizes in a pure EXPRESSION projection — the greedy
+    fold applied per word inside an `aggregate` over the token array,
+    no UDF, no state, no join; append mode, one row per arrival with
+    its piece and word counts. Unlike q179b/q212b this streaming twin
+    is HASH-MATCHED (the recursive-CTE oracle), not rows-only — the
+    first streaming tokenizer row the driver can value-check.
+
+    OOV honesty: unseen single chars emit '[UNK]' and advance (the
+    `greedy_pieces_sql` contract), so the projection is total on any
+    ingest text, not just the replayed corpus."""
+    from ..operators.text import greedy_pieces_sql, wordpiece_vocab
+
+    (documents,) = load(spark, sf, "documents")
+    vocab = wordpiece_vocab(documents)
+    per_word = greedy_pieces_sql("__word", vocab)
+    sdf = stream_table(spark, sf, "documents")
+    out = sdf.select(
+        "doc_id",
+        F.expr(
+            f"""aggregate(split(text, ' '), CAST(0 AS BIGINT),
+                 (__acc_d, __word) -> __acc_d + ({per_word}).n_pieces)"""
+        ).alias("n_pieces"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+    return run_to_memory(out, "q216b", output_mode="append").orderBy(
+        "doc_id"
+    )

@@ -3246,3 +3246,90 @@ def test_cosine_neardup_lsh_production_regime_recall(spark):
         assert measured >= analytic - 3 * sigma - 1e-9, (
             lvl, measured, analytic
         )
+
+
+def test_compact_partitions_prunes_and_preserves(spark, tmp_path):
+    """q215's compaction contract, pinned adversarially: a table with
+    one MULTI-FILE partition and one SINGLE-FILE partition is
+    compacted with max_files=1 — the multi-file partition collapses to
+    one file holding identical rows, the single-file partition's file
+    is PHYSICALLY untouched (same path, same bytes by mtime+size), and
+    total row content is unchanged."""
+    import glob
+    import os as _os
+
+    from kstreamjs_spark.operators.layout import compact_partitions
+
+    root = str(tmp_path / "tbl")
+    # partition p=1 gets 3 append files; p=2 gets exactly one
+    for vals in ([1, 2], [1], [1]):
+        df = spark.createDataFrame(
+            [(v * 10 + i, v) for i, v in enumerate(vals)],
+            "k long, p int",
+        )
+        df.coalesce(1).write.mode("append").partitionBy("p").parquet(root)
+    n1 = glob.glob(root + "/p=1/*.parquet")
+    n2 = glob.glob(root + "/p=2/*.parquet")
+    assert len(n1) == 3 and len(n2) == 1
+    before_rows = sorted(
+        (r["k"], r["p"]) for r in spark.read.parquet(root).collect()
+    )
+    p2_stat = _os.stat(n2[0])
+
+    done = compact_partitions(spark, root, "p", max_files=1)
+    assert done == [("1", 3, 1)]
+    assert len(glob.glob(root + "/p=1/*.parquet")) == 1
+    # untouched partition: same file, same bytes (mtime + size pin)
+    assert _os.path.exists(n2[0])
+    st = _os.stat(n2[0])
+    assert (st.st_mtime_ns, st.st_size) == (
+        p2_stat.st_mtime_ns,
+        p2_stat.st_size,
+    )
+    after_rows = sorted(
+        (r["k"], r["p"]) for r in spark.read.parquet(root).collect()
+    )
+    assert after_rows == before_rows
+    # idempotence: a second pass finds nothing over the threshold
+    assert compact_partitions(spark, root, "p", max_files=1) == []
+
+
+def test_greedy_pieces_matches_python_reference(spark):
+    """q216's fold expression vs an independent pure-Python greedy
+    longest-match: identical (n_pieces, segmentation) on vocab hits,
+    multi-piece words, full-OOV words (UNK per char), the empty word
+    (Spark's descending sequence(1,0) guard), and mixed cases."""
+    from kstreamjs_spark.operators.text import (
+        WORDPIECE_UNK,
+        greedy_pieces,
+    )
+
+    vocab = {1: ["a", "b", "c", "d"], 2: ["ab", "cd"],
+             3: ["abc"], 4: ["abcd"]}
+
+    def py_greedy(w):
+        pos, n, seg = 0, 0, []
+        while pos < len(w):
+            for l in (4, 3, 2, 1):
+                p = w[pos:pos + l]
+                if len(p) == l and p in vocab.get(l, []):
+                    seg.append(("##" if n else "") + p)
+                    pos += l
+                    n += 1
+                    break
+            else:
+                seg.append(("##" if n else "") + WORDPIECE_UNK)
+                pos += 1
+                n += 1
+        return n, " ".join(seg)
+
+    words = ["abcd", "abcda", "ababab", "xyz", "", "a", "dcba",
+             "abcabd", "zab", "cdcd"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (r["g"]["n_pieces"], r["g"]["seg"])
+        for r in df.select(
+            "w", greedy_pieces("w", vocab).alias("g")
+        ).collect()
+    }
+    assert got == {w: py_greedy(w) for w in words}

@@ -1147,3 +1147,16 @@ def test_round13_q209_q210_semi_anti_shapes(spark):
     # one lineitem pass: the half-sum pair aggregate appears as a single
     # hash aggregate keyed by the (partkey, suppkey) pair
     assert len(re.findall(r"Scan parquet.*lineitem", p210)) == 1, p210
+
+
+def test_round14_q216_wordpiece_pure_codegen(spark):
+    """q216's application half must stay a pure Catalyst expression:
+    no Python evaluation nodes anywhere in the plan (the no-UDF claim
+    that distinguishes this tokenizer family), and the only exchanges
+    are the word-count aggregate's — the vocabulary rides as an
+    expression literal, never a join."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q216_wordpiece_tokenize", spark), mode="simple")
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
