@@ -256,7 +256,13 @@ WORDPIECE_UNK = "[UNK]"
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    """SPARK SQL string literal (the vocab arrays are Spark-side only;
+    DuckDB's vocabulary is computed in CTEs, never inlined). Spark's
+    parser processes backslash escapes inside single-quoted literals,
+    so both the backslash and the quote must be escaped — a vocab
+    piece containing either would otherwise silently change meaning
+    between the trained vocabulary and the inlined expression."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def wordpiece_vocab(

@@ -42,11 +42,18 @@ def test_quickstart_runs_as_subprocess():
         "warehouse_analytics",
     ],
 )
-def test_example_main_runs(spark, mod_name, capsys):
+def test_example_main_runs(spark, mod_name, capsys, monkeypatch):
     """Each example's main() completes against sf0.001 and prints
     something (get_spark -> getOrCreate reuses the test session, so
     these share one JVM; the subprocess test above covers the real
-    cold-start path once)."""
+    cold-start path once). The examples end with spark.stop() — a
+    correct teardown for their own process but fatal to the shared
+    session-scoped fixture every later test file relies on — so stop
+    is no-opped for the in-process run (the subprocess test exercises
+    the real stop path)."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     sys.path.insert(0, os.path.join(REPO, "examples"))
     try:
         mod = importlib.import_module(mod_name)
