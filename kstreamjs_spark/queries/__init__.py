@@ -176,11 +176,18 @@ _WINDOW_SIZE = 50
 # ROUND-15 NOTE: if CORRECTNESS_r14 is green, EMPTY this list again;
 # pin only oracle-text changes or behavior changes under an unchanged
 # oracle.
+# Two more round-14 pins: q205/q205b re-planned (the streaming banded
+# builder now materializes the minhash signature in its own projection
+# before banding — the nested form recomputed the O(shingles x perms)
+# fold once per element_at reference, ~64x per doc; values identical,
+# measured 97.5 s -> 9.5 s at sf0.1).
 _WINDOW_PRIORITY: list[str] = [
     "q213_stream_scd1_upsert",
     "q212b_stream_unigram_tokenize",
     "q214_embedding_neardup_lsh",
     "q214b_stream_embedding_neardup",
+    "q205_stream_minhash_candidates",
+    "q205b_stream_minhash_verify",
 ]
 
 

@@ -1994,16 +1994,26 @@ def minhash_candidate_stream(
     cross-band emissions with a final distinct."""
     from ..operators.dedup import minhash_bands, minhash_signature, tokens
 
-    banded = (
+    # Materialize the signature in its OWN projection before banding —
+    # the _lsh_candidate_pairs shape. Nesting minhash_signature(...)
+    # directly inside minhash_bands would inline the whole O(shingles x
+    # perms) fold into every one of the bands x rows_per_band
+    # element_at references (64 recomputes per doc: measured ~110 s vs
+    # ~2 s on the sf0.1 corpus — the round-14 bench caught it); the
+    # Generate (explode) barrier between the two projections is what
+    # keeps Catalyst from collapsing them back together.
+    sig = (
         sdf.filter(F.size(tokens("text")) >= n)
         .select(
             "doc_id",
+            minhash_signature("text", num_perm, n, seed).alias("sig"),
+        )
+    )
+    banded = (
+        sig.select(
+            "doc_id",
             F.explode(
-                minhash_bands(
-                    minhash_signature("text", num_perm, n, seed),
-                    num_perm,
-                    bands,
-                )
+                minhash_bands(F.col("sig"), num_perm, bands)
             ).alias("bs"),
         )
         .select(
