@@ -1992,24 +1992,40 @@ def minhash_candidate_stream(
     keep per-(band, bsig) member ids in GroupState, emit candidate
     pairs the moment the later member lands. Callers dedupe the
     cross-band emissions with a final distinct."""
+    return bucket_pair_stream(
+        minhash_banded_projection(sdf, num_perm, bands, n, seed)
+    )
+
+
+def minhash_banded_projection(
+    df: DataFrame,
+    num_perm: int = _Q205_PERMS,
+    bands: int = _Q205_BANDS,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, bsig) banded-minhash rows over ``df`` — the
+    projection half of `minhash_candidate_stream`, batch/streaming
+    agnostic (the single-fold plan pytest drives it on a batch frame).
+
+    The signature is materialized in its OWN projection before banding
+    (the `_lsh_candidate_pairs` shape). Nesting minhash_signature(...)
+    directly inside minhash_bands would inline the whole O(shingles x
+    perms) fold into every one of the bands x rows_per_band
+    element_at references (64 recomputes per doc: measured ~110 s vs
+    ~2 s on the sf0.1 corpus — the round-14 bench caught it); the
+    Generate (explode) barrier between the two projections is what
+    keeps Catalyst from collapsing them back together."""
     from ..operators.dedup import minhash_bands, minhash_signature, tokens
 
-    # Materialize the signature in its OWN projection before banding —
-    # the _lsh_candidate_pairs shape. Nesting minhash_signature(...)
-    # directly inside minhash_bands would inline the whole O(shingles x
-    # perms) fold into every one of the bands x rows_per_band
-    # element_at references (64 recomputes per doc: measured ~110 s vs
-    # ~2 s on the sf0.1 corpus — the round-14 bench caught it); the
-    # Generate (explode) barrier between the two projections is what
-    # keeps Catalyst from collapsing them back together.
     sig = (
-        sdf.filter(F.size(tokens("text")) >= n)
+        df.filter(F.size(tokens("text")) >= n)
         .select(
             "doc_id",
             minhash_signature("text", num_perm, n, seed).alias("sig"),
         )
     )
-    banded = (
+    return (
         sig.select(
             "doc_id",
             F.explode(
@@ -2022,7 +2038,6 @@ def minhash_candidate_stream(
             F.col("bs.bsig").alias("bsig"),
         )
     )
-    return bucket_pair_stream(banded)
 
 
 def bucket_pair_stream(

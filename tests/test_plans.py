@@ -1160,3 +1160,23 @@ def test_round14_q216_wordpiece_pure_codegen(spark):
     plan = explain_str(q("q216_wordpiece_tokenize", spark), mode="simple")
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_round14_minhash_banding_single_fold(spark):
+    """Regression pin for the round-14 q205b finding: the banded
+    projection must evaluate the minhash fold ONCE per document.
+    Nesting the signature inside minhash_bands inlines the O(shingles
+    x perms) aggregate into every element_at reference — the executed
+    plan then contains the shingle hash (xxhash64) once PER REFERENCE
+    (64+) instead of once. Counting hash occurrences in the plan pins
+    the single-evaluation shape against refactors."""
+    from kstreamjs_spark.queries.streaming_q import (
+        minhash_banded_projection,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        minhash_banded_projection(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert 1 <= plan.count("xxhash64") <= 4, plan.count("xxhash64")
