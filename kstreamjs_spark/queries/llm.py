@@ -5534,9 +5534,11 @@ def _q216_oracle() -> str:
     tags=("text", "llm", "tokenizer"),
 )
 def q216(spark: SparkSession, sf: str) -> DataFrame:
-    """WordPiece-STYLE greedy longest-match tokenizer (round 14) — the
-    third tokenizer family next to BPE (q179, merge-driven) and
-    unigram-LM (q212, Viterbi-EM), and the only one whose application
+    """WordPiece-STYLE greedy longest-match tokenizer (round 14;
+    Schuster & Nakajima 2012, the greedy maximal-munch application
+    BERT's tokenizer popularized — public) — the third tokenizer
+    family next to BPE (q179, merge-driven) and unigram-LM (q212,
+    Viterbi-EM), and the only one whose application
     is exactly SQL-restatable: greedy longest-match is a FUNCTIONAL
     GRAPH (the jump at a position depends only on (word, position),
     never on the path), so the whole query is hash-matched against a
