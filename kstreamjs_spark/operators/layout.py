@@ -186,3 +186,31 @@ def compact_partitions(
         out.append((v, census[v], after))
     shutil.rmtree(staging, ignore_errors=True)
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a Spark BUCKETED catalog table: rows hash-
+    partitioned into ``n_buckets`` files by ``key`` at WRITE time (and
+    sorted by it within each bucket when ``sort``), with the bucket
+    spec recorded in the catalog. Two tables bucketed by their join
+    keys with the same bucket count then SortMergeJoin with ZERO
+    exchanges — the co-located-join mechanism for 100 TB fact-fact
+    joins, where the shuffle (not the join) is the bill: pay the
+    partitioning once at ingest, reuse it for every downstream join
+    and aggregation on that key (plan-asserted by the q217 pytest).
+
+    Catalog, not path: bucketing metadata lives in the table catalog
+    (plain `.parquet(path)` cannot carry it), so this writes via
+    saveAsTable into the session warehouse. Callers own table-name
+    scoping (q217 uses pid+sf-scoped names so concurrent checkers
+    never collide)."""
+    w = df.write.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)

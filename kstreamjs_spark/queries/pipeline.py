@@ -1077,3 +1077,77 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("zfile")
     )
+
+
+# -------- Q217 bucketed co-located join — shuffle-free fact-fact join
+@query(
+    "q217_bucketed_colocated_join",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("pipeline", "layout", "write", "join"),
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """BUCKETED co-located join (round 14) — the remaining physical-
+    layout mechanism next to z-order (q173/q211) and compaction
+    (q215): both join sides are written as Spark BUCKETED catalog
+    tables (`layout.write_bucketed` — rows hash-partitioned into 8
+    files by the join key at WRITE time, sorted within buckets, the
+    bucket spec recorded in the catalog), and the fact-fact join then
+    runs as a SortMergeJoin with ZERO exchanges feeding it — the plan
+    pytest counts them. At 100 TB this is THE co-located-join story:
+    the shuffle, not the join, is the bill for fact-fact joins; a
+    bucketed layout pays the partitioning once at ingest and every
+    downstream join/aggregation on that key reuses it for free. The
+    merge hint keeps the demonstration honest at test scale (the
+    small-SF customer side would otherwise broadcast, which never
+    exercises co-location).
+
+    Hash contract: the rollup equals the plain-parquet join SQL —
+    bucketing is PHYSICAL layout only; a value change would mean rows
+    were lost or re-keyed by the bucketed write. Table names are
+    pid+sf-scoped (concurrent checkers never collide), re-created per
+    invocation, dropped by a best-effort atexit."""
+    import atexit
+    import os
+    import re
+
+    from ..operators import layout
+
+    (orders, customer) = load(spark, sf, "orders", "customer")
+    tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf.rstrip("/")))
+    to = f"q217_orders_{tag}_{os.getpid()}"
+    tc = f"q217_customer_{tag}_{os.getpid()}"
+    layout.write_bucketed(
+        orders.select("o_custkey", "o_totalprice"), to, "o_custkey", 8
+    )
+    layout.write_bucketed(
+        customer.select("c_custkey", "c_mktsegment"), tc, "c_custkey", 8
+    )
+
+    def _drop(session=spark, names=(to, tc)):
+        try:
+            for n in names:
+                session.sql(f"DROP TABLE IF EXISTS {n}")
+        except Exception:
+            pass
+
+    atexit.register(_drop)
+    bo, bc = spark.table(to), spark.table(tc)
+    return (
+        bo.hint("merge")
+        .join(bc, bo["o_custkey"] == bc["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_c"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1180,3 +1180,16 @@ def test_round14_minhash_banding_single_fold(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert 1 <= plan.count("xxhash64") <= 4, plan.count("xxhash64")
+
+
+def test_round14_q217_bucketed_join_no_join_exchange(spark):
+    """q217's whole point: both sides bucketed by the join key at
+    write time -> the SortMergeJoin consumes the bucketed scans
+    DIRECTLY, zero exchanges feeding the join. The only hash exchange
+    in the plan belongs to the post-join segment aggregate."""
+    plan = (
+        q("q217_bucketed_colocated_join", spark)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
