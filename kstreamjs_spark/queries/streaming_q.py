@@ -2586,6 +2586,92 @@ REGISTRY["q211b_stream_lakehouse_ingest"] = _dc_replace_q211b(
 )
 
 
+# --- Q215b STREAMING ingest with INLINE compaction — the OPTIMIZE loop
+@query(
+    "q215b_stream_ingest_compacted",
+    oracle=None,  # bound below (shares q211's closed-form manifest SQL)
+    tags=("streaming", "pipeline", "layout", "write", "maintenance"),
+)
+def q215b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ingest with INLINE compaction (round 14) — q211b's
+    append loop composed with q215's OPTIMIZE, the way a production
+    table actually lives: every micro-batch z-stages and APPENDS its
+    rows (one small file per batch per cell), and AFTER each commit
+    the maintenance pass compacts every over-threshold cell
+    (`layout.compact_partitions` — census, staged rewrite of only
+    those cells, atomic swap). foreachBatch serializes the two, so
+    compaction never races an append; steady-state file count per
+    cell stays bounded by the threshold regardless of how many
+    batches have ever landed — the property unbounded ingest needs
+    and q211b alone does not give. Manifest recomputed FROM THE
+    COMPACTED FILES hash-matches q211's closed-form SQL: ingest +
+    continuous OPTIMIZE lost, duplicated, and corrupted nothing. The
+    multi-batch pytest drives 3 triggers and pins the bounded
+    file-count invariant after every commit."""
+    return stream_ingest_compacted(
+        spark, stream_table(spark, sf, "orders"),
+        _q215b_root(sf), max_files=1,
+    )
+
+
+def _q215b_root(sf: str) -> str:
+    from ..session import scratch_dir
+
+    return scratch_dir("kstreamjs_zorder_compact_stream", sf)
+
+
+def stream_ingest_compacted(
+    spark: SparkSession, sdf: DataFrame, out: str, max_files: int = 1
+) -> DataFrame:
+    """q215b's pipeline as a reusable transform (one code home — the
+    multi-batch pytest drives THIS): per micro-batch z-staged append +
+    inline compaction, returning the per-cell manifest frame."""
+    import shutil
+
+    from ..operators import layout
+    from ..streaming.replay import run_foreach_batch
+
+    shutil.rmtree(out, ignore_errors=True)  # append mode: start clean
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        x = layout.quantize16(F.col("o_custkey"))
+        y = layout.quantize16(F.floor(F.col("o_totalprice")))
+        layout.zorder_stage(batch_df, x, y, file_bits=4).write.mode(
+            "append"
+        ).partitionBy("zfile").parquet(out)
+        # the maintenance half, inline: serialized with the append by
+        # foreachBatch, so the swap never races a writer
+        layout.compact_partitions(
+            batch_df.sparkSession, out, "zfile", max_files=max_files
+        )
+
+    run_foreach_batch(sdf, write_batch, "q215b")
+
+    back = spark.read.parquet(out)
+    bx = layout.quantize16(F.col("o_custkey"))
+    by = layout.quantize16(F.floor(F.col("o_totalprice")))
+    return (
+        back.groupBy(F.col("zfile").cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(bx).alias("min_x"),
+            F.max(bx).alias("max_x"),
+            F.min(by).alias("min_y"),
+            F.max(by).alias("max_y"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("sum_price_c"),
+        )
+        .orderBy("zfile")
+    )
+
+
+REGISTRY["q215b_stream_ingest_compacted"] = _dc_replace_q211b(
+    REGISTRY["q215b_stream_ingest_compacted"],
+    oracle=_q211_oracle_import(),
+)
+
+
 # --------- Q213 STREAMING SCD1 upsert — CDC apply via versioned merges
 @query(
     "q213_stream_scd1_upsert",

@@ -2018,6 +2018,69 @@ def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
     assert ttl_pairs < exact_pairs  # strict subset: the stated trade
 
 
+def test_stream_ingest_compacted_bounds_files_and_loses_nothing(
+    spark, tmp_path
+):
+    """q215b's contract under REAL multi-trigger ingest: orders split
+    in three files, one per trigger — each commit appends z-staged
+    rows AND compacts inline; afterwards (a) every cell holds at most
+    max_files files (the bounded steady-state q211b alone cannot
+    give), (b) the re-read table equals the source exactly (count +
+    quantized price sum per cell vs a batch z-stage over the whole
+    table). Drives the SHIPPED stream_ingest_compacted."""
+    import glob as _glob
+
+    from kstreamjs_spark.queries.streaming_q import (
+        stream_ingest_compacted,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    src = str(tmp_path / "orders_stream")
+    os.makedirs(src, exist_ok=True)
+    parts = orders.randomSplit([1.0, 1.0, 1.0], seed=5)
+    now = time.time()
+    for i, p in enumerate(parts):
+        fp = f"{src}/f{i}.parquet"
+        p.coalesce(1).write.mode("overwrite").parquet(fp)
+        for root, _, names in os.walk(fp):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    out = str(tmp_path / "tbl")
+    manifest = {
+        r["zfile"]: (r["n_rows"], r["sum_price_c"])
+        for r in stream_ingest_compacted(spark, sdf, out).collect()
+    }
+    # (a) bounded files per cell after the final inline compaction
+    per_cell: dict[str, int] = {}
+    for f in _glob.glob(out + "/zfile=*/*.parquet"):
+        cell = os.path.basename(os.path.dirname(f))
+        per_cell[cell] = per_cell.get(cell, 0) + 1
+    assert per_cell and max(per_cell.values()) <= 1, per_cell
+    # (b) nothing lost or duplicated vs the batch z-stage
+    from kstreamjs_spark.operators import layout
+
+    x = layout.quantize16(F.col("o_custkey"))
+    y = layout.quantize16(F.floor(F.col("o_totalprice")))
+    expected = {
+        r["zfile"]: (r["n"], r["s"])
+        for r in layout.zorder_stage(orders, x, y, file_bits=4)
+        .groupBy(F.col("zfile").cast("long").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert manifest == expected
+
+
 def test_stream_embedding_neardup_equals_batch_any_schedule(spark, tmp_path):
     """q214b's contract: the streamed VERIFIED embedding pair set
     (bucket_pair_stream over SRP bands + in-stream exact cosine)
