@@ -5586,3 +5586,186 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("word")
     )
 
+
+
+# ----- Q216c WordPiece LIKELIHOOD-scored tokenizer training (round 14)
+_WPT_MERGES = 6
+_WPT_SCALE = 1_000_000_000_000  # 1e12 integer score quantization
+
+
+def _wpt_oracle(k: int = _WPT_MERGES) -> str:
+    """Generated-CTE mirror of the k-merge LIKELIHOOD-scored loop (the
+    q179 unrolled-chain policy with a different argmax): each level
+    computes the adjacent-pair table AND the symbol-count table, ranks
+    pairs by the WordPiece training score count(ab)/(count(a)*count(b))
+    — quantized to integer via (n_ab * 1e12) // (n_a * n_b), the same
+    arithmetic the Spark side runs, so cross-engine comparison is exact
+    — and applies the winning merge with the identical left-to-right
+    string fold q179's oracle proved out (self-overlapping runs merge
+    two-at-a-time; NULL no-op levels when no pairs remain)."""
+    fold = """list_reduce(string_split(s, chr(31)),
+                     (acc, x) -> CASE
+                       WHEN x = t.b AND (acc = t.a
+                                         OR ends_with(acc,
+                                                      chr(31) || t.a))
+                       THEN acc || x
+                       ELSE acc || chr(31) || x END)"""
+    sql = """
+        WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest(string_split(text,' ')) AS word
+                          FROM documents)
+                    GROUP BY word),
+        seq0 AS (SELECT word, c,
+                        array_to_string(string_split(word, ''), chr(31))
+                            AS s
+                 FROM w0)"""
+    for i in range(1, k + 1):
+        p = i - 1
+        sql += f""",
+        sym{i} AS (SELECT sym, SUM(c) AS n
+                   FROM (SELECT unnest(string_split(s, chr(31))) AS sym,
+                                c
+                         FROM seq{p})
+                   GROUP BY sym),
+        pair{i} AS (SELECT l[j] || chr(31) || l[j+1] AS pr, SUM(c) AS n
+                    FROM (SELECT string_split(s, chr(31)) AS l, c
+                          FROM seq{p}),
+                         unnest(generate_series(1, len(l)-1)) AS g(j)
+                    GROUP BY pr),
+        top{i} AS (SELECT split_part(pr, chr(31), 1) AS a,
+                          split_part(pr, chr(31), 2) AS b
+                   FROM (SELECT p.pr,
+                                CAST(p.n * {_WPT_SCALE} AS BIGINT)
+                                    // (sa.n * sb.n) AS score
+                         FROM pair{i} p
+                         JOIN sym{i} sa
+                           ON sa.sym = split_part(p.pr, chr(31), 1)
+                         JOIN sym{i} sb
+                           ON sb.sym = split_part(p.pr, chr(31), 2)
+                         ORDER BY score DESC, p.pr LIMIT 1)),
+        seq{i} AS (SELECT word, c, {fold} AS s
+                   FROM seq{p} LEFT JOIN top{i} t ON true)"""
+    sql += f"""
+        SELECT word, c AS word_count,
+               CAST(len(string_split(s, chr(31))) AS BIGINT) AS n_symbols,
+               replace(s, chr(31), ' ') AS segmentation
+        FROM seq{k}"""
+    return sql
+
+
+@query(
+    "q216c_wordpiece_likelihood_train",
+    oracle=_wpt_oracle(),
+    tags=("text", "llm", "tokenizer"),
+)
+def q216c(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece LIKELIHOOD-scored tokenizer TRAINING (round 14;
+    Schuster & Nakajima 2012, public) — completes the family q216
+    deliberately split: q216 isolated the greedy APPLICATION, this is
+    the real WordPiece vocabulary SELECTION rule. Identical machinery
+    to BPE (q179: pair-count aggregate per round + 1-row argmax + the
+    greedy string fold) with ONE change — the argmax maximizes the
+    likelihood gain score count(ab) / (count(a) * count(b)) instead of
+    raw count(ab), which requires a per-round SYMBOL-count aggregate
+    alongside the pair counts (both map-side-combined, both bounded by
+    the symbol/pair vocabulary, never the corpus). The score is
+    quantized to integer ((n_ab * 1e12) DIV (n_a * n_b)) so the
+    cross-engine argmax is exact — no float drift; the generated-CTE
+    oracle runs the identical arithmetic, making this TRAINING loop
+    hash-matched end to end (q179's category, not a rows-only mirror).
+
+    Scale shape: q179's exactly, plus one vocabulary-sized aggregate
+    per round; the argmax joins are pair-table x symbol-table
+    (both vocabulary-bounded). Honesty: the 1e12 quantization bounds
+    n_ab < ~9e6 before int64 overflow at the multiply — a 100 TB
+    corpus lifts the scale constant into a DECIMAL(38) score, same
+    plan."""
+    from ..plans import materialize_once
+
+    (documents,) = load(spark, sf, "documents")
+    w = materialize_once(
+        documents.select(
+            F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    seq = w.select(
+        "word", "c",
+        F.array_join(F.split("word", ""), _BPE_SEP).alias("s"),
+    )
+    for _ in range(_WPT_MERGES):
+        lcol = F.split("s", _BPE_SEP)
+        pair_arr = F.when(
+            F.size(lcol) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(lcol) - 1),
+                lambda j: F.concat(
+                    F.element_at(lcol, j),
+                    F.lit(_BPE_SEP),
+                    F.element_at(lcol, j + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pairs = (
+            seq.select(F.explode(pair_arr).alias("pr"), "c")
+            .groupBy("pr")
+            .agg(F.sum("c").alias("n_ab"))
+        )
+        syms = (
+            seq.select(F.explode(lcol).alias("sym"), "c")
+            .groupBy("sym")
+            .agg(F.sum("c").alias("n_sym"))
+        )
+        rows = (
+            pairs.withColumn(
+                "a", F.split("pr", _BPE_SEP).getItem(0)
+            )
+            .withColumn("b", F.split("pr", _BPE_SEP).getItem(1))
+            .join(
+                syms.select(
+                    F.col("sym").alias("a"),
+                    F.col("n_sym").alias("n_a"),
+                ),
+                "a",
+            )
+            .join(
+                syms.select(
+                    F.col("sym").alias("b"),
+                    F.col("n_sym").alias("n_b"),
+                ),
+                "b",
+            )
+            .withColumn(
+                "score",
+                F.expr(
+                    f"CAST(n_ab * {_WPT_SCALE} AS BIGINT)"
+                    f" DIV (n_a * n_b)"
+                ),
+            )
+            .orderBy(F.col("score").desc(), "pr")
+            .limit(1)
+            .collect()  # BOUNDED: at most one row by construction
+        )
+        if not rows:
+            break  # fully merged; oracle's NULL no-op levels
+        a, b = rows[0]["pr"].split(_BPE_SEP)
+        folded = F.aggregate(
+            F.slice(lcol, 2, F.size(lcol) - 1),
+            F.element_at(lcol, 1),
+            lambda acc, x: F.when(
+                (x == F.lit(b))
+                & (
+                    (acc == F.lit(a))
+                    | acc.endswith(F.lit(_BPE_SEP + a))
+                ),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+        )
+        seq = seq.select("word", "c", folded.alias("s"))
+    return seq.select(
+        "word",
+        F.col("c").alias("word_count"),
+        F.size(F.split("s", _BPE_SEP)).cast("long").alias("n_symbols"),
+        F.regexp_replace("s", _BPE_SEP, " ").alias("segmentation"),
+    ).orderBy("word")
