@@ -2717,7 +2717,10 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def scd1_upsert_stream(
-    sdf: DataFrame, root: str, n_buckets: int = 16
+    sdf: DataFrame,
+    root: str,
+    n_buckets: int = 16,
+    changelog: bool = False,
 ) -> DataFrame:
     """q213's pipeline as a reusable transform (one code home — the
     multi-batch pytest drives THIS): foreachBatch PARTITION-PRUNED
@@ -2822,6 +2825,48 @@ def scd1_upsert_stream(
         merged.withColumn("pbucket", F.col("bucket")).write.mode(
             "overwrite"
         ).partitionBy("pbucket").parquet(f"{root}/commit_v{n}")
+        if changelog:
+            # CDC OUT (round 14, q213b): per commit, one change row per
+            # BATCH key — old state from the still-live previous bucket
+            # copies (n_before=0 for first appearances), new state from
+            # the just-written commit. Written BEFORE retention prunes
+            # the superseded copies; consumers subscribe to
+            # root/_changelog instead of re-diffing snapshots.
+            new_state = batch_df.sparkSession.read.parquet(
+                f"{root}/commit_v{n}"
+            )
+            keys = delta.select("user_id")
+            after = keys.join(new_state, "user_id").select(
+                "user_id",
+                F.col("n_events").alias("n_after"),
+                F.col("last.ts").alias("last_ts_after"),
+                F.col("last.value").alias("last_value_after"),
+            )
+            if prev_paths:
+                before = (
+                    keys.join(
+                        batch_df.sparkSession.read.parquet(*prev_paths),
+                        "user_id",
+                        "left",
+                    )
+                    .select(
+                        "user_id",
+                        F.coalesce(F.col("n_events"), F.lit(0))
+                        .cast("long")
+                        .alias("n_before"),
+                    )
+                )
+            else:
+                before = keys.select(
+                    "user_id",
+                    F.lit(0).cast("long").alias("n_before"),
+                )
+            (
+                after.join(before, "user_id")
+                .withColumn("commit", F.lit(n).cast("long"))
+                .write.mode("overwrite")
+                .parquet(f"{root}/_changelog/c{n}")
+            )
         superseded = [
             (state["bucket_commit"][b], b)
             for b in touched
@@ -2875,6 +2920,53 @@ def scd1_upsert_stream(
             F.col("last.ts").alias("last_ts"),
             F.col("last.value").alias("last_value"),
         )
+    )
+
+
+# -------- Q213b SCD1 MERGE changelog — the CDC-OUT direction
+@query(
+    "q213b_scd1_changelog",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_after,
+               MAX(ts) AS last_ts_after,
+               arg_max(value, ts) AS last_value_after
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc"),
+)
+def q213b(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD1 MERGE CHANGELOG (round 14) — the CDC-OUT direction
+    completing q213's CDC-IN: each MERGE commit also emits one change
+    row per batch key (old count, new count + latest state) into
+    ``root/_changelog/c{n}``, written from the just-committed and
+    still-live previous bucket copies BEFORE retention prunes them —
+    the change-data-feed a downstream consumer subscribes to instead
+    of re-diffing dimension snapshots. Output here is the LATEST
+    changelog entry per key, which must equal the dimension table
+    itself for ANY micro-batch schedule (changelog-follows-table, the
+    invariant that makes a feed trustworthy) — hash-matched against
+    the same closed-form rollup as q213. The multi-commit semantics
+    (per-commit deltas summing to the final count, n_before chaining
+    to the prior commit's n_after) are pinned by the multi-batch
+    pytest, which replays three triggers and checks the ledger row by
+    row."""
+    from ..session import scratch_dir
+
+    from pyspark.sql import Window
+
+    root = scratch_dir("kstreamjs_scd1_cdc", sf)
+    sdf = stream_table(spark, sf, "events")
+    scd1_upsert_stream(sdf, root, changelog=True)
+    log = spark.read.parquet(f"{root}/_changelog/c*")
+    w = Window.partitionBy("user_id").orderBy(F.col("commit").desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "n_after", "last_ts_after", "last_value_after"
+        )
+        .orderBy("user_id")
     )
 
 

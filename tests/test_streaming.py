@@ -1894,6 +1894,67 @@ def test_stream_scd1_merge_prunes_untouched_buckets(spark, tmp_path):
         assert not os.path.exists(table_root + f"/commit_v0/pbucket={b}")
 
 
+def test_stream_scd1_changelog_ledger_across_commits(spark, tmp_path):
+    """q213b's multi-commit contract on a 3-trigger replay: the
+    changelog is a consistent ledger — (a) per user the commit deltas
+    (n_after - n_before) sum to the final dimension count, (b) each
+    row's n_before equals the SAME user's n_after from their previous
+    changelog row (0 on first appearance), (c) the latest row per user
+    equals the dimension table exactly."""
+    import glob as _glob
+
+    from kstreamjs_spark.queries.streaming_q import scd1_upsert_stream
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=23)
+    now = time.time()
+    for i, p in enumerate(parts):
+        fp = f"{src}/f{i}.parquet"
+        p.coalesce(1).write.mode("overwrite").parquet(fp)
+        for root, _, names in os.walk(fp):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    table_root = str(tmp_path / "dim")
+    dim = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+        for r in scd1_upsert_stream(
+            sdf, table_root, changelog=True
+        ).collect()
+    }
+    assert len(_glob.glob(table_root + "/_changelog/c*")) == 3
+    log = sorted(
+        (
+            (r["user_id"], r["commit"], r["n_before"], r["n_after"],
+             r["last_ts_after"], r["last_value_after"])
+            for r in spark.read.parquet(
+                table_root + "/_changelog/c*"
+            ).collect()
+        ),
+    )
+    by_user: dict = {}
+    for u, c, nb, na, lt, lv in log:
+        by_user.setdefault(u, []).append((c, nb, na, lt, lv))
+    assert set(by_user) == set(dim)
+    for u, rows in by_user.items():
+        rows.sort()
+        # (b) n_before chains to the previous commit's n_after
+        prev_after = 0
+        for _c, nb, na, _lt, _lv in rows:
+            assert nb == prev_after, (u, rows)
+            assert na > nb  # the commit carried >=1 event for u
+            prev_after = na
+        # (a) deltas sum to the final count == (c) latest equals dim
+        assert prev_after == dim[u][0], (u, rows)
+        assert (rows[-1][3], rows[-1][4]) == (dim[u][1], dim[u][2])
+
+
 def test_stream_scd1_empty_source_raises(spark, tmp_path):
     """ADVICE fix: zero micro-batches -> a clear error, not a
     path-not-found on a v-1 read."""
