@@ -78,7 +78,7 @@ def configure_runtime(spark: SparkSession) -> None:
 
 def scratch_dir(prefix: str, sf_dir: str) -> str:
     """Pid-scoped scratch directory for queries that exercise the WRITE
-    path (q173/q211/q211b/q213): concurrent checkers (driver + an
+    path (q211/q211b/q213/q213b/q215/q215b): concurrent checkers (driver + an
     independent judge selfcheck) never clobber each other's write
     mid-read, the same process reuses its dir across invocations, and an
     ``atexit`` hook removes every dir this process created — the
