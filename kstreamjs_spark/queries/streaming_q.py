@@ -2721,6 +2721,7 @@ def scd1_upsert_stream(
     root: str,
     n_buckets: int = 16,
     changelog: bool = False,
+    retain_commits: int = 0,
 ) -> DataFrame:
     """q213's pipeline as a reusable transform (one code home — the
     multi-batch pytest drives THIS): foreachBatch PARTITION-PRUNED
@@ -2748,10 +2749,18 @@ def scd1_upsert_stream(
       rewritten, which the byte-identity pytest pins);
     - retention: once commit ``n`` rewrites bucket ``b``, the
       superseded ``commit_v{old}/pbucket={b}`` directory is garbage
-      and is pruned immediately after the new commit lands (the
+      FOR THE LATEST VIEW and is pruned after the commit lands (the
       ADVICE-flagged unbounded-snapshot growth); emptied commit dirs
       are removed too, so steady-state storage is exactly one live
-      copy per bucket plus manifests;
+      copy per bucket plus manifests. ``retain_commits`` (round 14)
+      is the VACUUM horizon: a superseded copy survives until the
+      table is ``retain_commits`` commits past the version that
+      superseded it, which keeps every manifest within the horizon
+      fully readable — TIME TRAVEL (`scd1_read_as_of`) works AS OF
+      any retained version and degrades exactly like Delta's VACUUM:
+      reads past the horizon fail because their files are gone, by
+      design, not by accident. Default 0 = prune immediately (only
+      the latest view readable — the pre-round-14 behavior);
     - an empty source (zero micro-batches) raises a clear error
       instead of a confusing path-not-found on a ``v-1`` read.
 
@@ -2768,7 +2777,14 @@ def scd1_upsert_stream(
 
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
-    state: dict = {"version": -1, "bucket_commit": {}}
+    # tombstones: (superseded_at_version, old_commit, bucket) — a copy
+    # superseded at version s serves AS OF < s reads; VACUUM drops it
+    # once the table reaches version s + retain_commits.
+    state: dict = {
+        "version": -1,
+        "bucket_commit": {},
+        "tombstones": [],
+    }
     bucket_of = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast(
         "int"
     )
@@ -2888,13 +2904,26 @@ def scd1_upsert_stream(
                 },
                 fh,
             )
-        # Retention: prune the superseded bucket copies (and any
-        # commit dir they emptied) — storage stays one live copy per
-        # bucket, not one snapshot per micro-batch.
-        for old_commit, b in superseded:
+        # Retention / VACUUM: a copy superseded at version n serves
+        # AS OF < n; it survives until the table is retain_commits
+        # past n, then prunes (with any commit dir it emptied) —
+        # storage stays one live copy per bucket plus the retained
+        # time-travel horizon, not one snapshot per micro-batch.
+        state["tombstones"].extend(
+            (n, old_commit, b) for old_commit, b in superseded
+        )
+        due = [
+            t for t in state["tombstones"]
+            if t[0] + retain_commits <= n
+        ]
+        state["tombstones"] = [
+            t for t in state["tombstones"]
+            if t[0] + retain_commits > n
+        ]
+        for _s, old_commit, b in due:
             shutil.rmtree(bucket_path(old_commit, b),
                           ignore_errors=True)
-        for old_commit in {c for c, _ in superseded}:
+        for old_commit in {c for _s, c, _b in due}:
             d = f"{root}/commit_v{old_commit}"
             if os.path.isdir(d) and not any(
                 name.startswith("pbucket=") for name in os.listdir(d)
@@ -2921,6 +2950,81 @@ def scd1_upsert_stream(
             F.col("last.value").alias("last_value"),
         )
     )
+
+
+def scd1_read_as_of(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """TIME-TRAVEL read of an `scd1_upsert_stream` table: resolve the
+    manifest for ``version`` (default: the newest committed) and read
+    exactly the bucket copies it references — the table AS OF that
+    commit, independent of any later MERGE activity. Works for every
+    version inside the writer's ``retain_commits`` VACUUM horizon;
+    past it the referenced files are pruned and the read fails, by
+    design (Delta's time-travel-vs-VACUUM contract). Reads ONLY the
+    manifest JSON + the referenced parquet — no driver state, so any
+    process can time-travel a table another process wrote."""
+    import json
+    import os
+
+    mdir = os.path.join(root, "_manifest")
+    if version is None:
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if not versions:
+            raise ValueError(
+                f"scd1_read_as_of: no manifest under {mdir!r}"
+            )
+        version = versions[-1]
+    with open(os.path.join(mdir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    paths = [
+        f"{root}/commit_v{c}/pbucket={b}"
+        for b, c in sorted(man["bucket_commit"].items())
+    ]
+    return spark.read.parquet(*paths).select(
+        "user_id",
+        "n_events",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+# ------- Q213c SCD1 time travel — manifest AS-OF reads within VACUUM
+@query(
+    "q213c_scd1_time_travel",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc"),
+)
+def q213c(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD1 TIME TRAVEL (round 14) — the last Delta-style pillar on
+    the MERGE table: q213 is MERGE (CDC in), q213b the changelog (CDC
+    out), q215/q215b OPTIMIZE; this is AS-OF reads bounded by a VACUUM
+    horizon. The MERGE runs with ``retain_commits=2`` so superseded
+    bucket copies outlive the commits that superseded them, keeping
+    every manifest in the horizon fully readable; the table is then
+    read back through `scd1_read_as_of` — manifest JSON + referenced
+    parquet only, NO writer state, so any process can time-travel a
+    table another process wrote. AS OF the newest version must equal
+    the closed-form rollup for ANY batching (hash contract); the
+    multi-commit semantics — each retained version reproducing its
+    prefix rollup exactly, and the VACUUMed version's files actually
+    gone — are pinned by the 3-trigger pytest."""
+    from ..session import scratch_dir
+
+    root = scratch_dir("kstreamjs_scd1_tt", sf)
+    sdf = stream_table(spark, sf, "events")
+    scd1_upsert_stream(sdf, root, retain_commits=2)
+    return scd1_read_as_of(spark, root).orderBy("user_id")
 
 
 # -------- Q213b SCD1 MERGE changelog — the CDC-OUT direction

@@ -1955,6 +1955,72 @@ def test_stream_scd1_changelog_ledger_across_commits(spark, tmp_path):
         assert (rows[-1][3], rows[-1][4]) == (dim[u][1], dim[u][2])
 
 
+def test_stream_scd1_time_travel_within_vacuum_horizon(spark, tmp_path):
+    """q213c's multi-commit contract on a 3-trigger replay with
+    retain_commits=1: (a) AS OF each RETAINED version reproduces the
+    exact prefix rollup (events from the batches up to that commit),
+    (b) the version beyond the horizon is VACUUMed — its superseded
+    bucket copies are physically gone and the as-of read fails, by
+    design, (c) the default reader (newest manifest) equals the full
+    rollup."""
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_read_as_of,
+        scd1_upsert_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    parts = events.randomSplit([1.0, 1.0, 1.0], seed=31)
+    now = time.time()
+    for i, p in enumerate(parts):
+        fp = f"{src}/f{i}.parquet"
+        p.coalesce(1).write.mode("overwrite").parquet(fp)
+        for root, _, names in os.walk(fp):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    table_root = str(tmp_path / "dim")
+    scd1_upsert_stream(sdf, table_root, retain_commits=1)
+
+    def rollup(df):
+        return {
+            r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+            for r in df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.max_by("value", "ts").alias("last_value"),
+            )
+            .collect()
+        }
+
+    def as_of(v):
+        return {
+            r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+            for r in scd1_read_as_of(spark, table_root, v).collect()
+        }
+
+    # (a) retained versions 1 and 2 reproduce their prefix rollups
+    prefix2 = rollup(parts[0].unionByName(parts[1]))
+    full = rollup(events)
+    assert as_of(1) == prefix2
+    assert as_of(2) == full
+    # (c) default = newest
+    assert as_of(None) == full
+    # (b) version 0 is past the horizon (superseded at v1, pruned once
+    # the table reached v2 = 1 + retain_commits): the read must fail on
+    # missing files — time travel degrades exactly at the VACUUM edge
+    with _pytest.raises(Exception):
+        as_of(0)
+
+
 def test_stream_scd1_empty_source_raises(spark, tmp_path):
     """ADVICE fix: zero micro-batches -> a clear error, not a
     path-not-found on a v-1 read."""
