@@ -59,17 +59,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         f"({len(done)} cells rewritten), {total} rows intact"
     )
 
-    # 4: partition-pruned streaming MERGE (CDC apply) over events
-    from kstreamjs_spark.queries.streaming_q import scd1_upsert_stream
+    # 4: partition-pruned streaming MERGE (CDC apply) over events,
+    #    with a changelog feed and a time-travel retention horizon
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_read_as_of,
+        scd1_upsert_stream,
+    )
     from kstreamjs_spark.streaming.replay import stream_table
 
     dim_root = os.path.join(tempfile.mkdtemp(), "dim_user")
     sdf = stream_table(spark, sf_dir, "events")
-    dim = scd1_upsert_stream(sdf, dim_root, n_buckets=8)
+    dim = scd1_upsert_stream(
+        sdf, dim_root, n_buckets=8, changelog=True, retain_commits=2
+    )
     print("MERGE result (one row per user, latest state):")
     dim.orderBy("user_id").show(5, truncate=False)
     manifests = sorted(glob.glob(dim_root + "/_manifest/v*.json"))
-    print(f"{len(manifests)} manifest commit(s) under {dim_root}")
+    n_changes = spark.read.parquet(dim_root + "/_changelog/c*").count()
+    asof = scd1_read_as_of(spark, dim_root).count()
+    print(
+        f"{len(manifests)} manifest commit(s), {n_changes} changelog "
+        f"row(s), AS-OF-latest reads {asof} dimension rows"
+    )
 
     shutil.rmtree(os.path.dirname(table), ignore_errors=True)
     shutil.rmtree(os.path.dirname(dim_root), ignore_errors=True)
