@@ -1023,3 +1023,94 @@ def test_flac_lpc_and_wasted_bits_decode():
     dec2 = multimodal.decode_flac_samples(blob2)
     assert dec2 is not None
     assert dec2[1].ravel().tolist() == vals
+
+
+def py_greedy(w: str, vocab_by_len: dict) -> tuple[int, str]:
+    """Independent greedy longest-match reference for `greedy_pieces`."""
+    from kstreamjs_spark.operators.text import WORDPIECE_UNK
+
+    pos, n, seg = 0, 0, []
+    while pos < len(w):
+        for l in sorted((k for k in vocab_by_len if k > 1), reverse=True):
+            p = w[pos:pos + l]
+            if len(p) == l and p in vocab_by_len.get(l, []):
+                seg.append(("##" if n else "") + p)
+                pos += l
+                n += 1
+                break
+        else:
+            c = w[pos]
+            piece = c if c in vocab_by_len.get(1, []) else WORDPIECE_UNK
+            seg.append(("##" if n else "") + piece)
+            pos += 1
+            n += 1
+    return n, " ".join(seg)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=0, max_size=10),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    chars=st.sets(st.sampled_from("abcdef"), min_size=1, max_size=6),
+    multi=st.sets(
+        st.text(alphabet="abcdef", min_size=2, max_size=4),
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_greedy_pieces_matches_reference_on_random_vocab(
+    spark, words, chars, multi
+):
+    """q216's fold expression vs the independent Python greedy on
+    RANDOM vocabularies and words — partial char coverage (UNK paths),
+    overlapping multi-char pieces, boundary-length words, and the
+    empty word all in one sweep."""
+    from kstreamjs_spark.operators.text import greedy_pieces
+
+    vocab: dict[int, list[str]] = {1: sorted(chars)}
+    for p in multi:
+        vocab.setdefault(len(p), []).append(p)
+    for k in vocab:
+        vocab[k] = sorted(set(vocab[k]))
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: (r["g"]["n_pieces"], r["g"]["seg"])
+        for r in df.select(
+            "w", greedy_pieces("w", vocab).alias("g")
+        ).collect()
+    }
+    assert got == {w: py_greedy(w, vocab) for w in words}
+
+
+@given(
+    word=st.text(alphabet="abcdxyz", min_size=0, max_size=20),
+    vocab_words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_unigram_viterbi_total_and_optimal(word, vocab_words):
+    """q212b's UNK-total contract, randomized: the DP never raises on
+    ANY input word (chars x/y/z are never in the vocab), every
+    returned piece is either a vocab piece or a single OOV char, the
+    pieces concatenate back to the word, and no real single-char piece
+    is ever replaced by UNK (UNK floor never outranks a real score)."""
+    from kstreamjs_spark.queries.llm import (
+        _unigram_mirror,
+        _unigram_scores,
+        _unigram_viterbi,
+    )
+
+    vocab, _ = _unigram_mirror({w: 1 for w in vocab_words})
+    score = _unigram_scores(vocab)
+    seg = _unigram_viterbi(word, score)  # must not raise
+    assert "".join(seg) == word
+    # every piece is either scored (real vocab) or a single OOV char —
+    # the UNK branch never swallows multi-char spans or known pieces
+    for p in seg:
+        assert p in score or (len(p) == 1 and p not in score)
