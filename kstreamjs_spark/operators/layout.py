@@ -133,9 +133,21 @@ def compact_partitions(
        re-reading concatenated z-runs and writing one file keeps rows
        grouped; footers stay tight because each source file was
        z-sorted and the groups concatenate).
-    3. Per-partition atomic swap: os.rename the old dir out, the
-       staged dir in, then drop the old copies. Readers resolving the
-       table path never see a half-compacted partition.
+    3. Per-partition atomic swap: os.rename the old dir out (into a
+       trash slot INSIDE the staging dir — never under the table root,
+       so a crash mid-swap can't leave a dir the census would parse as
+       a ghost partition), the staged dir in, then drop the old
+       copies. Readers resolving the table path never see a
+       half-compacted partition.
+
+    Crash recovery (round 15): a crash between the two renames leaves
+    the partition MISSING from the table and its old copy in the
+    staging trash slot. The census therefore starts by recovering any
+    orphaned staging dir from a previous run: a trash slot whose
+    partition is absent from the table root is renamed BACK (the swap
+    never completed — the old data is still the truth); one whose
+    partition is present is dropped (the swap completed, only the
+    cleanup died). Only then is the staging dir cleared.
 
     Returns [(partition_value, files_before, files_after)] for the
     compacted partitions. At 100 TB: the census comes from the real
@@ -146,6 +158,21 @@ def compact_partitions(
     import shutil
 
     prefix = f"{partition_col}="
+    staging = root.rstrip("/") + "__compact_staging"
+    trash_prefix = "__trash__"
+    # Recover a previous run's orphaned staging dir BEFORE the census:
+    # a trash slot whose partition is missing from the table root marks
+    # a crash between the two swap renames — restore it (the old data
+    # is still the truth); one whose partition exists marks a completed
+    # swap whose cleanup died — safe to drop with the staging dir.
+    if os.path.isdir(staging):
+        for name in os.listdir(staging):
+            if not name.startswith(trash_prefix + prefix):
+                continue
+            part_dir = os.path.join(root, name[len(trash_prefix):])
+            if not os.path.isdir(part_dir):
+                os.rename(os.path.join(staging, name), part_dir)
+        shutil.rmtree(staging, ignore_errors=True)
     census: dict[str, int] = {}
     for name in os.listdir(root):
         if not name.startswith(prefix):
@@ -159,8 +186,6 @@ def compact_partitions(
     todo = sorted(v for v, n in census.items() if n > max_files)
     if not todo:
         return []
-    staging = root.rstrip("/") + "__compact_staging"
-    shutil.rmtree(staging, ignore_errors=True)
     # basePath keeps the partition column visible while scanning ONLY
     # the to-compact partition dirs (partition pruning by path)
     sub = spark.read.option("basePath", root).parquet(
@@ -176,7 +201,10 @@ def compact_partitions(
     for v in todo:
         old = os.path.join(root, prefix + v)
         new = os.path.join(staging, prefix + v)
-        trash = old + "__old"
+        # trash slot lives under STAGING, not the table root: a crash
+        # here can never leave a '<prefix>...__old' dir that a later
+        # census would parse as a ghost partition value
+        trash = os.path.join(staging, trash_prefix + prefix + v)
         os.rename(old, trash)
         os.rename(new, old)
         shutil.rmtree(trash)

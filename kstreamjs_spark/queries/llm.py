@@ -5592,6 +5592,19 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
 _WPT_MERGES = 6
 _WPT_SCALE = 1_000_000_000_000  # 1e12 integer score quantization
 
+# The WordPiece argmax score (n_ab * 1e12) DIV (n_a * n_b), computed in
+# DECIMAL so it CANNOT wrap: long*long would overflow silently (non-ANSI
+# Spark) past n_ab ~9.2e6 while the DuckDB oracle's HUGEINT kept going —
+# a silent wrong-argmax divergence at corpus scale (round-15 fix; the
+# oracle mirrors with explicit HUGEINT casts). DECIMAL(19,0) holds any
+# BIGINT count; the numerator product is DECIMAL(33,0) and the
+# denominator DECIMAL(38,0) — both exact, no precision loss — and the
+# quotient (<= 1e12 since n_ab <= min(n_a, n_b)) returns as BIGINT.
+_WPT_SCORE_SQL = (
+    f"CAST(n_ab AS DECIMAL(19,0)) * CAST({_WPT_SCALE} AS DECIMAL(13,0))"
+    " DIV (CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))"
+)
+
 
 def _wpt_oracle(k: int = _WPT_MERGES) -> str:
     """Generated-CTE mirror of the k-merge LIKELIHOOD-scored loop (the
@@ -5635,8 +5648,9 @@ def _wpt_oracle(k: int = _WPT_MERGES) -> str:
         top{i} AS (SELECT split_part(pr, chr(31), 1) AS a,
                           split_part(pr, chr(31), 2) AS b
                    FROM (SELECT p.pr,
-                                CAST(p.n * {_WPT_SCALE} AS BIGINT)
-                                    // (sa.n * sb.n) AS score
+                                CAST(p.n AS HUGEINT) * {_WPT_SCALE}
+                                    // (CAST(sa.n AS HUGEINT)
+                                        * CAST(sb.n AS HUGEINT)) AS score
                          FROM pair{i} p
                          JOIN sym{i} sa
                            ON sa.sym = split_part(p.pr, chr(31), 1)
@@ -5676,10 +5690,11 @@ def q216c(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: q179's exactly, plus one vocabulary-sized aggregate
     per round; the argmax joins are pair-table x symbol-table
-    (both vocabulary-bounded). Honesty: the 1e12 quantization bounds
-    n_ab < ~9e6 before int64 overflow at the multiply — a 100 TB
-    corpus lifts the scale constant into a DECIMAL(38) score, same
-    plan."""
+    (both vocabulary-bounded). The score multiply runs in DECIMAL on
+    the Spark side and HUGEINT in the oracle (round 15;
+    _WPT_SCORE_SQL), so it is exact for ANY int64 counts — the earlier
+    long*long form wrapped silently past n_ab ~9.2e6 while the oracle
+    kept going, a wrong-argmax divergence instead of a loud failure."""
     from ..plans import materialize_once
 
     (documents,) = load(spark, sf, "documents")
@@ -5736,13 +5751,7 @@ def q216c(spark: SparkSession, sf: str) -> DataFrame:
                 ),
                 "b",
             )
-            .withColumn(
-                "score",
-                F.expr(
-                    f"CAST(n_ab * {_WPT_SCALE} AS BIGINT)"
-                    f" DIV (n_a * n_b)"
-                ),
-            )
+            .withColumn("score", F.expr(_WPT_SCORE_SQL))
             .orderBy(F.col("score").desc(), "pr")
             .limit(1)
             .collect()  # BOUNDED: at most one row by construction

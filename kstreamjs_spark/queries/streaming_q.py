@@ -2041,25 +2041,57 @@ def minhash_banded_projection(
 
 
 def bucket_pair_stream(
-    banded: DataFrame, ttl_ms: int | None = None
+    banded: DataFrame,
+    ttl_ms: int | None = None,
+    n_state_keys: int = 4096,
 ) -> DataFrame:
     """Generic streaming bucket-collision pair emitter — the stateful
     core shared by q205 (MinHash text buckets) and q214b (SRP
     embedding buckets): ``banded`` is an unbounded (doc_id, band,
-    bsig) frame; each (band, bsig) bucket's GroupState holds the ids
-    seen so far (set semantics, arrival-order-free) and every new
-    member emits a normalized (min, max) pair against every earlier
-    member the moment it lands, plus same-trigger pairs once via the
-    larger id. Callers collapse cross-band duplicates with a final
-    distinct.
+    bsig) frame; each (band, bsig) bucket's state holds the ids seen
+    so far (set semantics, arrival-order-free) and every new member
+    emits a normalized (min, max) pair against every earlier member
+    the moment it lands, plus same-trigger pairs once via the larger
+    id. Callers collapse cross-band duplicates with a final distinct.
+
+    BOUNDED STATE-KEY SPACE (round 15, the r14 verdict's perf fix):
+    grouping the state by raw (band, bsig) made the per-trigger Python
+    group count track bucket CARDINALITY — ~77k groups x ~55 µs of
+    Arrow-slice + pandas-frame + state-commit overhead per sf0.1
+    replay, 4.2 s of q205b's 10.6 s bill, and linear in arrivals x
+    bands at ingest scale. The state key is now
+    ``pmod(xxhash64(band, bsig), n_state_keys)`` and each GroupState
+    value is a dict of that slot's buckets ({"band\x1fbsig":
+    members}); a trigger invokes AT MOST ``n_state_keys`` Python
+    groups no matter how many buckets exist, and the per-bucket
+    pairing inside a slot is a vectorized pandas groupby. Pair
+    semantics are UNCHANGED — pairs only ever form within one
+    (band, bsig) bucket; slot co-residency is storage, not semantics
+    (pinned by the descending-id schedule pytests, which must stay
+    green against the batch equi-join). State stays set-pure, so
+    micro-batch schedule still cannot change the emitted set.
+    CHECKPOINT BREAK: the grouping key and state layout both changed —
+    a pre-round-15 checkpoint cannot resume onto this operator (the
+    window-collect precedent: restart from a fresh checkpoint or
+    replay the source).
 
     ``ttl_ms`` (round 14, opt-in — default None keeps the EXACT mode
     q205/q205b/q214b ship with): bounded-state eviction in the
     `dropDuplicatesWithinWatermark` spirit for long-lived ingest
-    services. When set, a bucket whose state has not gained a new
-    member for ``ttl_ms`` of PROCESSING time is evicted whole
-    (ProcessingTimeTimeout; the clock refreshes on every state write).
-    The trade, stated plainly:
+    services. When set, each bucket carries its own eviction deadline
+    INSIDE the slot dict ({token: [deadline_ms, members]}): a bucket
+    that has received NO arrival — new member or duplicate — for
+    ``ttl_ms`` of PROCESSING time is dropped from its slot, lazily on
+    the slot's next touch and eagerly when the slot's
+    ProcessingTimeTimeout fires (armed to the slot's EARLIEST bucket
+    deadline); an empty slot removes its state row. The clock
+    refreshes on EVERY arrival, duplicates included: Spark clears a
+    group's registered timeout each time the update function is
+    invoked for it, so the duplicate-only path must re-arm or the
+    slot's eviction timer is silently cancelled forever (round-15 fix,
+    pinned by the duplicate-fed bucket in the eviction pytest);
+    semantically a duplicate-fed bucket is hot — keeping it is exactly
+    what preserves its dedup recall. The trade, stated plainly:
 
     - RECALL: a duplicate arriving after its bucket partners were
       evicted re-seeds an empty bucket — the (late, evicted) pair is
@@ -2073,8 +2105,10 @@ def bucket_pair_stream(
       with a TTL it is a subset, equal whenever every duplicate
       arrives within the TTL of its partners.
 
-    The adversarial eviction pytest pins numRowsRemoved > 0 and the
-    exact cross-eviction pair loss (the q167b pattern).
+    The adversarial eviction pytest pins numRowsRemoved > 0, the
+    exact cross-eviction pair loss (the q167b pattern), and a full
+    state drain (numRowsTotal -> 0) with a duplicate-fed bucket in
+    the schedule.
 
     Operational note: with a TTL the micro-batch engine keeps running
     no-data batches to poll processing-time timers even when the
@@ -2086,39 +2120,16 @@ def bucket_pair_stream(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    def update(key, pdfs, state: GroupState):
-        if ttl_ms is not None and state.hasTimedOut:
-            # idle past the TTL: drop the bucket's member set whole —
-            # the state-bound guarantee TTL mode exists for
-            state.remove()
-            return
-        if state.exists:
-            members = _json.loads(state.get[0])
-        else:
-            members = []
-        seen = set(members)
-        new_ids = sorted(
-            {
-                int(d)
-                for pdf in pdfs
-                for d in pdf["doc_id"]
-                if int(d) not in seen
-            }
-        )
-        if not new_ids:
-            return
-        old = sorted(seen)
-        state.update((_json.dumps(sorted(seen | set(new_ids))),))
-        if ttl_ms is not None:
-            # refresh the eviction clock on every state write
-            state.setTimeoutDuration(ttl_ms)
-        d1s, d2s = [], []
+    sep = "\x1f"
+
+    def _emit(seen: set, new_ids: list, d1s: list, d2s: list) -> None:
         # old-new pairs: every new id against EVERY existing member,
         # normalized (min, max) — a new arrival may carry a SMALLER id
         # than an old member (nothing orders ingest by doc id), so
         # pairing only new-as-larger would lose (new_small, old_large)
-        # forever: the old larger id never becomes "new" again. old and
-        # new_ids are disjoint by construction, so no self-pairs.
+        # forever: the old larger id never becomes "new" again. seen
+        # and new_ids are disjoint by construction, so no self-pairs.
+        old = sorted(seen)
         for b in new_ids:
             for a in old:
                 if a < b:
@@ -2132,13 +2143,90 @@ def bucket_pair_stream(
             for a in new_ids[:i]:
                 d1s.append(a)
                 d2s.append(b)
+
+    def update(key, pdfs, state: GroupState):
+        st = _json.loads(state.get[0]) if state.exists else {}
+        if ttl_ms is not None:
+            now = state.getCurrentProcessingTimeMs()
+            if state.hasTimedOut:
+                # the slot's earliest deadline lapsed: drop every
+                # expired bucket; an emptied slot leaves state whole
+                st = {t: v for t, v in st.items() if v[0] > now}
+                if not st:
+                    state.remove()
+                else:
+                    state.update((_json.dumps(st),))
+                    state.setTimeoutDuration(
+                        max(1, min(v[0] for v in st.values()) - now)
+                    )
+                return
+            # lazy eviction on touch: a bucket past its deadline is
+            # gone even if the slot's timer (set to the MIN deadline)
+            # has not fired for it yet — per-bucket TTL semantics are
+            # independent of slot co-residency
+            live = {t: v for t, v in st.items() if v[0] > now}
+            changed = len(live) != len(st)
+            st = live
+        else:
+            changed = False
+        d1s, d2s = [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            # group on the raw columns (no per-row string build); the
+            # state-dict token is built once per bucket group
+            for (band, bsig), ids in pdf.groupby(
+                ["band", "bsig"], sort=True
+            )["doc_id"]:
+                token = f"{band}{sep}{bsig}"
+                ent = st.get(token)
+                members = (
+                    []
+                    if ent is None
+                    else (ent[1] if ttl_ms is not None else ent)
+                )
+                seen = set(members)
+                new_ids = sorted(
+                    {int(d) for d in ids if int(d) not in seen}
+                )
+                if ttl_ms is not None:
+                    # keep-alive on every arrival, duplicates included
+                    st[token] = [
+                        now + ttl_ms,
+                        sorted(seen | set(new_ids)),
+                    ]
+                    changed = True
+                elif new_ids:
+                    st[token] = sorted(seen | set(new_ids))
+                    changed = True
+                if new_ids:
+                    _emit(seen, new_ids, d1s, d2s)
+        # the write + re-arm sit OUTSIDE the data block: Spark cleared
+        # this slot's timeout when it invoked us, so even a no-new-row
+        # touch must re-arm or the slot's eviction timer dies
+        if changed:
+            if st:
+                state.update((_json.dumps(st),))
+            elif state.exists:
+                state.remove()
+        if ttl_ms is not None and st:
+            state.setTimeoutDuration(
+                max(1, min(v[0] for v in st.values()) - now)
+            )
         if d1s:
             yield pd.DataFrame({"d1": d1s, "d2": d2s})
 
-    return banded.groupBy("band", "bsig").applyInPandasWithState(
+    keyed = banded.withColumn(
+        "skey", F.pmod(F.xxhash64("band", "bsig"), F.lit(n_state_keys))
+    )
+    return keyed.groupBy("skey").applyInPandasWithState(
         update,
         outputStructType="d1 long, d2 long",
-        stateStructType="members string",
+        stateStructType="buckets string",
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout

@@ -3294,6 +3294,63 @@ def test_compact_partitions_prunes_and_preserves(spark, tmp_path):
     assert compact_partitions(spark, root, "p", max_files=1) == []
 
 
+def test_compact_partitions_recovers_crash_between_swap_renames(
+    spark, tmp_path
+):
+    """Round-15 crash-window fix: a process dying between
+    rename(old -> trash) and rename(staged -> old) used to leave the
+    partition missing from the table AND a 'p=1__old' dir under the
+    table root that the next census parsed as a ghost partition
+    (partition-type inference flipped to string). Now the trash slot
+    lives under the staging dir and the next compact_partitions call
+    RECOVERS it: a trash slot whose partition is absent is renamed
+    back before the census, so no rows are ever lost and no ghost
+    partition is ever seen."""
+    import glob
+    import os as _os
+    import shutil as _shutil
+
+    from kstreamjs_spark.operators.layout import compact_partitions
+
+    root = str(tmp_path / "tbl")
+    for _ in range(3):
+        spark.createDataFrame(
+            [(1, 1), (2, 2)], "k long, p int"
+        ).coalesce(1).write.mode("append").partitionBy("p").parquet(root)
+    before_rows = sorted(
+        (r["k"], r["p"]) for r in spark.read.parquet(root).collect()
+    )
+
+    # Simulate the crash window by hand: stage nothing, just move the
+    # live partition into the staging trash slot exactly as the swap's
+    # first rename does, then "die" before the second rename.
+    staging = root + "__compact_staging"
+    _os.makedirs(staging, exist_ok=True)
+    _os.rename(
+        _os.path.join(root, "p=1"),
+        _os.path.join(staging, "__trash__p=1"),
+    )
+    # also leave a COMPLETED swap's stale trash (partition present):
+    # recovery must drop it, not resurrect it over live data
+    _os.makedirs(_os.path.join(staging, "__trash__p=2"))
+    assert not _os.path.isdir(_os.path.join(root, "p=1"))
+
+    # next maintenance pass: recovery restores p=1 BEFORE the census,
+    # then compaction proceeds normally over the full table
+    done = compact_partitions(spark, root, "p", max_files=1)
+    assert sorted(v for v, _, _ in done) == ["1", "2"]
+    assert not _os.path.isdir(staging)  # staging fully cleared
+    # the ghost-partition dir never exists under the table root
+    assert glob.glob(root + "/*__old") == []
+    after_rows = sorted(
+        (r["k"], r["p"]) for r in spark.read.parquet(root).collect()
+    )
+    assert after_rows == before_rows
+    # partition column type stayed int (no string flip from a ghost)
+    assert dict(spark.read.parquet(root).dtypes)["p"] == "int"
+    _shutil.rmtree(root)
+
+
 def test_greedy_pieces_matches_python_reference(spark):
     """q216's fold expression vs an independent pure-Python greedy
     longest-match: identical (n_pieces, segmentation) on vocab hits,
@@ -3333,3 +3390,40 @@ def test_greedy_pieces_matches_python_reference(spark):
         ).collect()
     }
     assert got == {w: py_greedy(w) for w in words}
+
+
+def test_wpt_score_decimal_exact_past_int64_overflow(spark):
+    """Round-15 ADVICE fix: q216c's argmax score (n_ab * 1e12) DIV
+    (n_a * n_b) runs in DECIMAL (_WPT_SCORE_SQL). The old long*long
+    form wrapped silently past n_ab ~9.2e6 under non-ANSI Spark while
+    the DuckDB oracle's HUGEINT kept going — a wrong-argmax divergence
+    at corpus scale. Pin: the expression equals Python's unbounded-int
+    arithmetic in BOTH regimes — small counts (the sf-test regime) and
+    counts far past the int64 product bound (the 100 TB regime, where
+    n_ab*1e12 ~ 1e30) — and the wrapped long*long value differs there,
+    proving the regime is actually exercised."""
+    from kstreamjs_spark.queries.llm import _WPT_SCALE, _WPT_SCORE_SQL
+
+    rows = [
+        (3, 7, 5),                      # tiny
+        (10_000_000, 9_300_000, 9_100_000),     # just past the old bound
+        (5 * 10**17, 8 * 10**17, 9 * 10**17),   # deep 100 TB regime
+        (10**18, 10**18, 10**18),               # score == 1e12 exactly
+    ]
+    df = spark.createDataFrame(rows, "n_ab long, n_a long, n_b long")
+    got = [
+        r["score"]
+        for r in df.select(F.expr(_WPT_SCORE_SQL).alias("score"))
+        .collect()
+    ]
+    want = [(ab * _WPT_SCALE) // (a * b) for ab, a, b in rows]
+    assert got == want
+    # the big rows really sit past int64: the two's-complement wrap
+    # (what non-ANSI long*long computes) disagrees with the true
+    # product there, so the DECIMAL path is load-bearing, not idle
+    def wrap64(v: int) -> int:
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for ab, a, b in rows[1:]:
+        assert wrap64(ab * _WPT_SCALE) != ab * _WPT_SCALE

@@ -2039,6 +2039,76 @@ def test_stream_scd1_empty_source_raises(spark, tmp_path):
         scd1_upsert_stream(sdf, str(tmp_path / "dim_empty"))
 
 
+def test_bucket_pair_stream_bounded_keys_collision_semantics(
+    spark, tmp_path
+):
+    """Round-15 bounded state-key space, pinned at its hardest point:
+    60 distinct (band, bsig) buckets forced into n_state_keys=4 slots
+    (heavy collisions — ~15 co-resident buckets per slot), delivered
+    across two interleaved triggers with ids in descending order.
+    The emitted pair set must equal the per-bucket batch expectation
+    EXACTLY (slot co-residency is storage, never pairing semantics)
+    and the state operator's numRowsTotal must be bounded by the slot
+    count, not the bucket count — the whole point of the fix (the r14
+    verdict measured ~77k Python groups x ~55 us/group as 4.2 s of
+    q205b's 10.6 s bill)."""
+    import itertools
+
+    from kstreamjs_spark.queries.streaming_q import bucket_pair_stream
+
+    # 60 buckets: bucket j holds ids {j*10 .. j*10 + (j % 4)} — sizes
+    # 1..4 so some buckets emit nothing, some emit many
+    rows = []
+    for j in range(60):
+        for m in range(j % 4 + 1):
+            rows.append((j * 10 + m, j % 5, f"s{j}"))
+    want = set()
+    for j in range(60):
+        ids = [j * 10 + m for m in range(j % 4 + 1)]
+        want |= {(a, b) for a, b in itertools.combinations(ids, 2)}
+    # two triggers, descending-id interleave: odd-index rows first
+    rows_desc = sorted(rows, reverse=True)
+    batches = [rows_desc[0::2], rows_desc[1::2]]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, rws in enumerate(batches):
+        spark.createDataFrame(
+            rws, "doc_id long, band int, bsig string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f{i}.parquet")
+        for root, _, names in os.walk(f"{src}/f{i}.parquet"):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    q = (
+        bucket_pair_stream(sdf, n_state_keys=4)
+        .writeStream.format("memory").queryName("bounded_keys")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_bounded"))
+        .start()
+    )
+    q.processAllAvailable()
+    state_totals = [
+        sum(
+            op.get("numRowsTotal", 0) or 0
+            for op in p.get("stateOperators", [])
+        )
+        for p in q.recentProgress
+    ]
+    q.stop()
+    got = {
+        (r["d1"], r["d2"])
+        for r in spark.table("bounded_keys").collect()
+    }
+    assert got == want  # collision-proof: pairs only within buckets
+    assert state_totals and max(state_totals) <= 4  # slots, not buckets
+
+
 def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
     spark, tmp_path
 ):
@@ -2049,14 +2119,25 @@ def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
     trigger 2 — the cross-eviction pair must be LOST (the documented
     recall trade), while same-trigger pairs still emit. The default
     (ttl_ms=None) on the IDENTICAL schedule emits the full pair set —
-    the exactness contract q205/q205b/q214b ship with is untouched."""
+    the exactness contract q205/q205b/q214b ship with is untouched.
+
+    Round 15: bucket C is DUPLICATE-FED (seeded in trigger 0, receives
+    only an already-seen id in trigger 1). Spark clears a group's
+    timeout every time the update function runs, so before the
+    round-15 re-arm fix the duplicate-only path cancelled C's eviction
+    timer forever — C sat in state unbounded. Pinned by requiring the
+    TTL run's state to drain COMPLETELY (numRowsTotal -> 0): with the
+    bug C never evicts and the drain never completes."""
     from kstreamjs_spark.queries.streaming_q import bucket_pair_stream
 
     batches = [
-        # trigger 0: bucket A gets ids 1, 2 -> emits (1,2)
-        [(1, 0, "A"), (2, 0, "A")],
-        # trigger 1: only bucket B -> A idles past its TTL and evicts
-        [(10, 0, "B")],
+        # trigger 0: bucket A gets ids 1, 2 -> emits (1,2); bucket C
+        # gets ids 20, 21 -> emits (20,21)
+        [(1, 0, "A"), (2, 0, "A"), (20, 0, "C"), (21, 0, "C")],
+        # trigger 1: bucket B arrives; A idles past its TTL and
+        # evicts; C receives a DUPLICATE (id 20, already a member) —
+        # the re-arm path: its timer must be reset, not cancelled
+        [(10, 0, "B"), (20, 0, "C")],
         # trigger 2: late id 3 for bucket A -> TTL mode re-seeds and
         # loses (1,3)/(2,3); a same-trigger partner 4 still pairs
         [(3, 0, "A"), (4, 0, "A")],
@@ -2091,11 +2172,16 @@ def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
             .start()
         )
         removed_by_batch: dict[int, int] = {}
+        total_by_batch: dict[int, int] = {}
 
         def drain_removed():
             for p in q.recentProgress:
                 removed_by_batch[p["batchId"]] = sum(
                     op.get("numRowsRemoved", 0) or 0
+                    for op in p.get("stateOperators", [])
+                )
+                total_by_batch[p["batchId"]] = sum(
+                    op.get("numRowsTotal", 0) or 0
                     for op in p.get("stateOperators", [])
                 )
 
@@ -2118,7 +2204,9 @@ def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
                 }
                 if (
                     sum(removed_by_batch.values()) > 0
-                    and {(1, 2), (3, 4)} <= done_pairs
+                    and {(1, 2), (3, 4), (20, 21)} <= done_pairs
+                    and total_by_batch
+                    and total_by_batch[max(total_by_batch)] == 0
                 ):
                     break
                 time.sleep(0.5)
@@ -2127,22 +2215,31 @@ def test_bucket_pair_stream_ttl_evicts_and_loses_late_pairs(
             for r in spark.table(qname).collect()
         }
         q.stop()
-        return pairs, sum(removed_by_batch.values())
+        final_total = (
+            total_by_batch[max(total_by_batch)] if total_by_batch else -1
+        )
+        return pairs, sum(removed_by_batch.values()), final_total
 
-    exact_pairs, exact_removed = run(None)
+    exact_pairs, exact_removed, exact_total = run(None)
     assert exact_pairs == {
-        (1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4)
+        (1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 4), (20, 21)
     }
     assert exact_removed == 0  # NoTimeout never evicts
+    assert exact_total == 3  # buckets A, B, C all retained
 
-    ttl_pairs, ttl_removed = run(1)  # 1 ms: expires between triggers
+    # 1 ms: expires between triggers
+    ttl_pairs, ttl_removed, ttl_total = run(1)
     assert ttl_removed > 0  # eviction really happened
-    # pre-eviction pair emitted; cross-eviction pairs LOST; the
+    # pre-eviction pairs emitted; cross-eviction pairs LOST; the
     # re-seeded bucket still pairs its post-eviction members
     assert (1, 2) in ttl_pairs
+    assert (20, 21) in ttl_pairs
     assert (3, 4) in ttl_pairs
     assert not {(1, 3), (2, 3), (1, 4), (2, 4)} & ttl_pairs
     assert ttl_pairs < exact_pairs  # strict subset: the stated trade
+    # the duplicate-fed bucket C must ALSO evict once its (re-armed)
+    # TTL lapses: every bucket leaves state, nothing leaks forever
+    assert ttl_total == 0
 
 
 def test_stream_ingest_compacted_bounds_files_and_loses_nothing(
