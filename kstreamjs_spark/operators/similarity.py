@@ -487,6 +487,156 @@ def knn_join(
     )
 
 
+# Deterministic pseudo-random constants shared by nn_descent and its
+# generated SQL oracle: the init strides are r*K+97 (applied mod N at
+# runtime so the SQL text stays scale-free), and the reverse-neighbor
+# sample ranks by ((id % 1000003) * K) % 2^32 — the id is reduced mod a
+# prime FIRST so the product stays far inside int64 on BOTH engines (no
+# silent Spark wrap vs loud DuckDB overflow, the q216c lesson).
+_NND_K = 2654435761  # Knuth's 2^32 multiplicative-hash constant
+
+
+def nn_descent(
+    vectors: DataFrame,
+    k: int = 5,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """NN-Descent approximate k-NN GRAPH construction (Dong, Charikar
+    & Li, WWW 2011 — public): the all-pairs complement of the
+    query-time ANN family (q27b LSH / q42 IVF / q191 PQ / q159 banded
+    join). Those answer "neighbors of THESE queries"; this builds the
+    top-k cosine neighbor list of EVERY node — the input shape for
+    dedup graphs, diversity sampling, and graph-ANN indexes — without
+    the O(N^2) exact bill (q58's broadcast join pays it per query
+    batch; exact all-pairs is N^2 cosines).
+
+    Spark-first shape — the algorithm is ITERATIVE EQUI-JOINS, exactly
+    the engine's q56/q176 idiom, no UDF anywhere:
+    1. INIT: k deterministic pseudo-random out-edges per node,
+       dst = (node + stride_r) mod N over dense ids (stride_r =
+       r*K+97; collisions/self-hits filtered, so a node may start
+       with < k edges — init quality only seeds the descent).
+    2. Each round: neighbors-of-neighbors candidate generation as a
+       SELF-JOIN of the undirected adjacency on the shared pivot
+       (B(p) x B(p), u < w), with the REVERSE degree capped at k by a
+       deterministic hash rank (the paper's reverse-sample rho*k,
+       rho=1) so a popularity hub cannot blow the join: per-pivot
+       bill <= (2k)^2, total N*(2k)^2 candidate cosines per round,
+       never N^2.
+    3. Union candidate scores (both directions) with the current
+       graph, keep top-k per src (WindowGroupLimit rank pushdown, the
+       q58 cut), localCheckpoint to reset lineage (the q56 policy).
+
+    Fully deterministic (init strides, hash rank, score-desc/dst-asc
+    tiebreaks), so the whole TRAINING loop is SQL-expressible and the
+    q218 oracle hash-matches it round for round (the q179/q216c
+    category) — recall vs the exact graph is measured separately in
+    APPROX_EVIDENCE (it is an approximation of the TRUE graph even
+    though the computation is exact/deterministic).
+
+    Requires a DENSE id space [0, N) (the init modular arithmetic);
+    raises otherwise rather than silently degrading. N and the per-
+    round convergence stay distributed: the only driver-side values
+    are the two count/max scalars of the density check.
+
+    At 100 TB: every stage is an equi-join or a bounded window; state
+    between rounds is the N*k edge list. The candidate bill N*(2k)^2
+    per round is the designed cost; k and iters are the knobs. Skewed
+    pivots are impossible by construction (degree <= 2k)."""
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("node"), as_double(F.col(vec_col)).alias("vec")
+    )
+    n, max_id = v.agg(F.count("*"), F.max("node")).first()
+    if n == 0:
+        raise ValueError("nn_descent: empty vector table")
+    if max_id != n - 1:
+        raise ValueError(
+            f"nn_descent requires dense ids [0, N): N={n}, max={max_id}"
+        )
+    strides = [r * _NND_K + 97 for r in range(1, k + 1)]
+
+    sv = v.select(F.col("node").alias("src"), F.col("vec").alias("_sv"))
+    dv = v.select(F.col("node").alias("dst"), F.col("vec").alias("_dv"))
+
+    def _score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(sv, "src")
+            .join(dv, "dst")
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    cosine(F.col("_sv"), F.col("_dv")), round_to
+                ).alias("score"),
+            )
+        )
+
+    init = (
+        v.select("node")
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(*[F.lit(s) for s in strides])
+            ).alias("stride"),
+        )
+        .select(
+            "src",
+            F.pmod(F.col("src") + F.col("stride"), F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    g = _score(init)
+
+    w_src = Window.partitionBy("src").orderBy(F.col("score").desc(), "dst")
+    rev_rank = F.pmod(
+        F.pmod(F.col("dst"), F.lit(1000003)) * F.lit(_NND_K),
+        F.lit(4294967296),
+    )
+    w_rev = Window.partitionBy("src").orderBy(rev_rank, "dst")
+    for _ in range(iters):
+        fwd = g.select("src", "dst")
+        rev = (
+            g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .withColumn("rr", F.row_number().over(w_rev))
+            .filter(F.col("rr") <= k)
+            .drop("rr")
+        )
+        adj = fwd.unionByName(rev).dropDuplicates(["src", "dst"])
+        cand = (
+            adj.select(F.col("src").alias("p"), F.col("dst").alias("u"))
+            .join(
+                adj.select(F.col("src").alias("p"), F.col("dst").alias("w")),
+                "p",
+            )
+            .filter(F.col("u") < F.col("w"))
+            .select(F.col("u").alias("src"), F.col("w").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        sc = _score(cand)
+        g = (
+            g.unionByName(sc)
+            .unionByName(
+                sc.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "score",
+                )
+            )
+            .dropDuplicates(["src", "dst"])
+            .withColumn("rn", F.row_number().over(w_src))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return g.withColumn("rn", F.row_number().over(w_src))
+
+
 def _semdedup_subsplit(
     assigned: DataFrame,
     id_col: str = "vec_id",

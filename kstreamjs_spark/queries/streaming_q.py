@@ -2810,6 +2810,7 @@ def scd1_upsert_stream(
     n_buckets: int = 16,
     changelog: bool = False,
     retain_commits: int = 0,
+    evolve_sum_from: str | None = None,
 ) -> DataFrame:
     """q213's pipeline as a reusable transform (one code home — the
     multi-batch pytest drives THIS): foreachBatch PARTITION-PRUNED
@@ -2856,7 +2857,30 @@ def scd1_upsert_stream(
     the (ts, value) struct MAXes — so the final table equals the batch
     groupBy for ANY micro-batch schedule (the multi-batch pytest) and
     the bucket column is re-derived from the key after every merge
-    (functionally dependent, never trusted from the file)."""
+    (functionally dependent, never trusted from the file).
+
+    ``evolve_sum_from`` (round 15, q213d — SCHEMA EVOLUTION across a
+    commit boundary, the remaining Delta pillar after MERGE/changelog/
+    time-travel/OPTIMIZE): when set to a timestamp literal T, the
+    dimension table ADDS a ``sum_value`` column — lifetime sum of
+    ``value`` over events with ts >= T — starting at the FIRST commit
+    whose batch contains such an event. Commits before that boundary
+    write the v1 schema (the column physically absent from their
+    parquet footers, real evolution, not a pre-created NULL column);
+    from the boundary on, every rewritten bucket carries v2.
+    Reconciliation rule, applied identically at merge time (a v2
+    commit reading a v1 bucket copy) and at read time (a manifest
+    spanning the boundary, read with mergeSchema): a row from a v1
+    file carries the DOCUMENTED DEFAULT 0.0 — semantically exact,
+    because pre-T events contribute 0 to the since-T sum by
+    definition. That anchoring of the evolution boundary to EVENT
+    TIME (not commit index) is what keeps the final table equal to a
+    closed-form rollup for ANY micro-batch schedule: sum_value ==
+    COALESCE(SUM(value) FILTER (ts >= T), 0) per key, regardless of
+    which commit first crossed T — the q213d hash contract. The
+    mixed-manifest mechanics (v1 files really lack the column,
+    time-travel reads before the boundary default-fill, spanning
+    reads reconcile) are pinned by the 3-trigger pytest."""
     import json
     import os
     import shutil
@@ -2872,9 +2896,15 @@ def scd1_upsert_stream(
         "version": -1,
         "bucket_commit": {},
         "tombstones": [],
+        "evolved": False,
     }
     bucket_of = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast(
         "int"
+    )
+    evolve_ts = (
+        F.lit(evolve_sum_from).cast("timestamp")
+        if evolve_sum_from is not None
+        else None
     )
 
     def bucket_path(commit: int, b: int) -> str:
@@ -2885,15 +2915,32 @@ def scd1_upsert_stream(
         # "last" rides as a struct ordered (ts, value): struct MAX is
         # lexicographic, and (user_id, ts) is unique in the source
         # (asserted by the pytest), so the latest VALUE merges exactly
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(
+                F.struct(F.col("ts").alias("ts"),
+                         F.col("value").alias("value"))
+            ).alias("last"),
+        ]
+        if evolve_ts is not None:
+            # the batch may cross T: this commit evolves the schema iff
+            # any event sits at/after the boundary (a 1-scalar check,
+            # the touched-bucket collect's category)
+            if not state["evolved"]:
+                state["evolved"] = bool(
+                    batch_df.agg(
+                        F.max(F.col("ts") >= evolve_ts)
+                    ).first()[0]
+                )
+            if state["evolved"]:
+                aggs.append(
+                    F.sum(
+                        F.when(F.col("ts") >= evolve_ts, F.col("value"))
+                        .otherwise(F.lit(0.0))
+                    ).alias("sum_value")
+                )
         delta = (
-            batch_df.groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.max(
-                    F.struct(F.col("ts").alias("ts"),
-                             F.col("value").alias("value"))
-                ).alias("last"),
-            )
+            batch_df.groupBy("user_id").agg(*aggs)
             .withColumn("bucket", bucket_of)
         )
         # Touched-bucket discovery: a <= n_buckets-row collect (bounded
@@ -2911,15 +2958,32 @@ def scd1_upsert_stream(
             # Read ONLY the touched buckets' current copies; the
             # bucket column is re-derived from the key (reading the
             # partition dirs directly drops the partition column).
-            prev = batch_df.sparkSession.read.parquet(*prev_paths)
+            prev = batch_df.sparkSession.read.option(
+                "mergeSchema", "true"
+            ).parquet(*prev_paths)
+            cols = ["user_id", "n_events", "last"]
+            m_aggs = [
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.max("last").alias("last"),
+            ]
+            if "sum_value" in delta.columns:
+                # schema-evolution reconciliation at MERGE time: a v1
+                # bucket copy lacks the column — its rows carry the
+                # documented default 0.0 (pre-T events contribute 0 to
+                # the since-T sum by definition)
+                if "sum_value" not in prev.columns:
+                    prev = prev.withColumn("sum_value", F.lit(0.0))
+                prev = prev.withColumn(
+                    "sum_value",
+                    F.coalesce(F.col("sum_value"), F.lit(0.0)),
+                )
+                cols.append("sum_value")
+                m_aggs.append(F.sum("sum_value").alias("sum_value"))
             merged = (
-                prev.select("user_id", "n_events", "last")
+                prev.select(*cols)
                 .unionByName(delta.drop("bucket"))
                 .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").cast("long").alias("n_events"),
-                    F.max("last").alias("last"),
-                )
+                .agg(*m_aggs)
                 .withColumn("bucket", bucket_of)
             )
         else:
@@ -3029,19 +3093,33 @@ def scd1_upsert_stream(
         bucket_path(c, b)
         for b, c in sorted(state["bucket_commit"].items())
     ]
-    return (
-        sdf.sparkSession.read.parquet(*live)
-        .select(
-            "user_id",
-            "n_events",
-            F.col("last.ts").alias("last_ts"),
-            F.col("last.value").alias("last_value"),
-        )
+    back = sdf.sparkSession.read.option("mergeSchema", "true").parquet(
+        *live
     )
+    out_cols = [
+        F.col("user_id"),
+        F.col("n_events"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.value").alias("last_value"),
+    ]
+    if evolve_sum_from is not None:
+        # read-time reconciliation across the evolution boundary:
+        # rows from v1 files (or a table that never evolved) carry
+        # the documented default 0.0
+        sum_col = (
+            F.coalesce(F.col("sum_value"), F.lit(0.0))
+            if "sum_value" in back.columns
+            else F.lit(0.0)
+        )
+        out_cols.append(sum_col.alias("sum_value"))
+    return back.select(*out_cols)
 
 
 def scd1_read_as_of(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    extra_cols: dict[str, float] | None = None,
 ) -> DataFrame:
     """TIME-TRAVEL read of an `scd1_upsert_stream` table: resolve the
     manifest for ``version`` (default: the newest committed) and read
@@ -3051,7 +3129,15 @@ def scd1_read_as_of(
     past it the referenced files are pruned and the read fails, by
     design (Delta's time-travel-vs-VACUUM contract). Reads ONLY the
     manifest JSON + the referenced parquet — no driver state, so any
-    process can time-travel a table another process wrote."""
+    process can time-travel a table another process wrote.
+
+    ``extra_cols`` (round 15, q213d): schema-evolved columns with
+    their documented defaults ({name: default}) — a manifest whose
+    referenced files span the evolution boundary is read with
+    mergeSchema and each evolved column default-fills rows from
+    pre-evolution files; a manifest entirely BEFORE the boundary
+    (none of its files carry the column) returns the default for
+    every row, so an AS-OF reader always sees the LATEST schema."""
     import json
     import os
 
@@ -3073,12 +3159,21 @@ def scd1_read_as_of(
         f"{root}/commit_v{c}/pbucket={b}"
         for b, c in sorted(man["bucket_commit"].items())
     ]
-    return spark.read.parquet(*paths).select(
-        "user_id",
-        "n_events",
+    back = spark.read.option("mergeSchema", "true").parquet(*paths)
+    cols = [
+        F.col("user_id"),
+        F.col("n_events"),
         F.col("last.ts").alias("last_ts"),
         F.col("last.value").alias("last_value"),
-    )
+    ]
+    for name, default in (extra_cols or {}).items():
+        filled = (
+            F.coalesce(F.col(name), F.lit(default))
+            if name in back.columns
+            else F.lit(default)
+        )
+        cols.append(filled.alias(name))
+    return back.select(*cols)
 
 
 # ------- Q213c SCD1 time travel — manifest AS-OF reads within VACUUM
@@ -3160,6 +3255,53 @@ def q213b(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------ Q213d SCD1 schema evolution — add a column across a commit
+_Q213D_EVOLVE_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "q213d_scd1_schema_evolution",
+    oracle=f"""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value,
+               ROUND(COALESCE(SUM(value) FILTER (
+                   WHERE ts >= TIMESTAMP '{_Q213D_EVOLVE_TS}'), 0),
+                   4) AS sum_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc", "schema"),
+)
+def q213d(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD1 SCHEMA EVOLUTION across a commit boundary (round 15, the
+    r13/r14 verdicts' remaining Delta pillar after MERGE/changelog/
+    time-travel/OPTIMIZE): the dimension table ADDS a ``sum_value``
+    column — lifetime sum of ``value`` over events at/after the
+    boundary timestamp — starting at the first commit whose batch
+    crosses it. Pre-boundary commits write the v1 schema (the column
+    physically ABSENT from their footers); reads and merges spanning
+    the boundary reconcile v1 bucket files with the documented
+    default 0.0 (exact, because pre-boundary events contribute 0 to
+    the since-boundary sum by definition). Anchoring evolution to
+    EVENT TIME rather than commit index is what makes the final table
+    a closed-form rollup for ANY micro-batch schedule — the hash
+    contract; the mixed-manifest mechanics (v1 files really lack the
+    column, AS-OF reads before the boundary default-fill through
+    `scd1_read_as_of(extra_cols=...)`) are pinned by the 3-trigger
+    pytest."""
+    from ..session import scratch_dir
+
+    root = scratch_dir("kstreamjs_scd1_evo", sf)
+    sdf = stream_table(spark, sf, "events")
+    dim = scd1_upsert_stream(
+        sdf, root, evolve_sum_from=_Q213D_EVOLVE_TS
+    )
+    return dim.withColumn(
+        "sum_value", F.round("sum_value", 4)
+    ).orderBy("user_id")
 
 
 # ------ Q214b STREAMING embedding near-dup — verify + decide at ingest

@@ -1,9 +1,10 @@
 """Quantitative evidence for the rows-only (approximate-by-design)
 queries — the ones the driver's oracle gate cannot hash-match (q24b,
 q26b, q26c, q27b, q42, q50, q159, q180, q180b, q181, q181b, q191,
-q191b, q192, q192b, q194, q195, q205, q212, q212b, q214, q214b;
-q163's behavioral contract lives in pytest). Each is measured against
-its EXACT
+q191b, q192, q192b, q194, q195, q205, q212, q212b, q214, q214b, and
+q163 — whose ratio bands + byte accounting are recorded here since
+round 15, closing the one pytest-only asymmetry — plus a graph-recall
+row for the hash-matched q218). Each is measured against its EXACT
 counterpart on the same parquet and the numbers are written to
 APPROX_EVIDENCE.json at the repo root, so the evidence is a checked-in
 artifact that persists across rounds (referenced from BASELINE.md)
@@ -801,6 +802,96 @@ def main() -> int:
             "false_positives": 0,  # exact verify by construction
         }
     out["q214_production_regime_b16"] = prod_out
+
+    # ---- q163: compressibility bands at BOTH scale factors (the r14
+    # verdict's asymmetry fix: the only rows-only query whose evidence
+    # lived exclusively in pytest). DEFLATE has no SQL restatement, so
+    # the recorded contract is (a) exact byte accounting — every
+    # n_compressed equals python zlib level-6 on the exact text bytes,
+    # re-verified here over the full corpus, (b) the measured ratio
+    # BANDS: natural-prose corpora sit strictly inside the keep gate
+    # [0.2, 0.8], and (c) the keep decision follows the gate row for
+    # row. The repetition < prose < noise ordering is the pytest's
+    # synthetic-regime pin; here the real corpus lands in the middle
+    # band, which is the operating claim.
+    import zlib as _zlib
+
+    q163_out = {}
+    for cz_sf in (sf, "/root/testdata/sf0.1"):
+        rows = q["q163_compressibility"].fn(spark, cz_sf).collect()
+        (docs_z,) = load(spark, cz_sf, "documents")
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in docs_z.select("doc_id", "text").collect()
+        }
+        mismatches = sum(
+            1
+            for r in rows
+            if len(_zlib.compress(texts[r["doc_id"]].encode("utf-8"), 6))
+            != r["n_compressed"]
+        )
+        ratios = sorted(r["comp_ratio"] for r in rows)
+        q163_out[cz_sf.rsplit("/", 1)[-1]] = {
+            "n_docs": len(rows),
+            "byte_accounting_mismatches": mismatches,
+            "min_ratio": round(ratios[0], 4),
+            "median_ratio": round(ratios[len(ratios) // 2], 4),
+            "max_ratio": round(ratios[-1], 4),
+            "n_dropped_low": sum(1 for r in rows if r["comp_ratio"] < 0.2),
+            "n_dropped_high": sum(1 for r in rows if r["comp_ratio"] > 0.8),
+            "keep_follows_gate": all(
+                r["keep"] == (0.2 <= r["comp_ratio"] <= 0.8)
+                for r in rows
+            ),
+        }
+    out["q163_compressibility"] = q163_out
+
+    # ---- q218: NN-Descent graph recall vs the exact all-pairs k-NN
+    # graph (q58's computation with every node as a query) at BOTH
+    # scale factors. The computation itself is deterministic and
+    # hash-matched by the unrolled-CTE oracle; what is APPROXIMATE is
+    # the GRAPH vs the true k-NN graph — exploration is bounded by
+    # N*(2k)^2*iters candidate cosines, so recall tracks the coverage
+    # fraction (the uniform synthetic corpus is the structureless
+    # worst case; the clustered corpus below is the regime the
+    # operator exists for). Shipped config k=20, iters=8; the sweep
+    # rows document the knobs (k=5 starves the descent, fewer rounds
+    # trade recall for wall).
+    from kstreamjs_spark.queries.pipeline import _Q218_ITERS, _Q218_K
+
+    def _graph_recall(vectors, k, iters):
+        qall = vectors.select(
+            F.col("vec_id").alias("qid"),
+            similarity.as_double(F.col("embedding")).alias("qv"),
+        )
+        ex = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.knn_join(vectors, qall, k=k).collect()
+        }
+        ap = {
+            (r["src"], r["dst"])
+            for r in similarity.nn_descent(
+                vectors, k=k, iters=iters
+            ).collect()
+        }
+        return round(len(ex & ap) / len(ex), 4)
+
+    (emb_01,) = load(spark, "/root/testdata/sf0.1", "embeddings")
+    out["q218_nn_descent_knn_graph"] = {
+        "k": _Q218_K,
+        "iters": _Q218_ITERS,
+        "graph_recall_vs_exact": _graph_recall(emb, _Q218_K, _Q218_ITERS),
+        "graph_recall_vs_exact_sf0.1": _graph_recall(
+            emb_01, _Q218_K, _Q218_ITERS
+        ),
+        "sweep_uniform_sf0.01": {
+            "k5_iters3": _graph_recall(emb, 5, 3),
+            "k20_iters4": _graph_recall(emb, _Q218_K, 4),
+        },
+        # the q159 clustered corpus (16 centers, sigma .05, 10% dups):
+        # the structured regime a graph build exists for
+        "clustered_16c_recall": _graph_recall(cdf, _Q218_K, _Q218_ITERS),
+    }
 
     doc = {
         "sf_dir": sf,

@@ -1797,6 +1797,103 @@ def test_stream_scd1_upsert_multibatch_equals_batch(spark, tmp_path):
     assert len(live_bucket_dirs) == len(man["bucket_commit"])
 
 
+def test_stream_scd1_schema_evolution_mixed_manifest(spark, tmp_path):
+    """q213d's mechanics, pinned on a hand-built 3-trigger schedule
+    that straddles the evolution boundary (T = Jan 15):
+
+    - trigger 0 is entirely pre-T -> commit_v0's parquet files
+      physically LACK sum_value (v1 schema — real evolution, not a
+      pre-created NULL column);
+    - trigger 1 crosses T -> every later commit writes v2;
+    - users 0..7 never appear post-T, so their buckets stay v1 while
+      the manifest advances — the final manifest references BOTH v1
+      and v2 copies and the spanning read default-fills 0.0;
+    - AS-OF version 0 (pre-evolution manifest) through
+      scd1_read_as_of(extra_cols=...) returns the latest schema with
+      the default for every row;
+    - the final table equals the closed-form since-T rollup."""
+    import glob
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_read_as_of,
+        scd1_upsert_stream,
+    )
+
+    T = "2024-01-15 00:00:00"
+
+    def ev(u, day, hour, val):
+        return (u, f"2024-01-{day:02d} {hour:02d}:00:00", float(val))
+
+    batches = [
+        # trigger 0: all pre-T; users 0..9 get two events each
+        [ev(u, 2, u, 1.0 + u) for u in range(10)]
+        + [ev(u, 10, u, 2.0 + u) for u in range(10)],
+        # trigger 1: crosses T (u8 pre-T + post-T, u9 post-T)
+        [ev(8, 14, 23, 5.0), ev(8, 15, 1, 7.0), ev(9, 20, 0, 11.0)],
+        # trigger 2: post-T only; u11 is a post-evolution new user
+        [ev(9, 25, 0, 13.0), ev(11, 26, 0, 17.0)],
+    ]
+    src = str(tmp_path / "evo_src")
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/f{i}.parquet"
+        )
+        for root, _, names in os.walk(f"{src}/f{i}.parquet"):
+            for n in names:
+                os.utime(os.path.join(root, n), (now + i, now + i))
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    )
+    root_t = str(tmp_path / "dim_evo")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+        for r in scd1_upsert_stream(
+            sdf, root_t, evolve_sum_from=T, retain_commits=3
+        ).collect()
+    }
+    want = {u: (2, 0.0) for u in range(8)}
+    want[8] = (4, 7.0)
+    want[9] = (4, 24.0)
+    want[11] = (1, 17.0)
+    assert got == want
+
+    # v1 commit files really lack the column; v2 commits carry it
+    v0_cols = spark.read.parquet(
+        glob.glob(root_t + "/commit_v0/pbucket=*")[0]
+    ).columns
+    assert "sum_value" not in v0_cols
+    v2_cols = spark.read.parquet(
+        glob.glob(root_t + "/commit_v2/pbucket=*")[0]
+    ).columns
+    assert "sum_value" in v2_cols
+
+    # the FINAL manifest spans the boundary: some live copies are v1
+    import json as _json
+
+    with open(root_t + "/_manifest/v2.json") as fh:
+        man = _json.load(fh)
+    live_commits = set(man["bucket_commit"].values())
+    assert 0 in live_commits and 2 in live_commits
+
+    # AS-OF the pre-evolution version: latest schema, default-filled
+    as_of0 = scd1_read_as_of(
+        spark, root_t, version=0, extra_cols={"sum_value": 0.0}
+    ).collect()
+    assert {r["user_id"] for r in as_of0} == set(range(10))
+    assert all(r["sum_value"] == 0.0 for r in as_of0)
+    assert all(r["n_events"] == 2 for r in as_of0)
+
+
 def test_stream_scd1_merge_prunes_untouched_buckets(spark, tmp_path):
     """The round-14 MERGE contract: a commit whose batch touches ONE
     key must rewrite only that key's bucket — every other bucket's
