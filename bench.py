@@ -81,6 +81,10 @@ def main() -> int:
         # source table without writing anything, so the ratio would
         # compare a real write pipeline to a rollup query.
         "q211_lakehouse_zorder_write",
+        # round 15: same category — the engine streams 4 micro-batch
+        # appends + inline OPTIMIZE passes; the oracle restates the
+        # final manifest arithmetic without writing a file.
+        "q215b_stream_ingest_compacted",
     }
     oracle: dict[str, float] = {}
     no_oracle: list[str] = []

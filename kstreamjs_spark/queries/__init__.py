@@ -176,18 +176,31 @@ _WINDOW_SIZE = 50
 # ROUND-15 NOTE: if CORRECTNESS_r14 is green, EMPTY this list again;
 # pin only oracle-text changes or behavior changes under an unchanged
 # oracle.
-# Two more round-14 pins: q205/q205b re-planned (the streaming banded
-# builder now materializes the minhash signature in its own projection
-# before banding — the nested form recomputed the O(shingles x perms)
-# fold once per element_at reference, ~64x per doc; values identical,
-# measured 97.5 s -> 9.5 s at sf0.1).
+# Round 15: CORRECTNESS_r14 came back 50/50 green — the r14 pins are
+# dropped. Pins this round, all behavior changes under unchanged
+# contracts (plus one oracle-text change):
+# - q205/q205b/q214b: the stateful bucket emitter re-planned onto the
+#   BOUNDED state-key space (pmod(xxhash64(band,bsig), 4096) slots with
+#   per-slot bucket dicts — the r14 verdict's perf fix; emitted pair
+#   sets identical, schedule-invariance pytests green, q205b 9.5 ->
+#   6.5 s at sf0.1);
+# - q216c: oracle TEXT changed (the argmax score moved to DECIMAL /
+#   HUGEINT arithmetic, exact past the old n_ab ~9.2e6 int64 wrap);
+# - q213/q213b/q213c: scd1_upsert_stream's bucket reads and read-back
+#   now go through mergeSchema (the q213d schema-evolution read path;
+#   values identical when no evolution is configured, selfcheck-green).
+# The never-checked round-15 queries (q213d, q218 — hist-0, DERIVED by
+# the sort as always) enter first, then the staleness sort drains the
+# 39 r9-vintage rows (the r14 verdict's rotation ask) and the oldest
+# r10 rows — min vintage r10 after this window.
 _WINDOW_PRIORITY: list[str] = [
-    "q213_stream_scd1_upsert",
-    "q212b_stream_unigram_tokenize",
-    "q214_embedding_neardup_lsh",
-    "q214b_stream_embedding_neardup",
     "q205_stream_minhash_candidates",
     "q205b_stream_minhash_verify",
+    "q214b_stream_embedding_neardup",
+    "q216c_wordpiece_likelihood_train",
+    "q213_stream_scd1_upsert",
+    "q213b_scd1_changelog",
+    "q213c_scd1_time_travel",
 ]
 
 

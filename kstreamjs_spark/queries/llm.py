@@ -5531,6 +5531,8 @@ def _q216_oracle() -> str:
 @query(
     "q216_wordpiece_tokenize",
     oracle=_q216_oracle(),
+    bench=True,  # round 15 (r14 verdict #7): the greedy-fold tokenizer
+                 # application shape gets bench coverage
     tags=("text", "llm", "tokenizer"),
 )
 def q216(spark: SparkSession, sf: str) -> DataFrame:

@@ -1082,6 +1082,11 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
 # -------- Q217 bucketed co-located join — shuffle-free fact-fact join
 @query(
     "q217_bucketed_colocated_join",
+    bench=True,  # round 15 (r14 verdict #7): the bucketed-write +
+                 # co-located-join shape gets bench coverage (the
+                 # oracle joins plain parquet — a real comparable-work
+                 # row: both sides pay the join; the engine also pays
+                 # the bucketed write, which IS the mechanism measured)
     oracle="""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
