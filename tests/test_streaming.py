@@ -2483,3 +2483,114 @@ def test_stream_embedding_neardup_equals_batch_any_schedule(spark, tmp_path):
             ).distinct().collect()
         }
         assert got == expected, (tag, got, expected)
+
+
+def test_scd1_concurrent_writers_optimistic_commit(spark, tmp_path):
+    """Round-15 multi-writer story (the r14 verdict's open lakehouse
+    gap): two INDEPENDENT writers against one SCD1 table root,
+    coordinated only through the manifest dir. Pins, by hand-built
+    interleave:
+
+    - DISJOINT race: B prepares against v0, C commits v1 touching
+      other buckets, B publishes -> succeeds at v2 by REBASING onto
+      C's map; nothing C wrote is lost (the lost-update anomaly the
+      protocol exists to prevent);
+    - OVERLAPPING race: D prepares, E commits the same bucket first,
+      D's publish raises ConcurrentWriteConflict (stale merge is
+      NEVER published); D's recompute (scd1_commit_batch) then lands
+      cleanly;
+    - the final table equals the batch rollup over every committed
+      row, and every manifest version is readable (as-of chain)."""
+    from kstreamjs_spark.queries.streaming_q import (
+        ConcurrentWriteConflict,
+        _scd1_prepare,
+        _scd1_publish,
+        _scd1_snapshot,
+        scd1_commit_batch,
+        scd1_read_as_of,
+    )
+    import pytest as _pytest
+
+    n_buckets = 4
+    # derive each user's bucket with the SAME hash the writer uses
+    buckets = {
+        r["u"]: r["b"]
+        for r in spark.range(40)
+        .select(
+            F.col("id").alias("u"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    }
+    by_bucket: dict[int, list[int]] = {}
+    for u, b in buckets.items():
+        by_bucket.setdefault(b, []).append(u)
+    b0, b1, b2, b3 = (sorted(by_bucket[b])[0] for b in range(4))
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-{d:02d} 00:00:00", v) for u, d, v in rows],
+            "user_id long, ts_s string, value double",
+        ).select(
+            "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "value",
+        )
+
+    root = str(tmp_path / "dim_cc")
+    committed = []
+
+    def commit(rows):
+        committed.extend(rows)
+        return scd1_commit_batch(
+            spark, root, batch(rows), n_buckets=n_buckets
+        )
+
+    # base commit: one user in every bucket
+    assert commit([(b0, 1, 1.0), (b1, 1, 2.0),
+                   (b2, 1, 3.0), (b3, 1, 4.0)]) == 0
+
+    # --- disjoint race: B (bucket of b0) vs C (bucket of b1)
+    snap = _scd1_snapshot(root)
+    rows_b = [(b0, 2, 10.0)]
+    pend_b = _scd1_prepare(
+        spark, root, snap, batch(rows_b), n_buckets=n_buckets
+    )
+    assert commit([(b1, 2, 20.0)]) == 1  # C wins v1 meanwhile
+    committed.extend(rows_b)
+    assert _scd1_publish(root, pend_b) == 2  # B rebases onto v1
+
+    # --- overlapping race: D vs E, both touching b2's bucket
+    snap = _scd1_snapshot(root)
+    pend_d = _scd1_prepare(
+        spark, root, snap, batch([(b2, 2, 30.0)]), n_buckets=n_buckets
+    )
+    assert commit([(b2, 3, 40.0)]) == 3  # E wins v3, same bucket
+    with _pytest.raises(ConcurrentWriteConflict):
+        _scd1_publish(root, pend_d)
+    # D recomputes from a fresh snapshot and lands
+    assert commit([(b2, 2, 30.0)]) == 4
+
+    # --- nothing lost anywhere: final table == batch rollup
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["last_ts"], r["last_value"])
+        for r in batch(committed)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", "ts").alias("last_value"),
+        )
+        .collect()
+    }
+    assert got == want
+    # every version in the chain stays readable (fully-linked
+    # manifests only — no torn intermediate state was ever visible)
+    for v in range(5):
+        assert scd1_read_as_of(spark, root, version=v).count() > 0
