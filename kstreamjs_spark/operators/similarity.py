@@ -551,12 +551,19 @@ def nn_descent(
     v = vectors.select(
         F.col(id_col).alias("node"), as_double(F.col(vec_col)).alias("vec")
     )
-    n, max_id = v.agg(F.count("*"), F.max("node")).first()
+    n, min_id, max_id, n_distinct = v.agg(
+        F.count("*"), F.min("node"), F.max("node"),
+        F.countDistinct("node"),
+    ).first()
     if n == 0:
         raise ValueError("nn_descent: empty vector table")
-    if max_id != n - 1:
+    if min_id != 0 or max_id != n - 1 or n_distinct != n:
+        # max==n-1 alone admits duplicates ([0,1,1,3]) and negatives
+        # ([-1..2,4]) that silently skew the init graph (round-15
+        # review finding) — all three facets checked, one aggregate
         raise ValueError(
-            f"nn_descent requires dense ids [0, N): N={n}, max={max_id}"
+            f"nn_descent requires dense unique ids [0, N): N={n}, "
+            f"min={min_id}, max={max_id}, distinct={n_distinct}"
         )
     strides = [r * _NND_K + 97 for r in range(1, k + 1)]
 

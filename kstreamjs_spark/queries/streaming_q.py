@@ -2926,32 +2926,39 @@ def scd1_upsert_stream(
             ).alias("last"),
         ]
         if evolve_ts is not None:
-            # the batch may cross T: this commit evolves the schema iff
-            # any event sits at/after the boundary (a 1-scalar check,
-            # the touched-bucket collect's category)
-            if not state["evolved"]:
-                state["evolved"] = bool(
-                    batch_df.agg(
-                        F.max(F.col("ts") >= evolve_ts)
-                    ).first()[0]
-                )
-            if state["evolved"]:
-                aggs.append(
-                    F.sum(
-                        F.when(F.col("ts") >= evolve_ts, F.col("value"))
-                        .otherwise(F.lit(0.0))
-                    ).alias("sum_value")
-                )
+            aggs.append(
+                F.sum(
+                    F.when(F.col("ts") >= evolve_ts, F.col("value"))
+                    .otherwise(F.lit(0.0))
+                ).alias("sum_value")
+            )
         delta = (
             batch_df.groupBy("user_id").agg(*aggs)
             .withColumn("bucket", bucket_of)
         )
         # Touched-bucket discovery: a <= n_buckets-row collect (bounded
-        # by the bucket count, never by data).
-        touched = sorted(
-            r["bucket"]
-            for r in delta.select("bucket").distinct().collect()
-        )
+        # by the bucket count, never by data). The evolution-boundary
+        # probe rides in the SAME aggregate (any event at/after T iff
+        # max per-user last.ts crosses it) — the earlier separate
+        # batch_df.agg paid one extra full-batch scan per pre-boundary
+        # commit (round-15 review finding).
+        if evolve_ts is not None and not state["evolved"]:
+            probe = delta.agg(
+                F.sort_array(F.collect_set("bucket")).alias("tb"),
+                F.max(F.col("last.ts") >= evolve_ts).alias("crossed"),
+            ).first()
+            touched = [int(b) for b in probe["tb"]]
+            state["evolved"] = bool(probe["crossed"])
+        else:
+            touched = sorted(
+                r["bucket"]
+                for r in delta.select("bucket").distinct().collect()
+            )
+        if evolve_ts is not None and not state["evolved"]:
+            # pre-boundary commits write the v1 schema: the column is
+            # PHYSICALLY absent, not a pre-created default (Catalyst
+            # prunes the unused aggregate expression with it)
+            delta = delta.drop("sum_value")
         prev_paths = [
             bucket_path(state["bucket_commit"][b], b)
             for b in touched
@@ -3048,7 +3055,12 @@ def scd1_upsert_stream(
             state["bucket_commit"][b] = n
         # Manifest AFTER the data lands: the table flips to commit n
         # atomically at manifest write, bucket map included.
-        with open(f"{root}/_manifest/v{n}.json", "w") as fh:
+        # write-temp-then-rename so a cross-process reader (the
+        # scd1_read_as_of contract) can never observe a torn manifest
+        # — the same atomicity the concurrent publisher gets from
+        # os.link (round-15 review fix)
+        mtmp = f"{root}/_manifest/v{n}.json.tmp"
+        with open(mtmp, "w") as fh:
             json.dump(
                 {
                     "version": n,
@@ -3068,6 +3080,7 @@ def scd1_upsert_stream(
                 },
                 fh,
             )
+        os.replace(mtmp, f"{root}/_manifest/v{n}.json")
         # Retention / VACUUM: a copy superseded at version n serves
         # AS OF < n; it survives until the table is retain_commits
         # past n, then prunes (with any commit dir it emptied) —
@@ -3127,6 +3140,19 @@ def scd1_upsert_stream(
     return back.select(*out_cols)
 
 
+def _manifest_bucket_dir(man: dict) -> dict:
+    """bucket -> data-dir map of a manifest. `bucket_dir` is
+    authoritative when PRESENT (key test, not truthiness — an empty
+    table's manifest is a present-but-empty dict, and the concurrent-
+    writer manifests carry no `bucket_commit` to fall back to);
+    deriving from `bucket_commit` keeps pre-round-15 manifests
+    readable. One home for the compatibility rule (round-15 review:
+    three copy-pasted sites shared a falsy-empty-dict bug)."""
+    if "bucket_dir" in man:
+        return dict(man["bucket_dir"])
+    return {b: f"commit_v{c}" for b, c in man["bucket_commit"].items()}
+
+
 def scd1_read_as_of(
     spark: SparkSession,
     root: str,
@@ -3167,12 +3193,7 @@ def scd1_read_as_of(
         version = versions[-1]
     with open(os.path.join(mdir, f"v{version}.json")) as fh:
         man = json.load(fh)
-    # bucket_dir is authoritative when present (round 15 — concurrent
-    # writers publish non-dense dir names); bucket_commit derivation
-    # keeps pre-round-15 manifests readable
-    bdir = man.get("bucket_dir") or {
-        b: f"commit_v{c}" for b, c in man["bucket_commit"].items()
-    }
+    bdir = _manifest_bucket_dir(man)
     paths = [
         f"{root}/{d}/pbucket={b}" for b, d in sorted(bdir.items())
     ]
@@ -3223,10 +3244,10 @@ def _scd1_snapshot(root: str) -> dict:
         return {"version": -1, "bucket_dir": {}}
     with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
         man = json.load(fh)
-    bdir = man.get("bucket_dir") or {
-        b: f"commit_v{c}" for b, c in man["bucket_commit"].items()
+    return {
+        "version": man["version"],
+        "bucket_dir": _manifest_bucket_dir(man),
     }
-    return {"version": man["version"], "bucket_dir": bdir}
 
 
 def _scd1_prepare(
@@ -3269,7 +3290,23 @@ def _scd1_prepare(
         if str(b) in snap["bucket_dir"]
     ]
     if prev_paths:
-        prev = spark.read.parquet(*prev_paths)
+        prev = spark.read.option("mergeSchema", "true").parquet(
+            *prev_paths
+        )
+        # refuse schema-evolved tables LOUDLY: this committer merges
+        # the base (user_id, n_events, last) schema only — rewriting
+        # an evolved bucket with a base-schema copy would silently
+        # reset the evolved column to its read-time default for every
+        # key in the bucket (round-15 review finding)
+        extra = set(prev.columns) - {"user_id", "n_events", "last",
+                                     "pbucket", "bucket"}
+        if extra:
+            raise ValueError(
+                f"scd1_commit_batch: table carries schema-evolved "
+                f"column(s) {sorted(extra)} this committer does not "
+                "merge — committing would erase them; use the "
+                "evolution-aware streaming writer for this table"
+            )
         merged = (
             prev.select("user_id", "n_events", "last")
             .unionByName(delta.drop("bucket"))
@@ -3331,10 +3368,7 @@ def _scd1_publish(root: str, pending: dict) -> int:
             os.unlink(tmp)
             with open(path) as fh:
                 theirs = json.load(fh)
-            their_map = theirs.get("bucket_dir") or {
-                b: f"commit_v{c}"
-                for b, c in theirs["bucket_commit"].items()
-            }
+            their_map = _manifest_bucket_dir(theirs)
             their_touched = {
                 b
                 for b in their_map

@@ -816,8 +816,12 @@ def main() -> int:
     # band, which is the operating claim.
     import zlib as _zlib
 
+    # measure each scale factor ONCE even when the script is invoked
+    # with sf0.1 as its argument (round-15 review: the two-element
+    # tuple silently ran the same sf twice and dropped the sf0.01 row)
+    both_sfs = tuple(dict.fromkeys((sf, "/root/testdata/sf0.1")))
     q163_out = {}
-    for cz_sf in (sf, "/root/testdata/sf0.1"):
+    for cz_sf in both_sfs:
         rows = q["q163_compressibility"].fn(spark, cz_sf).collect()
         (docs_z,) = load(spark, cz_sf, "documents")
         texts = {
@@ -876,13 +880,20 @@ def main() -> int:
         }
         return round(len(ex & ap) / len(ex), 4)
 
-    (emb_01,) = load(spark, "/root/testdata/sf0.1", "embeddings")
     out["q218_nn_descent_knn_graph"] = {
         "k": _Q218_K,
         "iters": _Q218_ITERS,
         "graph_recall_vs_exact": _graph_recall(emb, _Q218_K, _Q218_ITERS),
-        "graph_recall_vs_exact_sf0.1": _graph_recall(
-            emb_01, _Q218_K, _Q218_ITERS
+        **(
+            {
+                "graph_recall_vs_exact_sf0.1": _graph_recall(
+                    load(spark, "/root/testdata/sf0.1", "embeddings")[0],
+                    _Q218_K,
+                    _Q218_ITERS,
+                )
+            }
+            if len(both_sfs) > 1
+            else {}
         ),
         "sweep_uniform_sf0.01": {
             "k5_iters3": _graph_recall(emb, 5, 3),

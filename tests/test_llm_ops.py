@@ -3489,8 +3489,16 @@ def test_nn_descent_rejects_sparse_ids(spark):
         [(0, [1.0, 0.0]), (5, [0.0, 1.0])],
         "vec_id long, embedding array<double>",
     )
-    with _pytest.raises(ValueError, match="dense ids"):
+    with _pytest.raises(ValueError, match="dense unique ids"):
         similarity.nn_descent(df, k=1, iters=1)
+    # round-15 review: max==n-1 alone admitted duplicate ids — pinned
+    dup = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (1, [0.5, 0.5]),
+         (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="dense unique ids"):
+        similarity.nn_descent(dup, k=1, iters=1)
 
 
 def test_nn_descent_shipped_config_recall_gate(spark):

@@ -2594,3 +2594,52 @@ def test_scd1_concurrent_writers_optimistic_commit(spark, tmp_path):
     # manifests only — no torn intermediate state was ever visible)
     for v in range(5):
         assert scd1_read_as_of(spark, root, version=v).count() > 0
+
+
+def test_scd1_concurrent_committer_refuses_evolved_tables(spark, tmp_path):
+    """Round-15 review finding: the concurrent batch committer merges
+    the BASE schema only — rewriting an evolved bucket with a base
+    copy would silently reset sum_value to the read-time default for
+    every key in the bucket. It must refuse LOUDLY instead. Also pins
+    _manifest_bucket_dir's key-presence semantics (an empty-but-
+    present bucket_dir is an empty TABLE, not a missing key — the
+    falsy-or form raised KeyError on concurrent-writer manifests)."""
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import (
+        _manifest_bucket_dir,
+        scd1_commit_batch,
+        scd1_upsert_stream,
+    )
+
+    assert _manifest_bucket_dir({"version": 0, "bucket_dir": {}}) == {}
+    assert _manifest_bucket_dir(
+        {"version": 0, "bucket_commit": {"3": 1}}
+    ) == {"3": "commit_v1"}
+
+    # build an EVOLVED table with the streaming writer
+    rows = [(1, "2024-01-10 00:00:00", 1.0), (1, "2024-01-20 00:00:00", 2.0)]
+    src = str(tmp_path / "evo_src")
+    os.makedirs(src, exist_ok=True)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    df.coalesce(1).write.parquet(f"{src}/f0.parquet")
+    sdf = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{src}/f0.parquet").schema
+        ).parquet(src + "/*")
+    )
+    root = str(tmp_path / "dim")
+    scd1_upsert_stream(
+        sdf, root, evolve_sum_from="2024-01-15 00:00:00"
+    ).collect()
+
+    batch = spark.createDataFrame(
+        [(1, "2024-01-25 00:00:00", 9.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    with _pytest.raises(ValueError, match="schema-evolved"):
+        scd1_commit_batch(spark, root, batch)
