@@ -276,35 +276,49 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
     """(doc_id, token, tf, dl) for every document containing a term —
-    ONE corpus scan, ZERO corpus shuffle: per-term occurrence counts are
-    `size(filter(tokens, = term))` expressions inside whole-stage
-    codegen (the term set is a query-plan literal — the tiny-broadcast
-    degenerate case), packed into (token, tf) structs, kept where
-    tf > 0, exploded with dl riding along. Materialized once
-    (plans.materialize_once): both the df aggregate and the scoring join
-    consume it, and it holds at most docs-containing-terms rows at any
-    corpus size."""
-    toks = documents.select(
+    ONE corpus scan, ZERO corpus shuffle. Round-15 plan: the token
+    array is filtered ONCE per document through an InSet membership
+    probe (Catalyst converts the >10-literal `isin` to a hash set —
+    O(1) per token), and per-term counts are then taken over the tiny
+    MATCHED array only. The previous shape evaluated
+    `size(filter(tokens, = term))` once PER TERM — an O(dl x |terms|)
+    scan per document (~40x the token volume for q157b's 24-query
+    union; the r14 bench row's 12x oracle gap was exactly this bill —
+    DuckDB's unnest + IN probe touches each token once). Kept where
+    tf > 0, exploded with dl riding along, materialized once
+    (plans.materialize_once): both the df aggregate and the scoring
+    join consume it, and it holds at most docs-containing-terms rows
+    at any corpus size. Values are plan-independent (same counts), so
+    every BM25 oracle is untouched. The `spread` fan-out exists for
+    the same reason as everywhere else (dedup._spread): the bench
+    corpus is one parquet row group, so without it the CPU-bound
+    split+probe phase runs on ONE task while 31 cores idle — at real
+    scale the scan already has thousands of splits and AQE coalesces
+    the excess."""
+    from ..operators.dedup import spread
+
+    toks = spread(documents, "doc_id").select(
         "doc_id", F.split("text", " ").alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("dl"),
+        F.filter(
+            F.col("_toks"), lambda x: x.isin(*terms)
+        ).alias("_m"),
     )
-    entries = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("token"),
-                    F.size(
-                        F.filter(F.col("_toks"), lambda x: x == F.lit(t))
-                    ).cast("long").alias("tf"),
-                )
-                for t in terms
-            ]
+    entries = F.transform(
+        F.array_distinct(F.col("_m")),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(
+                F.filter(F.col("_m"), lambda x: x == t)
+            ).cast("long").alias("tf"),
         ),
-        lambda s: s["tf"] > 0,
     )
     tf = (
         toks.select(
             "doc_id",
-            F.size("_toks").cast("long").alias("dl"),
+            "dl",
             F.explode(entries).alias("e"),
         )
         .select("doc_id", "dl", F.col("e.token").alias("token"),
@@ -337,8 +351,12 @@ def _bm25_contrib(documents: DataFrame, terms: list[str]) -> DataFrame:
     1-row stats broadcast — columns (doc_id, token, tf, dl, df, n,
     dl_sum). ONE definition for q157, q157b, and q169 so a plan rework
     (like r9's tf+dl fold) can never leave a copy on the old shape."""
+    from ..operators.dedup import spread
+
     tf = _bm25_tf_dl(documents, terms)
-    st = documents.select(
+    # the stats pass splits every document too — same single-row-group
+    # fan-out as tf_dl (one task otherwise)
+    st = spread(documents, "doc_id").select(
         F.size(F.split("text", " ")).cast("long").alias("dl")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
