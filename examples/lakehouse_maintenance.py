@@ -82,8 +82,31 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         f"row(s), AS-OF-latest reads {asof} dimension rows"
     )
 
+    # 5: CONCURRENT WRITERS (round 15) — two independent batch commits
+    #    against a fresh table root, coordinated only through the
+    #    manifest dir (optimistic concurrency: disjoint-bucket races
+    #    rebase, overlapping races raise and recompute)
+    from kstreamjs_spark.queries.streaming_q import scd1_commit_batch
+
+    cc_root = os.path.join(tempfile.mkdtemp(), "dim_cc")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    v_a = scd1_commit_batch(
+        spark, cc_root, ev.filter(F.col("user_id") % 2 == 0)
+    )
+    v_b = scd1_commit_batch(
+        spark, cc_root, ev.filter(F.col("user_id") % 2 == 1)
+    )
+    n_cc = scd1_read_as_of(spark, cc_root).count()
+    print(
+        f"concurrent committers landed v{v_a} and v{v_b}; "
+        f"merged table holds {n_cc} users"
+    )
+
     shutil.rmtree(os.path.dirname(table), ignore_errors=True)
     shutil.rmtree(os.path.dirname(dim_root), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(cc_root), ignore_errors=True)
     spark.stop()
     return 0
 
