@@ -1165,19 +1165,24 @@ _Q218_K = 20
 _Q218_ITERS = 8
 
 
-def _q218_oracle(k: int = _Q218_K, iters: int = _Q218_ITERS) -> str:
-    """Generated-CTE mirror of the NN-Descent loop (the q179/q216c
+def _q218_chain(k: int = _Q218_K, iters: int = _Q218_ITERS) -> str:
+    """The NN-Descent loop as a CTE chain (no WITH keyword, no final
+    select) ending at g{iters} — shared by the q218 oracle and q218b's
+    transitive-closure composition. Generated-CTE mirror of
+    `similarity.nn_descent` symbol for symbol (the q179/q216c
     unrolled-training-loop policy): init strides, the reverse-sample
     hash rank, candidate self-join on the pivot, and the per-round
-    top-k cut all restate `similarity.nn_descent` symbol for symbol —
-    the same _NND_K constant, the same mod-prime-first rank arithmetic
-    (int64-safe on both engines), the same score-desc/dst-asc
-    tiebreaks — so the whole graph-construction loop hash-matches."""
+    top-k cut use the same _NND_K constant, the same mod-prime-first
+    rank arithmetic (int64-safe on both engines), and the same
+    score-desc/dst-asc tiebreaks. Every CTE is MATERIALIZED: DuckDB
+    inlines multi-referenced CTEs, and round r references round r-1
+    three times — the inlined form re-evaluates the whole prefix
+    exponentially (and re-opens the parquet per inlined scan)."""
     from ..operators.similarity import _NND_K
 
     strides = ", ".join(str(r * _NND_K + 97) for r in range(1, k + 1))
     sql = f"""
-        WITH v AS MATERIALIZED (
+        v AS MATERIALIZED (
                    SELECT vec_id AS node, embedding::DOUBLE[] AS vec
                    FROM embeddings),
         nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM v),
@@ -1225,13 +1230,17 @@ def _q218_oracle(k: int = _Q218_K, iters: int = _Q218_ITERS) -> str:
                            UNION ALL SELECT dst AS src, src AS dst, score
                            FROM sc{r})))
                  WHERE rn <= {k})"""
-    sql += f"""
+    return sql
+
+
+def _q218_oracle(k: int = _Q218_K, iters: int = _Q218_ITERS) -> str:
+    return f"""
+        WITH {_q218_chain(k, iters)}
         SELECT src, dst, score,
                ROW_NUMBER() OVER (PARTITION BY src
                                   ORDER BY score DESC, dst) AS rn
         FROM g{iters}
         ORDER BY src, rn"""
-    return sql
 
 
 @query(
@@ -1264,3 +1273,81 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.nn_descent(
         embeddings, k=_Q218_K, iters=_Q218_ITERS
     ).orderBy("src", "rn")
+
+
+# ----------- Q218b kNN-graph dedup clusters — NN-Descent composed with CC
+_Q218B_THETA = 0.42
+
+
+def _q218b_oracle() -> str:
+    """q218's NN-Descent chain composed with q56's recursive-CTE
+    transitive closure (both reused verbatim — one source of truth for
+    the descent AND for the closure semantics): threshold the graph,
+    normalize to undirected pairs, close transitively, roll up per
+    min-label cluster."""
+    return f"""
+        WITH RECURSIVE {_q218_chain(_Q218_K, _Q218_ITERS)},
+        pairs AS (
+          SELECT DISTINCT LEAST(src, dst) AS d1, GREATEST(src, dst) AS d2
+          FROM g{_Q218_ITERS} WHERE score >= {_Q218B_THETA}
+        ), edges AS (
+          SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs
+          UNION SELECT d1, d1 FROM pairs
+          UNION SELECT d2, d2 FROM pairs
+        ), reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), labels AS (
+          SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
+        )
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(node) AS max_node
+        FROM labels GROUP BY label ORDER BY label
+    """
+
+
+@query(
+    "q218b_knn_graph_dedup_clusters",
+    oracle=_q218b_oracle(),
+    tags=("similarity", "dedup", "graph", "iterative", "llm"),
+)
+def q218b(spark: SparkSession, sf: str) -> DataFrame:
+    """CORPUS-WIDE embedding dedup THROUGH the k-NN graph (round 15) —
+    the application q218 exists for: the NN-Descent graph replaces the
+    all-pairs cosine join as the pair-generation stage, its edges are
+    thresholded into near-dup candidates, and q56's connected-
+    components operator resolves them into clusters (min-id label,
+    per-cluster member rollup). Composition of two already-attested
+    operators, so the oracle composes their two proven texts: the
+    unrolled descent chain feeding the recursive-CTE closure — the
+    whole pipeline hash-matches end to end.
+
+    Scale shape: pair generation is q218's N*(2k)^2-per-round bill
+    (never N^2 — the reason to build the graph instead of q26-style
+    all-pairs joins on embeddings), the closure is q56's one-shuffle-
+    per-round min-label propagation over O(edges) frames. The
+    threshold sits at the corpus's own similarity tail (uniform
+    synthetic vectors: cosine p99 ~0.41), so clusters are the
+    handful of genuinely-similar outlier pairs — on a real near-dup-
+    heavy corpus the same plan resolves millions of members."""
+    from ..operators import similarity
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    g = similarity.nn_descent(
+        embeddings, k=_Q218_K, iters=_Q218_ITERS
+    ).filter(F.col("score") >= _Q218B_THETA)
+    pairs = g.select(
+        F.least("src", "dst").alias("d1"),
+        F.greatest("src", "dst").alias("d2"),
+    ).distinct()
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    return (
+        comps.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("label")
+    )
