@@ -82,10 +82,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         f"row(s), AS-OF-latest reads {asof} dimension rows"
     )
 
-    # 5: CONCURRENT WRITERS (round 15) — two independent batch commits
-    #    against a fresh table root, coordinated only through the
-    #    manifest dir (optimistic concurrency: disjoint-bucket races
-    #    rebase, overlapping races raise and recompute)
+    # 5: CONCURRENT-WRITER commit API (round 15) — two independent
+    #    batch commits against a fresh table root, coordinated only
+    #    through the manifest dir. These two run sequentially, so this
+    #    step demonstrates the commit API and version chain; the RACE
+    #    paths (disjoint-bucket rebase, overlapping-bucket
+    #    ConcurrentWriteConflict + recompute) are exercised by the
+    #    interleaved-writer pytest in tests/test_streaming.py
     from kstreamjs_spark.queries.streaming_q import scd1_commit_batch
 
     cc_root = os.path.join(tempfile.mkdtemp(), "dim_cc")

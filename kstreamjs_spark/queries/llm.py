@@ -274,37 +274,46 @@ _BM25_TERMS = ["hash", "join", "vector", "window", "spark"]
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
-def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
-    """(doc_id, token, tf, dl) for every document containing a term —
-    ONE corpus scan, ZERO corpus shuffle. Round-15 plan: the token
-    array is filtered ONCE per document through an InSet membership
-    probe (Catalyst converts the >10-literal `isin` to a hash set —
-    O(1) per token), and per-term counts are then taken over the tiny
-    MATCHED array only. The previous shape evaluated
-    `size(filter(tokens, = term))` once PER TERM — an O(dl x |terms|)
-    scan per document (~40x the token volume for q157b's 24-query
-    union; the r14 bench row's 12x oracle gap was exactly this bill —
-    DuckDB's unnest + IN probe touches each token once). Kept where
-    tf > 0, exploded with dl riding along, materialized once
-    (plans.materialize_once): both the df aggregate and the scoring
-    join consume it, and it holds at most docs-containing-terms rows
-    at any corpus size. Values are plan-independent (same counts), so
-    every BM25 oracle is untouched. The `spread` fan-out exists for
-    the same reason as everywhere else (dedup._spread): the bench
-    corpus is one parquet row group, so without it the CPU-bound
-    split+probe phase runs on ONE task while 31 cores idle — at real
-    scale the scan already has thousands of splits and AQE coalesces
-    the excess."""
+def _bm25_tf_dl(documents: DataFrame, terms: list[str]):
+    """((doc_id, token, tf, dl) frame, 1-row (n, dl_sum) stats) — ONE
+    corpus scan, ZERO corpus shuffle, shared by every BM25 consumer.
+    Round-15 plan: the token array is filtered ONCE per document
+    through an `isin` membership probe (above the 10-literal
+    threshold — q157b's 31-term union — Catalyst converts it to an
+    InSet hash set, O(1) per token; q157's 5-term set stays an In
+    equality chain, O(5), still one pass), and per-term counts are
+    then taken over the tiny MATCHED array only. The previous shape
+    evaluated `size(filter(tokens, = term))` once PER TERM — an
+    O(dl x |terms|) scan per document (~31x the token volume for
+    q157b; the r14 bench row's 12x oracle gap was largely this bill —
+    DuckDB's unnest + IN probe touches each token once). The
+    MATERIALIZED frame is the pre-explode (doc_id, dl, matched) base —
+    all docs, but only ids + lengths + matched terms, never the text —
+    so the corpus stats (n, dl_sum) aggregate from it instead of
+    paying a second corpus scan+split (round-15 review finding), and
+    the df aggregate + scoring join both re-derive the tf explode from
+    it cheaply. Values are plan-independent (same counts), so every
+    BM25 oracle is untouched. The `spread` fan-out exists for the same
+    reason as everywhere else (dedup._spread): the bench corpus is one
+    parquet row group, so without it the CPU-bound split+probe phase
+    runs on ONE task while 31 cores idle — at real scale the scan
+    already has thousands of splits and AQE coalesces the excess."""
     from ..operators.dedup import spread
 
-    toks = spread(documents, "doc_id").select(
-        "doc_id", F.split("text", " ").alias("_toks")
-    ).select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("dl"),
-        F.filter(
-            F.col("_toks"), lambda x: x.isin(*terms)
-        ).alias("_m"),
+    base = materialize_once(
+        spread(documents, "doc_id").select(
+            "doc_id", F.split("text", " ").alias("_toks")
+        ).select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.filter(
+                F.col("_toks"), lambda x: x.isin(*terms)
+            ).alias("_m"),
+        )
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("dl_sum"),
     )
     entries = F.transform(
         F.array_distinct(F.col("_m")),
@@ -316,7 +325,7 @@ def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
         ),
     )
     tf = (
-        toks.select(
+        base.select(
             "doc_id",
             "dl",
             F.explode(entries).alias("e"),
@@ -324,7 +333,7 @@ def _bm25_tf_dl(documents: DataFrame, terms: list[str]) -> DataFrame:
         .select("doc_id", "dl", F.col("e.token").alias("token"),
                 F.col("e.tf").alias("tf"))
     )
-    return materialize_once(tf)
+    return tf, st
 
 
 def _bm25_quantized_contrib():
@@ -351,17 +360,7 @@ def _bm25_contrib(documents: DataFrame, terms: list[str]) -> DataFrame:
     1-row stats broadcast — columns (doc_id, token, tf, dl, df, n,
     dl_sum). ONE definition for q157, q157b, and q169 so a plan rework
     (like r9's tf+dl fold) can never leave a copy on the old shape."""
-    from ..operators.dedup import spread
-
-    tf = _bm25_tf_dl(documents, terms)
-    # the stats pass splits every document too — same single-row-group
-    # fan-out as tf_dl (one task otherwise)
-    st = spread(documents, "doc_id").select(
-        F.size(F.split("text", " ")).cast("long").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("dl_sum"),
-    )
+    tf, st = _bm25_tf_dl(documents, terms)
     df_ = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

@@ -182,15 +182,14 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------- Q56 dup-cluster resolution (CC)
-def _q56_oracle() -> str:
-    # Build on q26's oracle verbatim (one source of truth for the pair
-    # semantics): its result is the edge list; the closure is a recursive
-    # CTE whose per-component min is the cluster label.
-    pairs_sql = REGISTRY["q26_jaccard_neardup"].oracle
-    return f"""
-        WITH RECURSIVE pairs AS (
-          SELECT d1, d2 FROM ({pairs_sql}) q
-        ), edges AS (
+def _cc_closure_sql() -> str:
+    """edges/reach transitive-closure CTE block over a (d1, d2)
+    relation named `pairs` — ONE source of truth for the closure
+    semantics (symmetrize + self-loops so singletons label themselves;
+    per-component MIN over `reach` is the label), shared by the q56
+    and q218b oracles so a change to the closure shape can never leave
+    one of them on the old text."""
+    return """edges AS (
           SELECT d1 AS a, d2 AS b FROM pairs
           UNION SELECT d2, d1 FROM pairs
           UNION SELECT d1, d1 FROM pairs
@@ -199,7 +198,18 @@ def _q56_oracle() -> str:
           SELECT a, b FROM edges
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        )
+        )"""
+
+
+def _q56_oracle() -> str:
+    # Build on q26's oracle verbatim (one source of truth for the pair
+    # semantics): its result is the edge list; the closure is the shared
+    # recursive CTE whose per-component min is the cluster label.
+    pairs_sql = REGISTRY["q26_jaccard_neardup"].oracle
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT d1, d2 FROM ({pairs_sql}) q
+        ), {_cc_closure_sql()}
         SELECT a AS node, MIN(b) AS label
         FROM reach GROUP BY a ORDER BY node
     """
@@ -1290,16 +1300,7 @@ def _q218b_oracle() -> str:
         pairs AS (
           SELECT DISTINCT LEAST(src, dst) AS d1, GREATEST(src, dst) AS d2
           FROM g{_Q218_ITERS} WHERE score >= {_Q218B_THETA}
-        ), edges AS (
-          SELECT d1 AS a, d2 AS b FROM pairs
-          UNION SELECT d2, d1 FROM pairs
-          UNION SELECT d1, d1 FROM pairs
-          UNION SELECT d2, d2 FROM pairs
-        ), reach AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ), labels AS (
+        ), {_cc_closure_sql()}, labels AS (
           SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
         )
         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,

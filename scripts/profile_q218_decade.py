@@ -35,11 +35,13 @@ def main() -> int:
     spark = get_spark("q218-decade", cpus=32, shuffle_partitions=32)
     base = spark.read.parquet(f"{sf}/embeddings.parquet")
     n = base.count()
+    # derive the dimension from the data — a hardcoded 64 would
+    # silently truncate rotated copies on any other corpus
+    dim = base.select(F.size("embedding")).first()[0]
     results = []
     for mult in (1, 10):
         parts = [base.select("vec_id", "embedding")]
         for i in range(1, mult):
-            dim = 64
             rot = F.concat(
                 F.slice("embedding", i + 1, dim - i),
                 F.slice("embedding", 1, i),
