@@ -644,6 +644,127 @@ def nn_descent(
     return g.withColumn("rn", F.row_number().over(w_src))
 
 
+def graph_ann_topk(
+    graph: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 12,
+    hops: int = 3,
+    n_entries: int = 4,
+    vec_col: str = "vec",
+    id_col: str = "node",
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy BEAM SEARCH over a k-NN graph (the query-time half of the
+    graph-ANN family; HNSW layer-0 search, Malkov & Yashunin 2016 —
+    public): q218's `nn_descent` builds the neighbor graph, this walks
+    it to answer top-k cosine queries without scanning the vector
+    table — the scan-side bill per query is O(n_entries + hops * beam
+    * 2k) scored candidates instead of N.
+
+    Spark-first shape, the q218/q56 iterative-equi-join idiom with no
+    UDF anywhere:
+    1. ENTRY: n_entries deterministic pseudo-random seeds per query,
+       node = (qid + j*stride) mod N over the dense id space (same
+       modular-stride family as the descent init).
+    2. Each hop: expand the CURRENT beam through the UNDIRECTED
+       adjacency (graph ∪ reversed graph — search quality needs
+       in-edges too), score new candidates against the broadcast
+       query batch, union with the beam, keep top-``beam`` per query
+       (WindowGroupLimit rank pushdown).
+    3. After ``hops`` rounds, cut to top-k per query.
+
+    Fully deterministic (entry strides, score-desc/node-asc
+    tiebreaks), so — like q218 itself — the whole search is
+    SQL-expressible and hash-matched by an unrolled-CTE oracle;
+    recall vs the exact top-k (q58's broadcast kNN join) is measured
+    separately in APPROX_EVIDENCE (the GRAPH WALK is approximate even
+    though the computation is exact).
+
+    ``graph``: (src, dst) edges, e.g. `nn_descent` output.
+    ``vectors``: (id_col, vec_col) with DENSE ids [0, N) (the entry
+    arithmetic; enforced by the caller building the graph).
+    ``queries``: (qid, qv) — a BOUNDED query batch; it is broadcast,
+    so the frontier join never shuffles the vector table.
+
+    At 100 TB: the adjacency and vector tables stay partitioned by
+    node; each hop is one equi-join on node plus one broadcast join
+    on qid. Frontier size is Q*beam rows — driver never sees it.
+    """
+    from pyspark.sql import Window
+
+    v = vectors.select(
+        F.col(id_col).alias("_n"), as_double(F.col(vec_col)).alias("_v")
+    )
+    n = v.count()
+    if n == 0:
+        raise ValueError("graph_ann_topk: empty vector table")
+    qs = F.broadcast(queries.select("qid", as_double(F.col("qv")).alias("qv")))
+    und = (
+        graph.select("src", "dst")
+        .unionByName(
+            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+    def _score(frontier: DataFrame) -> DataFrame:
+        """(qid, node) -> (qid, node, score) via vector + query joins."""
+        return (
+            frontier.join(v, frontier["node"] == v["_n"])
+            .join(qs, "qid")
+            .select(
+                "qid",
+                "node",
+                F.round(cosine(F.col("_v"), F.col("qv")), round_to).alias(
+                    "score"
+                ),
+            )
+        )
+
+    strides = [j * _NND_K + 31 for j in range(1, n_entries + 1)]
+    entries = (
+        queries.select("qid")
+        .select(
+            "qid",
+            F.explode(F.array(*[F.lit(s) for s in strides])).alias("stride"),
+        )
+        .select(
+            "qid", F.pmod(F.col("qid") + F.col("stride"), F.lit(n)).alias("node")
+        )
+        .dropDuplicates(["qid", "node"])
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("score").desc(), "node")
+    b = (
+        _score(entries)
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= beam)
+        .drop("rn")
+    )
+    for _ in range(hops):
+        neigh = (
+            b.select("qid", "node")
+            .join(und, b["node"] == und["src"])
+            .select("qid", F.col("dst").alias("node"))
+            .dropDuplicates(["qid", "node"])
+        )
+        # scores are deterministic per (qid, node): union + dedup is a
+        # visited-set-free restatement of best-first expansion
+        b = (
+            b.unionByName(_score(neigh))
+            .dropDuplicates(["qid", "node"])
+            .withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= beam)
+            .drop("rn")
+            .localCheckpoint()
+        )
+    return (
+        b.withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= k)
+    )
+
+
 def _semdedup_subsplit(
     assigned: DataFrame,
     id_col: str = "vec_id",

@@ -3527,3 +3527,95 @@ def test_nn_descent_shipped_config_recall_gate(spark):
     }
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.9, recall
+
+
+def _tie_aware_search_recall(emb, nq, k, beam, hops, n_entries):
+    """Search recall where a hit is a kept item whose rounded score >=
+    the exact k-th rounded score (id-set recall double-counts rounding
+    ties: in the clustered regime the 10th/11th items round identically
+    and either choice is a correct answer)."""
+    from kstreamjs_spark.operators import similarity
+
+    qs = emb.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    kth: dict = {}
+    for r in similarity.knn_join(emb, qs, k=k).collect():
+        s = round(r["score"], 6)
+        kth[r["qid"]] = min(kth.get(r["qid"], 2.0), s)
+    g = similarity.nn_descent(emb, k=20, iters=8).drop("rn")
+    vv = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    )
+    kept = similarity.graph_ann_topk(
+        g, vv, qs, k=k, beam=beam, hops=hops, n_entries=n_entries
+    ).collect()
+    hits = sum(1 for r in kept if round(r["score"], 6) >= kth[r["qid"]])
+    return hits / (nq * k)
+
+
+def test_graph_ann_search_on_planted_manifold(spark):
+    """q219's beam walk on the q218 planted manifold: 4 orthogonal
+    cluster centers, 12 members each. Pins (a) every kept neighbor is
+    in the QUERY's cluster (orthogonal centers: a single cross-cluster
+    leak would tank the score), (b) tie-aware search recall 1.0 vs the
+    exact top-3, (c) the walk never emits more than k rows per query,
+    and (d) the plan is equi-joins only — no CartesianProduct (the
+    query batch is broadcast on qid, never crossed)."""
+    import numpy as np
+
+    from kstreamjs_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 8) * 10.0
+    n = 48
+    base = centers[np.arange(n) % 4] + rng.standard_normal((n, 8)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    g = similarity.nn_descent(df, k=3, iters=3).drop("rn")
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    vv = df.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    )
+    out = similarity.graph_ann_topk(g, vv, qs, k=3, beam=6, hops=3)
+    rows = out.collect()
+    per_q: dict = {}
+    for r in rows:
+        assert r["node"] % 4 == r["qid"] % 4, r   # no cluster leaks
+        per_q[r["qid"]] = per_q.get(r["qid"], 0) + 1
+    assert set(per_q) == {0, 1, 2, 3} and all(
+        v == 3 for v in per_q.values()
+    ), per_q
+    kth: dict = {}
+    for r in similarity.knn_join(df, qs, k=3).collect():
+        s = round(r["score"], 6)
+        kth[r["qid"]] = min(kth.get(r["qid"], 2.0), s)
+    hits = sum(1 for r in rows if round(r["score"], 6) >= kth[r["qid"]])
+    assert hits == len(rows), (hits, len(rows))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_graph_ann_shipped_config_recall_gate(spark):
+    """q219's 'Done' gate: tie-aware search recall >= 0.9 with the
+    SHIPPED knobs (beam=16, hops=4, entries=4 — beam=12/hops=3
+    measured 0.84 at sf0.1, the sweep APPROX_EVIDENCE documents) on
+    the smoke corpus; the evidence script repeats the measurement at
+    sf0.01, sf0.1, and the 16-center clustered corpus (all 1.0)."""
+    from kstreamjs_spark.queries.pipeline import (
+        _Q219_BEAM,
+        _Q219_ENTRIES,
+        _Q219_HOPS,
+        _Q219_K,
+        _Q219_NQ,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    recall = _tie_aware_search_recall(
+        emb, _Q219_NQ, _Q219_K, _Q219_BEAM, _Q219_HOPS, _Q219_ENTRIES
+    )
+    assert recall >= 0.9, recall
