@@ -3175,7 +3175,18 @@ def scd1_read_as_of(
     mergeSchema and each evolved column default-fills rows from
     pre-evolution files; a manifest entirely BEFORE the boundary
     (none of its files carry the column) returns the default for
-    every row, so an AS-OF reader always sees the LATEST schema."""
+    every row, so an AS-OF reader always sees the LATEST schema.
+
+    MERGE-ON-READ deletes (q220): a manifest produced by
+    `scd1_delete_where` lists equality-delete dirs per bucket; the
+    read anti-joins the union of exactly the listed (dir, bucket)
+    pairs on the key. Per-bucket applicability needs no per-bucket
+    plan: key -> bucket is functional, so a delete key can only ever
+    match rows of its own bucket, and dropped entries (a bucket
+    rewritten AFTER the delete) are simply not read. AS-OF a version
+    BEFORE the delete reads a manifest with no delete entries and
+    sees the deleted rows — DELETE commits prune nothing, so the
+    time-travel horizon is unaffected."""
     import json
     import os
 
@@ -3198,6 +3209,14 @@ def scd1_read_as_of(
         f"{root}/{d}/pbucket={b}" for b, d in sorted(bdir.items())
     ]
     back = spark.read.option("mergeSchema", "true").parquet(*paths)
+    dpaths = [
+        f"{root}/{d}/pbucket={b}"
+        for b, ds in sorted(man.get("delete_files", {}).items())
+        for d in ds
+    ]
+    if dpaths:
+        dkeys = spark.read.parquet(*dpaths).select("user_id").distinct()
+        back = back.join(dkeys, "user_id", "anti")
     cols = [
         F.col("user_id"),
         F.col("n_events"),
@@ -3224,9 +3243,12 @@ class ConcurrentWriteConflict(RuntimeError):
 
 
 def _scd1_snapshot(root: str) -> dict:
-    """Latest committed table view — (version, bucket -> data dir) —
-    read from the manifest dir alone: the optimistic reader's side of
-    the protocol, no writer state, any process."""
+    """Latest committed table view — (version, bucket -> data dir,
+    bucket -> applicable equality-delete dirs) — read from the manifest
+    dir alone: the optimistic reader's side of the protocol, no writer
+    state, any process. ``delete_files`` is absent from pre-DV
+    manifests (the streaming writer's, and every round-<=15 table) —
+    `.get` compatibility, same policy as `_manifest_bucket_dir`."""
     import json
     import os
 
@@ -3241,12 +3263,15 @@ def _scd1_snapshot(root: str) -> dict:
         else []
     )
     if not versions:
-        return {"version": -1, "bucket_dir": {}}
+        return {"version": -1, "bucket_dir": {}, "delete_files": {}}
     with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
         man = json.load(fh)
     return {
         "version": man["version"],
         "bucket_dir": _manifest_bucket_dir(man),
+        "delete_files": {
+            b: list(v) for b, v in man.get("delete_files", {}).items()
+        },
     }
 
 
@@ -3307,6 +3332,24 @@ def _scd1_prepare(
                 "merge — committing would erase them; use the "
                 "evolution-aware streaming writer for this table"
             )
+        # apply the snapshot's pending equality-deletes for the
+        # touched buckets BEFORE merging (q220): the rewrite
+        # materializes them, and `_scd1_publish` drops their manifest
+        # entries for exactly these buckets. Without this a deleted
+        # key would resurrect with its FULL pre-delete history from
+        # the prev copy; with it, a batch re-inserting a deleted key
+        # re-creates it from the new events alone (DELETE erases
+        # history — the documented resurrection semantics).
+        dpaths = [
+            f"{root}/{d}/pbucket={b}"
+            for b in touched
+            for d in snap.get("delete_files", {}).get(str(b), [])
+        ]
+        if dpaths:
+            dkeys = spark.read.parquet(*dpaths).select(
+                "user_id"
+            ).distinct()
+            prev = prev.join(dkeys, "user_id", "anti")
         merged = (
             prev.select("user_id", "n_events", "last")
             .unionByName(delta.drop("bucket"))
@@ -3328,6 +3371,11 @@ def _scd1_prepare(
         "buckets": touched,
         "read_version": snap["version"],
         "read_map": dict(snap["bucket_dir"]),
+        "read_deletes": {
+            b: list(v)
+            for b, v in snap.get("delete_files", {}).items()
+        },
+        "kind": "merge",
     }
 
 
@@ -3344,7 +3392,16 @@ def _scd1_publish(root: str, pending: dict) -> int:
     merge inputs are stale: raise ConcurrentWriteConflict, never
     publish a lost update. Touched-set derivation needs no extra
     bookkeeping: version n touched bucket b iff map_n[b] != map_{n-1}
-    [b] (dirs are writer-unique, so equality is identity)."""
+    [b] (dirs are writer-unique, so equality is identity) OR its
+    equality-delete list changed (a DELETE commit rewrites no data dir
+    but still invalidates a concurrent merge of the same bucket —
+    q220's conflict rule).
+
+    ``pending["kind"]`` (q220): "merge" (default) publishes
+    ``pending["dir"]`` as the touched buckets' new data dirs and DROPS
+    their delete entries (the prepare step applied them); "delete"
+    leaves the data map untouched and APPENDS ``pending["dir"]`` to
+    the touched buckets' delete lists."""
     import json
     import os
     import uuid
@@ -3352,16 +3409,44 @@ def _scd1_publish(root: str, pending: dict) -> int:
     mdir = os.path.join(root, "_manifest")
     os.makedirs(mdir, exist_ok=True)
     mine = {str(b) for b in pending["buckets"]}
+    kind = pending.get("kind", "merge")
     prev_map = dict(pending["read_map"])
+    prev_del = {
+        b: list(v) for b, v in pending.get("read_deletes", {}).items()
+    }
     n = pending["read_version"]
     while True:
         n += 1
         path = os.path.join(mdir, f"v{n}.json")
         new_map = dict(prev_map)
-        new_map.update({b: pending["dir"] for b in mine})
+        new_del = {b: list(v) for b, v in prev_del.items()}
+        if kind == "delete":
+            for b in mine:
+                new_del.setdefault(b, []).append(pending["dir"])
+        else:
+            # a touched bucket the rewrite left EMPTY (every key
+            # deleted — the q220 purge case) wrote no partition dir:
+            # it leaves the map entirely instead of pointing at a
+            # nonexistent path
+            dropped = {str(b) for b in pending.get("drop_buckets", ())}
+            new_map.update(
+                {b: pending["dir"] for b in mine - dropped}
+            )
+            for b in dropped:
+                new_map.pop(b, None)
+            for b in mine:
+                new_del.pop(b, None)
+        new_del = {b: v for b, v in sorted(new_del.items()) if v}
         tmp = f"{path}.w{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"version": n, "bucket_dir": new_map}, fh)
+            json.dump(
+                {
+                    "version": n,
+                    "bucket_dir": new_map,
+                    "delete_files": new_del,
+                },
+                fh,
+            )
         try:
             os.link(tmp, path)
         except FileExistsError:
@@ -3369,10 +3454,20 @@ def _scd1_publish(root: str, pending: dict) -> int:
             with open(path) as fh:
                 theirs = json.load(fh)
             their_map = _manifest_bucket_dir(theirs)
+            their_del = {
+                b: list(v)
+                for b, v in theirs.get("delete_files", {}).items()
+            }
             their_touched = {
                 b
-                for b in their_map
-                if their_map[b] != prev_map.get(b)
+                for b in (
+                    set(their_map)
+                    | set(prev_map)
+                    | set(their_del)
+                    | set(prev_del)
+                )
+                if their_map.get(b) != prev_map.get(b)
+                or their_del.get(b, []) != prev_del.get(b, [])
             }
             if their_touched & mine:
                 raise ConcurrentWriteConflict(
@@ -3381,7 +3476,7 @@ def _scd1_publish(root: str, pending: dict) -> int:
                     f"snapshot at v{pending['read_version']} — "
                     "prepared merge is stale, recompute"
                 )
-            prev_map = their_map
+            prev_map, prev_del = their_map, their_del
             continue
         os.unlink(tmp)
         return n
@@ -3437,6 +3532,180 @@ def scd1_commit_batch(
     raise last  # type: ignore[misc]
 
 
+def scd1_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    n_buckets: int = 16,
+    max_retries: int = 3,
+) -> int:
+    """MERGE-ON-READ DELETE on an SCD1 MERGE table (round 15, q220 —
+    the deletion-vector pillar: Iceberg v2 equality-delete files /
+    Delta deletion vectors, both public formats): rows matching
+    ``predicate`` are deleted WITHOUT rewriting any data file. The
+    commit writes one key-list parquet dir partitioned by bucket
+    (``root/delete_d{uuid}/pbucket={b}``) and publishes a manifest
+    whose per-bucket ``delete_files`` lists it; readers anti-join the
+    listed keys at scan time (`scd1_read_as_of`), and the files are
+    reconciled away by the next writer to touch the bucket
+    (`_scd1_prepare` applies-then-drops them) or by an explicit
+    `scd1_purge_deletes` OPTIMIZE.
+
+    Why this is THE delete shape at 100 TB: a predicate matching 0.1%
+    of keys under copy-on-write rewrites every touched bucket — a
+    table-sized write amplification for a sliver of deletes; here the
+    commit cost is O(matched keys), data files are never opened for
+    write (the byte-identity pytest pins it), and the read-side bill
+    is one bounded anti-join until compaction folds it in.
+
+    Semantics:
+    - ``predicate`` is a Spark SQL boolean over the PHYSICAL table
+      schema (``user_id``, ``n_events``, ``last.ts``, ``last.value``);
+      it is evaluated against the snapshot's live view (existing
+      deletes applied first, so re-deleting is a no-op);
+    - DELETE erases history: a later upsert re-inserting a deleted key
+      re-creates it from the new events alone (the prepare step
+      anti-joins the delete keys before merging);
+    - AS-OF reads BEFORE the delete still see the rows (delete commits
+      prune nothing);
+    - concurrency: the optimistic publish treats a delete as touching
+      its matched buckets — overlapping concurrent merges conflict and
+      recompute (up to ``max_retries``), disjoint ones rebase.
+
+    ``n_buckets`` must match the writer's (key -> bucket is
+    ``pmod(xxhash64(user_id), n_buckets)``). Returns the committed
+    version (the snapshot's, unchanged, when nothing matches)."""
+    import shutil
+    import uuid
+
+    last: ConcurrentWriteConflict | None = None
+    for _ in range(max_retries + 1):
+        snap = _scd1_snapshot(root)
+        if snap["version"] < 0:
+            raise ValueError(
+                f"scd1_delete_where: no committed table under {root!r}"
+            )
+        bmap = snap["bucket_dir"]
+        paths = [
+            f"{root}/{d}/pbucket={b}" for b, d in sorted(bmap.items())
+        ]
+        live = spark.read.option("mergeSchema", "true").parquet(*paths)
+        old_dpaths = [
+            f"{root}/{d}/pbucket={b}"
+            for b, ds in snap["delete_files"].items()
+            for d in ds
+        ]
+        if old_dpaths:
+            prior = spark.read.parquet(*old_dpaths).select(
+                "user_id"
+            ).distinct()
+            live = live.join(prior, "user_id", "anti")
+        bucket_of = F.pmod(
+            F.xxhash64("user_id"), F.lit(n_buckets)
+        ).cast("int")
+        matched = (
+            live.filter(predicate)
+            .select("user_id")
+            .withColumn("pbucket", bucket_of)
+        )
+        touched = sorted(
+            r["pbucket"]
+            for r in matched.select("pbucket").distinct().collect()
+        )
+        if not touched:
+            return snap["version"]
+        dirname = f"delete_d{uuid.uuid4().hex[:12]}"
+        matched.write.partitionBy("pbucket").parquet(
+            f"{root}/{dirname}"
+        )
+        pending = {
+            "dir": dirname,
+            "buckets": touched,
+            "read_version": snap["version"],
+            "read_map": dict(bmap),
+            "read_deletes": snap["delete_files"],
+            "kind": "delete",
+        }
+        try:
+            return _scd1_publish(root, pending)
+        except ConcurrentWriteConflict as e:
+            shutil.rmtree(f"{root}/{dirname}", ignore_errors=True)
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def scd1_purge_deletes(
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 16,
+    max_retries: int = 3,
+) -> int:
+    """OPTIMIZE for q220's merge-on-read deletes: materialize every
+    pending equality-delete by rewriting exactly the buckets that
+    carry one (data minus delete keys, written under a writer-unique
+    dir) and publish a manifest with those delete entries dropped —
+    the read-side anti-join disappears and the table is pure
+    copy-on-write again. The Delta `REORG ... PURGE` / Iceberg
+    rewrite-data-files maintenance step; q215's small-file compaction
+    is the sibling for the file-count axis.
+
+    Runs under the same optimistic protocol as any writer (a
+    concurrent overlapping commit conflicts and the purge recomputes
+    from a fresh snapshot); superseded copies are left for the
+    maintenance VACUUM, the `scd1_commit_batch` scope rule. No-op
+    (returns the current version) when no delete files are pending."""
+    import shutil
+    import uuid
+
+    last: ConcurrentWriteConflict | None = None
+    for _ in range(max_retries + 1):
+        snap = _scd1_snapshot(root)
+        dels = snap["delete_files"]
+        if not dels:
+            return snap["version"]
+        touched = sorted(int(b) for b in dels)
+        prev = spark.read.option("mergeSchema", "true").parquet(
+            *[
+                f"{root}/{snap['bucket_dir'][str(b)]}/pbucket={b}"
+                for b in touched
+            ]
+        )
+        dkeys = spark.read.parquet(
+            *[
+                f"{root}/{d}/pbucket={b}"
+                for b, ds in dels.items()
+                for d in ds
+            ]
+        ).select("user_id").distinct()
+        bucket_of = F.pmod(
+            F.xxhash64("user_id"), F.lit(n_buckets)
+        ).cast("int")
+        clean = prev.join(dkeys, "user_id", "anti").withColumn(
+            "pbucket", bucket_of
+        )
+        dirname = f"commit_w{uuid.uuid4().hex[:12]}"
+        clean.write.partitionBy("pbucket").parquet(f"{root}/{dirname}")
+        survivors = {
+            r["pbucket"]
+            for r in clean.select("pbucket").distinct().collect()
+        }
+        pending = {
+            "dir": dirname,
+            "buckets": touched,
+            "drop_buckets": [b for b in touched if b not in survivors],
+            "read_version": snap["version"],
+            "read_map": dict(snap["bucket_dir"]),
+            "read_deletes": dels,
+            "kind": "merge",
+        }
+        try:
+            return _scd1_publish(root, pending)
+        except ConcurrentWriteConflict as e:
+            shutil.rmtree(f"{root}/{dirname}", ignore_errors=True)
+            last = e
+    raise last  # type: ignore[misc]
+
+
 # ------- Q213c SCD1 time travel — manifest AS-OF reads within VACUUM
 @query(
     "q213c_scd1_time_travel",
@@ -3468,6 +3737,52 @@ def q213c(spark: SparkSession, sf: str) -> DataFrame:
     root = scratch_dir("kstreamjs_scd1_tt", sf)
     sdf = stream_table(spark, sf, "events")
     scd1_upsert_stream(sdf, root, retain_commits=2)
+    return scd1_read_as_of(spark, root).orderBy("user_id")
+
+
+# -------- Q220 merge-on-read DELETE — equality-delete files (DVs)
+@query(
+    "q220_scd1_delete_vectors",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id
+        HAVING NOT (arg_max(value, ts) < 30.0)
+        ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc"),
+)
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE-ON-READ DELETE via equality-delete files (round 15 — the
+    deletion-vector pillar: Iceberg v2 position/equality deletes,
+    Delta deletion vectors; both public formats): the events stream
+    MERGEs into the SCD1 dimension table (q213's pipeline), then
+    `scd1_delete_where` deletes every user whose latest value is
+    below 30 WITHOUT rewriting a single data file — the commit
+    writes one key-list parquet per touched bucket plus a manifest
+    listing it, and `scd1_read_as_of` reconciles at scan time with
+    one anti-join. At 100 TB this is the only sane delete shape for
+    sliver-sized predicates (GDPR erasure, spam takedown): cost is
+    O(matched keys), not O(touched buckets rewritten); write
+    amplification moves to the explicit `scd1_purge_deletes`
+    OPTIMIZE, scheduled when the read-side anti-join bill exceeds
+    the rewrite bill.
+
+    Hash contract: surviving table == the closed-form rollup with the
+    predicate restated as HAVING NOT — for ANY micro-batch schedule
+    (the MERGE arithmetic is schedule-invariant, the delete is a pure
+    predicate on the converged table). The merge-on-read mechanics —
+    data files byte-identical after DELETE, pre-delete versions still
+    readable, purge equivalence, resurrection semantics, concurrent
+    overlap conflicts — are pinned by the q220 pytest family."""
+    from ..session import scratch_dir
+
+    root = scratch_dir("kstreamjs_scd1_dv", sf)
+    sdf = stream_table(spark, sf, "events")
+    scd1_upsert_stream(sdf, root)
+    scd1_delete_where(spark, root, "last.value < 30.0")
     return scd1_read_as_of(spark, root).orderBy("user_id")
 
 

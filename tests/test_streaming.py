@@ -2643,3 +2643,258 @@ def test_scd1_concurrent_committer_refuses_evolved_tables(spark, tmp_path):
              "value")
     with _pytest.raises(ValueError, match="schema-evolved"):
         scd1_commit_batch(spark, root, batch)
+
+
+def _scd1_batch(spark, rows):
+    return spark.createDataFrame(
+        [(u, f"2024-01-{d:02d} 00:00:00", v) for u, d, v in rows],
+        "user_id long, ts_s string, value double",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+
+
+def _scd1_bucket_users(spark, n_buckets, n=40):
+    """user -> bucket with the writer's own hash; smallest user per
+    bucket, sorted by bucket."""
+    rows = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("u"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_buckets))
+            .cast("int")
+            .alias("b"),
+        )
+        .collect()
+    )
+    by_bucket: dict = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["u"])
+    return [sorted(by_bucket[b])[0] for b in range(n_buckets)]
+
+
+def _data_file_stats(root):
+    """(relpath -> (size, mtime_ns)) of every parquet under a data dir
+    (commit_*), excluding delete dirs and manifests."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if not rel.startswith("commit_"):
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(dirpath, f))
+                out[f"{rel}/{f}"] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_scd1_delete_vectors_merge_on_read(spark, tmp_path):
+    """q220's core merge-on-read contract. Pins:
+    (a) DELETE rewrites NO data file (every parquet byte-identical by
+        size+mtime), only a key-list dir + manifest appear;
+    (b) delete dirs exist for exactly the matched buckets;
+    (c) the latest read hides the deleted keys, an AS-OF read BEFORE
+        the delete still sees them (delete commits prune nothing);
+    (d) re-running the same DELETE is a version-preserving no-op (the
+        matched set is empty against the already-deleted view)."""
+    import os
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_read_as_of,
+    )
+
+    n_buckets = 4
+    u0, u1, u2, u3 = _scd1_bucket_users(spark, n_buckets)
+    root = str(tmp_path / "dim_dv")
+    # one user per bucket; two of them with low values
+    assert scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u0, 1, 5.0), (u1, 1, 50.0),
+                            (u2, 2, 7.0), (u3, 2, 70.0)]),
+        n_buckets=n_buckets,
+    ) == 0
+    before = _data_file_stats(root)
+
+    v = scd1_delete_where(
+        spark, root, "last.value < 10.0", n_buckets=n_buckets
+    )
+    assert v == 1
+    # (a) no data file opened for write
+    assert _data_file_stats(root) == before
+    # (b) exactly the matched buckets carry a delete dir
+    ddirs = [d for d in os.listdir(root) if d.startswith("delete_d")]
+    assert len(ddirs) == 1
+    parts = sorted(os.listdir(os.path.join(root, ddirs[0])))
+    want_buckets = sorted(
+        {f"pbucket={b}" for b, u in enumerate([u0, u1, u2, u3])
+         if u in (u0, u2)}
+    )
+    assert [p for p in parts if p.startswith("pbucket=")] == want_buckets
+    # (c) latest hides them; AS-OF v0 still sees them
+    assert {
+        r["user_id"] for r in scd1_read_as_of(spark, root).collect()
+    } == {u1, u3}
+    assert {
+        r["user_id"]
+        for r in scd1_read_as_of(spark, root, version=0).collect()
+    } == {u0, u1, u2, u3}
+    # (d) idempotent no-op
+    assert scd1_delete_where(
+        spark, root, "last.value < 10.0", n_buckets=n_buckets
+    ) == 1
+    assert _data_file_stats(root) == before
+
+
+def test_scd1_delete_then_writer_applies_and_resurrects(spark, tmp_path):
+    """q220's MERGE interplay. After a DELETE, a batch commit touching
+    a deleted bucket (1) applies the pending delete during its rewrite
+    and drops that bucket's manifest entry, (2) re-creates a
+    re-inserted key from the NEW events alone (DELETE erases history),
+    and (3) leaves the other bucket's delete entry pending and still
+    applied at read time."""
+    import json
+    import os
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_read_as_of,
+    )
+
+    n_buckets = 4
+    u0, u1, u2, u3 = _scd1_bucket_users(spark, n_buckets)
+    root = str(tmp_path / "dim_dvm")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u0, 1, 5.0), (u0, 2, 6.0), (u2, 1, 7.0),
+                            (u1, 1, 50.0)]),
+        n_buckets=n_buckets,
+    )
+    scd1_delete_where(spark, root, "last.value < 10.0",
+                      n_buckets=n_buckets)  # deletes u0, u2
+    # re-insert u0 (bucket 0): the rewrite applies bucket 0's delete
+    v = scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(u0, 9, 99.0)]),
+        n_buckets=n_buckets,
+    )
+    with open(os.path.join(root, "_manifest", f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert "0" not in man["delete_files"]          # applied + dropped
+    assert list(man["delete_files"]) == ["2"]      # u2's still pending
+    got = {
+        r["user_id"]: (r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    }
+    # u0 resurrected from the NEW batch alone (1 event, not 3)
+    assert got == {u0: (1, 99.0), u1: (1, 50.0)}
+
+
+def test_scd1_purge_deletes_materializes(spark, tmp_path):
+    """q220's OPTIMIZE: `scd1_purge_deletes` rewrites exactly the
+    buckets carrying delete files; the visible table is unchanged, the
+    manifest's delete list empties, untouched buckets' data files stay
+    byte-identical, and a second purge is a version-preserving
+    no-op."""
+    import json
+    import os
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_purge_deletes,
+        scd1_read_as_of,
+    )
+
+    n_buckets = 4
+    u0, u1, u2, u3 = _scd1_bucket_users(spark, n_buckets)
+    root = str(tmp_path / "dim_dvp")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u0, 1, 5.0), (u1, 1, 50.0),
+                            (u2, 2, 7.0), (u3, 2, 70.0)]),
+        n_buckets=n_buckets,
+    )
+    scd1_delete_where(spark, root, "last.value < 10.0",
+                      n_buckets=n_buckets)
+    visible = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    before = _data_file_stats(root)
+    untouched = {
+        k: v for k, v in before.items()
+        if "pbucket=1" in k or "pbucket=3" in k
+    }
+
+    v = scd1_purge_deletes(spark, root, n_buckets=n_buckets)
+    with open(os.path.join(root, "_manifest", f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert man["delete_files"] == {}
+    after = _data_file_stats(root)
+    for k, st in untouched.items():              # untouched: identical
+        assert after[k] == st, k
+    got = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    assert got == visible
+    assert scd1_purge_deletes(spark, root, n_buckets=n_buckets) == v
+
+
+def test_scd1_delete_concurrent_overlap_conflicts(spark, tmp_path):
+    """q220's concurrency rule, both directions: a MERGE prepared
+    before a DELETE landed on the same bucket must conflict at publish
+    (its inputs predate the delete — publishing would resurrect the
+    deleted keys AND silently drop the delete entry), while a merge on
+    a DISJOINT bucket rebases over the delete and PRESERVES its
+    manifest entry."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import (
+        ConcurrentWriteConflict,
+        _scd1_prepare,
+        _scd1_publish,
+        _scd1_snapshot,
+        scd1_commit_batch,
+        scd1_delete_where,
+    )
+
+    n_buckets = 4
+    u0, u1, u2, u3 = _scd1_bucket_users(spark, n_buckets)
+    root = str(tmp_path / "dim_dvc")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u0, 1, 5.0), (u1, 1, 50.0)]),
+        n_buckets=n_buckets,
+    )
+    # overlapping: merge of u0's bucket prepared BEFORE the delete
+    snap = _scd1_snapshot(root)
+    stale = _scd1_prepare(
+        spark, root, snap, _scd1_batch(spark, [(u0, 3, 30.0)]),
+        n_buckets=n_buckets,
+    )
+    assert scd1_delete_where(
+        spark, root, "last.value < 10.0", n_buckets=n_buckets
+    ) == 1
+    with _pytest.raises(ConcurrentWriteConflict):
+        _scd1_publish(root, stale)
+    # disjoint: merge of u1's bucket prepared before the SAME kind of
+    # race rebases fine and carries the delete entry forward
+    snap2 = _scd1_snapshot(root)
+    assert snap2["delete_files"]
+    v = scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(u1, 4, 40.0)]),
+        n_buckets=n_buckets,
+    )
+    with open(os.path.join(root, "_manifest", f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert man["delete_files"] == {
+        b: v2 for b, v2 in snap2["delete_files"].items()
+    }
