@@ -4132,3 +4132,124 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_name")
         .orderBy("s_name")
     )
+
+
+# --------- Q221 global chunk dedup with document RECONSTRUCTION
+_Q221_W = 8
+
+
+def _q221_rebuild_sql(sts: str, ts: str) -> str:
+    """Rebuilt-text expression shared by the oracle's projection: join
+    the surviving chunks (slices of the original token array at the
+    kept start positions) back into one string."""
+    return (
+        f"array_to_string(list_transform({sts}, "
+        f"s -> array_to_string(list_slice({ts}, s, s + {_Q221_W - 1}), "
+        f"' ')), ' ')"
+    )
+
+
+@query(
+    "q221_chunk_dedup_rebuild",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents),
+        s AS (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts), {_Q221_W}))
+                         AS st
+              FROM t),
+        c AS (SELECT doc_id, st,
+                     {fingerprint_sql(
+                         "array_to_string(list_slice(ts, st, st + "
+                         + str(_Q221_W - 1) + "), ' ')")} AS cfp
+              FROM s),
+        k AS (SELECT doc_id, st,
+                     ROW_NUMBER() OVER (PARTITION BY cfp
+                                        ORDER BY doc_id, st) AS rk
+              FROM c),
+        agg AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                       CAST(COUNT(*) FILTER (rk = 1) AS BIGINT)
+                           AS n_kept,
+                       list_sort(list(st) FILTER (rk = 1)) AS sts
+                FROM k GROUP BY doc_id)
+        SELECT a.doc_id, a.n_chunks, a.n_kept,
+               CASE WHEN a.n_kept = 0 THEN 0 ELSE
+                 {fingerprint_sql(_q221_rebuild_sql("a.sts", "t.ts"))}
+               END AS rebuilt_fp
+        FROM agg a JOIN t ON t.doc_id = a.doc_id
+        ORDER BY a.doc_id
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """GLOBAL chunk dedup with document RECONSTRUCTION (round 15 —
+    the CCNet/C4 paragraph-dedup shape, Wenzek et al. 2020: drop every
+    repeated paragraph corpus-wide, keep the FIRST occurrence, and
+    re-emit the surviving document text): documents split into
+    fixed-8-token chunks (this corpus has no paragraph separators, so
+    the chunk IS the paragraph unit — q112's boilerplate detector uses
+    the same convention), each chunk fingerprinted, first occurrence
+    per fingerprint kept by (doc_id, position) rank, and each
+    document's TEXT REBUILT from its surviving chunks in order. q112
+    counts the boilerplate; q175b scrubs exact substrings matching a
+    query set; this is the third member — corpus-wide self-dedup that
+    rewrites the corpus, the transform a training-data pipeline
+    actually ships.
+
+    Emits per doc: chunk count, kept count, and the rolling-hash
+    fingerprint of the rebuilt text (scalar columns — the driver
+    cannot hash arrays; a doc whose every chunk is a repeat rebuilds
+    to the documented 0 sentinel).
+
+    Scale shape: the dedup shuffle carries (doc_id, st, cfp) — 20
+    bytes a chunk, never text; the rank window is per-fingerprint
+    (bucket width = chunk multiplicity). Reconstruction joins only
+    the per-doc kept-start LISTS back to the document scan on doc_id
+    — one equi-join; the token arrays move at most once (AQE
+    broadcasts the list frame when small; a doc_id-bucketed corpus
+    pays zero shuffles, the q217 layout)."""
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select("doc_id", F.split("text", " ").alias("ts"))
+    ex = d.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"), F.lit(_Q221_W))
+        ).alias("st"),
+    )
+    c = ex.select(
+        "doc_id",
+        "st",
+        text.fingerprint(
+            F.array_join(F.slice("ts", F.col("st"), _Q221_W), " ")
+        ).alias("cfp"),
+    )
+    w = Window.partitionBy("cfp").orderBy("doc_id", "st")
+    k = c.withColumn("rk", F.row_number().over(w))
+    agg = k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.count(F.when(F.col("rk") == 1, 1)).cast("long").alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rk") == 1, F.col("st")))
+        ).alias("sts"),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("sts"),
+            lambda s: F.array_join(F.slice(F.col("ts"), s, _Q221_W), " "),
+        ),
+        " ",
+    )
+    return (
+        agg.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") == 0, F.lit(0).cast("long"))
+            .otherwise(text.fingerprint(rebuilt))
+            .alias("rebuilt_fp"),
+        )
+        .orderBy("doc_id")
+    )

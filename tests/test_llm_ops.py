@@ -3619,3 +3619,49 @@ def test_graph_ann_shipped_config_recall_gate(spark):
         emb, _Q219_NQ, _Q219_K, _Q219_BEAM, _Q219_HOPS, _Q219_ENTRIES
     )
     assert recall >= 0.9, recall
+
+
+def test_chunk_dedup_rebuild_semantics(spark, tmp_path):
+    """q221's reconstruction contract on a planted corpus (W=8 chunks):
+    doc 0 owns chunks A B, doc 1 repeats A then contributes C, doc 2 is
+    ALL repeats. Pins (a) first occurrence kept by (doc_id, position),
+    (b) later docs' rebuilt text drops exactly the repeated chunks while
+    preserving in-doc order, (c) the all-repeats doc rebuilds to the 0
+    sentinel with n_kept=0, and (d) an in-doc repeat (same chunk twice
+    in one doc) keeps only its first position."""
+    import os
+
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.operators import text as _text
+
+    A = " ".join(f"a{i}" for i in range(8))
+    B = " ".join(f"b{i}" for i in range(8))
+    C = " ".join(f"c{i}" for i in range(8))
+    docs = [
+        (0, f"{A} {B}", "en", "s", 0),
+        (1, f"{A} {C} {C}", "en", "s", 0),   # repeats A, and C in-doc
+        (2, f"{B} {A}", "en", "s", 0),       # all repeats
+    ]
+    sf = str(tmp_path / "sf_q221")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["rebuilt_fp"])
+        for r in all_queries()["q221_chunk_dedup_rebuild"]
+        .fn(spark, sf)
+        .collect()
+    }
+
+    def fp(s):
+        return (
+            spark.range(1)
+            .select(_text.fingerprint(F.lit(s)).alias("f"))
+            .first()["f"]
+        )
+
+    assert out[0] == (2, 2, fp(f"{A} {B}"))       # untouched
+    assert out[1] == (3, 1, fp(C))                 # A repeat + C in-doc dup
+    assert out[2] == (2, 0, 0)                     # all repeats -> sentinel
