@@ -1472,3 +1472,119 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
         hops=_Q219_HOPS,
         n_entries=_Q219_ENTRIES,
     ).orderBy("qid", "rn")
+
+
+# --------- Q222 domain-mixture reweighting (multiplicative weights)
+_Q222_T = 10          # reweighting rounds
+_Q222_SCALE = 10**9   # weight fixed-point scale (ppb)
+_Q222_LSCALE = 10**6  # loss fixed-point scale (ppm)
+
+
+def _q222_oracle() -> str:
+    """Unrolled multiplicative-weights chain (the q179/q216c/q218
+    training-loop oracle policy). Every order-dependent reduction is
+    an INTEGER sum (ppm/ppb fixed point), so the chain is bitwise
+    engine-independent: the only doubles are per-row divisions of
+    identical integers."""
+    sql = f"""
+        WITH d AS (SELECT source,
+                          string_split(text, ' ') AS ts
+                   FROM documents),
+        r AS (SELECT source,
+                     CAST(FLOOR({_Q222_LSCALE}.0 *
+                          len(list_distinct(ts)) / len(ts) + 0.5)
+                          AS BIGINT) AS ttr_c
+              FROM d),
+        loss AS (SELECT source,
+                        CAST(FLOOR(CAST(SUM(ttr_c) AS DOUBLE)
+                             / COUNT(*) + 0.5) AS BIGINT) AS loss_ppm
+                 FROM r GROUP BY source),
+        w0 AS (SELECT source, loss_ppm,
+                      CAST(FLOOR({_Q222_SCALE}.0
+                           / COUNT(*) OVER () + 0.5) AS BIGINT) AS w
+               FROM loss)"""
+    for t in range(1, _Q222_T + 1):
+        p = t - 1
+        sql += f""",
+        u{t} AS (SELECT source, loss_ppm,
+                        w * (2 * {_Q222_LSCALE} + loss_ppm) AS uw
+                 FROM w{p}),
+        w{t} AS (SELECT source, loss_ppm,
+                        CAST(FLOOR(CAST(uw AS DOUBLE)
+                             / CAST(SUM(uw) OVER () AS DOUBLE)
+                             * {_Q222_SCALE} + 0.5) AS BIGINT) AS w
+                 FROM u{t})"""
+    sql += f"""
+        SELECT source, loss_ppm, w AS weight_ppb
+        FROM w{_Q222_T}
+        ORDER BY source"""
+    return sql
+
+
+@query(
+    "q222_domain_mixture_mw",
+    oracle=_q222_oracle(),
+    tags=("pipeline", "sampling", "llm", "iterative"),
+)
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """DOMAIN-MIXTURE REWEIGHTING by multiplicative weights (round 15
+    — the DoReMi shape, Xie et al. 2023: upweight the domains a proxy
+    signal says are hardest; here the deterministic static proxy is
+    per-domain mean type-token ratio, and the update is the
+    polynomial Hedge variant w *= (1 + eta*loss), eta=1/2 — Freund &
+    Schapire 1997 / the Arora-Hazan-Kale MW survey — chosen over
+    exp() because it keeps the whole training loop in integer fixed
+    point): 10 rounds over the 20-source mixture, emitting each
+    domain's loss (ppm) and final sampling weight (ppb).
+
+    Engine-exactness design (the reason this TRAINING loop is
+    hash-matched, not rows-only): per-doc TTR quantizes to ppm
+    BEFORE any aggregation, the per-domain mean and each round's
+    normalizer are INTEGER sums (order-independent, unlike float
+    sums), and the only doubles are divisions of identical integers
+    — bitwise identical across engines by IEEE determinism. The
+    common factor 2 in (2e6 + loss_ppm) cancels in normalization.
+
+    Scale shape: ONE corpus pass (the TTR aggregate, shuffled by
+    source); the iteration then runs on the O(D)-row domain frame —
+    10 rounds x a 20-row window sum, driver never loops over data.
+    At 100 TB: D stays in the hundreds, the corpus pass dominates,
+    and the loop cost is invariant in N."""
+    (documents,) = load(spark, sf, "documents")
+    ts = F.split("text", " ")
+    r = documents.select(
+        "source",
+        F.floor(
+            F.lit(float(_Q222_LSCALE))
+            * F.size(F.array_distinct(ts)) / F.size(ts)
+            + F.lit(0.5)
+        ).cast("long").alias("ttr_c"),
+    )
+    loss = r.groupBy("source").agg(
+        F.floor(
+            F.sum("ttr_c").cast("double") / F.count(F.lit(1)) + F.lit(0.5)
+        ).cast("long").alias("loss_ppm")
+    )
+    w_all = Window.partitionBy()
+    cur = loss.withColumn(
+        "w",
+        F.floor(
+            F.lit(float(_Q222_SCALE)) / F.count(F.lit(1)).over(w_all)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    for _ in range(_Q222_T):
+        cur = cur.withColumn(
+            "uw", F.col("w") * (2 * _Q222_LSCALE + F.col("loss_ppm"))
+        ).withColumn(
+            "w",
+            F.floor(
+                F.col("uw").cast("double")
+                / F.sum("uw").over(w_all).cast("double")
+                * _Q222_SCALE
+                + F.lit(0.5)
+            ).cast("long"),
+        ).drop("uw")
+    return cur.select(
+        "source", "loss_ppm", F.col("w").alias("weight_ppb")
+    ).orderBy("source")

@@ -3665,3 +3665,44 @@ def test_chunk_dedup_rebuild_semantics(spark, tmp_path):
     assert out[0] == (2, 2, fp(f"{A} {B}"))       # untouched
     assert out[1] == (3, 1, fp(C))                 # A repeat + C in-doc dup
     assert out[2] == (2, 0, 0)                     # all repeats -> sentinel
+
+
+def test_domain_mixture_mw_semantics(spark, tmp_path):
+    """q222's multiplicative-weights loop on a planted 3-domain corpus:
+    (a) the highest-TTR (hardest) domain ends with the LARGEST weight
+    and the lowest with the smallest (monotone in loss), (b) weights
+    still sum to ~1e9 after 10 fixed-point rounds (normalization is
+    load-bearing), and (c) two domains with IDENTICAL losses keep
+    IDENTICAL weights (the update is a pure function of loss)."""
+    import os
+
+    from kstreamjs_spark.queries import all_queries
+
+    # hard: all-distinct tokens (TTR 1.0); easy: one repeated token
+    # (TTR -> 0); mid + mid2: identical half-repeated shape
+    def doc(did, src, words):
+        return (did, " ".join(words), "en", src, 0)
+
+    docs = [
+        doc(0, "hard", [f"h{i}" for i in range(20)]),
+        doc(1, "easy", ["x"] * 20),
+        doc(2, "mid", ["m"] * 10 + [f"m{i}" for i in range(10)]),
+        doc(3, "mid2", ["n"] * 10 + [f"n{i}" for i in range(10)]),
+    ]
+    sf = str(tmp_path / "sf_q222")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = {
+        r["source"]: (r["loss_ppm"], r["weight_ppb"])
+        for r in all_queries()["q222_domain_mixture_mw"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert rows["hard"][0] > rows["mid"][0] > rows["easy"][0]
+    assert rows["hard"][1] > rows["mid"][1] > rows["easy"][1]
+    assert rows["mid"] == rows["mid2"]
+    total = sum(w for _l, w in rows.values())
+    assert abs(total - 10**9) <= 4          # fixed-point rounding slack
