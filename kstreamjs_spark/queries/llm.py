@@ -5797,3 +5797,146 @@ def q216c(spark: SparkSession, sf: str) -> DataFrame:
         F.size(F.split("s", _BPE_SEP)).cast("long").alias("n_symbols"),
         F.regexp_replace("s", _BPE_SEP, " ").alias("segmentation"),
     ).orderBy("word")
+
+
+# ---------- Q223 distributed perceptron training (quality classifier)
+_Q223_BUCKETS = 64
+_Q223_T = 5
+# DuckDB spelling of operators/text._portable_token_hash, bucketed
+_Q223_HASH_SQL = (
+    "((length(t) * 131 + ascii(t) * 7 + ascii(right(t, 1))) % "
+    f"{_Q223_BUCKETS})"
+)
+
+
+def _q223_oracle() -> str:
+    """Unrolled full-batch perceptron chain (the q179/q216c/q222
+    training-loop oracle category). Every reduction — per-doc margin,
+    per-bucket gradient — is an INTEGER sum, so the loop is
+    order-independent and bitwise engine-identical."""
+    sql = f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                   string_split(text, ' ') AS ts
+            FROM documents),
+        f AS MATERIALIZED (
+            SELECT doc_id, {_Q223_HASH_SQL} AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT doc_id, unnest(ts) AS t FROM d)
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT doc_id, -1, 1 FROM d),
+        w0 AS (SELECT unnest(generate_series(-1, {_Q223_BUCKETS - 1}))
+                          AS bucket,
+                      CAST(0 AS BIGINT) AS w)"""
+    for r in range(1, _Q223_T + 1):
+        p = r - 1
+        sql += f""",
+        m{r} AS MATERIALIZED (
+            SELECT f.doc_id, SUM(f.cnt * w.w) AS m
+            FROM f JOIN w{p} w USING (bucket)
+            GROUP BY f.doc_id),
+        u{r} AS MATERIALIZED (
+            SELECT f.bucket, CAST(SUM(d.y * f.cnt) AS BIGINT) AS g
+            FROM f
+            JOIN m{r} USING (doc_id)
+            JOIN d USING (doc_id)
+            WHERE d.y * m{r}.m <= 0
+            GROUP BY f.bucket),
+        w{r} AS (SELECT w.bucket,
+                        CAST(w.w + COALESCE(u.g, 0) AS BIGINT) AS w
+                 FROM w{p} w LEFT JOIN u{r} u USING (bucket))"""
+    sql += f"""
+        SELECT bucket, CAST(w AS BIGINT) AS weight
+        FROM w{_Q223_T} ORDER BY bucket"""
+    return sql
+
+
+@query(
+    "q223_perceptron_quality_train",
+    oracle=_q223_oracle(),
+    tags=("text", "llm", "quality", "iterative"),
+)
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTED CLASSIFIER TRAINING — full-batch perceptron over
+    hashed bag-of-words (round 15): the fastText-style linear quality/
+    language filter every curation pipeline trains (Joulin et al.
+    2016; FineWeb's edu classifier is the modern instance), here on
+    the synthetic label lang=='en'. Five full-batch rounds: per-doc
+    margin = <w, x> (x = 64-bucket hashed unigram counts + an
+    always-on bias bucket -1), every zero-or-wrong-margin doc
+    contributes y*x to the gradient, weights add the gradient sum.
+    Emits the final 65-entry integer weight vector.
+
+    Full-batch (not SGD) is the point: the gradient is a pure
+    per-bucket INTEGER sum — order-independent, schedule-
+    independent, and hash-matched by an unrolled 5-round CTE oracle
+    (the q179/q216c/q222 training-loop category) — whereas SGD's
+    sequential row order is exactly what a shuffle does not
+    preserve. One corpus pass per round: margins are a feature/
+    weight broadcast join (65 rows) + an integer groupBy(doc);
+    updates a groupBy(bucket); the driver touches only the 65-row
+    weight artifact per round (the q179 bounded-artifact policy).
+
+    At 100 TB: weights grow at most T * total_token_count, so int64
+    margins saturate around 1e14 tokens — past that the q216c
+    DECIMAL(38) treatment applies; feature hashing keeps the model
+    O(buckets) regardless of vocabulary."""
+    from ..operators.text import _portable_token_hash
+
+    (documents,) = load(spark, sf, "documents")
+    d = documents.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.split("text", " ").alias("ts"),
+    )
+    tok = d.select("doc_id", F.explode("ts").alias("t"))
+    feats = (
+        tok.select(
+            "doc_id",
+            F.pmod(
+                _portable_token_hash(F.col("t")), F.lit(_Q223_BUCKETS)
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .unionByName(
+            d.select(
+                "doc_id",
+                F.lit(-1).cast("long").alias("bucket"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        )
+        .localCheckpoint()  # shared by every round; one materialization
+    )
+    labels = d.select("doc_id", "y")
+    weights = {b: 0 for b in range(-1, _Q223_BUCKETS)}
+    for _ in range(_Q223_T):
+        wdf = spark.createDataFrame(
+            sorted(weights.items()), "bucket long, w long"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
+        )
+        mis = (
+            margins.join(labels, "doc_id")
+            .filter(F.col("y") * F.col("m") <= 0)
+            .select("doc_id", "y")
+        )
+        upd = (
+            feats.join(F.broadcast(mis), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
+            .collect()  # <= buckets+1 rows: the bounded weight artifact
+        )
+        for r in upd:
+            weights[r["bucket"]] += r["g"]
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket long, weight long"
+    ).orderBy("bucket")

@@ -3706,3 +3706,55 @@ def test_domain_mixture_mw_semantics(spark, tmp_path):
     assert rows["mid"] == rows["mid2"]
     total = sum(w for _l, w in rows.values())
     assert abs(total - 10**9) <= 4          # fixed-point rounding slack
+
+
+def test_perceptron_train_separates_planted_corpus(spark, tmp_path):
+    """q223's full-batch perceptron on a linearly separable planted
+    corpus: 'en' docs use one token family, others a disjoint one
+    (disjoint hash buckets by construction). Pins (a) the trained
+    weights reach ZERO training error within the shipped 5 rounds,
+    (b) weights moved off the zero init, and (c) the margin of every
+    doc has its label's sign (not just non-negative accuracy)."""
+    import os
+
+    from kstreamjs_spark.operators.text import _portable_token_hash
+    from kstreamjs_spark.queries import all_queries
+
+    # tokens chosen so the two classes hash to different buckets:
+    # 'aa' vs 'zzzz' differ in length and char codes
+    docs = [
+        (i, " ".join(["aa"] * 10), "en", "s", 0) for i in range(5)
+    ] + [
+        (5 + i, " ".join(["zzzz"] * 10), "de", "s", 0) for i in range(5)
+    ]
+    sf = str(tmp_path / "sf_q223")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    w = {
+        r["bucket"]: r["weight"]
+        for r in all_queries()["q223_perceptron_quality_train"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert any(v != 0 for v in w.values())
+    b_en = (
+        spark.range(1)
+        .select(
+            F.pmod(_portable_token_hash(F.lit("aa")), F.lit(64)).alias("b")
+        )
+        .first()["b"]
+    )
+    b_de = (
+        spark.range(1)
+        .select(
+            F.pmod(_portable_token_hash(F.lit("zzzz")), F.lit(64)).alias("b")
+        )
+        .first()["b"]
+    )
+    assert b_en != b_de
+    m_en = 10 * w[b_en] + w[-1]
+    m_de = 10 * w[b_de] + w[-1]
+    assert m_en > 0 and m_de < 0, (m_en, m_de)
