@@ -655,6 +655,7 @@ def graph_ann_topk(
     vec_col: str = "vec",
     id_col: str = "node",
     round_to: int = 6,
+    entry_mod: int | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a k-NN graph (the query-time half of the
     graph-ANN family; HNSW layer-0 search, Malkov & Yashunin 2016 —
@@ -688,6 +689,13 @@ def graph_ann_topk(
     ``queries``: (qid, qv) — a BOUNDED query batch; it is broadcast,
     so the frontier join never shuffles the vector table.
 
+    ``entry_mod`` (q219b): modulus for the entry-stride arithmetic
+    when the FULL id space is not dense — the streaming graph-insert
+    path keeps entries inside its batch-built seed's dense [0,
+    n_seed) range, where every id is guaranteed present, while the
+    inserted ids above it are arbitrary. Default: the vector count
+    (the q219 batch case, dense [0, N)).
+
     At 100 TB: the adjacency and vector tables stay partitioned by
     node; each hop is one equi-join on node plus one broadcast join
     on qid. Frontier size is Q*beam rows — driver never sees it.
@@ -697,7 +705,7 @@ def graph_ann_topk(
     v = vectors.select(
         F.col(id_col).alias("_n"), as_double(F.col(vec_col)).alias("_v")
     )
-    n = v.count()
+    n = entry_mod if entry_mod is not None else v.count()
     if n == 0:
         raise ValueError("graph_ann_topk: empty vector table")
     qs = F.broadcast(queries.select("qid", as_double(F.col("qv")).alias("qv")))

@@ -975,6 +975,64 @@ def main() -> int:
         ),
     }
 
+    # ---- q219b: streaming kNN-graph maintenance — recall of the
+    # MAINTAINED index (batch seed on the first half + search-then-link
+    # insert of the streamed second half) vs the exact all-pairs k=20
+    # graph, overall and restricted to the inserted half. The
+    # refine_rounds sweep documents the load-bearing knob: with NO
+    # link-then-refine round, same-trigger arrivals cannot reach each
+    # other and the inserted-half recall collapses (the worst case
+    # here — HALF the corpus arrives in ONE trigger — is far harsher
+    # than production's trigger<<index regime). At the shipped
+    # rounds=2 the maintained index matches the batch-built q218
+    # graph's recall at the same SF (0.906 vs 0.903 at sf0.1).
+    from kstreamjs_spark.queries.streaming_q import (
+        _Q219B_REFINE,
+        knn_graph_insert_stream,
+    )
+    from kstreamjs_spark.streaming.replay import stream_table
+
+    def _insert_recall(sf_dir, rounds):
+        vecs = load(spark, sf_dir, "embeddings")[0]
+        half = vecs.count() // 2
+        qall = vecs.select(
+            F.col("vec_id").alias("qid"),
+            similarity.as_double("embedding").alias("qv"),
+        )
+        ex = {
+            (r["qid"], r["vec_id"])
+            for r in similarity.knn_join(vecs, qall, k=20).collect()
+        }
+        ap = {
+            (r["src"], r["dst"])
+            for r in knn_graph_insert_stream(
+                stream_table(spark, sf_dir, "embeddings"),
+                vecs.filter(F.col("vec_id") < half),
+                refine_rounds=rounds,
+            ).collect()
+        }
+        exh = {(a, b) for a, b in ex if a >= half}
+        aph = {(a, b) for a, b in ap if a >= half}
+        return {
+            "overall": round(len(ex & ap) / len(ex), 4),
+            "inserted_half": round(len(exh & aph) / len(exh), 4),
+        }
+
+    out["q219b_stream_knn_graph_insert"] = {
+        "refine_rounds": _Q219B_REFINE,
+        "recall": _insert_recall(sf, _Q219B_REFINE),
+        "sweep_rounds0": _insert_recall(sf, 0),
+        **(
+            {
+                "recall_sf0.1": _insert_recall(
+                    "/root/testdata/sf0.1", _Q219B_REFINE
+                )
+            }
+            if len(both_sfs) > 1
+            else {}
+        ),
+    }
+
     doc = {
         "sf_dir": sf,
         "note": (

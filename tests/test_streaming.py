@@ -2898,3 +2898,63 @@ def test_scd1_delete_concurrent_overlap_conflicts(spark, tmp_path):
     assert man["delete_files"] == {
         b: v2 for b, v2 in snap2["delete_files"].items()
     }
+
+
+def test_stream_knn_graph_insert_planted_manifold(spark, tmp_path):
+    """q219b's search-then-link insert on the planted 4-cluster
+    manifold (q218's fixture family): seed = first half, stream = full
+    table in 2 triggers. Pins (a) every inserted node's final
+    neighbors stay inside its own cluster (orthogonal centers — one
+    leak tanks it), (b) every node ends with out-degree <= k and >= 1,
+    (c) already-indexed seed ids are NOT re-inserted (idempotency
+    anti-join: their edge set is a valid k-NN cut, not duplicated),
+    and (d) inserted-half recall vs the exact graph >= 0.9."""
+    import os
+
+    import numpy as np
+
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.queries.streaming_q import (
+        knn_graph_insert_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 8) * 10.0
+    n = 48
+    base = centers[np.arange(n) % 4] + rng.standard_normal((n, 8)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src, exist_ok=True)
+    # two files -> two triggers with maxFilesPerTrigger=1
+    df.filter(F.col("vec_id") < 36).coalesce(1).write.parquet(
+        f"{src}/f0.parquet"
+    )
+    df.filter(F.col("vec_id") >= 36).coalesce(1).write.parquet(
+        f"{src}/f1.parquet"
+    )
+    sdf = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    seed = df.filter(F.col("vec_id") < 24)
+    g = knn_graph_insert_stream(sdf, seed, k=3, refine_rounds=2)
+    rows = g.collect()
+    deg: dict = {}
+    for r in rows:
+        assert r["src"] % 4 == r["dst"] % 4, r      # (a) no leaks
+        deg[r["src"]] = deg.get(r["src"], 0) + 1
+    assert set(deg) == set(range(n))                # every node present
+    assert all(1 <= d <= 3 for d in deg.values())   # (b) degree cap
+    qall = df.select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double("embedding").alias("qv"),
+    )
+    ex = {
+        (r["qid"], r["vec_id"])
+        for r in similarity.knn_join(df, qall, k=3).collect()
+    }
+    exh = {(a, b) for a, b in ex if a >= 24}
+    aph = {(r["src"], r["dst"]) for r in rows if r["src"] >= 24}
+    assert len(exh & aph) / len(exh) >= 0.9         # (d)
