@@ -20,6 +20,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators.window import window_collect
+from ..operators.sampling import hash_bucket_sql
 from ..streaming.replay import run_to_memory, stream_table
 from ..tables import load
 from . import query
@@ -4174,3 +4175,111 @@ def q219b(spark: SparkSession, sf: str) -> DataFrame:
     return knn_graph_insert_stream(
         sdf, seed, refine_rounds=_Q219B_REFINE
     ).orderBy("src", "rn")
+
+
+# -------- Q224 streaming bottom-k sample — keyed hash-priority state
+_Q224_K = 5
+_Q224_SEED = 7
+
+
+@query(
+    "q224_stream_bottomk_sample",
+    oracle=f"""
+        SELECT lang, doc_id, priority, rn FROM (
+            SELECT lang, doc_id,
+                   {hash_bucket_sql('doc_id', seed=_Q224_SEED)}
+                       AS priority,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {hash_bucket_sql('doc_id',
+                                                 seed=_Q224_SEED)},
+                                doc_id) AS BIGINT) AS rn
+            FROM documents
+        ) WHERE rn <= {_Q224_K}
+        ORDER BY lang, rn
+    """,
+    tags=("streaming", "sampling", "stateful", "llm"),
+)
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING RESERVOIR SAMPLING per stratum — bottom-k by
+    deterministic hash priority, maintained as keyed GroupState
+    (round 15): every language keeps the k=5 documents with the
+    smallest LCG priority (`sampling.hash_bucket`, the q52/q53 hash
+    family) across ALL micro-batches — the streaming twin of the
+    batch sampling rows, and the shape an ingest pipeline uses to
+    hold a uniform per-stratum sample of an unbounded stream in O(k)
+    state per key.
+
+    The design point vs classic reservoir sampling (Vitter's
+    Algorithm R): hash-PRIORITY bottom-k is ORDER-INVARIANT — the
+    kept set is a pure function of the ids seen, not of arrival
+    order or RNG state — so the streaming result equals the batch
+    window rank for ANY micro-batch schedule and the query is
+    HASH-matched, not rows-only (the same property that makes
+    bottom-k sketches mergeable across partitions; Cohen & Kaplan
+    2007). State per key is k (priority, id) pairs — bytes; each
+    trigger folds its batch through one bounded sort.
+
+    At 100 TB: state is langs x k pairs regardless of stream length;
+    the per-trigger bill is one groupBy(lang) over the batch."""
+    import json
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from ..operators.sampling import hash_bucket
+
+    sdf = stream_table(spark, sf, "documents").select(
+        "lang",
+        "doc_id",
+        hash_bucket("doc_id", seed=_Q224_SEED).alias("priority"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        kept: list = (
+            json.loads(state.get[0]) if state.exists else []
+        )
+        n = state.get[1] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+            kept.extend(
+                [int(p), int(d)]
+                for p, d in zip(pdf["priority"], pdf["doc_id"])
+            )
+            kept = sorted(map(tuple, kept))[: _Q224_K]
+        state.update((json.dumps(kept), n))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "kept": [json.dumps(kept)],
+                "n": [n],
+            }
+        )
+
+    out = sdf.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, kept string, n bigint",
+        stateStructType="kept string, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(out, "q224", output_mode="append")
+    # final state per lang = the row with the largest seen-count (the
+    # q181b/q44 rule); langs x k pairs — a bounded driver artifact
+    finals = (
+        sink.groupBy("lang")
+        .agg(F.max_by("kept", "n").alias("kept"))
+        .collect()
+    )
+    import json as _json
+
+    rows = [
+        (r["lang"], int(d), int(p), rn + 1)
+        for r in finals
+        for rn, (p, d) in enumerate(_json.loads(r["kept"]))
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, doc_id long, priority long, rn long"
+    ).orderBy("lang", "rn")

@@ -2958,3 +2958,106 @@ def test_stream_knn_graph_insert_planted_manifold(spark, tmp_path):
     exh = {(a, b) for a, b in ex if a >= 24}
     aph = {(r["src"], r["dst"]) for r in rows if r["src"] >= 24}
     assert len(exh & aph) / len(exh) >= 0.9         # (d)
+
+
+def test_stream_bottomk_sample_schedule_invariant(spark, tmp_path):
+    """q224's order-invariance claim, pinned: the SAME documents split
+    into 2 triggers (and into 2 triggers in reversed halves) produce
+    the IDENTICAL per-lang bottom-k as the batch window rank — the
+    kept set is a pure function of the ids seen, not of arrival order
+    (hash-priority bottom-k, not Vitter reservoir)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from kstreamjs_spark.operators.sampling import hash_bucket
+    from kstreamjs_spark.queries.streaming_q import _Q224_K, _Q224_SEED
+
+    docs = [
+        (i, f"t{i}", ["en", "de"][i % 2], "s", 0) for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    want = sorted(
+        (r["lang"], r["doc_id"], r["priority"], r["rn"])
+        for r in df.select(
+            "lang", "doc_id",
+            hash_bucket("doc_id", seed=_Q224_SEED).alias("priority"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy("priority", "doc_id")
+            ).cast("long"),
+        )
+        .filter(F.col("rn") <= _Q224_K)
+        .collect()
+    )
+
+    def run_schedule(first_half):
+        src = str(tmp_path / f"q224src_{first_half}")
+        os.makedirs(src, exist_ok=True)
+        lo = df.filter(F.col("doc_id") < 20)
+        hi = df.filter(F.col("doc_id") >= 20)
+        a, b = (lo, hi) if first_half else (hi, lo)
+        a.coalesce(1).write.parquet(f"{src}/f0.parquet")
+        b.coalesce(1).write.parquet(f"{src}/f1.parquet")
+        import json
+
+        from pyspark.sql.streaming.state import (
+            GroupState,
+            GroupStateTimeout,
+        )
+        from kstreamjs_spark.streaming.replay import run_to_memory
+
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select(
+                "lang", "doc_id",
+                hash_bucket("doc_id", seed=_Q224_SEED).alias("priority"),
+            )
+        )
+
+        def update(key, pdfs, state: GroupState):
+            kept = json.loads(state.get[0]) if state.exists else []
+            n = state.get[1] if state.exists else 0
+            for pdf in pdfs:
+                n += len(pdf)
+                kept.extend(
+                    [int(p), int(d)]
+                    for p, d in zip(pdf["priority"], pdf["doc_id"])
+                )
+                kept = sorted(map(tuple, kept))[:_Q224_K]
+            state.update((json.dumps(kept), n))
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {"lang": [key[0]], "kept": [json.dumps(kept)],
+                 "n": [n]}
+            )
+
+        out = sdf.groupBy("lang").applyInPandasWithState(
+            update,
+            outputStructType="lang string, kept string, n bigint",
+            stateStructType="kept string, n bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        sink = run_to_memory(out, "q224t", output_mode="append")
+        finals = (
+            sink.groupBy("lang")
+            .agg(F.max_by("kept", "n").alias("kept"))
+            .collect()
+        )
+        return sorted(
+            (r["lang"], int(d), int(p), rn + 1)
+            for r in finals
+            for rn, (p, d) in enumerate(json.loads(r["kept"]))
+        )
+
+    assert run_schedule(True) == want
+    assert run_schedule(False) == want
