@@ -65,11 +65,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
         [(qid, t) for qid, ts in sorted(_BM25B_QUERIES.items()) for t in ts],
         "query_id long, token string",
     )
-    tf = _bm25_tf_dl(kept, _BM25B_TERMS)
-    st = kept.select(
-        F.size(F.split("text", " ")).cast("long").alias("dl")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"),
-          F.sum("dl").cast("long").alias("dl_sum"))
+    # round-15 shape: the shared base scan returns (tf frame, 1-row
+    # stats) — one corpus pass covers both, no second scan+split here
+    tf, st = _bm25_tf_dl(kept, _BM25B_TERMS)
     df_tok = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     contrib = (tf.join(F.broadcast(qt), "token")
