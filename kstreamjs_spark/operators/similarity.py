@@ -656,6 +656,7 @@ def graph_ann_topk(
     id_col: str = "node",
     round_to: int = 6,
     entry_mod: int | None = None,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a k-NN graph (the query-time half of the
     graph-ANN family; HNSW layer-0 search, Malkov & Yashunin 2016 —
@@ -696,14 +697,27 @@ def graph_ann_topk(
     inserted ids above it are arbitrary. Default: the vector count
     (the q219 batch case, dense [0, N)).
 
+    ``filter_col`` (q219c — FILTERED ANN): name of a boolean column
+    in ``vectors``; when set, the TRAVERSAL stays unfiltered (the
+    ACORN insight, Patel et al. 2024: pruning the walk to passing
+    nodes disconnects the graph at selective predicates) while every
+    node SCORED anywhere in the walk accumulates, and the final
+    top-k is taken over the accumulated candidates that PASS the
+    predicate. The per-query candidate pool is the walk bill itself
+    — O(entries + hops·beam·2k) — so effective recall tracks
+    pool_size x selectivity vs k.
+
     At 100 TB: the adjacency and vector tables stay partitioned by
     node; each hop is one equi-join on node plus one broadcast join
     on qid. Frontier size is Q*beam rows — driver never sees it.
     """
     from pyspark.sql import Window
 
+    keep_cols = [F.col(filter_col).alias("_keep")] if filter_col else []
     v = vectors.select(
-        F.col(id_col).alias("_n"), as_double(F.col(vec_col)).alias("_v")
+        F.col(id_col).alias("_n"),
+        as_double(F.col(vec_col)).alias("_v"),
+        *keep_cols,
     )
     n = entry_mod if entry_mod is not None else v.count()
     if n == 0:
@@ -718,7 +732,8 @@ def graph_ann_topk(
     )
 
     def _score(frontier: DataFrame) -> DataFrame:
-        """(qid, node) -> (qid, node, score) via vector + query joins."""
+        """(qid, node) -> (qid, node, score[, _keep]) via vector +
+        query joins."""
         return (
             frontier.join(v, frontier["node"] == v["_n"])
             .join(qs, "qid")
@@ -728,6 +743,7 @@ def graph_ann_topk(
                 F.round(cosine(F.col("_v"), F.col("qv")), round_to).alias(
                     "score"
                 ),
+                *([F.col("_keep")] if filter_col else []),
             )
         )
 
@@ -744,9 +760,10 @@ def graph_ann_topk(
         .dropDuplicates(["qid", "node"])
     )
     w_q = Window.partitionBy("qid").orderBy(F.col("score").desc(), "node")
+    s0 = _score(entries)
+    acc = s0
     b = (
-        _score(entries)
-        .withColumn("rn", F.row_number().over(w_q))
+        s0.withColumn("rn", F.row_number().over(w_q))
         .filter(F.col("rn") <= beam)
         .drop("rn")
     )
@@ -759,13 +776,26 @@ def graph_ann_topk(
         )
         # scores are deterministic per (qid, node): union + dedup is a
         # visited-set-free restatement of best-first expansion
+        scored = _score(neigh)
+        if filter_col:
+            acc = acc.unionByName(scored).localCheckpoint()
         b = (
-            b.unionByName(_score(neigh))
+            b.unionByName(scored)
             .dropDuplicates(["qid", "node"])
             .withColumn("rn", F.row_number().over(w_q))
             .filter(F.col("rn") <= beam)
             .drop("rn")
             .localCheckpoint()
+        )
+    if filter_col:
+        # post-filter over EVERYTHING the walk scored, not just the
+        # final beam: the pool is the walk bill, the filter cuts last
+        return (
+            acc.filter(F.col("_keep"))
+            .dropDuplicates(["qid", "node"])
+            .drop("_keep")
+            .withColumn("rn", F.row_number().over(w_q))
+            .filter(F.col("rn") <= k)
         )
     return (
         b.withColumn("rn", F.row_number().over(w_q))

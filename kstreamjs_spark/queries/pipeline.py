@@ -1588,3 +1588,125 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
     return cur.select(
         "source", "loss_ppm", F.col("w").alias("weight_ppb")
     ).orderBy("source")
+
+
+# ------ Q219c FILTERED graph-ANN search (predicate + vector, one walk)
+_Q219C_LABEL = 3
+_Q219C_BEAM = 48   # oversearch: beam ~ k / selectivity (10% labels)
+_Q219C_HOPS = 4
+_Q219C_ENTRIES = 8
+
+
+def _q219c_oracle() -> str:
+    """q218's descent chain + the unrolled FILTERED walk: the scored
+    sets (entries + every hop's neighbors) accumulate, the label
+    predicate cuts LAST — mirroring `graph_ann_topk(filter_col=...)`
+    symbol for symbol."""
+    from ..operators.similarity import _NND_K
+
+    gi = _Q218_ITERS
+    strides = ", ".join(
+        str(j * _NND_K + 31) for j in range(1, _Q219C_ENTRIES + 1)
+    )
+    sql = f"""
+        WITH {_q218_chain(_Q218_K, _Q218_ITERS)},
+        und AS MATERIALIZED (SELECT src, dst FROM g{gi}
+                 UNION
+                 SELECT dst AS src, src AS dst FROM g{gi}),
+        qs AS MATERIALIZED (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_Q219_NQ}),
+        entries AS MATERIALIZED (
+          SELECT DISTINCT q.qid, (q.qid + st.s) % nn.n AS node
+          FROM qs q CROSS JOIN nn, unnest([{strides}]) AS st(s)),
+        s0 AS MATERIALIZED (
+            SELECT e.qid, e.node,
+                   ROUND(list_cosine_similarity(q.qv, v.vec), 6) AS score
+            FROM entries e JOIN v ON v.node = e.node
+                           JOIN qs q ON q.qid = e.qid),
+        b0 AS MATERIALIZED (SELECT qid, node, score FROM (
+            SELECT qid, node, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, node) AS rn
+            FROM s0)
+          WHERE rn <= {_Q219C_BEAM})"""
+    for r in range(1, _Q219C_HOPS + 1):
+        p = r - 1
+        sql += f""",
+        nb{r} AS MATERIALIZED (SELECT DISTINCT b.qid, u.dst AS node
+                  FROM b{p} b JOIN und u ON u.src = b.node),
+        wsc{r} AS MATERIALIZED (
+            SELECT c.qid, c.node,
+                   ROUND(list_cosine_similarity(q.qv, v.vec), 6) AS score
+            FROM nb{r} c JOIN v ON v.node = c.node
+                         JOIN qs q ON q.qid = c.qid),
+        b{r} AS MATERIALIZED (SELECT qid, node, score FROM (
+            SELECT qid, node, score,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, node) AS rn
+            FROM (SELECT DISTINCT * FROM (
+                    SELECT * FROM b{p}
+                    UNION ALL SELECT * FROM wsc{r})))
+          WHERE rn <= {_Q219C_BEAM})"""
+    accs = " UNION ALL ".join(
+        ["SELECT * FROM s0"]
+        + [f"SELECT * FROM wsc{r}" for r in range(1, _Q219C_HOPS + 1)]
+    )
+    sql += f"""
+        , acc AS (SELECT DISTINCT qid, node, score FROM ({accs}))
+        SELECT qid, node, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, node) AS BIGINT)
+                   AS rn
+        FROM acc JOIN embeddings e ON e.vec_id = acc.node
+        WHERE e.label = {_Q219C_LABEL}
+        QUALIFY rn <= {_Q219_K}
+        ORDER BY qid, rn"""
+    return sql
+
+
+@query(
+    "q219c_graph_ann_filtered_search",
+    oracle=_q219c_oracle(),
+    tags=("similarity", "llm", "graph", "ann", "approx"),
+)
+def q219c(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED graph-ANN search (round 15): cosine top-10 among the
+    vectors matching an attribute predicate (label == 3, ~10%
+    selectivity) — the query every real vector store serves
+    ("nearest neighbors WHERE ...") and the one naive strategies
+    lose: pre-filtering the graph disconnects it at selective
+    predicates, post-filtering a k-sized result starves it. The
+    ACORN strategy (Patel et al., SIGMOD 2024): TRAVERSE unfiltered,
+    accumulate every node the walk scores, apply the predicate LAST
+    over that pool — with the beam widened to ~k/selectivity
+    (beam 48 vs q219's 16; the pool is the walk bill, so recall
+    tracks pool x selectivity vs k, the documented knob rule).
+
+    Deterministic ⇒ HASH-matched by the unrolled chain + walk + acc
+    oracle (the q219 category). Tie-aware filtered recall vs the
+    exact label-restricted top-10: 1.0 at sf0.01, 0.95 at sf0.1 at
+    the shipped knobs (q219's unfiltered beam=16 measures 0.71 at
+    sf0.1 — the oversearch rule is load-bearing; APPROX_EVIDENCE
+    q219c, pytest gate >= 0.9 on the smoke corpus)."""
+    from ..operators import similarity
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    g = similarity.nn_descent(embeddings, k=_Q218_K, iters=_Q218_ITERS)
+    queries = embeddings.filter(F.col("vec_id") < _Q219_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    vv = embeddings.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("vec"),
+        (F.col("label") == _Q219C_LABEL).alias("keep"),
+    )
+    return similarity.graph_ann_topk(
+        g.drop("rn"),
+        vv,
+        queries,
+        k=_Q219_K,
+        beam=_Q219C_BEAM,
+        hops=_Q219C_HOPS,
+        n_entries=_Q219C_ENTRIES,
+        filter_col="keep",
+    ).orderBy("qid", "rn")

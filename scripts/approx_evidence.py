@@ -975,6 +975,71 @@ def main() -> int:
         ),
     }
 
+    # ---- q219c: FILTERED graph-ANN search — tie-aware recall vs the
+    # exact label-restricted top-10. The sweep documents the
+    # oversearch rule (beam ~ k/selectivity): q219's unfiltered
+    # beam=16 pool is too small for a 10%-selective predicate.
+    from kstreamjs_spark.queries.pipeline import (
+        _Q219C_BEAM,
+        _Q219C_ENTRIES,
+        _Q219C_HOPS,
+        _Q219C_LABEL,
+    )
+
+    def _filtered_recall(vectors, beam, hops, entries):
+        qsb = vectors.filter(F.col("vec_id") < _Q219_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        lab = vectors.filter(F.col("label") == _Q219C_LABEL)
+        kth: dict = {}
+        for r in similarity.knn_join(lab, qsb, k=_Q219_K).collect():
+            s = round(r["score"], 6)
+            kth[r["qid"]] = min(kth.get(r["qid"], 2.0), s)
+        gg = similarity.nn_descent(
+            vectors, k=_Q218_K, iters=_Q218_ITERS
+        ).drop("rn")
+        vv = vectors.select(
+            F.col("vec_id").alias("node"),
+            F.col("embedding").alias("vec"),
+            (F.col("label") == _Q219C_LABEL).alias("keep"),
+        )
+        kept = similarity.graph_ann_topk(
+            gg, vv, qsb, k=_Q219_K, beam=beam, hops=hops,
+            n_entries=entries, filter_col="keep",
+        ).collect()
+        hits = sum(
+            1 for r in kept if round(r["score"], 6) >= kth[r["qid"]]
+        )
+        return round(hits / (_Q219_NQ * _Q219_K), 4)
+
+    out["q219c_graph_ann_filtered_search"] = {
+        "beam": _Q219C_BEAM,
+        "hops": _Q219C_HOPS,
+        "entries": _Q219C_ENTRIES,
+        "selectivity": "~0.1 (label == 3)",
+        "tie_aware_recall_vs_exact": _filtered_recall(
+            emb, _Q219C_BEAM, _Q219C_HOPS, _Q219C_ENTRIES
+        ),
+        **(
+            {
+                "tie_aware_recall_vs_exact_sf0.1": _filtered_recall(
+                    load(spark, "/root/testdata/sf0.1", "embeddings")[0],
+                    _Q219C_BEAM,
+                    _Q219C_HOPS,
+                    _Q219C_ENTRIES,
+                ),
+                "sweep_beam16_sf0.1": _filtered_recall(
+                    load(spark, "/root/testdata/sf0.1", "embeddings")[0],
+                    16,
+                    4,
+                    4,
+                ),
+            }
+            if len(both_sfs) > 1
+            else {}
+        ),
+    }
+
     # ---- q219b: streaming kNN-graph maintenance — recall of the
     # MAINTAINED index (batch seed on the first half + search-then-link
     # insert of the streamed second half) vs the exact all-pairs k=20

@@ -3758,3 +3758,45 @@ def test_perceptron_train_separates_planted_corpus(spark, tmp_path):
     m_en = 10 * w[b_en] + w[-1]
     m_de = 10 * w[b_de] + w[-1]
     assert m_en > 0 and m_de < 0, (m_en, m_de)
+
+
+def test_graph_ann_filtered_search_gate(spark):
+    """q219c's 'Done' gate: tie-aware FILTERED recall >= 0.9 on the
+    smoke corpus with the shipped oversearch knobs (beam=48 ~
+    k/selectivity; q219's unfiltered beam=16 measures 0.71 at sf0.1 —
+    the sweep APPROX_EVIDENCE documents). Also pins that every
+    returned node actually PASSES the predicate (the one property a
+    recall number cannot certify)."""
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.queries.pipeline import (
+        _Q219C_BEAM,
+        _Q219C_ENTRIES,
+        _Q219C_HOPS,
+        _Q219C_LABEL,
+        _Q219_K,
+        _Q219_NQ,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < _Q219_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    lab = emb.filter(F.col("label") == _Q219C_LABEL)
+    labels = {r["vec_id"] for r in lab.select("vec_id").collect()}
+    kth: dict = {}
+    for r in similarity.knn_join(lab, qs, k=_Q219_K).collect():
+        s = round(r["score"], 6)
+        kth[r["qid"]] = min(kth.get(r["qid"], 2.0), s)
+    g = similarity.nn_descent(emb, k=20, iters=8).drop("rn")
+    vv = emb.select(
+        F.col("vec_id").alias("node"),
+        F.col("embedding").alias("vec"),
+        (F.col("label") == _Q219C_LABEL).alias("keep"),
+    )
+    kept = similarity.graph_ann_topk(
+        g, vv, qs, k=_Q219_K, beam=_Q219C_BEAM, hops=_Q219C_HOPS,
+        n_entries=_Q219C_ENTRIES, filter_col="keep",
+    ).collect()
+    assert all(r["node"] in labels for r in kept)
+    hits = sum(1 for r in kept if round(r["score"], 6) >= kth[r["qid"]])
+    assert hits / (_Q219_NQ * _Q219_K) >= 0.9

@@ -1193,3 +1193,28 @@ def test_round14_q217_bucketed_join_no_join_exchange(spark):
     )
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunk_dedup_rebuild_text_stays_scan_side(spark):
+    """q221: the dedup rank shuffle carries (doc_id, st, cfp) only —
+    the token array must never enter a hashpartitioning exchange key,
+    and no cartesian/broadcast-nested-loop anywhere; reconstruction is
+    one equi-join back to the scan."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q221_chunk_dedup_rebuild", spark), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not re.search(r"Exchange hashpartitioning\([^)]*\bts\b", plan)
+
+
+def test_domain_mixture_single_corpus_pass(spark):
+    """q222: ONE scan of documents (the TTR aggregate) — the 10-round
+    MW loop runs on the O(D) domain frame and must not rescan the
+    corpus per round."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q222_domain_mixture_mw", spark), mode="simple")
+    assert plan.count("documents.parquet") <= 1 or (
+        plan.lower().count("filescan") <= 1
+    ), plan
