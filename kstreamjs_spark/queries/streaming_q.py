@@ -3078,6 +3078,7 @@ def scd1_upsert_stream(
                         str(b): f"commit_v{c}"
                         for b, c in state["bucket_commit"].items()
                     },
+                    "n_buckets": n_buckets,
                 },
                 fh,
             )
@@ -3264,7 +3265,12 @@ def _scd1_snapshot(root: str) -> dict:
         else []
     )
     if not versions:
-        return {"version": -1, "bucket_dir": {}, "delete_files": {}}
+        return {
+            "version": -1,
+            "bucket_dir": {},
+            "delete_files": {},
+            "n_buckets": None,
+        }
     with open(os.path.join(mdir, f"v{versions[-1]}.json")) as fh:
         man = json.load(fh)
     return {
@@ -3273,7 +3279,26 @@ def _scd1_snapshot(root: str) -> dict:
         "delete_files": {
             b: list(v) for b, v in man.get("delete_files", {}).items()
         },
+        # bucket SPEC (q225): absent from pre-round-15 manifests —
+        # writers can only validate against tables that record it
+        "n_buckets": man.get("n_buckets"),
     }
+
+
+def _scd1_check_spec(snap: dict, n_buckets: int, who: str) -> None:
+    """q225's loud-failure rule: a writer whose ``n_buckets`` differs
+    from the table's recorded bucket spec would scatter a key's rows
+    across DIFFERENT buckets than its existing state lives in — the
+    merge would duplicate keys with partial counts, silently. Raise
+    instead; `scd1_rebucket` is the sanctioned spec change."""
+    spec = snap.get("n_buckets")
+    if spec is not None and spec != n_buckets:
+        raise ValueError(
+            f"{who}: table bucket spec is n_buckets={spec} but caller "
+            f"passed n_buckets={n_buckets} — a mixed-spec merge would "
+            "silently duplicate keys across buckets; use scd1_rebucket "
+            "to change the spec"
+        )
 
 
 def _scd1_prepare(
@@ -3293,6 +3318,7 @@ def _scd1_prepare(
     there because of its schema-evolution branch)."""
     import uuid
 
+    _scd1_check_spec(snap, n_buckets, "scd1_commit_batch")
     bucket_of = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast(
         "int"
     )
@@ -3377,6 +3403,7 @@ def _scd1_prepare(
             for b, v in snap.get("delete_files", {}).items()
         },
         "kind": "merge",
+        "n_buckets": n_buckets,
     }
 
 
@@ -3402,7 +3429,13 @@ def _scd1_publish(root: str, pending: dict) -> int:
     ``pending["dir"]`` as the touched buckets' new data dirs and DROPS
     their delete entries (the prepare step applied them); "delete"
     leaves the data map untouched and APPENDS ``pending["dir"]`` to
-    the touched buckets' delete lists."""
+    the touched buckets' delete lists; "rebucket" (q225) REPLACES the
+    whole map with the new-spec dirs — it touches every bucket, so
+    ANY intervening commit conflicts (no rebase is possible).
+
+    Every manifest records the table's bucket spec
+    (``pending["n_buckets"]``) so later writers can validate theirs
+    (`_scd1_check_spec`)."""
     import json
     import os
     import uuid
@@ -3424,6 +3457,11 @@ def _scd1_publish(root: str, pending: dict) -> int:
         if kind == "delete":
             for b in mine:
                 new_del.setdefault(b, []).append(pending["dir"])
+        elif kind == "rebucket":
+            # whole-map replacement under the NEW spec; deletes were
+            # applied during the rewrite
+            new_map = {b: pending["dir"] for b in mine}
+            new_del = {}
         else:
             # a touched bucket the rewrite left EMPTY (every key
             # deleted — the q220 purge case) wrote no partition dir:
@@ -3445,6 +3483,7 @@ def _scd1_publish(root: str, pending: dict) -> int:
                     "version": n,
                     "bucket_dir": new_map,
                     "delete_files": new_del,
+                    "n_buckets": pending.get("n_buckets"),
                 },
                 fh,
             )
@@ -3452,6 +3491,12 @@ def _scd1_publish(root: str, pending: dict) -> int:
             os.link(tmp, path)
         except FileExistsError:
             os.unlink(tmp)
+            if kind == "rebucket":
+                raise ConcurrentWriteConflict(
+                    f"version {n} landed after the rebucket snapshot "
+                    f"at v{pending['read_version']} — a rebucket "
+                    "touches every bucket, recompute from fresh"
+                )
             with open(path) as fh:
                 theirs = json.load(fh)
             their_map = _manifest_bucket_dir(theirs)
@@ -3586,6 +3631,7 @@ def scd1_delete_where(
             raise ValueError(
                 f"scd1_delete_where: no committed table under {root!r}"
             )
+        _scd1_check_spec(snap, n_buckets, "scd1_delete_where")
         bmap = snap["bucket_dir"]
         paths = [
             f"{root}/{d}/pbucket={b}" for b, d in sorted(bmap.items())
@@ -3626,6 +3672,7 @@ def scd1_delete_where(
             "read_map": dict(bmap),
             "read_deletes": snap["delete_files"],
             "kind": "delete",
+            "n_buckets": n_buckets,
         }
         try:
             return _scd1_publish(root, pending)
@@ -3661,6 +3708,7 @@ def scd1_purge_deletes(
     last: ConcurrentWriteConflict | None = None
     for _ in range(max_retries + 1):
         snap = _scd1_snapshot(root)
+        _scd1_check_spec(snap, n_buckets, "scd1_purge_deletes")
         dels = snap["delete_files"]
         if not dels:
             return snap["version"]
@@ -3698,6 +3746,7 @@ def scd1_purge_deletes(
             "read_map": dict(snap["bucket_dir"]),
             "read_deletes": dels,
             "kind": "merge",
+            "n_buckets": n_buckets,
         }
         try:
             return _scd1_publish(root, pending)
@@ -3989,6 +4038,89 @@ def q216b(spark: SparkSession, sf: str) -> DataFrame:
     return run_to_memory(out, "q216b", output_mode="append").orderBy(
         "doc_id"
     )
+
+
+def scd1_rebucket(
+    spark: SparkSession,
+    root: str,
+    new_n_buckets: int,
+    max_retries: int = 3,
+) -> int:
+    """BUCKET-SPEC EVOLUTION (round 15, q225 — the partition-spec-
+    evolution pillar, Iceberg's spec-id mechanism restated for a
+    hash-bucketed MERGE table): atomically rewrite the table from its
+    current ``n_buckets`` to ``new_n_buckets``. Unlike Iceberg's lazy
+    per-file spec (viable there because its MERGE rewrites files),
+    a hash-bucketed dim table CANNOT run mixed specs — a key's rows
+    would live in different buckets under each spec and the
+    bucket-granular MERGE would silently duplicate them (the exact
+    corruption `_scd1_check_spec` now refuses). So the sanctioned
+    change is this maintenance op: read every live bucket copy, apply
+    pending equality-deletes, re-derive the bucket under the NEW
+    spec, write the whole table under one writer-unique dir, and
+    publish a whole-map-replacing manifest recording the new spec.
+
+    One table-sized rewrite, scheduled like any OPTIMIZE — the price
+    of keeping the per-key locality invariant every other commit's
+    O(touched-bucket) bill depends on. A rebucket touches every
+    bucket, so ANY intervening commit conflicts (publish raises and
+    this wrapper recomputes from a fresh snapshot, up to
+    ``max_retries``); AS-OF reads before the rebucket resolve the old
+    manifests untouched."""
+    import shutil
+    import uuid
+
+    last: ConcurrentWriteConflict | None = None
+    for _ in range(max_retries + 1):
+        snap = _scd1_snapshot(root)
+        if snap["version"] < 0:
+            raise ValueError(
+                f"scd1_rebucket: no committed table under {root!r}"
+            )
+        bmap = snap["bucket_dir"]
+        prev = spark.read.option("mergeSchema", "true").parquet(
+            *[
+                f"{root}/{d}/pbucket={b}"
+                for b, d in sorted(bmap.items())
+            ]
+        )
+        dpaths = [
+            f"{root}/{d}/pbucket={b}"
+            for b, ds in snap["delete_files"].items()
+            for d in ds
+        ]
+        if dpaths:
+            dkeys = spark.read.parquet(*dpaths).select(
+                "user_id"
+            ).distinct()
+            prev = prev.join(dkeys, "user_id", "anti")
+        moved = prev.withColumn(
+            "pbucket",
+            F.pmod(F.xxhash64("user_id"), F.lit(new_n_buckets)).cast(
+                "int"
+            ),
+        )
+        dirname = f"commit_w{uuid.uuid4().hex[:12]}"
+        moved.write.partitionBy("pbucket").parquet(f"{root}/{dirname}")
+        survivors = sorted(
+            r["pbucket"]
+            for r in moved.select("pbucket").distinct().collect()
+        )
+        pending = {
+            "dir": dirname,
+            "buckets": survivors,
+            "read_version": snap["version"],
+            "read_map": dict(bmap),
+            "read_deletes": snap["delete_files"],
+            "kind": "rebucket",
+            "n_buckets": new_n_buckets,
+        }
+        try:
+            return _scd1_publish(root, pending)
+        except ConcurrentWriteConflict as e:
+            shutil.rmtree(f"{root}/{dirname}", ignore_errors=True)
+            last = e
+    raise last  # type: ignore[misc]
 
 
 # ------- Q219b streaming kNN-graph maintenance: search-then-link insert
@@ -4283,3 +4415,39 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "lang string, doc_id long, priority long, rn long"
     ).orderBy("lang", "rn")
+
+
+# ------- Q225 bucket-spec evolution: REBUCKET 8 -> 16 under manifests
+@query(
+    "q225_scd1_bucket_evolution",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "write", "cdc"),
+)
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    """BUCKET-SPEC EVOLUTION (round 15) — the partition-spec-evolution
+    pillar on the SCD1 MERGE table, completing the Delta/Iceberg set
+    (MERGE, changelog, time travel + VACUUM, OPTIMIZE, schema
+    evolution, concurrent writers, deletion vectors, and now spec
+    change): the events stream MERGEs in under an 8-bucket spec, then
+    `scd1_rebucket` rewrites the table to 16 buckets — the resize a
+    growing table needs, because every commit's O(touched-bucket)
+    bill scales with bucket SIZE. The spec is recorded in every
+    manifest, and every writer now VALIDATES its n_buckets against it
+    (`_scd1_check_spec` — a mismatched writer previously corrupted
+    silently by scattering a key's rows across two specs' buckets;
+    round-15 hardening, pinned by the q225 pytest family). The hash
+    contract: the post-rebucket table equals the closed-form rollup —
+    a rebucket moves every row, loses none, duplicates none."""
+    from ..session import scratch_dir
+
+    root = scratch_dir("kstreamjs_scd1_rb", sf)
+    sdf = stream_table(spark, sf, "events")
+    scd1_upsert_stream(sdf, root, n_buckets=8)
+    scd1_rebucket(spark, root, 16)
+    return scd1_read_as_of(spark, root).orderBy("user_id")

@@ -3061,3 +3061,122 @@ def test_stream_bottomk_sample_schedule_invariant(spark, tmp_path):
 
     assert run_schedule(True) == want
     assert run_schedule(False) == want
+
+
+def test_scd1_rebucket_moves_every_key_once(spark, tmp_path):
+    """q225's rebucket contract: after 4 -> 8 rebucket, (a) every key
+    appears exactly once, under its mod-8 bucket dir; (b) the rollup
+    is unchanged; (c) the manifest records the new spec with no
+    delete entries; (d) pre-rebucket versions still resolve (spec
+    change prunes nothing); (e) a pending equality-delete is applied
+    by the rewrite."""
+    import json
+    import os
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_read_as_of,
+        scd1_rebucket,
+    )
+
+    n0 = 4
+    root = str(tmp_path / "dim_rb")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u, 1 + u % 3, float(u)) for u in range(20)]),
+        n_buckets=n0,
+    )
+    scd1_delete_where(spark, root, "user_id = 7", n_buckets=n0)
+    before = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    v = scd1_rebucket(spark, root, 8)
+    with open(os.path.join(root, "_manifest", f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert man["n_buckets"] == 8 and man["delete_files"] == {}
+    after = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    assert after == before                       # (b) + (e): 7 stays gone
+    assert all(u != 7 for u, _n, _v in after)
+    # (a) physical membership: each dir's keys hash to its bucket
+    the_dir = set(man["bucket_dir"].values())
+    assert len(the_dir) == 1
+    dd = the_dir.pop()
+    seen = []
+    for b in man["bucket_dir"]:
+        rows = spark.read.parquet(f"{root}/{dd}/pbucket={b}").select(
+            "user_id",
+            F.pmod(F.xxhash64("user_id"), F.lit(8)).cast("int").alias("h"),
+        ).collect()
+        for r in rows:
+            assert r["h"] == int(b), (b, r)
+            seen.append(r["user_id"])
+    assert sorted(seen) == [u for u, _n, _v in after]
+    # (d) time travel to the pre-rebucket version
+    assert {
+        r["user_id"]
+        for r in scd1_read_as_of(spark, root, version=0).collect()
+    } == set(range(20))
+
+
+def test_scd1_spec_mismatch_raises(spark, tmp_path):
+    """q225's hardening: a writer/deleter/purger whose n_buckets
+    differs from the recorded spec fails LOUDLY instead of silently
+    scattering keys across two specs' buckets."""
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_purge_deletes,
+    )
+
+    root = str(tmp_path / "dim_spec")
+    scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(1, 1, 1.0)]), n_buckets=4
+    )
+    with _pytest.raises(ValueError, match="bucket spec"):
+        scd1_commit_batch(
+            spark, root, _scd1_batch(spark, [(2, 1, 2.0)]), n_buckets=8
+        )
+    with _pytest.raises(ValueError, match="bucket spec"):
+        scd1_delete_where(spark, root, "user_id = 1", n_buckets=8)
+    with _pytest.raises(ValueError, match="bucket spec"):
+        scd1_purge_deletes(spark, root, n_buckets=8)
+
+
+def test_scd1_rebucket_conflicts_with_any_commit(spark, tmp_path):
+    """q225's concurrency rule: a rebucket touches EVERY bucket, so a
+    publish against a stale snapshot conflicts on ANY intervening
+    commit (no disjoint rebase exists)."""
+    import pytest as _pytest
+
+    from kstreamjs_spark.queries.streaming_q import (
+        ConcurrentWriteConflict,
+        _scd1_publish,
+        _scd1_snapshot,
+        scd1_commit_batch,
+    )
+
+    root = str(tmp_path / "dim_rbc")
+    scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(1, 1, 1.0)]), n_buckets=4
+    )
+    snap = _scd1_snapshot(root)
+    scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(2, 1, 2.0)]), n_buckets=4
+    )
+    with _pytest.raises(ConcurrentWriteConflict):
+        _scd1_publish(root, {
+            "dir": "commit_wdeadbeef",
+            "buckets": [0, 1],
+            "read_version": snap["version"],
+            "read_map": dict(snap["bucket_dir"]),
+            "read_deletes": {},
+            "kind": "rebucket",
+            "n_buckets": 8,
+        })
