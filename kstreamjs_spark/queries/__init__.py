@@ -193,6 +193,13 @@ _WINDOW_SIZE = 50
 # the sort as always) enter first, then the staleness sort drains the
 # 39 r9-vintage rows (the r14 verdict's rotation ask) and the oldest
 # r10 rows — min vintage r10 after this window.
+# Round-15 continuation: the q213 pins below ALSO re-attest the
+# session's manifest-shape changes (q220 deletion vectors: manifests
+# carry `delete_files`; q225 spec evolution: manifests carry
+# `n_buckets`, publish validates writer specs) — the q213 family's
+# oracles are unchanged, the commit protocol underneath them is not.
+# The session's new queries (q219/q219b/q219c, q220-q225) are hist-0
+# and enter via the sort.
 _WINDOW_PRIORITY: list[str] = [
     "q205_stream_minhash_candidates",
     "q205b_stream_minhash_verify",

@@ -5809,11 +5809,13 @@ _Q223_HASH_SQL = (
 )
 
 
-def _q223_oracle() -> str:
-    """Unrolled full-batch perceptron chain (the q179/q216c/q222
-    training-loop oracle category). Every reduction — per-doc margin,
-    per-bucket gradient — is an INTEGER sum, so the loop is
-    order-independent and bitwise engine-identical."""
+def _q223_chain() -> str:
+    """The full-batch perceptron loop as a CTE chain (with WITH, no
+    final select) ending at w{_Q223_T} — ONE source of truth shared by
+    the q223 (weights) and q223b (corpus scoring) oracles, the
+    q218-chain policy. Every reduction — per-doc margin, per-bucket
+    gradient — is an INTEGER sum, so the loop is order-independent
+    and bitwise engine-identical."""
     sql = f"""
         WITH d AS MATERIALIZED (
             SELECT doc_id,
@@ -5847,10 +5849,14 @@ def _q223_oracle() -> str:
         w{r} AS (SELECT w.bucket,
                         CAST(w.w + COALESCE(u.g, 0) AS BIGINT) AS w
                  FROM w{p} w LEFT JOIN u{r} u USING (bucket))"""
-    sql += f"""
+    return sql
+
+
+def _q223_oracle() -> str:
+    return f"""
+        {_q223_chain()}
         SELECT bucket, CAST(w AS BIGINT) AS weight
         FROM w{_Q223_T} ORDER BY bucket"""
-    return sql
 
 
 @query(
@@ -5883,11 +5889,21 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
     margins saturate around 1e14 tokens — past that the q216c
     DECIMAL(38) treatment applies; feature hashing keeps the model
     O(buckets) regardless of vocabulary."""
+    _feats, _labels, weights = _q223_train(spark, sf)
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket long, weight long"
+    ).orderBy("bucket")
+
+
+def _q223_train(spark: SparkSession, sf: str):
+    """The q223 training loop — (feats, labels, weights dict), shared
+    by q223 (emit weights) and q223b (serve: score the corpus)."""
     from ..operators.text import _portable_token_hash
 
     (documents,) = load(spark, sf, "documents")
     d = documents.select(
         "doc_id",
+        "lang",
         F.when(F.col("lang") == "en", F.lit(1))
         .otherwise(F.lit(-1))
         .cast("long")
@@ -5913,7 +5929,7 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
         )
         .localCheckpoint()  # shared by every round; one materialization
     )
-    labels = d.select("doc_id", "y")
+    labels = d.select("doc_id", "lang", "y")
     weights = {b: 0 for b in range(-1, _Q223_BUCKETS)}
     for _ in range(_Q223_T):
         wdf = spark.createDataFrame(
@@ -5925,7 +5941,7 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
         )
         mis = (
-            margins.join(labels, "doc_id")
+            margins.join(labels.select("doc_id", "y"), "doc_id")
             .filter(F.col("y") * F.col("m") <= 0)
             .select("doc_id", "y")
         )
@@ -5937,6 +5953,68 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
         )
         for r in upd:
             weights[r["bucket"]] += r["g"]
-    return spark.createDataFrame(
-        sorted(weights.items()), "bucket long, weight long"
-    ).orderBy("bucket")
+    return feats, labels, weights
+
+
+@query(
+    "q223b_perceptron_serve_scorecard",
+    oracle=f"""
+        {_q223_chain()},
+        mfin AS MATERIALIZED (
+            SELECT f.doc_id, SUM(f.cnt * w.w) AS m
+            FROM f JOIN w{_Q223_T} w USING (bucket)
+            GROUP BY f.doc_id),
+        lab AS (SELECT doc_id, lang,
+                       CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+                FROM documents)
+        SELECT l.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (m.m > 0) AS BIGINT) AS n_pred_en,
+               CAST(COUNT(*) FILTER ((l.y = 1) = (m.m > 0)) AS BIGINT)
+                   AS n_correct
+        FROM mfin m JOIN lab l USING (doc_id)
+        GROUP BY l.lang ORDER BY l.lang
+    """,
+    tags=("text", "llm", "quality"),
+)
+def q223b(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAIN-THEN-SERVE for the q223 classifier (round 15): the same
+    5-round perceptron trains, then the final weight vector SCORES
+    the whole corpus in one broadcast-join pass and the per-language
+    scorecard (docs, predicted-en, correct) comes off an integer
+    aggregate — the apply-the-filter-model step a curation pipeline
+    runs after training (q177's DSIR and q179b's tokenizer follow
+    the same train-offline/apply-online split). The margin sign is
+    the classification; everything stays in int64, so the scorecard
+    hash-matches the oracle that re-runs the identical unrolled
+    training chain and scores with ITS final weights — training AND
+    serving value-checked end to end in one contract.
+
+    At 100 TB: serving is one corpus pass (feature explode +
+    65-row broadcast join + integer groupBy); the scorecard shuffle
+    carries one row per language."""
+    feats, labels, weights = _q223_train(spark, sf)
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), "bucket long, w long"
+    )
+    margins = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
+    )
+    return (
+        margins.join(labels, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("m") > 0, 1))
+            .cast("long")
+            .alias("n_pred_en"),
+            F.count(
+                F.when((F.col("y") == 1) == (F.col("m") > 0), 1)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .orderBy("lang")
+    )
