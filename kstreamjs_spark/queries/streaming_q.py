@@ -4451,3 +4451,96 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     scd1_upsert_stream(sdf, root, n_buckets=8)
     scd1_rebucket(spark, root, 16)
     return scd1_read_as_of(spark, root).orderBy("user_id")
+
+
+# ------ Q226 streaming CDC apply with tombstones (last-writer-wins)
+@query(
+    "q226_stream_cdc_lww_tombstones",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               MAX(ts) AS last_ts,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY user_id
+        HAVING NOT arg_max(event_type = 'error', ts)
+        ORDER BY user_id
+    """,
+    tags=("streaming", "pipeline", "cdc", "stateful"),
+)
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING CDC APPLY with DELETE tombstones, last-writer-wins
+    (round 15 — the Debezium-consumer shape the SCD1 family still
+    lacked: q213 MERGEs additive facts, q220 deletes by PREDICATE;
+    this applies a change FEED where each record is an upsert or a
+    tombstone and the key's fate is decided by its LATEST record):
+    the events replay is read as a CDC ledger — event_type 'error'
+    is the tombstone op (~20% of records), everything else upserts —
+    and per key the state keeps (record count, latest (ts, is_delete,
+    value)). A key whose latest record is a tombstone is ABSENT from
+    the emitted table; a later upsert resurrects it with its full
+    record history intact (CDC consumers count every record — unlike
+    q220's predicate DELETE, a tombstone does not erase history, it
+    ends the key's visibility until the next upsert).
+
+    Why this is hash-matched (not rows-only): both state components
+    are ORDER-INVARIANT folds — the count ADDs, the latest-record
+    struct MAXes on the unique ts — so the converged table equals
+    the closed-form rollup (HAVING NOT arg_max(is_delete, ts)) for
+    ANY micro-batch schedule; the 2-trigger pytest replays
+    upsert/delete/upsert sequences split across trigger boundaries
+    both ways. State advances per trigger by one groupBy + struct
+    MAX and localCheckpoint (the q219b/q56 policy); at 100 TB the
+    same fold runs as q213's partition-pruned bucket MERGE — the
+    LWW struct is just a different merge aggregate on the same
+    commit protocol."""
+    from ..streaming.replay import run_foreach_batch
+
+    sdf = stream_table(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        "value",
+        (F.col("event_type") == "error").alias("is_del"),
+    )
+    state: dict = {"df": None}
+
+    def commit(batch_df: DataFrame, _bid: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.max(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("is_del").alias("is_del"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("last"),
+        )
+        if state["df"] is None:
+            state["df"] = delta.localCheckpoint()
+        else:
+            state["df"] = (
+                state["df"]
+                .unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_records").cast("long").alias("n_records"),
+                    F.max("last").alias("last"),
+                )
+                .localCheckpoint()
+            )
+
+    run_foreach_batch(sdf, commit, "cdc_lww")
+    if state["df"] is None:
+        raise ValueError(
+            "q226: source stream produced zero micro-batches"
+        )
+    return (
+        state["df"]
+        .filter(~F.col("last.is_del"))
+        .select(
+            "user_id",
+            "n_records",
+            F.col("last.ts").alias("last_ts"),
+            F.col("last.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

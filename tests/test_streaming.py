@@ -3180,3 +3180,84 @@ def test_scd1_rebucket_conflicts_with_any_commit(spark, tmp_path):
             "kind": "rebucket",
             "n_buckets": 8,
         })
+
+
+def test_stream_cdc_lww_tombstone_semantics(spark, tmp_path):
+    """q226's CDC contract on a planted ledger, split across 2
+    triggers BOTH ways: (a) a key whose latest record is a tombstone
+    is absent; (b) a later upsert RESURRECTS it with the full record
+    count (tombstones end visibility, they don't erase history); (c)
+    the result is identical for either trigger split (order-invariant
+    folds); (d) a never-deleted key is untouched."""
+    import os
+
+    rows = [
+        # u1: upsert, delete, upsert  -> visible, n=3
+        (1, "2024-01-01 00:00:00", "view", 10.0),
+        (1, "2024-01-02 00:00:00", "error", 0.0),
+        (1, "2024-01-03 00:00:00", "purchase", 30.0),
+        # u2: upsert, upsert, delete  -> ABSENT
+        (2, "2024-01-01 00:00:00", "view", 1.0),
+        (2, "2024-01-02 00:00:00", "view", 2.0),
+        (2, "2024-01-03 00:00:00", "error", 0.0),
+        # u3: upserts only -> visible, n=2
+        (3, "2024-01-01 00:00:00", "click", 5.0),
+        (3, "2024-01-04 00:00:00", "click", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string, value double"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+
+    def run_split(cut_day):
+        src = str(tmp_path / f"cdc_{cut_day}")
+        os.makedirs(src, exist_ok=True)
+        df.filter(F.dayofmonth("ts") <= cut_day).coalesce(1).write.parquet(
+            f"{src}/f0.parquet"
+        )
+        df.filter(F.dayofmonth("ts") > cut_day).coalesce(1).write.parquet(
+            f"{src}/f1.parquet"
+        )
+        from kstreamjs_spark.streaming.replay import run_foreach_batch
+
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select(
+                "user_id", "ts", "value",
+                (F.col("event_type") == "error").alias("is_del"),
+            )
+        )
+        state = {"df": None}
+
+        def commit(b, _bid):
+            delta = b.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_records"),
+                F.max(F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("is_del").alias("is_del"),
+                    F.col("value").alias("value"),
+                )).alias("last"),
+            )
+            state["df"] = (
+                delta if state["df"] is None
+                else state["df"].unionByName(delta)
+                .groupBy("user_id")
+                .agg(F.sum("n_records").cast("long").alias("n_records"),
+                     F.max("last").alias("last"))
+            ).localCheckpoint()
+
+        run_foreach_batch(sdf, commit, "cdc_t")
+        return sorted(
+            (r["user_id"], r["n_records"], r["value"])
+            for r in state["df"].filter(~F.col("last.is_del"))
+            .select("user_id", "n_records", "last.value")
+            .collect()
+        )
+
+    want = [(1, 3, 30.0), (3, 2, 7.0)]
+    assert run_split(1) == want
+    assert run_split(2) == want
