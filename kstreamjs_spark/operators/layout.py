@@ -242,3 +242,109 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.mode("overwrite").saveAsTable(table)
+
+
+# ---------------------------------------------------------------- Hilbert
+#: Bits per dimension for the Hilbert curve. 15 (not Z_BITS=16) so the
+#: packed fold accumulator [d:30 | y:15 | x:15] stays under 2^60 — the
+#: whole per-level state machine rides ONE int64 through an aggregate
+#: fold, which is what keeps the expression tree linear (a naive
+#: unrolled CASE chain doubles per level: 2^15 nodes) and the DuckDB
+#: mirror a plain list_reduce over BIGINTs (the fingerprint_sql shape).
+H_BITS = 15
+
+
+def quantize15(col: Column) -> Column:
+    """Low-15-bit quantization: ``x & 0x7FFF`` (the Hilbert sibling of
+    `quantize16`)."""
+    return col.cast("long").bitwiseAND(F.lit(32767))
+
+
+def quantize15_sql(expr: str) -> str:
+    return f"({expr} & 32767)"
+
+
+def hilbert_value(x15: Column, y15: Column, bits: int = H_BITS) -> Column:
+    """Hilbert curve index d of (x, y) — the locality-optimal
+    space-filling curve (every curve step is an ADJACENT cell, where
+    the Z curve jumps at power-of-two boundaries), via the standard
+    per-level rotate-and-accumulate algorithm (public xy2d form):
+
+        for s in 2^(bits-1) .. 1:
+            rx, ry = bit tests of x, y against s
+            d += s*s * digit(rx, ry)      # digit = 3rx + ry - 2rx·ry
+            rotate: if ry == 0 { if rx == 1 { x,y = n-1-x, n-1-y };
+                                 swap x,y }     # n = 2^bits: stays >= 0
+
+    The rotation makes each level depend on the previous — a
+    SEQUENTIAL state machine. Expressed as `F.aggregate` over the
+    level array with the (x, y, d) state PACKED into one long
+    [(d << 30) | (y << 15) | x]: the fold body is constant-size, the
+    runtime iterates, and the identical fold is SQL-expressible
+    (`hilbert_value_sql`). The digit uses the xor-free arithmetic
+    identity 3rx + ry - 2rx·ry == (3rx) XOR ry for rx,ry in {0,1}.
+    Pure codegen arithmetic — no UDF, no shuffle."""
+    svals = F.array(
+        *[F.lit(1 << (bits - 1 - i)).cast("long") for i in range(bits)]
+    )
+    init = (y15.cast("long") * F.lit(32768) + x15.cast("long"))
+
+    def step(acc: Column, s: Column) -> Column:
+        x = acc.bitwiseAND(F.lit(32767))
+        y = F.shiftright(acc, 15).bitwiseAND(F.lit(32767))
+        d = F.shiftright(acc, 30)
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        d2 = d + s * s * (F.lit(3) * rx + ry - F.lit(2) * rx * ry)
+        nx = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(32767) - y).otherwise(y),
+        ).otherwise(x)
+        ny = F.when(
+            ry == 0,
+            F.when(rx == 1, F.lit(32767) - x).otherwise(x),
+        ).otherwise(y)
+        return F.shiftleft(d2, 30).bitwiseOR(
+            F.shiftleft(ny, 15)
+        ).bitwiseOR(nx)
+
+    return F.shiftright(F.aggregate(svals, init, step), 30)
+
+
+def hilbert_value_sql(x_expr: str, y_expr: str, bits: int = H_BITS) -> str:
+    """DuckDB mirror of `hilbert_value`: the identical packed fold as a
+    list_reduce over BIGINTs (list_prepend carries the init
+    accumulator, the fingerprint_sql pattern)."""
+    svals = ", ".join(
+        str(1 << (bits - 1 - i)) for i in range(bits)
+    )
+    # readable names for the fold pieces
+    x = "(acc & 32767)"
+    y = "((acc >> 15) & 32767)"
+    rx = f"(CASE WHEN ({x} & s) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN ({y} & s) > 0 THEN 1 ELSE 0 END)"
+    d2 = (
+        f"((acc >> 30) + s * s * "
+        f"(3 * {rx} + {ry} - 2 * {rx} * {ry}))"
+    )
+    nx = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN 32767 - {y} ELSE {y} END) "
+        f"ELSE {x} END)"
+    )
+    ny = (
+        f"(CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN 32767 - {x} ELSE {x} END) "
+        f"ELSE {y} END)"
+    )
+    return (
+        f"(list_reduce(list_prepend("
+        f"CAST({y_expr} * 32768 + {x_expr} AS BIGINT), "
+        f"[{svals}]::BIGINT[]), "
+        f"(acc, s) -> (({d2} << 30) | ({ny} << 15) | {nx})"
+        f") >> 30)"
+    )

@@ -1710,3 +1710,87 @@ def q219c(spark: SparkSession, sf: str) -> DataFrame:
         n_entries=_Q219C_ENTRIES,
         filter_col="keep",
     ).orderBy("qid", "rn")
+
+
+# ---------------- Q227 Hilbert-curve layout — the locality upgrade
+def _q227_oracle() -> str:
+    from ..operators.layout import hilbert_value_sql, quantize15_sql
+
+    h = hilbert_value_sql(
+        quantize15_sql("o_custkey"),
+        quantize15_sql("CAST(FLOOR(o_totalprice) AS BIGINT)"),
+    )
+    return f"""
+        WITH q AS (SELECT {quantize15_sql('o_custkey')} AS x15,
+                          {quantize15_sql(
+                              'CAST(FLOOR(o_totalprice) AS BIGINT)'
+                          )} AS y15,
+                          ({h} >> 20) AS hb
+                   FROM orders)
+        SELECT hb, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(x15) AS min_x, MAX(x15) AS max_x,
+               MIN(y15) AS min_y, MAX(y15) AS max_y
+        FROM q GROUP BY hb ORDER BY hb
+    """
+
+
+@query(
+    "q227_hilbert_layout",
+    oracle=_q227_oracle(),
+    tags=("pipeline", "layout"),
+)
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """HILBERT-curve data layout (round 15) — the locality upgrade
+    over q173's Z-order, stated precisely: at any fixed prefix depth
+    both curves induce the SAME file blocks (every quadrant-recursive
+    curve's top-2k bits name a 2^(15-k)-square — measured: identical
+    mean per-bucket bounding boxes on this data), so the win is NOT
+    tighter boxes. It is RANGE CONTIGUITY: consecutive Hilbert
+    indexes are Manhattan-ADJACENT cells (true for every step, by
+    construction), where the Z curve jumps at power-of-two
+    boundaries — so an axis-aligned query box is covered by FEWER
+    contiguous curve-index ranges (fewer scan ranges / object-store
+    list calls), and a contiguous index range covers a spatially
+    compact region. The pytest pins both quantitatively: zero
+    adjacency violations for Hilbert vs hundreds for Z on the full
+    32x32 block grid, and strictly fewer covering runs in aggregate
+    over UNALIGNED query boxes — aligned power-of-two boxes are one
+    whole quadrant under BOTH curves, misalignment is where Z
+    fragments (the reason liquid-clustering layouts moved to
+    Hilbert). Same output shape as q173: per-bucket (top 10 curve
+    bits = 1024 cells) min-max footer statistics.
+
+    The curve index is the canonical rotate-and-accumulate xy2d
+    state machine — SEQUENTIAL per level, so it rides an
+    `F.aggregate` fold with the (x, y, d) state packed into one long
+    (`layout.hilbert_value`: constant-size fold body, runtime
+    iterates; a naively unrolled CASE chain doubles per level). The
+    identical packed fold is SQL-expressible (list_reduce over
+    BIGINTs, the fingerprint_sql shape) — hash-matched end to end,
+    and validated point-for-point against a reference xy2d in the
+    pytest.
+
+    Plan: one codegen projection (the fold) over the scan, ONE
+    exchange on the bucket id with partial min/max/count map-side —
+    identical scale shape to q173."""
+    from ..operators import layout
+
+    (orders,) = load(spark, sf, "orders")
+    x = layout.quantize15(F.col("o_custkey"))
+    y = layout.quantize15(F.floor(F.col("o_totalprice")))
+    return (
+        orders.select(
+            F.shiftright(layout.hilbert_value(x, y), 20).alias("hb"),
+            x.alias("x15"),
+            y.alias("y15"),
+        )
+        .groupBy("hb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("x15").alias("min_x"),
+            F.max("x15").alias("max_x"),
+            F.min("y15").alias("min_y"),
+            F.max("y15").alias("max_y"),
+        )
+        .orderBy("hb")
+    )

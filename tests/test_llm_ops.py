@@ -3800,3 +3800,117 @@ def test_graph_ann_filtered_search_gate(spark):
     assert all(r["node"] in labels for r in kept)
     hits = sum(1 for r in kept if round(r["score"], 6) >= kth[r["qid"]])
     assert hits / (_Q219_NQ * _Q219_K) >= 0.9
+
+
+def _hilbert_xy2d_ref(x, y, bits=15):
+    """Reference canonical xy2d (the public rotate-and-accumulate
+    form) — the ground truth layout.hilbert_value must match."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_value_matches_reference_both_engines(spark):
+    """q227's curve index: Spark fold == DuckDB list_reduce ==
+    reference xy2d on corners + a seeded random sample."""
+    import random
+
+    import duckdb
+
+    from kstreamjs_spark.operators import layout
+
+    rng = random.Random(11)
+    pts = [(0, 0), (1, 0), (1, 1), (0, 1), (32767, 32767),
+           (32767, 0), (0, 32767)] + [
+        (rng.randrange(32768), rng.randrange(32768)) for _ in range(60)
+    ]
+    want = [_hilbert_xy2d_ref(x, y) for x, y in pts]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = [
+        r["h"]
+        for r in df.select(
+            layout.hilbert_value(F.col("x"), F.col("y")).alias("h")
+        ).collect()
+    ]
+    assert got == want
+    con = duckdb.connect()
+    sql = layout.hilbert_value_sql("x", "y")
+    gd = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql} FROM (SELECT UNNEST("
+            f"{[p[0] for p in pts]}) x, UNNEST({[p[1] for p in pts]}) y)"
+        ).fetchall()
+    ]
+    assert gd == want
+
+
+def test_hilbert_beats_zorder_on_range_contiguity():
+    """q227's locality claim, pinned quantitatively on the 32x32
+    block grid (the top-10-bit file level): (a) EVERY consecutive
+    Hilbert index pair is Manhattan-adjacent, while Z has many
+    power-of-two jumps; (b) every 8x8 axis-aligned query box is
+    covered by FEWER contiguous index runs under Hilbert (fewer scan
+    ranges per query). Also documents what Hilbert does NOT buy: the
+    block MEMBERSHIP at a fixed prefix depth equals Z's (both are
+    quadrant-recursive), so per-file min-max boxes are identical."""
+    def z2(x, y, bits=5):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    n = 32
+    hcells = {}
+    zcells = {}
+    for x in range(n):
+        for y in range(n):
+            hcells[_hilbert_xy2d_ref(x, y, bits=5)] = (x, y)
+            zcells[z2(x, y)] = (x, y)
+    # (a) adjacency
+    def violations(cells):
+        v = 0
+        for d in range(n * n - 1):
+            (x1, y1), (x2, y2) = cells[d], cells[d + 1]
+            if abs(x1 - x2) + abs(y1 - y2) != 1:
+                v += 1
+        return v
+
+    assert violations(hcells) == 0
+    assert violations(zcells) > 100
+    # (b) covering runs for UNALIGNED 8x8 boxes (stride 5): aligned
+    # power-of-two boxes are one contiguous range under BOTH curves
+    # (each is a whole quadrant) — misaligned query boxes are where
+    # Z fragments and Hilbert's adjacency pays
+    def runs(cells, x0, y0, w):
+        idx = sorted(
+            d for d, (x, y) in cells.items()
+            if x0 <= x < x0 + w and y0 <= y < y0 + w
+        )
+        return 1 + sum(
+            1 for a, b in zip(idx, idx[1:]) if b != a + 1
+        )
+
+    worse = total_h = total_z = 0
+    for x0 in range(0, n - 8, 5):
+        for y0 in range(0, n - 8, 5):
+            rh = runs(hcells, x0, y0, 8)
+            rz = runs(zcells, x0, y0, 8)
+            total_h += rh
+            total_z += rz
+            if rh < rz:
+                worse += 1
+    assert worse >= 8, (worse, total_h, total_z)
+    assert total_h < total_z, (total_h, total_z)
