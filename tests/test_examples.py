@@ -38,6 +38,7 @@ def test_quickstart_runs_as_subprocess():
     [
         "ann_serving",
         "curation_pipeline",
+        "graph_ann_pipeline",
         "lakehouse_maintenance",
         "multimodal_retrieval",
         "warehouse_analytics",
