@@ -1019,6 +1019,19 @@ def test_q173_zorder_is_codegen_single_exchange(spark):
     assert plan.count("HashAggregate") == 2, plan  # partial + final
 
 
+def test_q227_hilbert_is_codegen_single_exchange(spark):
+    """q227's packed-fold Hilbert index must stay a pure codegen
+    expression (the F.aggregate lambda — no Python, no join) with the
+    identical one-exchange stats shape as q173: a sequential 15-level
+    state machine that still costs one projection."""
+    from kstreamjs_spark.plans import explain_str
+
+    plan = explain_str(q("q227_hilbert_layout", spark), mode="simple")
+    assert "Join" not in plan and "InPandas" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+
+
 def test_ivfpq_partitioned_codes_serve_with_pruning(spark, tmp_path):
     """q194's deployment claim, end-to-end with the REAL operators: the
     (cell, id, codes) table persisted partitionBy(cell), a query served
