@@ -37,7 +37,7 @@ def main() -> int:
     n = base.count()
     fn = all_queries()["q221_chunk_dedup_rebuild"].fn
     results = []
-    for mult in (1, 10):
+    for mult in (1, 10, 100):
         parts = [base]
         for i in range(1, mult):
             parts.append(
