@@ -1794,3 +1794,105 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("hb")
     )
+
+
+# -------- Q228 near-dup-CLUSTER-safe train/eval split (leakage-proof)
+_Q228_SEED = 3
+_Q228_TRAIN_FRAC = 0.8
+
+
+def _q228_oracle() -> str:
+    """q218b's descent + closure feeding a cluster-keyed hash split —
+    all three texts reused verbatim (descent chain, closure block,
+    `hash_bucket_sql`), the one-source policy."""
+    from ..operators.sampling import hash_bucket_sql
+
+    thresh = int(_Q228_TRAIN_FRAC * 4294967296)
+    return f"""
+        WITH RECURSIVE {_q218_chain(_Q218_K, _Q218_ITERS)},
+        pairs AS (
+          SELECT DISTINCT LEAST(src, dst) AS d1, GREATEST(src, dst) AS d2
+          FROM g{_Q218_ITERS} WHERE score >= {_Q218B_THETA}
+        ), {_cc_closure_sql()}, labels AS (
+          SELECT a AS node, MIN(b) AS label FROM reach GROUP BY a
+        ), lab AS (
+          SELECT e.vec_id AS node,
+                 COALESCE(l.label, e.vec_id) AS label
+          FROM embeddings e LEFT JOIN labels l ON l.node = e.vec_id
+        ), s AS (
+          SELECT node, label,
+                 CASE WHEN {hash_bucket_sql('label', seed=_Q228_SEED)}
+                      < {thresh}
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM lab)
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters
+        FROM s GROUP BY split ORDER BY split
+    """
+
+
+@query(
+    "q228_cluster_safe_split",
+    oracle=_q228_oracle(),
+    tags=("sampling", "dedup", "graph", "llm"),
+)
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAR-DUP-CLUSTER-SAFE train/eval split (round 15) — closing the
+    loop q106 opened: q106 MEASURES near-dup leakage across a split,
+    q79 prevents it only along metadata lines (the source column);
+    this prevents it along CONTENT lines — the split key is the
+    near-dup CLUSTER label (q218's graph thresholded into pairs,
+    q56's connected components), so two near-duplicate documents can
+    NEVER straddle the boundary no matter which sources they came
+    from (the contamination mode a metadata split cannot see:
+    cross-source mirrors). Singletons label themselves; the whole
+    cluster rides one deterministic hash (`sampling.hash_bucket` on
+    the label, the q52/q79 hash family) into train or eval.
+
+    Composition of three attested operators, so the oracle composes
+    their three proven texts verbatim (descent chain + closure block
+    + hash-split predicate — the q218b one-source policy) and the
+    whole pipeline hash-matches end to end.
+
+    Scale shape: pair generation is q218's N*(2k)^2-per-round bill,
+    the closure q56's one-shuffle-per-round propagation; the split
+    itself is a scan-side predicate on the label — zero extra
+    shuffles past the labeling."""
+    from ..operators import similarity
+    from ..operators.sampling import hash_bucket
+
+    (embeddings,) = load(spark, sf, "embeddings")
+    g = similarity.nn_descent(
+        embeddings, k=_Q218_K, iters=_Q218_ITERS
+    ).filter(F.col("score") >= _Q218B_THETA)
+    pairs = g.select(
+        F.least("src", "dst").alias("d1"),
+        F.greatest("src", "dst").alias("d2"),
+    ).distinct()
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    lab = (
+        embeddings.select(F.col("vec_id").alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            "node", F.coalesce("label", F.col("node")).alias("label")
+        )
+    )
+    thresh = int(_Q228_TRAIN_FRAC * 4294967296)
+    return (
+        lab.select(
+            "label",
+            F.when(
+                hash_bucket("label", seed=_Q228_SEED) < F.lit(thresh),
+                F.lit("train"),
+            )
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("label").cast("long").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )

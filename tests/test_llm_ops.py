@@ -3914,3 +3914,85 @@ def test_hilbert_beats_zorder_on_range_contiguity():
                 worse += 1
     assert worse >= 8, (worse, total_h, total_z)
     assert total_h < total_z, (total_h, total_z)
+
+
+def test_cluster_safe_split_no_neardup_leakage(spark):
+    """q228's contract on a planted duplicate-heavy manifold: 4
+    orthogonal clusters of 12 near-identical members. Pins (a) ZERO
+    near-dup pairs straddle the split (cluster-atomicity, the whole
+    point), (b) a row-level hash split on the SAME corpus leaks
+    (the contrast that justifies the operator), and (c) the split is
+    the deterministic label-hash assignment, not an accident of
+    cluster count."""
+    import numpy as np
+
+    from kstreamjs_spark.operators import cluster, similarity
+    from kstreamjs_spark.operators.sampling import hash_bucket
+    from kstreamjs_spark.queries.pipeline import (
+        _Q228_SEED,
+        _Q228_TRAIN_FRAC,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 8) * 10.0
+    n = 48
+    base = centers[np.arange(n) % 4] + rng.standard_normal((n, 8)) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    g = similarity.nn_descent(df, k=5, iters=3).filter(
+        F.col("score") >= 0.99
+    )
+    pairs = g.select(
+        F.least("src", "dst").alias("d1"),
+        F.greatest("src", "dst").alias("d2"),
+    ).distinct()
+    pair_rows = [(r["d1"], r["d2"]) for r in pairs.collect()]
+    assert pair_rows  # the manifold must actually produce near-dups
+    comps = cluster.connected_components(pairs, src="d1", dst="d2")
+    lab = (
+        df.select(F.col("vec_id").alias("node"))
+        .join(comps, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
+    )
+    thresh = int(_Q228_TRAIN_FRAC * 4294967296)
+    split = {
+        r["node"]: r["s"]
+        for r in lab.select(
+            "node",
+            F.when(
+                hash_bucket("label", seed=_Q228_SEED) < F.lit(thresh),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")).alias("s"),
+        ).collect()
+    }
+    # (a) no near-dup pair crosses the cluster split
+    assert all(split[a] == split[b] for a, b in pair_rows)
+    # (b) the row-level split DOES leak on the same pairs
+    row_split = {
+        r["node"]: r["s"]
+        for r in df.select(
+            F.col("vec_id").alias("node"),
+            F.when(
+                hash_bucket("vec_id", seed=_Q228_SEED) < F.lit(thresh),
+                F.lit("train"),
+            ).otherwise(F.lit("eval")).alias("s"),
+        ).collect()
+    }
+    leaks = sum(1 for a, b in pair_rows if row_split[a] != row_split[b])
+    assert leaks > 0, "row split should leak on a duplicate-heavy corpus"
+    # (c) assignment is the label hash, exactly — recompute via the
+    # SQL mirror for a sample of nodes
+    labs = {r["node"]: r["label"] for r in lab.collect()}
+    import duckdb
+
+    from kstreamjs_spark.operators.sampling import hash_bucket_sql
+
+    con = duckdb.connect()
+    some = sorted(labs)[:10]
+    for node in some:
+        b = con.execute(
+            f"SELECT {hash_bucket_sql(str(labs[node]), seed=_Q228_SEED)}"
+        ).fetchone()[0]
+        assert split[node] == ("train" if b < thresh else "eval")
