@@ -4544,3 +4544,88 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ----- Q229 streaming graph-ANN query SERVING (stateless apply-online)
+@query(
+    "q229_stream_graph_ann_serve",
+    oracle=None,  # bound below — q219's oracle text verbatim
+    tags=("streaming", "similarity", "graph", "ann"),
+)
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING graph-ANN query serving (round 15) — q219's search
+    deployed the way an ANN service runs it: the index (NN-Descent
+    graph) is built ONCE batch-side, then QUERIES arrive as a stream
+    and every micro-batch is answered by the same beam walk through a
+    foreachBatch serving loop (the q177b/q179b apply-online split,
+    except the apply step is itself a distributed JOIN pipeline, so
+    it runs per-batch under foreachBatch rather than as a scan
+    projection). No state between batches — the graph is static, each
+    query's answer depends only on (graph, query) — so the streamed
+    result equals batch q219 EXACTLY for any micro-batch schedule,
+    which is why this streaming row carries q219's full hash oracle
+    VERBATIM rather than a rows-only check (the strongest stream==
+    batch argument: stateless serving over a frozen index).
+
+    At 100 TB: the per-trigger bill is the walk bill times the
+    trigger's query count; the graph and vector tables never move
+    between triggers (localCheckpoint once, before the stream
+    starts)."""
+    from ..operators import similarity
+    from .pipeline import (
+        _Q218_ITERS,
+        _Q218_K,
+        _Q219_BEAM,
+        _Q219_ENTRIES,
+        _Q219_HOPS,
+        _Q219_K,
+        _Q219_NQ,
+    )
+    from ..streaming.replay import run_foreach_batch
+
+    (emb,) = load(spark, sf, "embeddings")
+    g = similarity.nn_descent(
+        emb, k=_Q218_K, iters=_Q218_ITERS
+    ).drop("rn").localCheckpoint()
+    vv = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    ).localCheckpoint()
+    n = vv.count()
+    sdf = stream_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < _Q219_NQ
+    )
+    acc: dict = {"df": None}
+
+    def commit(batch_df: DataFrame, _bid: int) -> None:
+        qs = batch_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ).dropDuplicates(["qid"])
+        if qs.limit(1).count() == 0:
+            return
+        res = similarity.graph_ann_topk(
+            g,
+            vv,
+            qs,
+            k=_Q219_K,
+            beam=_Q219_BEAM,
+            hops=_Q219_HOPS,
+            n_entries=_Q219_ENTRIES,
+            entry_mod=n,
+        ).localCheckpoint()
+        acc["df"] = (
+            res if acc["df"] is None else acc["df"].unionByName(res)
+        )
+
+    run_foreach_batch(sdf, commit, "ann_serve")
+    if acc["df"] is None:
+        raise ValueError(
+            "q229: query stream produced zero micro-batches"
+        )
+    return acc["df"].orderBy("qid", "rn")
+
+
+from .pipeline import _q219_oracle as _q219_oracle_text  # noqa: E402
+
+REGISTRY["q229_stream_graph_ann_serve"] = _dc_replace(
+    REGISTRY["q229_stream_graph_ann_serve"], oracle=_q219_oracle_text()
+)

@@ -3261,3 +3261,75 @@ def test_stream_cdc_lww_tombstone_semantics(spark, tmp_path):
     want = [(1, 3, 30.0), (3, 2, 7.0)]
     assert run_split(1) == want
     assert run_split(2) == want
+
+
+def test_stream_graph_ann_serve_equals_batch(spark, tmp_path):
+    """q229's stateless-serving claim, pinned: the SAME query set
+    split across 2 triggers (both split points) produces exactly the
+    batch `graph_ann_topk` answer — the index is frozen, so the
+    per-query result cannot depend on trigger grouping."""
+    import os
+
+    import numpy as np
+
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.streaming.replay import run_foreach_batch
+
+    rng = np.random.RandomState(3)
+    n = 40
+    vecs = rng.standard_normal((n, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    g = similarity.nn_descent(df, k=5, iters=3).drop("rn").localCheckpoint()
+    vv = df.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    ).localCheckpoint()
+    qall = df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    want = sorted(
+        (r["qid"], r["node"], r["rn"])
+        for r in similarity.graph_ann_topk(
+            g, vv, qall, k=3, beam=8, hops=3, entry_mod=n
+        ).collect()
+    )
+
+    def serve(cut):
+        src = str(tmp_path / f"qsrc_{cut}")
+        os.makedirs(src, exist_ok=True)
+        df.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(
+            f"{src}/f0.parquet"
+        )
+        df.filter(
+            (F.col("vec_id") >= cut) & (F.col("vec_id") < 6)
+        ).coalesce(1).write.parquet(f"{src}/f1.parquet")
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        acc = {"df": None}
+
+        def commit(b, _bid):
+            qs = b.select(
+                F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qv"),
+            ).dropDuplicates(["qid"])
+            if qs.limit(1).count() == 0:
+                return
+            res = similarity.graph_ann_topk(
+                g, vv, qs, k=3, beam=8, hops=3, entry_mod=n
+            ).localCheckpoint()
+            acc["df"] = (
+                res if acc["df"] is None else acc["df"].unionByName(res)
+            )
+
+        run_foreach_batch(sdf, commit, "serve_t")
+        return sorted(
+            (r["qid"], r["node"], r["rn"]) for r in acc["df"].collect()
+        )
+
+    assert serve(2) == want
+    assert serve(4) == want
