@@ -4253,3 +4253,119 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------- Q230 Heaps'-law vocabulary growth (corpus health)
+_HEAPS_Q = 10**6   # micro-nat quantization (the q114 Zipf convention)
+_HEAPS_G = 8       # prefix checkpoints at i/8 of the corpus
+
+
+@query(
+    "q230_heaps_vocab_growth",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        fd AS (SELECT token, MIN(doc_id) AS first_doc FROM tok
+               GROUP BY token),
+        dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+               FROM tok GROUP BY doc_id),
+        nn AS (SELECT COUNT(*) AS n FROM documents),
+        grid AS (SELECT CAST(ceil(nn.n * i / {_HEAPS_G}.0) AS BIGINT)
+                     AS cp
+                 FROM nn, unnest(generate_series(1, {_HEAPS_G}))
+                     AS t(i)),
+        pts AS (SELECT g.cp,
+                       (SELECT SUM(d.n_tok) FROM dt d
+                        WHERE d.doc_id < g.cp) AS t_tok,
+                       (SELECT COUNT(*) FROM fd f
+                        WHERE f.first_doc < g.cp) AS v_vocab
+                FROM grid g),
+        q AS (SELECT cp,
+                     CAST(floor(ln(t_tok) * {_HEAPS_Q} + 0.5) AS BIGINT)
+                         AS x,
+                     CAST(floor(ln(v_vocab) * {_HEAPS_Q} + 0.5)
+                          AS BIGINT) AS y,
+                     t_tok, v_vocab
+              FROM pts)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
+                     / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)),
+                     4) AS heaps_beta,
+               CAST(MAX(v_vocab) AS BIGINT) AS vocab_full,
+               CAST(MAX(t_tok) AS BIGINT) AS tokens_full
+        FROM q
+    """,
+    tags=("text", "llm", "monitoring"),
+)
+def q230(spark: SparkSession, sf: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary growth (round 15) — the companion to
+    q114's Zipf slope in the corpus-health family: V(T) ~ K*T^beta
+    (Heaps 1978, public), fit as a least-squares slope in log-log
+    space over 8 corpus-prefix checkpoints (vocab after the first
+    i/8 of documents vs tokens seen). beta far from the 0.4-0.6
+    natural-text band flags synthetic or template-heavy data the
+    same way a bent Zipf curve does — and the PREFIX formulation is
+    the scalable one: a token's contribution to every checkpoint is
+    a pure function of its FIRST-occurrence document (one
+    min-aggregate per token), so vocab-at-checkpoint needs no
+    running scan — V(cp) = count(first_doc < cp), T(cp) =
+    sum(doc tokens | doc < cp), both one bounded join against the
+    8-row broadcast grid.
+
+    Determinism: the q114 convention — each ln quantizes to
+    micro-nats BEFORE the least-squares sums (integer,
+    order-independent), one final rounded division. Hash-matched at
+    both SFs."""
+    (documents,) = load(spark, sf, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    fd = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    dt = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    n = documents.count()
+    grid = spark.range(1, _HEAPS_G + 1).select(
+        F.ceil(F.lit(float(n)) * F.col("id") / _HEAPS_G)
+        .cast("long")
+        .alias("cp")
+    )
+    t_pts = (
+        dt.crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("n_tok").alias("t_tok"))
+    )
+    v_pts = (
+        fd.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_doc") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_vocab"))
+    )
+    q = t_pts.join(v_pts, "cp").select(
+        "cp",
+        F.floor(F.log("t_tok") * _HEAPS_Q + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log("v_vocab") * _HEAPS_Q + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+        "t_tok",
+        "v_vocab",
+    )
+    cnt = F.count(F.lit(1))
+    return q.agg(
+        cnt.cast("long").alias("n_points"),
+        F.round(
+            (cnt * F.sum(F.col("x") * F.col("y"))
+             - F.sum("x") * F.sum("y"))
+            * 1.0
+            / (cnt * F.sum(F.col("x") * F.col("x"))
+               - F.sum("x") * F.sum("x")),
+            4,
+        ).alias("heaps_beta"),
+        F.max("v_vocab").cast("long").alias("vocab_full"),
+        F.max("t_tok").cast("long").alias("tokens_full"),
+    )

@@ -3996,3 +3996,54 @@ def test_cluster_safe_split_no_neardup_leakage(spark):
             f"SELECT {hash_bucket_sql(str(labs[node]), seed=_Q228_SEED)}"
         ).fetchone()[0]
         assert split[node] == ("train" if b < thresh else "eval")
+
+
+def test_heaps_beta_discriminates_template_from_natural(spark, tmp_path):
+    """q230's health-flag claim: a template corpus (tiny fixed
+    vocabulary — the synthetic testdata regime, where q230 measures
+    beta = 0.0) fits beta ~ 0, while a corpus whose documents keep
+    introducing NEW words fits beta well inside (0, 1] — the
+    discriminative behavior that makes the metric a curation flag
+    rather than a constant."""
+    import os
+    import random
+
+    from kstreamjs_spark.queries import all_queries
+
+    rng = random.Random(5)
+
+    def corpus(path, docs):
+        os.makedirs(path, exist_ok=True)
+        spark.createDataFrame(
+            [(i, t, "en", "s", 0) for i, t in enumerate(docs)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{path}/documents.parquet")
+
+    fn = all_queries()["q230_heaps_vocab_growth"].fn
+    # template: 64 docs over a 5-word vocabulary
+    tdir = str(tmp_path / "sf_template")
+    corpus(
+        tdir,
+        [
+            " ".join(rng.choice("a b c d e".split()) for _ in range(30))
+            for _ in range(64)
+        ],
+    )
+    beta_t = fn(spark, tdir).first()["heaps_beta"]
+    # growing: every doc contributes fresh words (heavy-tailed draw
+    # from a large id space)
+    gdir = str(tmp_path / "sf_growing")
+    corpus(
+        gdir,
+        [
+            " ".join(
+                f"w{int(rng.paretovariate(1.2) * 10)}" for _ in range(30)
+            )
+            for _ in range(64)
+        ],
+    )
+    beta_g = fn(spark, gdir).first()["heaps_beta"]
+    assert beta_t < 0.1, beta_t
+    assert 0.2 < beta_g <= 1.0, beta_g
+    assert beta_g > beta_t
