@@ -6018,3 +6018,106 @@ def q223b(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------- Q231 WEIGHTED (tf) Jaccard near-dup pairs — the q26 upgrade
+_Q231_THETA = 0.6
+
+
+@query(
+    "q231_weighted_jaccard_neardup",
+    oracle=f"""
+        WITH tf AS (
+          SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot
+                FROM tf GROUP BY doc_id),
+        p AS (
+          SELECT a.doc_id AS d1, b.doc_id AS d2,
+                 CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS smin
+          FROM tf a JOIN tf b
+            ON a.token = b.token AND a.source = b.source
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               ROUND(smin * 1.0 / (ta.tot + tb.tot - smin), 6)
+                   AS w_jaccard
+        FROM p
+        JOIN tot ta ON ta.doc_id = d1
+        JOIN tot tb ON tb.doc_id = d2
+        WHERE ROUND(smin * 1.0 / (ta.tot + tb.tot - smin), 6)
+              >= {_Q231_THETA}
+        ORDER BY d1, d2
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def q231(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED (tf) Jaccard near-dup pairs (round 15) — the
+    multiset upgrade to q26's set-Jaccard: J_w(A,B) =
+    sum_t min(tf_A, tf_B) / sum_t max(tf_A, tf_B), the weighted
+    Jaccard every production dedup weighs tokens by (a 10x-repeated
+    boilerplate token should count 10x; set semantics let a
+    length-skewed copy hide behind a few shared types). Exact and
+    purely rational — so unlike an ICWS/weighted-MinHash sketch it
+    HASH-matches: the pair generator is the SAME single blocked
+    equi-join as q26 (shared token within source block, d1 < d2),
+    carrying min(tf) partial sums; denominators come from per-doc
+    totals via two broadcast-sized joins (sum_max = tot1 + tot2 -
+    sum_min, so only MIN needs the pair join).
+
+    At 100 TB: bucket width on the token join is bounded by the
+    max_df ceiling exactly as in q26e (drop tokens whose df exceeds
+    the ceiling — they contribute near-zero discrimination and all
+    the blow-up); the threshold keeps the emitted pair set sparse.
+    Dedup resolution composes with q56's components as usual."""
+    (documents,) = load(spark, sf, "documents")
+    tf = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tot")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("d1"),
+        "source",
+        "token",
+        F.col("tf").alias("tf1"),
+    )
+    b = tf.select(
+        F.col("doc_id").alias("d2"),
+        "source",
+        "token",
+        F.col("tf").alias("tf2"),
+    )
+    p = (
+        a.join(b, ["source", "token"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum(F.least("tf1", "tf2")).cast("long").alias("smin")
+        )
+    )
+    ta = tot.select(F.col("doc_id").alias("d1"), F.col("tot").alias("t1"))
+    tb = tot.select(F.col("doc_id").alias("d2"), F.col("tot").alias("t2"))
+    jw = F.round(
+        F.col("smin") * 1.0 / (F.col("t1") + F.col("t2") - F.col("smin")),
+        6,
+    )
+    return (
+        p.join(ta, "d1")
+        .join(tb, "d2")
+        .select("d1", "d2", jw.alias("w_jaccard"))
+        .filter(F.col("w_jaccard") >= _Q231_THETA)
+        .orderBy("d1", "d2")
+    )

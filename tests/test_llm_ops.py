@@ -4047,3 +4047,40 @@ def test_heaps_beta_discriminates_template_from_natural(spark, tmp_path):
     assert beta_t < 0.1, beta_t
     assert 0.2 < beta_g <= 1.0, beta_g
     assert beta_g > beta_t
+
+
+def test_weighted_jaccard_catches_what_set_jaccard_misses(spark, tmp_path):
+    """q231's reason to exist, pinned: two docs sharing the same few
+    TYPES but with very different repetition profiles score HIGH on
+    set-Jaccard and LOW on weighted Jaccard, while a true tf-profile
+    duplicate scores high on both — the discrimination the multiset
+    semantics buys."""
+    import os
+
+    from kstreamjs_spark.queries import all_queries
+
+    base = ("a " * 20 + "b " * 20).strip()          # 40 tokens, 2 types
+    skew = ("a " * 39 + "b").strip()                # same types, skewed tf
+    dup = ("a " * 19 + "x " + "b " * 20).strip()    # near-identical tf
+    docs = [
+        (0, base, "en", "s", 0),
+        (1, skew, "en", "s", 0),
+        (2, dup, "en", "s", 0),
+    ]
+    sf = str(tmp_path / "sf_q231")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["d1"], r["d2"]): r["w_jaccard"]
+        for r in all_queries()["q231_weighted_jaccard_neardup"]
+        .fn(spark, sf)
+        .collect()
+    }
+    # (0,2): identical tf profile minus one token -> well above theta
+    assert (0, 2) in got and got[(0, 2)] >= 0.9, got
+    # (0,1): same TYPE set (set-Jaccard would be 1.0) but the tf
+    # profile disagrees -> below theta, correctly absent
+    assert (0, 1) not in got, got
