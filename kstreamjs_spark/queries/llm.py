@@ -6121,3 +6121,157 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("w_jaccard") >= _Q231_THETA)
         .orderBy("d1", "d2")
     )
+
+
+# ----- Q232 weighted-MinHash (ICWS) banded candidates + exact verify
+_Q232_K = 16      # CWS hashes
+_Q232_BANDS = 8   # bands of r=2 rows: P(cand) = 1-(1-J^2)^8
+_Q232_M = 2**32
+
+
+def _cws_signature(tf: DataFrame) -> DataFrame:
+    """Ioffe's Improved Consistent Weighted Sampling (ICWS, ICDM 2010
+    — public): per (doc, hash k) sample one (token, t) element whose
+    cross-doc collision probability IS the weighted Jaccard. The
+    Gamma(2,1)/Uniform draws are derived deterministically from
+    portable token hashes (u = (pmod(xxhash64(token, salt), M) + .5)
+    / M — the +.5 keeps ln() off zero), so signatures are stable
+    across runs/partitions without any RNG state:
+
+        r = -ln(u1*u2); c = -ln(u3*u4); b = u5
+        t = floor(ln(w)/r + b);  y = exp(r*(t-b));  a = c/(y*exp(r))
+        keep argmin_token a;  element = hash(token, t, k)
+
+    Cost: tokens x K evaluations (the CWS bill, documented) — all
+    codegen math, the argmin one min(struct) aggregate per (doc, k).
+    Returns (doc_id, k, elem)."""
+    ks = F.explode(
+        F.array(*[F.lit(i) for i in range(_Q232_K)])
+    ).alias("k")
+    e = tf.select("doc_id", "token", "tf", ks)
+
+    def u(i: int):
+        return (
+            F.pmod(
+                F.xxhash64("token", F.col("k") * 7 + F.lit(i)),
+                F.lit(_Q232_M),
+            ).cast("double")
+            + 0.5
+        ) / _Q232_M
+
+    r = -F.log(u(1) * u(2))
+    c = -F.log(u(3) * u(4))
+    b = u(5)
+    t = F.floor(F.log(F.col("tf").cast("double")) / r + b)
+    y = F.exp(r * (t - b))
+    a = c / (y * F.exp(r))
+    scored = e.select(
+        "doc_id",
+        "k",
+        a.alias("a"),
+        F.xxhash64("token", t.cast("long"), "k").alias("elem"),
+    )
+    return scored.groupBy("doc_id", "k").agg(
+        F.min(F.struct("a", "elem")).alias("m")
+    ).select("doc_id", "k", F.col("m.elem").alias("elem"))
+
+
+@query(
+    "q232_weighted_minhash_neardup",
+    oracle=None,
+    tags=("dedup", "text", "llm", "approx"),
+)
+def q232(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED-MinHash near-dup pairs (round 15) — the SKETCH twin of
+    q231's exact weighted Jaccard, exactly as q26b is to q26: ICWS
+    signatures (`_cws_signature`) banded 8x2, candidates from ONE
+    equi-join on (band, band-signature), then every candidate
+    EXACT-verified with q231's rational arithmetic and thresholded —
+    so emitted pairs are a SUBSET of the exact q231 pair set
+    (precision 1.0 by construction; the verify-at-candidate pattern
+    of q26d/q205b) and RECALL is the only loss, measured in
+    APPROX_EVIDENCE against q231 at both SFs with a pytest gate.
+
+    Why this exists next to q231: the exact join's bucket width is
+    bounded by max_df — fine for near-uniform vocabularies, but a
+    corpus whose every doc shares hot tokens pays the full blocked
+    join; the sketch replaces it with a 16-integer signature per doc
+    and a bucket join whose width is bounded by TRUE near-dup
+    multiplicity (the banding curve 1-(1-J^2)^8: 0.97 at the 0.6
+    threshold, 0.26 at J=0.3 — candidates concentrate where the
+    answer is). Rows-only by design: the argmin rides IEEE floats,
+    deterministic within the engine but not SQL-oracle-stable."""
+    (documents,) = load(spark, sf, "documents")
+    tf = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    sig = _cws_signature(tf.select("doc_id", "token", "tf"))
+    src = tf.select("doc_id", "source").dropDuplicates(["doc_id"])
+    banded = (
+        sig.join(src, "doc_id")
+        .withColumn("band", (F.col("k") / 2).cast("int"))
+        .groupBy("doc_id", "source", "band")
+        .agg(
+            F.xxhash64(
+                F.sort_array(F.collect_list(F.struct("k", "elem")))
+            ).alias("bsig")
+        )
+    )
+    # same-source blocking keeps the pair universe identical to q231's
+    # (the q26 family convention) so the evidence comparison is
+    # like-for-like; drop "source" from the join keys to hunt
+    # cross-source mirrors instead
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            ["source", "band", "bsig"],
+        )
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("d1"),
+            F.col("y.doc_id").alias("d2"),
+        )
+        .dropDuplicates(["d1", "d2"])
+    )
+    # exact verify on candidates only: q231's arithmetic on the
+    # candidate-restricted token join
+    a = tf.select(
+        F.col("doc_id").alias("d1"), "token", F.col("tf").alias("tf1")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("d2"), "token", F.col("tf").alias("tf2")
+    )
+    smin = (
+        cand.join(a, "d1")
+        .join(b, ["d2", "token"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.least("tf1", "tf2")).cast("long").alias("smin"))
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tot")
+    )
+    jw = F.round(
+        F.col("smin") * 1.0
+        / (F.col("t1") + F.col("t2") - F.col("smin")),
+        6,
+    )
+    return (
+        smin.join(
+            tot.select(F.col("doc_id").alias("d1"), F.col("tot").alias("t1")),
+            "d1",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("d2"), F.col("tot").alias("t2")),
+            "d2",
+        )
+        .select("d1", "d2", jw.alias("w_jaccard"))
+        .filter(F.col("w_jaccard") >= _Q231_THETA)
+        .orderBy("d1", "d2")
+    )

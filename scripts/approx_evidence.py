@@ -1098,6 +1098,46 @@ def main() -> int:
         ),
     }
 
+    # ---- q232: ICWS weighted-MinHash — recall vs the EXACT weighted
+    # Jaccard pair set (q231; same threshold, same source-blocked
+    # universe). Precision is 1.0 by construction (every candidate is
+    # exact-verified before emission — the q26d/q205b pattern), so
+    # extras are asserted zero rather than measured.
+    def _q232_vs_exact(sf_dir):
+        ex = {
+            (r["d1"], r["d2"])
+            for r in q["q231_weighted_jaccard_neardup"].fn(
+                spark, sf_dir
+            ).collect()
+        }
+        ap = {
+            (r["d1"], r["d2"])
+            for r in q["q232_weighted_minhash_neardup"].fn(
+                spark, sf_dir
+            ).collect()
+        }
+        return {
+            "n_exact": len(ex),
+            "n_sketch": len(ap),
+            "recall": round(len(ex & ap) / max(len(ex), 1), 4),
+            "n_unverified_extras": len(ap - ex),
+        }
+
+    out["q232_weighted_minhash_neardup"] = {
+        "k": 16,
+        "bands": "8x2",
+        "vs_exact_q231": _q232_vs_exact(sf),
+        **(
+            {
+                "vs_exact_q231_sf0.1": _q232_vs_exact(
+                    "/root/testdata/sf0.1"
+                )
+            }
+            if len(both_sfs) > 1
+            else {}
+        ),
+    }
+
     doc = {
         "sf_dir": sf,
         "note": (

@@ -4084,3 +4084,24 @@ def test_weighted_jaccard_catches_what_set_jaccard_misses(spark, tmp_path):
     # (0,1): same TYPE set (set-Jaccard would be 1.0) but the tf
     # profile disagrees -> below theta, correctly absent
     assert (0, 1) not in got, got
+
+
+def test_weighted_minhash_recall_gate(spark):
+    """q232's 'Done' gate on the smoke corpus: recall >= 0.9 vs the
+    exact q231 pair set AND zero unverified extras (precision 1.0 by
+    construction — every candidate is exact-verified; an extra would
+    mean the verify arithmetic diverged from q231's)."""
+    from kstreamjs_spark.queries import all_queries
+
+    q = all_queries()
+    sfd = SF_SMOKE
+    ex = {
+        (r["d1"], r["d2"])
+        for r in q["q231_weighted_jaccard_neardup"].fn(spark, sfd).collect()
+    }
+    ap = {
+        (r["d1"], r["d2"])
+        for r in q["q232_weighted_minhash_neardup"].fn(spark, sfd).collect()
+    }
+    assert not (ap - ex), sorted(ap - ex)[:5]
+    assert len(ex & ap) / max(len(ex), 1) >= 0.9
