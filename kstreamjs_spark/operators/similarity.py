@@ -713,6 +713,10 @@ def graph_ann_topk(
     """
     from pyspark.sql import Window
 
+    # the beam must hold at least k candidates or the final cut
+    # silently under-fills (round-15 review: the streaming insert
+    # path asked for k=20 neighbors from a beam of 16)
+    beam = max(beam, k)
     keep_cols = [F.col(filter_col).alias("_keep")] if filter_col else []
     v = vectors.select(
         F.col(id_col).alias("_n"),

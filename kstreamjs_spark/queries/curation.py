@@ -4272,8 +4272,9 @@ _HEAPS_G = 8       # prefix checkpoints at i/8 of the corpus
         dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
                FROM tok GROUP BY doc_id),
         nn AS (SELECT COUNT(*) AS n FROM documents),
-        grid AS (SELECT CAST(ceil(nn.n * i / {_HEAPS_G}.0) AS BIGINT)
-                     AS cp
+        grid AS (SELECT DISTINCT
+                        CAST(ceil(nn.n * i / {_HEAPS_G}.0) AS BIGINT)
+                            AS cp
                  FROM nn, unnest(generate_series(1, {_HEAPS_G}))
                      AS t(i)),
         pts AS (SELECT g.cp,
@@ -4281,7 +4282,12 @@ _HEAPS_G = 8       # prefix checkpoints at i/8 of the corpus
                         WHERE d.doc_id < g.cp) AS t_tok,
                        (SELECT COUNT(*) FROM fd f
                         WHERE f.first_doc < g.cp) AS v_vocab
-                FROM grid g),
+                FROM grid g
+                -- tiny-corpus robustness (round-15 review): duplicate
+                -- checkpoints are collapsed above, and an empty doc-id
+                -- prefix (possible when ids don't start at 0 or n <
+                -- grid size) contributes no point on EITHER engine
+                WHERE t_tok IS NOT NULL AND v_vocab > 0),
         q AS (SELECT cp,
                      CAST(floor(ln(t_tok) * {_HEAPS_Q} + 0.5) AS BIGINT)
                          AS x,
@@ -4319,18 +4325,31 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
     order-independent), one final rounded division. Hash-matched at
     both SFs."""
     (documents,) = load(spark, sf, "documents")
-    tok = documents.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    # ONE explode feeds one first-level (doc, token) aggregate; fd and
+    # dt then derive from that SMALL frame (distinct pairs, not the
+    # token stream) — the round-15 review's 3-scan finding. The
+    # localCheckpoint materializes tf2 once, never the raw explode.
+    tf2 = (
+        documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
-    fd = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
-    dt = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok")
+    fd = tf2.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    dt = tf2.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tok")
     )
-    n = documents.count()
-    grid = spark.range(1, _HEAPS_G + 1).select(
-        F.ceil(F.lit(float(n)) * F.col("id") / _HEAPS_G)
-        .cast("long")
-        .alias("cp")
+    n = documents.count()  # parquet footer count, no data scan
+    grid = (
+        spark.range(1, _HEAPS_G + 1)
+        .select(
+            F.ceil(F.lit(float(n)) * F.col("id") / _HEAPS_G)
+            .cast("long")
+            .alias("cp")
+        )
+        .distinct()
     )
     t_pts = (
         dt.crossJoin(F.broadcast(grid))

@@ -5945,8 +5945,13 @@ def _q223_train(spark: SparkSession, sf: str):
             .filter(F.col("y") * F.col("m") <= 0)
             .select("doc_id", "y")
         )
+        # NO broadcast hint on mis: in round 1 (all-zero weights) every
+        # doc is misclassified, so mis is the FULL corpus key set — a
+        # forced broadcast would ship it to every executor and cap out
+        # at scale; AQE picks broadcast when mis is genuinely small
+        # (round-15 review finding)
         upd = (
-            feats.join(F.broadcast(mis), "doc_id")
+            feats.join(mis, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("g"))
             .collect()  # <= buckets+1 rows: the bounded weight artifact
@@ -6024,6 +6029,78 @@ def q223b(spark: SparkSession, sf: str) -> DataFrame:
 _Q231_THETA = 0.6
 
 
+def _wjac_tf(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, token, tf) — the ONE tokenization/counting home
+    shared by q231 (exact) and q232 (sketch + verify). The q232
+    precision-1.0 invariant depends on its verify arithmetic staying
+    byte-identical to q231's; a single source makes drift impossible
+    (round-15 review finding)."""
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def _wjac_pairs(tf: DataFrame, cand: DataFrame | None = None) -> DataFrame:
+    """Exact weighted-Jaccard pairs >= theta over a (doc, source,
+    token, tf) frame. ``cand=None``: every same-source pair via the
+    blocked token equi-join (q231). ``cand`` given: restrict the
+    min-sum to the candidate (d1, d2) set (q232's verify) — identical
+    arithmetic either way, by construction."""
+    if cand is None:
+        a = tf.select(
+            F.col("doc_id").alias("d1"),
+            "source",
+            "token",
+            F.col("tf").alias("tf1"),
+        )
+        b = tf.select(
+            F.col("doc_id").alias("d2"),
+            "source",
+            "token",
+            F.col("tf").alias("tf2"),
+        )
+        p = a.join(b, ["source", "token"]).filter(
+            F.col("d1") < F.col("d2")
+        )
+    else:
+        a = tf.select(
+            F.col("doc_id").alias("d1"), "token", F.col("tf").alias("tf1")
+        )
+        b = tf.select(
+            F.col("doc_id").alias("d2"), "token", F.col("tf").alias("tf2")
+        )
+        p = cand.join(a, "d1").join(b, ["d2", "token"])
+    smin = p.groupBy("d1", "d2").agg(
+        F.sum(F.least("tf1", "tf2")).cast("long").alias("smin")
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("tot"))
+    jw = F.round(
+        F.col("smin") * 1.0 / (F.col("t1") + F.col("t2") - F.col("smin")),
+        6,
+    )
+    return (
+        smin.join(
+            tot.select(F.col("doc_id").alias("d1"),
+                       F.col("tot").alias("t1")),
+            "d1",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("d2"),
+                       F.col("tot").alias("t2")),
+            "d2",
+        )
+        .select("d1", "d2", jw.alias("w_jaccard"))
+        .filter(F.col("w_jaccard") >= _Q231_THETA)
+        .orderBy("d1", "d2")
+    )
+
+
 @query(
     "q231_weighted_jaccard_neardup",
     oracle=f"""
@@ -6076,51 +6153,7 @@ def q231(spark: SparkSession, sf: str) -> DataFrame:
     the blow-up); the threshold keeps the emitted pair set sparse.
     Dedup resolution composes with q56's components as usual."""
     (documents,) = load(spark, sf, "documents")
-    tf = (
-        documents.select(
-            "doc_id",
-            "source",
-            F.explode(F.split("text", " ")).alias("token"),
-        )
-        .groupBy("doc_id", "source", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    tot = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("tot")
-    )
-    a = tf.select(
-        F.col("doc_id").alias("d1"),
-        "source",
-        "token",
-        F.col("tf").alias("tf1"),
-    )
-    b = tf.select(
-        F.col("doc_id").alias("d2"),
-        "source",
-        "token",
-        F.col("tf").alias("tf2"),
-    )
-    p = (
-        a.join(b, ["source", "token"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(
-            F.sum(F.least("tf1", "tf2")).cast("long").alias("smin")
-        )
-    )
-    ta = tot.select(F.col("doc_id").alias("d1"), F.col("tot").alias("t1"))
-    tb = tot.select(F.col("doc_id").alias("d2"), F.col("tot").alias("t2"))
-    jw = F.round(
-        F.col("smin") * 1.0 / (F.col("t1") + F.col("t2") - F.col("smin")),
-        6,
-    )
-    return (
-        p.join(ta, "d1")
-        .join(tb, "d2")
-        .select("d1", "d2", jw.alias("w_jaccard"))
-        .filter(F.col("w_jaccard") >= _Q231_THETA)
-        .orderBy("d1", "d2")
-    )
+    return _wjac_pairs(_wjac_tf(documents))
 
 
 # ----- Q232 weighted-MinHash (ICWS) banded candidates + exact verify
@@ -6202,15 +6235,7 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     answer is). Rows-only by design: the argmin rides IEEE floats,
     deterministic within the engine but not SQL-oracle-stable."""
     (documents,) = load(spark, sf, "documents")
-    tf = (
-        documents.select(
-            "doc_id",
-            "source",
-            F.explode(F.split("text", " ")).alias("token"),
-        )
-        .groupBy("doc_id", "source", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    tf = _wjac_tf(documents)
     sig = _cws_signature(tf.select("doc_id", "token", "tf"))
     src = tf.select("doc_id", "source").dropDuplicates(["doc_id"])
     banded = (
@@ -6240,38 +6265,6 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
         )
         .dropDuplicates(["d1", "d2"])
     )
-    # exact verify on candidates only: q231's arithmetic on the
-    # candidate-restricted token join
-    a = tf.select(
-        F.col("doc_id").alias("d1"), "token", F.col("tf").alias("tf1")
-    )
-    b = tf.select(
-        F.col("doc_id").alias("d2"), "token", F.col("tf").alias("tf2")
-    )
-    smin = (
-        cand.join(a, "d1")
-        .join(b, ["d2", "token"])
-        .groupBy("d1", "d2")
-        .agg(F.sum(F.least("tf1", "tf2")).cast("long").alias("smin"))
-    )
-    tot = tf.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("tot")
-    )
-    jw = F.round(
-        F.col("smin") * 1.0
-        / (F.col("t1") + F.col("t2") - F.col("smin")),
-        6,
-    )
-    return (
-        smin.join(
-            tot.select(F.col("doc_id").alias("d1"), F.col("tot").alias("t1")),
-            "d1",
-        )
-        .join(
-            tot.select(F.col("doc_id").alias("d2"), F.col("tot").alias("t2")),
-            "d2",
-        )
-        .select("d1", "d2", jw.alias("w_jaccard"))
-        .filter(F.col("w_jaccard") >= _Q231_THETA)
-        .orderBy("d1", "d2")
-    )
+    # exact verify on candidates only — the SAME `_wjac_pairs`
+    # arithmetic q231 uses, candidate-restricted (one source of truth)
+    return _wjac_pairs(tf, cand)

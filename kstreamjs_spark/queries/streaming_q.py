@@ -4263,6 +4263,17 @@ def knn_graph_insert_stream(
                     ).alias("score"),
                 )
             )
+            # each computed similarity updates BOTH endpoints' lists
+            # (Dong et al.'s both-lists rule; round-15 review: the
+            # one-directional form left inserted nodes' out-edges
+            # frozen at the search result) — the reverse edge is free
+            ref = ref.unionByName(
+                ref.select(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    "score",
+                )
+            )
             g = (
                 g.unionByName(ref)
                 .dropDuplicates(["src", "dst"])

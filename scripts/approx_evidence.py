@@ -1050,7 +1050,9 @@ def main() -> int:
     # here — HALF the corpus arrives in ONE trigger — is far harsher
     # than production's trigger<<index regime). At the shipped
     # rounds=2 the maintained index matches the batch-built q218
-    # graph's recall at the same SF (0.906 vs 0.903 at sf0.1).
+    # graph's recall at the same SF; after the round-15 review fixes
+    # (both-lists refinement edges, beam >= k clamp) it BEATS it
+    # (0.949 vs 0.903 at sf0.1).
     from kstreamjs_spark.queries.streaming_q import (
         _Q219B_REFINE,
         knn_graph_insert_stream,

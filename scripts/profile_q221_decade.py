@@ -1,5 +1,5 @@
 """Decade sweep for the q221 chunk-dedup-with-reconstruction shape:
-documents table multiplied 1x/10x, warm min-of-3 wall in ONE session
+documents table multiplied 1x/10x/100x, warm min-of-3 wall in ONE session
 (the JIT-honest regime SCALE.md's q203 section established).
 
 Measures the docstring's bill: the dedup shuffle carries

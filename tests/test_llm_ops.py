@@ -4105,3 +4105,39 @@ def test_weighted_minhash_recall_gate(spark):
     }
     assert not (ap - ex), sorted(ap - ex)[:5]
     assert len(ex & ap) / max(len(ex), 1) >= 0.9
+
+
+def test_heaps_tiny_corpus_matches_oracle(spark, tmp_path):
+    """Round-15 review finding, pinned: corpora smaller than the
+    checkpoint grid (7 docs) and 1-based doc ids (an empty cp=1
+    prefix) used to diverge between the engines — the oracle kept
+    duplicate/empty checkpoints the Spark groupBy collapsed. Both
+    sides now collapse duplicates and drop empty prefixes."""
+    import os
+
+    import duckdb
+
+    from kstreamjs_spark.queries import all_queries
+
+    spec = all_queries()["q230_heaps_vocab_growth"]
+    for name, docs in [
+        ("7docs", [(i, f"w{i} w{i+1} common", "en", "s", 0)
+                   for i in range(7)]),
+        ("1based8", [(i, f"w{i} w{i+1} common", "en", "s", 0)
+                     for i in range(1, 9)]),
+    ]:
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'"
+        )
+        duck = sorted(map(tuple, con.execute(spec.oracle).fetchall()))
+        got = sorted(tuple(r) for r in spec.fn(spark, d).collect())
+        assert duck == got, (name, duck, got)
