@@ -198,9 +198,9 @@ _WINDOW_SIZE = 50
 # carry `delete_files`; q225 spec evolution: manifests carry
 # `n_buckets`, publish validates writer specs) — the q213 family's
 # oracles are unchanged, the commit protocol underneath them is not.
-# The session's new queries (q219/q219b/q219c, q220-q231 incl. q223b)
+# The session's new queries (q219/q219b/q219c, q220-q232 incl. q223b)
 # are hist-0 and enter via the sort. NOTE the window is 50 and the
-# hist-0 set is now 19 (3 from the round-15 close + 16 continuation):
+# hist-0 set is now 20 (3 from the round-15 close + 17 continuation):
 # all of them fit, the staleness drain continues behind them.
 _WINDOW_PRIORITY: list[str] = [
     "q205_stream_minhash_candidates",
