@@ -6162,51 +6162,98 @@ _Q232_BANDS = 8   # bands of r=2 rows: P(cand) = 1-(1-J^2)^8
 _Q232_M = 2**32
 
 
-def _cws_signature(tf: DataFrame) -> DataFrame:
-    """Ioffe's Improved Consistent Weighted Sampling (ICWS, ICDM 2010
-    — public): per (doc, hash k) sample one (token, t) element whose
-    cross-doc collision probability IS the weighted Jaccard. The
-    Gamma(2,1)/Uniform draws are derived deterministically from
-    portable token hashes (u = (pmod(xxhash64(token, salt), M) + .5)
-    / M — the +.5 keeps ln() off zero), so signatures are stable
-    across runs/partitions without any RNG state:
+def cws_banded_projection(
+    documents: DataFrame,
+    k: int = _Q232_K,
+    bands: int = _Q232_BANDS,
+    scope_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, band, bsig) banded ICWS rows over a documents frame —
+    the weighted-Jaccard sibling of `minhash_banded_projection`,
+    batch/streaming agnostic (ONE home for q232's batch candidates
+    AND q232b's at-ingest stream). Ioffe's ICWS (ICDM 2010) computed
+    entirely scan-side: per-row (token, tf) entries from the row's
+    own token array (no groupBy — streaming-safe), then per hash k
+    the argmin element via array_min over the entries, banded 2-per
+    and hashed. Three projections with the Generate barrier last —
+    the q205b single-fold discipline: the entries array is built once
+    and referenced as an attribute, never inlined into the 16 argmin
+    expressions (CollapseProject's non-cheap-multi-reference guard
+    keeps the projections apart).
 
-        r = -ln(u1*u2); c = -ln(u3*u4); b = u5
-        t = floor(ln(w)/r + b);  y = exp(r*(t-b));  a = c/(y*exp(r))
-        keep argmin_token a;  element = hash(token, t, k)
+    ``scope_col`` (q232b): fold a blocking column (source) into the
+    band signature so bucket identity is scope-local — the streaming
+    bucket emitter has no join key to restrict on, and WITHOUT the
+    scope a 31-type vocabulary piles every source's docs into shared
+    buckets (measured: 16.4M candidate pairs unscoped vs ~the batch
+    candidate count scoped at sf0.1 — the m^2 bucket bill the batch
+    path's same-source join key avoids)."""
+    toks = F.split("text", " ")
+    ents = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"),
+            F.size(F.filter(toks, lambda x: x == t))
+            .cast("long")
+            .alias("tf"),
+        ),
+    )
+    scope = [F.col(scope_col)] if scope_col else []
+    e = documents.select("doc_id", ents.alias("ents"), *scope)
 
-    Cost: tokens x K evaluations (the CWS bill, documented) — all
-    codegen math, the argmin one min(struct) aggregate per (doc, k).
-    Returns (doc_id, k, elem)."""
-    ks = F.explode(
-        F.array(*[F.lit(i) for i in range(_Q232_K)])
-    ).alias("k")
-    e = tf.select("doc_id", "token", "tf", ks)
-
-    def u(i: int):
+    def _u(token, kk, i):
         return (
             F.pmod(
-                F.xxhash64("token", F.col("k") * 7 + F.lit(i)),
-                F.lit(_Q232_M),
+                F.xxhash64(token, kk * 7 + F.lit(i)), F.lit(_Q232_M)
             ).cast("double")
             + 0.5
         ) / _Q232_M
 
-    r = -F.log(u(1) * u(2))
-    c = -F.log(u(3) * u(4))
-    b = u(5)
-    t = F.floor(F.log(F.col("tf").cast("double")) / r + b)
-    y = F.exp(r * (t - b))
-    a = c / (y * F.exp(r))
-    scored = e.select(
+    def _elem(kk):
+        def scored(ent):
+            r = -F.log(_u(ent["token"], kk, 1) * _u(ent["token"], kk, 2))
+            c = -F.log(_u(ent["token"], kk, 3) * _u(ent["token"], kk, 4))
+            b = _u(ent["token"], kk, 5)
+            t = F.floor(F.log(ent["tf"].cast("double")) / r + b)
+            y = F.exp(r * (t - b))
+            a = c / (y * F.exp(r))
+            return F.struct(
+                a.alias("a"),
+                F.xxhash64(ent["token"], t.cast("long"), kk).alias(
+                    "elem"
+                ),
+            )
+
+        return F.array_min(F.transform(F.col("ents"), scored))["elem"]
+
+    sig = e.select(
         "doc_id",
-        "k",
-        a.alias("a"),
-        F.xxhash64("token", t.cast("long"), "k").alias("elem"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda kk: _elem(kk),
+        ).alias("elems"),
+        *scope,
     )
-    return scored.groupBy("doc_id", "k").agg(
-        F.min(F.struct("a", "elem")).alias("m")
-    ).select("doc_id", "k", F.col("m.elem").alias("elem"))
+    bsig_scope = [F.col(scope_col)] if scope_col else []
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.alias("band"),
+            F.xxhash64(
+                *bsig_scope,
+                F.element_at(F.col("elems"), j * 2 + 1),
+                F.element_at(F.col("elems"), j * 2 + 2),
+            ).alias("bsig"),
+        ),
+    )
+    return (
+        sig.select("doc_id", F.explode(bands_arr).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.bsig").alias("bsig"),
+        )
+    )
 
 
 @query(
@@ -6236,18 +6283,8 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     deterministic within the engine but not SQL-oracle-stable."""
     (documents,) = load(spark, sf, "documents")
     tf = _wjac_tf(documents)
-    sig = _cws_signature(tf.select("doc_id", "token", "tf"))
     src = tf.select("doc_id", "source").dropDuplicates(["doc_id"])
-    banded = (
-        sig.join(src, "doc_id")
-        .withColumn("band", (F.col("k") / 2).cast("int"))
-        .groupBy("doc_id", "source", "band")
-        .agg(
-            F.xxhash64(
-                F.sort_array(F.collect_list(F.struct("k", "elem")))
-            ).alias("bsig")
-        )
-    )
+    banded = cws_banded_projection(documents).join(src, "doc_id")
     # same-source blocking keeps the pair universe identical to q231's
     # (the q26 family convention) so the evidence comparison is
     # like-for-like; drop "source" from the join keys to hunt

@@ -4640,3 +4640,59 @@ from .pipeline import _q219_oracle as _q219_oracle_text  # noqa: E402
 REGISTRY["q229_stream_graph_ann_serve"] = _dc_replace(
     REGISTRY["q229_stream_graph_ann_serve"], oracle=_q219_oracle_text()
 )
+
+
+# ---- Q232b streaming weighted-MinHash dedup at ingest (CWS + verify)
+@query(
+    "q232b_stream_weighted_minhash",
+    oracle=None,
+    tags=("streaming", "dedup", "text", "approx", "stateful"),
+)
+def q232b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING weighted near-dup detection AT INGEST (round 15) —
+    the q205b shape for the WEIGHTED family: every arriving document
+    projects its ICWS band signatures scan-side
+    (`cws_banded_projection` — the one home shared with batch q232;
+    per-row (token, tf) entries from the row's own array, no shuffle,
+    streaming-safe), the shared stateful bucket emitter
+    (`bucket_pair_stream`, the bounded-state-key operator) turns
+    band collisions into candidate pairs the moment the second
+    member lands, and a batch post-pass EXACT-verifies the collected
+    candidates with q231's `_wjac_pairs` arithmetic restricted to
+    same-source pairs — emitted pairs are exact-verified weighted
+    Jaccard >= theta, precision 1.0 by construction.
+
+    Rows-only by design (the q205/q214b category), with the HARD
+    equality contract: bucket_pair_stream's emitted candidate set
+    equals the batch band self-join for ANY schedule (its pinned
+    property) and the verify arithmetic is shared, so the final
+    frame must equal batch q232 EXACTLY — pinned by the pytest and
+    re-attested in APPROX_EVIDENCE alongside q232's vs-exact rows."""
+    from .llm import _wjac_pairs, _wjac_tf, cws_banded_projection
+
+    (documents,) = load(spark, sf, "documents")
+    tf = _wjac_tf(documents)
+    src = tf.select("doc_id", "source").dropDuplicates(["doc_id"])
+    sdf = stream_table(spark, sf, "documents")
+    # source-scoped band signatures: the emitter's bucket identity
+    # must carry the blocking key the batch path expresses as a join
+    # column (see the projection docstring's 16.4M-pair measurement)
+    banded = cws_banded_projection(sdf, scope_col="source")
+    pairs = run_to_memory(
+        bucket_pair_stream(banded), "q232b", output_mode="append"
+    ).dropDuplicates(["d1", "d2"])
+    cand = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("d1"),
+                       F.col("source").alias("s1")),
+            "d1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("d2"),
+                       F.col("source").alias("s2")),
+            "d2",
+        )
+        .filter(F.col("s1") == F.col("s2"))
+        .select("d1", "d2")
+    )
+    return _wjac_pairs(tf, cand)

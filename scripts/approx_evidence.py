@@ -1140,6 +1140,22 @@ def main() -> int:
         ),
     }
 
+    # ---- q232b: the streaming twin's HARD equality — the shared
+    # projection + schedule-invariant bucket emitter + one-home verify
+    # must reproduce batch q232 bit for bit
+    bset = sorted(
+        tuple(r)
+        for r in q["q232_weighted_minhash_neardup"].fn(spark, sf).collect()
+    )
+    sset = sorted(
+        tuple(r)
+        for r in q["q232b_stream_weighted_minhash"].fn(spark, sf).collect()
+    )
+    out["q232b_stream_weighted_minhash"] = {
+        "stream_equals_batch": bset == sset,
+        "n_pairs": len(bset),
+    }
+
     doc = {
         "sf_dir": sf,
         "note": (

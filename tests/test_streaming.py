@@ -3333,3 +3333,24 @@ def test_stream_graph_ann_serve_equals_batch(spark, tmp_path):
 
     assert serve(2) == want
     assert serve(4) == want
+
+
+def test_stream_weighted_minhash_equals_batch(spark):
+    """q232b's hard contract: the streamed CWS-banded candidate set
+    plus shared verify must equal batch q232 EXACTLY (the projection,
+    the bucket emitter's schedule-invariance, and the one-home verify
+    arithmetic compose to bit-identical outputs)."""
+    from kstreamjs_spark.queries import all_queries
+
+    q = all_queries()
+    sfd = SF_SMOKE
+    batch = sorted(
+        tuple(r)
+        for r in q["q232_weighted_minhash_neardup"].fn(spark, sfd).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in q["q232b_stream_weighted_minhash"].fn(spark, sfd).collect()
+    )
+    assert stream == batch
+    assert batch  # non-vacuous: the smoke corpus has >= 1 pair
