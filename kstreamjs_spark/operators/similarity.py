@@ -657,6 +657,7 @@ def graph_ann_topk(
     round_to: int = 6,
     entry_mod: int | None = None,
     filter_col: str | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Greedy BEAM SEARCH over a k-NN graph (the query-time half of the
     graph-ANN family; HNSW layer-0 search, Malkov & Yashunin 2016 —
@@ -707,6 +708,14 @@ def graph_ann_topk(
     — O(entries + hops·beam·2k) — so effective recall tracks
     pool_size x selectivity vs k.
 
+    ``exclude_self`` (round 16, ADVICE): when queries are drawn from
+    the indexed corpus (qid IS a node id), the query's own node
+    occupies a top-k slot at score 1.0; setting this filters
+    node == qid before the final cut so the result — and any recall
+    measured from it — counts only true neighbors (mirrors
+    `knn_join`'s default). Default False: q219's shipped semantics
+    (and its hash oracle) keep the self row.
+
     At 100 TB: the adjacency and vector tables stay partitioned by
     node; each hop is one equi-join on node plus one broadcast join
     on qid. Frontier size is Q*beam rows — driver never sees it.
@@ -715,8 +724,9 @@ def graph_ann_topk(
 
     # the beam must hold at least k candidates or the final cut
     # silently under-fills (round-15 review: the streaming insert
-    # path asked for k=20 neighbors from a beam of 16)
-    beam = max(beam, k)
+    # path asked for k=20 neighbors from a beam of 16); +1 when the
+    # self row is dropped after the cut
+    beam = max(beam, k + 1 if exclude_self else k)
     keep_cols = [F.col(filter_col).alias("_keep")] if filter_col else []
     v = vectors.select(
         F.col(id_col).alias("_n"),
@@ -794,13 +804,16 @@ def graph_ann_topk(
     if filter_col:
         # post-filter over EVERYTHING the walk scored, not just the
         # final beam: the pool is the walk bill, the filter cuts last
+        acc = acc.filter(F.col("_keep")).drop("_keep")
+        if exclude_self:
+            acc = acc.filter(F.col("node") != F.col("qid"))
         return (
-            acc.filter(F.col("_keep"))
-            .dropDuplicates(["qid", "node"])
-            .drop("_keep")
+            acc.dropDuplicates(["qid", "node"])
             .withColumn("rn", F.row_number().over(w_q))
             .filter(F.col("rn") <= k)
         )
+    if exclude_self:
+        b = b.filter(F.col("node") != F.col("qid"))
     return (
         b.withColumn("rn", F.row_number().over(w_q))
         .filter(F.col("rn") <= k)

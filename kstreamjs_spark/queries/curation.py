@@ -4296,9 +4296,17 @@ _HEAPS_G = 8       # prefix checkpoints at i/8 of the corpus
                      t_tok, v_vocab
               FROM pts)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-               ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
-                     / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)),
-                     4) AS heaps_beta,
+               -- degenerate-fit guard (round-16 ADVICE): a single
+               -- surviving checkpoint (or all-equal x) zeroes the
+               -- denominator; emit NULL explicitly on BOTH engines
+               -- instead of relying on engine-specific /0 behavior
+               CASE WHEN (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) = 0
+                    THEN NULL
+                    ELSE ROUND(
+                        (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1.0
+                        / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)),
+                        4)
+               END AS heaps_beta,
                CAST(MAX(v_vocab) AS BIGINT) AS vocab_full,
                CAST(MAX(t_tok) AS BIGINT) AS tokens_full
         FROM q
@@ -4375,16 +4383,37 @@ def q230(spark: SparkSession, sf: str) -> DataFrame:
         "v_vocab",
     )
     cnt = F.count(F.lit(1))
+    # degenerate-fit guard mirrored with the oracle (round-16 ADVICE):
+    # one surviving checkpoint (or all-equal x) -> NULL, explicitly
+    denom = (cnt * F.sum(F.col("x") * F.col("x"))
+             - F.sum("x") * F.sum("x"))
     return q.agg(
         cnt.cast("long").alias("n_points"),
-        F.round(
-            (cnt * F.sum(F.col("x") * F.col("y"))
-             - F.sum("x") * F.sum("y"))
-            * 1.0
-            / (cnt * F.sum(F.col("x") * F.col("x"))
-               - F.sum("x") * F.sum("x")),
-            4,
+        F.when(
+            denom != 0,
+            F.round(
+                (cnt * F.sum(F.col("x") * F.col("y"))
+                 - F.sum("x") * F.sum("y"))
+                * 1.0
+                / denom,
+                4,
+            ),
         ).alias("heaps_beta"),
         F.max("v_vocab").cast("long").alias("vocab_full"),
         F.max("t_tok").cast("long").alias("tokens_full"),
+    )
+
+
+# ----- q221b oracle binding (round 16): the streaming chunk-dedup twin
+# lives in streaming_q (imported BEFORE this module) and carries q221's
+# hash oracle VERBATIM — arrival order is doc order, so the at-ingest
+# first-occurrence rule IS q221's (doc_id, st) rank; see its docstring.
+from dataclasses import replace as _dc_replace_q221b  # noqa: E402
+
+from . import REGISTRY as _REG_Q221B  # noqa: E402
+
+if "q221b_stream_chunk_dedup" in _REG_Q221B:
+    _REG_Q221B["q221b_stream_chunk_dedup"] = _dc_replace_q221b(
+        _REG_Q221B["q221b_stream_chunk_dedup"],
+        oracle=_REG_Q221B["q221_chunk_dedup_rebuild"].oracle,
     )

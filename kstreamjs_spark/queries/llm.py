@@ -5885,10 +5885,13 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
     updates a groupBy(bucket); the driver touches only the 65-row
     weight artifact per round (the q179 bounded-artifact policy).
 
-    At 100 TB: weights grow at most T * total_token_count, so int64
-    margins saturate around 1e14 tokens — past that the q216c
-    DECIMAL(38) treatment applies; feature hashing keeps the model
-    O(buckets) regardless of vocabulary."""
+    At 100 TB: weights grow at most T * total_token_count (~1e14 at
+    T=5 over 2.5e13 tokens — comfortably int64), but the MARGIN
+    product cnt * w reaches ~1e20 and would silently wrap int64, so
+    margins carry the q216c DECIMAL treatment (round-16 fix):
+    DECIMAL(19,0) x DECIMAL(18,0) -> DECIMAL(38,0) products summed
+    exactly — cannot wrap below 1e38. Feature hashing keeps the
+    model O(buckets) regardless of vocabulary."""
     _feats, _labels, weights = _q223_train(spark, sf)
     return spark.createDataFrame(
         sorted(weights.items()), "bucket long, weight long"
@@ -5935,10 +5938,17 @@ def _q223_train(spark: SparkSession, sf: str):
         wdf = spark.createDataFrame(
             sorted(weights.items()), "bucket long, w long"
         )
+        # DECIMAL margins (round 16): cnt*w is the one product that
+        # outgrows int64 at scale (cnt <= 1e6/doc, |w| <= T*tokens)
         margins = (
             feats.join(F.broadcast(wdf), "bucket")
             .groupBy("doc_id")
-            .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
+            .agg(
+                F.sum(
+                    F.col("cnt").cast("decimal(19,0)")
+                    * F.col("w").cast("decimal(18,0)")
+                ).alias("m")
+            )
         )
         mis = (
             margins.join(labels.select("doc_id", "y"), "doc_id")
@@ -5990,7 +6000,8 @@ def q223b(spark: SparkSession, sf: str) -> DataFrame:
     aggregate — the apply-the-filter-model step a curation pipeline
     runs after training (q177's DSIR and q179b's tokenizer follow
     the same train-offline/apply-online split). The margin sign is
-    the classification; everything stays in int64, so the scorecard
+    the classification; all arithmetic is exact (integer counts,
+    DECIMAL margins — the round-16 wrap fix), so the scorecard
     hash-matches the oracle that re-runs the identical unrolled
     training chain and scores with ITS final weights — training AND
     serving value-checked end to end in one contract.
@@ -6005,7 +6016,12 @@ def q223b(spark: SparkSession, sf: str) -> DataFrame:
     margins = (
         feats.join(F.broadcast(wdf), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("w")).alias("m"))
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("w").cast("decimal(18,0)")
+            ).alias("m")
+        )
     )
     return (
         margins.join(labels, "doc_id")
@@ -6189,13 +6205,31 @@ def cws_banded_projection(
     candidate count scoped at sf0.1 — the m^2 bucket bill the batch
     path's same-source join key avoids)."""
     toks = F.split("text", " ")
-    ents = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("token"),
-            F.size(F.filter(toks, lambda x: x == t))
-            .cast("long")
-            .alias("tf"),
+    # (token, tf) entries via SORT + RUN-LENGTH boundaries (round-16
+    # ADVICE: the earlier per-distinct-token F.filter count was
+    # O(doc_len * distinct_tokens) per row — quadratic for long
+    # documents, undercutting the scan-side cost framing at ingest
+    # scale). array_sort is O(n log n); run starts are found with one
+    # O(n) pass of O(1) element_at probes; tf = next start - start.
+    # Entry ORDER differs from the old first-occurrence order, but the
+    # signature takes array_min over the entries — order-invariant, so
+    # emitted (band, bsig) rows are identical.
+    srt = F.array_sort(toks)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(srt)),
+        lambda i: (i == 1)
+        | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(srt) + 1),
+    )
+    ents = F.zip_with(
+        starts,
+        ends,
+        lambda a, b: F.struct(
+            F.element_at(srt, a).alias("token"),
+            (b - a).cast("long").alias("tf"),
         ),
     )
     scope = [F.col(scope_col)] if scope_col else []

@@ -2768,10 +2768,14 @@ REGISTRY["q215b_stream_ingest_compacted"] = _dc_replace_q211b(
 @query(
     "q213_stream_scd1_upsert",
     oracle="""
+        -- last_value via lexicographic struct MAX, mirroring the
+        -- engine's F.max(struct(ts, value)) exactly: deterministic
+        -- even under tied ts (round-16 ADVICE; arg_max(value, ts)
+        -- picks an arbitrary row on ties)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value
+               (MAX(struct_pack(ts := ts, v := value))).v AS last_value
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "write", "cdc"),
@@ -3210,6 +3214,20 @@ def scd1_read_as_of(
     paths = [
         f"{root}/{d}/pbucket={b}" for b, d in sorted(bdir.items())
     ]
+    if not paths:
+        # fully-deleted table (every bucket dropped and purged,
+        # round-16 ADVICE): the manifest is valid and the table is
+        # EMPTY — return the empty table with its logical schema
+        # instead of letting spark.read.parquet() fail on zero paths
+        cols = [
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+            F.lit(None).cast("double").alias("last_value"),
+        ]
+        for name, default in (extra_cols or {}).items():
+            cols.append(F.lit(default).alias(name))
+        return spark.range(0).select(*cols)
     back = spark.read.option("mergeSchema", "true").parquet(*paths)
     dpaths = [
         f"{root}/{d}/pbucket={b}"
@@ -3760,10 +3778,14 @@ def scd1_purge_deletes(
 @query(
     "q213c_scd1_time_travel",
     oracle="""
+        -- last_value via lexicographic struct MAX, mirroring the
+        -- engine's F.max(struct(ts, value)) exactly: deterministic
+        -- even under tied ts (round-16 ADVICE; arg_max(value, ts)
+        -- picks an arbitrary row on ties)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value
+               (MAX(struct_pack(ts := ts, v := value))).v AS last_value
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "write", "cdc"),
@@ -3794,12 +3816,14 @@ def q213c(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q220_scd1_delete_vectors",
     oracle="""
+        -- deterministic struct-MAX mirror of the engine fold
+        -- (round-16 ADVICE: arg_max is arbitrary under tied ts)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value
+               (MAX(struct_pack(ts := ts, v := value))).v AS last_value
         FROM events GROUP BY user_id
-        HAVING NOT (arg_max(value, ts) < 30.0)
+        HAVING NOT ((MAX(struct_pack(ts := ts, v := value))).v < 30.0)
         ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "write", "cdc"),
@@ -3840,10 +3864,13 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q213b_scd1_changelog",
     oracle="""
+        -- deterministic struct-MAX mirror of the engine fold
+        -- (round-16 ADVICE: arg_max is arbitrary under tied ts)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_after,
                MAX(ts) AS last_ts_after,
-               arg_max(value, ts) AS last_value_after
+               (MAX(struct_pack(ts := ts, v := value))).v
+                   AS last_value_after
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "write", "cdc"),
@@ -3893,7 +3920,7 @@ _Q213D_EVOLVE_TS = "2024-01-15 00:00:00"
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value,
+               (MAX(struct_pack(ts := ts, v := value))).v AS last_value,
                ROUND(COALESCE(SUM(value) FILTER (
                    WHERE ts >= TIMESTAMP '{_Q213D_EVOLVE_TS}'), 0),
                    4) AS sum_value
@@ -4078,6 +4105,25 @@ def scd1_rebucket(
                 f"scd1_rebucket: no committed table under {root!r}"
             )
         bmap = snap["bucket_dir"]
+        if not bmap:
+            # fully-deleted table (round-16 ADVICE): nothing to
+            # rewrite — publish a manifest recording the NEW spec
+            # with an empty bucket map (spec evolution on an empty
+            # table is legitimate; the next MERGE writes under it)
+            pending = {
+                "dir": "",  # unreferenced: no buckets survive
+                "buckets": [],
+                "read_version": snap["version"],
+                "read_map": {},
+                "read_deletes": snap["delete_files"],
+                "kind": "rebucket",
+                "n_buckets": new_n_buckets,
+            }
+            try:
+                return _scd1_publish(root, pending)
+            except ConcurrentWriteConflict as e:
+                last = e
+                continue
         prev = spark.read.option("mergeSchema", "true").parquet(
             *[
                 f"{root}/{d}/pbucket={b}"
@@ -4139,6 +4185,7 @@ def knn_graph_insert_stream(
     hops: int = _Q219B_HOPS,
     n_entries: int = _Q219B_ENTRIES,
     refine_rounds: int = 1,
+    persist_root: str | None = None,
 ) -> DataFrame:
     """STREAMING k-NN-graph maintenance (round 15 — the index-
     MAINTENANCE half of the graph-ANN family, the q191/q191b
@@ -4161,7 +4208,18 @@ def knn_graph_insert_stream(
     PRE-trigger index (they link to each other only through later
     reverse edges / the next trigger) — deterministic for any fixed
     schedule; the planted-manifold pytest and the APPROX_EVIDENCE
-    recall row quantify the graph against the exact one."""
+    recall row quantify the graph against the exact one.
+
+    ``persist_root`` (round 16, verdict #4): when set, the index ALSO
+    rides the on-disk bucketed-manifest store — the seed graph lands
+    as `ann_index_write`'s v0 commit and every trigger commits the
+    COMPLETE new adjacency of its touched srcs (arrivals, their found
+    neighbors, every refinement endpoint — a tracked superset of the
+    rows that changed) via `ann_index_commit`'s per-src replacement
+    MERGE. After the stream, `ann_index_read(root)` equals the
+    returned in-memory graph exactly (the persistence pytest pins
+    it), and a serving restart reopens the maintained index with one
+    bucketed scan."""
     from ..operators import similarity
     from ..streaming.replay import run_foreach_batch
 
@@ -4174,6 +4232,8 @@ def knn_graph_insert_stream(
         "vectors": seed,
         "graph": g0.drop("rn").localCheckpoint(),
     }
+    if persist_root is not None:
+        ann_index_write(state["graph"], persist_root)
     w_src = Window.partitionBy("src").orderBy(
         F.col("score").desc(), "dst"
     )
@@ -4203,6 +4263,10 @@ def knn_graph_insert_stream(
             n_entries=n_entries,
             entry_mod=n_seed,
         ).drop("rn")
+        touched = [
+            qs.select(F.col("qid").alias("src")),
+            found.select(F.col("node").alias("src")),
+        ]
         edges = found.select(
             F.col("qid").alias("src"), F.col("node").alias("dst"), "score"
         )
@@ -4252,6 +4316,8 @@ def knn_graph_insert_stream(
                 .select("u", "w")
                 .dropDuplicates(["u", "w"])
             )
+            touched.append(cand.select(F.col("u").alias("src")))
+            touched.append(cand.select(F.col("w").alias("src")))
             ref = (
                 cand.join(sv, "u")
                 .join(dv, "w")
@@ -4284,6 +4350,16 @@ def knn_graph_insert_stream(
             )
         state["graph"] = g.localCheckpoint() if refine_rounds == 0 else g
         state["vectors"] = vecs
+        if persist_root is not None:
+            from functools import reduce
+
+            tn = reduce(
+                lambda a, b: a.unionByName(b), touched
+            ).dropDuplicates(["src"])
+            delta = state["graph"].join(tn, "src", "semi")
+            ann_index_commit(
+                batch_df.sparkSession, persist_root, delta
+            )
 
     run_foreach_batch(sdf, commit, "knn_insert")
     return state["graph"].withColumn("rn", F.row_number().over(w_src))
@@ -4432,10 +4508,14 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q225_scd1_bucket_evolution",
     oracle="""
+        -- last_value via lexicographic struct MAX, mirroring the
+        -- engine's F.max(struct(ts, value)) exactly: deterministic
+        -- even under tied ts (round-16 ADVICE; arg_max(value, ts)
+        -- picks an arbitrary row on ties)
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value
+               (MAX(struct_pack(ts := ts, v := value))).v AS last_value
         FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "write", "cdc"),
@@ -4468,12 +4548,21 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q226_stream_cdc_lww_tombstones",
     oracle="""
-        SELECT user_id,
-               CAST(COUNT(*) AS BIGINT) AS n_records,
-               MAX(ts) AS last_ts,
-               arg_max(value, ts) AS last_value
-        FROM events GROUP BY user_id
-        HAVING NOT arg_max(event_type = 'error', ts)
+        -- deterministic mirror of the engine's three-field struct
+        -- MAX (ts, is_del, value): on a tied ts the tombstone wins,
+        -- then the larger value (round-16 ADVICE: arg_max is
+        -- arbitrary under ties)
+        WITH lww AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_records,
+                 MAX(ts) AS last_ts,
+                 MAX(struct_pack(ts := ts,
+                                 d := (event_type = 'error'),
+                                 v := value)) AS last
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_records, last_ts, (last).v AS last_value
+        FROM lww WHERE NOT (last).d
         ORDER BY user_id
     """,
     tags=("streaming", "pipeline", "cdc", "stateful"),
@@ -4696,3 +4785,359 @@ def q232b(spark: SparkSession, sf: str) -> DataFrame:
         .select("d1", "d2")
     )
     return _wjac_pairs(tf, cand)
+
+
+# ------- Q221b STREAMING chunk dedup AT INGEST (the CCNet transform
+# deployed — round 16, the one dedup family member that lacked its
+# deployment shape per the r15 verdict)
+@query(
+    "q221b_stream_chunk_dedup",
+    oracle=None,  # bound at curation import end — q221's oracle VERBATIM
+    tags=("streaming", "dedup", "text", "llm", "stateful"),
+)
+def q221b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING corpus-wide chunk dedup with document reconstruction
+    (round 16) — q221's CCNet paragraph-dedup transform run the way an
+    ingestion service runs it: arriving documents CHUNK SCAN-SIDE
+    (fixed-8-token windows + rolling-hash fingerprints — a pure
+    projection over the row's own token array, no shuffle before the
+    per-batch rank), first-occurrence state is the accumulated
+    DISTINCT chunk-fingerprint set (8 bytes per distinct chunk — the
+    q168 "history IS the state" shape at sub-document granularity,
+    never text), and each trigger emits its documents REBUILT from
+    the chunks that survive against (a) all prior triggers' state and
+    (b) the within-batch (doc_id, st) rank — exactly q221's
+    first-occurrence rule when arrival order is doc-id order, which
+    is the ingest contract (arrival DEFINES "first" in a streaming
+    dedup; the replayed corpus arrives in doc order, so this row
+    carries q221's full hash oracle VERBATIM — the q229 idiom).
+    Schedule-invariance (any in-order trigger split yields the
+    identical table, cross-trigger duplicates dropped, within-trigger
+    duplicates ranked) is pinned by the 3-way split pytest.
+
+    At 100 TB: per-trigger cost is one chunk projection + one
+    fingerprint equi-join against the state set + one per-doc
+    aggregate — the state join is the q57/q168 anti-join a runtime
+    bloom or bucketed fingerprint table represents at scale; the
+    shuffle carries (doc_id, st, cfp) at ~20 bytes a chunk, never
+    text; reconstruction joins the per-doc kept-start lists back to
+    the batch's own rows (one equi-join, token arrays move once).
+
+    Ref parity: window/state semantics from the reference's single
+    stateful operator (src/stream.ts:130-200) — here the state is a
+    dedup set rather than a window buffer, same at-ingest shape."""
+    sdf = stream_table(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    return chunk_dedup_stream(sdf)
+
+
+def chunk_dedup_stream(sdf: DataFrame) -> DataFrame:
+    """q221b's fold as a reusable transform over any streaming frame of
+    (doc_id, ts: array<string>) — the one code home the multi-trigger
+    schedule-invariance pytest drives with its own file splits."""
+    from ..operators import text as text_ops
+    from ..streaming.replay import run_foreach_batch
+    from .curation import _Q221_W
+
+    state: dict = {"seen": None, "out": None}
+
+    def commit(batch_df: DataFrame, _bid: int) -> None:
+        d = batch_df.localCheckpoint()  # chunk + rebuild read it twice
+        ex = d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts"), F.lit(_Q221_W))
+            ).alias("st"),
+            text_ops.fingerprint(
+                F.array_join(
+                    F.slice("ts", F.col("st"), _Q221_W), " "
+                )
+            ).alias("cfp"),
+        )
+        w = Window.partitionBy("cfp").orderBy("doc_id", "st")
+        k = ex.withColumn("rk", F.row_number().over(w))
+        if state["seen"] is not None:
+            k = k.join(
+                state["seen"].withColumn("_old", F.lit(True)),
+                "cfp",
+                "left",
+            )
+        else:
+            k = k.withColumn("_old", F.lit(None).cast("boolean"))
+        keep = (F.col("rk") == 1) & F.col("_old").isNull()
+        agg = k.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count(F.when(keep, 1)).cast("long").alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(keep, F.col("st")))
+            ).alias("sts"),
+        )
+        rebuilt = F.array_join(
+            F.transform(
+                F.col("sts"),
+                lambda s: F.array_join(
+                    F.slice(F.col("ts"), s, _Q221_W), " "
+                ),
+            ),
+            " ",
+        )
+        out = (
+            agg.join(d, "doc_id")
+            .select(
+                "doc_id",
+                "n_chunks",
+                "n_kept",
+                F.when(F.col("n_kept") == 0, F.lit(0).cast("long"))
+                .otherwise(text_ops.fingerprint(rebuilt))
+                .alias("rebuilt_fp"),
+            )
+        )
+        state["out"] = (
+            out if state["out"] is None
+            else state["out"].unionByName(out)
+        ).localCheckpoint()
+        batch_fps = ex.select("cfp").distinct()
+        state["seen"] = (
+            batch_fps if state["seen"] is None
+            else state["seen"].unionByName(batch_fps).distinct()
+        ).localCheckpoint()
+
+    run_foreach_batch(sdf, commit, "chunk_dedup_ingest")
+    if state["out"] is None:
+        raise ValueError(
+            "chunk_dedup_stream: source produced zero micro-batches"
+        )
+    return state["out"].orderBy("doc_id")
+
+
+# ---- Graph-ANN index PERSISTENCE (round 16, verdict #4): the
+# NN-Descent edge frame rides the lakehouse write path — hash-bucketed
+# by src under the scd1 versioned-manifest commit protocol
+# (`_scd1_publish`: same atomic manifest flip, same optimistic
+# conflict rule, one commit-protocol home) — so a serving restart
+# pays ONE BUCKETED SCAN instead of an O(N·k²·iters) descent rebuild,
+# and streaming insert commits maintain the on-disk index at bucket
+# granularity (per-src adjacency REPLACEMENT, the q213 MERGE shape).
+_ANN_IDX_BUCKETS = 16
+
+
+def _ann_bucket_of(n_buckets: int):
+    return F.pmod(F.xxhash64("src"), F.lit(n_buckets)).cast("int")
+
+
+def ann_index_write(graph: DataFrame, root: str,
+                    n_buckets: int = _ANN_IDX_BUCKETS) -> int:
+    """Initial commit: the full (src, dst, score) edge frame written
+    bucketed by src. Bucketing by src co-locates each node's whole
+    adjacency list in one file — the beam walk's hop join reads and
+    the insert path's per-src rewrites both key on src."""
+    import os
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(os.path.join(root, "_manifest"), exist_ok=True)
+    rows = graph.select("src", "dst", "score").withColumn(
+        "pbucket", _ann_bucket_of(n_buckets)
+    )
+    dirname = "commit_v0"
+    rows.write.partitionBy("pbucket").parquet(f"{root}/{dirname}")
+    survivors = sorted(
+        r["pbucket"] for r in rows.select("pbucket").distinct().collect()
+    )
+    return _scd1_publish(root, {
+        "dir": dirname,
+        "buckets": survivors,
+        "read_version": -1,
+        "read_map": {},
+        "read_deletes": {},
+        "kind": "merge",
+        "n_buckets": n_buckets,
+    })
+
+
+def ann_index_commit(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    n_buckets: int = _ANN_IDX_BUCKETS,
+    max_retries: int = 3,
+) -> int:
+    """Per-src REPLACEMENT merge: ``delta`` carries the COMPLETE new
+    adjacency (src, dst, score) for every touched src; only the
+    buckets containing touched srcs are read and rewritten (rows of
+    untouched srcs in those buckets survive via an anti-join), the
+    partition-pruned MERGE bill q213 pays — O(touched buckets), not
+    O(index)."""
+    import shutil
+    import uuid
+
+    delta = delta.select("src", "dst", "score").localCheckpoint()
+    last: ConcurrentWriteConflict | None = None
+    for _ in range(max_retries + 1):
+        snap = _scd1_snapshot(root)
+        _scd1_check_spec(snap, n_buckets, "ann_index_commit")
+        d = delta.withColumn("pbucket", _ann_bucket_of(n_buckets))
+        touched = sorted(
+            r["pbucket"]
+            for r in d.select("pbucket").distinct().collect()
+        )
+        prev_paths = [
+            f"{root}/{snap['bucket_dir'][str(b)]}/pbucket={b}"
+            for b in touched
+            if str(b) in snap["bucket_dir"]
+        ]
+        out = d
+        if prev_paths:
+            keep = (
+                spark.read.parquet(*prev_paths)
+                .join(delta.select("src").distinct(), "src", "anti")
+                .withColumn("pbucket", _ann_bucket_of(n_buckets))
+            )
+            out = keep.unionByName(out)
+        dirname = f"commit_w{uuid.uuid4().hex[:12]}"
+        out.write.partitionBy("pbucket").parquet(f"{root}/{dirname}")
+        survivors = {
+            r["pbucket"]
+            for r in out.select("pbucket").distinct().collect()
+        }
+        pending = {
+            "dir": dirname,
+            "buckets": touched,
+            "drop_buckets": [b for b in touched if b not in survivors],
+            "read_version": snap["version"],
+            "read_map": dict(snap["bucket_dir"]),
+            "read_deletes": {},
+            "kind": "merge",
+            "n_buckets": n_buckets,
+        }
+        try:
+            return _scd1_publish(root, pending)
+        except ConcurrentWriteConflict as e:
+            shutil.rmtree(f"{root}/{dirname}", ignore_errors=True)
+            last = e
+    raise last  # type: ignore[misc]
+
+
+def ann_index_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """(src, dst, score) AS OF a manifest version (default newest) —
+    one bucketed parquet scan, the serving restart's whole bill. The
+    manifest-then-paths resolution is snapshot-isolated exactly like
+    `scd1_read_as_of` (immutable manifests, writer-unique dirs)."""
+    import json
+    import os
+
+    mdir = os.path.join(root, "_manifest")
+    if version is None:
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        if not versions:
+            raise ValueError(f"ann_index_read: no manifest under {root!r}")
+        version = versions[-1]
+    with open(os.path.join(mdir, f"v{version}.json")) as fh:
+        man = json.load(fh)
+    bdir = _manifest_bucket_dir(man)
+    paths = [
+        f"{root}/{d}/pbucket={b}" for b, d in sorted(bdir.items())
+    ]
+    if not paths:
+        return spark.range(0).select(
+            F.lit(None).cast("long").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+            F.lit(None).cast("double").alias("score"),
+        )
+    return spark.read.parquet(*paths).select("src", "dst", "score")
+
+
+# ---- Q229b streaming graph-ANN serving FROM THE PERSISTED INDEX
+@query(
+    "q229b_stream_ann_serve_persisted",
+    oracle=None,  # bound below — q219's oracle text VERBATIM (q229 idiom)
+    tags=("streaming", "similarity", "graph", "ann", "write"),
+)
+def q229b(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING graph-ANN serving from the ON-DISK index (round 16,
+    verdict #4 — closes q229's restart gap): the NN-Descent graph is
+    built once, PERSISTED through the bucketed-manifest store
+    (`ann_index_write` — the q217 bucketed-layout idea under the q213
+    commit protocol), and the serving loop then answers every query
+    trigger from `ann_index_read`'s frame — so a serving RESTART pays
+    one bucketed parquet scan (+ manifest resolve), never the
+    O(N·k²·iters) descent rebuild q229 would repeat. The persisted
+    edges are value-identical to the built frame (parquet round-trips
+    (long, long, double) exactly), the walk is deterministic, and the
+    serving is stateless over a frozen index — so this row carries
+    q219's full hash oracle VERBATIM, now pinning BOTH the round-trip
+    and the serve (write -> read -> walk == the batch walk).
+
+    At 100 TB: the index table is src-bucketed (each node's adjacency
+    co-located in one file); maintenance commits rewrite only touched
+    buckets (`ann_index_commit`, exercised by the q219b persistence
+    path and its pytest); serving cost per trigger is unchanged from
+    q229."""
+    from ..operators import similarity
+    from ..session import scratch_dir
+    from ..streaming.replay import run_foreach_batch
+    from .pipeline import (
+        _Q218_ITERS,
+        _Q218_K,
+        _Q219_BEAM,
+        _Q219_ENTRIES,
+        _Q219_HOPS,
+        _Q219_K,
+        _Q219_NQ,
+    )
+
+    (emb,) = load(spark, sf, "embeddings")
+    root = scratch_dir("kstreamjs_ann_serve", sf)
+    ann_index_write(
+        similarity.nn_descent(
+            emb, k=_Q218_K, iters=_Q218_ITERS
+        ).drop("rn"),
+        root,
+    )
+    # the restart path: everything the serving loop knows about the
+    # index comes off disk (one bucketed scan, pinned in memory for
+    # the triggers that follow)
+    g = ann_index_read(spark, root).localCheckpoint()
+    vv = emb.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    ).localCheckpoint()
+    n = vv.count()
+    sdf = stream_table(spark, sf, "embeddings").filter(
+        F.col("vec_id") < _Q219_NQ
+    )
+    acc: dict = {"df": None}
+
+    def commit(batch_df: DataFrame, _bid: int) -> None:
+        qs = batch_df.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ).dropDuplicates(["qid"])
+        if qs.limit(1).count() == 0:
+            return
+        res = similarity.graph_ann_topk(
+            g, vv, qs,
+            k=_Q219_K, beam=_Q219_BEAM, hops=_Q219_HOPS,
+            n_entries=_Q219_ENTRIES, entry_mod=n,
+        ).localCheckpoint()
+        acc["df"] = (
+            res if acc["df"] is None else acc["df"].unionByName(res)
+        )
+
+    run_foreach_batch(sdf, commit, "ann_serve_disk")
+    if acc["df"] is None:
+        raise ValueError(
+            "q229b: query stream produced zero micro-batches"
+        )
+    return acc["df"].orderBy("qid", "rn")
+
+
+REGISTRY["q229b_stream_ann_serve_persisted"] = _dc_replace(
+    REGISTRY["q229b_stream_ann_serve_persisted"],
+    oracle=_q219_oracle_text(),
+)

@@ -938,9 +938,13 @@ def main() -> int:
         vv = vectors.select(
             F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
         )
+        # exclude_self (round-16 ADVICE): queries ARE corpus nodes, so
+        # without it the walk's guaranteed self-hit at score 1.0 would
+        # inflate recall by up to 1/k per query — the exact side
+        # (knn_join) already excludes self
         kept = similarity.graph_ann_topk(
             gg, vv, qsb, k=_Q219_K, beam=beam, hops=hops,
-            n_entries=_Q219_ENTRIES,
+            n_entries=_Q219_ENTRIES, exclude_self=True,
         ).collect()
         hits = sum(
             1 for r in kept if round(r["score"], 6) >= kth[r["qid"]]
@@ -1005,7 +1009,7 @@ def main() -> int:
         )
         kept = similarity.graph_ann_topk(
             gg, vv, qsb, k=_Q219_K, beam=beam, hops=hops,
-            n_entries=entries, filter_col="keep",
+            n_entries=entries, filter_col="keep", exclude_self=True,
         ).collect()
         hits = sum(
             1 for r in kept if round(r["score"], 6) >= kth[r["qid"]]

@@ -3760,6 +3760,52 @@ def test_perceptron_train_separates_planted_corpus(spark, tmp_path):
     assert m_en > 0 and m_de < 0, (m_en, m_de)
 
 
+def test_perceptron_nonseparable_corpus_oscillates_bounded(
+    spark, tmp_path
+):
+    """q223 on a NON-separable corpus (round-16 verdict ask): every
+    doc has IDENTICAL text, labels 3 'en' vs 2 'de' — no weight
+    vector separates them, the classic perceptron-cycling regime.
+    Full-batch updates are deterministic, so the 5-round trajectory
+    is a closed form: w=0 -> (2,1) -> (-2,-1) -> (4,2) -> (0,0) ->
+    (2,1). Pins (a) the exact final weights (schedule-independent
+    convergence behavior, not divergence), (b) every other bucket
+    stays zero, (c) weights stay bounded by T * total token count —
+    the docstring's growth bound, on the corpus that stresses it."""
+    import os
+
+    from kstreamjs_spark.operators.text import _portable_token_hash
+    from kstreamjs_spark.queries import all_queries
+
+    docs = [
+        (i, "xx xx", ("en" if i < 3 else "de"), "s", 0)
+        for i in range(5)
+    ]
+    sf = str(tmp_path / "sf_q223ns")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    w = {
+        r["bucket"]: r["weight"]
+        for r in all_queries()["q223_perceptron_quality_train"]
+        .fn(spark, sf)
+        .collect()
+    }
+    b = (
+        spark.range(1)
+        .select(
+            F.pmod(_portable_token_hash(F.lit("xx")), F.lit(64)).alias("b")
+        )
+        .first()["b"]
+    )
+    assert w[b] == 2 and w[-1] == 1, (w[b], w[-1])
+    assert all(v == 0 for k, v in w.items() if k not in (b, -1))
+    total_tokens = 5 * 2
+    assert all(abs(v) <= 5 * total_tokens for v in w.values())
+
+
 def test_graph_ann_filtered_search_gate(spark):
     """q219c's 'Done' gate: tie-aware FILTERED recall >= 0.9 on the
     smoke corpus with the shipped oversearch knobs (beam=48 ~

@@ -3182,6 +3182,101 @@ def test_scd1_rebucket_conflicts_with_any_commit(spark, tmp_path):
         })
 
 
+def test_scd1_reader_snapshot_isolated_across_rebucket(spark, tmp_path):
+    """Round-16 verdict ask: a reader that RESOLVED its manifest
+    before a concurrent `scd1_rebucket` must keep a consistent
+    old-spec view when it finally collects — never mixed specs,
+    never a vanished-file error. Holds by construction (manifests
+    are immutable, data dirs writer-unique, rebucket prunes
+    nothing), pinned here: (a) a pre-rebucket lazy frame collected
+    AFTER the swap equals the pre-rebucket rollup; (b) a reader
+    resolving after the swap sees the new spec's identical rollup;
+    (c) the pre-rebucket manifest still resolves explicitly."""
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_read_as_of,
+        scd1_rebucket,
+    )
+
+    root = str(tmp_path / "dim_rbsnap")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u, 1 + u % 2, float(u)) for u in range(12)]),
+        n_buckets=4,
+    )
+    # reader resolves the manifest NOW (paths pinned to v0's files)...
+    reader = scd1_read_as_of(spark, root)
+    expect = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    # ...the swap lands...
+    scd1_rebucket(spark, root, 8)
+    # ...(a) and the pre-swap reader still sees its snapshot
+    got = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in reader.collect()
+    )
+    assert got == expect
+    # (b) post-swap resolution: same rows under the new spec
+    after = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root).collect()
+    )
+    assert after == expect
+    # (c) explicit AS-OF the pre-rebucket version
+    asof0 = sorted(
+        (r["user_id"], r["n_events"], r["last_value"])
+        for r in scd1_read_as_of(spark, root, version=0).collect()
+    )
+    assert asof0 == expect
+
+
+def test_scd1_empty_table_reads_and_rebuckets(spark, tmp_path):
+    """Round-16 ADVICE: full-table deletion is a legal state. After
+    every key is deleted and purged (bucket_dir empties), (a)
+    `scd1_read_as_of` returns an EMPTY frame with the table schema
+    instead of an opaque zero-path parquet error; (b)
+    `scd1_rebucket` publishes the new spec on the empty table; (c)
+    a later commit writes under the evolved spec and the table
+    comes back."""
+    import json
+    import os
+
+    from kstreamjs_spark.queries.streaming_q import (
+        scd1_commit_batch,
+        scd1_delete_where,
+        scd1_purge_deletes,
+        scd1_read_as_of,
+        scd1_rebucket,
+    )
+
+    root = str(tmp_path / "dim_empty")
+    scd1_commit_batch(
+        spark, root,
+        _scd1_batch(spark, [(u, 2, float(u)) for u in range(6)]),
+        n_buckets=4,
+    )
+    scd1_delete_where(spark, root, "user_id >= 0", n_buckets=4)
+    scd1_purge_deletes(spark, root, n_buckets=4)
+    empty = scd1_read_as_of(spark, root)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "user_id", "n_events", "last_ts", "last_value",
+    ]
+    v = scd1_rebucket(spark, root, 8)
+    with open(os.path.join(root, "_manifest", f"v{v}.json")) as fh:
+        man = json.load(fh)
+    assert man["n_buckets"] == 8 and man["bucket_dir"] == {}
+    assert scd1_read_as_of(spark, root).count() == 0
+    scd1_commit_batch(
+        spark, root, _scd1_batch(spark, [(41, 1, 7.0)]), n_buckets=8
+    )
+    rows = scd1_read_as_of(spark, root).collect()
+    assert [(r["user_id"], r["n_events"], r["last_value"])
+            for r in rows] == [(41, 1, 7.0)]
+
+
 def test_stream_cdc_lww_tombstone_semantics(spark, tmp_path):
     """q226's CDC contract on a planted ledger, split across 2
     triggers BOTH ways: (a) a key whose latest record is a tombstone
@@ -3354,3 +3449,169 @@ def test_stream_weighted_minhash_equals_batch(spark):
     )
     assert stream == batch
     assert batch  # non-vacuous: the smoke corpus has >= 1 pair
+
+
+def test_stream_chunk_dedup_schedule_invariance(spark, tmp_path):
+    """q221b's contract (round 16): for ANY in-doc-order trigger
+    split, the streamed chunk-dedup table equals batch q221 on the
+    same corpus. Planted cases: within-doc repeat (doc 0), cross-doc
+    repeat within one trigger (docs 0/1), cross-TRIGGER repeat (doc
+    3 repeats doc 0's chunk), an all-repeat doc whose rebuilt_fp is
+    the 0 sentinel (doc 4), and a unique doc (doc 2). Runs the 1-,
+    2-, and 3-file splits; all must agree with batch."""
+    import os
+
+    from kstreamjs_spark.queries import all_queries
+    from kstreamjs_spark.queries.streaming_q import chunk_dedup_stream
+
+    w = 8  # _Q221_W
+
+    def words(seed, n):
+        # the repo fingerprint's token hash keys on (length, first
+        # char, last char): seeds must differ in the FIRST char, and
+        # tokens within a seed in the LAST, or planted chunks collide
+        return " ".join(f"{seed}{i}" for i in range(n))
+
+    a = words("a", w)          # chunk A
+    b = words("b", w)          # chunk B
+    u = words("u", w)          # unique chunk
+    docs = [
+        (0, f"{a} {a} {b}", "en", "s", 0),        # within-doc repeat of A
+        (1, f"{b} {words('c', w)}", "en", "s", 0),  # B repeats cross-doc
+        (2, u, "en", "s", 0),                      # untouched
+        (3, f"{a} {words('d', 5)}", "en", "s", 0),  # A repeats cross-trigger
+        (4, f"{a} {b}", "en", "s", 0),             # every chunk a repeat -> 0
+    ]
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf = str(tmp_path / "sf_q221b")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(docs, schema).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    batch = sorted(
+        tuple(r) for r in
+        all_queries()["q221_chunk_dedup_rebuild"].fn(spark, sf).collect()
+    )
+    # the all-repeat doc hits the 0 sentinel; doc 0 keeps A once
+    by_id = {t[0]: t for t in batch}
+    assert by_id[4][3] == 0 and by_id[4][2] == 0
+    assert by_id[0][1] == 3 and by_id[0][2] == 2
+
+    df = spark.createDataFrame(docs, schema)
+    for cuts in ([5], [2, 5], [2, 4, 5]):  # 1-, 2-, 3-file splits
+        src = str(tmp_path / f"q221b_{len(cuts)}")
+        os.makedirs(src, exist_ok=True)
+        lo = 0
+        for i, hi in enumerate(cuts):
+            df.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+            lo = hi
+        sdf = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+            .select("doc_id", F.split("text", " ").alias("ts"))
+        )
+        got = sorted(
+            tuple(r) for r in chunk_dedup_stream(sdf).collect()
+        )
+        assert got == batch, (cuts, got, batch)
+
+
+def test_stream_knn_graph_insert_persists_index(spark, tmp_path):
+    """Round-16 verdict #4: the maintained graph-ANN index rides the
+    on-disk bucketed-manifest store. On the planted 4-cluster
+    manifold (the q219b fixture), the insert stream runs with
+    ``persist_root``; pins (a) `ann_index_read` == the returned
+    in-memory graph EXACTLY (src, dst, score sets equal — every
+    trigger's per-src replacement commit captured every changed
+    row); (b) the manifest advanced one version per trigger past the
+    seed's v0; (c) commits are bucket-granular: an untouched
+    bucket's dir entry is REUSED verbatim across versions (no
+    full-table rewrite); (d) a 'restart' — rereading the index from
+    disk — serves q219's walk identically to the in-memory frame."""
+    import json
+    import os
+
+    import numpy as np
+
+    from kstreamjs_spark.operators import similarity
+    from kstreamjs_spark.queries.streaming_q import (
+        ann_index_read,
+        knn_graph_insert_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 8) * 10.0
+    n = 48
+    base = centers[np.arange(n) % 4] + rng.standard_normal((n, 8)) * 0.05
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "vec_src_p")
+    os.makedirs(src, exist_ok=True)
+    # trigger 2 inserts ONE vector: its touched-src set stays inside
+    # one cluster, so bucket-granular commit reuse (c) is observable
+    df.filter(F.col("vec_id") < 47).coalesce(1).write.parquet(
+        f"{src}/f0.parquet"
+    )
+    df.filter(F.col("vec_id") >= 47).coalesce(1).write.parquet(
+        f"{src}/f1.parquet"
+    )
+    sdf = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src + "/*")
+    seed = df.filter(F.col("vec_id") < 24)
+    root = str(tmp_path / "ann_idx")
+    g = knn_graph_insert_stream(
+        sdf, seed, k=3, refine_rounds=2, persist_root=root
+    )
+    mem = {
+        (r["src"], r["dst"], r["score"]) for r in g.drop("rn").collect()
+    }
+    disk = {
+        (r["src"], r["dst"], r["score"])
+        for r in ann_index_read(spark, root).collect()
+    }
+    assert disk == mem                                   # (a)
+    mdir = os.path.join(root, "_manifest")
+    versions = sorted(
+        int(f[1:-5]) for f in os.listdir(mdir) if f.endswith(".json")
+    )
+    assert versions == [0, 1, 2]                         # (b) v0 + 2 triggers
+    manifests = {}
+    for v in versions:
+        with open(os.path.join(mdir, f"v{v}.json")) as fh:
+            manifests[v] = json.load(fh)["bucket_dir"]
+    # (c) at least one bucket survives v1 -> v2 with its dir REUSED
+    # (trigger 2 touches a subset; a full rewrite would re-dir all)
+    reused = [
+        b for b in manifests[1]
+        if manifests[2].get(b) == manifests[1][b]
+    ]
+    assert reused, (manifests[1], manifests[2])
+    # (d) restart serve: the disk frame answers the walk identically
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        similarity.as_double("embedding").alias("qv"),
+    )
+    vv = df.select(
+        F.col("vec_id").alias("node"), F.col("embedding").alias("vec")
+    )
+    kw = dict(k=3, beam=6, hops=3, entry_mod=n)
+    serve_mem = sorted(
+        (r["qid"], r["rn"], r["node"], r["score"])
+        for r in similarity.graph_ann_topk(
+            g.drop("rn"), vv, qs, **kw
+        ).collect()
+    )
+    serve_disk = sorted(
+        (r["qid"], r["rn"], r["node"], r["score"])
+        for r in similarity.graph_ann_topk(
+            ann_index_read(spark, root), vv, qs, **kw
+        ).collect()
+    )
+    assert serve_disk == serve_mem
