@@ -533,7 +533,18 @@ def hamming_neardup_pairs(
             f"hamming_neardup_pairs guarantees recall for max_hamming <= 6 "
             f"(2-of-8-chunk pigeonhole), got {max_hamming}"
         )
+    # Materialize the (id, hash) projection ONCE before the self-join:
+    # both join sides otherwise replay the full upstream subtree, and for
+    # every caller of this operator that subtree is the most expensive
+    # stage in the query (codec synth + entropy decode + pHash — measured
+    # 2x the whole query's decode bill on q174/q158c). 16 bytes/row, so
+    # the materialized footprint is trivial at any corpus size; guide
+    # §3.3 (duplicated subtrees) / §5 (cheap lineage cut).
+    from kstreamjs_spark.plans import materialize_once
+
     sh = hashed.select(F.col(id_col), F.col(hash_col).alias("h"))
+    if not hashed.isStreaming:
+        sh = materialize_once(sh, eager=False)
     if max_hamming <= 3:
         chunk_structs = [
             F.struct(

@@ -12,7 +12,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .core import _MAX_DECODE_BYTES, _decode_meta_blobs
+from .core import _MAX_DECODE_BYTES, _decode_meta_blobs, widen_partitions
 
 # --------------------------------------------------------- baseline JPEG
 def _jpeg_zigzag() -> list[int]:
@@ -1204,7 +1204,7 @@ def synth_jpeg420_blobs(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return df.select(id_col, len_col).mapInPandas(
+    return widen_partitions(df.select(id_col, len_col)).mapInPandas(
         make, f"{id_col} long, blob binary"
     )
 
@@ -1248,7 +1248,7 @@ def synth_jpeg_blobs(
                 blobs.append(encode_jpeg(8 * wb, 8 * hb, vals))
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return df.select(id_col, len_col).mapInPandas(
+    return widen_partitions(df.select(id_col, len_col)).mapInPandas(
         make, f"{id_col} long, blob binary"
     )
 

@@ -13,7 +13,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .core import _decode_meta_blobs
+from .core import _decode_meta_blobs, widen_partitions
 from .image import _pixels_to_luma, phash64
 from .jpeg import decode_jpeg_pixels, encode_jpeg
 
@@ -489,7 +489,7 @@ def synth_mp4_blobs(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return df.select(id_col, len_col).mapInPandas(
+    return widen_partitions(df.select(id_col, len_col)).mapInPandas(
         make, f"{id_col} long, blob binary"
     )
 
@@ -616,7 +616,7 @@ def synth_mjpeg_blobs(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return df.select(id_col, len_col).mapInPandas(
+    return widen_partitions(df.select(id_col, len_col)).mapInPandas(
         make, f"{id_col} long, blob binary"
     )
 

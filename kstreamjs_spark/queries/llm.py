@@ -941,7 +941,7 @@ def _synth_group_bmps(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(
         make_bmps, "doc_id long, blob binary"
     )
 
@@ -1060,7 +1060,7 @@ def _synth_group_images_multicodec(df: DataFrame) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(
         make_blobs, "doc_id long, blob binary"
     )
 
@@ -1145,7 +1145,7 @@ def _synth_group_images_quadcodec(df: DataFrame) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(
         make_blobs, "doc_id long, blob binary"
     )
 
@@ -1313,7 +1313,7 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    blobs = documents.select("doc_id").mapInPandas(
+    blobs = multimodal.widen_partitions(documents.select("doc_id")).mapInPandas(
         make_wavs, "doc_id long, blob binary"
     )
     hashed = multimodal.afp_blobs(blobs)
@@ -1351,7 +1351,7 @@ def _synth_group_clips_dualcodec(df: DataFrame) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(
         make_clips, "doc_id long, blob binary"
     )
 
@@ -1650,7 +1650,7 @@ def q40c(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+    blobs = multimodal.widen_partitions(documents.select("doc_id", "n_chars")).mapInPandas(
         make_wavs, "doc_id long, blob binary"
     )
     return multimodal.decode_audio_blobs(blobs)
@@ -1701,7 +1701,7 @@ def q40d(spark: SparkSession, sf: str) -> DataFrame:
                 blobs.append(multimodal.encode_png(w, h, px, c))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    blobs = documents.select("doc_id", "n_chars").mapInPandas(
+    blobs = multimodal.widen_partitions(documents.select("doc_id", "n_chars")).mapInPandas(
         make_pngs, "doc_id long, blob binary"
     )
     return multimodal.decode_png_blobs(blobs)
@@ -3726,7 +3726,7 @@ def _synth_gif_anim_blobs(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(make, "doc_id long, blob binary")
 
 
 @query(
@@ -3795,7 +3795,7 @@ def _synth_apng_anim_blobs(df: DataFrame) -> DataFrame:
                 blobs.append(multimodal.encode_apng(56, 56, frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return df.select("doc_id").mapInPandas(make, "doc_id long, blob binary")
+    return multimodal.widen_partitions(df.select("doc_id")).mapInPandas(make, "doc_id long, blob binary")
 
 
 @query(
