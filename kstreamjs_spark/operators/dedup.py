@@ -359,6 +359,15 @@ def _lsh_candidate_pairs(
     sig = _spread(eligible, id_col).select(
         F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
     )
+    # The l/r sides below both derive from this projection; without a
+    # lineage cut each side replays the O(shingles x perms) signature
+    # fold — the most expensive stage of every minhash query — twice
+    # (guide §3.3 duplicated subtrees). num_perm longs + id per row, so
+    # the materialized frame is small at any corpus size.
+    if not documents.isStreaming:
+        from kstreamjs_spark.plans import materialize_once
+
+        sig = materialize_once(sig, eager=False)
     band_arr = minhash_bands(F.col("sig"), num_perm, bands)
     banded = sig.select(
         F.col(id_col), F.col("sig"), F.explode(band_arr).alias("bs")

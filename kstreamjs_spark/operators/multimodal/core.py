@@ -19,34 +19,7 @@ BLOB_META_SCHEMA = (
 )
 
 
-def widen_partitions(df: DataFrame) -> DataFrame:
-    """Spread a narrow scan across every core before a per-row-expensive
-    Python kernel (codec synth/decode).
-
-    Why: the fixture tables are KB-scale parquet files, so the scan
-    arrives as ONE input split (a single row group cannot be split
-    below `maxPartitionBytes`), and every mapInPandas codec chain built
-    on it — encode + container walk + entropy decode + pHash, the most
-    expensive per-row work in the repo — would run as a single task on
-    one core while the other 31 idle (measured: q174 26.8 s -> 0.9 s
-    at 32 cores from this change alone). The exchange this buys costs
-    a few KB: it carries only the id/len columns, never blobs.
-
-    Scale-adaptive, never harmful at 100 TB: the target is
-    `defaultParallelism` (total cluster cores), and a scan that already
-    has that many partitions — any real corpus — is returned untouched,
-    so the repartition only fires in the tiny-input regime where it is
-    free. Widen-only; never shrinks or re-keys a healthy layout.
-    Streaming frames pass through (micro-batch planning owns their
-    partitioning; `.rdd` is not defined pre-materialization)."""
-    if df.isStreaming:
-        return df
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
-
+from kstreamjs_spark.plans import widen_partitions  # noqa: F401  (re-export: synth helpers + queries import it from here)
 
 
 def with_blob(df: DataFrame, text_col: str = "text", blob_col: str = "blob") -> DataFrame:

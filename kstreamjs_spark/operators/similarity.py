@@ -1041,7 +1041,13 @@ def gram_upper(
                 }
             )
 
-    partials = df.select(vec_col).mapInPandas(part, "i int, j int, cell_q long")
+    from kstreamjs_spark.plans import widen_partitions
+
+    # int64 partials are commutative — partition-invariant result; the
+    # embedding scan is one split (guide §2.5), widen before the einsum
+    partials = widen_partitions(df.select(vec_col)).mapInPandas(
+        part, "i int, j int, cell_q long"
+    )
     return partials.groupBy("i", "j").agg(
         F.sum("cell_q").cast("long").alias("cell_q")
     )

@@ -203,7 +203,12 @@ def compressibility(df, text_col: str = "text", id_col: str = "doc_id",
             )
 
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.select(id_col, text_col).mapInPandas(
+    from kstreamjs_spark.plans import widen_partitions
+
+    # per-row zlib is the expensive stage; the fixture scan is one split
+    # (guide §2.5) — widen before the Python boundary, per-row output so
+    # partitioning cannot change results
+    return widen_partitions(df.select(id_col, text_col)).mapInPandas(
         batches,
         f"{id_col} {id_type}, n_bytes long, n_compressed long, "
         "comp_ratio double",

@@ -9,6 +9,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def widen_partitions(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across every core before per-row-expensive
+    compute (codec kernels, zlib, einsum partials).
+
+    The KB-scale fixture tables arrive as ONE input split (a single
+    parquet row group cannot be split below maxPartitionBytes), so any
+    heavy mapInPandas chain built directly on the scan runs as a single
+    task while the other cores idle (guide §2.5 input skew / §6 splits;
+    measured: q174 26.8 s -> 0.9 s at 32 cores). Scale-adaptive and
+    widen-only: the target is ``defaultParallelism`` and any input that
+    already has that many partitions — every real corpus — passes
+    through untouched, so the exchange only fires in the tiny-input
+    regime where it moves KBs. ONLY safe for partition-INVARIANT
+    kernels (per-row projections, commutative integer partials); do NOT
+    widen Misra-Gries/KLL-style summaries whose estimates depend on the
+    split. Streaming frames pass through (``.rdd`` is undefined there;
+    use an explicit keyed repartition like dedup._spread instead)."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), mode

@@ -2017,10 +2017,17 @@ def minhash_banded_projection(
     ~2 s on the sf0.1 corpus — the round-14 bench caught it); the
     Generate (explode) barrier between the two projections is what
     keeps Catalyst from collapsing them back together."""
-    from ..operators.dedup import minhash_bands, minhash_signature, tokens
+    from ..operators.dedup import _spread, minhash_bands, minhash_signature, tokens
 
+    # _spread before the fold (guide §2.5): the replayed single-file
+    # micro-batch arrives as ONE source partition, so the O(shingles x
+    # perms) signature fold otherwise runs on one core per trigger. The
+    # repartition moves only (doc_id, text) rows and is keyed by id, so
+    # it is valid on the streaming side too (plain exchange, no state);
+    # the downstream stateful grouping re-shuffles by state key as
+    # before. Measured: q205b stream-projection stage 3.2 s -> sub-1 s.
     sig = (
-        df.filter(F.size(tokens("text")) >= n)
+        _spread(df.filter(F.size(tokens("text")) >= n), "doc_id")
         .select(
             "doc_id",
             minhash_signature("text", num_perm, n, seed).alias("sig"),
