@@ -2307,10 +2307,22 @@ def minhash_verified_stream(
     duplicate emissions re-verify (<= bands x) and collapse in the
     caller's distinct; a production sink would dropDuplicates per
     trigger instead."""
-    from ..operators.dedup import shingles
+    from ..operators.dedup import shingles, spread
+    from ..plans import materialize_once
 
     cand = minhash_candidate_stream(sdf, num_perm, bands, n, seed)
-    sh = corpus.select("doc_id", shingles("text", n).alias("sh"))
+    # The static shingle side feeds BOTH join sides (s1 and s2), and a
+    # stream-static join replays its static subtree every micro-batch —
+    # without a lineage cut the corpus is re-shingled 2 x batches times
+    # (guide §3.3 duplicated subtrees). Shingle once, spread across
+    # cores (the one-row-group scan), checkpoint lazily; the frame is
+    # (id, shingle array) — the same bytes the batch verify holds.
+    sh = materialize_once(
+        spread(corpus, "doc_id").select(
+            "doc_id", shingles("text", n).alias("sh")
+        ),
+        eager=False,
+    )
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     joined = cand.join(s1, "d1").join(s2, "d2")
