@@ -298,6 +298,88 @@ def minhash_signature(
     )
 
 
+def minhash_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) MinHash-signature frame — same bits as
+    :func:`minhash_signature`, computed the fast way (round 16).
+
+    Why not SQL: the expression fold (`aggregate` + `zip_with`) is a
+    higher-order function, and HOFs evaluate INTERPRETED — no
+    whole-stage codegen — so the O(shingles x perms) inner loop paid
+    ~55 ns/op on the sf0.1 corpus (1.3 s of q205b's bill; same again in
+    q26b). Here the shingle HASHING stays an expression in the scan
+    projection (xxhash64 must match Spark's bit-for-bit, so it never
+    leaves the JVM), and only the integer permutation fold crosses to an
+    Arrow-batched numpy kernel: (h x A + B) mod p with a reduceat
+    segment-min, ~1 ns/op vectorized. Exactness: int64 arithmetic with
+    h, a < 2^31 keeps h*a + b < 2^63 (the same overflow-safety argument
+    the expression documents), so results are BIT-IDENTICAL — pinned by
+    the equality pytest against the expression version.
+
+    Scale shape: per-row work in the scan stage, zero shuffle; batches
+    are processed in <= ~2^18-shingle chunks so the (chunk x num_perm)
+    int64 matrix stays ~128 MB regardless of document length skew.
+    Works on batch and streaming frames alike (mapInPandas)."""
+    import numpy as np
+    import pandas as pd
+
+    params = [
+        (a % (MINHASH_PRIME - 1) + 1, b % MINHASH_PRIME)
+        for a, b in _perm_params(num_perm, seed)
+    ]
+    A = np.array([p[0] for p in params], dtype=np.int64)
+    B = np.array([p[1] for p in params], dtype=np.int64)
+    init = np.int64(1) << np.int64(62)
+    budget = 1 << 18  # shingle-hash rows per numpy chunk
+
+    hs = F.transform(
+        shingles(text_col, n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)),
+    )
+    hashed = df.select(F.col(id_col), hs.alias("hs"))
+
+    def fold(batches):
+        for pdf in batches:
+            out = np.full((len(pdf), num_perm), init, dtype=np.int64)
+            arrs = pdf["hs"].tolist()
+            chunk: list[np.ndarray] = []
+            rows: list[int] = []
+            size = 0
+
+            def flush():
+                if not chunk:
+                    return
+                h_all = np.concatenate(chunk)
+                m = (h_all[:, None] * A[None, :] + B[None, :]) % MINHASH_PRIME
+                starts = np.cumsum([0] + [len(c) for c in chunk[:-1]])
+                mins = np.minimum.reduceat(m, starts, axis=0)
+                out[np.array(rows)] = np.minimum(mins, init)
+                chunk.clear()
+                rows.clear()
+
+            for i, a in enumerate(arrs):
+                if a is None or len(a) == 0:
+                    continue  # keeps the fold's init row, like aggregate()
+                chunk.append(np.asarray(a, dtype=np.int64))
+                rows.append(i)
+                size += len(a)
+                if size >= budget:
+                    flush()
+                    size = 0
+            flush()
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": [r.tolist() for r in out]}
+            )
+
+    return hashed.mapInPandas(fold, schema=f"{id_col} long, sig array<bigint>")
+
+
 def _check_bands(num_perm: int, bands: int) -> int:
     if num_perm % bands:
         # Silent truncation would leave the trailing num_perm % bands
@@ -356,8 +438,8 @@ def _lsh_candidate_pairs(
     # a predicate on the signature itself would make Catalyst evaluate the
     # whole fold twice (once in the filter, once in the projection).
     eligible = documents.filter(F.size(tokens(text_col)) >= n)
-    sig = _spread(eligible, id_col).select(
-        F.col(id_col), minhash_signature(text_col, num_perm, n, seed).alias("sig")
+    sig = minhash_signature_frame(
+        _spread(eligible, id_col), id_col, text_col, num_perm, n, seed
     )
     # The l/r sides below both derive from this projection; without a
     # lineage cut each side replays the O(shingles x perms) signature

@@ -2017,7 +2017,12 @@ def minhash_banded_projection(
     ~2 s on the sf0.1 corpus — the round-14 bench caught it); the
     Generate (explode) barrier between the two projections is what
     keeps Catalyst from collapsing them back together."""
-    from ..operators.dedup import _spread, minhash_bands, minhash_signature, tokens
+    from ..operators.dedup import (
+        _spread,
+        minhash_bands,
+        minhash_signature_frame,
+        tokens,
+    )
 
     # _spread before the fold (guide §2.5): the replayed single-file
     # micro-batch arrives as ONE source partition, so the O(shingles x
@@ -2026,12 +2031,18 @@ def minhash_banded_projection(
     # it is valid on the streaming side too (plain exchange, no state);
     # the downstream stateful grouping re-shuffles by state key as
     # before. Measured: q205b stream-projection stage 3.2 s -> sub-1 s.
-    sig = (
-        _spread(df.filter(F.size(tokens("text")) >= n), "doc_id")
-        .select(
-            "doc_id",
-            minhash_signature("text", num_perm, n, seed).alias("sig"),
-        )
+    # Round 16: the permutation fold runs in the Arrow-batched numpy
+    # kernel (minhash_signature_frame, bit-identical by the equality
+    # pytest) instead of the interpreted higher-order-function
+    # expression — guide §4.2; works on the streaming side because
+    # mapInPandas is stateless.
+    sig = minhash_signature_frame(
+        _spread(df.filter(F.size(tokens("text")) >= n), "doc_id"),
+        "doc_id",
+        "text",
+        num_perm,
+        n,
+        seed,
     )
     return (
         sig.select(
@@ -4013,7 +4024,19 @@ def q214b(spark: SparkSession, sf: str) -> DataFrame:
     cand = bucket_pair_stream(banded).select(
         F.col("d1").alias("v1"), F.col("d2").alias("v2")
     )
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # q205b's rationale: the static vector store feeds BOTH verify-join
+    # sides and a stream-static join replays its static subtree every
+    # micro-batch — cast + scan once, checkpoint, derive both sides
+    # (guide §3.3 duplicated subtrees).
+    from ..operators.dedup import spread
+    from ..plans import materialize_once
+
+    e = materialize_once(
+        spread(emb, "vec_id").select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ),
+        eager=False,
+    )
     s1 = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"))
     s2 = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"))
     joined = cand.join(s1, "v1").join(s2, "v2")

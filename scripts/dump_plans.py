@@ -1,45 +1,39 @@
-"""Dump .explain('formatted') for named queries to files.
+"""Dump .explain("formatted") for bench queries to plans/r16/<q>_<tag>.txt.
 
-Usage: python scripts/dump_plans.py <out_dir> <suffix> [query ...]
-Writes <out_dir>/<query>_<suffix>.txt for each query (at sf0.1 —
-plan shape, not execution). Queries whose build phase executes jobs
-(iterative loops) still only pay their build cost, not a full run.
+Usage: python scripts/dump_plans.py <tag> [query ...]
+Defaults to every bench-basket query. Streaming queries whose fn runs a
+query to completion (returning a batch DataFrame of results) still
+explain fine — the plan is the final batch frame's.
 """
-
 from __future__ import annotations
 
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, "/root/repo")
 
+from kstreamjs_spark.plans import explain_str  # noqa: E402
 from kstreamjs_spark.queries import all_queries  # noqa: E402
 from kstreamjs_spark.session import get_spark  # noqa: E402
 
-
 def main() -> int:
-    out_dir = sys.argv[1]
-    suffix = sys.argv[2]
-    names = sys.argv[3:]
-    os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("dump-plans", cpus=32)
+    tag = sys.argv[1]
+    only = set(sys.argv[2:])
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("dump-plans", cpus=8, shuffle_partitions=8)
     qs = all_queries()
+    names = [n for n, s in sorted(qs.items()) if (n in only if only else s.bench)]
     for name in names:
         try:
             df = qs[name].fn(spark, sf)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = explain_str(df, "formatted")
         except Exception as e:  # noqa: BLE001
-            plan = f"ERROR building plan: {type(e).__name__}: {e}"
-        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
-        with open(path, "w") as f:
+            plan = f"ERROR: {type(e).__name__}: {e}"
+        with open(f"plans/r16/{name}_{tag}.txt", "w") as f:
             f.write(plan)
-        print(f"wrote {path} ({len(plan)} bytes)")
+        print("wrote", name)
     spark.stop()
     return 0
-
 
 if __name__ == "__main__":
     raise SystemExit(main())

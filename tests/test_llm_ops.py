@@ -34,6 +34,27 @@ def test_minhash_candidates_cover_exact_neardups(spark):
     assert exact <= approx, f"missed: {exact - approx}"
 
 
+def test_minhash_signature_frame_bit_identical(spark):
+    """Round-16 kernel swap: minhash_signature_frame (Arrow-batched
+    numpy permutation fold) must be BIT-IDENTICAL to the
+    minhash_signature expression fold for every document — the
+    equality the kernel's int64 overflow-safety argument promises.
+    Covers the empty-shingle edge (docs shorter than n tokens keep the
+    fold's init row) by not pre-filtering."""
+    d = docs(spark).select("doc_id", "text")
+    expr = {
+        r["doc_id"]: r["sig"]
+        for r in d.select(
+            "doc_id", dedup.minhash_signature("text").alias("sig")
+        ).collect()
+    }
+    frame = {
+        r["doc_id"]: r["sig"]
+        for r in dedup.minhash_signature_frame(d, "doc_id", "text").collect()
+    }
+    assert frame == expr
+
+
 def test_minhash_verified_equals_exact_neardups(spark):
     """Exact-verify of LSH candidates: no false positives by construction,
     and at this operating point the bands recall every true >=0.5 pair, so
