@@ -115,6 +115,12 @@ def _shingle_pair_counts(
         *[F.col(c) for c in pcols],
         shingles(text_col, n).alias("sh"),
     ).withColumn("n_sh", F.size("sh").cast("long"))
+    # Round 16 NOTE (audit follow-up): the static plan prints the
+    # shingle projection under both self-join sides, but both sides
+    # shuffle by the same canonical (shingle, partition) key, so the
+    # runtime plan collapses them into ONE exchange + ReusedExchange —
+    # a materialize_once here was A/B-measured ~0.2 s SLOWER at sf0.1
+    # (the checkpoint barrier buys nothing the reuse doesn't already).
     ex = sh.select(
         F.col(id_col),
         *[F.col(c) for c in pcols],

@@ -41,6 +41,46 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
+    """1-based index of the max-cosine centroid for ``vec`` — the IVF
+    cell assignment shared by `ivf_topk` and `ivfpq_topk`.
+
+    Round 16 (guide §4.1 / audit): the naive
+    ``array_position(sims, array_max(sims))`` inlines the whole
+    k-cosine array TWICE per row, and ``cosine`` refolds ``norm(vec)``
+    once PER CENTROID — 2 x k x 3 interpreted folds where k+1 suffice.
+    Here the vector, its norm, and the sims array are each bound once
+    per row (dedup.bind), and centroid norms are Python float literals
+    computed with the same sequential sum-of-squares order as the fold
+    expression, so every double is bit-identical to the previous shape
+    (the kmeans.assign_best precedent)."""
+    import math
+
+    from .dedup import bind
+
+    pairs = [
+        (
+            F.array(*[F.lit(float(x)) for x in c]),
+            math.sqrt(sum(float(x) * float(x) for x in c)),
+        )
+        for c in cents
+    ]
+
+    def sims_of(v: Column, vn: Column) -> Column:
+        return F.array(*[dot(v, cl) / (vn * F.lit(cn)) for cl, cn in pairs])
+
+    return bind(
+        as_double(vec),
+        lambda v: bind(
+            norm(v),
+            lambda vn: bind(
+                sims_of(v, vn),
+                lambda s: F.array_position(s, F.array_max(s)),
+            ),
+        ),
+    ).cast("int")
+
+
 def topk_cosine(
     vectors: DataFrame,
     query: DataFrame,
@@ -154,11 +194,9 @@ def ivf_topk(
     cents = _centroids_from_sample(vectors, n_centroids, vec_col, id_col)
     lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
 
-    def cell_of(vec: Column) -> Column:
-        sims = F.array(*[cosine(as_double(vec), c) for c in lits])
-        return F.array_position(sims, F.array_max(sims)).cast("int")
-
-    assigned = vectors.withColumn("_cell", cell_of(F.col(vec_col)))
+    assigned = vectors.withColumn(
+        "_cell", _argmax_cell(F.col(vec_col), cents)
+    )
     qcells = query.select(
         F.col("qv"),
         F.slice(
@@ -1388,11 +1426,9 @@ def ivfpq_topk(
     in APPROX_EVIDENCE.json; probing all cells recovers exactly
     q191's recall by construction."""
     cents = _centroids_from_sample(vectors, n_centroids, vec_col, id_col)
-    lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
 
     def cell_of(vec: Column) -> Column:
-        sims = F.array(*[cosine(as_double(vec), c) for c in lits])
-        return F.array_position(sims, F.array_max(sims)).cast("int")
+        return _argmax_cell(vec, cents)
 
     books = pq_codebooks(
         vectors, vec_col=vec_col, id_col=id_col, m=m, n_cent=n_cent, dim=dim

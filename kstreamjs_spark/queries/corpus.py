@@ -887,14 +887,23 @@ def _length_bounds(d: DataFrame) -> tuple[DataFrame, DataFrame]:
     histogram, all-integer threshold tests."""
     n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     h = d.groupBy("lang", "L").agg(F.count(F.lit(1)).alias("c"))
-    cum = h.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("lang")
-            .orderBy("L")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    ).join(F.broadcast(n), "lang")
+    # Round 16 (guide §3.3): lo and hi below each replayed the whole
+    # histogram + cumulative window (and its upstream corpus split)
+    # from the scan. The cumulated histogram is (lang, length)-bounded
+    # — kilobytes — so cut the lineage once, lazily.
+    from ..plans import materialize_once
+
+    cum = materialize_once(
+        h.withColumn(
+            "cc",
+            F.sum("c").over(
+                Window.partitionBy("lang")
+                .orderBy("L")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).join(F.broadcast(n), "lang"),
+        eager=False,
+    )
     lo = (
         cum.filter(F.col("cc") * 20 >= F.col("n_l"))
         .groupBy("lang")
@@ -941,8 +950,19 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     Thresholds broadcast back to the scan; the final rollup is
     per-lang."""
     (docs,) = load(spark, sf, "documents")
-    d = docs.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("L")
+    # Round 16 (guide §3.3): (doc_id, lang, L) feeds the two histogram
+    # rollups AND the final threshold join — three subtrees, each
+    # previously re-splitting the text from the scan (audit: 5 scans).
+    # 24 B/row, so one lazy cut replaces two corpus re-splits.
+    from ..plans import materialize_once
+
+    d = materialize_once(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("L"),
+        ),
+        eager=False,
     )
     lo, hi = _length_bounds(d)
     return (

@@ -1338,7 +1338,17 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("dim", "xq"),
     )
-    s = e.groupBy("label", "new_half", "dim").agg(F.sum("xq").alias("sq"))
+    # Round 16 (guide §3.3): the old/new-half split below consumes this
+    # aggregate twice, and each filter branch replayed the per-dim
+    # posexplode + integer-sum subtree from the embeddings scan (audit:
+    # 6 scans). The aggregate is |labels| x 2 x |dims| rows — kilobytes
+    # at any corpus size — so cut the lineage once, lazily.
+    from ..plans import materialize_once
+
+    s = materialize_once(
+        e.groupBy("label", "new_half", "dim").agg(F.sum("xq").alias("sq")),
+        eager=False,
+    )
     a = s.filter(~F.col("new_half")).select(
         "label", "dim", F.col("sq").cast("decimal(38,0)").alias("sa")
     )

@@ -2252,10 +2252,15 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     # at sf0.1); harmless at real scale, where the scan is already split.
     docs = dedup.spread(documents, "doc_id")
     toks = F.split("text", " ")
-    uni = (
+    # Round 16 (guide §3.3): uni feeds the total, both join sides, and
+    # bg feeds its total + the PMI join — five subtrees that each
+    # replayed a corpus token explode from the scan (audit: 5 scans).
+    # Both aggregates are vocabulary-sized; cut once, lazily.
+    uni = materialize_once(
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
+        .agg(F.count(F.lit(1)).alias("cw")),
+        eager=False,
     )
     bigram_arr = F.when(
         F.size(toks) >= 2,
@@ -2266,10 +2271,11 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = (
+    bg = materialize_once(
         docs.select(F.explode(bigram_arr).alias("b"))
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cxy"))
+        .agg(F.count(F.lit(1)).alias("cxy")),
+        eager=False,
     )
     t_tot = uni.agg(F.sum("cw").cast("long").alias("t"))
     b_tot = bg.agg(F.sum("cxy").cast("long").alias("bt"))
@@ -4231,8 +4237,27 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "doc_id", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2")
     )
-    bgc = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("cb")
+    # Round 16 (guide §3.3/§2.3): the corpus bigram explode previously
+    # fed FIVE subtrees (the global count table, its three rollups, and
+    # the scoring join's occurrence stream) and was replayed from the
+    # scan under each (audit: 5 documents scans). Fold occurrences to
+    # per-doc bigram counts ONCE (map-side combinable, output bounded
+    # by distinct bigrams per doc), materialize, and derive every count
+    # table from that frame; the per-doc sum weights each distinct
+    # bigram's quantized score by its occurrence count — the same
+    # integers in a different grouping order, so the result is
+    # hash-identical by construction.
+    dbg = materialize_once(
+        bg.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("nocc")
+        ),
+        eager=False,
+    )
+    bgc = materialize_once(
+        dbg.groupBy("w1", "w2").agg(
+            F.sum("nocc").cast("long").alias("cb")
+        ),
+        eager=False,
     )
     ctx = bgc.groupBy("w1").agg(
         F.sum("cb").cast("long").alias("cw1"),
@@ -4243,12 +4268,13 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     )
     btypes = bgc.agg(F.count(F.lit(1)).cast("long").alias("bt"))
     scored = (
-        bg.join(bgc, ["w1", "w2"])
+        dbg.join(bgc, ["w1", "w2"])
         .join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(btypes))
         .select(
             "doc_id",
+            "nocc",
             F.floor(
                 F.log(
                     (
@@ -4265,9 +4291,11 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nocc").cast("long").alias("n_bigrams"),
         F.round(
-            F.sum("q") / (F.count(F.lit(1)) * 1_000_000.0), 6
+            F.sum(F.col("nocc") * F.col("q"))
+            / (F.sum("nocc") * 1_000_000.0),
+            6,
         ).alias("avg_logprob_kn"),
     )
 
@@ -4922,13 +4950,23 @@ def q206(spark: SparkSession, sf: str) -> DataFrame:
     agg = _shingle_pair_counts(
         documents, n=3, partition_col="source"
     )
-    b = agg.select(
-        "d1",
-        "d2",
-        F.expr("(10 * common) DIV (n1 + n2 - common)")
-        .cast("long")
-        .alias("band"),
-    ).filter(F.col("band") >= 3)
+    from ..plans import materialize_once
+
+    # Round 16 (guide §3.3): three consumers fan out of ``b`` below —
+    # the pair rollup plus BOTH branches of the doc-level union — and
+    # each replayed the whole shingle self-join from the scan (the
+    # audit counted 6 documents scans). (d1, d2, band) is 24 B/row, so
+    # one lazy lineage cut replaces two full pair-join re-executions.
+    b = materialize_once(
+        agg.select(
+            "d1",
+            "d2",
+            F.expr("(10 * common) DIV (n1 + n2 - common)")
+            .cast("long")
+            .alias("band"),
+        ).filter(F.col("band") >= 3),
+        eager=False,
+    )
     pb = b.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
@@ -5031,8 +5069,14 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
     d = documents.filter(F.length("text") >= 1).select(
         "doc_id", "text", F.length("text").alias("n")
     )
+    from ..operators.dedup import spread
+
+    # spread before the per-position fold (guide §2.5): the bench
+    # corpus is one row group, so the O(W x n)-per-doc boundary scan
+    # otherwise runs on a single core; at real scale the scan already
+    # has thousands of splits and this is a no-op-sized exchange.
     hb = (
-        d.filter(F.col("n") >= W)
+        spread(d.filter(F.col("n") >= W), "doc_id")
         .select(
             "doc_id",
             "text",
@@ -5056,8 +5100,20 @@ def q207(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", F.col("n").alias("e"))
     ).distinct()
     w = Window.partitionBy("doc_id").orderBy("e")
-    ch = ends.withColumn(
-        "s", F.coalesce(F.lag("e").over(w), F.lit(0)) + 1
+    # Round 16 (guide §3.3): the savings accounting consumes ``ck``
+    # twice (distinct-chunk stats + totals), and each consumer
+    # replayed the O(W x n) per-position boundary fold — the most
+    # expensive projection here — from the scan (audit: 6 documents
+    # scans). Materializing the OFFSET frame (doc_id, s, e — 24 B/row,
+    # never the text) runs the fold once; the two consumers re-join
+    # the text by doc_id, which is plain pruned IO.
+    from ..plans import materialize_once
+
+    ch = materialize_once(
+        ends.withColumn(
+            "s", F.coalesce(F.lag("e").over(w), F.lit(0)) + 1
+        ),
+        eager=False,
     )
     ck = ch.join(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.expr("substr(text, s, e - s + 1)").alias("chunk")
@@ -6050,9 +6106,22 @@ def _wjac_tf(documents: DataFrame) -> DataFrame:
     shared by q231 (exact) and q232 (sketch + verify). The q232
     precision-1.0 invariant depends on its verify arithmetic staying
     byte-identical to q231's; a single source makes drift impossible
-    (round-15 review finding)."""
-    return (
-        documents.select(
+    (round-15 review finding).
+
+    Materialized ONCE (round 16, guide §3.3): every consumer fans this
+    frame into 3-4 subtrees (pair sides a/b, per-doc totals, q232's
+    source map) and each subtree otherwise replays the full corpus
+    explode + tf groupBy from the parquet scan — the audit counted 8
+    documents scans in q232's plan, 4 in q231's. The aggregate output
+    (ids + distinct tokens + counts, no text) is the smaller side of
+    the explode, so one lineage cut replaces 3 corpus re-aggregations.
+    Values are unchanged — the cut is storage, not arithmetic."""
+    from ..operators.dedup import spread
+    from ..plans import materialize_once
+
+    tf = (
+        spread(documents, "doc_id")
+        .select(
             "doc_id",
             "source",
             F.explode(F.split("text", " ")).alias("token"),
@@ -6060,6 +6129,7 @@ def _wjac_tf(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id", "source", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    return materialize_once(tf, eager=False)
 
 
 def _wjac_pairs(tf: DataFrame, cand: DataFrame | None = None) -> DataFrame:
@@ -6214,24 +6284,39 @@ def cws_banded_projection(
     # Entry ORDER differs from the old first-occurrence order, but the
     # signature takes array_min over the entries — order-invariant, so
     # emitted (band, bsig) rows are identical.
-    srt = F.array_sort(toks)
-    starts = F.filter(
-        F.sequence(F.lit(1), F.size(srt)),
-        lambda i: (i == 1)
-        | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
-    )
-    ends = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(F.size(srt) + 1),
-    )
-    ents = F.zip_with(
-        starts,
-        ends,
-        lambda a, b: F.struct(
-            F.element_at(srt, a).alias("token"),
-            (b - a).cast("long").alias("tf"),
-        ),
-    )
+    # Round 16 fix (the dedup.bind rule): the sorted token array and the
+    # run-start index array are BOUND once per row. The previous shape
+    # captured `srt` (an O(n log n) array_sort) inside the filter and
+    # zip_with lambdas, and Catalyst re-evaluates a captured
+    # subexpression PER ARRAY ELEMENT — the sort ran hundreds of times
+    # per document (measured: the banded projection alone cost 26 s at
+    # sf0.1/local[32]; ~1 s after binding). Same values, same entries.
+    from ..operators.dedup import bind
+
+    def _ents_of(srt: Column) -> Column:
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(srt)),
+            lambda i: (i == 1)
+            | (F.element_at(srt, i) != F.element_at(srt, i - 1)),
+        )
+
+        def _with_starts(st: Column) -> Column:
+            ends = F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array(F.size(srt) + 1),
+            )
+            return F.zip_with(
+                st,
+                ends,
+                lambda a, b: F.struct(
+                    F.element_at(srt, a).alias("token"),
+                    (b - a).cast("long").alias("tf"),
+                ),
+            )
+
+        return bind(starts, _with_starts)
+
+    ents = bind(F.array_sort(toks), _ents_of)
     scope = [F.col(scope_col)] if scope_col else []
     e = documents.select("doc_id", ents.alias("ents"), *scope)
 
@@ -6318,7 +6403,18 @@ def q232(spark: SparkSession, sf: str) -> DataFrame:
     (documents,) = load(spark, sf, "documents")
     tf = _wjac_tf(documents)
     src = tf.select("doc_id", "source").dropDuplicates(["doc_id"])
-    banded = cws_banded_projection(documents).join(src, "doc_id")
+    # Materialize the banded ICWS rows once (round 16, guide §3.3): the
+    # candidate self-join below otherwise replays the 16-hash ICWS
+    # argmin fold — the most expensive projection in the query — under
+    # BOTH join sides. (doc_id, band, bsig, source) is ~32 B/row, so
+    # the cut is cheap at any corpus size. Values unchanged.
+    from ..operators.dedup import spread
+    from ..plans import materialize_once
+
+    banded = materialize_once(
+        cws_banded_projection(spread(documents, "doc_id")).join(src, "doc_id"),
+        eager=False,
+    )
     # same-source blocking keeps the pair universe identical to q231's
     # (the q26 family convention) so the evidence comparison is
     # like-for-like; drop "source" from the join keys to hunt
