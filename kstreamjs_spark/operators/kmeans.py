@@ -33,7 +33,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from .dedup import bind
-from .similarity import as_double, dot, norm
+from .similarity import as_double, dot, lit_doubles, norm
 
 
 def assign_best(vec: Column, centroids: list[list[float]]) -> Column:
@@ -53,7 +53,7 @@ def assign_best(vec: Column, centroids: list[list[float]]) -> Column:
     cents = []
     for cid, c in enumerate(centroids):
         cn = math.sqrt(sum(float(x) * float(x) for x in c)) or 1.0
-        cents.append((cid, F.array(*[F.lit(float(x)) for x in c]), cn))
+        cents.append((cid, lit_doubles(c), cn))
 
     def scored(v: Column, vn: Column) -> Column:
         return F.array(

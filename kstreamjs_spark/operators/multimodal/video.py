@@ -551,10 +551,22 @@ def mjpeg_phash_blobs(
     bucketed video near-dup, the q158 chain one modality up."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Round 16 (guide §4.5): byte-identical blobs decode to the
+        # same (n_frames, vhash) — a per-task memo keyed on the blob
+        # bytes skips redundant container walks + JPEG pixel decodes
+        # (the q174 fixture repeats each video ~3x per group, and the
+        # synth stage colocates groups, so the memo hits ~2/3 of rows).
+        memo: dict[bytes, tuple[int, int]] = {}
         for pdf in it:
             ids, counts, hashes = [], [], []
             for d, b in zip(pdf[id_col], pdf[blob_col]):
                 blob = bytes(b)
+                hit = memo.get(blob)
+                if hit is not None:
+                    ids.append(d)
+                    counts.append(hit[0])
+                    hashes.append(hit[1])
+                    continue
                 meta = _parse_mp4(blob)
                 table = (
                     mp4_sample_table(blob, meta=meta)
@@ -567,9 +579,11 @@ def mjpeg_phash_blobs(
                 )
                 if px is None:
                     raise ValueError("mjpeg_phash_blobs: not an MJPEG track")
+                h = phash64(_pixels_to_luma(px))
+                memo[blob] = (len(table), h)
                 ids.append(d)
                 counts.append(len(table))
-                hashes.append(phash64(_pixels_to_luma(px)))
+                hashes.append(h)
             yield pd.DataFrame(
                 {id_col: ids, "n_frames": counts, "vhash": hashes}
             )
@@ -596,28 +610,38 @@ def synth_mjpeg_blobs(
     import numpy as np
 
     def make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Round 16 (guide §4.5 per-task state): the video depends ONLY
+        # on the group g — every doc in a group encodes the IDENTICAL
+        # blob, so a per-task memo keyed on g cuts the JPEG+MP4 encode
+        # bill ~3x. The keyed widen below colocates each group so the
+        # memo hits deterministically (round-robin would scatter the 3
+        # group members across tasks). Blobs are byte-identical.
+        memo: dict[int, bytes] = {}
         for pdf in it:
             blobs = []
             for d in pdf[id_col]:
                 g = abs(int(d)) // 3
-                n = 3 + g % 3
-                frames = []
-                for f in range(n):
-                    rng = np.random.RandomState(
-                        (g * 2654435761 + f * 97 + 5) % (2**31)
-                    )
-                    vals = (28 + 2 * rng.randint(0, 114, 49)).tolist()
-                    frames.append(encode_jpeg(56, 56, vals))
-                blobs.append(
-                    encode_mp4(
+                blob = memo.get(g)
+                if blob is None:
+                    n = 3 + g % 3
+                    frames = []
+                    for f in range(n):
+                        rng = np.random.RandomState(
+                            (g * 2654435761 + f * 97 + 5) % (2**31)
+                        )
+                        vals = (28 + 2 * rng.randint(0, 114, 49)).tolist()
+                        frames.append(encode_jpeg(56, 56, vals))
+                    blob = encode_mp4(
                         n, width=56, height=56,
                         frames=frames, codec=b"jpeg",
                     )
-                )
+                    memo[g] = blob
+                blobs.append(blob)
             yield pd.DataFrame({id_col: pdf[id_col], "blob": blobs})
 
-    return widen_partitions(df.select(id_col, len_col)).mapInPandas(
-        make, f"{id_col} long, blob binary"
-    )
+    return widen_partitions(
+        df.select(id_col, len_col),
+        key=F.expr(f"abs({id_col}) div 3"),
+    ).mapInPandas(make, f"{id_col} long, blob binary")
 
 

@@ -12,6 +12,8 @@ Two paths, as the north star requires:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
@@ -22,6 +24,27 @@ def as_double(vec: Column) -> Column:
     """float32 -> float64 upcast (exact), so downstream math matches the
     oracle bit-for-bit at comparable precision."""
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def lit_doubles(values) -> Column:
+    """array<double> literal built in ONE expression-parse call.
+
+    Round 16 (guide §1.2 per-task -> per-QUERY work): the per-element
+    ``F.array(*[F.lit(x) ...])`` idiom costs one py4j round trip PER
+    ELEMENT — a k x dim codebook (16 x 64) spent ~0.5 s of DRIVER time
+    per query just constructing the plan (measured; half of q42/q81's
+    bench bill). A single ``F.expr("array(0.1D, ...)")`` parses on the
+    JVM in ~1 ms. Exactness: ``repr(float)`` is Python's shortest
+    round-trip decimal and Spark's parser binds the ``D`` suffix to the
+    nearest double — bit-identical literals (pinned by a pytest over
+    random + extreme values). Non-finite values fall back to the
+    per-element path (the SQL parser has no nan/inf literal)."""
+    vs = [float(x) for x in values]
+    if not vs:
+        return F.array().cast("array<double>")
+    if all(math.isfinite(x) for x in vs):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in vs) + ")")
+    return F.array(*[F.lit(x) for x in vs])
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -60,7 +83,7 @@ def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
 
     pairs = [
         (
-            F.array(*[F.lit(float(x)) for x in c]),
+            lit_doubles(c),
             math.sqrt(sum(float(x) * float(x) for x in c)),
         )
         for c in cents
@@ -69,7 +92,7 @@ def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
     def sims_of(v: Column, vn: Column) -> Column:
         return F.array(*[dot(v, cl) / (vn * F.lit(cn)) for cl, cn in pairs])
 
-    return bind(
+    cell = bind(
         as_double(vec),
         lambda v: bind(
             norm(v),
@@ -79,6 +102,15 @@ def _argmax_cell(vec: Column, cents: list[list[float]]) -> Column:
             ),
         ),
     ).cast("int")
+    # coalesce makes the column provably NON-NULLABLE (round 16, guide
+    # §4.4's duplication problem for plain expressions): a downstream
+    # probe filter on a nullable _cell makes Catalyst push an
+    # isnotnull(_cell) below the projection, INLINING this whole
+    # 16-centroid fold a second time per row (q42's plan showed the
+    # argmax under both a Filter and the Project). A null cell can only
+    # come from a null embedding; 0 is outside the 1-based probe lists,
+    # so null -> 0 filters to the same rows.
+    return F.coalesce(cell, F.lit(0))
 
 
 def topk_cosine(
@@ -96,10 +128,24 @@ def topk_cosine(
     with codegen'd cosine -> TakeOrderedAndProject(k). No shuffle of the
     vector table; scales to any N with O(k) driver memory.
     """
-    a = as_double(F.col(vec_col))
-    scored = vectors.crossJoin(F.broadcast(query)).select(
+    from .dedup import bind
+
+    # The query norm is folded ONCE on the 1-row build side (round 16,
+    # guide §4.1): cosine() refolded norm(qv) — a 64-element aggregate
+    # — per SCANNED ROW; same fold over the same array, so the score is
+    # bit-identical. The row vector is bound once per row so its dot
+    # and norm folds don't re-run the as_double transform per element.
+    q2 = query.withColumn("_qn", norm(F.col("qv")))
+    scored = vectors.crossJoin(F.broadcast(q2)).select(
         F.col(id_col),
-        F.round(cosine(a, F.col("qv")), round_to).alias("score"),
+        F.round(
+            bind(
+                as_double(F.col(vec_col)),
+                lambda v: dot(v, F.col("qv"))
+                / (norm(v) * F.col("_qn")),
+            ),
+            round_to,
+        ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -116,7 +162,7 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     with small angle agree on most bits; equal signatures form candidate
     buckets."""
     bits = [
-        F.when(dot(as_double(vec), F.array(*[F.lit(v) for v in p])) >= 0, 1).otherwise(0)
+        F.when(dot(as_double(vec), lit_doubles(p)) >= 0, 1).otherwise(0)
         for p in planes
     ]
     sig = F.lit(0).cast("long")
@@ -192,7 +238,7 @@ def ivf_topk(
     filters post-scan.
     """
     cents = _centroids_from_sample(vectors, n_centroids, vec_col, id_col)
-    lits = [F.array(*[F.lit(x) for x in c]) for c in cents]
+    lits = [lit_doubles(c) for c in cents]
 
     assigned = vectors.withColumn(
         "_cell", _argmax_cell(F.col(vec_col), cents)
@@ -216,12 +262,25 @@ def ivf_topk(
             n_probe,
         ).alias("probe"),
     )
+    # query norm folded once on the broadcast side; row vector bound
+    # once per candidate (round 16, guide §4.1 — same fold, same value;
+    # see topk_cosine)
+    from .dedup import bind
+
+    qcells = qcells.withColumn("_qn", norm(F.col("qv")))
     cand = assigned.crossJoin(F.broadcast(qcells)).filter(
         F.array_contains(F.col("probe"), F.col("_cell"))
     )
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(as_double(F.col(vec_col)), F.col("qv")), 6).alias("score"),
+        F.round(
+            bind(
+                as_double(F.col(vec_col)),
+                lambda v: dot(v, F.col("qv"))
+                / (norm(v) * F.col("_qn")),
+            ),
+            6,
+        ).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -1150,7 +1209,7 @@ def project_quantized(
     integer sum — order-independent, oracle-reproducible. One codegen
     projection over the scan; zero shuffle, zero Python in the row path
     (the direction is a plan literal)."""
-    d = F.array(*[F.lit(float(x)) for x in direction])
+    d = lit_doubles(direction)
     terms = F.zip_with(
         as_double(F.col(vec_col)),
         d,
@@ -1360,9 +1419,7 @@ def pq_query_encoded(
          for c in books[s]]
         for s in range(m)
     ]
-    lut_col = F.array(*[
-        F.array(*[F.lit(x) for x in row]) for row in lut
-    ])
+    lut_col = F.array(*[lit_doubles(row) for row in lut])
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1558,6 +1615,15 @@ def cosine_neardup_pairs_lsh(
             .filter(F.col("_n") <= max_bucket)
             .drop("_n")
         )
+    # Round 16 (guide §3.3): the candidate self-join consumed ``banded``
+    # as both sides, and the plan replayed the Arrow matmul signature
+    # scan (the dominant projection) under EACH — the audit counted 4
+    # embeddings scans and a duplicated ArrowEvalPython in q214's plan.
+    # (id, band, bsig) is ~20 B/row, so one lazy lineage cut runs the
+    # signature pass exactly once at any corpus size.
+    from ..plans import materialize_once
+
+    banded = materialize_once(banded, eager=False)
     l = banded.select(
         F.col(id_col).alias("v1"), "band", "bsig"
     )
@@ -1570,13 +1636,29 @@ def cosine_neardup_pairs_lsh(
         .select("v1", "v2")
         .dropDuplicates(["v1", "v2"])
     )
+    # Per-vector norm folded ONCE here (guide §4.1): the verify score
+    # previously refolded norm(va) and norm(vb) per CANDIDATE PAIR —
+    # 3 interpreted 64-element folds per pair where 1 suffices. The
+    # norm is the same sequential sqrt(dot(v,v)) fold over the same
+    # array, evaluated per vector instead of per pair, and the score
+    # keeps the exact expression shape dot/(na*nb) — bit-identical.
     e = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).select(F.col(id_col), "v", norm(F.col("v")).alias("nv"))
+    s1 = e.select(
+        F.col(id_col).alias("v1"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
-    s1 = e.select(F.col(id_col).alias("v1"), F.col("v").alias("va"))
-    s2 = e.select(F.col(id_col).alias("v2"), F.col("v").alias("vb"))
+    s2 = e.select(
+        F.col(id_col).alias("v2"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     joined = cand.join(s1, "v1").join(s2, "v2")
-    score = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    score = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         joined.select("v1", "v2", score.alias("score"))
         .filter(F.col("score") >= threshold)

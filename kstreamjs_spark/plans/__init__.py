@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def widen_partitions(df: DataFrame) -> DataFrame:
+def widen_partitions(df: DataFrame, key=None) -> DataFrame:
     """Spread a narrow scan across every core before per-row-expensive
     compute (codec kernels, zlib, einsum partials).
 
@@ -25,13 +25,22 @@ def widen_partitions(df: DataFrame) -> DataFrame:
     kernels (per-row projections, commutative integer partials); do NOT
     widen Misra-Gries/KLL-style summaries whose estimates depend on the
     split. Streaming frames pass through (``.rdd`` is undefined there;
-    use an explicit keyed repartition like dedup._spread instead)."""
+    use an explicit keyed repartition like dedup._spread instead).
+
+    ``key`` (optional Column): hash-partition by this expression instead
+    of round-robin — for kernels with a per-task memo over a
+    group-determined payload (synth_mjpeg_blobs), colocating the group
+    makes the memo deterministic. The key must be deterministic (guide
+    §2.5: rand-derived keys duplicate/lose rows under fetch-failure
+    retry) and have far more distinct values than partitions."""
     if df.isStreaming:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
+    if key is not None:
+        return df.repartition(target, key)
     return df.repartition(target)
 
 

@@ -1065,7 +1065,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
     centroid is one k=1 aggregation (dim-sized shuffle) collected and
     re-broadcast as plan literals; the scoring pass is one codegen'd
     projection + TakeOrderedAndProject(20)."""
-    from ..operators.similarity import as_double, cosine
+    from ..operators.similarity import as_double, cosine, lit_doubles
 
     (emb,) = load(spark, sf, "embeddings")
     qv = F.transform(
@@ -1082,7 +1082,7 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         r["qs"] / (r["n"] * 1_000_000.0)
         for r in sorted(cells, key=lambda r: r["dim"])
     ]
-    cent_lit = F.array(*[F.lit(float(x)) for x in cent])
+    cent_lit = lit_doubles(cent)
     return (
         emb.select(
             "vec_id",

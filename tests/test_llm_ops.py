@@ -55,6 +55,43 @@ def test_minhash_signature_frame_bit_identical(spark):
     assert frame == expr
 
 
+def test_lit_doubles_bit_identical(spark):
+    """Round-16 plan-construction swap: lit_doubles builds the
+    array<double> literal via one parsed expression (repr + 'D'
+    suffix) instead of per-element F.lit py4j calls — it must produce
+    BIT-IDENTICAL doubles (repr is the shortest round-trip decimal and
+    the parser binds D-literals to the nearest double), the same
+    array<double> type, and fall back cleanly for non-finite values."""
+    import math
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cases = [
+        list(rng.standard_normal(64)),
+        [1e-300, -1e300, 0.0, -0.0, 123456789.123456789, 3.14e-15],
+        [float("nan"), float("inf"), 1.5],  # fallback path
+        [],
+    ]
+    for vals in cases:
+        df = spark.range(1).select(
+            similarity.lit_doubles(vals).alias("a"),
+            F.array(*[F.lit(float(x)) for x in vals])
+            .cast("array<double>")
+            .alias("b"),
+        )
+        assert dict(df.dtypes)["a"] == "array<double>"
+        r = df.first()
+        got, ref = list(r["a"]), list(r["b"])
+        assert len(got) == len(ref)
+        for g, e in zip(got, ref):
+            if math.isnan(e):
+                assert math.isnan(g)
+            else:
+                assert struct.pack("d", g) == struct.pack("d", e)
+
+
 def test_minhash_verified_equals_exact_neardups(spark):
     """Exact-verify of LSH candidates: no false positives by construction,
     and at this operating point the bands recall every true >=0.5 pair, so
