@@ -2442,14 +2442,26 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     by construction, no COUNT DISTINCT shuffle); N is a broadcast scalar;
     per-doc top-5 plans WindowGroupLimit so no full sort of the posting
     list. ln(N/df) on exact int64 counts, rounded 6 dp, same term order
-    both engines (binary collation)."""
+    both engines (binary collation).
+
+    Round 16 (guide §3.3): ``tf`` feeds TWO consumers (the df aggregate
+    and the scoring join) and the runtime plan replayed the token
+    explode + (doc, term) shuffle under BOTH (2 Generates in the
+    executed plan; different column prunings defeat ReusedExchange), so
+    the corpus paid its heaviest pass twice. The POST-shuffle aggregate
+    is materialized once instead — the q157b tf precedent: checkpoint
+    the deduped (doc, term, tf) rows, never re-run the corpus
+    explode."""
+    from ..plans import materialize_once
+
     (documents,) = load(spark, sf, "documents")
-    tf = (
+    tf = materialize_once(
         documents.select(
             "doc_id", F.explode(F.split("text", " ")).alias("term")
         )
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = documents.agg(F.count(F.lit(1)).alias("n"))
@@ -2513,12 +2525,19 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     the token key (AQE broadcasts while the vocabulary fits, degrades to
     a shuffle join beyond); V is a 1-row broadcast. No unbounded state,
     no driver loop."""
+    from ..plans import materialize_once
+
     (documents,) = load(spark, sf, "documents")
     toks = F.split("text", " ")
-    uni = (
+    # Round 16 (guide §3.3): ``uni`` feeds two consumers (the V scalar
+    # and the scoring join) — without a lineage cut each replays the
+    # full token explode + vocabulary shuffle from the scan. The
+    # vocabulary-sized aggregate is checkpointed once instead.
+    uni = materialize_once(
         documents.select(F.explode(toks).alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
+        .agg(F.count(F.lit(1)).alias("cu")),
+        eager=False,
     )
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
     bigram_structs = F.when(
@@ -2541,6 +2560,16 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
     bg = dedup.spread(documents, "doc_id").select(
         "doc_id", F.explode(bigram_structs).alias("s")
     ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    # Round 16 A/B NOTE (guide §3.3): a per-doc bigram-count fold +
+    # checkpoint (the q196/q157b treatment — explode once, shuffle
+    # distinct (doc, bigram) rows, derive count table and scoring join
+    # from the cut) was measured ~0.3-0.6 s SLOWER at sf0.1 than the
+    # double-explode it replaces: both bigram consumers here are fed
+    # by BROADCAST joins, so the replayed explode is pipelined
+    # shuffle-free CPU work while the fold adds a full occurrence-
+    # count exchange plus a checkpoint barrier. Left on the replay
+    # shape; at a scale where bgc stops broadcasting, the join itself
+    # forces the bigram exchange and the fold becomes the right shape.
     bgc = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
     scored = (
         bg.join(bgc, "b")

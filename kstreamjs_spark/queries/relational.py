@@ -1501,9 +1501,19 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
     (user, offset) activity (reuses the same user_id clustering), then a
     broadcast of the per-cohort sizes. Week arithmetic is exact integer
     date math on both engines; retention is one exact int/int division."""
+    from ..plans import materialize_once
+
     (events,) = load(spark, sf, "events")
     wk = F.date_trunc("week", F.col("ts"))
-    f = events.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    # Round 16 (guide §3.3): ``f`` feeds two consumers (the activity
+    # join and the cohort-size rollup) — without a lineage cut each
+    # replays the full events scan + per-user aggregation. The
+    # user-dimension-sized aggregate is checkpointed once instead:
+    # events is scanned once for f and once for the activity join.
+    f = materialize_once(
+        events.groupBy("user_id").agg(F.min(wk).alias("cohort_week")),
+        eager=False,
+    )
     act = (
         events.join(f, "user_id")
         .select(
