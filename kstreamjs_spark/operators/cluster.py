@@ -165,7 +165,17 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     celebrity vertices (10^7+ neighbors) would vertex-cut the row by
     salting dsts into bounded sub-lists and summing the sub-degrees —
     not needed for co-purchase graphs whose degree is bounded by
-    catalog co-occurrence."""
+    catalog co-occurrence.
+
+    Round 16 (guide §1.2 per-query work): the iteration plan is built
+    as ONE unrolled SQL text (the oracle's own CTE-chain shape) and
+    analyzed once, instead of 4 eagerly-analyzed DataFrame transforms
+    per iteration — measured ~70 ms of driver-side analyzer + py4j per
+    transform, ~2.2 s of the q176 bench bill at iters=8 with ZERO
+    executor work. Same logical plan (explode -> partial-agg exchange ->
+    left join against the stationary adjacency), bit-identical integer
+    arithmetic — pinned by the hand-built-graph mirror pytest and the
+    q176 oracle hash. Measured: q176 5.25 -> 4.12 s min-of-3 warm."""
     base = (100 - damp_num) * init // 100
     adj = materialize_once(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -173,24 +183,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         .agg(F.collect_set("dst").alias("dsts"))
         .select("src", "dsts", F.size("dsts").cast("long").alias("od"))
     )
-    state = adj.withColumn("rnk", F.lit(init).cast("long"))
-    contrib = F.expr(f"(rnk * {damp_num}) DIV (100 * od)")
-    for _ in range(iters):
-        contribs = (
-            state.select(F.explode("dsts").alias("dst"), contrib.alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+    parts = [
+        f"WITH s0 AS (SELECT src, dsts, od,"
+        f" CAST({int(init)} AS BIGINT) AS rnk FROM {{adj}})"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT dst, SUM(c) AS s FROM"
+            f" (SELECT explode(dsts) AS dst,"
+            f" (rnk * {int(damp_num)}) DIV (100 * od) AS c"
+            f" FROM s{i - 1}) GROUP BY dst)"
         )
-        state = (
-            adj.join(contribs, adj["src"] == contribs["dst"], "left")
-            .select(
-                "src",
-                "dsts",
-                "od",
-                (F.lit(base) + F.coalesce(F.col("s"), F.lit(0)))
-                .cast("long").alias("rnk"),
-            )
+        parts.append(
+            f", s{i} AS (SELECT a.src, a.dsts, a.od,"
+            f" CAST({int(base)} + COALESCE(c{i}.s, 0) AS BIGINT) AS rnk"
+            f" FROM {{adj}} a LEFT JOIN c{i} ON a.src = c{i}.dst)"
         )
-    return state.select(
-        F.col("src").alias("node"), F.col("od").alias("out_degree"), "rnk"
+    parts.append(
+        f" SELECT src AS node, od AS out_degree, rnk FROM s{iters}"
     )
+    return adj.sparkSession.sql("".join(parts), adj=adj)
