@@ -275,6 +275,7 @@ def wordpiece_vocab(
     text_col: str = "text",
     k_multi: int = WORDPIECE_K_MULTI,
     max_piece: int = WORDPIECE_MAX_PIECE,
+    word_counts=None,
 ) -> dict[int, list[str]]:
     """Train the greedy vocabulary from the corpus word-count table:
     ALL single characters (coverage guarantee — the q212 policy) plus
@@ -283,15 +284,29 @@ def wordpiece_vocab(
     substring-count aggregate; the driver pulls only BOUNDED artifacts
     (the charset + a distributed top-K), never the substring table.
     Returns pieces grouped by length — the shape
-    :func:`greedy_pieces` consumes and the oracle SQL mirrors."""
-    pieces = (
-        documents.select(
-            F.explode(F.split(text_col, " ")).alias("word")
+    :func:`greedy_pieces` consumes and the oracle SQL mirrors.
+
+    ``word_counts`` (optional, columns ``word``/``c``): a precomputed
+    word-count frame — a caller that already aggregates word counts
+    (q216's output table) passes it here so the corpus is scanned once
+    for both halves instead of once per half (guide §3.3 duplicated
+    subtrees). The ``pieces`` aggregate is checkpointed before the two
+    bounded collects below for the same reason: the chars filter and
+    the top-K each trigger a job, and without the cut both replay the
+    corpus scan + substring aggregate from the source."""
+    from ..plans import materialize_once
+
+    if word_counts is None:
+        word_counts = (
+            documents.select(
+                F.explode(F.split(text_col, " ")).alias("word")
+            )
+            .filter(F.length("word") >= 1)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
-        .filter(F.length("word") >= 1)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .select(
+    pieces = materialize_once(
+        word_counts.select(
             "c",
             F.explode(
                 F.expr(
@@ -305,7 +320,8 @@ def wordpiece_vocab(
             ).alias("piece"),
         )
         .groupBy("piece")
-        .agg(F.sum("c").cast("long").alias("n"))
+        .agg(F.sum("c").cast("long").alias("n")),
+        eager=False,
     )
     chars = sorted(
         r["piece"]

@@ -5668,16 +5668,27 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
     SELECTION (vs count-driven) is q212's EM — this family
     deliberately isolates the greedy APPLICATION semantics."""
     from ..operators.text import greedy_pieces, wordpiece_vocab
+    from ..plans import materialize_once
 
     (documents,) = load(spark, sf, "documents")
-    vocab = wordpiece_vocab(documents)
-    words = (
+    # One corpus pass for both halves (guide §3.3): the word-count
+    # aggregate is the query's own output table AND the vocabulary
+    # trainer's input — checkpoint it once and feed it to both instead
+    # of re-scanning the corpus per half.
+    words = materialize_once(
         documents.select(
             F.explode(F.split("text", " ")).alias("word")
         )
         .filter(F.length("word") >= 1)
         .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("word_count"))
+        .agg(F.count(F.lit(1)).cast("long").alias("word_count")),
+        eager=False,
+    )
+    vocab = wordpiece_vocab(
+        documents,
+        word_counts=words.select(
+            "word", F.col("word_count").alias("c")
+        ),
     )
     g = greedy_pieces("word", vocab)
     return (
