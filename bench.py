@@ -184,7 +184,21 @@ def main() -> int:
                 "engine_vs_oracle_ratio": round(et / ot, 3) if ot else None,
             }
         )
-    print(json.dumps(doc))
+    line = json.dumps(doc)
+    print(line)
+    # Round 17 (r16 verdict #2): the printed one-line JSON stays the
+    # driver contract, but BENCH_r15's capture truncated the line and
+    # voided a whole round's perf comparison — so when the caller sets
+    # SPARK_GRAFT_BENCH_OUT the same doc is ALSO written to that file
+    # (additive; nothing reads it back, it only survives a truncated
+    # stdout capture).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                fh.write(line + "\n")
+        except OSError as exc:  # never fail the bench over the side file
+            print(f"WARNING: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
     return 0
 

@@ -565,12 +565,15 @@ def simhash64(text: Column | str) -> Column:
     token occurrences, sign -> bit. Expression-only (aggregate over a
     64-slot vote array); packed into one BIGINT."""
     toks = tokens(text)
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
+    # One-parse literal arrays (round 17, r16 verdict #6): the
+    # per-element F.lit loops cost 128 py4j round trips per query
+    # construction; lit_longs parses each 64-slot array in one call.
+    # Same bigint values bit-for-bit (integer literals are exact).
+    from .similarity import lit_longs
+
+    zero = lit_longs([0] * 64)
     # Literal array of the 64 bit masks (bit 63 as the sign bit / min-long).
-    powers = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(63)],
-        F.lit(-(1 << 63)).cast("long"),
-    )
+    powers = lit_longs([1 << i for i in range(63)] + [-(1 << 63)])
     # shift amounts cannot be Columns in shiftleft/shiftright, so bits are
     # extracted with per-mask bitwise AND over the literal mask array; the
     # token hash is bound once per token (not recomputed per mask element).

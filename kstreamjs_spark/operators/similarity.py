@@ -47,6 +47,27 @@ def lit_doubles(values) -> Column:
     return F.array(*[F.lit(x) for x in vs])
 
 
+def lit_longs(values) -> Column:
+    """array<bigint> literal built in ONE expression-parse call — the
+    integer sibling of :func:`lit_doubles` (round 17, r16 verdict #6:
+    sweep the remaining per-element ``F.lit`` loops; dedup.simhash64
+    built two 64-slot mask arrays = 128 py4j round trips per query
+    construction). Exact by construction — bigint literals are
+    lossless. ``Long.MIN_VALUE`` cannot be written as one SQL token
+    (the parser reads the unsigned digits first, which overflow a
+    bigint), so it is emitted as ``(-9223372036854775807L - 1L)`` and
+    constant-folded by Catalyst into the same literal."""
+    vs = [int(x) for x in values]
+    assert all(-(1 << 63) <= v < (1 << 63) for v in vs), "bigint overflow"
+    if not vs:
+        return F.array().cast("array<bigint>")
+
+    def tok(v: int) -> str:
+        return "(-9223372036854775807L - 1L)" if v == -(1 << 63) else f"{v}L"
+
+    return F.expr("array(" + ",".join(tok(v) for v in vs) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (deterministic order)."""
     return F.aggregate(
@@ -664,8 +685,25 @@ def nn_descent(
         )
     strides = [r * _NND_K + 97 for r in range(1, k + 1)]
 
-    sv = v.select(F.col("node").alias("src"), F.col("vec").alias("_sv"))
-    dv = v.select(F.col("node").alias("dst"), F.col("vec").alias("_dv"))
+    # Norms folded ONCE PER NODE (round 17 — the r16 norms-once
+    # treatment the other scorers got, applied to the descent's pair
+    # scorer): cosine() refolds BOTH 64-element norm aggregates per
+    # candidate pair, tripling the interpreted-HOF bill of the
+    # N*(2k)^2-pairs-per-round scoring stage. norm() on the same array
+    # is the same fold -> the same double bit-for-bit, and
+    # dot/(ns*nd) is the identical expression shape cosine() expands
+    # to — pinned by the oracle hash (the unrolled CTE computes
+    # cosine per pair) and the equality pytest.
+    sv = v.select(
+        F.col("node").alias("src"),
+        F.col("vec").alias("_sv"),
+        norm(F.col("vec")).alias("_sn"),
+    )
+    dv = v.select(
+        F.col("node").alias("dst"),
+        F.col("vec").alias("_dv"),
+        norm(F.col("vec")).alias("_dn"),
+    )
 
     def _score(pairs: DataFrame) -> DataFrame:
         return (
@@ -675,7 +713,9 @@ def nn_descent(
                 "src",
                 "dst",
                 F.round(
-                    cosine(F.col("_sv"), F.col("_dv")), round_to
+                    dot(F.col("_sv"), F.col("_dv"))
+                    / (F.col("_sn") * F.col("_dn")),
+                    round_to,
                 ).alias("score"),
             )
         )
@@ -703,6 +743,19 @@ def nn_descent(
         F.lit(4294967296),
     )
     w_rev = Window.partitionBy("src").orderBy(rev_rank, "dst")
+    # Incremental candidate scoring (round 17 — the paper's own "new
+    # neighbor" optimization, measured: at sf0.1 ~80% of the 2.8M
+    # candidate cosines across the 8 rounds re-score pairs already
+    # scored in an earlier round, 98% by round 8). A pair scored at
+    # round i entered the pool in BOTH directions (sc union scᵀ below)
+    # with its deterministic score; if it was kept it is already in g,
+    # and if it was cut then score < kth(src) at round i <= kth(src)
+    # at any later round (g only improves under the total order
+    # score desc / dst asc), so re-scoring it can never change g —
+    # the anti-join below drops exactly those pairs. Result identity
+    # is pinned by the oracle hash (the unrolled CTE scores every
+    # candidate every round) and the cross-SF equality pytest.
+    seen = None
     for _ in range(iters):
         fwd = g.select("src", "dst")
         rev = (
@@ -722,6 +775,13 @@ def nn_descent(
             .select(F.col("u").alias("src"), F.col("w").alias("dst"))
             .dropDuplicates(["src", "dst"])
         )
+        if seen is not None:
+            cand = cand.join(seen, ["src", "dst"], "left_anti")
+        # lazy cut: cand feeds BOTH the scorer (this round's g job) and
+        # next round's seen union — without it the candidate join
+        # replays under each consumer (guide §3.3)
+        cand = cand.localCheckpoint(eager=False)
+        seen = cand if seen is None else seen.unionByName(cand)
         sc = _score(cand)
         g = (
             g.unionByName(sc)

@@ -290,12 +290,27 @@ def wordpiece_vocab(
     word-count frame — a caller that already aggregates word counts
     (q216's output table) passes it here so the corpus is scanned once
     for both halves instead of once per half (guide §3.3 duplicated
-    subtrees). The ``pieces`` aggregate is checkpointed before the two
+    subtrees). REQUIRED derivation (ADVICE r16 — when this frame is
+    supplied, ``documents``/``text_col`` and the length filter below
+    are NOT consulted, so the caller must have built it exactly as the
+    in-house branch and the oracle's wp_wc CTE do): split ``text_col``
+    on a single space, keep words with ``length(word) >= 1``, count
+    rows per word as bigint ``c``. Anything else (different
+    tokenization, pre-filtering, weighting) silently diverges from the
+    DuckDB oracle as a hash mismatch. The column contract is asserted
+    on entry. The ``pieces`` aggregate is checkpointed before the two
     bounded collects below for the same reason: the chars filter and
     the top-K each trigger a job, and without the cut both replay the
     corpus scan + substring aggregate from the source."""
     from ..plans import materialize_once
 
+    if word_counts is not None:
+        missing = {"word", "c"} - set(word_counts.columns)
+        assert not missing, (
+            f"word_counts frame is missing column(s) {sorted(missing)}; "
+            "expected the (word, c) per-word count table described in "
+            "the wordpiece_vocab docstring"
+        )
     if word_counts is None:
         word_counts = (
             documents.select(

@@ -6258,6 +6258,8 @@ def _wjac_pairs(tf: DataFrame, cand: DataFrame | None = None) -> DataFrame:
         ORDER BY d1, d2
     """,
     tags=("dedup", "text", "llm"),
+    bench=True,  # round 17 (r16 verdict #7): basket rotation — the
+    # exact weighted-Jaccard blocked join.
 )
 def q231(spark: SparkSession, sf: str) -> DataFrame:
     """WEIGHTED (tf) Jaccard near-dup pairs (round 15) — the

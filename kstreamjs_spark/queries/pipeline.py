@@ -1257,6 +1257,9 @@ def _q218_oracle(k: int = _Q218_K, iters: int = _Q218_ITERS) -> str:
     "q218_nn_descent_knn_graph",
     oracle=_q218_oracle(),
     tags=("similarity", "llm", "graph", "approx"),
+    bench=True,  # round 17 (r16 verdict #7): rotate the iterative
+    # graph-build family into the basket. ADD-only: the driver contract
+    # forbids removing existing bench entries, so q01/q05/q25 stay.
 )
 def q218(spark: SparkSession, sf: str) -> DataFrame:
     """NN-Descent k-NN GRAPH construction (round 15, the r14 verdict's
@@ -1738,6 +1741,8 @@ def _q227_oracle() -> str:
     "q227_hilbert_layout",
     oracle=_q227_oracle(),
     tags=("pipeline", "layout"),
+    bench=True,  # round 17 (r16 verdict #7): basket rotation — the
+    # Hilbert fold is the heaviest pure-codegen expression family.
 )
 def q227(spark: SparkSession, sf: str) -> DataFrame:
     """HILBERT-curve data layout (round 15) — the locality upgrade

@@ -1,4 +1,5 @@
-"""Dump .explain("formatted") for bench queries to plans/r16/<q>_<tag>.txt.
+"""Dump .explain("formatted") for bench queries to
+$SPARK_GRAFT_PLANS_DIR/<q>_<tag>.txt (default plans/r17).
 
 Usage: python scripts/dump_plans.py <tag> [query ...]
 Defaults to every bench-basket query. Streaming queries whose fn runs a
@@ -19,6 +20,8 @@ from kstreamjs_spark.session import get_spark  # noqa: E402
 def main() -> int:
     tag = sys.argv[1]
     only = set(sys.argv[2:])
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "plans/r17")
+    os.makedirs(out_dir, exist_ok=True)
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("dump-plans", cpus=8, shuffle_partitions=8)
     qs = all_queries()
@@ -29,7 +32,7 @@ def main() -> int:
             plan = explain_str(df, "formatted")
         except Exception as e:  # noqa: BLE001
             plan = f"ERROR: {type(e).__name__}: {e}"
-        with open(f"plans/r16/{name}_{tag}.txt", "w") as f:
+        with open(f"{out_dir}/{name}_{tag}.txt", "w") as f:
             f.write(plan)
         print("wrote", name)
     spark.stop()

@@ -92,6 +92,30 @@ def test_lit_doubles_bit_identical(spark):
                 assert struct.pack("d", g) == struct.pack("d", e)
 
 
+def test_lit_longs_bit_identical(spark):
+    """Round-17 sweep (r16 verdict #6): lit_longs builds the
+    array<bigint> literal via one parsed expression — it must produce
+    the exact same longs as the per-element F.lit path, the same
+    array<bigint> type, and handle Long.MIN_VALUE (unrepresentable as
+    one SQL token; emitted as a constant-folded subtraction)."""
+    cases = [
+        [1 << i for i in range(63)] + [-(1 << 63)],  # the simhash masks
+        [0] * 64,
+        [-(1 << 63), (1 << 63) - 1, -1, 0, 42],
+        [],
+    ]
+    for vals in cases:
+        df = spark.range(1).select(
+            similarity.lit_longs(vals).alias("a"),
+            F.array(*[F.lit(v).cast("long") for v in vals])
+            .cast("array<bigint>")
+            .alias("b"),
+        )
+        assert dict(df.dtypes)["a"] == "array<bigint>"
+        r = df.first()
+        assert list(r["a"]) == list(r["b"]) == vals
+
+
 def test_minhash_verified_equals_exact_neardups(spark):
     """Exact-verify of LSH candidates: no false positives by construction,
     and at this operating point the bands recall every true >=0.5 pair, so

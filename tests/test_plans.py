@@ -1190,14 +1190,20 @@ def test_round13_q209_q210_semi_anti_shapes(spark):
 def test_round14_q216_wordpiece_pure_codegen(spark):
     """q216's application half must stay a pure Catalyst expression:
     no Python evaluation nodes anywhere in the plan (the no-UDF claim
-    that distinguishes this tokenizer family), and the only exchanges
-    are the word-count aggregate's — the vocabulary rides as an
-    expression literal, never a join."""
+    that distinguishes this tokenizer family), and the vocabulary
+    rides as an expression literal, never a join. Post-round-16 plan
+    shape (ADVICE r16 docstring fix): the word-count aggregate is
+    checkpointed once and SHARED with the vocab trainer, so the final
+    plan applies the greedy fold over a `Scan ExistingRDD` and the
+    only exchange left is the output sort's — the aggregate's own
+    exchange happens once upstream of the checkpoint, not here."""
     from kstreamjs_spark.plans import explain_str
 
     plan = explain_str(q("q216_wordpiece_tokenize", spark), mode="simple")
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan, plan
 
 
 def test_round14_minhash_banding_single_fold(spark):
